@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The three genuine join semantics in the reference (SURVEY §2.3) plus the
+  * many-regions bbox clip, each expressed so Catalyst picks a scalable
+  * physical plan: broadcast for dimension-sized sides, shuffle hash/SMJ for
+  * fact-fact.
+  */
+object Joins {
+
+  /** OP-JOIN-1 — nearest-neighbor 1-D coordinate match
+    * (`dataset.py:122-136`, `:224-235`): for each distinct left coordinate,
+    * the closest right coordinate. Both coordinate sets are *distinct value
+    * lists* (≤ thousands at planetary grid resolution), so the scalable plan
+    * is a broadcast cross product of the two small distinct sets + a
+    * row_number(=1) over (|Δ|, right value) — the value tiebreak replicates
+    * the reference's deterministic nearest choice while staying
+    * order-stable. Returns a 2-column mapping table to equi-join back onto
+    * the fact table (which is where the 100 TB lives — the heavy side is
+    * never shuffled by this operator).
+    */
+  def nearestCoordMapping(left: DataFrame, leftCol: String, right: DataFrame,
+      rightCol: String, outCol: String): DataFrame = {
+    val l = left.select(col(leftCol)).distinct()
+    val r = right.select(col(rightCol)).distinct()
+    val w = Window.partitionBy(col(leftCol))
+      .orderBy(abs(col(leftCol) - col(rightCol)), col(rightCol))
+    l.join(broadcast(r))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(leftCol), col(rightCol).as(outCol))
+  }
+
+  /** OP-JOIN-2 — enrichment equi-join of the hourly fact cube against a
+    * small monthly side table (CO₂/WTD pattern, `dataset.py:36-114`): side
+    * is months × coarse grid ⇒ always broadcast; the fact table streams
+    * through a BroadcastHashJoin with zero shuffle.
+    */
+  def enrich(fact: DataFrame, side: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(side), keys, "left")
+
+  /** OP-JOIN-3 — gap-fill alignment join (`core.py:276-295`): station frame
+    * left-joined with converted ERA5 predictors on timestamp. Both sides are
+    * keyed by the same hourly timestamps; at scale this is a co-partitioned
+    * sort-merge join on the time key.
+    */
+  def gapfillAlign(station: DataFrame, era5: DataFrame,
+      timeCol: String): DataFrame =
+    station.join(era5, Seq(timeCol), "left")
+
+  /** OP-FLT-5 generalized — many-regions bounding-box clip as a range join:
+    * grid point ∈ [s,n]×[w,e]. Regions are dimension-sized ⇒ broadcast
+    * nested-loop with the range predicate; each grid partition scans the
+    * (tiny) region list, no shuffle of the grid.
+    */
+  def bboxClip(grid: DataFrame, regions: DataFrame, latCol: String,
+      lonCol: String): DataFrame =
+    grid.join(broadcast(regions),
+      col(latCol).between(col("s"), col("n")) &&
+        col(lonCol).between(col("w"), col("e")), "inner")
+
+  /** OP-FLT-7 — temporal-eligibility semi-join (`dataset.py:49-50`): keep
+    * fact months present in the eligibility set.
+    */
+  def semiOnKeys(fact: DataFrame, eligible: DataFrame,
+      keys: Seq[String]): DataFrame =
+    fact.join(eligible, keys, "left_semi")
+}
