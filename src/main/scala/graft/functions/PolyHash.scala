@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `polyhash(s)` — deterministic polynomial string hash:
@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // Covariant refinement: AbstractDataType is private[sql] in Spark 4, but
+  // Seq[DataType] <: Seq[AbstractDataType] satisfies ExpectsInputTypes.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "polyhash"
 
