@@ -1,0 +1,325 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Queries.{QFn, Spec}
+import graft.functions.PolyHash.polyhash
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** LLM-data-pipeline query registry: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis, multimodal columns — each over the `documents` /
+  * `embeddings` tables with a generated closed-form DuckDB oracle.
+  */
+object LlmQueries {
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    Queries.T(spark, dir, name)
+
+  // ---- shared DuckDB SQL fragments (mirroring graft.llm.Text exactly) ----
+
+  /** Normalized whitespace tokens of `text`. */
+  private val wordsSql =
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x != '')"
+
+  /** polyhash fold over an arbitrary string expression. */
+  private def phSql(arg: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(c) AS BIGINT) " +
+      s"for c in string_split($arg, '')]), (a,b) -> (a*31+b) % 1000000007)"
+
+  /** Distinct shingle-hash set over a `words` list column, width n. */
+  private def shingleSql(n: Int): String =
+    s"list_distinct([${phSql(s"array_to_string(words[i+1:i+$n], ' ')")} " +
+      s"for i in range(CASE WHEN len(words) >= $n THEN len(words)-${n - 1} ELSE 0 END)])"
+
+  // ------------------------------------------------------------------
+
+  /** polyhash itself — the portable content-hash primitive. */
+  private val l1 = Spec("q50_llm_polyhash",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      polyhash(col("text")).as("h")),
+    Some(s"SELECT doc_id, ${phSql("text")} AS h FROM documents"))
+
+  /** Token counting: whitespace tokens + BPE-ish subword runs. */
+  private val l2 = Spec("q51_text_token_counts",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.subwordCount(col("text")).as("n_subwords")),
+    Some(s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+          AS INT) AS n_subwords FROM documents"""))
+
+  /** Heuristic language ID via stopword-marker counts. */
+  private val l3 = Spec("q52_text_lang_id",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Text.langId(col("text")).as("lang_pred")),
+    Some {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val counts = langs.map { l =>
+        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
+      }.mkString(", ")
+      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
+      val chain = langs.map(l =>
+        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          c AS (SELECT doc_id, $counts FROM t)
+          SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred FROM c"""
+    })
+
+  /** Quality features + composite score (ratio arithmetic — exact). */
+  private val l4 = Spec("q53_text_quality",
+    (s, d) => {
+      val feats = Text.qualityFeatures(col("text"))
+      T(s, d, "documents").select(col("doc_id") +:
+        feats.map { case (n, c) => c.as(n) } :+
+        Text.qualityScore(col("text")).as("quality"): _*)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
+        f AS (SELECT doc_id,
+          CAST(length(text) AS DOUBLE) AS n_chars,
+          CAST(len(words) AS DOUBLE) AS n_tokens,
+          CASE WHEN len(words) > 0 THEN
+            CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+          CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+          CASE WHEN len(words) > 0 THEN
+            CAST(len(list_filter(words, w -> list_contains(
+              ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE) END AS stopword_ratio
+        FROM t)
+        SELECT doc_id, n_chars, n_tokens, mean_word_len, punct_ratio,
+          stopword_ratio,
+          coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) +
+            (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE))) +
+            least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / CAST(3 AS DOUBLE),
+            CAST(0 AS DOUBLE)) AS quality FROM f"""))
+
+  /** Winnowing-style document fingerprint. */
+  private val l5 = Spec("q54_text_fingerprint",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Text.fingerprint(col("text"), w = 4, keepMod = 8).as("fp")),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents)
+        SELECT doc_id, list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0))
+        AS fp FROM t"""))
+
+  /** The duplicate-injected corpus: every 10th doc duplicated verbatim
+    * (id+100000) — exact-dup targets.
+    */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents UNION ALL
+       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"""
+
+  /** Near-dup-injected corpus: every 17th doc re-added with its tail
+    * truncated — fuzzy-dup targets.
+    */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 17 === 0).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      substring(col("text"), lit(1),
+        greatest(length(col("text")) - 15, lit(20)).cast("int")).as("text")))
+  }
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text FROM documents UNION ALL
+       SELECT doc_id + 100000,
+         substr(text, 1, CAST(greatest(length(text) - 15, 20) AS INT))
+       FROM documents WHERE doc_id % 17 = 0"""
+
+  /** Exact dedup over the dup-injected corpus. */
+  private val l6 = Spec("q55_dedup_exact",
+    (s, d) => Dedup.exact(dupCorpus(s, d), "doc_id", "text"),
+    Some(s"""WITH corpus AS ($dupCorpusSql)
+        SELECT ${phSql("text")} AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies FROM corpus GROUP BY 1"""))
+
+  /** MinHash signatures (k=8, 3-shingles). */
+  private val l7 = Spec("q56_dedup_minhash_sig",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 8).as("sig")),
+    Some {
+      val perms = (0 until 8).map { i =>
+        val a = 2L * i + 1; val b = 12345L * i + 7
+        s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t)
+          SELECT doc_id, $perms AS sig FROM sh"""
+    })
+
+  /** Banded-LSH fuzzy-dup candidate pairs over the near-dup corpus
+    * (k=16, 4 bands × 4 rows, est-Jaccard ≥ 0.25).
+    */
+  private val l8 = Spec("q57_dedup_lsh_pairs",
+    (s, d) => Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+      maxBucket = 1000),
+    Some {
+      val perms = (0 until 16).map { i =>
+        val a = 2L * i + 1; val b = 12345L * i + 7
+        s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
+      }.mkString("[", ", ", "]")
+      s"""WITH corpus AS ($nearDupCorpusSql),
+          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+          sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
+          sg AS (SELECT doc_id, $perms AS sig FROM sh),
+          banded AS (SELECT doc_id, sig, b,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+              (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
+            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
+              AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+            FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+            WHERE x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b, est_jaccard FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)"""
+    })
+
+  /** SimHash fingerprints (16 bits for a compact oracle). */
+  private val l9 = Spec("q58_dedup_simhash",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Dedup.simhash(col("text"), bits = 16).as("sh")),
+    Some {
+      val terms = (0 until 16).map { i =>
+        s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, h -> (h >> $i) & 1)) " +
+          s"AS BIGINT) > CAST(len(hs) AS BIGINT) THEN CAST(${1L << i} AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t)
+          SELECT doc_id, $terms AS sh FROM hh"""
+    })
+
+  /** Exact n-gram Jaccard on adjacent-id pairs (the verification kernel). */
+  private val l10 = Spec("q59_dedup_jaccard",
+    (s, d) => {
+      val sets = T(s, d, "documents").select(col("doc_id"),
+        Text.shingleHashes(col("text"), 3).as("hs"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("set_a"))
+      val b = sets.select((col("doc_id") - 1).as("doc_a"), col("hs").as("set_b"))
+      a.join(b, Seq("doc_a"))
+        .select(col("doc_a"), Dedup.jaccard(col("set_a"), col("set_b")).as("jac"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t)
+        SELECT a.doc_id AS doc_a,
+          CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+            CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+              / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS jac
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""))
+
+  /** Full fuzzy-dup chain (LSH candidates → exact-Jaccard verify) over the
+    * near-dup corpus. Composes q57 + q59's oracle-checked kernels; itself
+    * rows-only (the composed SQL would be unwieldy).
+    */
+  private val l11 = Spec("q60_dedup_fuzzy_verified",
+    (s, d) => Dedup.fuzzyDuplicates(nearDupCorpus(s, d), "doc_id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minJaccard = 0.2),
+    None)
+
+  private val dotSql =
+    "list_reduce(list_transform(list_zip(%s, %s), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+  private def dot2(a: String, b: String): String = dotSql.format(a, b)
+
+  /** Brute-force cosine top-k (k=5) for the first 8 query vectors. */
+  private val l12 = Spec("q61_sim_bruteforce_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          ${dot2("q.qv", "c.embedding")} /
+            (sqrt(${dot2("q.qv", "q.qv")}) * sqrt(${dot2("c.embedding", "c.embedding")}))
+          AS cos FROM q CROSS JOIN embeddings c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          round(cos, 6) AS cos FROM r WHERE rank <= 5"""))
+
+  /** LSH-bucketed ANN top-k (k=3): sign-pattern buckets against 4
+    * data-derived anchor hyperplanes (vectors 0..3).
+    */
+  private val l13 = Spec("q62_sim_ann_lsh",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      Similarity.annTopK(emb, emb.filter(col("vec_id").between(100, 107)),
+        "vec_id", "embedding", "vec_id", 3, anchors)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH cb AS (SELECT $bucket AS bucket, v.vec_id AS neighbor_id,
+            v.embedding AS cvec FROM embeddings v),
+          qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+            v.embedding AS qvec FROM embeddings v
+            WHERE v.vec_id BETWEEN 100 AND 107),
+          s AS (SELECT qb.query_id, cb.neighbor_id,
+            ${dot2("qb.qvec", "cb.cvec")} /
+              (sqrt(${dot2("qb.qvec", "qb.qvec")}) * sqrt(${dot2("cb.cvec", "cb.cvec")}))
+            AS cos FROM cb JOIN qb ON cb.bucket = qb.bucket),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+            round(cos, 6) AS cos FROM r WHERE rank <= 3"""
+    })
+
+  /** Multimodal attach: payload + typed metadata + stub feature decode. */
+  private val l14 = Spec("q63_mm_attach",
+    (s, d) => T(s, d, "documents")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("text"), polyhash(col("text"))))
+      .select(col("doc_id"), col("mm.meta.modality").as("modality"),
+        col("mm.meta.byte_len").as("byte_len"), col("mm.meta.width").as("width"),
+        col("mm.meta.height").as("height"), col("mm.meta.n_frames").as("n_frames"),
+        Multimodal.decodeStub(polyhash(col("text")), 8).as("features")),
+    Some(s"""WITH t AS (SELECT doc_id, text, ${phSql("text")} AS h FROM documents)
+        SELECT doc_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS byte_len,
+          CAST(h % 1280 + 64 AS INTEGER) AS width,
+          CAST(h % 720 + 64 AS INTEGER) AS height,
+          CAST(h % 240 + 1 AS INTEGER) AS n_frames,
+          [CAST((h*(i+1)) % 997 AS DOUBLE) / CAST(997 AS DOUBLE) for i in range(8)]
+            AS features FROM t"""))
+
+  /** Multimodal frame sampling (4 evenly-spaced frames per doc). */
+  private val l15 = Spec("q64_mm_frame_sample",
+    (s, d) => {
+      val withMm = T(s, d, "documents")
+        .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+          lit("video"), polyhash(col("text"))))
+      Multimodal.sampleFrames(withMm, "mm", 4)
+        .select(col("doc_id"), col("mm.meta.n_frames").as("n_frames"),
+          col("frame_idx"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+          CAST(${phSql("text")} % 240 + 1 AS INTEGER) AS n_frames FROM documents)
+        SELECT doc_id, n_frames,
+          unnest([CAST(floor(i * n_frames / CAST(4 AS DOUBLE)) AS INTEGER)
+            for i in range(4)]) AS frame_idx FROM t"""))
+
+  val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
+    l11, l12, l13, l14, l15)
+}

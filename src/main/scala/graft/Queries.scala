@@ -1,0 +1,782 @@
+package graft
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.functions.PolyHash.polyhash
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** The driver-contract query registry: one entry per implemented operator
+  * from SURVEY §2 plus the LLM-pipeline extensions, each with a DuckDB
+  * oracle in ANSI SQL over the same parquet tables.
+  *
+  * Oracle-safety rules observed throughout (cross-engine hash equality):
+  *   - float aggregates use integer-valued doubles (sums exact in IEEE754
+  *     regardless of order) or are rounded to 6 dp on BOTH sides;
+  *   - orderings are always total (tie-free) before any row_number/limit;
+  *   - DuckDB `date_trunc('day'|'month')` returns DATE — oracles cast back
+  *     to TIMESTAMP to match Spark;
+  *   - numeric literals in oracles are forced to DOUBLE (DuckDB parses bare
+  *     decimals as DECIMAL, whose arithmetic differs from Spark's doubles).
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+  final case class Spec(name: String, fn: QFn, oracle: Option[String])
+
+  /** Table loader. `events` carries TIMESTAMP(NANOS) parquet, which Spark 4
+    * only reads via the nanosAsLong legacy flag — convert back to
+    * TimestampType with integer division (ns epochs exceed 2^53, so a
+    * double-division cast would corrupt them; the testdata is
+    * microsecond-aligned, verified).
+    */
+  def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sink/$name"
+
+  // ------------------------------------------------------------------
+  // Sources / sinks
+  // ------------------------------------------------------------------
+
+  /** OP-SRC-1 — multi-path parquet scan + technical-column drop. */
+  private val src1 = Spec("q01_src1_scan_drop",
+    (s, d) => Relational.dropCols(T(s, d, "lineitem"), "l_tax", "l_linestatus"),
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_returnflag, l_shipdate FROM lineitem"""))
+
+  /** OP-SRC-2 — CSV parse with bad-line drop (DROPMALFORMED semantics):
+    * events serialized to CSV lines (1-in-97 corrupted), parsed back, bad
+    * lines dropped.
+    */
+  private val src2 = Spec("q02_src2_csv_badlines",
+    (s, d) => {
+      val lines = T(s, d, "events").select(
+        when(col("event_id") % 97 === 0, lit("garbage,x,y"))
+          .otherwise(concat_ws(",", col("event_id"), col("user_id"),
+            col("value").cast("string"))).as("line"))
+      lines
+        .select(from_csv(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE"),
+          Map.empty[String, String]).as("p"))
+        .filter(col("p.event_id").isNotNull)
+        .select(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"),
+          col("p.value").as("value"))
+    },
+    Some("""SELECT event_id, user_id, value FROM events WHERE event_id % 97 <> 0"""))
+
+  /** OP-SRC-4 — GeoJSON FeatureCollection scan: a FeatureCollection is
+    * synthesized from the region table (catalog-sized, driver-side by
+    * design — GeoJSON region files are config artifacts, not data), then
+    * read through the engine's reader.
+    */
+  private val src4 = Spec("q03_src4_geojson",
+    (s, d) => {
+      val rows = T(s, d, "region")
+        .select(col("r_name"), col("r_regionkey")).collect()
+        .sortBy(_.getInt(1))
+      val feats = rows.map { r =>
+        val k = r.getInt(1)
+        s"""{"type":"Feature","properties":{"id":"${r.getString(0)}"},""" +
+          s""""geometry":{"type":"Point","coordinates":[${k + 0.5},${k * 2 + 0.25}]}}"""
+      }.mkString(",")
+      val path = tmp("geo.json")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp("")))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"type":"FeatureCollection","features":[$feats]}""")
+      Geometry.readGeoJson(s, path)
+    },
+    Some("""SELECT r_name AS region_id, 'Point' AS geom_type,
+        '[' || CAST(r_regionkey + CAST(0.5 AS DOUBLE) AS VARCHAR) || ',' ||
+        CAST(r_regionkey * 2 + CAST(0.25 AS DOUBLE) AS VARCHAR) || ']'
+        AS coordinates_json FROM region"""))
+
+  /** OP-SNK-1 — compressed parquet sink with float32 downcast, read back. */
+  private val snk1 = Spec("q04_snk1_f32_sink",
+    (s, d) => {
+      val out = Sinks.downcast(
+        T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price_f32")), Seq("price_f32"))
+      Sinks.writeCompressed(out, tmp("snk1"), Nil)
+      s.read.parquet(tmp("snk1"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(l_extendedprice AS REAL) AS price_f32 FROM lineitem"""))
+
+  /** OP-SNK-2 — CSV sink round-trip. */
+  private val snk2 = Spec("q05_snk2_csv_sink",
+    (s, d) => {
+      Sinks.writeCsv(T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_returnflag")),
+        tmp("snk2"))
+      s.read.option("header", "true")
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+        .csv(tmp("snk2"))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"))
+
+  /** OP-SNK-3 — partitioned chunk sink + re-read via partition discovery. */
+  private val snk3 = Spec("q06_snk3_partitioned_sink",
+    (s, d) => {
+      Sinks.writePartitioned(T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag")), tmp("snk3"),
+        Seq("l_returnflag"))
+      Sinks.readPartitioned(s, tmp("snk3"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag"""))
+
+  // ------------------------------------------------------------------
+  // Projections / filters
+  // ------------------------------------------------------------------
+
+  /** OP-PRJ-1 — bulk rename via the shortname→longname registry. */
+  private val prj1 = Spec("q07_prj1_bulk_rename",
+    (s, d) => Relational.applyRename(
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("u10"), col("l_discount").as("v10")),
+      Predictors.shortnameToFullname),
+    Some("""SELECT l_orderkey, l_linenumber,
+        l_extendedprice AS "10m_u_component_of_wind",
+        l_discount AS "10m_v_component_of_wind" FROM lineitem"""))
+
+  /** OP-PRJ-2 + OP-PRJ-3 — column drop; literal/derived adds. */
+  private val prj23 = Spec("q08_prj23_drop_derive",
+    (s, d) => Relational.addColumns(
+      Relational.dropCols(T(s, d, "orders"), "o_orderpriority", "o_orderstatus",
+        "o_totalprice", "o_custkey"),
+      "region_id" -> lit("r0"),
+      "year_month" -> date_trunc("month", col("o_orderdate"))),
+    Some("""SELECT o_orderkey, o_orderdate, 'r0' AS region_id,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS year_month
+        FROM orders"""))
+
+  /** OP-FLT-1 — time-range filter. */
+  private val flt1 = Spec("q09_flt1_time_range",
+    (s, d) => Relational.timeRange(T(s, d, "events"), "ts",
+      "2024-01-01 12:00:00", "2024-01-02 12:00:00")
+      .select(col("event_id"), col("ts"), col("value")),
+    Some("""SELECT event_id, ts, value FROM events WHERE ts BETWEEN
+        TIMESTAMP '2024-01-01 12:00:00' AND TIMESTAMP '2024-01-02 12:00:00'"""))
+
+  /** OP-FLT-2 — top-of-hour filter (true hour rows injected 1-in-7 so the
+    * filter has deterministic survivors).
+    */
+  private val flt2 = Spec("q10_flt2_top_of_hour",
+    (s, d) => Relational.topOfHour(
+      T(s, d, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, date_trunc("hour", col("ts")))
+          .otherwise(col("ts")).as("ts2")), "ts2"),
+    Some("""SELECT event_id, ts2 FROM (SELECT event_id,
+        CASE WHEN event_id % 7 = 0 THEN date_trunc('hour', ts) ELSE ts END ts2
+        FROM events) WHERE minute(ts2) = 0 AND date_part('second', ts2) = 0"""))
+
+  /** OP-FLT-3 — any-null row filter (the gap-fill worklist). */
+  private val flt3 = Spec("q11_flt3_any_null",
+    (s, d) => {
+      val df = T(s, d, "events").select(col("event_id"),
+        when(col("value") <= 100, col("value")).as("v2"),
+        when(col("user_id") % 11 =!= 0, col("props")).as("p2"))
+      Relational.anyNull(df, Seq("v2", "p2"))
+    },
+    Some("""SELECT event_id, v2, p2 FROM (SELECT event_id,
+        CASE WHEN value <= 100 THEN value END v2,
+        CASE WHEN user_id % 11 <> 0 THEN props END p2 FROM events)
+        WHERE v2 IS NULL OR p2 IS NULL"""))
+
+  /** OP-FLT-4 — sentinel-to-null. */
+  private val flt4 = Spec("q12_flt4_sentinel_null",
+    (s, d) => Relational.sentinelToNull(
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")), "l_extendedprice", 50000d),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_extendedprice < CAST(50000 AS DOUBLE) THEN l_extendedprice END
+        AS l_extendedprice FROM lineitem"""))
+
+  /** OP-FLT-5 — many-regions bbox clip as a broadcast range join. */
+  private val flt5 = Spec("q13_flt5_bbox_range_join",
+    (s, d) => {
+      val regions = T(s, d, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("s"), (col("n_nationkey") * 2.0 + 4.0).as("n"),
+        (col("n_nationkey") * 3.0).as("w"), (col("n_nationkey") * 3.0 + 6.0).as("e"))
+      val grid = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"),
+        (col("l_discount") * 100).as("lon"))
+      Joins.bboxClip(grid, regions, "l_quantity", "lon")
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_nationkey"))
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber, r.n_nationkey
+        FROM lineitem l JOIN (SELECT n_nationkey,
+          n_nationkey * CAST(2 AS DOUBLE) AS s,
+          n_nationkey * CAST(2 AS DOUBLE) + 4 AS n,
+          n_nationkey * CAST(3 AS DOUBLE) AS w,
+          n_nationkey * CAST(3 AS DOUBLE) + 6 AS e FROM nation) r
+        ON l.l_quantity BETWEEN r.s AND r.n
+          AND (l.l_discount * 100) BETWEEN r.w AND r.e"""))
+
+  /** OP-FLT-6 — dropDuplicates on a key subset (keys-only projection keeps
+    * the survivor-choice deterministic).
+    */
+  private val flt6 = Spec("q14_flt6_drop_duplicates",
+    (s, d) => Relational.dropDupOnKeys(T(s, d, "lineitem"),
+      Seq("l_orderkey")).select(col("l_orderkey")),
+    Some("SELECT DISTINCT l_orderkey FROM lineitem"))
+
+  /** Deterministic full-row dedup (min_by tiebreak) — the engine's scalable
+    * alternative to arbitrary-survivor dropDuplicates.
+    */
+  private val flt6b = Spec("q15_flt6_dedup_deterministic",
+    (s, d) => Relational.dedupDeterministic(
+      T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("value")), Seq("user_id"), "ts"),
+    Some("""SELECT user_id, arg_min(ts, ts) AS ts,
+        arg_min(event_id, ts) AS event_id, arg_min(value, ts) AS value
+        FROM events GROUP BY user_id"""))
+
+  /** OP-FLT-7 — temporal-eligibility semi-join. */
+  private val flt7 = Spec("q16_flt7_semi_join",
+    (s, d) => {
+      val eligible = Relational.distinctValues(
+        T(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .withColumn("year_month", date_trunc("month", col("l_shipdate"))),
+        Seq("year_month"))
+      Joins.semiOnKeys(
+        T(s, d, "orders").withColumn("year_month",
+          date_trunc("month", col("o_orderdate")))
+          .select(col("o_orderkey"), col("year_month")),
+        eligible, Seq("year_month"))
+    },
+    Some("""SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        AS year_month FROM orders WHERE date_trunc('month', o_orderdate) IN
+        (SELECT DISTINCT date_trunc('month', l_shipdate) FROM lineitem
+         WHERE l_returnflag = 'R')"""))
+
+  // ------------------------------------------------------------------
+  // Joins
+  // ------------------------------------------------------------------
+
+  /** OP-JOIN-1 — nearest-neighbor 1-D coordinate match. */
+  private val join1 = Spec("q17_join1_nearest_coord",
+    (s, d) => Joins.nearestCoordMapping(T(s, d, "lineitem"), "l_quantity",
+      T(s, d, "supplier"), "s_acctbal", "nearest_bal"),
+    Some("""WITH l AS (SELECT DISTINCT l_quantity FROM lineitem),
+        r AS (SELECT DISTINCT s_acctbal FROM supplier),
+        x AS (SELECT l_quantity, s_acctbal, row_number() OVER
+          (PARTITION BY l_quantity ORDER BY abs(l_quantity - s_acctbal), s_acctbal) rn
+          FROM l, r)
+        SELECT l_quantity, s_acctbal AS nearest_bal FROM x WHERE rn = 1"""))
+
+  /** OP-JOIN-2 — broadcast enrichment equi-join against a monthly side. */
+  private val join2 = Spec("q18_join2_enrich",
+    (s, d) => {
+      val side = T(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("year_month"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+      val fact = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), date_trunc("month", col("l_shipdate")).as("year_month"))
+      Joins.enrich(fact, side, Seq("year_month"))
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber,
+        CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS year_month,
+        s.n_orders, s.max_price FROM lineitem l LEFT JOIN
+        (SELECT date_trunc('month', o_orderdate) ym, count(*) n_orders,
+         max(o_totalprice) max_price FROM orders GROUP BY 1) s
+        ON date_trunc('month', l.l_shipdate) = s.ym"""))
+
+  /** OP-JOIN-3 — gap-fill alignment join on the time key. */
+  private val join3 = Spec("q19_join3_align",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val amf = ev.filter(col("user_id") % 2 === 0)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_a"))
+      val era5 = ev.filter(col("user_id") % 2 === 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_b"))
+      Joins.gapfillAlign(amf, era5, "hr")
+    },
+    Some("""SELECT a.hr, a.n_a, b.n_b FROM
+        (SELECT date_trunc('hour', ts) hr, count(*) n_a FROM events
+         WHERE user_id % 2 = 0 GROUP BY 1) a LEFT JOIN
+        (SELECT date_trunc('hour', ts) hr, count(*) n_b FROM events
+         WHERE user_id % 2 = 1 GROUP BY 1) b ON a.hr = b.hr"""))
+
+  // ------------------------------------------------------------------
+  // Aggregations
+  // ------------------------------------------------------------------
+
+  /** OP-AGG-1 — monthly mean keeping group keys. */
+  private val agg1 = Spec("q20_agg1_monthly_mean",
+    (s, d) => Relational.monthlyMean(T(s, d, "lineitem"), "l_shipdate",
+      Seq("l_returnflag"), Seq("l_quantity")),
+    Some("""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS year_month,
+        l_returnflag, avg(l_quantity) AS l_quantity_mean
+        FROM lineitem GROUP BY 1, 2"""))
+
+  /** OP-AGG-2 — declarative resample incl. the last-wins RH_mean collision
+    * (VPD's daily mean overwrites RH's, as the reference's dict
+    * comprehension does) and the SWC delta aggregate.
+    */
+  private val agg2 = Spec("q21_agg2_resample_daily",
+    (s, d) => {
+      val df = T(s, d, "events").select(col("ts").as("valid_time"),
+        col("event_type"),
+        floor(col("value")).cast("double").as("TA"),
+        floor(col("value") * 2).cast("double").as("RH"),
+        floor(col("value") * 5).cast("double").as("VPD"),
+        floor(col("value") * 7).cast("double").as("P"),
+        floor(col("value") * 3).cast("double").as("SWC_1"))
+      val res = AggSchema.resample(df, AggSchema.Daily, "valid_time",
+        Seq("event_type"))
+      res.select(res.columns.map {
+        case c if c.endsWith("_std") => round(col(c), 6).as(c)
+        case c => col(c)
+      }: _*)
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, event_type,
+        avg(floor(value)) AS TA_mean, round(stddev_samp(floor(value)), 6) AS TA_std,
+        min(floor(value)) AS TA_min, max(floor(value)) AS TA_max,
+        avg(floor(value * 5)) AS RH_mean,
+        round(stddev_samp(floor(value * 2)), 6) AS RH_std,
+        max(floor(value * 2)) AS RH_max, min(floor(value * 2)) AS RH_min,
+        round(stddev_samp(floor(value * 5)), 6) AS VPD_std,
+        max(floor(value * 5)) AS VPD_max,
+        sum(floor(value * 7)) AS P_sum, max(floor(value * 7)) AS P_max,
+        avg(floor(value * 3)) AS SWC_1_mean, min(floor(value * 3)) AS SWC_1_min,
+        arg_max(floor(value * 3), ts) - arg_min(floor(value * 3), ts) AS SWC_1_delta
+        FROM events GROUP BY 1, 2"""))
+
+  /** OP-AGG-3 — block-mean coarsen with trim. */
+  private val agg3 = Spec("q22_agg3_coarsen",
+    (s, d) => Windows.coarsen(
+      T(s, d, "events").select((col("event_id") % 50).as("x_idx"),
+        col("user_id").as("y_idx"), floor(col("value")).cast("double").as("v")),
+      "x_idx", "y_idx", Seq("v"), 5),
+    Some("""SELECT CAST(floor((event_id % 50) / CAST(5 AS DOUBLE)) AS BIGINT) AS block_x,
+        CAST(floor(user_id / CAST(5 AS DOUBLE)) AS BIGINT) AS block_y,
+        count(*) AS n_cells, avg(floor(value)) AS v_mean
+        FROM events GROUP BY 1, 2 HAVING count(*) = 25"""))
+
+  /** OP-AGG-4 — grouped bbox (min/max extent) aggregation. */
+  private val agg4 = Spec("q23_agg4_bbox_extent",
+    (s, d) => Geometry.bboxAgg(T(s, d, "customer"), "c_acctbal", "c_custkey",
+      Seq("c_mktsegment")),
+    Some("""SELECT c_mktsegment, max(c_acctbal) AS n, min(c_custkey) AS w,
+        min(c_acctbal) AS s, max(c_custkey) AS e FROM customer
+        GROUP BY c_mktsegment"""))
+
+  /** OP-AGG-5 — distinct values. */
+  private val agg5 = Spec("q24_agg5_distinct",
+    (s, d) => Relational.distinctValues(T(s, d, "lineitem"),
+      Seq("l_returnflag", "l_linestatus")),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  // ------------------------------------------------------------------
+  // Windows / sort / sets
+  // ------------------------------------------------------------------
+
+  /** OP-WIN-1 — trailing sliding window per key (n=16). */
+  private val win1 = Spec("q25_win1_sliding_window",
+    (s, d) => Windows.slidingFeatures(T(s, d, "events")
+      .select(col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", Seq("value"), 16)
+      .select(col("user_id"), col("ts"), col("value_win")),
+    Some("""SELECT user_id, ts, value_win FROM (SELECT user_id, ts,
+        list(value) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) value_win
+        FROM events) WHERE len(value_win) = 16"""))
+
+  /** OP-WIN-2 — first/last-in-group delta via order-free max_by/min_by. */
+  private val win2 = Spec("q26_win2_group_delta",
+    (s, d) => T(s, d, "events").groupBy(col("user_id"))
+      .agg((max_by(col("value"), col("ts")) -
+        min_by(col("value"), col("ts"))).as("value_delta")),
+    Some("""SELECT user_id, arg_max(value, ts) - arg_min(value, ts)
+        AS value_delta FROM events GROUP BY user_id"""))
+
+  /** OP-SORT-1 — multi-key total-order sort + limit. */
+  private val sort1 = Spec("q27_sort1_multikey",
+    (s, d) => Relational.sortBy(T(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Seq("l_orderkey" -> true, "l_linenumber" -> true)).limit(1000),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 1000"""))
+
+  /** OP-SET-1 — aligned union of splits reassembles the table. */
+  private val set1 = Spec("q28_set1_union",
+    (s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      Relational.unionAligned(Seq(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1)))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"))
+
+  /** OP-SET-2 — concat along a new dimension. */
+  private val set2 = Spec("q29_set2_concat_dim",
+    (s, d) => {
+      val o = T(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      Relational.concatAlong(Seq(
+        (lit("open"), o.filter(col("o_orderstatus") === "O")),
+        (lit("done"), o.filter(col("o_orderstatus") === "F"))), "batch")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, 'open' AS batch FROM orders
+        WHERE o_orderstatus = 'O' UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'done' AS batch FROM orders
+        WHERE o_orderstatus = 'F'"""))
+
+  // ------------------------------------------------------------------
+  // Dates / strings / misc
+  // ------------------------------------------------------------------
+
+  /** OP-DT-1 — two-format timestamp parse with fallback. */
+  private val dt1 = Spec("q30_dt1_two_format_parse",
+    (s, d) => T(s, d, "events").select(col("event_id"),
+      Dates.parseTimestamp(
+        when(col("event_id") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyyMMddHHmm"))).as("parsed")),
+    Some("""SELECT event_id, CASE WHEN event_id % 2 = 0
+        THEN date_trunc('second', ts) ELSE date_trunc('minute', ts) END
+        AS parsed FROM events"""))
+
+  /** OP-DT-2 — date parts. */
+  private val dt2 = Spec("q31_dt2_date_parts",
+    (s, d) => {
+      val parts = Dates.dateParts(col("o_orderdate"))
+      T(s, d, "orders").select(col("o_orderkey") +:
+        parts.map { case (n, c) => c.as(n) }: _*)
+    },
+    Some("""SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INT) AS year,
+        CAST(date_part('month', o_orderdate) AS INT) AS month,
+        CAST(date_part('day', o_orderdate) AS INT) AS day,
+        CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+        CAST(date_part('hour', o_orderdate) AS INT) AS hod,
+        strftime(o_orderdate, '%H:%M:%S') AS hms FROM orders"""))
+
+  /** OP-DT-3 — calendar sequence generation (monthly series spanning the
+    * order-date range).
+    */
+  private val dt3 = Spec("q32_dt3_calendar_series",
+    (s, d) => T(s, d, "orders")
+      .agg(min(col("o_orderdate")).as("t0"), max(col("o_orderdate")).as("t1"))
+      .select(Dates.timeSeries(col("t0"), col("t1"), "month").as("month_start")),
+    Some("""SELECT unnest(generate_series(
+        (SELECT min(o_orderdate) FROM orders),
+        (SELECT max(o_orderdate) FROM orders), INTERVAL 1 MONTH))
+        AS month_start"""))
+
+  /** OP-DT-4 — month-end / month-truncate. */
+  private val dt4 = Spec("q33_dt4_month_end",
+    (s, d) => T(s, d, "orders").select(col("o_orderkey"),
+      Dates.monthEnd(col("o_orderdate")).cast("timestamp").as("m_end"),
+      Dates.monthStart(col("o_orderdate")).as("m_start")),
+    Some("""SELECT o_orderkey, CAST(last_day(o_orderdate) AS TIMESTAMP) AS m_end,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_start
+        FROM orders"""))
+
+  /** OP-STR-1 — region-id synthesis (printf on half-degree-safe values). */
+  private val str1 = Spec("q34_str1_region_id",
+    (s, d) => T(s, d, "nation").select(col("n_nationkey"),
+      format_string("r%d_%.1fto%.1f_%.1fto%.1f", col("n_nationkey"),
+        col("n_nationkey") * 1.5 - 10, col("n_nationkey") * 1.5 - 10 + 2.3,
+        col("n_nationkey") * 2.5 - 30, col("n_nationkey") * 2.5 - 30 + 5.7)
+        .as("region_id")),
+    Some("""SELECT n_nationkey, printf('r%d_%.1fto%.1f_%.1fto%.1f', n_nationkey,
+        n_nationkey * CAST(1.5 AS DOUBLE) - 10,
+        n_nationkey * CAST(1.5 AS DOUBLE) - 10 + CAST(2.3 AS DOUBLE),
+        n_nationkey * CAST(2.5 AS DOUBLE) - 30,
+        n_nationkey * CAST(2.5 AS DOUBLE) - 30 + CAST(5.7 AS DOUBLE))
+        AS region_id FROM nation"""))
+
+  /** OP-STR-2 — filename parse → date. */
+  private val str2 = Spec("q35_str2_filename_date",
+    (s, d) => T(s, d, "orders").select(col("o_orderkey"),
+      Dates.filenameDate(concat(lit("wtd-v1-"),
+        date_format(col("o_orderdate"), "yyyyMMdd"), lit(".tif")))
+        .cast("timestamp").as("file_date")),
+    Some("SELECT o_orderkey, o_orderdate AS file_date FROM orders"))
+
+  /** OP-MISC-1 — request-group planner, hourly mode: the plan exploded back
+    * to hours must cover exactly the requested range (the coverage
+    * invariant IS the oracle).
+    */
+  private val misc1 = Spec("q36_misc1_planner_hourly",
+    (s, d) => {
+      val groups = Planner.requestGroups(
+        java.time.LocalDateTime.of(2020, 2, 15, 5, 0),
+        java.time.LocalDateTime.of(2020, 5, 10, 17, 0), monthly = false)
+      val hours = for {
+        g <- groups; m <- g.months; day <- g.days; h <- g.hours
+      } yield (g.year.toInt, m.toInt, day.toInt, h.take(2).toInt)
+      import s.implicits._
+      hours.toDF("y", "mo", "dy", "h")
+    },
+    Some("""SELECT CAST(date_part('year', ts) AS INT) AS y,
+        CAST(date_part('month', ts) AS INT) AS mo,
+        CAST(date_part('day', ts) AS INT) AS dy,
+        CAST(date_part('hour', ts) AS INT) AS h
+        FROM generate_series(TIMESTAMP '2020-02-15 05:00:00',
+          TIMESTAMP '2020-05-10 17:00:00', INTERVAL 1 HOUR) t(ts)"""))
+
+  /** OP-MISC-1 — monthly mode: one group per fully-contained month. */
+  private val misc1b = Spec("q37_misc1_planner_monthly",
+    (s, d) => {
+      val groups = Planner.requestGroups(
+        java.time.LocalDateTime.of(2019, 3, 1, 0, 0),
+        java.time.LocalDateTime.of(2020, 11, 30, 23, 0), monthly = true)
+      import s.implicits._
+      groups.map(g => (g.year.toInt, g.months.head.toInt, g.days.size))
+        .toDF("y", "mo", "n_days")
+    },
+    Some("""SELECT CAST(date_part('year', m) AS INT) AS y,
+        CAST(date_part('month', m) AS INT) AS mo,
+        CAST(date_part('day', last_day(CAST(m AS DATE))) AS INT) AS n_days
+        FROM generate_series(TIMESTAMP '2019-03-01', TIMESTAMP '2020-11-01',
+          INTERVAL 1 MONTH) t(m)"""))
+
+  /** OP-MISC-2 — point→bbox kernel with min-span expansion as data-side
+    * Column math (span 0.25 < 0.251 always expands, `geometry_processor
+    * .py:85-137`).
+    */
+  private val misc2 = Spec("q38_misc2_point_bbox",
+    (s, d) => {
+      val half = Geometry.MinBboxSpan / 2
+      T(s, d, "customer").select(col("c_custkey"),
+        ((col("c_acctbal") % 80) + half).as("n"),
+        ((col("c_custkey") % 170).cast("double") - half).as("w"),
+        ((col("c_acctbal") % 80) - half).as("s"),
+        ((col("c_custkey") % 170).cast("double") + half).as("e"))
+    },
+    Some("""SELECT c_custkey,
+        (c_acctbal % 80) + CAST(0.251 AS DOUBLE) / 2 AS n,
+        CAST(c_custkey % 170 AS DOUBLE) - CAST(0.251 AS DOUBLE) / 2 AS w,
+        (c_acctbal % 80) - CAST(0.251 AS DOUBLE) / 2 AS s,
+        CAST(c_custkey % 170 AS DOUBLE) + CAST(0.251 AS DOUBLE) / 2 AS e
+        FROM customer"""))
+
+  /** OP-MISC-3 — two-source wide restructure. */
+  private val misc3 = Spec("q39_misc3_two_source_wide",
+    (s, d) => Pipeline.twoSourceWide(
+      T(s, d, "events").select(col("ts").as("timestamp"),
+        floor(col("value")).cast("double").as("TA"),
+        floor(col("value") * 7).cast("double").as("P"),
+        (col("value") / 2).as("ta_e"), floor(col("value")).cast("double").as("p_e")),
+      "timestamp", Seq("TA", "P"),
+      Map("TA" -> col("ta_e"), "P" -> (col("p_e") / 2))),
+    Some("""SELECT ts AS timestamp, floor(value * 7) AS P_AMF,
+        floor(value) / CAST(2 AS DOUBLE) AS P_ERA5, floor(value) AS TA_AMF,
+        value / CAST(2 AS DOUBLE) AS TA_ERA5 FROM events"""))
+
+  // ------------------------------------------------------------------
+  // Conversion library (OP-FN-*) over lineitem stand-in physics columns
+  // ------------------------------------------------------------------
+
+  private def t2m: Column = col("l_quantity") + 248.15 // straddles 0 °C
+  private def d2m: Column = t2m - col("l_discount") * 30
+  private def sp: Column = col("l_extendedprice") / 10 + 90000.0
+  private val t2mSql = "(l_quantity + CAST(248.15 AS DOUBLE))"
+  private val d2mSql = s"($t2mSql - l_discount * 30)"
+  private val spSql = "(l_extendedprice / CAST(10 AS DOUBLE) + CAST(90000.0 AS DOUBLE))"
+  private val keys: Seq[Column] = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  /** OP-FN-1/2/3/15 — unit conversions + identity passthrough. */
+  private val fn1 = Spec("q40_fn_units",
+    (s, d) => T(s, d, "lineitem").select(keys :+
+      Conversions.kelvinToCelsius(t2m).as("ta_c") :+
+      Conversions.paToKpa(sp).as("pa_kpa") :+
+      Conversions.volumetricSoilWater(col("l_discount") * 4).as("swc") :+
+      Conversions.identity(col("l_tax")).as("p_passthrough"): _*),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+        $t2mSql - CAST(273.15 AS DOUBLE) AS ta_c,
+        $spSql / CAST(1000 AS DOUBLE) AS pa_kpa,
+        (l_discount * 4) * CAST(100 AS DOUBLE) AS swc,
+        l_tax AS p_passthrough FROM lineitem"""))
+
+  /** OP-FN-4/5 — wind magnitude (exact) and direction (rounded — atan2 is
+    * libm-dependent).
+    */
+  private val fn2 = Spec("q41_fn_wind",
+    (s, d) => {
+      val u = col("l_discount") * 100 - 5
+      val v = col("l_tax") * 100 - 4
+      T(s, d, "lineitem").select(keys :+
+        Conversions.windSpeedMagnitude(u, v).as("ws") :+
+        round(Conversions.windSpeedDirection(u, v), 6).as("wd"): _*)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        sqrt((l_discount*100-5)*(l_discount*100-5) + (l_tax*100-4)*(l_tax*100-4)) AS ws,
+        round((degrees(atan2(l_discount*100-5, l_tax*100-4)) + 360) % 360, 6) AS wd
+        FROM lineitem"""))
+
+  /** OP-FN-6/7/8 — Magnus RH, Tetens es (both branch arms), VPD. */
+  private val fn3 = Spec("q42_fn_humidity",
+    (s, d) => T(s, d, "lineitem").select(keys :+
+      round(Conversions.relativeHumidity(t2m, d2m), 6).as("rh") :+
+      round(Conversions.saturatedVaporPressure(
+        Conversions.kelvinToCelsius(t2m)), 6).as("es_kpa") :+
+      round(Conversions.vaporPressureDeficit(t2m, d2m), 6).as("vpd_hpa"): _*),
+    Some(s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+          $t2mSql - CAST(273.15 AS DOUBLE) AS tc,
+          $d2mSql - CAST(273.15 AS DOUBLE) AS tdc FROM lineitem),
+        y AS (SELECT *,
+          exp((tdc * CAST(17.625 AS DOUBLE)) / (tdc + CAST(243.04 AS DOUBLE)) -
+              (tc * CAST(17.625 AS DOUBLE)) / (tc + CAST(243.04 AS DOUBLE)))
+            * CAST(100 AS DOUBLE) AS rh_raw,
+          CASE WHEN tc >= 0 THEN exp(tc * CAST(17.27 AS DOUBLE) / (tc + CAST(237.3 AS DOUBLE)))
+               ELSE exp(tc * CAST(21.875 AS DOUBLE) / (tc + CAST(265.5 AS DOUBLE)))
+          END * CAST(0.61078 AS DOUBLE) AS es_raw FROM x)
+        SELECT l_orderkey, l_linenumber, round(rh_raw, 6) AS rh,
+          round(es_raw, 6) AS es_kpa,
+          round((es_raw * (1 - rh_raw / CAST(100 AS DOUBLE))) * CAST(10 AS DOUBLE), 6)
+            AS vpd_hpa FROM y"""))
+
+  /** OP-FN-9/10/11/13 — radiation & energy-balance chain (pure arithmetic,
+    * exact).
+    */
+  private val fn4 = Spec("q43_fn_radiation",
+    (s, d) => {
+      val sdswrf = col("l_extendedprice") / 100
+      val sdlwrf = col("l_extendedprice") / 200
+      val snlwrf = col("l_extendedprice") / 300
+      val fal = col("l_discount") * 5
+      val ishf = col("l_tax") * 1000
+      val slhtf = col("l_quantity") * 3
+      T(s, d, "lineitem").select(keys :+
+        Conversions.shortwaveOut(sdswrf, fal).as("sw_out") :+
+        Conversions.longwaveOut(sdlwrf, snlwrf).as("lw_out") :+
+        Conversions.netRadiation(sdswrf, sdlwrf, snlwrf, fal).as("netrad") :+
+        Conversions.soilHeatFlux(ishf, slhtf, sdswrf, sdlwrf, snlwrf, fal)
+          .as("g"): _*)
+    },
+    Some("""WITH x AS (SELECT l_orderkey, l_linenumber,
+          l_extendedprice / CAST(100 AS DOUBLE) AS sdswrf,
+          l_extendedprice / CAST(200 AS DOUBLE) AS sdlwrf,
+          l_extendedprice / CAST(300 AS DOUBLE) AS snlwrf,
+          l_discount * 5 AS fal, l_tax * 1000 AS ishf,
+          l_quantity * 3 AS slhtf FROM lineitem)
+        SELECT l_orderkey, l_linenumber, sdswrf * fal AS sw_out,
+          snlwrf - sdlwrf AS lw_out,
+          sdswrf + sdlwrf - (sdswrf * fal) - (snlwrf - sdlwrf) AS netrad,
+          (sdswrf + sdlwrf - (sdswrf * fal) - (snlwrf - sdlwrf)) - ishf - slhtf AS g
+        FROM x"""))
+
+  /** OP-FN-12 — dry→wet CO₂ mole-fraction conversion. */
+  private val fn5 = Spec("q44_fn_co2",
+    (s, d) => T(s, d, "lineitem").select(keys :+
+      round(Conversions.dryToWetCo2Fraction(t2m, d2m, sp,
+        col("l_tax") * 100 + 400), 6).as("co2_wet"): _*),
+    Some(s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+          $t2mSql - CAST(273.15 AS DOUBLE) AS tc,
+          $d2mSql - CAST(273.15 AS DOUBLE) AS tdc,
+          $spSql AS sp, l_tax * 100 + 400 AS xco2 FROM lineitem),
+        y AS (SELECT *,
+          exp((tdc * CAST(17.625 AS DOUBLE)) / (tdc + CAST(243.04 AS DOUBLE)) -
+              (tc * CAST(17.625 AS DOUBLE)) / (tc + CAST(243.04 AS DOUBLE)))
+            * CAST(100 AS DOUBLE) AS rh,
+          CASE WHEN tc >= 0 THEN exp(tc * CAST(17.27 AS DOUBLE) / (tc + CAST(237.3 AS DOUBLE)))
+               ELSE exp(tc * CAST(21.875 AS DOUBLE) / (tc + CAST(265.5 AS DOUBLE)))
+          END * CAST(0.61078 AS DOUBLE) * CAST(1000 AS DOUBLE) AS es_pa FROM x),
+        z AS (SELECT *, (rh / CAST(100 AS DOUBLE)) * es_pa / sp AS xh2o_wet FROM y)
+        SELECT l_orderkey, l_linenumber,
+          round(xco2 / (CAST(0.9996 AS DOUBLE) + xco2 / CAST(1000000.0 AS DOUBLE) +
+            (xh2o_wet / (1 - xh2o_wet))), 6) AS co2_wet FROM z"""))
+
+  /** OP-FN-14 — PPFD 1-arg and 2-arg forms (exact affine arithmetic). */
+  private val fn6 = Spec("q45_fn_ppfd",
+    (s, d) => {
+      val sdswrf = col("l_extendedprice") / 100
+      val fal = col("l_discount") * 5
+      T(s, d, "lineitem").select(keys :+
+        Conversions.ppfd(sdswrf).as("ppfd_in") :+
+        Conversions.ppfd(sdswrf, fal).as("ppfd_out"): _*)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        (l_extendedprice / CAST(100 AS DOUBLE)) * CAST(1.741 AS DOUBLE)
+          + CAST(1.45 AS DOUBLE) AS ppfd_in,
+        (l_extendedprice / CAST(100 AS DOUBLE)) * CAST(1.741 AS DOUBLE)
+          * (l_discount * 5) + CAST(1.45 AS DOUBLE) AS ppfd_out
+        FROM lineitem"""))
+
+  // ------------------------------------------------------------------
+  // Composed pipelines + streaming-shaped windows
+  // ------------------------------------------------------------------
+
+  /** §3.3 — the composed gap-fill pipeline: two-format parse → top-of-hour
+    * → any-null worklist → time join → two-source wide output.
+    */
+  private val pipe1 = Spec("q46_pipeline_gapfill",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val tsx = expr("date_trunc('hour', ts) + (event_id % 3) * INTERVAL '1' MINUTE")
+      val station = ev.select(
+        when(col("event_id") % 2 === 0, date_format(tsx, "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(tsx, "yyyyMMddHHmm")).as("timestamp"),
+        when(col("value") <= 400, floor(col("value")).cast("double")).as("TA"),
+        when(col("user_id") % 13 =!= 0, floor(col("value") * 7).cast("double"))
+          .as("P"))
+      val era5 = ev.groupBy(date_trunc("hour", col("ts")).as("timestamp"))
+        .agg(max(floor(col("value")).cast("double")).as("ta_e"),
+          count(lit(1)).cast("double").as("p_e"))
+      Pipeline.gapFill(station, era5, "timestamp", Seq("TA", "P"),
+        Map("TA" -> col("ta_e"), "P" -> col("p_e")))
+    },
+    Some("""WITH station AS (SELECT
+          date_trunc('hour', ts) + (event_id % 3) * INTERVAL 1 MINUTE tsx,
+          CASE WHEN value <= 400 THEN floor(value) END ta,
+          CASE WHEN user_id % 13 <> 0 THEN floor(value * 7) END p
+        FROM events),
+        worklist AS (SELECT tsx AS ts2, ta, p FROM station
+          WHERE minute(tsx) = 0 AND (ta IS NULL OR p IS NULL)),
+        era5 AS (SELECT date_trunc('hour', ts) ts2, max(floor(value)) ta_e,
+          CAST(count(*) AS DOUBLE) p_e FROM events GROUP BY 1)
+        SELECT w.ts2 AS timestamp, w.p AS P_AMF, e.p_e AS P_ERA5,
+          w.ta AS TA_AMF, e.ta_e AS TA_ERA5
+        FROM worklist w LEFT JOIN era5 e ON w.ts2 = e.ts2"""))
+
+  /** Streaming-shaped tumbling window aggregation (batch face; the
+    * streaming face with watermark is covered by the spec suite).
+    */
+  private val strm1 = Spec("q47_stream_tumbling_window",
+    (s, d) => graft.streaming.Streaming.windowedCounts(
+      T(s, d, "events").withColumn("value", floor(col("value")).cast("double")),
+      "ts", "1 hour"),
+    Some("""SELECT date_trunc('hour', ts) AS w_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end, event_type,
+        count(*) AS n, sum(floor(value)) AS sum_value
+        FROM events GROUP BY 1, 2, 3"""))
+
+  /** Sliding (2h window, 1h slide) epoch-aligned windows. */
+  private val strm2 = Spec("q48_stream_sliding_window",
+    (s, d) => graft.streaming.Streaming.slidingCounts(T(s, d, "events"),
+      "ts", "2 hours", "1 hour"),
+    Some("""SELECT w_start, count(*) AS n FROM (
+        SELECT date_trunc('hour', ts) AS w_start FROM events UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+        GROUP BY w_start"""))
+
+  val specs: Vector[Spec] = Vector(
+    src1, src2, src4, snk1, snk2, snk3,
+    prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt6, flt6b, flt7,
+    join1, join2, join3,
+    agg1, agg2, agg3, agg4, agg5,
+    win1, win2, sort1, set1, set2,
+    dt1, dt2, dt3, dt4, str1, str2,
+    misc1, misc1b, misc2, misc3,
+    fn1, fn2, fn3, fn4, fn5, fn6,
+    pipe1, strm1, strm2) ++ LlmQueries.specs
+
+  def queries: ListMap[String, QFn] =
+    ListMap(specs.map(sp => sp.name -> sp.fn): _*)
+
+  def oracleSql: ListMap[String, String] =
+    ListMap(specs.collect { case Spec(n, _, Some(o)) => n -> o }: _*)
+}

@@ -134,13 +134,24 @@ object AggSchema {
     * `core.py:231-232`).
     */
   def aggExprs(available: Seq[String], gran: Granularity,
-      timeCol: Column): Seq[Column] =
-    for {
+      timeCol: Column): Seq[Column] = {
+    val named: Seq[(String, Column)] = for {
       v <- available
       perGran <- schema.get(v).toSeq
       entries <- perGran.getOrElse(gran, None).toSeq
       (outName, fn) <- entries
-    } yield aggColumn(fn, v, timeCol).as(outName)
+    } yield outName -> aggColumn(fn, v, timeCol)
+    // Last-wins name dedupe: the reference builds its agg spec as a dict
+    // comprehension (`core.py:235-243`), so a duplicate output name (the
+    // VPD-daily "RH_mean" quirk, `processing_utils.py:166`) silently keeps
+    // the LAST entry. Spark's agg would instead emit two identically-named
+    // columns and crash any downstream write — replicate dict semantics:
+    // first-occurrence position, last-occurrence value.
+    val lastByName = named.toMap // toMap keeps the last value per key
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    named.foreach { case (n, _) => seen += n }
+    seen.toSeq.map(n => lastByName(n).as(n))
+  }
 
   /** Resample a long-form frame to daily/monthly per the declarative schema
     * (`core.py:230-247`): group by truncated time label + spatial keys.
@@ -152,6 +163,8 @@ object AggSchema {
     val vars = df.columns.filter(schema.contains).toSeq
     val label = date_trunc(gran.truncUnit, col(timeCol)).as("period")
     val exprs = aggExprs(vars, gran, col(timeCol))
+    require(exprs.nonEmpty,
+      s"no aggregatable variables for $gran among ${df.columns.mkString(",")}")
     df.groupBy((label +: keyCols.map(col)): _*).agg(exprs.head, exprs.tail: _*)
   }
 }

@@ -109,14 +109,32 @@ object Geometry {
     * one ArrayType.
     */
   def readGeoJson(spark: SparkSession, path: String,
-      idField: String = "id"): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
+      idField: String = "id"): DataFrame = {
+    val exploded = spark.read.option("multiLine", "true").json(path)
       .select(explode(col("features")).as("f"))
-      .select(
-        coalesce(col(s"f.properties.$idField").cast("string"),
-          concat(lit("feat_"), monotonically_increasing_id())).as("region_id"),
-        col("f.geometry.type").as("geom_type"),
-        to_json(col("f.geometry.coordinates")).as("coordinates_json"))
+    val coords = to_json(col("f.geometry.coordinates"))
+    // Deterministic surrogate: a content hash of the coordinates JSON, not
+    // monotonically_increasing_id (partition-dependent — re-reads would
+    // produce different ids and break reproducibility). The id property may
+    // be absent from the *inferred schema* entirely, so probe the schema
+    // before referencing it (a missing field is an analysis error, not a
+    // null).
+    val surrogate = concat(lit("feat_"), pmod(xxhash64(coords), lit(1000000000L)))
+    val schemaHasId = {
+      val f = exploded.schema("f").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      f.fieldNames.contains("properties") &&
+        f("properties").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.contains(idField)
+    }
+    val id =
+      if (schemaHasId)
+        coalesce(col(s"f.properties.$idField").cast("string"), surrogate)
+      else surrogate
+    exploded.select(
+      id.as("region_id"),
+      col("f.geometry.type").as("geom_type"),
+      coords.as("coordinates_json"))
+  }
 
   /** OP-AGG-4 — distributed bbox of a point set: one row
     * `(n, w, s, e)` per group.

@@ -39,8 +39,13 @@ object Joins {
     * is months × coarse grid ⇒ always broadcast; the fact table streams
     * through a BroadcastHashJoin with zero shuffle.
     */
-  def enrich(fact: DataFrame, side: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(side), keys, "left")
+  def enrich(fact: DataFrame, side: DataFrame, keys: Seq[String],
+      broadcastSide: Boolean = true): DataFrame =
+    // broadcastSide=false opts out of the hint when the side table outgrows
+    // the broadcast bound (months × 0.25° global grid × decades ≈ 10⁸ rows);
+    // Spark then falls back to a shuffled hash/SMJ which AQE can still
+    // convert back to broadcast at runtime if stats allow.
+    fact.join(if (broadcastSide) broadcast(side) else side, keys, "left")
 
   /** OP-JOIN-3 — gap-fill alignment join (`core.py:276-295`): station frame
     * left-joined with converted ERA5 predictors on timestamp. Both sides are

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's two flagship composed flows (SURVEY §3.2/§3.3) as single
+  * declarative DataFrame chains — Catalyst sees the whole plan, so filter
+  * pushdown / column pruning / join placement span the entire pipeline
+  * rather than stopping at operator boundaries as in the reference's eager
+  * step-by-step execution.
+  */
+object Pipeline {
+
+  /** OP-MISC-3 — two-source wide restructure (`dataset.py:246-268`): station
+    * predictor columns become `<var>_AMF`, ERA5-converted ones `<var>_ERA5`,
+    * ordered by variable name (the reference's column-level sort,
+    * `dataset.py:268`).
+    */
+  def twoSourceWide(df: DataFrame, timeCol: String, amfVars: Seq[String],
+      era5Exprs: Map[String, Column]): DataFrame = {
+    val vars = (amfVars ++ era5Exprs.keys).distinct.sorted
+    val cols = vars.flatMap { v =>
+      val amf = if (amfVars.contains(v)) Some(col(v).as(s"${v}_AMF")) else None
+      val era5 = era5Exprs.get(v).map(_.as(s"${v}_ERA5"))
+      amf.toSeq ++ era5.toSeq
+    }
+    df.select(col(timeCol) +: cols: _*)
+  }
+
+  /** §3.3 — the point/gap-fill flow (`core.py:259-301`), re-targeted at
+    * arbitrary tables: parse timestamps (OP-DT-1), keep top-of-hour rows
+    * (OP-FLT-2), restrict to the requested range (OP-FLT-1), find rows with
+    * missing values (OP-FLT-3), left-join the converted ERA5 frame on
+    * timestamp (OP-JOIN-3), and emit the two-source wide shape (OP-MISC-3).
+    *
+    * `station` needs a string/timestamp `timestamp` column + predictor
+    * columns; `era5` is keyed by the same hourly timestamps. At scale both
+    * sides are hourly-keyed facts → sort-merge join on time, no broadcast.
+    */
+  def gapFill(station: DataFrame, era5: DataFrame, timeCol: String,
+      predictors: Seq[String], era5Exprs: Map[String, Column]): DataFrame = {
+    val parsed = station.withColumn(timeCol,
+      Dates.parseTimestamp(col(timeCol).cast("string")))
+      .filter(col(timeCol).isNotNull)
+    val hourly = Relational.topOfHour(parsed, timeCol)
+    val missing = Relational.anyNull(hourly, predictors)
+    val joined = Joins.gapfillAlign(missing, era5, timeCol)
+    twoSourceWide(joined, timeCol, predictors, era5Exprs)
+  }
+
+  /** §3.2 — the area flow (`core.py:170-257`): scan+union → rename → enrich
+    * with monthly side tables → bbox clip → AMF conversion → declarative
+    * resample. Each stage is optional, mirroring the reference's
+    * config-driven composition. The returned frame is unsunk — callers pick
+    * OP-SNK-1/3 via [[Sinks]].
+    */
+  def areaProcess(grid: DataFrame, renames: Map[String, String],
+      sides: Seq[(DataFrame, Seq[String])], regions: Option[DataFrame],
+      latCol: String, lonCol: String, timeCol: String,
+      predictorExprs: Map[String, Column],
+      agg: Option[AggSchema.Granularity]): DataFrame = {
+    val renamed = Relational.applyRename(grid, renames)
+    val enriched = sides.foldLeft(renamed) { case (d, (side, keys)) =>
+      Joins.enrich(d, side, keys)
+    }
+    val clipped = regions match {
+      case Some(r) => Joins.bboxClip(enriched, r, latCol, lonCol)
+      case None    => enriched
+    }
+    val keyCols = (if (regions.isDefined) Seq("region_id") else Nil) ++
+      Seq(latCol, lonCol)
+    val converted = clipped.select(
+      (keyCols :+ timeCol).map(col) ++
+        predictorExprs.toSeq.sortBy(_._1).map { case (p, e) => e.as(p) }: _*)
+    agg match {
+      case Some(g) => AggSchema.resample(converted, g, timeCol, keyCols)
+      case None    => converted
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The small relational glue operators of SURVEY §2.2/§2.5/§2.6 — each a
+  * thin, typed wrapper over a single declarative Spark primitive so Catalyst
+  * keeps full visibility (pushdown, pruning, codegen) through every one.
+  */
+object Relational {
+
+  /** OP-PRJ-1 — bulk column rename applied only to columns that exist
+    * (`dataset.py:237-244`: the reference filters the rename map to present
+    * columns before applying).
+    */
+  def applyRename(df: DataFrame, renames: Map[String, String]): DataFrame = {
+    val present = renames.filter { case (from, _) => df.columns.contains(from) }
+    df.withColumnsRenamed(present)
+  }
+
+  /** OP-PRJ-2 — drop helper columns, ignoring absent ones (`core.py:297`,
+    * `dataset.py:70,114`).
+    */
+  def dropCols(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** OP-PRJ-3 — literal/derived column add (`core.py:201`,
+    * `dataset.py:116-120`).
+    */
+  def addColumns(df: DataFrame, cols: (String, Column)*): DataFrame =
+    df.withColumns(cols.toMap)
+
+  /** OP-FLT-1 — time-range filter (`processor.py:54-62`). The reference also
+    * validates the requested range against the frame's min/max and raises —
+    * [[timeBounds]] supplies that check as a 1-row aggregate.
+    */
+  def timeRange(df: DataFrame, timeCol: String, start: String,
+      end: String): DataFrame =
+    df.filter(col(timeCol).between(lit(start).cast("timestamp"),
+      lit(end).cast("timestamp")))
+
+  def timeBounds(df: DataFrame, timeCol: String): DataFrame =
+    df.agg(min(col(timeCol)).as("t_min"), max(col(timeCol)).as("t_max"))
+
+  /** OP-FLT-2 — top-of-hour filter: minute==0 and second==0
+    * (`processor.py:52`).
+    */
+  def topOfHour(df: DataFrame, timeCol: String): DataFrame =
+    df.filter(minute(col(timeCol)) === 0 && second(col(timeCol)) === 0)
+
+  /** OP-FLT-3 — any-null row filter (the gap-fill worklist,
+    * `processor.py:89-109`): rows where ANY of the given columns is null.
+    */
+  def anyNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNull).reduce(_ || _))
+
+  /** OP-FLT-4 — sentinel-to-null (`dataset.py:144`: `xco2 >= 1e10` → null).
+    * Expressed as a `when` guard so it stays a pure projection.
+    */
+  def sentinelToNull(df: DataFrame, c: String, sentinelMin: Double): DataFrame =
+    df.withColumn(c, when(col(c) < sentinelMin, col(c)))
+
+  /** OP-FLT-6 — duplicate elimination on a key subset (`dataset.py:99`).
+    * Spark's dropDuplicates keeps an ARBITRARY survivor per key — fine for
+    * the reference's use (duplicates are exact row copies after
+    * re-projection), but for deterministic output prefer
+    * [[dedupDeterministic]] which keeps the row with the minimal tiebreak.
+    */
+  def dropDupOnKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Deterministic dedup: min_by over a tiebreak column — one hash
+    * aggregate, no window sort, survives any partitioning.
+    */
+  def dedupDeterministic(df: DataFrame, keys: Seq[String],
+      tiebreak: String): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(tiebreak)).as("__row"))
+      .select(keys.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** OP-SORT-1 — multi-key sort (`dataset.py:51,54,80`, `core.py:204-206`).
+    * A global sort is a range-partitioned exchange; at 100 TB only do this
+    * for final presentation or write-ordering, never mid-pipeline.
+    */
+  def sortBy(df: DataFrame, keys: Seq[(String, Boolean)]): DataFrame =
+    df.orderBy(keys.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }: _*)
+
+  /** OP-SET-1 — coordinate-aligned union (`dataset.py:33,307`): disjoint
+    * time ranges over the same grid merge as a by-name union. No shuffle —
+    * Spark unions are pure plan concatenation.
+    */
+  def unionAligned(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** OP-SET-2 — concat along a new dimension (`dataset.py:169`): tag each
+    * input with its coordinate value, then union.
+    */
+  def concatAlong(dfs: Seq[(Column, DataFrame)], dimName: String): DataFrame =
+    dfs.map { case (v, df) => df.withColumn(dimName, v) }
+      .reduce(_ unionByName _)
+
+  /** OP-AGG-1 — monthly mean over the time dim keeping spatial keys
+    * (`dataset.py:46,79`).
+    */
+  def monthlyMean(df: DataFrame, timeCol: String, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    df.groupBy((date_trunc("month", col(timeCol)).as("year_month") +:
+        keyCols.map(col)): _*)
+      .agg(avg(valueCols.head).as(s"${valueCols.head}_mean"),
+        valueCols.tail.map(c => avg(c).as(s"${c}_mean")): _*)
+
+  /** OP-AGG-5 — distinct values (`dataset.py:49,130-131`). */
+  def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+}

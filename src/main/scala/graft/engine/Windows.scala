@@ -19,10 +19,18 @@ object Windows {
       featureCols: Seq[String], n: Int = 32): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(timeCol))
       .rowsBetween(-(n - 1), 0)
-    val withArrays = featureCols.foldLeft(df) { (d, c) =>
-      d.withColumn(s"${c}_win", collect_list(col(c)).over(w))
-    }
-    withArrays.filter(size(col(s"${featureCols.head}_win")) === n)
+    // Collect ONE array of structs so null feature values keep their time
+    // slot (collect_list over a bare column skips nulls, which would
+    // time-misalign the per-feature arrays — the reference keeps NaN
+    // positions in the tensor, `inference/core.py:98-117`). A struct is
+    // never null even when all its fields are, so the array length is the
+    // true row count of the frame.
+    val packed = collect_list(struct(featureCols.map(col): _*)).over(w)
+    val one = df.withColumn("__win", packed)
+      .filter(size(col("__win")) === n)
+    featureCols.foldLeft(one) { (d, c) =>
+      d.withColumn(s"${c}_win", col(s"__win.$c"))
+    }.drop("__win")
   }
 
   /** OP-AGG-3 — block-mean spatial downsample (`dataset.py:160-161`): mean
@@ -32,9 +40,15 @@ object Windows {
     * row per block.
     */
   def coarsen(df: DataFrame, xIdx: String, yIdx: String,
-      valueCols: Seq[String], block: Int, trim: Boolean = true): DataFrame = {
-    val g = df.groupBy(floor(col(xIdx) / block).cast("long").as("block_x"),
-        floor(col(yIdx) / block).cast("long").as("block_y"))
+      valueCols: Seq[String], block: Int, trim: Boolean = true,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    // keyCols lets time/region/band participate in the group key — the
+    // reference coarsens one 2-D raster at a time (`dataset.py:160-161`);
+    // without the extra keys a time-stacked frame would mean-mix across
+    // months.
+    val blocks = Seq(floor(col(xIdx) / block).cast("long").as("block_x"),
+      floor(col(yIdx) / block).cast("long").as("block_y"))
+    val g = df.groupBy(keyCols.map(col) ++ blocks: _*)
       .agg(count(lit(1)).as("n_cells"),
         valueCols.map(c => avg(col(c)).as(s"${c}_mean")): _*)
     if (trim) g.filter(col("n_cells") === (block.toLong * block)) else g

@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash.polyhash
+
+/** Deduplication operators: exact (hash group-by), MinHash+LSH (banded
+  * bucket join — never all-pairs), SimHash, and exact n-gram Jaccard
+  * verification for candidate pairs.
+  *
+  * Scale posture (100 TB corpus): every stage is either a narrow projection
+  * or a shuffle keyed on content hash / band bucket — cardinality ≈ corpus
+  * size, never corpus². The only join is bucket-equijoin between exploded
+  * band tables, whose per-key fan-out is bounded by bucket size (skew in a
+  * degenerate bucket is the known LSH hot-key; mitigate with a bucket-size
+  * cap filter, provided here as `maxBucket`).
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical survivor (deterministic, unlike dropDuplicates) + copy
+    * count. One hash aggregate; at scale this is THE way — no sort, no
+    * window, map-side partial aggregation halves the shuffle.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(polyhash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k permutations approximated by affine transforms
+    * `(aᵢ·h + b_i) mod P` over the shingle-hash set, aᵢ = 2i+1 (odd),
+    * bᵢ = 12345·i + 7. Closed-form constants keep the signature
+    * oracle-computable in ANSI SQL.
+    */
+  def minhashSignature(text: Column, shingleWidth: Int, k: Int): Column = {
+    val hashes = Text.shingleHashes(text, shingleWidth)
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 12345L * i + 7
+      array_min(transform(hashes, h => (h * a + b) % P))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band key: fold a signature slice through the polyhash recurrence —
+    * one long per band.
+    */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    aggregate(slice(sig, band * rowsPerBand + 1, rowsPerBand), lit(0L),
+      (acc, x) => (acc * 31 + pmod(x, lit(P))) % P)
+
+  /** Fuzzy-dup candidate pairs via banded LSH: explode (id, band, key),
+    * self-join on (band, key), keep id_a < id_b, dedupe pairs, then score
+    * with the signature-estimated Jaccard (fraction of equal minhash
+    * positions). `maxBucket` drops degenerate buckets (boilerplate shingle
+    * sets shared by thousands of docs) before the join — the LSH hot-key
+    * guard.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "k must be divisible by bands")
+    val sig = docs.select(col(idCol).as("doc"),
+      minhashSignature(col(textCol), shingleWidth, k).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"), posexplode(
+      array((0 until bands).map(b => bandKey(col("sig"), b, rowsPerBand)): _*))
+      .as(Seq("band", "key")))
+    val pruned = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = pruned.select(col("band"), col("key"), col("doc").as("doc_a"),
+      col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("key"), col("doc").as("doc_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash over token hashes, `bits` ≤ 30 (polyhash range): bit i of the
+    * fingerprint is set iff more than half the token hashes have bit i set.
+    * Pure per-row array math — zero shuffle over the corpus.
+    */
+  def simhash(text: Column, bits: Int = 30): Column = {
+    val hashes = transform(Text.tokens(text), t => polyhash(t))
+    val n = size(hashes)
+    val terms = (0 until bits).map { i =>
+      val setCount = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(setCount * 2 > n, lit(1L) * (1L << i)).otherwise(0L)
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
+    * shingle-hash-set columns — the verification stage after LSH.
+    */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val union = size(array_union(setA, setB)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0d))
+  }
+
+  /** n-gram Jaccard over all candidate pairs from LSH, verified exactly:
+    * join shingle sets back onto the candidate pairs and compute true
+    * Jaccard. Shingle sets travel through the join — at 100 TB, restrict
+    * `minEstJaccard` first so only plausible pairs carry their sets.
+    */
+  def fuzzyDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.7): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleWidth, k,
+      bands, minEstJaccard = 0.3)
+    val sets = docs.select(col(idCol).as("doc"),
+      Text.shingleHashes(col(textCol), shingleWidth).as("set"))
+    cands
+      .join(sets.select(col("doc").as("doc_a"), col("set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("set").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

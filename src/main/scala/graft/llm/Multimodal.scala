@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads travel as opaque
+  * `BinaryType` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample are per-partition batch
+  * operations over the binary payloads.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * environment) behind [[decodeStub]] — a deterministic fake that hashes
+  * payload bytes into a fixed-size feature vector. Everything around it —
+  * schema, batch iteration, partitioning, metadata plumbing — is the real
+  * Spark-side design: at 100 TB the payloads dominate, so every operator
+  * here avoids shuffling binary columns (metadata-only projections shuffle;
+  * payload transforms stay map-side).
+  */
+object Multimodal {
+
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Wrap a payload expression as (payload BINARY, meta STRUCT). Width /
+    * height / frame count normally come from container headers; the stub
+    * derives them deterministically from a caller-supplied non-negative
+    * content hash (`seed`, typically `polyhash` of the source field) so the
+    * values are stable AND closed-form reproducible in ANSI SQL.
+    */
+  def attach(payload: Column, modality: Column, seed: Column): Column =
+    struct(
+      payload.as("payload"),
+      struct(
+        modality.as("modality"),
+        length(payload).cast("long").as("byte_len"),
+        (pmod(seed, lit(1280)) + 64).cast("int").as("width"),
+        (pmod(seed, lit(720)) + 64).cast("int").as("height"),
+        (pmod(seed, lit(240)) + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Deterministic fake "decode → feature vector": featureᵢ =
+    * ((seed·(i+1)) mod 997) / 997. Closed-form (oracle-checkable) and
+    * shaped exactly like a real embedding head's output. Replace with a
+    * real codec via [[mapBinaryBatches]] in production.
+    */
+  def decodeStub(seed: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(seed * (i + 1), lit(997)).cast("double") / 997d)
+
+  /** Frame sampling: explode `n` evenly-spaced frame indices from the
+    * metadata frame count — a metadata-only operation (the payload column
+    * is carried, not transformed; Parquet's columnar layout means unsampled
+    * frames are never materialized).
+    */
+  def sampleFrames(df: DataFrame, mmCol: String, n: Int): DataFrame = {
+    val frames = col(s"$mmCol.meta.n_frames")
+    df.withColumn("frame_idx",
+      explode(transform(sequence(lit(0), lit(n - 1)),
+        i => (i * frames / n).cast("int"))))
+  }
+
+  /** The real-codec extension point: iterate payload batches per partition
+    * (the Scala analogue of `mapInPandas` — one decoder init per partition,
+    * amortized over its batch). `decode` maps a payload to a feature array;
+    * partitioning, schema and batch shape are handled here.
+    */
+  def mapBinaryBatches(df: DataFrame, mmCol: String, dim: Int)(
+      decode: Array[Byte] => Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField("features",
+      ArrayType(DoubleType)))
+    val payloadIdx = inSchema.fieldIndex(mmCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // one decoder context per partition would initialize here
+      rows.map { r =>
+        val mm = r.getStruct(payloadIdx)
+        val payload = mm.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq :+ decode(payload).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exact baseline, and a
+  * sign-LSH-bucketed variant as the scale path.
+  *
+  * Scale posture: the query set is always the broadcast side; the corpus is
+  * only ever scanned (brute force) or shuffled once on bucket id (LSH).
+  * Dot products run in double via sequential `aggregate` folds — the same
+  * left-to-right order an ANSI SQL reduce performs, keeping results
+  * bit-comparable across engines.
+  */
+object Similarity {
+
+  /** Sequential dot product of two numeric arrays (cast to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` must be
+    * dimension-sized (it is broadcast against the full corpus); the heavy
+    * corpus side is never shuffled beyond the final per-query top-k
+    * aggregation, whose key cardinality = |queries|.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"))
+      .join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket id: the m-bit sign pattern of dot products against m
+    * anchor hyperplanes. Anchors are data-derived (the corpus's first m
+    * vectors by id — deterministic), so the whole pipeline remains
+    * closed-form reproducible without a PRNG.
+    */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[Seq[Double]]): DataFrame = {
+    val bucket = anchors.zipWithIndex.map { case (a, j) =>
+      val anchorCol = array(a.map(lit(_)): _*)
+      when(dot(col(vecCol), anchorCol) > 0, lit(1L) * (1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    vectors.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k: only corpus vectors sharing the query's LSH bucket compete.
+    * One shuffle keyed on bucket; each bucket is a small all-pairs. Recall
+    * trades off with m (more planes → smaller buckets).
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int,
+      anchors: Seq[Seq[Double]]): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, anchors)
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"))
+    val qb = broadcast(lshBuckets(queries, queryIdCol, vecCol, anchors)
+      .select(col("bucket"), col(queryIdCol).as("query_id"),
+        col(vecCol).as("qvec")))
+    val scored = cb.join(qb, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

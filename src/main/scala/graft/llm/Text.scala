@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash.polyhash
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, document
+  * fingerprinting. All pure Column expressions (no UDFs) — every operator
+  * is a single narrow projection over the corpus, so a 100 TB text scan
+  * stays one whole-stage-codegen'd pass with full column pruning.
+  *
+  * Every function has a closed-form ANSI-SQL equivalent (the DuckDB oracle
+  * in SparkEntry.oracleSql), which is why hashing is polyhash (graft's
+  * portable hash) and regexes stick to dialect-neutral character classes.
+  */
+object Text {
+
+  /** Lowercase + strip non-alphanumerics to spaces. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", " ")
+
+  /** Whitespace tokens of the normalized text (empty strings dropped). */
+  def tokens(text: Column): Column =
+    filter(split(trim(normalize(text)), " +"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, runs of other
+    * non-space symbols each count as one token — the standard pre-tokenizer
+    * shape (GPT-2-style regex simplified to disjoint classes, no
+    * lookarounds, so the same pattern runs on Java regex and RE2 with
+    * identical matches).
+    */
+  val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(subwordPattern), lit(0)))
+
+  /** Word n-grams (shingles) of the token array. Guarded: Spark `sequence`
+    * DESCENDS when start > stop, so a doc shorter than n words must yield
+    * an empty shingle list, not a broken descending index range.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Shingle hash set: polyhash of each word n-gram, distinct. The dedup
+    * operators build on this (minhash base, jaccard sets).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(ngrams(tokens(text), n), s => polyhash(s)))
+
+  /** Small per-language stopword marker lists for the n-gram-free heuristic
+    * language ID. Deliberately tiny + public-knowledge common words.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "y"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ni"))
+
+  /** Count of tokens belonging to a marker list. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic language ID: the language with the highest marker count,
+    * ties broken by a fixed priority chain (en > de > fr > es > zh) so the
+    * result is deterministic and ANSI-SQL-replicable as a CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val order = Seq("en", "de", "fr", "es", "zh")
+    val counts = order.map(l => l -> stopwordCount(toks, stopwords(l)))
+    counts.foldRight(lit("und"): Column) { case ((l, c), rest) =>
+      when(counts.map(_._2).reduce(greatest(_, _)) === c && c > 0, l)
+        .otherwise(rest)
+    }
+  }
+
+  /** Quality-score feature bundle (length / punctuation / stopword ratios,
+    * mean word length) + a bounded composite score in [0, 1]. The exact
+    * blend is a heuristic; what matters at scale is that it is one
+    * projection pass.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val punct = length(text) -
+      length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val stops = stopwordCount(toks, stopwords("en")).cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "mean_word_len" -> when(nToks > 0, sumLen.cast("double") / nToks),
+      "punct_ratio" -> when(nChars > 0, punct.cast("double") / nChars),
+      "stopword_ratio" -> when(nToks > 0, stops / nToks))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_tokens") / 100d, lit(1d))
+    val punctScore = lit(1d) - least(f("punct_ratio") * 5d, lit(1d))
+    val stopScore = least(f("stopword_ratio") * 4d, lit(1d))
+    coalesce((lenScore + punctScore + stopScore) / 3d, lit(0d))
+  }
+
+  /** Document fingerprint: the winnowing-style selected subset of rolling
+    * w-gram hashes — shingle hashes with `h mod keepMod == 0`, sorted. Two
+    * documents sharing content blocks share fingerprint members; the sorted
+    * array makes the fingerprint order-canonical.
+    */
+  def fingerprint(text: Column, w: Int = 4, keepMod: Int = 8): Column =
+    array_sort(filter(shingleHashes(text, w), h => h % keepMod === 0))
+}
