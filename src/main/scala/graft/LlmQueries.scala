@@ -52,8 +52,9 @@ object LlmQueries {
 
   /** Heuristic language ID via stopword-marker counts. */
   private val l3 = Spec("q52_text_lang_id",
-    (s, d) => T(s, d, "documents").select(col("doc_id"),
-      Text.langId(col("text")).as("lang_pred")),
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Text.langIdFromTokens(col("toks")).as("lang_pred")),
     Some {
       val langs = Seq("en", "de", "fr", "es", "zh")
       val counts = langs.map { l =>
@@ -71,10 +72,12 @@ object LlmQueries {
   /** Quality features + composite score (ratio arithmetic — exact). */
   private val l4 = Spec("q53_text_quality",
     (s, d) => {
-      val feats = Text.qualityFeatures(col("text"))
-      T(s, d, "documents").select(col("doc_id") +:
+      val staged = T(s, d, "documents").select(col("doc_id"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      val feats = Text.qualityFeaturesFromTokens(col("text"), col("toks"))
+      staged.select(col("doc_id") +:
         feats.map { case (n, c) => c.as(n) } :+
-        Text.qualityScore(col("text")).as("quality"): _*)
+        Text.qualityScoreFromTokens(col("text"), col("toks")).as("quality"): _*)
     },
     Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
         f AS (SELECT doc_id,
@@ -100,8 +103,11 @@ object LlmQueries {
 
   /** Winnowing-style document fingerprint. */
   private val l5 = Spec("q54_text_fingerprint",
-    (s, d) => T(s, d, "documents").select(col("doc_id"),
-      Text.fingerprint(col("text"), w = 4, keepMod = 8).as("fp")),
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_sort(filter(
+        Text.shingleHashesFromTokens(col("toks"), 4), h => h % 8 === 0))
+        .as("fp")),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents)
         SELECT doc_id, list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0))
         AS fp FROM t"""))
@@ -143,8 +149,9 @@ object LlmQueries {
 
   /** MinHash signatures (k=8, 3-shingles). */
   private val l7 = Spec("q56_dedup_minhash_sig",
-    (s, d) => T(s, d, "documents").select(col("doc_id"),
-      Dedup.minhashSignature(col("text"), 3, 8).as("sig")),
+    (s, d) => Dedup.shingleSets(T(s, d, "documents"), "doc_id", "text", 3)
+      .select(col("doc").as("doc_id"),
+        Dedup.signatureFromHashes(col("hs"), 8).as("sig")),
     Some {
       val perms = (0 until 8).map { i =>
         val a = 2L * i + 1; val b = 12345L * i + 7
@@ -186,8 +193,11 @@ object LlmQueries {
 
   /** SimHash fingerprints (16 bits for a compact oracle). */
   private val l9 = Spec("q58_dedup_simhash",
-    (s, d) => T(s, d, "documents").select(col("doc_id"),
-      Dedup.simhash(col("text"), bits = 16).as("sh")),
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"), transform(Text.tokens(col("text")),
+        t => polyhash(t)).as("hh"))
+      .select(col("doc_id"),
+        Dedup.simhashFromHashes(col("hh"), bits = 16).as("sh")),
     Some {
       val terms = (0 until 16).map { i =>
         s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, h -> (h >> $i) & 1)) " +
@@ -202,10 +212,9 @@ object LlmQueries {
   /** Exact n-gram Jaccard on adjacent-id pairs (the verification kernel). */
   private val l10 = Spec("q59_dedup_jaccard",
     (s, d) => {
-      val sets = T(s, d, "documents").select(col("doc_id"),
-        Text.shingleHashes(col("text"), 3).as("hs"))
-      val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("set_a"))
-      val b = sets.select((col("doc_id") - 1).as("doc_a"), col("hs").as("set_b"))
+      val sets = Dedup.shingleSets(T(s, d, "documents"), "doc_id", "text", 3)
+      val a = sets.select(col("doc").as("doc_a"), col("hs").as("set_a"))
+      val b = sets.select((col("doc") - 1).as("doc_a"), col("hs").as("set_b"))
       a.join(b, Seq("doc_a"))
         .select(col("doc_a"), Dedup.jaccard(col("set_a"), col("set_b")).as("jac"))
     },

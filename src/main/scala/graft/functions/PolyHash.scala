@@ -51,9 +51,28 @@ object PolyHash {
   /** Single pass over UTF-16 code units (== code points for BMP text; the
     * engine's text operators tokenize ASCII/latin corpora). Invariant: acc
     * stays < Mod so acc*31+c < 2^35, no overflow.
+    *
+    * Fast path: pure-ASCII payloads (the overwhelming case in the hot
+    * loops — shingle hashes over normalized [a-z0-9 ] text) fold directly
+    * over the UTF-8 bytes, which equal the UTF-16 code units, skipping the
+    * String decode + allocation entirely. Non-ASCII falls back to the
+    * decoded string so the result is identical either way.
     */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
+    val b = s.getBytes
+    var acc = 0L
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i)
+      if (c < 0) return hashSlow(s.toString) // non-ASCII byte → decode
+      acc = (acc * Mul + c.toLong) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  private def hashSlow(str: String): Long = {
     var acc = 0L
     var i = 0
     val n = str.length

@@ -28,13 +28,18 @@ object Dedup {
     docs.groupBy(polyhash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k permutations approximated by affine transforms
-    * `(aᵢ·h + b_i) mod P` over the shingle-hash set, aᵢ = 2i+1 (odd),
-    * bᵢ = 12345·i + 7. Closed-form constants keep the signature
-    * oracle-computable in ANSI SQL.
+  /** MinHash signature over a PRE-MATERIALIZED shingle-hash array column:
+    * k permutations approximated by affine transforms `(aᵢ·h + bᵢ) mod P`,
+    * aᵢ = 2i+1 (odd), bᵢ = 12345·i + 7. Closed-form constants keep the
+    * signature oracle-computable in ANSI SQL.
+    *
+    * PERF: callers must stage the shingle hashes through a projection
+    * boundary ([[shingleSets]]) — referencing `Text.shingleHashes(text)`
+    * here directly would clone the expensive subtree k times into one
+    * projection, and higher-order functions don't codegen, so nothing
+    * dedupes the clones (measured 50×+ slowdown).
     */
-  def minhashSignature(text: Column, shingleWidth: Int, k: Int): Column = {
-    val hashes = Text.shingleHashes(text, shingleWidth)
+  def signatureFromHashes(hashes: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = 12345L * i + 7
@@ -42,6 +47,20 @@ object Dedup {
     }
     array(sigs: _*)
   }
+
+  /** (id, hs) shingle-hash-set frame — the staging projection the minhash /
+    * jaccard operators build on. CollapseProject keeps it materialized
+    * because `hs` is expensive and multiply-referenced downstream.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"),
+        Text.shingleHashesFromTokens(col("__toks"), shingleWidth).as("hs"))
+
+  /** One-shot signature convenience (stages internally). */
+  def minhashSignature(text: Column, shingleWidth: Int, k: Int): Column =
+    signatureFromHashes(Text.shingleHashes(text, shingleWidth), k)
 
   /** LSH band key: fold a signature slice through the polyhash recurrence —
     * one long per band.
@@ -62,8 +81,8 @@ object Dedup {
       minEstJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), shingleWidth, k).as("sig"))
+    val sig = shingleSets(docs, idCol, textCol, shingleWidth)
+      .select(col("doc"), signatureFromHashes(col("hs"), k).as("sig"))
     val banded = sig.select(col("doc"), col("sig"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, rowsPerBand)): _*))
       .as(Seq("band", "key")))
@@ -89,8 +108,13 @@ object Dedup {
     * fingerprint is set iff more than half the token hashes have bit i set.
     * Pure per-row array math — zero shuffle over the corpus.
     */
-  def simhash(text: Column, bits: Int = 30): Column = {
-    val hashes = transform(Text.tokens(text), t => polyhash(t))
+  def simhash(text: Column, bits: Int = 30): Column =
+    simhashFromHashes(transform(Text.tokens(text), t => polyhash(t)), bits)
+
+  /** PERF variant over a pre-materialized token-hash array (the bit terms
+    * reference it `bits`+1 times — stage it through a projection).
+    */
+  def simhashFromHashes(hashes: Column, bits: Int = 30): Column = {
     val n = size(hashes)
     val terms = (0 until bits).map { i =>
       val setCount = aggregate(hashes, lit(0L),
@@ -122,8 +146,8 @@ object Dedup {
       minJaccard: Double = 0.7): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleWidth, k,
       bands, minEstJaccard = 0.3)
-    val sets = docs.select(col(idCol).as("doc"),
-      Text.shingleHashes(col(textCol), shingleWidth).as("set"))
+    val sets = shingleSets(docs, idCol, textCol, shingleWidth)
+      .select(col("doc"), col("hs").as("set"))
     cands
       .join(sets.select(col("doc").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("set").as("set_b")), "doc_b")

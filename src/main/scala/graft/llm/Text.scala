@@ -49,9 +49,17 @@ object Text {
 
   /** Shingle hash set: polyhash of each word n-gram, distinct. The dedup
     * operators build on this (minhash base, jaccard sets).
+    *
+    * PERF: `ngrams` references its token argument 4× (guard, sequence,
+    * slice) — pass a pre-materialized token ATTRIBUTE via
+    * [[shingleHashesFromTokens]] in hot paths, or tokenization (regex
+    * replace + split) runs 4× per row.
     */
+  def shingleHashesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(transform(ngrams(toks, n), s => polyhash(s)))
+
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(ngrams(tokens(text), n), s => polyhash(s)))
+    shingleHashesFromTokens(tokens(text), n)
 
   /** Small per-language stopword marker lists for the n-gram-free heuristic
     * language ID. Deliberately tiny + public-knowledge common words.
@@ -70,9 +78,12 @@ object Text {
   /** Heuristic language ID: the language with the highest marker count,
     * ties broken by a fixed priority chain (en > de > fr > es > zh) so the
     * result is deterministic and ANSI-SQL-replicable as a CASE chain.
+    *
+    * PERF: takes a pre-materialized token array — the CASE chain references
+    * it ~15 times, and tokenization is regex work that must not be cloned
+    * per reference (HOF projections don't codegen, so nothing dedupes).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdFromTokens(toks: Column): Column = {
     val order = Seq("en", "de", "fr", "es", "zh")
     val counts = order.map(l => l -> stopwordCount(toks, stopwords(l)))
     counts.foldRight(lit("und"): Column) { case ((l, c), rest) =>
@@ -81,13 +92,18 @@ object Text {
     }
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   /** Quality-score feature bundle (length / punctuation / stopword ratios,
     * mean word length) + a bounded composite score in [0, 1]. The exact
     * blend is a heuristic; what matters at scale is that it is one
     * projection pass.
     */
-  def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def qualityFeatures(text: Column): Seq[(String, Column)] =
+    qualityFeaturesFromTokens(text, tokens(text))
+
+  def qualityFeaturesFromTokens(text: Column,
+      toks: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
@@ -102,8 +118,11 @@ object Text {
       "stopword_ratio" -> when(nToks > 0, stops / nToks))
   }
 
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text).toMap
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val f = qualityFeaturesFromTokens(text, toks).toMap
     val lenScore = least(f("n_tokens") / 100d, lit(1d))
     val punctScore = lit(1d) - least(f("punct_ratio") * 5d, lit(1d))
     val stopScore = least(f("stopword_ratio") * 4d, lit(1d))
