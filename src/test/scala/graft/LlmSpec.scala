@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+import graft.functions.PolyHash.polyhash
+import graft.llm.{Dedup, Similarity, Text}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LLM-pipeline operator semantics: polyhash, shingles, dedup, similarity. */
+class LlmSpec extends SparkSpec {
+
+  test("polyhash goldens incl. empty / non-ASCII (byte fast path + fallback)") {
+    assert(PolyHash.hash(UTF8String.fromString("abc")) == 96354L)
+    assert(PolyHash.hash(UTF8String.fromString("")) == 0L)
+    // non-ASCII must match the UTF-16 fold exactly
+    val s = "café αβ 中文"
+    var acc = 0L
+    s.foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+    assert(PolyHash.hash(UTF8String.fromString(s)) == acc)
+    assert(eval1(polyhash(lit(null).cast("string"))) == null)
+  }
+
+  test("tokens / ngrams incl. the short-doc guard") {
+    import spark.implicits._
+    val out = Seq("The quick, brown fox!", "ab", "")
+      .toDF("text")
+      .select(Text.tokens(col("text")).as("toks"),
+        Text.ngrams(Text.tokens(col("text")), 3).as("g3"))
+      .collect()
+    assert(out(0).getSeq[String](0) == Seq("the", "quick", "brown", "fox"))
+    assert(out(0).getSeq[String](1) ==
+      Seq("the quick brown", "quick brown fox"))
+    assert(out(1).getSeq[String](1) == Nil) // shorter than n → empty
+    assert(out(2).getSeq[String](0) == Nil)
+  }
+
+  test("exact dedup finds injected duplicates deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb"), (2L, "ccc ddd"), (7L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L) // min id survives
+  }
+
+  test("minhash LSH surfaces a near-duplicate pair; jaccard verifies it") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base + " phi"), (3L,
+      "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyDuplicates(docs, "doc_id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minJaccard = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L)
+    assert(pairs(0).getAs[Long]("doc_b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") > 0.9)
+  }
+
+  test("simhash: identical docs agree; hamming distance 0/positive") {
+    import spark.implicits._
+    val df = Seq((1L, "spark scale data"), (2L, "spark scale data"),
+      (3L, "entirely different words here")).toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text"), 16).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 0)
+    assert(eval1(Dedup.hammingDist(lit(m(1L)), lit(m(3L)))) ==
+      java.lang.Long.bitCount(m(1L) ^ m(3L)))
+  }
+
+  test("cosine top-k: self is rank 1 with cos ≈ 1") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", "vec_id", 3).collect()
+    assert(out.length == 3)
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("neighbor_id") == 0L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
+  test("ANN bucketing: query's bucket contains its own vector → found") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val out = Similarity.annTopK(emb, emb.filter(col("vec_id") === 42),
+      "vec_id", "embedding", "vec_id", 1, anchors).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("neighbor_id") == 42L) // self in own bucket
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.engine.{Dates, Pipeline, Relational, Sinks}
+
+/** Relational glue, date parsing, sinks, and the composed gap-fill flow. */
+class RelationalSpec extends SparkSpec {
+
+  test("applyRename only touches present columns") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0)).toDF("u10", "unrelated")
+    val out = Relational.applyRename(df,
+      graft.engine.Predictors.shortnameToFullname)
+    assert(out.columns.toSeq ==
+      Seq("10m_u_component_of_wind", "unrelated"))
+  }
+
+  test("two-format timestamp parse with coerce-to-null fallback (OP-DT-1)") {
+    import spark.implicits._
+    val out = Seq("2020-01-31 10:30:00", "202001311030", "garbage", "20200131")
+      .toDF("s").select(Dates.parseTimestamp(col("s")).as("t")).collect()
+    assert(out(0).getTimestamp(0) == Timestamp.valueOf("2020-01-31 10:30:00"))
+    assert(out(1).getTimestamp(0) == Timestamp.valueOf("2020-01-31 10:30:00"))
+    assert(out(2).get(0) == null) // unparseable → NaT
+    assert(out(3).get(0) == null) // 8 digits ≠ 12-digit compact form
+  }
+
+  test("anyNull worklist + sentinel-to-null") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0), Some(2.0)), (2, None, Some(3.0)),
+      (3, Some(4.0), None)).toDF("id", "a", "b")
+    assert(Relational.anyNull(df, Seq("a", "b")).collect().map(_.getInt(0))
+      .toSeq == Seq(2, 3))
+    val s = Seq(5.0, 1e10, 2e10).toDF("xco2")
+    val cleaned = Relational.sentinelToNull(s, "xco2", 1e10).collect()
+    assert(cleaned(0).getDouble(0) == 5.0)
+    assert(cleaned(1).get(0) == null && cleaned(2).get(0) == null)
+  }
+
+  test("dedupDeterministic keeps the min-tiebreak row") {
+    import spark.implicits._
+    val df = Seq(("k", 3L, "late"), ("k", 1L, "early"), ("j", 9L, "only"))
+      .toDF("key", "t", "v")
+    val out = Relational.dedupDeterministic(df, Seq("key"), "t")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("k" -> "early", "j" -> "only"))
+  }
+
+  test("float32 downcast sink preserves keys, downcasts values (OP-SNK-1)") {
+    import spark.implicits._
+    val df = Seq((1L, 1.23456789012345)).toDF("k", "v")
+    val out = Sinks.downcast(df, Seq("v"))
+    assert(out.schema("v").dataType.typeName == "float")
+    assert(out.schema("k").dataType.typeName == "long")
+    assert(out.collect()(0).getFloat(1) == 1.23456789012345f)
+  }
+
+  test("gap-fill composed flow end-to-end on a hand-built station frame") {
+    import spark.implicits._
+    val station = Seq(
+      ("2024-01-01 10:00:00", None, Some(5.0)),       // TA missing → worklist
+      ("202401011100", Some(2.0), Some(6.0)),          // complete → dropped
+      ("2024-01-01 12:30:00", None, None),             // not top-of-hour
+      ("nonsense", None, None))                        // unparseable
+      .toDF("timestamp", "TA", "P")
+    val era5 = Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 21.0, 7.0))
+      .toDF("timestamp", "ta_e", "p_e")
+    val out = Pipeline.gapFill(station, era5, "timestamp", Seq("TA", "P"),
+      Map("TA" -> col("ta_e"), "P" -> col("p_e"))).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Timestamp]("timestamp") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(r.get(r.fieldIndex("TA_AMF")) == null)
+    assert(r.getAs[Double]("TA_ERA5") == 21.0)
+    assert(r.getAs[Double]("P_AMF") == 5.0)
+    assert(r.getAs[Double]("P_ERA5") == 7.0)
+  }
+}
