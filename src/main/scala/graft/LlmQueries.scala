@@ -329,6 +329,34 @@ object LlmQueries {
           unnest([CAST(floor(i * n_frames / CAST(4 AS DOUBLE)) AS INTEGER)
             for i in range(4)]) AS frame_idx FROM t"""))
 
+  /** Embedding-cosine near-dup pairs within sign-LSH buckets (threshold
+    * low enough to produce rows on the synthetic embeddings).
+    */
+  private val l16 = Spec("q65_embed_near_dup",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", anchors, 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT $bucket AS bucket, v.vec_id AS id,
+            v.embedding AS vec FROM embeddings v),
+          p AS (SELECT x.id AS id_a, y.id AS id_b,
+            ${dot2("x.vec", "y.vec")} /
+              (sqrt(${dot2("x.vec", "x.vec")}) * sqrt(${dot2("y.vec", "y.vec")}))
+            AS cos FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id)
+          SELECT id_a, id_b, round(cos, 6) AS cos FROM p
+          WHERE cos >= CAST(0.5 AS DOUBLE)"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
-    l11, l12, l13, l14, l15)
+    l11, l12, l13, l14, l15, l16)
 }

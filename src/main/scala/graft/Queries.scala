@@ -742,6 +742,112 @@ object Queries {
           w.ta AS TA_AMF, e.ta_e AS TA_ERA5
         FROM worklist w LEFT JOIN era5 e ON w.ts2 = e.ts2"""))
 
+  /** §3.2 — the composed AREA pipeline (the reference's flagship flow):
+    * rename → broadcast-enrich with a monthly side → bbox range-join clip →
+    * AMF conversion → declarative daily resample. Grid shape synthesized
+    * from events (lat/lon keys on a 0.25° raster).
+    */
+  private val pipe2 = Spec("q66_pipeline_area",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val grid = ev.select(
+        ((col("user_id") % 20) * 0.25).as("latitude"),
+        ((col("event_id") % 40) * 0.25).as("longitude"),
+        col("ts").as("valid_time"),
+        (col("value") + 248.15).as("t2m"),
+        (col("value") + 248.15 - 5.0).as("d2m"),
+        (col("value") / 10).as("u10"), (col("value") / 20).as("v10"),
+        floor(col("value") * 7).cast("double").as("tp"))
+      val side = ev.groupBy(date_trunc("month", col("ts")).as("year_month"))
+        .agg(max(floor(col("value")).cast("double")).as("xco2"))
+      val regions = T(s, d, "region").select(
+        concat(lit("r"), col("r_regionkey")).as("region_id"),
+        (col("r_regionkey") * 1.0).as("s"), (col("r_regionkey") * 1.0 + 2.0).as("n"),
+        (col("r_regionkey") * 2.0).as("w"), (col("r_regionkey") * 2.0 + 4.0).as("e"))
+      val withMonth = grid.withColumn("year_month",
+        date_trunc("month", col("valid_time")))
+      val out = Pipeline.areaProcess(withMonth, Predictors.shortnameToFullname,
+        Seq((side, Seq("year_month"))), Some(regions), "latitude", "longitude",
+        "valid_time",
+        Map(
+          "TA" -> Conversions.kelvinToCelsius(col("2m_temperature")),
+          "RH" -> Conversions.relativeHumidity(col("2m_temperature"),
+            col("2m_dewpoint_temperature")),
+          "WS" -> Conversions.windSpeedMagnitude(
+            col("10m_u_component_of_wind"), col("10m_v_component_of_wind")),
+          "P" -> col("total_precipitation")),
+        Some(AggSchema.Daily))
+      // round: transcendental per-row values (RH) and all float means/stds
+      // (sum order is engine-dependent); min/max of exact-arithmetic values
+      // (TA bounds, WS_max, P_*) stay unrounded.
+      out.select(out.columns.map {
+        case c @ ("RH_mean" | "RH_std" | "RH_max" | "RH_min" | "TA_mean" |
+          "TA_std" | "WS_mean" | "WS_std") => round(col(c), 6).as(c)
+        case c => col(c)
+      }: _*)
+    },
+    Some("""WITH grid AS (SELECT (user_id % 20) * CAST(0.25 AS DOUBLE) lat,
+          (event_id % 40) * CAST(0.25 AS DOUBLE) lon, ts,
+          (value + CAST(248.15 AS DOUBLE)) t2m,
+          (value + CAST(248.15 AS DOUBLE) - CAST(5.0 AS DOUBLE)) d2m,
+          value / CAST(10 AS DOUBLE) u10, value / CAST(20 AS DOUBLE) v10,
+          floor(value * 7) tp,
+          CAST(date_trunc('month', ts) AS TIMESTAMP) ym FROM events),
+        side AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) ym,
+          max(floor(value)) xco2 FROM events GROUP BY 1),
+        regions AS (SELECT 'r' || r_regionkey region_id,
+          r_regionkey * CAST(1 AS DOUBLE) s, r_regionkey * CAST(1 AS DOUBLE) + 2 n,
+          r_regionkey * CAST(2 AS DOUBLE) w, r_regionkey * CAST(2 AS DOUBLE) + 4 e
+          FROM region),
+        conv AS (SELECT r.region_id, g.lat, g.lon, g.ts,
+          g.t2m - CAST(273.15 AS DOUBLE) AS ta,
+          exp(((g.d2m - CAST(273.15 AS DOUBLE)) * CAST(17.625 AS DOUBLE)) /
+                ((g.d2m - CAST(273.15 AS DOUBLE)) + CAST(243.04 AS DOUBLE)) -
+              ((g.t2m - CAST(273.15 AS DOUBLE)) * CAST(17.625 AS DOUBLE)) /
+                ((g.t2m - CAST(273.15 AS DOUBLE)) + CAST(243.04 AS DOUBLE)))
+            * CAST(100 AS DOUBLE) AS rh,
+          sqrt(g.u10 * g.u10 + g.v10 * g.v10) AS ws, g.tp AS p
+          FROM grid g JOIN regions r
+          ON g.lat BETWEEN r.s AND r.n AND g.lon BETWEEN r.w AND r.e)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period, region_id,
+          lat AS latitude, lon AS longitude,
+          sum(p) AS P_sum, max(p) AS P_max,
+          round(stddev_samp(rh), 6) AS RH_std, round(max(rh), 6) AS RH_max,
+          round(min(rh), 6) AS RH_min, round(avg(ta), 6) AS TA_mean,
+          round(stddev_samp(ta), 6) AS TA_std, min(ta) AS TA_min,
+          max(ta) AS TA_max, round(avg(ws), 6) AS WS_mean,
+          round(stddev_samp(ws), 6) AS WS_std, max(ws) AS WS_max,
+          round(avg(rh), 6) AS RH_mean
+        FROM conv GROUP BY 1, 2, 3, 4"""))
+
+  /** OP-SRC-5 — manifest catalog write → read-modify-append → DataFrame
+    * read-back, built from the region table.
+    */
+  private val src5 = Spec("q49_src5_manifest",
+    (s, d) => {
+      val rows = T(s, d, "region").select(col("r_name"), col("r_regionkey"))
+        .collect().sortBy(_.getInt(1))
+      val feats = rows.map { r =>
+        val k = r.getInt(1)
+        Manifest.Feature(r.getString(0), "2020-01-01", "2020-12-31",
+          "Polygon", Seq(s"region_${r.getString(0)}"), Seq("TA", "P", "RH"),
+          Map(r.getString(0) -> Seq(k + 4.0, k - 4.0, k - 2.0, k + 2.0)),
+          data_file = Some("station.csv"))
+      }
+      val path = tmp("manifest.json")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp("")))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      Manifest.write(Manifest.Spec("IndividualPolygons", Some("DAILY"),
+        gapfilling = false, feats.take(2)), path)
+      Manifest.append(path, feats.toSeq) // replaces the 2, appends the rest
+      Manifest.readFeatures(s, path)
+    },
+    Some("""SELECT 'IndividualPolygons' AS processing_type,
+        FALSE AS gapfilling, r_name AS region_id,
+        '2020-01-01' AS start_date, '2020-12-31' AS end_date,
+        'Polygon' AS geometry, 3 AS n_preds, 'station.csv' AS data_file
+        FROM region"""))
+
   /** Streaming-shaped tumbling window aggregation (batch face; the
     * streaming face with watermark is covered by the spec suite).
     */
@@ -772,7 +878,7 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, strm1, strm2) ++ LlmQueries.specs
+    pipe1, src5, strm1, strm2) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -61,6 +61,23 @@ object Similarity {
     vectors.withColumn("bucket", bucket)
   }
 
+  /** Embedding-cosine near-duplicate pairs: self-join within LSH buckets,
+    * keep pairs above the cosine threshold. Same never-all-pairs posture as
+    * minhash dedup — one bucket-keyed shuffle, per-bucket quadratic only.
+    */
+  def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val b = lshBuckets(vectors, idCol, vecCol, anchors)
+      .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
+    val lhs = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val rhs = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    lhs.join(rhs, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** ANN top-k: only corpus vectors sharing the query's LSH bucket compete.
     * One shuffle keyed on bucket; each bucket is a small all-pairs. Recall
     * trades off with m (more planes → smaller buckets).

@@ -35,7 +35,9 @@ object Text {
     */
   val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(subwordPattern), lit(0)))
+    // regexp_count, not size(regexp_extract_all(...)): counting avoids
+    // materializing every match as a string (measured 5× on the corpus scan)
+    regexp_count(lower(text), lit(subwordPattern)).cast("int")
 
   /** Word n-grams (shingles) of the token array. Guarded: Spark `sequence`
     * DESCENDS when start > stop, so a doc shorter than n words must yield
