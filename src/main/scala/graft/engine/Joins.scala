@@ -73,4 +73,21 @@ object Joins {
   def semiOnKeys(fact: DataFrame, eligible: DataFrame,
       keys: Seq[String]): DataFrame =
     fact.join(eligible, keys, "left_semi")
+
+  /** Salted equi-join for skewed fact keys joining a side too large to
+    * broadcast: the fact side gets a DETERMINISTIC salt (hash of the whole
+    * row — `rand()` would break retries and re-runs), the side is exploded
+    * across all salt buckets, and the join key becomes (keys..., salt).
+    * A hot fact key thus spreads over `buckets` reducers instead of one.
+    * AQE's skew-join split handles moderate skew automatically; this is
+    * the explicit tool for the pathological hot-key case.
+    */
+  def saltedEquiJoin(fact: DataFrame, side: DataFrame, keys: Seq[String],
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+    val saltedSide = side.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(saltedSide, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

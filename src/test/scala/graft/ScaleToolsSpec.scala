@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.engine.Joins
+import graft.llm.Multimodal
+import graft.streaming.Streaming
+
+/** Scale-path tooling: salted skew join, stateful sessionization, the
+  * multimodal per-partition batch extension point.
+  */
+class ScaleToolsSpec extends SparkSpec {
+
+  test("saltedEquiJoin equals the plain equi-join result") {
+    import spark.implicits._
+    // heavily skewed fact: 90% of rows share key 1
+    val fact = ((1 to 90).map(i => (1L, i.toDouble)) ++
+      (1 to 10).map(i => (2L, i.toDouble))).toDF("k", "v")
+    val side = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched"))
+      .toDF("k", "label")
+    val plain = fact.join(side, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = Joins.saltedEquiJoin(fact, side, Seq("k"), buckets = 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(salted.size == 100)
+    // determinism: same input → same salt → same result on re-run
+    val again = Joins.saltedEquiJoin(fact, side, Seq("k"), buckets = 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(again == salted)
+  }
+
+  test("sessionize (flatMapGroupsWithState) on a batch Dataset") {
+    val sp = spark
+    import sp.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      Streaming.Event(1L, t(0), 1.0), Streaming.Event(1L, t(2), 2.0),
+      Streaming.Event(1L, t(30), 5.0), // > 10 min gap → new session
+      Streaming.Event(2L, t(5), 7.0)).toDS()
+    // batch mode: no timeouts fire, so only sessions CLOSED by a gap emit
+    val out = Streaming.sessionize(events, gapMs = 10 * 60 * 1000).collect()
+    assert(out.length == 1)
+    assert(out(0) == Streaming.Session(1L, t(0), t(2), 2, 3.0))
+  }
+
+  test("mapBinaryBatches: per-partition decode over binary payloads") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "world!")).toDF("id", "text")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("audio"), graft.functions.PolyHash.polyhash(col("text"))))
+    val out = Multimodal.mapBinaryBatches(df, "mm", dim = 2) { bytes =>
+      Array(bytes.length.toDouble, bytes.headOption.map(_.toDouble).getOrElse(0d))
+    }.select(col("id"), col("features")).orderBy("id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(5.0, 'h'.toDouble))
+    assert(out(1).getSeq[Double](1) == Seq(6.0, 'w'.toDouble))
+  }
+
+  test("multimodal metadata derives deterministically from the seed") {
+    import spark.implicits._
+    val row = Seq("payload-bytes").toDF("text")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("image"), lit(1000L)))
+      .select(col("mm.meta.width"), col("mm.meta.height"),
+        col("mm.meta.n_frames"), col("mm.meta.byte_len")).collect()(0)
+    assert(row.getInt(0) == 1000 % 1280 + 64)
+    assert(row.getInt(1) == 1000 % 720 + 64)
+    assert(row.getInt(2) == 1000 % 240 + 1)
+    assert(row.getLong(3) == "payload-bytes".length)
+  }
+}
