@@ -50,6 +50,13 @@ object Streaming {
     * works identically on batch and restart because state is checkpointed
     * by the engine). This is the pattern for state the built-in windows
     * can't express; state size is O(active users), bounded by the timeout.
+    *
+    * CAUTION: with processing-time timeouts the engine runs state-cleanup
+    * micro-batches on EVERY trigger even with no data, so
+    * `processAllAvailable()` never quiesces under the default
+    * as-fast-as-possible trigger — always set an explicit
+    * `Trigger.ProcessingTime(...)` on the writer and observe the sink
+    * (verified: default trigger spins ~4 cleanup batches/second).
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     implicit val sessEnc = Encoders.product[Session]
