@@ -11,6 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (codegen compiler, parquet footers, FS cache)
+    // so the first measured query doesn't absorb JVM/session startup.
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach {
+      t =>
+        try Queries.T(spark, sfDir, t).write.format("noop")
+          .mode("overwrite").save()
+        catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes EVERY column (count() would let Spark prune

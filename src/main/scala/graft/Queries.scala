@@ -820,6 +820,32 @@ object Queries {
           round(avg(rh), 6) AS RH_mean
         FROM conv GROUP BY 1, 2, 3, 4"""))
 
+  /** The inference feature-builder composition (SURVEY §3's fourth
+    * surface, `inference/carboninference/core.py:37-140`): derive DOY/TOD,
+    * broadcast-join a static per-key label (the IGBP analog), build
+    * trailing sliding-window feature tensors, keep only full windows.
+    */
+  private val pipe3 = Spec("q67_pipeline_inference",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val static = T(s, d, "customer").select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("igbp"))
+      val withParts = ev.select(col("user_id"), col("ts"), col("value"),
+        dayofyear(col("ts")).as("doy"), hour(col("ts")).as("tod"))
+      val labeled = Joins.enrich(withParts, static, Seq("user_id"))
+      Windows.slidingFeatures(labeled, Seq("user_id"), "ts", Seq("value"), 8)
+        .select(col("user_id"), col("ts"), col("doy"), col("tod"),
+          col("igbp"), col("value_win"))
+    },
+    Some("""SELECT user_id, ts, doy, tod, igbp, value_win FROM (
+        SELECT e.user_id, e.ts,
+          CAST(date_part('doy', e.ts) AS INT) AS doy,
+          CAST(date_part('hour', e.ts) AS INT) AS tod, c.c_mktsegment AS igbp,
+          list(e.value) OVER (PARTITION BY e.user_id ORDER BY e.ts
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS value_win
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+        WHERE len(value_win) = 8"""))
+
   /** OP-SRC-5 — manifest catalog write → read-modify-append → DataFrame
     * read-back, built from the region table.
     */
@@ -878,7 +904,7 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, src5, strm1, strm2) ++ LlmQueries.specs
+    pipe1, pipe2, pipe3, src5, strm1, strm2) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)
