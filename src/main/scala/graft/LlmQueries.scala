@@ -228,13 +228,44 @@ object LlmQueries {
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""))
 
   /** Full fuzzy-dup chain (LSH candidates → exact-Jaccard verify) over the
-    * near-dup corpus. Composes q57 + q59's oracle-checked kernels; itself
-    * rows-only (the composed SQL would be unwieldy).
+    * near-dup corpus — q57's banded-LSH stage composed with q59's exact
+    * verification, oracle'd end-to-end.
     */
   private val l11 = Spec("q60_dedup_fuzzy_verified",
     (s, d) => Dedup.fuzzyDuplicates(nearDupCorpus(s, d), "doc_id", "text",
       shingleWidth = 3, k = 16, bands = 4, minJaccard = 0.2),
-    None)
+    Some {
+      val perms = (0 until 16).map { i =>
+        val a = 2L * i + 1; val b = 12345L * i + 7
+        s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
+      }.mkString("[", ", ", "]")
+      s"""WITH corpus AS ($nearDupCorpusSql),
+          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+          sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
+          sg AS (SELECT doc_id, $perms AS sig FROM sh),
+          banded AS (SELECT doc_id, sig, b,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+              (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
+            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
+              AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+            FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+            WHERE x.doc_id < y.doc_id),
+          cands AS (SELECT doc_a, doc_b FROM pairs
+            WHERE est_jaccard >= CAST(0.3 AS DOUBLE))
+          SELECT c.doc_a, c.doc_b,
+            CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+              CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+                / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS jaccard
+          FROM cands c JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b
+          WHERE CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+              CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+                / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END >= CAST(0.2 AS DOUBLE)"""
+    })
 
   private val dotSql =
     "list_reduce(list_transform(list_zip(%s, %s), " +

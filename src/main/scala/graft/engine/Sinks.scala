@@ -44,4 +44,18 @@ object Sinks {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table write — the lakehouse layout that makes repeated
+    * equi-joins/aggregations on `bucketCols` shuffle-free: both sides of a
+    * join bucketed into the same `n` on the same keys satisfy each other's
+    * hash-partitioning requirement, so SortMergeJoin runs with ZERO
+    * Exchange (verified by plan assertion in the spec). Bucketing requires
+    * the table catalog (`saveAsTable`), hence the name parameter.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      n: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }
