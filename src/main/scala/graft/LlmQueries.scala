@@ -104,10 +104,9 @@ object LlmQueries {
   /** Winnowing-style document fingerprint. */
   private val l5 = Spec("q54_text_fingerprint",
     (s, d) => T(s, d, "documents")
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_sort(filter(
-        Text.shingleHashesFromTokens(col("toks"), 4), h => h % 8 === 0))
-        .as("fp")),
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 4),
+        h => h % 8 === 0)).as("fp")),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents)
         SELECT doc_id, list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0))
         AS fp FROM t"""))

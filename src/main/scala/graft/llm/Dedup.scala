@@ -54,9 +54,12 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int): DataFrame =
-    docs.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__toks"))
-      .select(col("doc"),
-        Text.shingleHashesFromTokens(col("__toks"), shingleWidth).as("hs"))
+    // the native single-pass expression (codegen'd, zero per-shingle
+    // allocation); semantically identical to the staged Column chain —
+    // equivalence is property-tested across the corpus in LlmSpec
+    docs.select(col(idCol).as("doc"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), shingleWidth)
+        .as("hs"))
 
   /** One-shot signature convenience (stages internally). */
   def minhashSignature(text: Column, shingleWidth: Int, k: Int): Column =

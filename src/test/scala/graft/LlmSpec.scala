@@ -34,6 +34,19 @@ class LlmSpec extends SparkSpec {
     assert(out(2).getSeq[String](0) == Nil)
   }
 
+  test("native ShingleHashes == composable Column chain over the corpus") {
+    import spark.implicits._
+    val docs = Queries.T(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq("", "ab", "one two", "one two three",
+        "Crème BRÛLÉE, twice! Crème brûlée again", "  padded   spaces  ",
+        "a b a b a b", "123 456 789 123 456").toDF("text"))
+    val both = docs.select(
+      graft.functions.ShingleHashes.shingleHashes(col("text"), 3).as("fast"),
+      Text.shingleHashes(col("text"), 3).as("slow"))
+    val bad = both.filter(not(col("fast") === col("slow"))).count()
+    assert(bad == 0, s"$bad rows diverge between native and Column shingles")
+  }
+
   test("exact dedup finds injected duplicates deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "aaa bbb"), (2L, "ccc ddd"), (7L, "aaa bbb"))
