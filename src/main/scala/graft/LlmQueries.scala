@@ -387,6 +387,20 @@ object LlmQueries {
           WHERE cos >= CAST(0.5 AS DOUBLE)"""
     })
 
+  /** IVF ANN (KMeans coarse quantizer, nprobe cells searched). No SQL
+    * oracle — a trained quantizer isn't ANSI-expressible; rows-only here,
+    * self-retrieval + determinism asserted in LlmSpec.
+    */
+  private val l17 = Spec("q68_sim_ivf_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", "vec_id", k = 5, nCells = 8, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    },
+    None)
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
-    l11, l12, l13, l14, l15, l16)
+    l11, l12, l13, l14, l15, l16, l17)
 }

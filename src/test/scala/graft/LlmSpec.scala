@@ -94,6 +94,21 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12)
   }
 
+  test("IVF ANN: self retrieved at rank 1; deterministic across runs") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(5L, 77L, 301L))
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", k = 3, nCells = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity).toSeq
+    val out = run()
+    // a vector's own cell is always its nearest centroid → self is probed
+    Seq(5L, 77L, 301L).foreach { q =>
+      assert(out.contains((q, q, 1)), s"query $q did not retrieve itself")
+    }
+    assert(out == run(), "IVF search not deterministic across runs")
+  }
+
   test("ANN bucketing: query's bucket contains its own vector → found") {
     val emb = Queries.T(spark, sf001, "embeddings")
     val anchors = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
