@@ -43,9 +43,11 @@ object LlmQueries {
 
   /** Token counting: whitespace tokens + BPE-ish subword runs. */
   private val l2 = Spec("q51_text_token_counts",
+    // native subword_count: one codegen'd char scan, not a regex pass —
+    // equivalence vs the regex Column form is property-tested in LlmSpec
     (s, d) => T(s, d, "documents").select(col("doc_id"),
       Text.tokenCount(col("text")).as("n_tokens"),
-      Text.subwordCount(col("text")).as("n_subwords")),
+      graft.functions.SubwordCount.subwordCount(col("text")).as("n_subwords")),
     Some(s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS n_tokens,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
           AS INT) AS n_subwords FROM documents"""))
@@ -161,6 +163,29 @@ object LlmQueries {
           SELECT doc_id, $perms AS sig FROM sh"""
     })
 
+  /** Shared CTE chain: corpus → words → shingle sets → signatures → bands
+    * → distinct candidate pairs with estimated Jaccard (k=16, 4×4 bands).
+    */
+  private def lshCtes: String = {
+    val perms = (0 until 16).map { i =>
+      val a = 2L * i + 1; val b = 12345L * i + 7
+      s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
+    }.mkString("[", ", ", "]")
+    s"""corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
+        sg AS (SELECT doc_id, $perms AS sig FROM sh),
+        banded AS (SELECT doc_id, sig, b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+            (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
+          FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
+            AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+          FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          WHERE x.doc_id < y.doc_id)"""
+  }
+
   /** Banded-LSH fuzzy-dup candidate pairs over the near-dup corpus
     * (k=16, 4 bands × 4 rows, est-Jaccard ≥ 0.25).
     */
@@ -168,27 +193,30 @@ object LlmQueries {
     (s, d) => Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
       shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
       maxBucket = 1000),
-    Some {
-      val perms = (0 until 16).map { i =>
-        val a = 2L * i + 1; val b = 12345L * i + 7
-        s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
-      }.mkString("[", ", ", "]")
-      s"""WITH corpus AS ($nearDupCorpusSql),
-          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
-          sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
-          sg AS (SELECT doc_id, $perms AS sig FROM sh),
-          banded AS (SELECT doc_id, sig, b,
-            list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
-              (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
-            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
-          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-            CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
-              AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
-            FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
-            WHERE x.doc_id < y.doc_id)
-          SELECT doc_a, doc_b, est_jaccard FROM pairs
-          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)"""
-    })
+    Some(s"""WITH $lshCtes
+        SELECT doc_a, doc_b, est_jaccard FROM pairs
+        WHERE est_jaccard >= CAST(0.25 AS DOUBLE)"""))
+
+  /** Duplicate clustering: connected components over the LSH pairs — the
+    * canonical-survivor assignment. Oracle: recursive-CTE transitive
+    * closure, cluster = min reachable id.
+    */
+  private val l18 = Spec("q69_dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id",
+        "text", shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+        maxBucket = 1000)
+      Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+    },
+    Some(s"""WITH RECURSIVE $lshCtes,
+        cand AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT s FROM edges),
+        reach(s, d) AS (SELECT s, s FROM nodes
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s"""))
 
   /** SimHash fingerprints (16 bits for a compact oracle). */
   private val l9 = Spec("q58_dedup_simhash",
@@ -402,5 +430,5 @@ object LlmQueries {
     None)
 
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
-    l11, l12, l13, l14, l15, l16, l17)
+    l11, l12, l13, l14, l15, l16, l17, l18)
 }

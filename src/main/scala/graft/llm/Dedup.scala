@@ -139,6 +139,57 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0d))
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair list
+    * by iterative min-label propagation (the join-based form of
+    * large-star/small-star). Each iteration is one shuffle join + one
+    * aggregate; labels persist across rounds so lineage stays flat. Stops
+    * at fixpoint (no label changed) or `maxIter`. Output: (doc, cluster)
+    * where cluster = the smallest doc id in the component — the canonical
+    * survivor for keep-one-per-cluster dedup.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val hop = labels.join(viaNeighbor, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+      // pointer jumping (path halving): also adopt the label of the
+      // current representative, so the min spreads 2^iter hops per round
+      // instead of 1 — a 1M-doc near-dup chain converges in ~20 rounds,
+      // not 1M.
+      val reps = hop.select(col("doc").as("cluster"),
+        col("cluster").as("rep_cluster"))
+      // localCheckpoint truncates the plan each round — the pointer-jump
+      // self-join would otherwise DOUBLE the logical plan per iteration
+      // (exponential analysis/optimization cost, OOMs around round 10)
+      val next = hop.join(reps, Seq("cluster"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("rep_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("doc")).filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** n-gram Jaccard over all candidate pairs from LSH, verified exactly:
     * join shingle sets back onto the candidate pairs and compute true
     * Jaccard. Shingle sets travel through the join — at 100 TB, restrict

@@ -47,6 +47,40 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows diverge between native and Column shingles")
   }
 
+  test("native SubwordCount == regexp_count Column form over the corpus") {
+    import spark.implicits._
+    val docs = Queries.T(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq("", "ab12 cd,ef", "a.b.c", "HELLO World 42!",
+        "tab\there\nnewline", "!!!???", "éàü mixed Ünïcode 7").toDF("text"))
+    val bad = docs.select(
+      graft.functions.SubwordCount.subwordCount(col("text")).as("fast"),
+      Text.subwordCount(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0, s"$bad rows diverge between native and regex subword count")
+  }
+
+  test("duplicateClusters: components + canonical min-id survivor") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {7,8}; 9 appears only as pair partner
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (4L, 1L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("duplicateClusters converges on a 64-node chain within 10 rounds") {
+    import spark.implicits._
+    // worst-case diameter: plain min-propagation needs 63 rounds; pointer
+    // jumping must close it inside the default maxIter
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(chain, "doc_a", "doc_b").collect()
+    assert(out.length == 64)
+    assert(out.forall(_.getLong(1) == 1L),
+      s"chain not fully converged: ${out.filter(_.getLong(1) != 1L).take(5).mkString(",")}")
+  }
+
   test("exact dedup finds injected duplicates deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "aaa bbb"), (2L, "ccc ddd"), (7L, "aaa bbb"))
