@@ -51,6 +51,26 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => pmod(seed * (i + 1), lit(997)).cast("double") / 997d)
 
+  /** Resize: a metadata transform — the stub rewrites target dimensions
+    * (aspect-preserving fit into a `maxDim` box) and carries the payload
+    * untouched; a real codec resizes in [[mapBinaryBatches]]. Kept
+    * metadata-only so a resize over 100 TB of video never shuffles or
+    * rewrites payload bytes until the decode stage actually consumes them.
+    */
+  def resizeMeta(mm: Column, maxDim: Int): Column = {
+    val w = mm.getField("meta").getField("width")
+    val h = mm.getField("meta").getField("height")
+    val scale = least(lit(maxDim) / greatest(w, h).cast("double"), lit(1d))
+    struct(
+      mm.getField("payload").as("payload"),
+      struct(
+        mm.getField("meta").getField("modality").as("modality"),
+        mm.getField("meta").getField("byte_len").as("byte_len"),
+        floor(w * scale).cast("int").as("width"),
+        floor(h * scale).cast("int").as("height"),
+        mm.getField("meta").getField("n_frames").as("n_frames")).as("meta"))
+  }
+
   /** Frame sampling: explode `n` evenly-spaced frame indices from the
     * metadata frame count — a metadata-only operation (the payload column
     * is carried, not transformed; Parquet's columnar layout means unsampled

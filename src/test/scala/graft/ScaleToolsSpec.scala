@@ -56,6 +56,26 @@ class ScaleToolsSpec extends SparkSpec {
     assert(out(1).getSeq[Double](1) == Seq(6.0, 'w'.toDouble))
   }
 
+  test("resizeMeta: aspect-preserving fit, payload untouched") {
+    import spark.implicits._
+    val row = Seq("x").toDF("text")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("image"), lit(1000L))) // width 1000%1280+64=1064, height 1000%720+64=344
+      .withColumn("rs", Multimodal.resizeMeta(col("mm"), 512))
+      .select(col("rs.meta.width"), col("rs.meta.height"),
+        col("rs.payload").cast("string")).collect()(0)
+    assert(row.getInt(0) == (1064 * (512.0 / 1064)).toInt) // 512
+    assert(row.getInt(1) == (344 * (512.0 / 1064)).toInt)  // 165
+    assert(row.getString(2) == "x") // payload carried, not rewritten
+    // already-small images are not upscaled
+    val small = Seq("y").toDF("text")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("image"), lit(10L))) // width 74, height 74
+      .withColumn("rs", Multimodal.resizeMeta(col("mm"), 512))
+      .select(col("rs.meta.width")).collect()(0)
+    assert(small.getInt(0) == 74)
+  }
+
   test("multimodal metadata derives deterministically from the seed") {
     import spark.implicits._
     val row = Seq("payload-bytes").toDF("text")
