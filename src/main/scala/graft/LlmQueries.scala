@@ -49,7 +49,7 @@ object LlmQueries {
       Text.tokenCount(col("text")).as("n_tokens"),
       graft.functions.SubwordCount.subwordCount(col("text")).as("n_subwords")),
     Some(s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS n_tokens,
-        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+'))
           AS INT) AS n_subwords FROM documents"""))
 
   /** Heuristic language ID via stopword-marker counts. */
@@ -89,7 +89,7 @@ object LlmQueries {
             CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
               / CAST(len(words) AS DOUBLE) END AS mean_word_len,
           CASE WHEN length(text) > 0 THEN
-            CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+            CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
               AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
           CASE WHEN len(words) > 0 THEN
             CAST(len(list_filter(words, w -> list_contains(
@@ -145,7 +145,7 @@ object LlmQueries {
   private val l6 = Spec("q55_dedup_exact",
     (s, d) => Dedup.exact(dupCorpus(s, d), "doc_id", "text"),
     Some(s"""WITH corpus AS ($dupCorpusSql)
-        SELECT ${phSql("text")} AS content_hash, min(doc_id) AS keep_id,
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         count(*) AS n_copies FROM corpus GROUP BY 1"""))
 
   /** MinHash signatures (k=8, 3-shingles). */
@@ -364,7 +364,8 @@ object LlmQueries {
         col("mm.meta.height").as("height"), col("mm.meta.n_frames").as("n_frames"),
         Multimodal.decodeStub(polyhash(col("text")), 8).as("features")),
     Some(s"""WITH t AS (SELECT doc_id, text, ${phSql("text")} AS h FROM documents)
-        SELECT doc_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS byte_len,
+        SELECT doc_id, 'text' AS modality,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
           CAST(h % 1280 + 64 AS INTEGER) AS width,
           CAST(h % 720 + 64 AS INTEGER) AS height,
           CAST(h % 240 + 1 AS INTEGER) AS n_frames,

@@ -115,11 +115,17 @@ object Geometry {
     val coords = to_json(col("f.geometry.coordinates"))
     // Deterministic surrogate: a content hash of the coordinates JSON, not
     // monotonically_increasing_id (partition-dependent — re-reads would
-    // produce different ids and break reproducibility). The id property may
-    // be absent from the *inferred schema* entirely, so probe the schema
-    // before referencing it (a missing field is an analysis error, not a
-    // null).
-    val surrogate = concat(lit("feat_"), pmod(xxhash64(coords), lit(1000000000L)))
+    // produce different ids and break reproducibility). A row_number within
+    // equal-coordinate groups keeps duplicate id-less features DISTINCT
+    // (identical geometry must not collapse into one region). Feature lists
+    // are catalog-sized, so the global window is negligible. The id
+    // property may be absent from the *inferred schema* entirely, so probe
+    // the schema before referencing it (a missing field is an analysis
+    // error, not a null).
+    val dupRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(coords).orderBy(coords))
+    val surrogate = concat(lit("feat_"),
+      pmod(xxhash64(coords), lit(1000000000L)), lit("_"), dupRank)
     val schemaHasId = {
       val f = exploded.schema("f").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       f.fieldNames.contains("properties") &&

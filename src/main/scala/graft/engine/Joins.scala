@@ -84,6 +84,11 @@ object Joins {
     */
   def saltedEquiJoin(fact: DataFrame, side: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit one null-padded row PER SALT for every
+    // unmatched side row (the side is exploded `buckets` times)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports fact-preserving join types only, got $joinType")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
     val saltedSide = side.withColumn("__salt",

@@ -34,12 +34,13 @@ case class SubwordCount(child: Expression) extends UnaryExpression
 
 object SubwordCount {
 
-  /** Java regex `\s` is exactly [ \t\n\x0B\f\r] (no Unicode flag) — match
-    * that, not Character.isWhitespace, so the count equals the regex form
-    * byte-for-byte.
+  /** The explicit whitespace class of [[graft.llm.Text.subwordPattern]]
+    * ([ \t\n\f\r] — deliberately excludes \x0B, where Java's `\s` and
+    * RE2's `\s` disagree), so native, Java-regex, and DuckDB counts are
+    * identical byte-for-byte.
     */
   private def isRegexWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def count(s: UTF8String): Int = {
     val text = s.toLowerCase.toString

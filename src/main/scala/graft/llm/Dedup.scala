@@ -23,9 +23,15 @@ object Dedup {
     * canonical survivor (deterministic, unlike dropDuplicates) + copy
     * count. One hash aggregate; at scale this is THE way — no sort, no
     * window, map-side partial aggregation halves the shuffle.
+    *
+    * The content hash is md5 (128-bit, collision-negligible at any corpus
+    * size), not polyhash: polyhash's 2^30 space birthday-collides from
+    * ~40k docs, which would silently merge distinct documents. polyhash
+    * stays the MINHASH base (there, collisions only perturb similarity
+    * estimates; here they destroy data).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(polyhash(col(textCol)).as("content_hash"))
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature over a PRE-MATERIALIZED shingle-hash array column:

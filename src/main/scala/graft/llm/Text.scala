@@ -30,10 +30,11 @@ object Text {
   /** BPE-ish subword count: runs of letters, runs of digits, runs of other
     * non-space symbols each count as one token — the standard pre-tokenizer
     * shape (GPT-2-style regex simplified to disjoint classes, no
-    * lookarounds, so the same pattern runs on Java regex and RE2 with
-    * identical matches).
+    * lookarounds). The whitespace class is spelled out explicitly instead
+    * of `\s` because Java regex includes \x0B in \s and RE2 (DuckDB's
+    * engine) does not — the explicit class matches identically on both.
     */
-  val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+"
   def subwordCount(text: Column): Column =
     // regexp_count, not size(regexp_extract_all(...)): counting avoids
     // materializing every match as a string (measured 5× on the corpus scan)
@@ -41,12 +42,15 @@ object Text {
 
   /** Word n-grams (shingles) of the token array. Guarded: Spark `sequence`
     * DESCENDS when start > stop, so a doc shorter than n words must yield
-    * an empty shingle list, not a broken descending index range.
+    * an empty shingle list, not a broken descending index range. Null
+    * input propagates to null (matching the native [[graft.functions
+    * .ShingleHashes]] expression's null contract).
     */
   def ngrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Shingle hash set: polyhash of each word n-gram, distinct. The dedup
@@ -109,8 +113,10 @@ object Text {
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    // lower() first — [^a-z0-9 ] on raw text would count every UPPERCASE
+    // letter as punctuation and zero the quality score of capitalized docs
     val punct = length(text) -
-      length(regexp_replace(text, "[^a-z0-9 ]", ""))
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
     val stops = stopwordCount(toks, stopwords("en")).cast("double")
     Seq(
       "n_chars" -> nChars,

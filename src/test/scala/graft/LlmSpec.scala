@@ -40,10 +40,12 @@ class LlmSpec extends SparkSpec {
       .unionByName(Seq("", "ab", "one two", "one two three",
         "Crème BRÛLÉE, twice! Crème brûlée again", "  padded   spaces  ",
         "a b a b a b", "123 456 789 123 456").toDF("text"))
+      .unionByName(spark.range(1).select(lit(null).cast("string").as("text")))
     val both = docs.select(
       graft.functions.ShingleHashes.shingleHashes(col("text"), 3).as("fast"),
       Text.shingleHashes(col("text"), 3).as("slow"))
-    val bad = both.filter(not(col("fast") === col("slow"))).count()
+    // null-safe compare: both must be null together or equal
+    val bad = both.filter(not(col("fast") <=> col("slow"))).count()
     assert(bad == 0, s"$bad rows diverge between native and Column shingles")
   }
 
@@ -51,11 +53,12 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     val docs = Queries.T(spark, sf001, "documents").select(col("text"))
       .unionByName(Seq("", "ab12 cd,ef", "a.b.c", "HELLO World 42!",
-        "tab\there\nnewline", "!!!???", "éàü mixed Ünïcode 7").toDF("text"))
+        "tab\there\nnewline", "!!!???", "éàü mixed Ünïcode 7",
+        "vtabsplits").toDF("text"))
     val bad = docs.select(
       graft.functions.SubwordCount.subwordCount(col("text")).as("fast"),
       Text.subwordCount(col("text")).as("slow"))
-      .filter(col("fast") =!= col("slow")).count()
+      .filter(not(col("fast") <=> col("slow"))).count()
     assert(bad == 0, s"$bad rows diverge between native and regex subword count")
   }
 

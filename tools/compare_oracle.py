@@ -36,17 +36,22 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    for name in sorted(os.listdir(out_dir)):
+    dumped = {n for n in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, n))}
+    # a query that crashed in Verify has an oracle but no dump — surface it
+    for name in sorted(set(oracles) - dumped):
+        results[name] = "MISSING_DUMP (query failed in Verify?)"
+    for name in sorted(dumped):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            continue
         try:
             got = canon(pd.read_parquet(qdir))
         except Exception as e:
             results[name] = f"READ_FAIL {e}"
             continue
         if name not in oracles:
-            results[name] = f"NO_ORACLE rows={len(got)}"
+            # rows-only by design: passes when it produced rows
+            results[name] = (f"OK ROWS_ONLY rows={len(got)}" if len(got) > 0
+                             else "ROWS_ONLY_EMPTY")
             continue
         try:
             want = canon(con.execute(oracles[name]).df())
