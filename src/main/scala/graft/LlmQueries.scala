@@ -175,10 +175,13 @@ object LlmQueries {
         t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
         sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
         sg AS (SELECT doc_id, $perms AS sig FROM sh),
-        banded AS (SELECT doc_id, sig, b,
+        banded0 AS (SELECT doc_id, sig, b,
           list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
             (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
           FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        banded AS (SELECT doc_id, sig, b, key FROM (SELECT *,
+          count(*) OVER (PARTITION BY b, key) AS bucket_n FROM banded0)
+          WHERE bucket_n <= 1000),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
           CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
             AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
@@ -262,23 +265,7 @@ object LlmQueries {
     (s, d) => Dedup.fuzzyDuplicates(nearDupCorpus(s, d), "doc_id", "text",
       shingleWidth = 3, k = 16, bands = 4, minJaccard = 0.2),
     Some {
-      val perms = (0 until 16).map { i =>
-        val a = 2L * i + 1; val b = 12345L * i + 7
-        s"list_min([ (h*CAST($a AS BIGINT)+CAST($b AS BIGINT)) % 1000000007 for h in hs ])"
-      }.mkString("[", ", ", "]")
-      s"""WITH corpus AS ($nearDupCorpusSql),
-          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
-          sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
-          sg AS (SELECT doc_id, $perms AS sig FROM sh),
-          banded AS (SELECT doc_id, sig, b,
-            list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
-              (a, x) -> (a*31 + x % 1000000007) % 1000000007) AS key
-            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS b)),
-          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-            CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
-              AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
-            FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
-            WHERE x.doc_id < y.doc_id),
+      s"""WITH $lshCtes,
           cands AS (SELECT doc_a, doc_b FROM pairs
             WHERE est_jaccard >= CAST(0.3 AS DOUBLE))
           SELECT c.doc_a, c.doc_b,

@@ -57,10 +57,15 @@ object Queries {
     */
   private val src2 = Spec("q02_src2_csv_badlines",
     (s, d) => {
+      // explicit concat, not concat_ws: concat_ws silently DROPS null
+      // fields, which would shift columns; an explicit empty slot keeps
+      // nulls round-tripping as empty CSV fields
+      val csvField = (c: Column) => coalesce(c.cast("string"), lit(""))
       val lines = T(s, d, "events").select(
         when(col("event_id") % 97 === 0, lit("garbage,x,y"))
-          .otherwise(concat_ws(",", col("event_id"), col("user_id"),
-            col("value").cast("string"))).as("line"))
+          .otherwise(concat(csvField(col("event_id")), lit(","),
+            csvField(col("user_id")), lit(","),
+            csvField(col("value")))).as("line"))
       lines
         .select(from_csv(col("line"),
           org.apache.spark.sql.types.StructType.fromDDL(

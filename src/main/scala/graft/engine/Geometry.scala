@@ -122,16 +122,24 @@ object Geometry {
     // property may be absent from the *inferred schema* entirely, so probe
     // the schema before referencing it (a missing field is an analysis
     // error, not a null).
-    val dupRank = row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(coords).orderBy(coords))
-    val surrogate = concat(lit("feat_"),
-      pmod(xxhash64(coords), lit(1000000000L)), lit("_"), dupRank)
     val schemaHasId = {
       val f = exploded.schema("f").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       f.fieldNames.contains("properties") &&
         f("properties").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
           .fieldNames.contains(idField)
     }
+    // Peer order within an equal-coordinates group: id-bearing features
+    // sort first by their id (deterministic); the id-LESS duplicates that
+    // remain are byte-identical rows, so whichever gets rank k yields the
+    // same output SET either way — no run-to-run output instability.
+    val idOrd =
+      if (schemaHasId) coalesce(col(s"f.properties.$idField").cast("string"),
+        lit("￿"))
+      else lit("￿")
+    val dupRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(coords).orderBy(idOrd))
+    val surrogate = concat(lit("feat_"),
+      pmod(xxhash64(coords), lit(1000000000L)), lit("_"), dupRank)
     val id =
       if (schemaHasId)
         coalesce(col(s"f.properties.$idField").cast("string"), surrogate)

@@ -38,11 +38,27 @@ object Pipeline {
     * sides are hourly-keyed facts → sort-merge join on time, no broadcast.
     */
   def gapFill(station: DataFrame, era5: DataFrame, timeCol: String,
-      predictors: Seq[String], era5Exprs: Map[String, Column]): DataFrame = {
+      predictors: Seq[String], era5Exprs: Map[String, Column],
+      range: Option[(String, String)] = None): DataFrame = {
     val parsed = station.withColumn(timeCol,
       Dates.parseTimestamp(col(timeCol).cast("string")))
       .filter(col(timeCol).isNotNull)
-    val hourly = Relational.topOfHour(parsed, timeCol)
+    // OP-FLT-1 (`processor.py:54-62`): restrict to the requested range and
+    // FAIL when the request exceeds the station's coverage — the reference
+    // raises rather than silently gap-filling hours it has no data for.
+    // The bounds check is one 1-row aggregate, eager like the reference's.
+    val ranged = range match {
+      case Some((start, end)) =>
+        val b = Relational.timeBounds(parsed, timeCol).collect()(0)
+        val (tMin, tMax) = (b.getTimestamp(0), b.getTimestamp(1))
+        val s = java.sql.Timestamp.valueOf(start)
+        val e = java.sql.Timestamp.valueOf(end)
+        require(!s.before(tMin) && !e.after(tMax),
+          s"requested range [$start, $end] exceeds station coverage [$tMin, $tMax]")
+        Relational.timeRange(parsed, timeCol, start, end)
+      case None => parsed
+    }
+    val hourly = Relational.topOfHour(ranged, timeCol)
     val missing = Relational.anyNull(hourly, predictors)
     val joined = Joins.gapfillAlign(missing, era5, timeCol)
     twoSourceWide(joined, timeCol, predictors, era5Exprs)

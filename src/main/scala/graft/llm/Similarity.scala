@@ -53,7 +53,7 @@ object Similarity {
     * vectors by id — deterministic), so the whole pipeline remains
     * closed-form reproducible without a PRNG.
     */
-  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+  def lshBuckets(vectors: DataFrame, vecCol: String,
       anchors: Seq[Seq[Double]]): DataFrame = {
     val bucket = anchors.zipWithIndex.map { case (a, j) =>
       val anchorCol = array(a.map(lit(_)): _*)
@@ -112,7 +112,7 @@ object Similarity {
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       anchors: Seq[Seq[Double]], minCos: Double): DataFrame = {
-    val b = lshBuckets(vectors, idCol, vecCol, anchors)
+    val b = lshBuckets(vectors, vecCol, anchors)
       .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
     val lhs = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val rhs = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
@@ -130,10 +130,10 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int,
       anchors: Seq[Seq[Double]]): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, anchors)
+    val cb = lshBuckets(corpus, vecCol, anchors)
       .select(col("bucket"), col(idCol).as("neighbor_id"),
         col(vecCol).as("cvec"))
-    val qb = broadcast(lshBuckets(queries, queryIdCol, vecCol, anchors)
+    val qb = broadcast(lshBuckets(queries, vecCol, anchors)
       .select(col("bucket"), col(queryIdCol).as("query_id"),
         col(vecCol).as("qvec")))
     val scored = cb.join(qb, Seq("bucket"))

@@ -109,6 +109,19 @@ class LlmSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") > 0.9)
   }
 
+  test("maxBucket prunes degenerate LSH buckets (the hot-key guard)") {
+    import spark.implicits._
+    // 12 identical docs share every band bucket → bucket size 12
+    val docs = (1L to 12L).map(i => (i,
+      "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4,
+      minEstJaccard = 0.1, maxBucket = 5).count()
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4,
+      minEstJaccard = 0.1, maxBucket = 100).count()
+    assert(capped == 0, "bucket over the cap must be dropped")
+    assert(uncapped == 66) // 12 choose 2
+  }
+
   test("simhash: identical docs agree; hamming distance 0/positive") {
     import spark.implicits._
     val df = Seq((1L, "spark scale data"), (2L, "spark scale data"),

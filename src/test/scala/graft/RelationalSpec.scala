@@ -56,6 +56,27 @@ class RelationalSpec extends SparkSpec {
     assert(out.collect()(0).getFloat(1) == 1.23456789012345f)
   }
 
+  test("gap-fill range restriction + out-of-coverage rejection (OP-FLT-1)") {
+    import spark.implicits._
+    val station = Seq(
+      ("2024-01-01 10:00:00", None: Option[Double]),
+      ("2024-01-02 10:00:00", None: Option[Double]),
+      ("2024-01-03 10:00:00", None: Option[Double]))
+      .toDF("timestamp", "TA")
+    val era5 = Seq((Timestamp.valueOf("2024-01-02 10:00:00"), 1.0))
+      .toDF("timestamp", "ta_e")
+    val in = Pipeline.gapFill(station, era5, "timestamp", Seq("TA"),
+      Map("TA" -> col("ta_e")),
+      range = Some(("2024-01-02 00:00:00", "2024-01-02 23:00:00"))).collect()
+    assert(in.length == 1) // only the in-range missing row survives
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.gapFill(station, era5, "timestamp", Seq("TA"),
+        Map("TA" -> col("ta_e")),
+        range = Some(("2023-12-01 00:00:00", "2024-01-02 23:00:00")))
+    }
+    assert(e.getMessage.contains("exceeds station coverage"))
+  }
+
   test("gap-fill composed flow end-to-end on a hand-built station frame") {
     import spark.implicits._
     val station = Seq(
