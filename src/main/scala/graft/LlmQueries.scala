@@ -221,6 +221,13 @@ object LlmQueries {
           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
         SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s"""))
 
+  /** The 16-bit simhash as a SQL expression over a `hs` token-hash list. */
+  private val simhashTermsSql: String = (0 until 16).map { i =>
+    s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, h -> (h >> $i) & 1)) " +
+      s"AS BIGINT) > CAST(len(hs) AS BIGINT) THEN CAST(${1L << i} AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
   /** SimHash fingerprints (16 bits for a compact oracle). */
   private val l9 = Spec("q58_dedup_simhash",
     (s, d) => T(s, d, "documents")
@@ -228,16 +235,28 @@ object LlmQueries {
         t => polyhash(t)).as("hh"))
       .select(col("doc_id"),
         Dedup.simhashFromHashes(col("hh"), bits = 16).as("sh")),
-    Some {
-      val terms = (0 until 16).map { i =>
-        s"(CASE WHEN 2*CAST(list_sum(list_transform(hs, h -> (h >> $i) & 1)) " +
-          s"AS BIGINT) > CAST(len(hs) AS BIGINT) THEN CAST(${1L << i} AS BIGINT) " +
-          s"ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
-          hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t)
-          SELECT doc_id, $terms AS sh FROM hh"""
-    })
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t)
+        SELECT doc_id, $simhashTermsSql AS sh FROM hh"""))
+
+  /** SimHash banded near-dup candidate pairs over the near-dup corpus:
+    * hamming ≤ 3 within 4-bit bands of the 16-bit fingerprint.
+    */
+  private val l9b = Spec("q70_dedup_simhash_pairs",
+    (s, d) => Dedup.simhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
+      bits = 16, bands = 4, maxHamming = 3),
+    Some(s"""WITH corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t),
+        shf AS (SELECT doc_id, $simhashTermsSql AS sh FROM hh),
+        banded AS (SELECT doc_id, sh, b, (sh >> (b*4)) & 15 AS slice
+          FROM shf CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          bit_count(CAST(xor(x.sh, y.sh) AS BIGINT)) AS hamming
+          FROM banded x JOIN banded y ON x.b = y.b AND x.slice = y.slice
+          WHERE x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+        WHERE hamming <= 3"""))
 
   /** Exact n-gram Jaccard on adjacent-id pairs (the verification kernel). */
   private val l10 = Spec("q59_dedup_jaccard",
@@ -417,6 +436,6 @@ object LlmQueries {
     },
     None)
 
-  val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
-    l11, l12, l13, l14, l15, l16, l17, l18)
+  val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
+    l10, l11, l12, l13, l14, l15, l16, l17, l18)
 }

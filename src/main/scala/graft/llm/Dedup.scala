@@ -136,6 +136,40 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidate pairs via bit-banding: split the `bits`-bit
+    * fingerprint into `bands` equal slices; two docs within Hamming
+    * distance < `bands` must agree on at least one slice (pigeonhole), so
+    * bucketing on (band, slice-value) finds all such pairs with one
+    * bucket-keyed shuffle — the simhash analogue of minhash banding, same
+    * never-all-pairs posture.
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    require(maxHamming < bands,
+      "pigeonhole only guarantees recall for hamming < bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sh = docs
+      .select(col(idCol).as("doc"),
+        transform(Text.tokens(col(textCol)), t => polyhash(t)).as("hh"))
+      .select(col("doc"), simhashFromHashes(col("hh"), bits).as("sh"))
+    val banded = sh.select(col("doc"), col("sh"), posexplode(
+      array((0 until bands).map(j =>
+        shiftright(col("sh"), j * w).bitwiseAND(mask)): _*))
+      .as(Seq("band", "slice")))
+    val a = banded.select(col("band"), col("slice"), col("doc").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("slice"), col("doc").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
     * shingle-hash-set columns — the verification stage after LSH.
     */

@@ -134,6 +134,22 @@ class LlmSpec extends SparkSpec {
       java.lang.Long.bitCount(m(1L) ^ m(3L)))
   }
 
+  test("simhashCandidates: near-identical docs pair; distinct docs don't") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base + " phi"),
+      (3L, "wholly different content words nothing shared at all here"))
+      .toDF("doc_id", "text")
+    // 28 bits: unrelated docs sit at expected hamming ~14, far above the
+    // cap (16 bits is too short — random fingerprints average hamming 8
+    // and unrelated docs can slip under small caps)
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", 28, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("cosine top-k: self is rank 1 with cos ≈ 1") {
     val emb = Queries.T(spark, sf001, "embeddings")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
