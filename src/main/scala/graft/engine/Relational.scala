@@ -114,4 +114,23 @@ object Relational {
   /** OP-AGG-5 — distinct values (`dataset.py:49,130-131`). */
   def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
+
+  /** Sketch-based corpus statistics — the 100 TB forms of "how many
+    * distinct" and "what's the distribution": HyperLogLog++ distinct
+    * counts and approximate quantiles, one constant-memory pass each, no
+    * exact-distinct shuffle. Tolerances are the sketches' published rsd /
+    * relativeError contracts (spec-asserted against exact values).
+    */
+  def approxDistinct(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_distinct"),
+      cols.tail.map(c =>
+        approx_count_distinct(col(c), rsd).as(s"${c}_distinct")): _*)
+
+  def approxQuantiles(df: DataFrame, c: String, probs: Seq[Double],
+      relErr: Double = 0.01): DataFrame =
+    df.agg(percentile_approx(col(c),
+      array(probs.map(lit(_)): _*), lit((1 / relErr).toInt))
+      .as(s"${c}_quantiles"))
 }

@@ -56,6 +56,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.collect()(0).getFloat(1) == 1.23456789012345f)
   }
 
+  test("sketches: HLL distinct within rsd; quantiles within relErr") {
+    val ev = Queries.T(spark, sf001, "events")
+    val exactUsers = ev.select(col("user_id")).distinct().count().toDouble
+    val approxUsers = Relational.approxDistinct(ev, Seq("user_id"), rsd = 0.05)
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approxUsers - exactUsers) / exactUsers < 0.15,
+      s"HLL $approxUsers vs exact $exactUsers")
+    val q = Relational.approxQuantiles(ev, "value", Seq(0.5), relErr = 0.01)
+      .collect()(0).getSeq[Double](0).head
+    val exactMedian = ev.stat.approxQuantile("value", Array(0.5), 0.0)(0)
+    assert(math.abs(q - exactMedian) / math.max(exactMedian, 1.0) < 0.05,
+      s"median $q vs $exactMedian")
+  }
+
   test("gap-fill range restriction + out-of-coverage rejection (OP-FLT-1)") {
     import spark.implicits._
     val station = Seq(
