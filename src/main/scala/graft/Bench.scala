@@ -34,7 +34,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The summary must be parseable by the driver: stop Spark FIRST so no
+    // shutdown logging can land after (or interleave with) the JSON, print
+    // it as the process's final stdout line, and also persist it to a file
+    // as a log-truncation-proof channel (r02's tail was truncated and
+    // BENCH_r02.json recorded parsed:null).
     spark.stop()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_result.json")), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

@@ -103,14 +103,18 @@ object LlmQueries {
             least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / CAST(3 AS DOUBLE),
             CAST(0 AS DOUBLE)) AS quality FROM f"""))
 
-  /** Winnowing-style document fingerprint. */
+  /** Winnowing-style document fingerprint. Gate shape: the BIGINT hash
+    * array is joined to one CSV string — integer→string is cross-engine
+    * exact and the driver's comparator cannot sort ARRAY cells.
+    */
   private val l5 = Spec("q54_text_fingerprint",
     (s, d) => T(s, d, "documents")
-      .select(col("doc_id"), array_sort(filter(
+      .select(col("doc_id"), array_join(transform(array_sort(filter(
         graft.functions.ShingleHashes.shingleHashes(col("text"), 4),
-        h => h % 8 === 0)).as("fp")),
+        h => h % 8 === 0)), _.cast("string")), ",").as("fp")),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents)
-        SELECT doc_id, list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0))
+        SELECT doc_id, coalesce(array_to_string(
+          list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0)), ','), '')
         AS fp FROM t"""))
 
   /** The duplicate-injected corpus: every 10th doc duplicated verbatim
@@ -148,11 +152,14 @@ object LlmQueries {
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         count(*) AS n_copies FROM corpus GROUP BY 1"""))
 
-  /** MinHash signatures (k=8, 3-shingles). */
+  /** MinHash signatures (k=8, 3-shingles). Gate shape: the BIGINT
+    * signature array is joined to one CSV string (see q54's comment).
+    */
   private val l7 = Spec("q56_dedup_minhash_sig",
     (s, d) => Dedup.shingleSets(T(s, d, "documents"), "doc_id", "text", 3)
-      .select(col("doc").as("doc_id"),
-        Dedup.signatureFromHashes(col("hs"), 8).as("sig")),
+      .select(col("doc").as("doc_id"), array_join(transform(
+        Dedup.signatureFromHashes(col("hs"), 8), _.cast("string")), ",")
+        .as("sig")),
     Some {
       val perms = (0 until 8).map { i =>
         val a = 2L * i + 1; val b = 12345L * i + 7
@@ -160,7 +167,7 @@ object LlmQueries {
       }.mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
           sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t)
-          SELECT doc_id, $perms AS sig FROM sh"""
+          SELECT doc_id, array_to_string($perms, ',') AS sig FROM sh"""
     })
 
   /** Shared CTE chain: corpus → words → shingle sets → signatures → bands
@@ -360,7 +367,11 @@ object LlmQueries {
             round(cos, 6) AS cos FROM r WHERE rank <= 3"""
     })
 
-  /** Multimodal attach: payload + typed metadata + stub feature decode. */
+  /** Multimodal attach: payload + typed metadata + stub feature decode.
+    * Gate shape: the stub feature vector is pos-exploded to scalar rows —
+    * each element is an exact rational k/997 computed identically as a
+    * double divide on both engines (see q25's comment in [[Queries]]).
+    */
   private val l14 = Spec("q63_mm_attach",
     (s, d) => T(s, d, "documents")
       .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
@@ -368,15 +379,17 @@ object LlmQueries {
       .select(col("doc_id"), col("mm.meta.modality").as("modality"),
         col("mm.meta.byte_len").as("byte_len"), col("mm.meta.width").as("width"),
         col("mm.meta.height").as("height"), col("mm.meta.n_frames").as("n_frames"),
-        Multimodal.decodeStub(polyhash(col("text")), 8).as("features")),
+        posexplode(Multimodal.decodeStub(polyhash(col("text")), 8)))
+      .withColumnRenamed("col", "feature"),
     Some(s"""WITH t AS (SELECT doc_id, text, ${phSql("text")} AS h FROM documents)
         SELECT doc_id, 'text' AS modality,
           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
           CAST(h % 1280 + 64 AS INTEGER) AS width,
           CAST(h % 720 + 64 AS INTEGER) AS height,
           CAST(h % 240 + 1 AS INTEGER) AS n_frames,
-          [CAST((h*(i+1)) % 997 AS DOUBLE) / CAST(997 AS DOUBLE) for i in range(8)]
-            AS features FROM t"""))
+          CAST(i.i AS INT) AS pos,
+          CAST((h*(i.i+1)) % 997 AS DOUBLE) / CAST(997 AS DOUBLE) AS feature
+        FROM t CROSS JOIN (SELECT unnest(range(8)) AS i) i"""))
 
   /** Multimodal frame sampling (4 evenly-spaced frames per doc). */
   private val l15 = Spec("q64_mm_frame_sample",
@@ -422,19 +435,32 @@ object LlmQueries {
           WHERE cos >= CAST(0.5 AS DOUBLE)"""
     })
 
-  /** IVF ANN (KMeans coarse quantizer, nprobe cells searched). No SQL
-    * oracle — a trained quantizer isn't ANSI-expressible; rows-only here,
-    * self-retrieval + determinism asserted in LlmSpec.
+  /** IVF ANN (KMeans coarse quantizer, nprobe cells searched). The gate
+    * variant probes ALL cells (`nprobe = nCells`), which reproduces brute
+    * force exactly — every (query, corpus) pair is scored with the same
+    * sequential-fold cosine and the same (cos DESC, id) tie-break — so the
+    * q61 brute-force oracle applies verbatim while still exercising the
+    * full quantizer train/assign/probe machinery. The nprobe < nCells
+    * recall dial stays in the API and is spec-tested in LlmSpec.
     */
   private val l17 = Spec("q68_sim_ivf_topk",
     (s, d) => {
       val emb = T(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
-        "embedding", "vec_id", k = 5, nCells = 8, nprobe = 2)
+        "embedding", "vec_id", k = 5, nCells = 8, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
     },
-    None)
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          ${dot2("q.qv", "c.embedding")} /
+            (sqrt(${dot2("q.qv", "q.qv")}) * sqrt(${dot2("c.embedding", "c.embedding")}))
+          AS cos FROM q CROSS JOIN embeddings c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+          round(cos, 6) AS cos FROM r WHERE rank <= 5"""))
 
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18)

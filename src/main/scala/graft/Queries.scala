@@ -389,16 +389,26 @@ object Queries {
   // Windows / sort / sets
   // ------------------------------------------------------------------
 
-  /** OP-WIN-1 — trailing sliding window per key (n=16). */
+  /** OP-WIN-1 — trailing sliding window per key (n=16). Gate shape: the
+    * window array is pos-exploded to scalar rows — the driver's comparator
+    * cannot sort ARRAY cells, and float→string serialization is not
+    * cross-engine stable, while the raw doubles themselves are bit-exact
+    * parquet passthrough on both engines.
+    */
   private val win1 = Spec("q25_win1_sliding_window",
     (s, d) => Windows.slidingFeatures(T(s, d, "events")
       .select(col("user_id"), col("ts"), col("value")),
       Seq("user_id"), "ts", Seq("value"), 16)
-      .select(col("user_id"), col("ts"), col("value_win")),
-    Some("""SELECT user_id, ts, value_win FROM (SELECT user_id, ts,
-        list(value) OVER (PARTITION BY user_id ORDER BY ts
-          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) value_win
-        FROM events) WHERE len(value_win) = 16"""))
+      .select(col("user_id"), col("ts"), posexplode(col("value_win")))
+      .withColumnRenamed("col", "win_value"),
+    Some("""WITH w AS (SELECT user_id, ts,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS value_win
+          FROM events)
+        SELECT user_id, ts, CAST(i.i AS INT) AS pos,
+          value_win[CAST(i.i AS INT) + 1] AS win_value
+        FROM w CROSS JOIN (SELECT unnest(range(16)) AS i) i
+        WHERE len(value_win) = 16"""))
 
   /** OP-WIN-2 — first/last-in-group delta via order-free max_by/min_by. */
   private val win2 = Spec("q26_win2_group_delta",
@@ -838,17 +848,22 @@ object Queries {
       val withParts = ev.select(col("user_id"), col("ts"), col("value"),
         dayofyear(col("ts")).as("doy"), hour(col("ts")).as("tod"))
       val labeled = Joins.enrich(withParts, static, Seq("user_id"))
+      // Gate shape: pos-explode the feature window (see q25's comment).
       Windows.slidingFeatures(labeled, Seq("user_id"), "ts", Seq("value"), 8)
         .select(col("user_id"), col("ts"), col("doy"), col("tod"),
-          col("igbp"), col("value_win"))
+          col("igbp"), posexplode(col("value_win")))
+        .withColumnRenamed("col", "win_value")
     },
-    Some("""SELECT user_id, ts, doy, tod, igbp, value_win FROM (
+    Some("""WITH w AS (
         SELECT e.user_id, e.ts,
           CAST(date_part('doy', e.ts) AS INT) AS doy,
           CAST(date_part('hour', e.ts) AS INT) AS tod, c.c_mktsegment AS igbp,
           list(e.value) OVER (PARTITION BY e.user_id ORDER BY e.ts
             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS value_win
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+        SELECT user_id, ts, doy, tod, igbp, CAST(i.i AS INT) AS pos,
+          value_win[CAST(i.i AS INT) + 1] AS win_value
+        FROM w CROSS JOIN (SELECT unnest(range(8)) AS i) i
         WHERE len(value_win) = 8"""))
 
   /** OP-SRC-5 — manifest catalog write → read-modify-append → DataFrame

@@ -17,9 +17,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Driver compare: DuckDB oracles emit naive TIMESTAMP; Spark's
+        // derived timestamps are session-TZ LTZ and parquet-dump as
+        // timestamp[us, tz=UTC], red-flagging schema_match even when every
+        // value agrees. Session TZ is UTC, so the NTZ cast is value-exact.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        import org.apache.spark.sql.functions.col
+        val out = df.schema.fields.collect {
+          case f if f.dataType == TimestampType => f.name
+        } match {
+          case Array() => df
+          case tsCols => df.select(df.columns.map { c =>
+            if (tsCols.contains(c)) col(c).cast(TimestampNTZType).as(c)
+            else col(c)
+          }: _*)
+        }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -3,6 +3,12 @@
 `graft.Verify <sfDir> <outDir>`, run its oracle SQL in DuckDB over the same
 parquet tables, sort columns by name + rows by all columns, and compare.
 
+Deliberately mirrors the DRIVER's comparator, not a friendlier one: no
+timezone normalization (a tz-aware Spark dump vs a naive DuckDB timestamp is
+a schema FAIL) and no array-to-tuple conversion (an ARRAY output column
+crashes pandas row sorting exactly like it does driver-side). Round 2 proved
+a lenient local gate reports 70/70 while the driver sees 47/70.
+
 Usage: python3 tools/compare_oracle.py <sfDir> <outDir>
 """
 import json, os, sys
@@ -15,17 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sorting/compare works
+    # Only resolution widening for NAIVE datetimes (ns vs us storage detail);
+    # tz-aware stays tz-aware so the LTZ-vs-naive mismatch is caught.
     for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
-            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
+        if (pd.api.types.is_datetime64_any_dtype(df[c])
+                and not isinstance(df[c].dtype, pd.DatetimeTZDtype)):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object and df[c].map(
-                lambda v: hasattr(v, "toordinal") and not hasattr(v, "hour")).any():
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -46,7 +47,7 @@ def main(sf_dir, out_dir):
         try:
             got = canon(pd.read_parquet(qdir))
         except Exception as e:
-            results[name] = f"READ_FAIL {e}"
+            results[name] = f"SORT_OR_READ_FAIL (driver would err) {type(e).__name__}: {e}"
             continue
         if name not in oracles:
             # rows-only by design: passes when it produced rows
@@ -60,6 +61,11 @@ def main(sf_dir, out_dir):
             continue
         if list(got.columns) != list(want.columns):
             results[name] = f"SCHEMA got={list(got.columns)} want={list(want.columns)}"
+            continue
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            results[name] = f"SCHEMA_DTYPE {dt_bad}"
             continue
         if len(got) != len(want):
             results[name] = f"ROWS got={len(got)} want={len(want)}"
