@@ -250,14 +250,22 @@ object LlmQueries {
     * hamming ≤ 3 within 4-bit bands of the 16-bit fingerprint.
     */
   private val l9b = Spec("q70_dedup_simhash_pairs",
+    // 16-bit polyhash fingerprint so the oracle stays ANSI-computable; the
+    // production default is bits=64 over xxhash64 token hashes (2^16
+    // buckets per band instead of 16 — see Dedup.simhashCandidates). The
+    // maxBucket hot-key guard is mirrored into the oracle's window filter.
     (s, d) => Dedup.simhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
-      bits = 16, bands = 4, maxHamming = 3),
+      bits = 16, bands = 4, maxHamming = 3, maxBucket = 1000,
+      tokenHashFn = polyhash(_)),
     Some(s"""WITH corpus AS ($nearDupCorpusSql),
         t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
         hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t),
         shf AS (SELECT doc_id, $simhashTermsSql AS sh FROM hh),
-        banded AS (SELECT doc_id, sh, b, (sh >> (b*4)) & 15 AS slice
+        banded0 AS (SELECT doc_id, sh, b, (sh >> (b*4)) & 15 AS slice
           FROM shf CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        banded AS (SELECT doc_id, sh, b, slice FROM (SELECT *,
+          count(*) OVER (PARTITION BY b, slice) AS bucket_n FROM banded0)
+          WHERE bucket_n <= 1000),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
           bit_count(CAST(xor(x.sh, y.sh) AS BIGINT)) AS hamming
           FROM banded x JOIN banded y ON x.b = y.b AND x.slice = y.slice
@@ -338,9 +346,10 @@ object LlmQueries {
   private val l13 = Spec("q62_sim_ann_lsh",
     (s, d) => {
       val emb = T(s, d, "embeddings")
-      val anchors = emb.filter(col("vec_id") < 4)
-        .orderBy(col("vec_id")).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      // corpus-sized anchor count: targetBucket=32 yields exactly the
+      // oracle's 4 planes at the gate corpus (N=500, ⌈log₂(500/32)⌉ = 4)
+      // while growing with log(N) at scale
+      val anchors = Similarity.autoAnchors(emb, "vec_id", "embedding", 32)
       Similarity.annTopK(emb, emb.filter(col("vec_id").between(100, 107)),
         "vec_id", "embedding", "vec_id", 3, anchors)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -413,9 +422,9 @@ object LlmQueries {
   private val l16 = Spec("q65_embed_near_dup",
     (s, d) => {
       val emb = T(s, d, "embeddings")
-      val anchors = emb.filter(col("vec_id") < 4)
-        .orderBy(col("vec_id")).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      // corpus-sized anchors (see q62's comment): = the oracle's 4 planes
+      // at the gate corpus, log(N)-scaled beyond it
+      val anchors = Similarity.autoAnchors(emb, "vec_id", "embedding", 32)
       Similarity.cosineNearDups(emb, "vec_id", "embedding", anchors, 0.5)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     },

@@ -87,10 +87,19 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromSets(shingleSets(docs, idCol, textCol, shingleWidth),
+      k, bands, minEstJaccard, maxBucket)
+
+  /** [[minhashCandidates]] over a pre-built (doc, hs) shingle-set frame —
+    * lets callers that also need the sets downstream (the verify stage)
+    * compute/persist them exactly once.
+    */
+  def minhashCandidatesFromSets(sets: DataFrame, k: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "k must be divisible by bands")
-    val sig = shingleSets(docs, idCol, textCol, shingleWidth)
+    val sig = sets
       .select(col("doc"), signatureFromHashes(col("hs"), k).as("sig"))
     val banded = sig.select(col("doc"), col("sig"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, rowsPerBand)): _*))
@@ -113,12 +122,18 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** SimHash over token hashes, `bits` ≤ 30 (polyhash range): bit i of the
-    * fingerprint is set iff more than half the token hashes have bit i set.
-    * Pure per-row array math — zero shuffle over the corpus.
+  /** SimHash over token hashes: bit i of the fingerprint is set iff more
+    * than half the token hashes have bit i set. Pure per-row array math —
+    * zero shuffle over the corpus.
+    *
+    * `bits` must not exceed the token-hash space: ≤ 30 with the default
+    * polyhash (2^30 range — keeps the fingerprint oracle-computable in
+    * ANSI SQL), up to 64 with `tokenHashFn = xxhash64` (the production
+    * path — see [[simhashCandidates]] on why width matters at scale).
     */
-  def simhash(text: Column, bits: Int = 30): Column =
-    simhashFromHashes(transform(Text.tokens(text), t => polyhash(t)), bits)
+  def simhash(text: Column, bits: Int = 30,
+      tokenHashFn: Column => Column = polyhash(_)): Column =
+    simhashFromHashes(transform(Text.tokens(text), tokenHashFn), bits)
 
   /** PERF variant over a pre-materialized token-hash array (the bit terms
     * reference it `bits`+1 times — stage it through a projection).
@@ -142,25 +157,41 @@ object Dedup {
     * bucketing on (band, slice-value) finds all such pairs with one
     * bucket-keyed shuffle — the simhash analogue of minhash banding, same
     * never-all-pairs posture.
+    *
+    * SCALE: the per-band bucket key space is 2^(bits/bands). A 16-bit
+    * fingerprint in 4 bands has only 16 bucket values per band — buckets
+    * hold N/16 of the corpus and pair generation degrades to Θ(N²/16).
+    * Production must widen the fingerprint so the slice space dwarfs the
+    * corpus: `bits = 64, tokenHashFn = xxhash64` gives 2^16 buckets per
+    * band. The 16-bit polyhash form exists for the cross-engine oracle.
+    * `maxBucket` is the same degenerate-bucket hot-key guard as in
+    * [[minhashCandidates]]: a narrow fingerprint or boilerplate-heavy
+    * corpus cannot silently go quadratic.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      tokenHashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     require(maxHamming < bands,
       "pigeonhole only guarantees recall for hamming < bands")
     val w = bits / bands
-    val mask = (1L << w) - 1
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = docs
       .select(col(idCol).as("doc"),
-        transform(Text.tokens(col(textCol)), t => polyhash(t)).as("hh"))
+        transform(Text.tokens(col(textCol)), tokenHashFn).as("hh"))
       .select(col("doc"), simhashFromHashes(col("hh"), bits).as("sh"))
     val banded = sh.select(col("doc"), col("sh"), posexplode(
       array((0 until bands).map(j =>
         shiftright(col("sh"), j * w).bitwiseAND(mask)): _*))
       .as(Seq("band", "slice")))
-    val a = banded.select(col("band"), col("slice"), col("doc").as("doc_a"),
+    val pruned = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("slice"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = pruned.select(col("band"), col("slice"), col("doc").as("doc_a"),
       col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("slice"), col("doc").as("doc_b"),
+    val b = pruned.select(col("band"), col("slice"), col("doc").as("doc_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("band", "slice"))
       .filter(col("doc_a") < col("doc_b"))
@@ -232,19 +263,30 @@ object Dedup {
 
   /** n-gram Jaccard over all candidate pairs from LSH, verified exactly:
     * join shingle sets back onto the candidate pairs and compute true
-    * Jaccard. Shingle sets travel through the join — at 100 TB, restrict
-    * `minEstJaccard` first so only plausible pairs carry their sets.
+    * Jaccard.
+    *
+    * The shingle sets are computed ONCE (persisted — candidates and both
+    * verify-join sides reference them; unpersisted, the tokenize→shingle
+    * chain would run three times), and semi-joined down to
+    * candidate-involved docs before the verify join so only plausible
+    * pairs carry their heavy hash arrays through a shuffle — at 100 TB
+    * candidates ≪ corpus, so the verify join moves a sliver of the data.
+    * The persisted frames are corpus-narrow (id + hash array / pair list)
+    * and evictable (MEMORY_AND_DISK); callers running inside a larger job
+    * can `spark.catalog.clearCache()` afterwards.
     */
   def fuzzyDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleWidth, k,
-      bands, minEstJaccard = 0.3)
-    val sets = shingleSets(docs, idCol, textCol, shingleWidth)
-      .select(col("doc"), col("hs").as("set"))
+    val sets = shingleSets(docs, idCol, textCol, shingleWidth).persist()
+    val cands = minhashCandidatesFromSets(sets, k, bands,
+      minEstJaccard = 0.3).persist()
+    val involved = cands.select(col("doc_a").as("doc"))
+      .unionByName(cands.select(col("doc_b").as("doc"))).distinct()
+    val needed = sets.join(involved, Seq("doc"), "left_semi")
     cands
-      .join(sets.select(col("doc").as("doc_a"), col("set").as("set_a")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("set").as("set_b")), "doc_b")
+      .join(needed.select(col("doc").as("doc_a"), col("hs").as("set_a")), "doc_a")
+      .join(needed.select(col("doc").as("doc_b"), col("hs").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

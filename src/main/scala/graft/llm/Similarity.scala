@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two numeric arrays (cast to double). */
+  /** Sequential dot product of two numeric arrays (double accumulation).
+    * Native codegen'd expression — the HOF `aggregate(zip_with(...))` form
+    * it replaces is bit-identical but runs interpreted and allocates an
+    * intermediate array per row (see [[graft.functions.DotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -46,6 +49,29 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Anchor-plane count for sign-LSH sized to the corpus: with m planes
+    * there are 2^m buckets, so expected bucket size is N/2^m — a FIXED m
+    * means buckets grow linearly with the corpus and per-bucket all-pairs
+    * work grows quadratically. m = ⌈log₂(N / targetBucket)⌉ keeps expected
+    * bucket size ≈ targetBucket at any N (≥ 1 plane always).
+    */
+  def anchorCount(corpusSize: Long, targetBucket: Long = 1024): Int =
+    math.max(1, math.ceil(math.log(math.max(1.0,
+      corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** Data-derived anchors sized by [[anchorCount]]: the corpus's first m
+    * vectors by id — deterministic, no PRNG, and the count scales with
+    * log(N) instead of being hard-coded. One count + one m-row collect,
+    * both catalog-cheap.
+    */
+  def autoAnchors(corpus: DataFrame, idCol: String, vecCol: String,
+      targetBucket: Long = 1024): Seq[Seq[Double]] = {
+    val m = anchorCount(corpus.count(), targetBucket)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(m).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
   }
 
   /** Sign-LSH bucket id: the m-bit sign pattern of dot products against m

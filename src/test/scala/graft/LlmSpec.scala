@@ -175,6 +175,55 @@ class LlmSpec extends SparkSpec {
     assert(out == run(), "IVF search not deterministic across runs")
   }
 
+  test("native DotProduct == HOF aggregate/zip_with fold, bit-exact") {
+    import spark.implicits._
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    // full corpus self+cross products over array<float> embeddings
+    val emb = Queries.T(spark, sf001, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = emb.select((col("vec_id") + 1).as("vec_id"),
+      col("embedding").as("other"))
+    val joined = emb.join(shifted, "vec_id")
+    val bad = joined.select(
+      graft.functions.DotProduct.dot(col("embedding"), col("other")).as("fast"),
+      hof(col("embedding"), col("other")).as("slow"))
+      .filter(not(col("fast") <=> col("slow"))).count()
+    assert(bad == 0, s"$bad rows diverge between native and HOF dot")
+    // mixed float/double, null element, length mismatch, empty, null array
+    val fd = eval1(graft.functions.DotProduct.dot(
+      array(lit(1.5f), lit(-2.0f)), array(lit(3.0d), lit(0.25d))))
+    assert(fd == 1.5f * 3.0d + (-2.0f) * 0.25d)
+    assert(eval1(graft.functions.DotProduct.dot(
+      array(lit(1.0d), lit(null).cast("double")), array(lit(1.0d), lit(2.0d)))) == null)
+    assert(eval1(graft.functions.DotProduct.dot(
+      array(lit(1.0d)), array(lit(1.0d), lit(2.0d)))) == null)
+    assert(eval1(graft.functions.DotProduct.dot(
+      array().cast("array<double>"), array().cast("array<double>"))) == 0.0d)
+    assert(eval1(graft.functions.DotProduct.dot(
+      lit(null).cast("array<double>"), array(lit(1.0d)))) == null)
+  }
+
+  test("anchorCount scales with log(N); autoAnchors derives it from data") {
+    // fixed target bucket → planes grow with log(N), expected bucket size
+    // N/2^m stays within [target/2, target]
+    assert(Similarity.anchorCount(500, 32) == 4)
+    assert(Similarity.anchorCount(1L << 20, 1024) == 10)
+    assert(Similarity.anchorCount(10, 1024) == 1) // tiny corpus floor
+    Seq(1000L, 100000L, 10000000L).foreach { n =>
+      val m = Similarity.anchorCount(n, 1024)
+      val expBucket = n.toDouble / (1L << m)
+      assert(expBucket <= 1024.0 && expBucket > 256.0,
+        s"N=$n m=$m expected bucket $expBucket out of bounds")
+    }
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val a32 = Similarity.autoAnchors(emb, "vec_id", "embedding", 32)
+    assert(a32.length == 4 && a32.forall(_.length == 64))
+    // halving the target bucket adds a plane
+    assert(Similarity.autoAnchors(emb, "vec_id", "embedding", 16).length == 5)
+  }
+
   test("ANN bucketing: query's bucket contains its own vector → found") {
     val emb = Queries.T(spark, sf001, "embeddings")
     val anchors = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
