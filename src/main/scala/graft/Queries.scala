@@ -228,6 +228,68 @@ object Queries {
         ON l.l_quantity BETWEEN r.s AND r.n
           AND (l.l_discount * 100) BETWEEN r.w AND r.e"""))
 
+  /** OP-FLT-5 exact variant — corner-snap clip with the prev-exclusion tie
+    * rule and snap→true coordinate remap (`dataset.py:171-230`). Region
+    * bboxes are built with fractional offsets so every |Δ| comparison is
+    * tie-free, and several regions' lon corners are close enough that both
+    * would snap to the SAME grid value — exercising the prev-exclusion
+    * branch (lon_min re-snaps to the nearest value ≠ lon_max's snap).
+    */
+  private val flt5b = Spec("q71_flt5_corner_snap",
+    (s, d) => {
+      val regions = T(s, d, "nation").select(col("n_nationkey").as("region_id"),
+        (col("n_nationkey") * 2.0 + 4.3).as("lat_max"),
+        (col("n_nationkey") * 2.0 + 0.7).as("lat_min"),
+        (col("n_nationkey") * 0.3 + 2.61).as("lon_max"),
+        (col("n_nationkey") * 0.28 + 2.41).as("lon_min"))
+      val grid = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").as("glat"),
+        (col("l_discount") * 100).as("glon"))
+      Joins.cornerSnapClip(grid, regions, "region_id", "glat", "glon")
+        .select(col("region_id"), col("latitude"), col("longitude"),
+          col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""WITH regions AS (SELECT n_nationkey AS region_id,
+          n_nationkey * CAST(2 AS DOUBLE) + CAST(4.3 AS DOUBLE) AS lat_max,
+          n_nationkey * CAST(2 AS DOUBLE) + CAST(0.7 AS DOUBLE) AS lat_min,
+          n_nationkey * CAST(0.3 AS DOUBLE) + CAST(2.61 AS DOUBLE) AS lon_max,
+          n_nationkey * CAST(0.28 AS DOUBLE) + CAST(2.41 AS DOUBLE) AS lon_min
+          FROM nation),
+        grid AS (SELECT l_orderkey, l_linenumber, l_quantity AS glat,
+          l_discount * 100 AS glon FROM lineitem),
+        lats AS (SELECT DISTINCT glat AS v FROM grid),
+        lons AS (SELECT DISTINCT glon AS v FROM grid),
+        lat_hi AS (SELECT region_id, v AS lat_hi_snap FROM (
+          SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
+            ORDER BY abs(l.v - r.lat_max), l.v) rn FROM regions r, lats l)
+          WHERE rn = 1),
+        lat_lo AS (SELECT region_id, v AS lat_lo_snap FROM (
+          SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
+            ORDER BY abs(l.v - r.lat_min), l.v) rn
+          FROM regions r JOIN lat_hi h USING (region_id), lats l
+          WHERE l.v != h.lat_hi_snap) WHERE rn = 1),
+        lon_hi AS (SELECT region_id, v AS lon_hi_snap FROM (
+          SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
+            ORDER BY abs(l.v - r.lon_max), l.v) rn FROM regions r, lons l)
+          WHERE rn = 1),
+        lon_lo AS (SELECT region_id, v AS lon_lo_snap FROM (
+          SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
+            ORDER BY abs(l.v - r.lon_min), l.v) rn
+          FROM regions r JOIN lon_hi h USING (region_id), lons l
+          WHERE l.v != h.lon_hi_snap) WHERE rn = 1),
+        spec AS (SELECT * FROM regions
+          JOIN lat_hi USING (region_id) JOIN lat_lo USING (region_id)
+          JOIN lon_hi USING (region_id) JOIN lon_lo USING (region_id))
+        SELECT s.region_id,
+          CASE WHEN g.glat = s.lat_lo_snap THEN s.lat_min ELSE s.lat_max END
+            AS latitude,
+          CASE WHEN g.glon = s.lon_lo_snap THEN s.lon_min ELSE s.lon_max END
+            AS longitude,
+          g.l_orderkey, g.l_linenumber
+        FROM grid g JOIN spec s
+          ON (g.glat = s.lat_hi_snap OR g.glat = s.lat_lo_snap)
+          AND (g.glon = s.lon_hi_snap OR g.glon = s.lon_lo_snap)"""))
+
   /** OP-FLT-6 — dropDuplicates on a key subset (keys-only projection keeps
     * the survivor-choice deterministic).
     */
@@ -917,7 +979,7 @@ object Queries {
 
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
-    prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt6, flt6b, flt7,
+    prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3,
     agg1, agg2, agg3, agg4, agg5,
     win1, win2, sort1, set1, set2,

@@ -67,6 +67,77 @@ object Joins {
       col(latCol).between(col("s"), col("n")) &&
         col(lonCol).between(col("w"), col("e")), "inner")
 
+  /** Corner-snap coordinate pair: for each region, snap `hiCol` to the
+    * nearest distinct grid value, then snap `loCol` to the nearest grid
+    * value EXCLUDING the hi snap (the reference's `prev` exclusion,
+    * `dataset.py:225-230` — guarantees the two corners land on distinct
+    * grid points); a single-valued grid falls back to that one point, as
+    * the reference does when the exclusion filters the axis empty. Ties on
+    * |Δ| break toward the smaller coordinate (order-stable; the reference
+    * inherits numpy array order, which tie-free data makes identical).
+    * Everything here is distinct-coordinate-sized — planetary-grid axes
+    * are ≤ thousands of values, so these are broadcast cross products.
+    */
+  private def cornerSnapPair(regions: DataFrame, idCol: String,
+      hiCol: String, loCol: String, gridVals: DataFrame,
+      outHi: String, outLo: String): DataFrame = {
+    val v = broadcast(gridVals)
+    val hiW = Window.partitionBy(col(idCol))
+      .orderBy(abs(col("v") - col(hiCol)), col("v"))
+    val hi = regions.select(col(idCol), col(hiCol)).join(v)
+      .withColumn("__rn", row_number().over(hiW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("v").as(outHi))
+    val loW = Window.partitionBy(col(idCol))
+      .orderBy(abs(col("v") - col(loCol)), col("v"))
+    val lo = regions.select(col(idCol), col(loCol)).join(v)
+      .join(hi, Seq(idCol))
+      .filter(col("v") =!= col(outHi))
+      .withColumn("__rn", row_number().over(loW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("v").as(outLo))
+    hi.join(lo, Seq(idCol), "left")
+      .select(col(idCol), col(outHi),
+        coalesce(col(outLo), col(outHi)).as(outLo))
+  }
+
+  /** OP-FLT-5 exact variant — the reference's snap-corners-then-remap clip
+    * (`filter_coordinates`, `dataset.py:171-230`): each region's bbox
+    * corners snap to grid coordinates via [[cornerSnapPair]] (with the
+    * `prev`-exclusion tie rule), the 2×2 corner cells are selected, and
+    * the snapped coordinates are REMAPPED to the region's true bbox values
+    * (`coord_mapping`, `dataset.py:196-210` — lo wins a hi/lo collision,
+    * matching the dict's last-write). `regions` must carry `idCol`,
+    * lat_max/lat_min/lon_max/lon_min.
+    *
+    * Scale shape: snaps are distinct-coordinate × regions (dimension-sized
+    * broadcast work); the grid — where the 100 TB lives — is touched once
+    * by a broadcast join on the per-region corner spec and never shuffled.
+    */
+  def cornerSnapClip(grid: DataFrame, regions: DataFrame, idCol: String,
+      latCol: String, lonCol: String): DataFrame = {
+    val lats = grid.select(col(latCol).as("v")).distinct()
+    val lons = grid.select(col(lonCol).as("v")).distinct()
+    val latSpec = cornerSnapPair(regions, idCol, "lat_max", "lat_min", lats,
+      "lat_hi_snap", "lat_lo_snap")
+    val lonSpec = cornerSnapPair(regions, idCol, "lon_max", "lon_min", lons,
+      "lon_hi_snap", "lon_lo_snap")
+    val spec = regions.join(latSpec, Seq(idCol)).join(lonSpec, Seq(idCol))
+    grid.join(broadcast(spec),
+      (col(latCol) === col("lat_hi_snap") ||
+        col(latCol) === col("lat_lo_snap")) &&
+      (col(lonCol) === col("lon_hi_snap") ||
+        col(lonCol) === col("lon_lo_snap")), "inner")
+      .withColumn("latitude",
+        when(col(latCol) === col("lat_lo_snap"), col("lat_min"))
+          .otherwise(col("lat_max")))
+      .withColumn("longitude",
+        when(col(lonCol) === col("lon_lo_snap"), col("lon_min"))
+          .otherwise(col("lon_max")))
+      .drop("lat_hi_snap", "lat_lo_snap", "lon_hi_snap", "lon_lo_snap",
+        "lat_max", "lat_min", "lon_max", "lon_min")
+  }
+
   /** OP-FLT-7 — temporal-eligibility semi-join (`dataset.py:49-50`): keep
     * fact months present in the eligibility set.
     */

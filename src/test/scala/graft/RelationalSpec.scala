@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.engine.{Dates, Pipeline, Relational, Sinks}
+import graft.engine.{Dates, Joins, Pipeline, Relational, Sinks}
 
 /** Relational glue, date parsing, sinks, and the composed gap-fill flow. */
 class RelationalSpec extends SparkSpec {
@@ -111,5 +111,34 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Double]("TA_ERA5") == 21.0)
     assert(r.getAs[Double]("P_AMF") == 5.0)
     assert(r.getAs[Double]("P_ERA5") == 7.0)
+  }
+
+  test("cornerSnapClip: prev-exclusion, remap, and single-point fallback") {
+    import spark.implicits._
+    // grid lats {1,2,3}, lons {10,20}; payload marks the cell
+    val grid = (for { la <- Seq(1.0, 2.0, 3.0); lo <- Seq(10.0, 20.0) }
+      yield (la, lo, s"c_${la.toInt}_${lo.toInt}")).toDF("glat", "glon", "cell")
+    // region A: lat_max=2.9→3, lat_min=2.8 would also snap 3 — exclusion
+    // forces it to the NEXT nearest ≠3, which is 2. lon corners snap 20/10.
+    val regions = Seq(("A", 2.9, 2.8, 19.0, 11.0))
+      .toDF("region_id", "lat_max", "lat_min", "lon_max", "lon_min")
+    val out = Joins.cornerSnapClip(grid, regions, "region_id", "glat", "glon")
+      .select(col("region_id"), col("latitude"), col("longitude"), col("cell"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      ("A", 2.9, 19.0, "c_3_20"), ("A", 2.9, 11.0, "c_3_10"),
+      ("A", 2.8, 19.0, "c_2_20"), ("A", 2.8, 11.0, "c_2_10")))
+    // single-valued lat axis: exclusion empties the candidate set → both
+    // corners fall back to the one grid value; remap is last-write (lo wins)
+    val oneLat = Seq((5.0, 10.0, "x"), (5.0, 20.0, "y"))
+      .toDF("glat", "glon", "cell")
+    val out1 = Joins.cornerSnapClip(oneLat,
+      Seq(("B", 9.0, 1.0, 19.0, 11.0)).toDF(
+        "region_id", "lat_max", "lat_min", "lon_max", "lon_min"),
+      "region_id", "glat", "glon")
+      .select(col("latitude"), col("cell")).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(out1 == Set((1.0, "x"), (1.0, "y"))) // lo's true value wins
   }
 }
