@@ -51,6 +51,62 @@ object Queries {
     Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
        l_extendedprice, l_discount, l_returnflag, l_shipdate FROM lineitem"""))
 
+  /** OP-SRC-1 native — the NetCDF classic DataSource V2
+    * ([[graft.sources.NetCDFDataSource]]): a deterministic packed cube
+    * (CF scale/offset shorts with fill holes, CF time coordinate) is
+    * written with the pure-JVM CDF-1 writer, scanned back through
+    * `spark.read.format("netcdf")` across multiple slab partitions, and
+    * hash-compared against the closed-form cube reconstructed in SQL —
+    * exercising header parse, slab seeks, CF unpack, fill→null, and time
+    * decode end-to-end.
+    */
+  private val src6 = Spec("q72_src1_netcdf_scan",
+    (s, d) => {
+      import graft.sources.NetCDF
+      import graft.sources.NetCDF.{Att, Dim, VarSpec}
+      val (nT, nLat, nLon) = (5, 4, 3)
+      val idx = (t: Int, la: Int, lo: Int) => t * nLat * nLon + la * nLon + lo
+      val path = tmp("cube_q72.nc")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tmp("")))
+      NetCDF.write(path,
+        dims = Seq(Dim("time", nT), Dim("latitude", nLat),
+          Dim("longitude", nLon)),
+        vars = Seq(
+          "time" -> VarSpec(Seq("time"), NetCDF.NC_INT,
+            Array.tabulate(nT)(_.toDouble),
+            Seq(Att("units", NetCDF.NC_CHAR,
+              Left("hours since 2021-03-01 00:00:00")))),
+          "latitude" -> VarSpec(Seq("latitude"), NetCDF.NC_DOUBLE,
+            Array.tabulate(nLat)(i => 40.0 + 0.25 * i)),
+          "longitude" -> VarSpec(Seq("longitude"), NetCDF.NC_DOUBLE,
+            Array.tabulate(nLon)(j => -80.0 + 0.25 * j)),
+          "t2m" -> VarSpec(Seq("time", "latitude", "longitude"),
+            NetCDF.NC_SHORT,
+            Array.tabulate(nT * nLat * nLon)(i =>
+              if (i % 13 == 5) -32767.0 else (i * 10).toDouble),
+            Seq(Att("scale_factor", NetCDF.NC_DOUBLE, Right(Seq(0.5))),
+              Att("add_offset", NetCDF.NC_DOUBLE, Right(Seq(250.0))),
+              Att("_FillValue", NetCDF.NC_SHORT, Right(Seq(-32767.0))))),
+          "tp" -> VarSpec(Seq("time", "latitude", "longitude"),
+            NetCDF.NC_DOUBLE,
+            Array.tabulate(nT * nLat * nLon)(_ * 0.25))))
+      s.read.format("netcdf").option("targetRowsPerPartition", "12")
+        .load(path)
+    },
+    Some("""WITH t AS (SELECT unnest(range(5)) AS ti),
+        la AS (SELECT unnest(range(4)) AS lai),
+        lo AS (SELECT unnest(range(3)) AS loi),
+        g AS (SELECT ti, lai, loi, ti*12 + lai*3 + loi AS idx FROM t, la, lo)
+        SELECT TIMESTAMP '2021-03-01 00:00:00' + ti * INTERVAL 1 HOUR
+          AS time,
+          CAST(40.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) * lai AS latitude,
+          CAST(-80.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) * loi AS longitude,
+          CASE WHEN idx % 13 = 5 THEN NULL
+            ELSE CAST(idx * 10 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+              + CAST(250.0 AS DOUBLE) END AS t2m,
+          CAST(idx AS DOUBLE) * CAST(0.25 AS DOUBLE) AS tp FROM g"""))
+
   /** OP-SRC-2 — CSV parse with bad-line drop (DROPMALFORMED semantics):
     * events serialized to CSV lines (1-in-97 corrupted), parsed back, bad
     * lines dropped.
@@ -986,7 +1042,7 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, pipe2, pipe3, src5, strm1, strm2) ++ LlmQueries.specs
+    pipe1, pipe2, pipe3, src5, src6, strm1, strm2) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

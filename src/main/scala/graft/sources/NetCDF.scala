@@ -1,0 +1,331 @@
+package graft.sources
+
+import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM NetCDF-3 "classic" codec (CDF-1 32-bit and CDF-2 64-bit offset
+  * variants) — the reference pipeline's actual input format
+  * (`pipeline/carbonpipeline/dataset.py:25-34` opens `*.nc` and merges them
+  * into one cube). Implemented from the public NetCDF classic format spec:
+  * a flat header (dims, attrs, vars with absolute data offsets) followed by
+  * big-endian row-major variable blocks, record variables interleaved per
+  * record. No external library — the container has none — and none is
+  * needed: the classic format is a fixed-layout binary catalog.
+  *
+  * Scale posture: the header is O(vars); every variable's bytes are
+  * addressable by closed-form offset arithmetic, so a reader partition can
+  * seek DIRECTLY to its slab of the outermost dimension without scanning
+  * the file — the property [[NetCDFTable]] builds its InputPartitions on.
+  */
+object NetCDF {
+
+  // nc_type tags (classic set)
+  val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
+  val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+
+  private val TAG_DIM = 0x0A
+  private val TAG_VAR = 0x0B
+  private val TAG_ATT = 0x0C
+
+  final case class Dim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+
+  /** Attribute values: Seq[Double] for numeric types, String for NC_CHAR. */
+  final case class Att(name: String, ncType: Int, value: Either[String, Seq[Double]]) {
+    def str: Option[String] = value.left.toOption
+    def num: Option[Double] = value.toOption.flatMap(_.headOption)
+  }
+
+  final case class Var(name: String, dimIds: Seq[Int], atts: Seq[Att],
+      ncType: Int, vsize: Long, begin: Long) {
+    def att(n: String): Option[Att] = atts.find(_.name == n)
+  }
+
+  final case class Header(numRecs: Int, dims: Seq[Dim], gatts: Seq[Att],
+      vars: Seq[Var], recSize: Long) {
+    def dimOf(v: Var): Seq[Dim] = v.dimIds.map(dims)
+    /** Record-dim length substituted in. */
+    def shape(v: Var): Seq[Int] =
+      dimOf(v).map(d => if (d.isRecord) numRecs else d.length)
+  }
+
+  def elemSize(ncType: Int): Int = ncType match {
+    case NC_BYTE | NC_CHAR => 1
+    case NC_SHORT => 2
+    case NC_INT | NC_FLOAT => 4
+    case NC_DOUBLE => 8
+    case t => throw new IllegalArgumentException(s"unsupported nc_type $t")
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  private final class Reader(buf: ByteBuffer) {
+    def i4(): Int = buf.getInt()
+    def i8(): Long = buf.getLong()
+    def name(): String = {
+      val n = i4()
+      val bytes = new Array[Byte](n)
+      buf.get(bytes)
+      buf.position(buf.position() + (pad4(n) - n).toInt)
+      new String(bytes, StandardCharsets.UTF_8)
+    }
+    def attValues(ncType: Int, n: Int): Either[String, Seq[Double]] = {
+      val raw = new Array[Byte](n * elemSize(ncType))
+      buf.get(raw)
+      buf.position(buf.position() + (pad4(raw.length) - raw.length).toInt)
+      val b = ByteBuffer.wrap(raw)
+      ncType match {
+        case NC_CHAR => Left(new String(raw, StandardCharsets.UTF_8))
+        case NC_BYTE => Right((0 until n).map(i => raw(i).toDouble))
+        case NC_SHORT => Right((0 until n).map(i => b.getShort(i * 2).toDouble))
+        case NC_INT => Right((0 until n).map(i => b.getInt(i * 4).toDouble))
+        case NC_FLOAT => Right((0 until n).map(i => b.getFloat(i * 4).toDouble))
+        case NC_DOUBLE => Right((0 until n).map(i => b.getDouble(i * 8)))
+      }
+    }
+  }
+
+  /** Parse the header of a classic NetCDF file. The header is at most a few
+    * hundred KB for real files; read the first chunk only, growing if a
+    * giant attribute table overflows it.
+    */
+  def readHeader(path: String): Header = {
+    var cap = 1 << 16
+    while (true) {
+      val f = new RandomAccessFile(path, "r")
+      try {
+        val n = math.min(cap.toLong, f.length()).toInt
+        val bytes = new Array[Byte](n)
+        f.readFully(bytes)
+        try return parseHeader(ByteBuffer.wrap(bytes))
+        catch {
+          case _: java.nio.BufferUnderflowException
+              if n < f.length() => cap = cap << 2 // header bigger than chunk
+        }
+      } finally f.close()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def parseHeader(buf: ByteBuffer): Header = {
+    require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
+      "not a NetCDF classic file (bad magic)")
+    val version = buf.get().toInt
+    require(version == 1 || version == 2,
+      s"unsupported NetCDF variant $version (CDF-1/CDF-2 supported; " +
+        "NetCDF-4/HDF5 needs ingest-side conversion)")
+    val r = new Reader(buf)
+    val numRecs = r.i4()
+    def tagged(expected: Int): Int = {
+      val tag = r.i4(); val count = r.i4()
+      require(tag == expected || (tag == 0 && count == 0),
+        s"bad tag $tag (expected $expected)")
+      count
+    }
+    val dims = (0 until tagged(TAG_DIM)).map { _ =>
+      Dim(r.name(), r.i4())
+    }
+    def atts(): Seq[Att] = (0 until tagged(TAG_ATT)).map { _ =>
+      val n = r.name(); val t = r.i4(); val cnt = r.i4()
+      Att(n, t, r.attValues(t, cnt))
+    }
+    val gatts = atts()
+    val vars = (0 until tagged(TAG_VAR)).map { _ =>
+      val n = r.name()
+      val nd = r.i4()
+      val dimIds = (0 until nd).map(_ => r.i4())
+      val va = atts()
+      val t = r.i4()
+      val vsize = r.i4().toLong & 0xFFFFFFFFL
+      val begin = if (version == 1) r.i4().toLong & 0xFFFFFFFFL else r.i8()
+      Var(n, dimIds, va, t, vsize, begin)
+    }
+    // record stride: sum of record-var vsizes; the spec's single-record-var
+    // exception packs that var without inter-record padding
+    val recVars = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
+    val recSize =
+      if (recVars.size == 1) {
+        val v = recVars.head
+        val perRec = v.dimIds.drop(1).map(dims(_).length.toLong).product *
+          elemSize(v.ncType)
+        perRec
+      } else recVars.map(_.vsize).sum
+    Header(numRecs, dims, gatts, vars, recSize)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Read `v`'s values for outer-dimension indices [outerFrom, outerTo) as
+    * doubles (raw, pre-CF-unpack), reading EXACTLY the slab's bytes — the
+    * partition-pruned path the DataSource uses. For a 0-dim variable the
+    * outer range must be [0,1).
+    */
+  def readSlab(ch: FileChannel, h: Header, v: Var, outerFrom: Int,
+      outerTo: Int): Array[Double] = {
+    val shape = h.shape(v)
+    val innerCount =
+      if (shape.isEmpty) 1L else shape.drop(1).map(_.toLong).product
+    val es = elemSize(v.ncType)
+    val isRec = v.dimIds.headOption.exists(h.dims(_).isRecord)
+    val nOuter = if (shape.isEmpty) 1 else shape.head
+    require(outerFrom >= 0 && outerTo <= nOuter && outerFrom <= outerTo,
+      s"slab [$outerFrom,$outerTo) out of range for ${v.name} (outer $nOuter)")
+    val total = (outerTo - outerFrom) * innerCount
+    val out = new Array[Double](total.toInt)
+    if (isRec) {
+      // one seek per record: records interleave all record variables
+      val perRec = (innerCount * es).toInt
+      val buf = ByteBuffer.allocate(perRec)
+      var rec = outerFrom
+      while (rec < outerTo) {
+        buf.clear()
+        ch.read(buf, v.begin + rec.toLong * h.recSize)
+        buf.flip()
+        decode(buf, v.ncType, out, ((rec - outerFrom) * innerCount).toInt,
+          innerCount.toInt)
+        rec += 1
+      }
+    } else {
+      val buf = ByteBuffer.allocate((total * es).toInt)
+      ch.read(buf, v.begin + outerFrom * innerCount * es)
+      buf.flip()
+      decode(buf, v.ncType, out, 0, total.toInt)
+    }
+    out
+  }
+
+  private def decode(buf: ByteBuffer, ncType: Int, out: Array[Double],
+      at: Int, n: Int): Unit = {
+    var i = 0
+    ncType match {
+      case NC_BYTE | NC_CHAR =>
+        while (i < n) { out(at + i) = buf.get().toDouble; i += 1 }
+      case NC_SHORT =>
+        while (i < n) { out(at + i) = buf.getShort().toDouble; i += 1 }
+      case NC_INT =>
+        while (i < n) { out(at + i) = buf.getInt().toDouble; i += 1 }
+      case NC_FLOAT =>
+        while (i < n) { out(at + i) = buf.getFloat().toDouble; i += 1 }
+      case NC_DOUBLE =>
+        while (i < n) { out(at + i) = buf.getDouble(); i += 1 }
+    }
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Minimal CDF-1 writer for region-sized gridded outputs and test
+    * fixtures (the analog of the reference's per-region NetCDF sink,
+    * `core.py:325-369` — which writes files of exactly this catalog size).
+    * Not a distributed sink: a NetCDF classic file is a single sequential
+    * byte stream, so big data belongs in parquet (OP-SNK-1); this exists
+    * for interchange with NetCDF-consuming tools.
+    *
+    * `data` maps variable name → (dim names, nc_type, values-as-doubles,
+    * attributes). Dims are defined by `dims` in order; no record dim
+    * (fixed-size file — simplest interchange form).
+    */
+  final case class VarSpec(dims: Seq[String], ncType: Int,
+      values: Array[Double], atts: Seq[Att] = Nil)
+
+  def write(path: String, dims: Seq[Dim], vars: Seq[(String, VarSpec)],
+      gatts: Seq[Att] = Nil): Unit = {
+    require(dims.forall(_.length > 0), "writer supports fixed dims only")
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    def nameBytes(s: String): Array[Byte] = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      val padded = new Array[Byte](4 + pad4(b.length).toInt)
+      ByteBuffer.wrap(padded).putInt(b.length).put(b)
+      padded
+    }
+    def attBytes(a: Att): Array[Byte] = {
+      val vb = a.value match {
+        case Left(s) =>
+          val raw = s.getBytes(StandardCharsets.UTF_8)
+          (raw, raw.length)
+        case Right(nums) =>
+          val es = elemSize(a.ncType)
+          val bb = ByteBuffer.allocate(nums.length * es)
+          nums.foreach { d =>
+            a.ncType match {
+              case NC_BYTE => bb.put(d.toByte)
+              case NC_SHORT => bb.putShort(d.toShort)
+              case NC_INT => bb.putInt(d.toInt)
+              case NC_FLOAT => bb.putFloat(d.toFloat)
+              case NC_DOUBLE => bb.putDouble(d)
+              case NC_CHAR => throw new IllegalArgumentException(
+                "numeric att with NC_CHAR type")
+            }
+          }
+          (bb.array(), nums.length)
+      }
+      val (raw, count) = vb
+      val out = ByteBuffer.allocate(nameBytes(a.name).length + 8 +
+        pad4(raw.length).toInt)
+      out.put(nameBytes(a.name)).putInt(a.ncType).putInt(count).put(raw)
+      out.array()
+    }
+    def attList(as: Seq[Att]): Array[Byte] = {
+      val body = as.flatMap(attBytes).toArray
+      val out = ByteBuffer.allocate(8 + body.length)
+      out.putInt(if (as.isEmpty) 0 else TAG_ATT).putInt(as.size).put(body)
+      out.array()
+    }
+    // layout pass: header size, then var begins in declaration order
+    val varHeads = vars.map { case (n, sp) =>
+      val base = nameBytes(n).length + 4 + sp.dims.size * 4 +
+        attList(sp.atts).length + 4 /*type*/ + 4 /*vsize*/ + 4 /*begin CDF-1*/
+      base
+    }
+    val headerSize = 4 /*magic*/ + 4 /*numrecs*/ +
+      8 + dims.map(d => nameBytes(d.name).length + 4).sum +
+      attList(gatts).length +
+      8 + varHeads.sum
+    var offset = pad4(headerSize)
+    val begins = vars.map { case (_, sp) =>
+      val b = offset
+      val vsize = pad4(sp.values.length.toLong * elemSize(sp.ncType))
+      offset += vsize
+      b
+    }
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      out.write(Array[Byte]('C', 'D', 'F', 1))
+      out.writeInt(0) // numrecs (no record dim)
+      out.writeInt(TAG_DIM); out.writeInt(dims.size)
+      dims.foreach { d => out.write(nameBytes(d.name)); out.writeInt(d.length) }
+      out.write(attList(gatts))
+      out.writeInt(TAG_VAR); out.writeInt(vars.size)
+      vars.zip(begins).foreach { case ((n, sp), begin) =>
+        out.write(nameBytes(n))
+        out.writeInt(sp.dims.size)
+        sp.dims.foreach(d => out.writeInt(dimIdx(d)))
+        out.write(attList(sp.atts))
+        out.writeInt(sp.ncType)
+        out.writeInt(pad4(sp.values.length.toLong * elemSize(sp.ncType)).toInt)
+        out.writeInt(begin.toInt)
+      }
+      // pad header to the first begin
+      (headerSize until pad4(headerSize).toInt).foreach(_ => out.writeByte(0))
+      vars.foreach { case (_, sp) =>
+        val es = elemSize(sp.ncType)
+        val bb = ByteBuffer.allocate(pad4(sp.values.length.toLong * es).toInt)
+        sp.values.foreach { d =>
+          sp.ncType match {
+            case NC_BYTE | NC_CHAR => bb.put(d.toByte)
+            case NC_SHORT => bb.putShort(d.toShort)
+            case NC_INT => bb.putInt(d.toInt)
+            case NC_FLOAT => bb.putFloat(d.toFloat)
+            case NC_DOUBLE => bb.putDouble(d)
+          }
+        }
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.sources.NetCDF
+import graft.sources.NetCDF.{Att, Dim, VarSpec}
+
+/** NetCDF classic codec + DataSource V2: write→read round trip, CF
+  * decoding (scale/offset, fill→null, time units), column pruning, slab
+  * partitioning, multi-file union.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft_nc").toString
+    d
+  }
+
+  /** 3×2×2 (time, lat, lon) cube: t2m packed short with scale/offset and a
+    * fill hole; tp plain double. time = hours since 2021-03-01.
+    */
+  private def writeCube(path: String, hourOffset: Int = 0): Unit = {
+    val nT = 3; val nLat = 2; val nLon = 2
+    val t2mPacked = Array.tabulate(nT * nLat * nLon)(i =>
+      if (i == 5) -32767.0 else (i * 10 + hourOffset).toDouble)
+    val tp = Array.tabulate(nT * nLat * nLon)(i => i * 0.25 + hourOffset)
+    NetCDF.write(path,
+      dims = Seq(Dim("time", nT), Dim("latitude", nLat), Dim("longitude", nLon)),
+      vars = Seq(
+        "time" -> VarSpec(Seq("time"), NetCDF.NC_INT,
+          Array.tabulate(nT)(i => (i + hourOffset).toDouble),
+          Seq(Att("units", NetCDF.NC_CHAR,
+            Left("hours since 2021-03-01 00:00:00")))),
+        "latitude" -> VarSpec(Seq("latitude"), NetCDF.NC_DOUBLE,
+          Array(45.25, 45.5)),
+        "longitude" -> VarSpec(Seq("longitude"), NetCDF.NC_FLOAT,
+          Array(-73.5, -73.25)),
+        "t2m" -> VarSpec(Seq("time", "latitude", "longitude"), NetCDF.NC_SHORT,
+          t2mPacked, Seq(
+            Att("scale_factor", NetCDF.NC_DOUBLE, Right(Seq(0.5))),
+            Att("add_offset", NetCDF.NC_DOUBLE, Right(Seq(250.0))),
+            Att("_FillValue", NetCDF.NC_SHORT, Right(Seq(-32767.0))))),
+        "tp" -> VarSpec(Seq("time", "latitude", "longitude"), NetCDF.NC_DOUBLE,
+          tp)),
+      gatts = Seq(Att("source", NetCDF.NC_CHAR, Left("graft test fixture"))))
+  }
+
+  test("header round trip: dims, attrs, vars, offsets") {
+    val d = tmpDir(); val p = s"$d/cube.nc"
+    writeCube(p)
+    val h = NetCDF.readHeader(p)
+    assert(h.dims.map(_.name) == Seq("time", "latitude", "longitude"))
+    assert(h.dims.map(_.length) == Seq(3, 2, 2))
+    assert(h.vars.map(_.name) ==
+      Seq("time", "latitude", "longitude", "t2m", "tp"))
+    assert(h.gatts.head.str.contains("graft test fixture"))
+    val t2m = h.vars.find(_.name == "t2m").get
+    assert(t2m.ncType == NetCDF.NC_SHORT)
+    assert(t2m.att("scale_factor").flatMap(_.num).contains(0.5))
+    // offsets are 4-aligned and strictly increasing
+    val begins = h.vars.map(_.begin)
+    assert(begins == begins.sorted && begins.forall(_ % 4 == 0))
+  }
+
+  test("DataSource reads the cube with CF decode and fill→null") {
+    val d = tmpDir(); val p = s"$d/cube.nc"
+    writeCube(p)
+    val df = spark.read.format("netcdf").load(p)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName) == Seq(
+      "time" -> "timestamp", "latitude" -> "double",
+      "longitude" -> "double", "t2m" -> "double", "tp" -> "double"))
+    val rows = df.orderBy("time", "latitude", "longitude").collect()
+    assert(rows.length == 12)
+    assert(rows(0).getAs[Timestamp]("time") ==
+      Timestamp.valueOf("2021-03-01 00:00:00"))
+    assert(rows(0).getAs[Double]("latitude") == 45.25)
+    assert(rows(0).getAs[Double]("longitude") == -73.5)
+    assert(rows(0).getAs[Double]("t2m") == 0 * 0.5 + 250.0)
+    assert(rows(0).getAs[Double]("tp") == 0.0)
+    // row-major ordinal 5 = (t=1, lat=0, lon=1) is the fill hole
+    val hole = rows.find(r => r.getAs[Timestamp]("time") ==
+      Timestamp.valueOf("2021-03-01 01:00:00") &&
+      r.getAs[Double]("latitude") == 45.25 &&
+      r.getAs[Double]("longitude") == -73.25).get
+    assert(hole.isNullAt(hole.fieldIndex("t2m")))
+    assert(rows(11).getAs[Double]("t2m") == 11 * 10 * 0.5 + 250.0)
+    assert(rows(11).getAs[Double]("tp") == 11 * 0.25)
+  }
+
+  test("column pruning reaches the reader; count(*) touches no data vars") {
+    val d = tmpDir(); val p = s"$d/cube.nc"
+    writeCube(p)
+    val df = spark.read.format("netcdf").load(p)
+    val plan = df.select("tp").queryExecution.executedPlan.toString
+    assert(plan.contains("vars=[tp]"), s"pruning not pushed down:\n$plan")
+    assert(df.select("tp").collect().map(_.getDouble(0)).sum ==
+      (0 until 12).map(_ * 0.25).sum)
+    assert(df.count() == 12)
+  }
+
+  test("slab partitioning splits the outer dim; rows unchanged") {
+    val d = tmpDir(); val p = s"$d/cube.nc"
+    writeCube(p)
+    // 4 rows per time step → targetRowsPerPartition=4 gives 3 partitions
+    val df = spark.read.format("netcdf")
+      .option("targetRowsPerPartition", "4").load(p)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 12)
+    val full = spark.read.format("netcdf").load(p)
+      .orderBy("time", "latitude", "longitude").collect().toSeq
+    val slabbed = df.orderBy("time", "latitude", "longitude").collect().toSeq
+    assert(full == slabbed)
+  }
+
+  test("multi-file directory scan unions cubes (the OP-SRC-1 merge)") {
+    val d = tmpDir()
+    writeCube(s"$d/a.nc", hourOffset = 0)
+    writeCube(s"$d/b.nc", hourOffset = 3)
+    val df = spark.read.format("netcdf").load(d)
+    assert(df.count() == 24)
+    assert(df.select(countDistinct(col("time"))).head.getLong(0) == 6)
+    // vars option restricts the data variables
+    val only = spark.read.format("netcdf").option("vars", "tp").load(d)
+    assert(only.columns.toSeq ==
+      Seq("time", "latitude", "longitude", "tp"))
+  }
+
+  test("index dim fallback when a dimension has no coordinate variable") {
+    val d = tmpDir(); val p = s"$d/noidx.nc"
+    NetCDF.write(p, dims = Seq(Dim("y", 2), Dim("x", 3)),
+      vars = Seq("v" -> VarSpec(Seq("y", "x"), NetCDF.NC_FLOAT,
+        Array.tabulate(6)(_.toDouble))))
+    val rows = spark.read.format("netcdf").load(p)
+      .orderBy("y", "x").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      (for { y <- 0 until 2; x <- 0 until 3 }
+        yield (y, x, (y * 3 + x).toDouble)))
+  }
+}
