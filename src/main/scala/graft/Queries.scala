@@ -107,6 +107,44 @@ object Queries {
               + CAST(250.0 AS DOUBLE) END AS t2m,
           CAST(idx AS DOUBLE) * CAST(0.25 AS DOUBLE) AS tp FROM g"""))
 
+  /** OP-SRC-3 native — the GeoTIFF DataSource V2
+    * ([[graft.sources.GeoTIFFDataSource]]): two deterministic monthly
+    * rasters (float32, GDAL nodata holes, 0.25° north-up georeference —
+    * the WTD archive's shape) written with the fixture writer, scanned
+    * back as (file, y, x, lat, lon, value) with nodata masked to NULL,
+    * and the reference's filename→month-end date parse composed on the
+    * `file` column (`downloader.py:52-121` + `dataset.py:153-166`).
+    */
+  private val src7 = Spec("q73_src3_geotiff_scan",
+    (s, d) => {
+      import graft.sources.GeoTIFF
+      val dir = tmp("tiff_q73")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Seq(("20200131", 0f), ("20200229", 100f)).foreach { case (ds, off) =>
+        GeoTIFF.writeFloat32(s"$dir/wtd-v1-$ds.tif", 6, 4,
+          Array.tabulate(24)(i =>
+            if (i % 7 == 3) -9999f else i * 0.5f + off),
+          originLon = -80.0, originLat = 45.0, scale = 0.25,
+          nodata = Some(-9999f))
+      }
+      s.read.format("geotiff").load(dir)
+        .withColumn("obs_date", to_date(regexp_extract(col("file"),
+          "wtd-.*-(\\d{8})\\.tif", 1), "yyyyMMdd").cast("timestamp"))
+    },
+    Some("""WITH f AS (SELECT unnest([
+          {'file': 'wtd-v1-20200131.tif', 'd': TIMESTAMP '2020-01-31', 'off': 0},
+          {'file': 'wtd-v1-20200229.tif', 'd': TIMESTAMP '2020-02-29', 'off': 100}],
+          recursive := true)),
+        yy AS (SELECT unnest(range(4)) AS y), xx AS (SELECT unnest(range(6)) AS x),
+        g AS (SELECT file, d, off, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+          y*6 + x AS idx FROM f, yy, xx)
+        SELECT file, y, x,
+          CAST(45.0 AS DOUBLE) - CAST(0.25 AS DOUBLE) * y AS latitude,
+          CAST(-80.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) * x AS longitude,
+          CASE WHEN idx % 7 = 3 THEN NULL
+            ELSE CAST(idx AS DOUBLE) * CAST(0.5 AS DOUBLE) + off END AS value,
+          d AS obs_date FROM g"""))
+
   /** OP-SRC-2 — CSV parse with bad-line drop (DROPMALFORMED semantics):
     * events serialized to CSV lines (1-in-97 corrupted), parsed back, bad
     * lines dropped.
@@ -1042,7 +1080,7 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, pipe2, pipe3, src5, src6, strm1, strm2) ++ LlmQueries.specs
+    pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

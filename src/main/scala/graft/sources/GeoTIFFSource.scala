@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 for baseline GeoTIFF rasters — OP-SRC-3
+  * (`dataset.py:153-159` WTD, `inference/core.py:61` IGBP): each raster
+  * surfaces as (path?, y, x, lon, lat, value) rows with the GDAL nodata
+  * sentinel masked to NULL — rioxarray's `masked=True` — and the band
+  * dimension dropped (single-sample rasters, as the reference's are).
+  *
+  * `spark.read.format("geotiff").load(dir_or_file)`
+  *
+  * Partitions are groups of strips/tiles (independently addressable
+  * blocks); each reader seeks directly to its block range. The `file`
+  * column carries the source filename so the filename→date parse
+  * (OP-STR-2) composes downstream exactly as the reference's
+  * per-file loop does.
+  */
+class GeoTIFFDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geotiff"
+
+  private def table(options: CaseInsensitiveStringMap): GeoTIFFTable =
+    new GeoTIFFTable(
+      GeoTIFFSource.resolvePaths(
+        Option(options.get("path")).toSeq ++
+          Option(options.get("paths")).toSeq.flatMap(_.split(","))),
+      Option(options.get("targetRowsPerPartition")).map(_.toLong)
+        .getOrElse(1L << 20))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    table(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    table(new CaseInsensitiveStringMap(properties))
+}
+
+object GeoTIFFSource {
+  def resolvePaths(specs: Seq[String]): Seq[String] = {
+    val out = specs.flatMap { s =>
+      val p = Paths.get(s.stripPrefix("file:"))
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala
+          .filter { f => val n = f.getFileName.toString
+            n.endsWith(".tif") || n.endsWith(".tiff") }
+          .map(_.toString).toSeq.sorted
+      else Seq(p.toString)
+    }
+    require(out.nonEmpty, s"no .tif files found under $specs")
+    out
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("latitude", DoubleType, nullable = true),
+    StructField("longitude", DoubleType, nullable = true),
+    StructField("value", DoubleType, nullable = true)))
+}
+
+class GeoTIFFTable(paths: Seq[String], targetRows: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"geotiff(${paths.head}…×${paths.size})"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def schema(): StructType = GeoTIFFSource.schema
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoTIFFScanBuilder(paths, targetRows)
+}
+
+class GeoTIFFScanBuilder(paths: Seq[String], targetRows: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with Scan
+    with Batch {
+
+  private var required: StructType = GeoTIFFSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(GeoTIFFSource.schema.fields
+      .filter(f => keep(f.name)))
+  }
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-geotiff cols=[${required.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { p =>
+      val t = GeoTIFF.readHeader(p)
+      // group consecutive blocks until the partition reaches targetRows
+      val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var from = 0; var rows = 0L
+      t.blocks.zipWithIndex.foreach { case (b, i) =>
+        rows += b.w.toLong * b.h
+        if (rows >= targetRows) { groups += ((from, i + 1)); from = i + 1; rows = 0 }
+      }
+      if (from < t.blocks.size) groups += ((from, t.blocks.size))
+      groups.map { case (a, b) => GeoTIFFPart(p, a, b) }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoTIFFReaderFactory(required.fieldNames.toSeq)
+}
+
+final case class GeoTIFFPart(path: String, blockFrom: Int, blockTo: Int)
+    extends InputPartition
+
+final case class GeoTIFFReaderFactory(cols: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GeoTIFFPartitionReader(p.asInstanceOf[GeoTIFFPart], cols)
+}
+
+class GeoTIFFPartitionReader(part: GeoTIFFPart, cols: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val t = GeoTIFF.readHeader(part.path)
+  private val ch = FileChannel.open(Paths.get(part.path),
+    StandardOpenOption.READ)
+  private val fileName = org.apache.spark.unsafe.types.UTF8String
+    .fromString(Paths.get(part.path).getFileName.toString)
+  private val needsData = cols.contains("value")
+
+  private var blockIdx = part.blockFrom
+  private var block: GeoTIFF.Block = _
+  private var data: Array[Double] = _
+  private var inBlock = -1
+  private var blockRows = 0
+
+  private def loadBlock(): Boolean = {
+    if (blockIdx >= part.blockTo) return false
+    block = t.blocks(blockIdx)
+    data = if (needsData) GeoTIFF.readBlock(ch, t, block) else null
+    blockRows = block.w * block.h
+    inBlock = -1
+    blockIdx += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    inBlock += 1
+    while (block == null || inBlock >= blockRows) {
+      if (!loadBlock()) return false
+      inBlock = 0
+    }
+    true
+  }
+
+  override def get(): InternalRow = {
+    val y = block.y0 + inBlock / block.w
+    val x = block.x0 + inBlock % block.w
+    val vals = cols.map {
+      case "file" => fileName
+      case "y" => y
+      case "x" => x
+      case "latitude" => t.geo.map { case (_, lat0, _, sy) =>
+        (lat0 - y * sy): java.lang.Double }.orNull
+      case "longitude" => t.geo.map { case (lon0, _, sx, _) =>
+        (lon0 + x * sx): java.lang.Double }.orNull
+      case "value" =>
+        val v = data(inBlock)
+        if (t.nodata.contains(v) || v.isNaN) null else (v: java.lang.Double)
+    }
+    new GenericInternalRow(vals.toArray[Any])
+  }
+
+  override def close(): Unit = ch.close()
+}

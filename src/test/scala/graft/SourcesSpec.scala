@@ -126,6 +126,41 @@ class SourcesSpec extends SparkSpec {
       Seq("time", "latitude", "longitude", "tp"))
   }
 
+  test("GeoTIFF: masked scan with georeference and filename→date compose") {
+    import graft.sources.GeoTIFF
+    val d = tmpDir()
+    // 3×2 raster: value = y*10 + x, nodata hole at (1,1); 0.25° grid from
+    // (-80, 45) north-up
+    val vals = Array.tabulate(6)(i => if (i == 4) -9999f else (i / 3 * 10 + i % 3).toFloat)
+    GeoTIFF.writeFloat32(s"$d/wtd-v1-20200131.tif", 3, 2, vals,
+      originLon = -80.0, originLat = 45.0, scale = 0.25,
+      nodata = Some(-9999f))
+    GeoTIFF.writeFloat32(s"$d/wtd-v1-20200229.tif", 3, 2,
+      vals.map(v => if (v == -9999f) v else v + 100f),
+      originLon = -80.0, originLat = 45.0, scale = 0.25,
+      nodata = Some(-9999f))
+    val df = spark.read.format("geotiff").load(d)
+    assert(df.count() == 12)
+    val r = df.filter(col("file") === "wtd-v1-20200131.tif")
+      .orderBy("y", "x").collect()
+    assert(r.map(x => (x.getAs[Int]("y"), x.getAs[Int]("x"))).toSeq ==
+      (for { y <- 0 until 2; x <- 0 until 3 } yield (y, x)))
+    assert(r(0).getAs[Double]("longitude") == -80.0)
+    assert(r(0).getAs[Double]("latitude") == 45.0)
+    assert(r(5).getAs[Double]("longitude") == -80.0 + 2 * 0.25)
+    assert(r(5).getAs[Double]("latitude") == 45.0 - 1 * 0.25)
+    assert(r(1).getAs[Double]("value") == 1.0)
+    assert(r(4).isNullAt(r(4).fieldIndex("value"))) // nodata masked
+    // the reference's filename→date (OP-STR-2) composes on the file column
+    val dates = df.select(to_date(regexp_extract(col("file"),
+      "wtd-.*-(\\d{8})\\.tif", 1), "yyyyMMdd").as("d"))
+      .distinct().orderBy("d").collect().map(_.getDate(0).toString)
+    assert(dates.toSeq == Seq("2020-01-31", "2020-02-29"))
+    // column pruning reaches the scan description
+    val plan = df.select("value").queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[value]"), s"pruning not pushed:\n$plan")
+  }
+
   test("index dim fallback when a dimension has no coordinate variable") {
     val d = tmpDir(); val p = s"$d/noidx.nc"
     NetCDF.write(p, dims = Seq(Dim("y", 2), Dim("x", 3)),
