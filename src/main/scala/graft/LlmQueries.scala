@@ -471,6 +471,80 @@ object LlmQueries {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
           round(cos, 6) AS cos FROM r WHERE rank <= 5"""))
 
+  /** PII scrub over a corpus with deterministically-injected PII (every
+    * 2nd doc an email, 3rd a phone, 5th an IPv4 — so counts vary and the
+    * pattern interplay is exercised): redacted text + per-category counts.
+    */
+  private val l19 = Spec("q74_text_pii_redact",
+    (s, d) => {
+      val did = col("doc_id")
+      val aug = concat(col("text"),
+        when(did % 2 === 0, concat(lit(" contact user"),
+          did.cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(did % 3 === 0, concat(lit(" tel +1-555-"),
+          lpad((did % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((did % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(did % 5 === 0, concat(lit(" srv 10.0."),
+          (did % 256).cast("string"), lit("."),
+          (did % 100).cast("string"))).otherwise(lit("")))
+      val staged = T(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      staged.select(col("doc_id") +:
+        Text.redactPii(col("aug")).as("clean") +:
+        Text.piiCounts(col("aug")).map { case (n, c) => c.as(n) }: _*)
+    },
+    Some {
+      val Seq(email, phone, ipv4) = Text.piiPatterns.map(_._2)
+      s"""WITH aug AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' tel +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+            THEN ' srv 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+            ELSE '' END AS aug FROM documents),
+        r1 AS (SELECT doc_id, aug,
+          regexp_replace(aug, '$email', '<email>', 'g') AS t1 FROM aug),
+        r2 AS (SELECT *, regexp_replace(t1, '$phone', '<phone>', 'g') AS t2
+          FROM r1)
+        SELECT doc_id, regexp_replace(t2, '$ipv4', '<ipv4>', 'g') AS clean,
+          CAST(len(regexp_extract_all(aug, '$email')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phone,
+          CAST(len(regexp_extract_all(t2, '$ipv4')) AS INT) AS n_ipv4
+        FROM r2"""
+    })
+
+  /** Gopher-style repetition metrics: duplicate-word fraction and top
+    * bigram fraction — per-doc array math, shuffle-free over the corpus.
+    */
+  private val l20 = Spec("q75_text_repetition",
+    (s, d) => {
+      val staged = T(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          Text.ngrams(col("toks"), 2).as("g2"))
+      staged.select(col("doc_id"),
+        Text.dupTokenFraction(col("toks")).as("dup_word_frac"),
+        Text.topNgramFractionFromGrams(col("g2")).as("top_bigram_frac"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, words,
+          [array_to_string(words[i+1:i+2], ' ') for i in
+            range(CASE WHEN len(words) >= 2 THEN len(words)-1 ELSE 0 END)]
+          AS g2 FROM t)
+        SELECT doc_id,
+          CASE WHEN len(words) > 0 THEN CAST(1 AS DOUBLE) -
+            CAST(len(list_distinct(words)) AS DOUBLE) /
+            CAST(len(words) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+            AS dup_word_frac,
+          CASE WHEN len(g2) > 0 THEN
+            CAST(list_max(list_transform(list_distinct(g2),
+              x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) /
+            CAST(len(g2) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+            AS top_bigram_frac
+        FROM g"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
-    l10, l11, l12, l13, l14, l15, l16, l17, l18)
+    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20)
 }

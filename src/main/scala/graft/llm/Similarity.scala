@@ -101,11 +101,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, nCells: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, trainFraction: Double = 1.0): DataFrame = {
+    // the quantizer only needs a representative sample — at 100 TB you fit
+    // on ~1M vectors (trainFraction ≈ 1e-5), then the full corpus takes
+    // one narrow assignment pass; sampling is seeded so runs reproduce
     val fv = array_to_vector(col(vecCol).cast("array<double>"))
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
     val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("__fv").setPredictionCol("cell")
-    val model = kmeans.fit(corpus.select(fv.as("__fv")))
+    val model = kmeans.fit(trainSet.select(fv.as("__fv")))
     val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val assigned = model.transform(corpus.withColumn("__fv", fv))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))

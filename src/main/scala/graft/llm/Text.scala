@@ -144,4 +144,72 @@ object Text {
     */
   def fingerprint(text: Column, w: Int = 4, keepMod: Int = 8): Column =
     array_sort(filter(shingleHashes(text, w), h => h % keepMod === 0))
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII patterns, applied in declaration order (email first so its digits
+    * can't be re-matched as phone/IP fragments). Restricted to the
+    * Java-regex ∩ RE2 dialect subset (character classes, bounded repeats,
+    * plain groups — no lookarounds, no backrefs) so the oracle's
+    * `regexp_replace(..., 'g')` behaves identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "(\\+1-)?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  /** Redact PII spans to `<category>` placeholders — the standard
+    * training-corpus scrub pass. One projection, no shuffle; the chained
+    * regexp_replace stays inside whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (name, pat)) =>
+      regexp_replace(t, pat, s"<$name>")
+    }
+
+  /** Per-category PII match counts (audit/reporting companion to
+    * [[redactPii]]). Counted against the same progressively-redacted text
+    * the redaction pass sees, so categories never double-count one span.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val staged = piiPatterns.scanLeft(("", text)) {
+      case ((_, t), (name, pat)) =>
+        (name, regexp_replace(t, pat, s"<$name>"))
+    }
+    piiPatterns.zip(staged).map { case ((name, pat), (_, preText)) =>
+      s"n_$name" -> regexp_count(preText, lit(pat)).cast("int")
+    }
+  }
+
+  // ----------------------------------------------------- repetition filters
+
+  /** Fraction of tokens that are repeats of an earlier token
+    * (1 − distinct/total) — the Gopher-style "duplicate word fraction"
+    * quality rule. 0.0 for empty docs.
+    */
+  def dupTokenFraction(toks: Column): Column =
+    when(size(toks) > 0,
+      lit(1d) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0d))
+
+  /** Fraction of n-grams taken by the single most frequent n-gram — the
+    * Gopher-style "top n-gram fraction" boilerplate detector. Per-doc array
+    * math only (distinct grams × grams per doc), so the corpus pass is a
+    * narrow shuffle-free projection; docs are KB-sized, the quadratic term
+    * is bounded.
+    *
+    * PERF: takes pre-materialized GRAMS (stage `ngrams(tokens(text), n)`
+    * behind a projection) — the counting subtree references it three times.
+    */
+  def topNgramFractionFromGrams(grams: Column): Column = {
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    when(size(grams) > 0,
+      array_max(counts).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0d))
+  }
+
+  def topNgramFraction(text: Column, n: Int): Column =
+    topNgramFractionFromGrams(ngrams(tokens(text), n))
 }

@@ -62,6 +62,57 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows diverge between native and regex subword count")
   }
 
+  test("PII redaction: categories, ordering, and counts") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@ex-ample.org now",          // email with class chars
+      "call +1-555-123-4567 or 555-000-1111", // both phone forms
+      "host 192.168.0.1 warn",                // ipv4
+      "mixed x@y.io 10.0.0.7 555-123-4567",   // all three
+      "clean text only").toDF("text")
+    val out = df.select(llm.Text.redactPii(col("text")).as("r") +:
+      llm.Text.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(out(0).getString(0) == "mail <email> now")
+    assert(out(1).getString(0) == "call <phone> or <phone>")
+    assert(out(2).getString(0) == "host <ipv4> warn")
+    assert(out(3).getString(0) == "mixed <email> <ipv4> <phone>")
+    assert(out(4).getString(0) == "clean text only")
+    assert(out(3).getInt(1) == 1 && out(3).getInt(2) == 1 &&
+      out(3).getInt(3) == 1)
+    assert(out(1).getInt(2) == 2) // two phones
+  }
+
+  test("repetition metrics: dup-word and top-bigram fractions") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c d",          // all distinct → dup 0, top-bigram 1/3
+      "a a a a",          // dup 3/4, bigram 'a a' ×3 of 3 → 1.0
+      "x y x y x",        // dup 3/5; bigrams: xy,yx,xy,yx → 2/4
+      "solo", "").toDF("text")
+    val toks = llm.Text.tokens(col("text"))
+    val out = df.select(
+      llm.Text.dupTokenFraction(toks).as("d"),
+      llm.Text.topNgramFraction(col("text"), 2).as("t")).collect()
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(1) == 1.0 / 3)
+    assert(out(1).getDouble(0) == 0.75 && out(1).getDouble(1) == 1.0)
+    assert(out(2).getDouble(0) == 1 - 2.0 / 5 && out(2).getDouble(1) == 0.5)
+    assert(out(3).getDouble(0) == 0.0 && out(3).getDouble(1) == 0.0)
+    assert(out(4).getDouble(0) == 0.0 && out(4).getDouble(1) == 0.0)
+  }
+
+  test("IVF sample-trained quantizer still retrieves exactly at full probe") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+    def run(frac: Double) = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      "vec_id", k = 3, nCells = 4, nprobe = 4, trainFraction = frac)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity).toSeq
+    // full probe searches every cell, so results are brute-force-identical
+    // regardless of what sample the quantizer trained on
+    assert(run(1.0) == run(0.3))
+  }
+
   test("duplicateClusters: components + canonical min-id survivor") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {7,8}; 9 appears only as pair partner
