@@ -91,12 +91,12 @@ object Joins {
     val loW = Window.partitionBy(col(idCol))
       .orderBy(abs(col("v") - col(loCol)), col("v"))
     val lo = regions.select(col(idCol), col(loCol)).join(v)
-      .join(hi, Seq(idCol))
+      .join(broadcast(hi), Seq(idCol))
       .filter(col("v") =!= col(outHi))
       .withColumn("__rn", row_number().over(loW))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("v").as(outLo))
-    hi.join(lo, Seq(idCol), "left")
+    hi.join(broadcast(lo), Seq(idCol), "left")
       .select(col(idCol), col(outHi),
         coalesce(col(outLo), col(outHi)).as(outLo))
   }
@@ -116,13 +116,18 @@ object Joins {
     */
   def cornerSnapClip(grid: DataFrame, regions: DataFrame, idCol: String,
       latCol: String, lonCol: String): DataFrame = {
-    val lats = grid.select(col(latCol).as("v")).distinct()
-    val lons = grid.select(col(lonCol).as("v")).distinct()
+    // persist the distinct coordinate axes: each is referenced by both the
+    // hi and lo snap passes, and an unpersisted reference would re-run the
+    // full-fact DISTINCT aggregate per reference — four corpus scans
+    // instead of two cached coordinate lists (≤ thousands of rows)
+    val lats = grid.select(col(latCol).as("v")).distinct().persist()
+    val lons = grid.select(col(lonCol).as("v")).distinct().persist()
     val latSpec = cornerSnapPair(regions, idCol, "lat_max", "lat_min", lats,
       "lat_hi_snap", "lat_lo_snap")
     val lonSpec = cornerSnapPair(regions, idCol, "lon_max", "lon_min", lons,
       "lon_hi_snap", "lon_lo_snap")
-    val spec = regions.join(latSpec, Seq(idCol)).join(lonSpec, Seq(idCol))
+    val spec = regions.join(broadcast(latSpec), Seq(idCol))
+      .join(broadcast(lonSpec), Seq(idCol))
     grid.join(broadcast(spec),
       (col(latCol) === col("lat_hi_snap") ||
         col(latCol) === col("lat_lo_snap")) &&
