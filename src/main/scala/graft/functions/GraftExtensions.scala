@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for graft's native Catalyst expressions, so
+  * `spark.sql("SELECT polyhash(text) ...")` works the same as the typed
+  * Column API — the idiomatic Spark extension point:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *
+  * or programmatically on an existing session:
+  * `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
+    ("polyhash",
+      info("polyhash", "polyhash(str) - portable 31-base rolling hash mod 1e9+7"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "polyhash(str)")
+        PolyHash(args.head)
+      }),
+    ("shingle_hashes",
+      info("shingle_hashes",
+        "shingle_hashes(str, width) - distinct polyhash set of word shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hashes(str, width)")
+        ShingleHashes(args.head, intLit(args(1), "shingle width"))
+      }),
+    ("subword_count",
+      info("subword_count",
+        "subword_count(str) - BPE-ish subword run count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "subword_count(str)")
+        SubwordCount(args.head)
+      }),
+    ("dot",
+      info("dot",
+        "dot(arr, arr) - sequential double dot product of numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot(a, b)")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Register into an already-running session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, inf, builder) =>
+      Bridge.registerFunction(spark, name, inf, builder)
+    }
+}

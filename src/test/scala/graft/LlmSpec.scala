@@ -62,6 +62,23 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows diverge between native and regex subword count")
   }
 
+  test("GraftExtensions: native expressions callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT polyhash('abc') AS h,
+         shingle_hashes('a b c d', 2) AS sh,
+         subword_count('ab12 cd') AS sw,
+         dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head
+    assert(r.getAs[Long]("h") == 96354L)
+    assert(r.getSeq[Long](1).length == 3)
+    assert(r.getAs[Int]("sw") == 3)
+    assert(r.getAs[Double]("d") == 11.0)
+    // non-literal width is a clear error, not a silent misread
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a', length('xy'))").head
+    }
+  }
+
   test("PII redaction: categories, ordering, and counts") {
     import spark.implicits._
     val df = Seq(
