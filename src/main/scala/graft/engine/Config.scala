@@ -1,0 +1,112 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** OP-SRC-6 — the pipeline's YAML config loader (`argparser.py:31-38` +
+  * `download_config.yaml` / `process_config.yaml`). The reference's config
+  * files are a flat map of scalars, nulls, and inline lists; this is a
+  * parser for exactly that public-YAML subset (comments, quoting, `null`/
+  * `~`/empty, booleans, numbers, `[a, b]` flow lists) — no external YAML
+  * dependency, no dataflow impact (driver-side, O(config)).
+  */
+object Config {
+
+  /** The reference's config surface (both yaml files share one schema;
+    * unused halves are null per action).
+    */
+  final case class PipelineConfig(
+      action: String,
+      outputFilename: Option[String],
+      dataFile: Option[String],
+      coordsDir: Option[String],
+      start: Option[String],
+      end: Option[String],
+      preds: Seq[String],
+      aggregationType: Option[String],
+      idField: Option[String])
+
+  /** Parse the supported YAML subset to an insertion-ordered map. Values:
+    * null, Boolean, Long, Double, String, or Seq of those.
+    */
+  def parseYaml(text: String): Map[String, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    text.linesIterator.foreach { raw =>
+      val line = stripComment(raw)
+      if (line.trim.nonEmpty) {
+        val i = line.indexOf(':')
+        require(i > 0, s"unsupported YAML line (flat `key: value` only): $raw")
+        val key = line.substring(0, i).trim
+        out(key) = scalarOrList(line.substring(i + 1).trim)
+      }
+    }
+    out.toMap
+  }
+
+  /** `#` starts a comment at line start or after whitespace — but not
+    * inside quotes.
+    */
+  private def stripComment(line: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '#' if !inS && !inD &&
+            (i == 0 || line.charAt(i - 1).isWhitespace) =>
+          return line.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    line
+  }
+
+  private def scalarOrList(s: String): Any =
+    if (s.startsWith("[")) {
+      require(s.endsWith("]"), s"unterminated flow list: $s")
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").map(v => scalar(v.trim)).toSeq
+    } else scalar(s)
+
+  private def scalar(s: String): Any = s match {
+    case "" | "null" | "~" | "Null" | "NULL" => null
+    case "true" | "True" | "TRUE" => true
+    case "false" | "False" | "FALSE" => false
+    case q if q.length >= 2 && ((q.head == '\'' && q.last == '\'') ||
+        (q.head == '"' && q.last == '"')) => q.substring(1, q.length - 1)
+    case n if n.matches("[+-]?[0-9]+") => n.toLong
+    case n if n.matches("[+-]?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?") => n.toDouble
+    case other => other
+  }
+
+  private def opt(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).flatMap(Option(_)).map(_.toString)
+
+  def fromMap(m: Map[String, Any]): PipelineConfig = PipelineConfig(
+    action = opt(m, "action").getOrElse(
+      throw new IllegalArgumentException("config requires `action`")),
+    outputFilename = opt(m, "output-filename"),
+    dataFile = opt(m, "data-file"),
+    coordsDir = opt(m, "coords-dir"),
+    start = opt(m, "start"),
+    end = opt(m, "end"),
+    preds = m.get("preds") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ => Nil
+    },
+    aggregationType = opt(m, "aggregation-type"),
+    idField = opt(m, "id-field"))
+
+  /** Load + extension check (the reference rejects non-.yaml/.yml,
+    * `argparser.py:36-38`).
+    */
+  def load(path: String): PipelineConfig = {
+    require(path.endsWith(".yaml") || path.endsWith(".yml"),
+      s"Only .yaml or .yml config files are supported. Not $path.")
+    fromMap(parseYaml(new String(
+      Files.readAllBytes(Paths.get(path)), "UTF-8")))
+  }
+}

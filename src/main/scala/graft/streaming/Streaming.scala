@@ -40,6 +40,25 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Streaming exact-dedup: drop repeats of `keys` within the watermark
+    * horizon — the continuous face of the corpus exact-dedup operator
+    * (e.g. content-hash dedup on a document ingest stream). State is one
+    * entry per distinct key inside the horizon and is evicted by the
+    * watermark, so memory is bounded by (arrival rate × horizon), not by
+    * stream history; on a batch frame the same call is a plain
+    * dropDuplicates and stays oracle-checkable.
+    *
+    * `dropDuplicatesWithinWatermark` (vs plain dropDuplicates on a
+    * stream) is the variant that tolerates late re-arrivals INSIDE the
+    * horizon without keeping state forever.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -36,6 +36,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops key repeats within the watermark horizon") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "content_hash")
+    val out = Streaming.dedupStream(df, "ts", Seq("content_hash"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "h_a"),
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "h_a"), // dup
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "h_b"))
+      q.processAllAvailable()
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 4L, "h_a"), // still dup
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 5L, "h_c"))
+      q.processAllAvailable()
+      val hashes = sp.sql("SELECT content_hash FROM dedupstream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(hashes == Seq("h_a", "h_b", "h_c"))
+    } finally q.stop()
+    // batch face: plain dropDuplicates, no watermark state
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "h_a"),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "h_a"))
+      .toDF("ts", "doc_id", "content_hash")
+    assert(Streaming.dedupStream(batch, "ts", Seq("content_hash"),
+      "1 hour").count() == 1)
+  }
+
   test("batch and streaming faces of the transform agree") {
     val sp = spark
     import sp.implicits._
