@@ -41,7 +41,10 @@ object Bench {
     // it as the process's final stdout line, and also persist it to a file
     // as a log-truncation-proof channel (r02's tail was truncated and
     // BENCH_r02.json recorded parsed:null).
-    spark.stop()
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_result.json")), line + "\n")

@@ -357,20 +357,26 @@ object Queries {
           SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
             ORDER BY abs(l.v - r.lat_max), l.v) rn FROM regions r, lats l)
           WHERE rn = 1),
-        lat_lo AS (SELECT region_id, v AS lat_lo_snap FROM (
+        lat_lo0 AS (SELECT region_id, v AS lat_lo_snap FROM (
           SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
             ORDER BY abs(l.v - r.lat_min), l.v) rn
           FROM regions r JOIN lat_hi h USING (region_id), lats l
           WHERE l.v != h.lat_hi_snap) WHERE rn = 1),
+        lat_lo AS (SELECT region_id,
+          coalesce(lat_lo_snap, lat_hi_snap) AS lat_lo_snap
+          FROM lat_hi LEFT JOIN lat_lo0 USING (region_id)),
         lon_hi AS (SELECT region_id, v AS lon_hi_snap FROM (
           SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
             ORDER BY abs(l.v - r.lon_max), l.v) rn FROM regions r, lons l)
           WHERE rn = 1),
-        lon_lo AS (SELECT region_id, v AS lon_lo_snap FROM (
+        lon_lo0 AS (SELECT region_id, v AS lon_lo_snap FROM (
           SELECT r.region_id, l.v, row_number() OVER (PARTITION BY r.region_id
             ORDER BY abs(l.v - r.lon_min), l.v) rn
           FROM regions r JOIN lon_hi h USING (region_id), lons l
           WHERE l.v != h.lon_hi_snap) WHERE rn = 1),
+        lon_lo AS (SELECT region_id,
+          coalesce(lon_lo_snap, lon_hi_snap) AS lon_lo_snap
+          FROM lon_hi LEFT JOIN lon_lo0 USING (region_id)),
         spec AS (SELECT * FROM regions
           JOIN lat_hi USING (region_id) JOIN lat_lo USING (region_id)
           JOIN lon_hi USING (region_id) JOIN lon_lo USING (region_id))

@@ -68,8 +68,25 @@ object Config {
       require(s.endsWith("]"), s"unterminated flow list: $s")
       val body = s.substring(1, s.length - 1).trim
       if (body.isEmpty) Seq.empty
-      else body.split(",").map(v => scalar(v.trim)).toSeq
+      else splitFlow(body).map(v => scalar(v.trim))
     } else scalar(s)
+
+  /** Quote-aware flow-list splitter: commas inside quoted items are item
+    * content, not separators.
+    */
+  private def splitFlow(body: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inS = false; var inD = false
+    body.foreach {
+      case '\'' if !inD => inS = !inS; cur += '\''
+      case '"' if !inS => inD = !inD; cur += '"'
+      case ',' if !inS && !inD => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
 
   private def scalar(s: String): Any = s match {
     case "" | "null" | "~" | "Null" | "NULL" => null

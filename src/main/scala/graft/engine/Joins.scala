@@ -126,8 +126,15 @@ object Joins {
       "lat_hi_snap", "lat_lo_snap")
     val lonSpec = cornerSnapPair(regions, idCol, "lon_max", "lon_min", lons,
       "lon_hi_snap", "lon_lo_snap")
+    // the spec is region-count-sized: checkpoint it EAGERLY so the cached
+    // axes can be released right here instead of pinning executor storage
+    // for the session's lifetime (every reference below reads the
+    // checkpointed rows, not the lats/lons lineage)
     val spec = regions.join(broadcast(latSpec), Seq(idCol))
       .join(broadcast(lonSpec), Seq(idCol))
+      .localCheckpoint()
+    lats.unpersist()
+    lons.unpersist()
     grid.join(broadcast(spec),
       (col(latCol) === col("lat_hi_snap") ||
         col(latCol) === col("lat_lo_snap")) &&

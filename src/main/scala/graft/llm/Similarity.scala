@@ -69,9 +69,12 @@ object Similarity {
   def autoAnchors(corpus: DataFrame, idCol: String, vecCol: String,
       targetBucket: Long = 1024): Seq[Seq[Double]] = {
     val m = anchorCount(corpus.count(), targetBucket)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // element-type-agnostic: cast to array<double> in-plan instead of
+    // assuming Float rows (array<double> corpora would CCE at getSeq)
+    corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(m).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Double](1).toSeq).toSeq
   }
 
   /** Sign-LSH bucket id: the m-bit sign pattern of dot products against m

@@ -51,12 +51,15 @@ object GeoTIFFSource {
   def resolvePaths(specs: Seq[String]): Seq[String] = {
     val out = specs.flatMap { s =>
       val p = Paths.get(s.stripPrefix("file:"))
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        // Files.list must be closed (it holds a directory FD)
+        val stream = Files.list(p)
+        try stream.iterator().asScala
           .filter { f => val n = f.getFileName.toString
             n.endsWith(".tif") || n.endsWith(".tiff") }
           .map(_.toString).toSeq.sorted
-      else Seq(p.toString)
+        finally stream.close()
+      } else Seq(p.toString)
     }
     require(out.nonEmpty, s"no .tif files found under $specs")
     out
@@ -161,22 +164,41 @@ class GeoTIFFPartitionReader(part: GeoTIFFPart, cols: Seq[String])
     true
   }
 
+  // per-column closures hoisted out of the row loop (a string dispatch +
+  // Seq allocation per cell would dominate a full-archive scan)
+  private val columns: Array[(Int, Int, Int) => Any] = cols.map {
+    case "file" => (_: Int, _: Int, _: Int) => fileName
+    case "y" => (y: Int, _: Int, _: Int) => y
+    case "x" => (_: Int, x: Int, _: Int) => x
+    case "latitude" => t.geo match {
+      case Some((_, lat0, _, sy)) =>
+        (y: Int, _: Int, _: Int) => (lat0 - y * sy): java.lang.Double
+      case None => (_: Int, _: Int, _: Int) => null
+    }
+    case "longitude" => t.geo match {
+      case Some((lon0, _, sx, _)) =>
+        (_: Int, x: Int, _: Int) => (lon0 + x * sx): java.lang.Double
+      case None => (_: Int, _: Int, _: Int) => null
+    }
+    case "value" =>
+      val nodata = t.nodata
+      (_: Int, _: Int, i: Int) => {
+        val v = data(i)
+        if (nodata.contains(v) || v.isNaN) null else (v: java.lang.Double)
+      }
+    case other => throw new IllegalStateException(s"unknown column $other")
+  }.toArray
+
   override def get(): InternalRow = {
     val y = block.y0 + inBlock / block.w
     val x = block.x0 + inBlock % block.w
-    val vals = cols.map {
-      case "file" => fileName
-      case "y" => y
-      case "x" => x
-      case "latitude" => t.geo.map { case (_, lat0, _, sy) =>
-        (lat0 - y * sy): java.lang.Double }.orNull
-      case "longitude" => t.geo.map { case (lon0, _, sx, _) =>
-        (lon0 + x * sx): java.lang.Double }.orNull
-      case "value" =>
-        val v = data(inBlock)
-        if (t.nodata.contains(v) || v.isNaN) null else (v: java.lang.Double)
+    val vals = new Array[Any](columns.length)
+    var c = 0
+    while (c < columns.length) {
+      vals(c) = columns(c)(y, x, inBlock)
+      c += 1
     }
-    new GenericInternalRow(vals.toArray[Any])
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = ch.close()

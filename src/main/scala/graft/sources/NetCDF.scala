@@ -176,6 +176,13 @@ object NetCDF {
     require(outerFrom >= 0 && outerTo <= nOuter && outerFrom <= outerTo,
       s"slab [$outerFrom,$outerTo) out of range for ${v.name} (outer $nOuter)")
     val total = (outerTo - outerFrom) * innerCount
+    // explicit 2^31 guard: .toInt on an oversized slab would go negative
+    // and die opaquely; a single outer index whose inner product exceeds
+    // the JVM array bound cannot be materialized as one slab at all
+    require(total <= Int.MaxValue / elemSize(v.ncType),
+      s"slab of ${v.name} has $total elements (inner=$innerCount) — " +
+        "exceeds the 2^31 JVM array bound; shrink the slab (inner " +
+        "dimensions this large need a finer-than-outer-dim partitioner)")
     val out = new Array[Double](total.toInt)
     if (isRec) {
       // one seek per record: records interleave all record variables

@@ -61,11 +61,15 @@ object NetCDFSource {
   def resolvePaths(specs: Seq[String]): Seq[String] = {
     val out = specs.flatMap { s =>
       val p = Paths.get(s.stripPrefix("file:"))
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        // Files.list must be closed (it holds a directory FD) — this runs
+        // at least twice per read (inferSchema + getTable)
+        val stream = Files.list(p)
+        try stream.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".nc"))
           .map(_.toString).toSeq.sorted
-      else Seq(p.toString)
+        finally stream.close()
+      } else Seq(p.toString)
     }
     require(out.nonEmpty, s"no .nc files found under $specs")
     out

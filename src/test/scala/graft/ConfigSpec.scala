@@ -69,6 +69,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(m("g") == "value")
   }
 
+  test("flow lists keep commas inside quoted items") {
+    val m = Config.parseYaml("preds: ['a, b', c, \"d,e\"]")
+    assert(m("preds") == Seq("a, b", "c", "d,e"))
+  }
+
   test("load enforces the reference's extension rule and missing action") {
     val f = Files.createTempFile("graft_cfg", ".json")
     intercept[IllegalArgumentException](Config.load(f.toString))

@@ -271,6 +271,9 @@ class LlmSpec extends SparkSpec {
       array().cast("array<double>"), array().cast("array<double>"))) == 0.0d)
     assert(eval1(graft.functions.DotProduct.dot(
       lit(null).cast("array<double>"), array(lit(1.0d)))) == null)
+    // integral element types widen exactly, like the HOF cast("double")
+    assert(eval1(graft.functions.DotProduct.dot(
+      array(lit(2), lit(3)), array(lit(10L), lit(100L)))) == 320.0)
   }
 
   test("anchorCount scales with log(N); autoAnchors derives it from data") {
