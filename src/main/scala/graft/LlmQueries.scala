@@ -545,6 +545,50 @@ object LlmQueries {
             AS top_bigram_frac
         FROM g"""))
 
+  /** Unit-normalization of the embedding column, pos-exploded to the
+    * scalar gate shape (dim = 64). Norm staged once per row.
+    */
+  private val l21 = Spec("q76_embed_normalize",
+    (s, d) => T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        posexplode(Similarity.normalizeFromNorm(col("embedding"), col("nrm"))))
+      .withColumnRenamed("col", "nval"),
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot2("embedding", "embedding")}) AS nrm FROM embeddings)
+        SELECT vec_id, CAST(i.i AS INT) AS pos,
+          CASE WHEN nrm > 0
+            THEN CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) / nrm
+            ELSE CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) END AS nval
+        FROM n CROSS JOIN (SELECT unnest(range(64)) AS i) i"""))
+
+  /** Symmetric int8 quantize + dequantize round trip (dim = 64): the
+    * 4×-compression candidate-stage representation with its
+    * reconstruction, floor(x+0.5) rounding on both engines.
+    */
+  private val l22 = Spec("q77_embed_quantize_int8",
+    (s, d) => T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.absMax(col("embedding")).as("ma"))
+      .select(col("vec_id"), col("ma"),
+        posexplode(Similarity.quantizeInt8(col("embedding"), col("ma"))))
+      .withColumnRenamed("col", "q")
+      .select(col("vec_id"), col("pos"), col("q"),
+        Similarity.dequantizeInt8(col("q"), col("ma")).as("dq")),
+    Some(s"""WITH m AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+            AS ma FROM embeddings),
+        e AS (SELECT vec_id, ma, CAST(i.i AS INT) AS pos,
+          CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS x
+          FROM m CROSS JOIN (SELECT unnest(range(64)) AS i) i),
+        qq AS (SELECT vec_id, ma, pos,
+          CAST(CASE WHEN ma > 0
+            THEN floor(x * CAST(127 AS DOUBLE) / ma + CAST(0.5 AS DOUBLE))
+            ELSE 0 END AS INT) AS q FROM e)
+        SELECT vec_id, pos, q,
+          CAST(q AS DOUBLE) * ma / CAST(127 AS DOUBLE) AS dq FROM qq"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
-    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20)
+    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
 }

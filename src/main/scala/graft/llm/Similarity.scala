@@ -51,6 +51,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Unit-normalize a vector given its precomputed norm (stage the norm
+    * behind a projection boundary — embedding it in the transform lambda
+    * would re-evaluate the dot-product fold per ELEMENT, HOF lambdas don't
+    * codegen or dedupe). Zero vectors pass through unchanged (no NaN/Inf
+    * divergence between engines).
+    */
+  def normalizeFromNorm(vec: Column, nrm: Column): Column =
+    transform(vec, x =>
+      when(nrm > 0, x.cast("double") / nrm).otherwise(x.cast("double")))
+
+  def normalize(vec: Column): Column = normalizeFromNorm(vec, norm(vec))
+
+  /** Per-vector |max| — the symmetric int8 quantization scale basis. */
+  def absMax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization q = round(x·127/|max|): 4× smaller
+    * embeddings for the ANN candidate stage (rerank on float). Rounding is
+    * floor(x+0.5) — ties round toward +∞ identically on every engine,
+    * where round() half-up/half-even conventions differ. Zero vectors
+    * quantize to zeros. Dot products over the int8 arrays run through the
+    * same native [[graft.functions.DotProduct]] (integral inputs widen
+    * exactly).
+    */
+  def quantizeInt8(vec: Column, maxAbs: Column): Column =
+    transform(vec, x =>
+      when(maxAbs > 0,
+        floor(x.cast("double") * 127d / maxAbs + 0.5d)).otherwise(lit(0L))
+        .cast("int"))
+
+  def dequantizeInt8(q: Column, maxAbs: Column): Column =
+    q.cast("double") * maxAbs / 127d
+
   /** Anchor-plane count for sign-LSH sized to the corpus: with m planes
     * there are 2^m buckets, so expected bucket size is N/2^m — a FIXED m
     * means buckets grow linearly with the corpus and per-bucket all-pairs

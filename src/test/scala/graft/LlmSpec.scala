@@ -276,6 +276,26 @@ class LlmSpec extends SparkSpec {
       array(lit(2), lit(3)), array(lit(10L), lit(100L)))) == 320.0)
   }
 
+  test("normalize yields unit vectors; int8 round trip error ≤ maxAbs/254") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val staged = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"),
+      Similarity.absMax(col("embedding")).as("ma"))
+    val checked = staged.select(
+      abs(Similarity.norm(Similarity.normalizeFromNorm(col("embedding"),
+        col("nrm"))) - 1d).as("unit_err"),
+      // worst-case reconstruction error over the vector vs the half-step
+      // bound maxAbs/254 (floor(x+0.5) is within 0.5 quantization steps)
+      (array_max(zip_with(col("embedding"),
+        Similarity.quantizeInt8(col("embedding"), col("ma")),
+        (x, q) => abs(x.cast("double") -
+          Similarity.dequantizeInt8(q, col("ma"))))) -
+        (col("ma") / 254d + lit(1e-12))).as("q_excess"))
+    val bad = checked.filter(col("unit_err") > 1e-9 || col("q_excess") > 0)
+      .count()
+    assert(bad == 0, s"$bad vectors break the normalize/quantize contracts")
+  }
+
   test("anchorCount scales with log(N); autoAnchors derives it from data") {
     // fixed target bucket → planes grow with log(N), expected bucket size
     // N/2^m stays within [target/2, target]
