@@ -161,6 +161,47 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("cols=[value]"), s"pruning not pushed:\n$plan")
   }
 
+  test("NetCDF codec round-trips randomized cubes (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val d = tmpDir()
+    var n = 0
+    val gen = for {
+      nDims <- Gen.choose(1, 3)
+      sizes <- Gen.listOfN(nDims, Gen.choose(1, 5))
+      nVars <- Gen.choose(1, 3)
+      types <- Gen.listOfN(nVars,
+        Gen.oneOf(NetCDF.NC_SHORT, NetCDF.NC_INT, NetCDF.NC_FLOAT,
+          NetCDF.NC_DOUBLE))
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (sizes, types, seed)
+    val prop = forAll(gen) { case (sizes, types, seed) =>
+      n += 1
+      val path = s"$d/prop_$n.nc"
+      val dims = sizes.zipWithIndex.map { case (s, i) => Dim(s"d$i", s) }
+      val total = sizes.product
+      // small integers are exactly representable in every nc_type
+      val varSpecs = types.zipWithIndex.map { case (t, vi) =>
+        s"v$vi" -> VarSpec(dims.map(_.name), t,
+          Array.tabulate(total)(j => ((seed + j * 7 + vi) % 1000 - 500).toDouble))
+      }
+      NetCDF.write(path, dims, varSpecs)
+      val h = NetCDF.readHeader(path)
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardOpenOption.READ)
+      try Prop(varSpecs.forall { case (name, sp) =>
+        val v = h.vars.find(_.name == name).get
+        val got = NetCDF.readSlab(ch, h, v, 0, sizes.head)
+        got.sameElements(sp.values)
+      } && h.dims.map(_.length) == sizes)
+      finally ch.close()
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"NetCDF round-trip property failed: ${res.status}")
+  }
+
   test("index dim fallback when a dimension has no coordinate variable") {
     val d = tmpDir(); val p = s"$d/noidx.nc"
     NetCDF.write(p, dims = Seq(Dim("y", 2), Dim("x", 3)),
