@@ -589,6 +589,50 @@ object LlmQueries {
         SELECT vec_id, pos, q,
           CAST(q AS DOUBLE) * ma / CAST(127 AS DOUBLE) AS dq FROM qq"""))
 
+  /** Quantized-candidate + exact-rerank retrieval (candK=20 → k=5) for
+    * the first 8 query vectors — int8 scan, float rerank, end-to-end
+    * deterministic (see Similarity.quantizedRerankTopK).
+    */
+  private val l23 = Spec("q78_sim_quantized_rerank",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", k = 5, candK = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some {
+      val intDot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(%s, %s), p -> p[1]*p[2])), (x,y) -> x+y)"
+      s"""WITH base AS (SELECT vec_id, embedding,
+            sqrt(${dot2("embedding", "embedding")}) AS nrm FROM embeddings),
+          nv AS (SELECT vec_id, CASE WHEN nrm > 0
+            THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS nvec
+            FROM base),
+          mq AS (SELECT vec_id, nvec,
+            list_max(list_transform(nvec, x -> abs(x))) AS ma FROM nv),
+          qz AS (SELECT vec_id, nvec, ma, CASE WHEN ma > 0
+            THEN list_transform(nvec, x -> CAST(floor(
+              x * CAST(127 AS DOUBLE) / ma + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            ELSE list_transform(nvec, x -> CAST(0 AS BIGINT)) END AS q8
+            FROM mq),
+          cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            q.nvec AS qn, c.nvec AS cn,
+            CAST(${intDot.format("q.q8", "c.q8")} AS DOUBLE)
+              * q.ma * c.ma / CAST(16129 AS DOUBLE) AS approx
+            FROM qz q CROSS JOIN qz c WHERE q.vec_id < 8),
+          cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY approx DESC, neighbor_id) AS crank FROM cand0),
+          rr AS (SELECT query_id, neighbor_id,
+            ${dot2("qn", "cn")} AS cos FROM cand WHERE crank <= 20),
+          fin AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM rr)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+            round(cos, 6) AS cos FROM fin WHERE rank <= 5"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
-    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22)
+    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23)
 }

@@ -84,6 +84,47 @@ object Similarity {
   def dequantizeInt8(q: Column, maxAbs: Column): Column =
     q.cast("double") * maxAbs / 127d
 
+  /** Quantized-candidate + exact-rerank top-k — the production retrieval
+    * shape at corpus scale: the O(|corpus| × |queries|) candidate scan
+    * scores int8-quantized UNIT vectors (4× less memory bandwidth than
+    * float, integer dot exact in double), keeps `candK` per query, and
+    * only those candidates get the exact float cosine rerank to `k`.
+    * Deterministic end-to-end: normalization, floor(x+0.5) quantization,
+    * and both rank stages tie-break on neighbor id — which is what makes
+    * the whole chain ANSI-oracle-checkable.
+    */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      candK: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, outId: String) = df
+      .select(col(id).as(outId), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .select(col(outId), normalizeFromNorm(col("v"), col("nrm")).as("nv"))
+      .select(col(outId), col("nv"), absMax(col("nv")).as("ma"))
+      .select(col(outId), col("nv"), col("ma"),
+        quantizeInt8(col("nv"), col("ma")).as("q8"))
+    val c = prep(corpus, idCol, "neighbor_id")
+      .toDF("neighbor_id", "cn", "cma", "cq8")
+    val q = broadcast(prep(queries, queryIdCol, "query_id")
+      .toDF("query_id", "qn", "qma", "qq8"))
+    val approx = (dot(col("qq8"), col("cq8")) * col("qma") * col("cma") /
+      lit(16129d)).as("approx") // 127^2
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cands = c.join(q)
+      .select(col("query_id"), col("neighbor_id"), col("qn"), col("cn"),
+        approx)
+      .withColumn("__crank", row_number().over(cw))
+      .filter(col("__crank") <= candK)
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qn"), col("cn")).as("cos")) // unit vectors: dot = cosine
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
   /** Anchor-plane count for sign-LSH sized to the corpus: with m planes
     * there are 2^m buckets, so expected bucket size is N/2^m — a FIXED m
     * means buckets grow linearly with the corpus and per-bucket all-pairs

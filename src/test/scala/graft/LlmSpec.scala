@@ -296,6 +296,23 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0, s"$bad vectors break the normalize/quantize contracts")
   }
 
+  test("quantized rerank: self at rank 1, high overlap with exact top-k") {
+    val emb = Queries.T(spark, sf001, "embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+    val rr = Similarity.quantizedRerankTopK(emb, q, "vec_id", "embedding",
+      "vec_id", k = 5, candK = 20)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    (0L until 4L).foreach { i =>
+      assert(rr.contains((i, i, 1)), s"query $i did not rerank itself first")
+    }
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      "vec_id", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = rr.count { case (qid, nid, _) => exact((qid, nid)) }
+    assert(overlap >= 12, s"only $overlap/20 of exact top-5 survive " +
+      "the int8 candidate stage (candK=20)")
+  }
+
   test("anchorCount scales with log(N); autoAnchors derives it from data") {
     // fixed target bucket → planes grow with log(N), expected bucket size
     // N/2^m stays within [target/2, target]
