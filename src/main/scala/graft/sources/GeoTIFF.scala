@@ -198,6 +198,66 @@ object GeoTIFF {
     out
   }
 
+  /** Tiled float32 TIFF writer (little-endian, no geo tags) — exercises
+    * the tile-organized block path real WTD-scale rasters use (tiles are
+    * the layout that makes block-range partitioning useful: a strip of a
+    * 100k-wide raster is one huge block; a 256×256 tile is not). Padded
+    * tile cells are written as zero and never surfaced (block w/h clamp).
+    */
+  def writeFloat32Tiled(path: String, width: Int, height: Int,
+      values: Array[Float], tileW: Int, tileH: Int): Unit = {
+    require(values.length == width * height)
+    val across = (width + tileW - 1) / tileW
+    val down = (height + tileH - 1) / tileH
+    val nTiles = across * down
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    def le2(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le4(v: Long): Unit = { le2((v & 0xFFFF).toInt); le2(((v >> 16) & 0xFFFF).toInt) }
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      le2(tag); le2(typ); le4(count); le4(value)
+    }
+    try {
+      val nTags = 11
+      val ifdOffset = 8L
+      val ifdSize = 2 + nTags * 12 + 4
+      val offsetsOff = ifdOffset + ifdSize
+      val countsOff = offsetsOff + 4L * nTiles
+      val dataOff = (countsOff + 4L * nTiles + 3) & ~3L
+      val tileBytes = tileW.toLong * tileH * 4
+      out.write('I'); out.write('I'); le2(42); le4(ifdOffset)
+      le2(nTags)
+      entry(TImageWidth, 4, 1, width)
+      entry(TImageLength, 4, 1, height)
+      entry(TBitsPerSample, 3, 1, 32)
+      entry(TCompression, 3, 1, 1)
+      entry(TSamplesPerPixel, 3, 1, 1)
+      entry(TPlanarConfig, 3, 1, 1)
+      entry(TSampleFormat, 3, 1, 3)
+      entry(TTileWidth, 3, 1, tileW)
+      entry(TTileLength, 3, 1, tileH)
+      entry(TTileOffsets, 4, nTiles, if (nTiles == 1) dataOff else offsetsOff)
+      entry(TTileByteCounts, 4, nTiles, if (nTiles == 1) tileBytes else countsOff)
+      le4(0) // next IFD
+      if (nTiles > 1) {
+        (0 until nTiles).foreach(i => le4(dataOff + i * tileBytes))
+        (0 until nTiles).foreach(_ => le4(tileBytes))
+      }
+      ((offsetsOff + (if (nTiles > 1) 8L * nTiles else 0)) until dataOff)
+        .foreach(_ => out.writeByte(0))
+      val buf = ByteBuffer.allocate((tileBytes * nTiles).toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for {
+        ty <- 0 until down; tx <- 0 until across
+        r <- 0 until tileH; c <- 0 until tileW
+      } {
+        val y = ty * tileH + r; val x = tx * tileW + c
+        buf.putFloat(if (y < height && x < width) values(y * width + x) else 0f)
+      }
+      out.write(buf.array())
+    } finally out.close()
+  }
+
   /** Minimal single-strip float32 GeoTIFF writer (little-endian) for test
     * fixtures and region-sized interchange — mirrors what the reference's
     * rasters carry: one band, ModelTiepoint/PixelScale, GDAL nodata.

@@ -233,15 +233,20 @@ object NetCDF {
     * for interchange with NetCDF-consuming tools.
     *
     * `data` maps variable name → (dim names, nc_type, values-as-doubles,
-    * attributes). Dims are defined by `dims` in order; no record dim
-    * (fixed-size file — simplest interchange form).
+    * attributes). Dims are defined by `dims` in order; at most one may be
+    * the record dim (length 0 — pass its actual extent as `numRecs`),
+    * matching real ERA5 layouts where time is UNLIMITED and variables
+    * interleave per record.
     */
   final case class VarSpec(dims: Seq[String], ncType: Int,
       values: Array[Double], atts: Seq[Att] = Nil)
 
   def write(path: String, dims: Seq[Dim], vars: Seq[(String, VarSpec)],
-      gatts: Seq[Att] = Nil): Unit = {
-    require(dims.forall(_.length > 0), "writer supports fixed dims only")
+      gatts: Seq[Att] = Nil, numRecs: Int = 0): Unit = {
+    require(dims.count(_.isRecord) <= 1, "at most one record dimension")
+    val recDimId = dims.indexWhere(_.isRecord)
+    require(recDimId >= 0 || numRecs == 0,
+      "numRecs given but no record (length-0) dimension declared")
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes(StandardCharsets.UTF_8)
@@ -282,47 +287,74 @@ object NetCDF {
       out.putInt(if (as.isEmpty) 0 else TAG_ATT).putInt(as.size).put(body)
       out.array()
     }
-    // layout pass: header size, then var begins in declaration order
+    def isRecVar(sp: VarSpec): Boolean =
+      recDimId >= 0 && sp.dims.headOption.exists(dimIdx(_) == recDimId)
+    /** per-record element count for a record var; total count for fixed. */
+    def fixedCount(sp: VarSpec): Long =
+      sp.dims.filter(dimIdx(_) != recDimId)
+        .map(d => dims(dimIdx(d)).length.toLong).product
+    vars.foreach { case (n, sp) =>
+      val expect =
+        if (isRecVar(sp)) fixedCount(sp) * numRecs else fixedCount(sp)
+      require(sp.values.length == expect,
+        s"$n: ${sp.values.length} values, dims imply $expect")
+    }
+    // vsize per spec: fixed = padded total; record = padded per-record slab
+    def vsize(sp: VarSpec): Long =
+      pad4(fixedCount(sp) * elemSize(sp.ncType))
+    val recVars = vars.filter { case (_, sp) => isRecVar(sp) }
+    val singleRec = recVars.size == 1
+    // layout pass: header size, then var begins — fixed vars first, then
+    // the record section (all record vars interleave per record)
     val varHeads = vars.map { case (n, sp) =>
-      val base = nameBytes(n).length + 4 + sp.dims.size * 4 +
+      nameBytes(n).length + 4 + sp.dims.size * 4 +
         attList(sp.atts).length + 4 /*type*/ + 4 /*vsize*/ + 4 /*begin CDF-1*/
-      base
     }
     val headerSize = 4 /*magic*/ + 4 /*numrecs*/ +
       8 + dims.map(d => nameBytes(d.name).length + 4).sum +
       attList(gatts).length +
       8 + varHeads.sum
     var offset = pad4(headerSize)
-    val begins = vars.map { case (_, sp) =>
-      val b = offset
-      val vsize = pad4(sp.values.length.toLong * elemSize(sp.ncType))
-      offset += vsize
-      b
+    val fixedBegins = scala.collection.mutable.Map.empty[String, Long]
+    vars.foreach { case (n, sp) =>
+      if (!isRecVar(sp)) { fixedBegins(n) = offset; offset += vsize(sp) }
     }
+    val recBegins = scala.collection.mutable.Map.empty[String, Long]
+    vars.foreach { case (n, sp) =>
+      if (isRecVar(sp)) {
+        recBegins(n) = offset
+        // the single-record-var exception: slabs pack without padding
+        offset += (if (singleRec) fixedCount(sp) * elemSize(sp.ncType)
+          else vsize(sp))
+      }
+    }
+    def beginOf(n: String): Long = fixedBegins.getOrElse(n, recBegins(n))
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
       out.write(Array[Byte]('C', 'D', 'F', 1))
-      out.writeInt(0) // numrecs (no record dim)
+      out.writeInt(if (recDimId >= 0) numRecs else 0)
       out.writeInt(TAG_DIM); out.writeInt(dims.size)
       dims.foreach { d => out.write(nameBytes(d.name)); out.writeInt(d.length) }
       out.write(attList(gatts))
       out.writeInt(TAG_VAR); out.writeInt(vars.size)
-      vars.zip(begins).foreach { case ((n, sp), begin) =>
+      vars.foreach { case (n, sp) =>
         out.write(nameBytes(n))
         out.writeInt(sp.dims.size)
         sp.dims.foreach(d => out.writeInt(dimIdx(d)))
         out.write(attList(sp.atts))
         out.writeInt(sp.ncType)
-        out.writeInt(pad4(sp.values.length.toLong * elemSize(sp.ncType)).toInt)
-        out.writeInt(begin.toInt)
+        out.writeInt(vsize(sp).toInt)
+        out.writeInt(beginOf(n).toInt)
       }
       // pad header to the first begin
       (headerSize until pad4(headerSize).toInt).foreach(_ => out.writeByte(0))
-      vars.foreach { case (_, sp) =>
+      def encode(sp: VarSpec, from: Int, count: Int, pad: Boolean): Array[Byte] = {
         val es = elemSize(sp.ncType)
-        val bb = ByteBuffer.allocate(pad4(sp.values.length.toLong * es).toInt)
-        sp.values.foreach { d =>
+        val size = if (pad) pad4(count.toLong * es).toInt else count * es
+        val bb = ByteBuffer.allocate(size)
+        (from until from + count).foreach { j =>
+          val d = sp.values(j)
           sp.ncType match {
             case NC_BYTE | NC_CHAR => bb.put(d.toByte)
             case NC_SHORT => bb.putShort(d.toShort)
@@ -331,7 +363,19 @@ object NetCDF {
             case NC_DOUBLE => bb.putDouble(d)
           }
         }
-        out.write(bb.array())
+        bb.array()
+      }
+      vars.foreach { case (_, sp) =>
+        if (!isRecVar(sp))
+          out.write(encode(sp, 0, sp.values.length, pad = true))
+      }
+      (0 until numRecs).foreach { rec =>
+        vars.foreach { case (_, sp) =>
+          if (isRecVar(sp)) {
+            val perRec = fixedCount(sp).toInt
+            out.write(encode(sp, rec * perRec, perRec, pad = !singleRec))
+          }
+        }
       }
     } finally out.close()
   }

@@ -161,6 +161,64 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("cols=[value]"), s"pruning not pushed:\n$plan")
   }
 
+  test("record (UNLIMITED) time dim: interleaved records read correctly") {
+    val d = tmpDir(); val p = s"$d/rec.nc"
+    // time is the record dim; TWO record vars exercise per-record
+    // interleaving (t2m shorts get padding, tp doubles don't need it)
+    val nT = 4; val nX = 3
+    NetCDF.write(p,
+      dims = Seq(Dim("time", 0), Dim("x", nX)),
+      vars = Seq(
+        "time" -> VarSpec(Seq("time"), NetCDF.NC_INT,
+          Array.tabulate(nT)(_.toDouble),
+          Seq(Att("units", NetCDF.NC_CHAR,
+            Left("hours since 2021-03-01 00:00:00")))),
+        "x" -> VarSpec(Seq("x"), NetCDF.NC_DOUBLE, Array(0.0, 1.0, 2.0)),
+        "t2m" -> VarSpec(Seq("time", "x"), NetCDF.NC_SHORT,
+          Array.tabulate(nT * nX)(i => (i * 3).toDouble)),
+        "tp" -> VarSpec(Seq("time", "x"), NetCDF.NC_DOUBLE,
+          Array.tabulate(nT * nX)(_ * 0.5))),
+      numRecs = nT)
+    val h = NetCDF.readHeader(p)
+    assert(h.numRecs == nT && h.dims.head.isRecord)
+    val df = spark.read.format("netcdf")
+      .option("targetRowsPerPartition", "3").load(p) // one slab per record
+    assert(df.rdd.getNumPartitions == nT)
+    val rows = df.orderBy("time", "x").collect()
+    assert(rows.length == nT * nX)
+    assert(rows.map(_.getAs[Double]("t2m")).toSeq ==
+      (0 until nT * nX).map(i => (i * 3).toDouble))
+    assert(rows.map(_.getAs[Double]("tp")).toSeq ==
+      (0 until nT * nX).map(_ * 0.5))
+    assert(rows(3).getAs[java.sql.Timestamp]("time") ==
+      java.sql.Timestamp.valueOf("2021-03-01 01:00:00"))
+    // single-record-var exception: only t2m over the record dim
+    val p1 = s"$d/rec1.nc"
+    NetCDF.write(p1, dims = Seq(Dim("time", 0), Dim("x", 2)),
+      vars = Seq("t2m" -> VarSpec(Seq("time", "x"), NetCDF.NC_SHORT,
+        Array.tabulate(6)(_.toDouble))), numRecs = 3)
+    val r1 = spark.read.format("netcdf").load(p1).orderBy("time", "x")
+      .collect().map(_.getAs[Double]("t2m")).toSeq
+    assert(r1 == (0 until 6).map(_.toDouble))
+  }
+
+  test("tiled TIFF: blocks clamp at edges; values match the strip layout") {
+    import graft.sources.GeoTIFF
+    val d = tmpDir()
+    // 7×5 raster with 3×2 tiles → 3×3 tile grid incl. ragged edges
+    val vals = Array.tabulate(35)(i => (i * 2).toFloat)
+    GeoTIFF.writeFloat32Tiled(s"$d/tiled.tif", 7, 5, vals, 3, 2)
+    GeoTIFF.writeFloat32(s"$d/strip.tif", 7, 5, vals,
+      originLon = 0, originLat = 0, scale = 1.0, nodata = None)
+    val t = GeoTIFF.readHeader(s"$d/tiled.tif")
+    assert(t.blocks.size == 9)
+    assert(t.blocks.last.w == 1 && t.blocks.last.h == 1) // clamped corner
+    def readAll(p: String) = spark.read.format("geotiff").load(p)
+      .select("y", "x", "value").orderBy("y", "x").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(readAll(s"$d/tiled.tif") == readAll(s"$d/strip.tif"))
+  }
+
   test("NetCDF codec round-trips randomized cubes (property)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
