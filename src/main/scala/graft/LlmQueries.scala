@@ -633,6 +633,70 @@ object LlmQueries {
             round(cos, 6) AS cos FROM fin WHERE rank <= 5"""
     })
 
+  /** Deterministic content-hash train/val/holdout split (90/5/5). */
+  private val l24 = Spec("q79_text_hash_split",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      Text.hashSplit(col("text"),
+        Seq("train" -> 90, "val" -> 5, "holdout" -> 5)).as("split")),
+    Some(s"""SELECT doc_id, CASE
+        WHEN ${phSql("text")} % 100 < 90 THEN 'train'
+        WHEN ${phSql("text")} % 100 < 95 THEN 'val'
+        ELSE 'holdout' END AS split FROM documents"""))
+
+  /** Corpus quality report: per predicted language, doc count + mean
+    * quality + mean token count — the end-of-pipeline summary every
+    * curation run emits. One staged projection then one aggregate.
+    */
+  private val l25 = Spec("q80_text_corpus_report",
+    (s, d) => {
+      val staged = T(s, d, "documents").select(col("doc_id"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      staged.select(
+        Text.langIdFromTokens(col("toks")).as("lang_pred"),
+        Text.qualityScoreFromTokens(col("text"), col("toks")).as("q"),
+        size(col("toks")).as("nt"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 6).as("mean_quality"),
+          round(avg(col("nt")), 6).as("mean_tokens"))
+    },
+    Some {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val counts = langs.map { l =>
+        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
+      }.mkString(", ")
+      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
+      val chain = langs.map(l =>
+        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
+          f AS (SELECT doc_id, text, words,
+            CAST(len(words) AS DOUBLE) AS n_tokens,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+            CASE WHEN len(words) > 0 THEN
+              CAST(len(list_filter(words, w -> list_contains(
+                ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+                / CAST(len(words) AS DOUBLE) END AS stopword_ratio
+          FROM t),
+          sc AS (SELECT doc_id, words,
+            coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+              + (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE)))
+              + least(stopword_ratio * 4, CAST(1 AS DOUBLE)))
+              / CAST(3 AS DOUBLE), CAST(0 AS DOUBLE)) AS q,
+            CAST(len(words) AS INT) AS nt FROM f),
+          lang AS (SELECT doc_id, $counts FROM t),
+          lp AS (SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
+            FROM lang)
+          SELECT lp.lang_pred, count(*) AS n_docs,
+            round(avg(sc.q), 6) AS mean_quality,
+            round(avg(sc.nt), 6) AS mean_tokens
+          FROM lp JOIN sc USING (doc_id) GROUP BY lp.lang_pred"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
-    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23)
+    l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
+    l24, l25)
 }

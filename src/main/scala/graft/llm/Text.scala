@@ -181,6 +181,26 @@ object Text {
     }
   }
 
+  // ------------------------------------------------------------ data splits
+
+  /** Deterministic train/validation/holdout assignment by content hash:
+    * bucket = polyhash(key) mod 100, cut by cumulative percentage. Content
+    * hashing (not id hashing) keeps exact duplicates in the SAME split —
+    * the leakage rule every training pipeline needs — and polyhash keeps
+    * the assignment portable across engines/reruns (no PRNG, no
+    * partition-order dependence).
+    */
+  def hashSplit(key: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = pmod(polyhash(key), lit(100))
+    val (expr, _) = cuts.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (name, pct)) =>
+        (when(bucket >= cum && bucket < cum + pct, name).otherwise(acc),
+          cum + pct)
+    }
+    expr
+  }
+
   // ----------------------------------------------------- repetition filters
 
   /** Fraction of tokens that are repeats of an earlier token

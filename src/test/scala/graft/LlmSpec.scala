@@ -100,6 +100,23 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getInt(2) == 2) // two phones
   }
 
+  test("hashSplit: content-keyed (dups co-split), covers 100%, validated") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), llm.Text.hashSplit(col("text"),
+      Seq("train" -> 90, "holdout" -> 10)).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L), "exact duplicates must land in one split")
+    // every bucket 0..99 is assigned (no null fall-through)
+    val all = Queries.T(spark, sf001, "documents").select(
+      llm.Text.hashSplit(col("text"), Seq("a" -> 50, "b" -> 50)).as("s"))
+    assert(all.filter(col("s").isNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      llm.Text.hashSplit(col("text"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   test("repetition metrics: dup-word and top-bigram fractions") {
     import spark.implicits._
     val df = Seq(
