@@ -638,7 +638,11 @@ object LlmQueries {
     (s, d) => T(s, d, "documents").select(col("doc_id"),
       Text.hashSplit(col("text"),
         Seq("train" -> 90, "val" -> 5, "holdout" -> 5)).as("split")),
+    // leading IS NULL arm: Spark's hashSplit propagates a NULL key to a
+    // NULL split, while a bare CASE would fall through NULL comparisons
+    // to the ELSE arm — divergent on any future null-text fixture
     Some(s"""SELECT doc_id, CASE
+        WHEN text IS NULL THEN NULL
         WHEN ${phSql("text")} % 100 < 90 THEN 'train'
         WHEN ${phSql("text")} % 100 < 95 THEN 'val'
         ELSE 'holdout' END AS split FROM documents"""))

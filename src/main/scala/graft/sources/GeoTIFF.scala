@@ -198,11 +198,42 @@ object GeoTIFF {
     out
   }
 
+  /** Shared little-endian TIFF primitive writer: the IFD must list its
+    * entries in ascending tag order (TIFF 6.0 hard requirement — libtiff
+    * consumers reject unsorted directories), so entries are collected and
+    * sorted before emission instead of trusting call order.
+    */
+  private final class LeWriter(path: String) {
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    private val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long)]
+    def le2(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le4(v: Long): Unit = {
+      le2((v & 0xFFFF).toInt); le2(((v >> 16) & 0xFFFF).toInt)
+    }
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit =
+      entries += ((tag, typ, count, value))
+    /** header + sorted IFD + next-IFD terminator. */
+    def writeHeaderAndIfd(ifdOffset: Long): Unit = {
+      out.write('I'); out.write('I'); le2(42); le4(ifdOffset)
+      le2(entries.size)
+      entries.sortBy(_._1).foreach { case (tag, typ, count, value) =>
+        le2(tag); le2(typ); le4(count); le4(value)
+      }
+      le4(0)
+    }
+    def close(): Unit = out.close()
+  }
+
   /** Tiled float32 TIFF writer (little-endian, no geo tags) — exercises
     * the tile-organized block path real WTD-scale rasters use (tiles are
     * the layout that makes block-range partitioning useful: a strip of a
     * 100k-wide raster is one huge block; a 256×256 tile is not). Padded
     * tile cells are written as zero and never surfaced (block w/h clamp).
+    * Tiles are buffered one at a time — a whole-raster buffer would both
+    * double peak memory and overflow ByteBuffer's 2 GiB bound on exactly
+    * the raster sizes tiling exists for.
     */
   def writeFloat32Tiled(path: String, width: Int, height: Int,
       values: Array[Float], tileW: Int, tileH: Int): Unit = {
@@ -210,13 +241,7 @@ object GeoTIFF {
     val across = (width + tileW - 1) / tileW
     val down = (height + tileH - 1) / tileH
     val nTiles = across * down
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(path)))
-    def le2(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    def le4(v: Long): Unit = { le2((v & 0xFFFF).toInt); le2(((v >> 16) & 0xFFFF).toInt) }
-    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-      le2(tag); le2(typ); le4(count); le4(value)
-    }
+    val w = new LeWriter(path)
     try {
       val nTags = 11
       val ifdOffset = 8L
@@ -225,37 +250,38 @@ object GeoTIFF {
       val countsOff = offsetsOff + 4L * nTiles
       val dataOff = (countsOff + 4L * nTiles + 3) & ~3L
       val tileBytes = tileW.toLong * tileH * 4
-      out.write('I'); out.write('I'); le2(42); le4(ifdOffset)
-      le2(nTags)
-      entry(TImageWidth, 4, 1, width)
-      entry(TImageLength, 4, 1, height)
-      entry(TBitsPerSample, 3, 1, 32)
-      entry(TCompression, 3, 1, 1)
-      entry(TSamplesPerPixel, 3, 1, 1)
-      entry(TPlanarConfig, 3, 1, 1)
-      entry(TSampleFormat, 3, 1, 3)
-      entry(TTileWidth, 3, 1, tileW)
-      entry(TTileLength, 3, 1, tileH)
-      entry(TTileOffsets, 4, nTiles, if (nTiles == 1) dataOff else offsetsOff)
-      entry(TTileByteCounts, 4, nTiles, if (nTiles == 1) tileBytes else countsOff)
-      le4(0) // next IFD
+      w.entry(TImageWidth, 4, 1, width)
+      w.entry(TImageLength, 4, 1, height)
+      w.entry(TBitsPerSample, 3, 1, 32)
+      w.entry(TCompression, 3, 1, 1)
+      w.entry(TSamplesPerPixel, 3, 1, 1)
+      w.entry(TPlanarConfig, 3, 1, 1)
+      w.entry(TSampleFormat, 3, 1, 3)
+      w.entry(TTileWidth, 3, 1, tileW)
+      w.entry(TTileLength, 3, 1, tileH)
+      w.entry(TTileOffsets, 4, nTiles,
+        if (nTiles == 1) dataOff else offsetsOff)
+      w.entry(TTileByteCounts, 4, nTiles,
+        if (nTiles == 1) tileBytes else countsOff)
+      w.writeHeaderAndIfd(ifdOffset)
       if (nTiles > 1) {
-        (0 until nTiles).foreach(i => le4(dataOff + i * tileBytes))
-        (0 until nTiles).foreach(_ => le4(tileBytes))
+        (0 until nTiles).foreach(i => w.le4(dataOff + i * tileBytes))
+        (0 until nTiles).foreach(_ => w.le4(tileBytes))
       }
       ((offsetsOff + (if (nTiles > 1) 8L * nTiles else 0)) until dataOff)
-        .foreach(_ => out.writeByte(0))
-      val buf = ByteBuffer.allocate((tileBytes * nTiles).toInt)
+        .foreach(_ => w.out.writeByte(0))
+      val buf = ByteBuffer.allocate(tileBytes.toInt)
         .order(ByteOrder.LITTLE_ENDIAN)
-      for {
-        ty <- 0 until down; tx <- 0 until across
-        r <- 0 until tileH; c <- 0 until tileW
-      } {
-        val y = ty * tileH + r; val x = tx * tileW + c
-        buf.putFloat(if (y < height && x < width) values(y * width + x) else 0f)
+      for { ty <- 0 until down; tx <- 0 until across } {
+        buf.clear()
+        for { r <- 0 until tileH; c <- 0 until tileW } {
+          val y = ty * tileH + r; val x = tx * tileW + c
+          buf.putFloat(
+            if (y < height && x < width) values(y * width + x) else 0f)
+        }
+        w.out.write(buf.array())
       }
-      out.write(buf.array())
-    } finally out.close()
+    } finally w.close()
   }
 
   /** Minimal single-strip float32 GeoTIFF writer (little-endian) for test
@@ -266,13 +292,7 @@ object GeoTIFF {
       values: Array[Float], originLon: Double, originLat: Double,
       scale: Double, nodata: Option[Float]): Unit = {
     require(values.length == width * height)
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(path)))
-    def le2(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    def le4(v: Long): Unit = { le2((v & 0xFFFF).toInt); le2(((v >> 16) & 0xFFFF).toInt) }
-    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-      le2(tag); le2(typ); le4(count); le4(value)
-    }
+    val w = new LeWriter(path)
     try {
       val nodataStr = nodata.map(v =>
         (if (v == v.toLong.toFloat) v.toLong.toString else v.toString) + "\u0000")
@@ -284,33 +304,30 @@ object GeoTIFF {
       val tieOff = aux; aux += 6 * 8
       val nodataOff = nodataStr.map { s => val o = aux; aux += s.length; o }
       val dataOff = (aux + 3) & ~3L
-      // header
-      out.write('I'); out.write('I'); le2(42); le4(ifdOffset)
-      le2(nTags)
-      entry(TImageWidth, 4, 1, width)
-      entry(TImageLength, 4, 1, height)
-      entry(TBitsPerSample, 3, 1, 32)
-      entry(TCompression, 3, 1, 1)
-      entry(TStripOffsets, 4, 1, dataOff)
-      entry(TSamplesPerPixel, 3, 1, 1)
-      entry(TRowsPerStrip, 4, 1, height)
-      entry(TStripByteCounts, 4, 1, width.toLong * height * 4)
-      entry(TSampleFormat, 3, 1, 3)
-      entry(TModelPixelScale, 12, 3, scaleOff)
-      entry(TModelTiepoint, 12, 6, tieOff)
-      nodataStr.foreach(s => entry(TGdalNodata, 2, s.length, nodataOff.get))
-      le4(0) // next IFD
+      w.entry(TImageWidth, 4, 1, width)
+      w.entry(TImageLength, 4, 1, height)
+      w.entry(TBitsPerSample, 3, 1, 32)
+      w.entry(TCompression, 3, 1, 1)
+      w.entry(TStripOffsets, 4, 1, dataOff)
+      w.entry(TSamplesPerPixel, 3, 1, 1)
+      w.entry(TRowsPerStrip, 4, 1, height)
+      w.entry(TStripByteCounts, 4, 1, width.toLong * height * 4)
+      w.entry(TSampleFormat, 3, 1, 3)
+      w.entry(TModelPixelScale, 12, 3, scaleOff)
+      w.entry(TModelTiepoint, 12, 6, tieOff)
+      nodataStr.foreach(s => w.entry(TGdalNodata, 2, s.length, nodataOff.get))
+      w.writeHeaderAndIfd(ifdOffset)
       val payload = ByteBuffer.allocate((dataOff - scaleOff).toInt)
         .order(ByteOrder.LITTLE_ENDIAN)
       payload.putDouble(scale).putDouble(scale).putDouble(0.0)
       payload.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       payload.putDouble(originLon).putDouble(originLat).putDouble(0.0)
       nodataStr.foreach(s => payload.put(s.getBytes(StandardCharsets.US_ASCII)))
-      out.write(payload.array())
+      w.out.write(payload.array())
       val data = ByteBuffer.allocate(values.length * 4)
         .order(ByteOrder.LITTLE_ENDIAN)
       values.foreach(data.putFloat)
-      out.write(data.array())
-    } finally out.close()
+      w.out.write(data.array())
+    } finally w.close()
   }
 }

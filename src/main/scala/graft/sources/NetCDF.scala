@@ -289,6 +289,13 @@ object NetCDF {
     }
     def isRecVar(sp: VarSpec): Boolean =
       recDimId >= 0 && sp.dims.headOption.exists(dimIdx(_) == recDimId)
+    // the classic format only permits the record dim as a variable's FIRST
+    // dimension — anywhere else the shape/offset arithmetic is undefined,
+    // so reject instead of writing a file that reads back as garbage
+    vars.foreach { case (n, sp) =>
+      require(!sp.dims.drop(1).exists(dimIdx(_) == recDimId),
+        s"$n: the record dimension must be the first dimension")
+    }
     /** per-record element count for a record var; total count for fixed. */
     def fixedCount(sp: VarSpec): Long =
       sp.dims.filter(dimIdx(_) != recDimId)

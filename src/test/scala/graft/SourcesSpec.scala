@@ -202,6 +202,32 @@ class SourcesSpec extends SparkSpec {
     assert(r1 == (0 until 6).map(_.toDouble))
   }
 
+  test("writer rejects a record dim in non-first position") {
+    val d = tmpDir()
+    intercept[IllegalArgumentException] {
+      NetCDF.write(s"$d/bad.nc", dims = Seq(Dim("time", 0), Dim("x", 3)),
+        vars = Seq("v" -> VarSpec(Seq("x", "time"), NetCDF.NC_DOUBLE,
+          Array(1.0, 2.0, 3.0))), numRecs = 2)
+    }
+  }
+
+  test("TIFF writers emit IFD entries in ascending tag order") {
+    import graft.sources.GeoTIFF
+    val d = tmpDir()
+    GeoTIFF.writeFloat32(s"$d/s.tif", 2, 2, Array(1f, 2f, 3f, 4f),
+      0, 0, 1.0, Some(-1f))
+    GeoTIFF.writeFloat32Tiled(s"$d/t.tif", 2, 2, Array(1f, 2f, 3f, 4f), 2, 1)
+    Seq(s"$d/s.tif", s"$d/t.tif").foreach { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = bb.getInt(4)
+      val n = bb.getShort(ifd) & 0xFFFF
+      val tags = (0 until n).map(i => bb.getShort(ifd + 2 + i * 12) & 0xFFFF)
+      assert(tags == tags.sorted, s"$p IFD tags unsorted: $tags")
+    }
+  }
+
   test("tiled TIFF: blocks clamp at edges; values match the strip layout") {
     import graft.sources.GeoTIFF
     val d = tmpDir()
