@@ -63,7 +63,9 @@ class LlmSpec extends SparkSpec {
   }
 
   test("GraftExtensions: native expressions callable from SQL") {
-    graft.functions.GraftExtensions.register(spark)
+    // Graft.session() reuses the shared test session and must still
+    // register the functions (idempotent) — the user-facing entry point
+    assert(Graft.session() eq spark)
     val r = spark.sql(
       """SELECT polyhash('abc') AS h,
          shingle_hashes('a b c d', 2) AS sh,
