@@ -102,4 +102,87 @@ object Planner {
     */
   def coveredHours(groups: Seq[RequestGroup]): Long =
     groups.map(g => g.months.size.toLong * g.days.size * g.hours.size).sum
+
+  // ------------------------------------------------------------- OP-SRC-7
+  // The CDS request BUILDER — the offline half of the acquisition stage
+  // (`api_request.py:47-118, :161-177`): dataset id, payload dict, and the
+  // reference's target-filename logic are pure functions of a planned
+  // group; only the network retrieve/download around them is out of
+  // engine (zero-egress environment, and it is I/O, not dataflow).
+
+  /** One buildable request: dataset id, ordered payload fields (values are
+    * either a String or a Seq[String]), and the download target filename.
+    */
+  final case class CdsRequest(dataset: String,
+      payload: Seq[(String, Either[String, Seq[String]])], filename: String)
+
+  /** Area list from 2-point (lat, lon) or 4-value (N, W, S, E) coords
+    * (`api_request.py:57-60`).
+    */
+  def area(coords: Seq[Double]): Seq[Double] = coords match {
+    case Seq(lat, lon) => Seq(lat, lon, lat, lon)
+    case four if four.size == 4 => four
+    case other => throw new IllegalArgumentException(
+      s"coords must have 2 or 4 values, got ${other.size}")
+  }
+
+  /** ERA5 hourly / monthly-means request payload (`api_request.py:61-73`
+    * monthly, `:92-104` hourly).
+    */
+  def buildEra5Request(g: RequestGroup, coords: Seq[Double],
+      vars: Seq[String], monthly: Boolean): CdsRequest = {
+    val a = area(coords).map(_.toString)
+    val common = Seq(
+      "variable" -> Right(vars),
+      "year" -> Right(Seq(g.year)),
+      "month" -> Right(g.months))
+    val fields =
+      if (monthly)
+        ("product_type" ->
+          Right(Seq("monthly_averaged_reanalysis_by_hour_of_day"))) +:
+          common :+ ("time" -> Right(g.hours))
+      else
+        ("product_type" -> Right(Seq("reanalysis"))) +: common ++: Seq(
+          "day" -> Right(g.days), "time" -> Right(g.hours))
+    CdsRequest(
+      if (monthly) "reanalysis-era5-single-levels-monthly-means"
+      else "reanalysis-era5-single-levels",
+      fields ++ Seq("area" -> Right(a),
+        "data_format" -> Left("netcdf"), "download_format" -> Left("zip")),
+      requestFilename(Seq(g.year), g.months, g.days, g.hours))
+  }
+
+  /** The CO₂ satellite product request (`api_request.py:161-177`). */
+  def buildCo2Request(co2FolderName: String): CdsRequest =
+    CdsRequest("satellite-carbon-dioxide", Seq(
+      "processing_level" -> Right(Seq("level_3")),
+      "variable" -> Left("xco2"),
+      "sensor_and_algorithm" -> Left("merged_obs4mips"),
+      "version" -> Right(Seq("4_5"))),
+      s"$co2FolderName.zip")
+
+  /** The reference's target-filename cascade (`_filename_logic`,
+    * `api_request.py:118-159`): inputs are sorted, then full-years →
+    * full-month → full-day → multi-day → multi-hour → single hour.
+    */
+  def requestFilename(years0: Seq[String], months0: Seq[String],
+      days0: Seq[String], times0: Seq[String]): String = {
+    val Seq(years, months, days, times) =
+      Seq(years0, months0, days0, times0).map(_.sorted)
+    val allHours = fullHours
+    if (months == (1 to 12).map(m => f"$m%02d") &&
+        days == (1 to 31).map(d => f"$d%02d") && times == allHours)
+      if (years.size == 1) s"ERA5_${years.head}_full-year.zip"
+      else s"ERA5_${years.head}to${years.last}_full-years.zip"
+    else if (days.size >= 28 && times == allHours)
+      s"ERA5_${years.head}-${months.head}_full-month.zip"
+    else if (times.size == 24)
+      s"ERA5_${years.head}-${months.head}-${days.head}_full-day.zip"
+    else if (days.size > 1)
+      s"ERA5_${years.head}-${months.head}_days${days.head}to${days.last}.zip"
+    else if (times.size > 1)
+      s"ERA5_${years.head}-${months.head}-${days.head}T${times.head}to${times.last}.zip"
+    else
+      s"ERA5_${years.head}-${months.head}-${days.head}T${times.head}.zip"
+  }
 }

@@ -70,4 +70,78 @@ class PlannerSpec extends AnyFunSuite {
     assert(gs(1).days.size == 30)   // april
     assert(gs(11).days.size == 29)  // feb 2020 (leap)
   }
+
+  test("CDS request builder: datasets, payload fields, area expansion") {
+    val g = Planner.RequestGroup("2020", Seq("03"), Seq("07"),
+      Seq("13:00", "14:00"))
+    val hourly = Planner.buildEra5Request(g, Seq(45.5, -73.5),
+      Seq("2m_temperature", "total_precipitation"), monthly = false)
+    assert(hourly.dataset == "reanalysis-era5-single-levels")
+    val hm = hourly.payload.toMap
+    assert(hm("product_type") == Right(Seq("reanalysis")))
+    assert(hm("year") == Right(Seq("2020")) && hm("day") == Right(Seq("07")))
+    // 2-point coords expand to a degenerate [N, W, S, E] box
+    assert(hm("area") == Right(Seq("45.5", "-73.5", "45.5", "-73.5")))
+    assert(hm("data_format") == Left("netcdf") &&
+      hm("download_format") == Left("zip"))
+    val monthly = Planner.buildEra5Request(g, Seq(50.0, -80.0, 40.0, -70.0),
+      Seq("2m_temperature"), monthly = true)
+    assert(monthly.dataset == "reanalysis-era5-single-levels-monthly-means")
+    val mm = monthly.payload.toMap
+    assert(mm("product_type") ==
+      Right(Seq("monthly_averaged_reanalysis_by_hour_of_day")))
+    assert(!mm.contains("day"))
+    val co2 = Planner.buildCo2Request("CO2_OBS4MIPS")
+    assert(co2.dataset == "satellite-carbon-dioxide" &&
+      co2.filename == "CO2_OBS4MIPS.zip")
+    intercept[IllegalArgumentException](Planner.area(Seq(1.0, 2.0, 3.0)))
+  }
+
+  test("filename cascade mirrors the reference's six cases") {
+    val allH = (0 until 24).map(h => f"$h%02d:00")
+    val allM = (1 to 12).map(m => f"$m%02d")
+    val allD31 = (1 to 31).map(d => f"$d%02d")
+    def f(y: Seq[String], m: Seq[String], d: Seq[String], t: Seq[String]) =
+      Planner.requestFilename(y, m, d, t)
+    assert(f(Seq("2020"), allM, allD31, allH) == "ERA5_2020_full-year.zip")
+    assert(f(Seq("2019", "2021"), allM, allD31, allH) ==
+      "ERA5_2019to2021_full-years.zip")
+    assert(f(Seq("2020"), Seq("02"), (1 to 29).map(d => f"$d%02d"), allH) ==
+      "ERA5_2020-02_full-month.zip")
+    assert(f(Seq("2020"), Seq("03"), Seq("07"), allH) ==
+      "ERA5_2020-03-07_full-day.zip")
+    assert(f(Seq("2020"), Seq("03"), Seq("07", "09"), Seq("13:00")) ==
+      "ERA5_2020-03_days07to09.zip")
+    assert(f(Seq("2020"), Seq("03"), Seq("07"), Seq("13:00", "15:00")) ==
+      "ERA5_2020-03-07T13:00to15:00.zip")
+    assert(f(Seq("2020"), Seq("03"), Seq("07"), Seq("13:00")) ==
+      "ERA5_2020-03-07T13:00.zip")
+  }
+
+  test("zip extraction: per-stem layout, delete-after, slip guard") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip").toString
+    def mkZip(name: String, entries: Seq[(String, String)]): String = {
+      val p = s"$dir/$name"
+      val z = new ZipOutputStream(new java.io.FileOutputStream(p))
+      entries.foreach { case (n, content) =>
+        z.putNextEntry(new ZipEntry(n))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); p
+    }
+    mkZip("region_A.zip", Seq("a.nc" -> "alpha", "sub/b.nc" -> "beta"))
+    mkZip("region_B.zip", Seq("c.tif" -> "gamma"))
+    val out = graft.engine.Ingest.extractAll(dir, s"$dir/unzipped",
+      deleteZips = true)
+    assert(out.keySet == Set("region_A", "region_B"))
+    assert(out("region_A").size == 2)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/unzipped/region_A/sub/b.nc")) == "beta")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/region_A.zip"))) // deleted
+    val evil = mkZip("evil.zip", Seq("../escape.txt" -> "bad"))
+    intercept[IllegalArgumentException](
+      graft.engine.Ingest.unzip(evil, s"$dir/safe"))
+  }
 }
