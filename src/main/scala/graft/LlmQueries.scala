@@ -455,8 +455,12 @@ object LlmQueries {
   private val l17 = Spec("q68_sim_ivf_topk",
     (s, d) => {
       val emb = T(s, d, "embeddings")
+      // trainFraction 0.5: full-probe results are provably invariant to
+      // the quantizer's training sample (LlmSpec asserts it), and halving
+      // the KMeans fit is the dominant cost of this query
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
-        "embedding", "vec_id", k = 5, nCells = 8, nprobe = 8)
+        "embedding", "vec_id", k = 5, nCells = 8, nprobe = 8,
+        trainFraction = 0.5)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
     },
