@@ -59,6 +59,30 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-stream interval join: match left and right events on `keys`
+    * when the right timestamp falls within `[left.ts - lowerBound,
+    * left.ts + upperBound]`. BOTH sides carry watermarks and the join
+    * condition bounds the time skew, so each side's state store holds only
+    * the watermark+bound horizon — the canonical bounded-state shape for
+    * correlating two live feeds (click/impression, sensor/actuator). On
+    * batch frames the same call degrades to a plain range-condition join
+    * and stays oracle-checkable.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lowerBound: String,
+      upperBound: String, watermark: String): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark)
+      else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark)
+      else right
+    require(leftTs != rightTs,
+      "left and right time columns must have distinct names")
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerBound") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperBound")
+    keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

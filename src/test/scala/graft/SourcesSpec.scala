@@ -245,6 +245,42 @@ class SourcesSpec extends SparkSpec {
     assert(readAll(s"$d/tiled.tif") == readAll(s"$d/strip.tif"))
   }
 
+  test("GeoTIFF tiled/strip layouts agree on randomized rasters (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.sources.GeoTIFF
+    val d = tmpDir()
+    var n = 0
+    val gen = for {
+      w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+      tw <- Gen.choose(1, 5); th <- Gen.choose(1, 5)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, tw, th, seed)
+    val prop = forAll(gen) { case (w, h, tw, th, seed) =>
+      n += 1
+      val vals = Array.tabulate(w * h)(i => ((seed + i * 13) % 997).toFloat)
+      val sp = s"$d/ps_$n.tif"; val tp = s"$d/pt_$n.tif"
+      GeoTIFF.writeFloat32(sp, w, h, vals, 0, 0, 1.0, None)
+      GeoTIFF.writeFloat32Tiled(tp, w, h, vals, tw, th)
+      def cells(p: String): Seq[(Int, Int, Double)] = {
+        val t = GeoTIFF.readHeader(p)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.READ)
+        try t.blocks.flatMap { b =>
+          val data = GeoTIFF.readBlock(ch, t, b)
+          for (r <- 0 until b.h; c <- 0 until b.w)
+            yield (b.y0 + r, b.x0 + c, data(r * b.w + c))
+        }.sortBy(x => (x._1, x._2))
+        finally ch.close()
+      }
+      Prop(cells(sp) == cells(tp))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"GeoTIFF layout property failed: ${res.status}")
+  }
+
   test("NetCDF codec round-trips randomized cubes (property)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll

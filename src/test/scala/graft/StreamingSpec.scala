@@ -68,6 +68,44 @@ class StreamingSpec extends SparkSpec {
       "1 hour").count() == 1)
   }
 
+  test("intervalJoin correlates two streams within the time bound") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val out = Streaming.intervalJoin(
+      clicks.toDF().toDF("user_id", "c_ts"),
+      views.toDF().toDF("user_id", "v_ts"),
+      Seq("user_id"), "c_ts", "v_ts",
+      lowerBound = "10 minutes", upperBound = "0 minutes",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),  // in bound
+        (1L, Timestamp.valueOf("2024-01-01 09:40:00")),  // too early
+        (2L, Timestamp.valueOf("2024-01-01 10:03:00")))  // other user
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT user_id, v_ts FROM ivjoin").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getAs[Timestamp]("v_ts") ==
+        Timestamp.valueOf("2024-01-01 10:00:00"))
+    } finally q.stop()
+    // batch face: plain range-condition join, same semantics
+    val bc = Seq((1L, Timestamp.valueOf("2024-01-01 10:05:00")))
+      .toDF("user_id", "c_ts")
+    val bv = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 09:40:00")))
+      .toDF("user_id", "v_ts")
+    assert(Streaming.intervalJoin(bc, bv, Seq("user_id"), "c_ts", "v_ts",
+      "10 minutes", "0 minutes", "1 hour").count() == 1)
+  }
+
   test("batch and streaming faces of the transform agree") {
     val sp = spark
     import sp.implicits._
