@@ -164,6 +164,14 @@ object Planner {
   /** The reference's target-filename cascade (`_filename_logic`,
     * `api_request.py:118-159`): inputs are sorted, then full-years →
     * full-month → full-day → multi-day → multi-hour → single hour.
+    *
+    * Replicated literally, including the quirk that the full-month /
+    * full-day branches name only `months.head` (`api_request.py:144-148`)
+    * — a hand-built multi-month request that isn't the full-year pattern
+    * would collide with the single-month filename, exactly as it does in
+    * the reference. Planner-produced groups never hit this: hourly groups
+    * are single-month, monthly groups are single-month or the full-year
+    * pattern.
     */
   def requestFilename(years0: Seq[String], months0: Seq[String],
       days0: Seq[String], times0: Seq[String]): String = {

@@ -77,9 +77,14 @@ object Streaming {
       else right
     require(leftTs != rightTs,
       "left and right time columns must have distinct names")
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerBound") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperBound")
+    // side-anchored resolution (l(...)/r(...)): bare col(...) would be
+    // AMBIGUOUS_REFERENCE whenever one input also carries a column named
+    // like the other side's timestamp; keyless calls are a pure
+    // time-correlation join on the bound alone
+    val timeCond =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerBound") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound")
+    val cond = keys.map(k => l(k) === r(k)).foldLeft(timeCond)(_ && _)
     keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 

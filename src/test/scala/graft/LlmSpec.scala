@@ -63,9 +63,12 @@ class LlmSpec extends SparkSpec {
   }
 
   test("GraftExtensions: native expressions callable from SQL") {
-    // Graft.session() reuses the shared test session and must still
-    // register the functions (idempotent) — the user-facing entry point
-    assert(Graft.session() eq spark)
+    // force the shared session FIRST (Graft.builder sets no master — in a
+    // fresh JVM an isolated run of this test would otherwise getOrCreate
+    // a masterless session and fail before the asserts), then verify the
+    // entry point reuses it and registers the functions (idempotent)
+    val shared = spark
+    assert(Graft.session() eq shared)
     val r = spark.sql(
       """SELECT polyhash('abc') AS h,
          shingle_hashes('a b c d', 2) AS sh,
