@@ -704,7 +704,33 @@ object LlmQueries {
           FROM lp JOIN sc USING (doc_id) GROUP BY lp.lang_pred"""
     })
 
+  /** End-to-end corpus dedup: the near-dup corpus pruned to cluster
+    * survivors (LSH pairs → connected components → anti-join) — the
+    * operation a training pipeline actually ships.
+    */
+  private val l26 = Spec("q81_dedup_prune_corpus",
+    (s, d) => {
+      val corpus = nearDupCorpus(s, d)
+      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+        shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+        maxBucket = 1000)
+      val clusters = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      Dedup.pruneDuplicates(corpus, "doc_id", clusters)
+        .select(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshCtes,
+        cand AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT s FROM edges),
+        reach(s, d) AS (SELECT s, s FROM nodes
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        cl AS (SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s)
+        SELECT doc_id FROM corpus WHERE doc_id NOT IN
+          (SELECT doc FROM cl WHERE doc != cluster)"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25)
+    l24, l25, l26)
 }

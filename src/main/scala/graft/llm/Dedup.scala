@@ -261,6 +261,20 @@ object Dedup {
     labels
   }
 
+  /** Keep one document per duplicate cluster: drop every doc whose cluster
+    * label differs from its own id (the canonical min-id survivor stays;
+    * docs never seen in a pair are untouched). The capstone of the dedup
+    * chain — corpus → candidates → verify → clusters → pruned corpus —
+    * as one broadcast-able anti-join: the drop list is |duplicates|-sized,
+    * far below corpus size at any realistic dup rate.
+    */
+  def pruneDuplicates(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc") =!= col("cluster"))
+        .select(col("doc").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** n-gram Jaccard over all candidate pairs from LSH, verified exactly:
     * join shingle sets back onto the candidate pairs and compute true
     * Jaccard.

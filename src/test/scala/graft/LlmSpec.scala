@@ -174,6 +174,17 @@ class LlmSpec extends SparkSpec {
       s"chain not fully converged: ${out.filter(_.getLong(1) != 1L).take(5).mkString(",")}")
   }
 
+  test("pruneDuplicates keeps one survivor per cluster, untouched docs stay") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    // clusters: {1,2,3} survivor 1; {4} self-labeled; 9 never paired
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc", "cluster")
+    val kept = Dedup.pruneDuplicates(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 9L))
+  }
+
   test("exact dedup finds injected duplicates deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "aaa bbb"), (2L, "ccc ddd"), (7L, "aaa bbb"))
