@@ -116,25 +116,31 @@ object Joins {
     */
   def cornerSnapClip(grid: DataFrame, regions: DataFrame, idCol: String,
       latCol: String, lonCol: String): DataFrame = {
-    // persist the distinct coordinate axes: each is referenced by both the
-    // hi and lo snap passes, and an unpersisted reference would re-run the
-    // full-fact DISTINCT aggregate per reference — four corpus scans
-    // instead of two cached coordinate lists (≤ thousands of rows)
-    val lats = grid.select(col(latCol).as("v")).distinct().persist()
-    val lons = grid.select(col(lonCol).as("v")).distinct().persist()
+    // ONE fact scan extracts BOTH coordinate axes: collect_set partial
+    // aggregation keeps every per-partition set bounded by axis cardinality
+    // (a planetary grid has ≤ thousands of distinct values per axis), so
+    // the shuffle moves axis-sized sets, not rows. The axes then live as
+    // driver-local dimension tables — catalog-sized, the same contract as
+    // the anchors/regions collects elsewhere — so the snap passes are pure
+    // broadcast work with no cache to pin or checkpoint. The fact is thus
+    // touched exactly twice (axis scan + final broadcast clip), never
+    // shuffled. Null coordinates never snap (collect_set drops nulls).
+    val spark = grid.sparkSession
+    val axesRow = grid.agg(collect_set(col(latCol)).as("lats"),
+      collect_set(col(lonCol)).as("lons")).head()
+    def axisFrame(values: Seq[Any], dt: org.apache.spark.sql.types.DataType) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(values.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", dt, nullable = false))))
+    val lats = axisFrame(axesRow.getSeq[Any](0), grid.schema(latCol).dataType)
+    val lons = axisFrame(axesRow.getSeq[Any](1), grid.schema(lonCol).dataType)
     val latSpec = cornerSnapPair(regions, idCol, "lat_max", "lat_min", lats,
       "lat_hi_snap", "lat_lo_snap")
     val lonSpec = cornerSnapPair(regions, idCol, "lon_max", "lon_min", lons,
       "lon_hi_snap", "lon_lo_snap")
-    // the spec is region-count-sized: checkpoint it EAGERLY so the cached
-    // axes can be released right here instead of pinning executor storage
-    // for the session's lifetime (every reference below reads the
-    // checkpointed rows, not the lats/lons lineage)
     val spec = regions.join(broadcast(latSpec), Seq(idCol))
       .join(broadcast(lonSpec), Seq(idCol))
-      .localCheckpoint()
-    lats.unpersist()
-    lons.unpersist()
     grid.join(broadcast(spec),
       (col(latCol) === col("lat_hi_snap") ||
         col(latCol) === col("lat_lo_snap")) &&

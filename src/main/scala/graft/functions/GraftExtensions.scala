@@ -62,6 +62,59 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "dot(a, b)")
         DotProduct(args.head, args(1))
+      }),
+    ("simhash",
+      info("simhash", "simhash(hashes, bits) - majority-bit fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "simhash(hashes, bits)")
+        SimHash(args.head, intLit(args(1), "simhash bits"))
+      }),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(hashes, k) - k-permutation MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "minhash_sig(hashes, k)")
+        MinHashSig(args.head, intLit(args(1), "signature length"))
+      }),
+    ("tokens",
+      info("tokens", "tokens(str) - normalized [a-z0-9] token runs"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "tokens(str)")
+        Tokens(args.head)
+      }),
+    ("token_count",
+      info("token_count", "token_count(str) - normalized token run count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "token_count(str)")
+        TokenCount(args.head)
+      }),
+    ("token_hashes",
+      info("token_hashes",
+        "token_hashes(str) - per-token polyhash array (order/dups kept)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "token_hashes(str)")
+        TokenHashes(args.head)
+      }),
+    ("jaccard_sets",
+      info("jaccard_sets",
+        "jaccard_sets(a, b) - exact distinct-element Jaccard similarity"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaccard_sets(a, b)")
+        JaccardSets(args.head, args(1))
+      }),
+    ("top_ngram_fraction",
+      info("top_ngram_fraction",
+        "top_ngram_fraction(toks, n) - most-frequent-ngram fraction"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "top_ngram_fraction(toks, n)")
+        TopNgramFraction(args.head, intLit(args(1), "ngram width"))
+      }),
+    ("mod_filter_sorted",
+      info("mod_filter_sorted",
+        "mod_filter_sorted(hashes, m) - sorted h%m==0 selection"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "mod_filter_sorted(hashes, m)")
+        ModFilterSorted(args.head, intLit(args(1), "modulus"))
       }))
 
   /** Register into an already-running session (tests, REPL). */

@@ -39,20 +39,16 @@ object Dedup {
     * aᵢ = 2i+1 (odd), bᵢ = 12345·i + 7. Closed-form constants keep the
     * signature oracle-computable in ANSI SQL.
     *
-    * PERF: callers must stage the shingle hashes through a projection
-    * boundary ([[shingleSets]]) — referencing `Text.shingleHashes(text)`
-    * here directly would clone the expensive subtree k times into one
-    * projection, and higher-order functions don't codegen, so nothing
-    * dedupes the clones (measured 50×+ slowdown).
+    * Native single-pass codegen'd expression
+    * ([[graft.functions.MinHashSig]]); bit-identical to the equivalent
+    * `array(array_min(transform(hs, …)) × k)` HOF chain (property-tested in
+    * LlmSpec), which ran k interpreted array passes per row and dominated
+    * the LSH candidate stage. Callers should still stage the shingle
+    * hashes through a projection boundary ([[shingleSets]]) so the
+    * expensive hash build isn't cloned per reference.
     */
-  def signatureFromHashes(hashes: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      val a = 2L * i + 1
-      val b = 12345L * i + 7
-      array_min(transform(hashes, h => (h * a + b) % P))
-    }
-    array(sigs: _*)
-  }
+  def signatureFromHashes(hashes: Column, k: Int): Column =
+    graft.functions.MinHashSig.minhashSig(hashes, k)
 
   /** (id, hs) shingle-hash-set frame — the staging projection the minhash /
     * jaccard operators build on. CollapseProject keeps it materialized
@@ -122,31 +118,37 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Per-token polyhash array (order + duplicates kept — the SimHash base)
+    * as one native scan; the 64-bit production variant maps xxhash64 over
+    * the native tokenizer.
+    */
+  val tokenHashesPoly: Column => Column =
+    t => graft.functions.TokenHashes.tokenHashes(t)
+  val tokenHashes64: Column => Column =
+    t => transform(graft.functions.Tokens.tokens(t), h => xxhash64(h))
+
   /** SimHash over token hashes: bit i of the fingerprint is set iff more
     * than half the token hashes have bit i set. Pure per-row array math —
     * zero shuffle over the corpus.
     *
     * `bits` must not exceed the token-hash space: ≤ 30 with the default
-    * polyhash (2^30 range — keeps the fingerprint oracle-computable in
-    * ANSI SQL), up to 64 with `tokenHashFn = xxhash64` (the production
-    * path — see [[simhashCandidates]] on why width matters at scale).
+    * polyhash token hashes (2^30 range — keeps the fingerprint
+    * oracle-computable in ANSI SQL), up to 64 with
+    * `tokenHashesFn = tokenHashes64` (the production path — see
+    * [[simhashCandidates]] on why width matters at scale).
     */
   def simhash(text: Column, bits: Int = 30,
-      tokenHashFn: Column => Column = polyhash(_)): Column =
-    simhashFromHashes(transform(Text.tokens(text), tokenHashFn), bits)
+      tokenHashesFn: Column => Column = tokenHashesPoly): Column =
+    simhashFromHashes(tokenHashesFn(text), bits)
 
-  /** PERF variant over a pre-materialized token-hash array (the bit terms
-    * reference it `bits`+1 times — stage it through a projection).
+  /** SimHash over a pre-materialized token-hash array, as ONE native
+    * codegen'd pass ([[graft.functions.SimHash]]); bit-identical
+    * (property-tested) to the `bits` separate `aggregate` HOF folds it
+    * replaces — those ran 64 interpreted array passes per row at
+    * production width and were the top regression of round 3's bench.
     */
-  def simhashFromHashes(hashes: Column, bits: Int = 30): Column = {
-    val n = size(hashes)
-    val terms = (0 until bits).map { i =>
-      val setCount = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-      when(setCount * 2 > n, lit(1L) * (1L << i)).otherwise(0L)
-    }
-    terms.reduce(_ + _)
-  }
+  def simhashFromHashes(hashes: Column, bits: Int = 30): Column =
+    graft.functions.SimHash.simhash(hashes, bits)
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -171,15 +173,14 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
       maxBucket: Int = 1000,
-      tokenHashFn: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHashesFn: Column => Column = tokenHashes64): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     require(maxHamming < bands,
       "pigeonhole only guarantees recall for hamming < bands")
     val w = bits / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = docs
-      .select(col(idCol).as("doc"),
-        transform(Text.tokens(col(textCol)), tokenHashFn).as("hh"))
+      .select(col(idCol).as("doc"), tokenHashesFn(col(textCol)).as("hh"))
       .select(col("doc"), simhashFromHashes(col("hh"), bits).as("sh"))
     val banded = sh.select(col("doc"), col("sh"), posexplode(
       array((0 until bands).map(j =>
@@ -202,13 +203,13 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
-    * shingle-hash-set columns — the verification stage after LSH.
+    * shingle-hash-set columns — the verification stage after LSH. Native
+    * one-pass expression ([[graft.functions.JaccardSets]]); identical
+    * (property-tested) to the `size(array_intersect)/size(array_union)`
+    * chain with its 0.0-on-empty/null guard.
     */
-  def jaccard(setA: Column, setB: Column): Column = {
-    val inter = size(array_intersect(setA, setB)).cast("double")
-    val union = size(array_union(setA, setB)).cast("double")
-    when(union > 0, inter / union).otherwise(lit(0d))
-  }
+  def jaccard(setA: Column, setB: Column): Column =
+    graft.functions.JaccardSets.jaccardSets(setA, setB)
 
   /** Duplicate clustering: connected components over a near-dup pair list
     * by iterative min-label propagation (the join-based form of
@@ -285,9 +286,9 @@ object Dedup {
     * candidate-involved docs before the verify join so only plausible
     * pairs carry their heavy hash arrays through a shuffle — at 100 TB
     * candidates ≪ corpus, so the verify join moves a sliver of the data.
-    * The persisted frames are corpus-narrow (id + hash array / pair list)
-    * and evictable (MEMORY_AND_DISK); callers running inside a larger job
-    * can `spark.catalog.clearCache()` afterwards.
+    * The verified pair list (≪ corpus at any real dup rate) is
+    * checkpointed eagerly so both caches release HERE instead of pinning
+    * executor storage for the session lifetime (the cornerSnapClip idiom).
     */
   def fuzzyDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
@@ -298,11 +299,15 @@ object Dedup {
     val involved = cands.select(col("doc_a").as("doc"))
       .unionByName(cands.select(col("doc_b").as("doc"))).distinct()
     val needed = sets.join(involved, Seq("doc"), "left_semi")
-    cands
+    val verified = cands
       .join(needed.select(col("doc").as("doc_a"), col("hs").as("set_a")), "doc_a")
       .join(needed.select(col("doc").as("doc_b"), col("hs").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .localCheckpoint()
+    sets.unpersist()
+    cands.unpersist()
+    verified
   }
 }

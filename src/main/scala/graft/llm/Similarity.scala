@@ -135,21 +135,27 @@ object Similarity {
     math.max(1, math.ceil(math.log(math.max(1.0,
       corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
-  /** Data-derived anchors sized by [[anchorCount]]: the corpus's first m
-    * vectors by id — deterministic, no PRNG, and the count scales with
-    * log(N) instead of being hard-coded. One count + one m-row collect,
-    * both catalog-cheap.
+  /** The corpus's first m vectors by id — the deterministic, PRNG-free
+    * anchor choice. One m-row collect, catalog-cheap.
     */
-  def autoAnchors(corpus: DataFrame, idCol: String, vecCol: String,
-      targetBucket: Long = 1024): Seq[Seq[Double]] = {
-    val m = anchorCount(corpus.count(), targetBucket)
+  def firstVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int): Seq[Seq[Double]] =
     // element-type-agnostic: cast to array<double> in-plan instead of
     // assuming Float rows (array<double> corpora would CCE at getSeq)
     corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(m).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
-  }
+
+  /** Data-derived anchors sized by [[anchorCount]]: the corpus's first
+    * `anchorCount(N)` vectors by id — the count scales with log(N) instead
+    * of being hard-coded. One count + one m-row collect, both
+    * catalog-cheap.
+    */
+  def autoAnchors(corpus: DataFrame, idCol: String, vecCol: String,
+      targetBucket: Long = 1024): Seq[Seq[Double]] =
+    firstVectors(corpus, idCol, vecCol,
+      anchorCount(corpus.count(), targetBucket))
 
   /** Sign-LSH bucket id: the m-bit sign pattern of dot products against m
     * anchor hyperplanes. Anchors are data-derived (the corpus's first m
@@ -176,19 +182,33 @@ object Similarity {
     * Deterministic for fixed seed + input. Returns (model's cell
     * assignment frame, search function).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, queryIdCol: String, k: Int, nCells: Int,
-      nprobe: Int, trainFraction: Double = 1.0): DataFrame = {
-    // the quantizer only needs a representative sample — at 100 TB you fit
-    // on ~1M vectors (trainFraction ≈ 1e-5), then the full corpus takes
-    // one narrow assignment pass; sampling is seeded so runs reproduce
+  /** Fit the IVF coarse quantizer separately from search — the production
+    * shape: train once (on a sample — at 100 TB you fit on ~1M vectors,
+    * trainFraction ≈ 1e-5), reuse across every query batch. Sampling and
+    * init are seeded so runs reproduce.
+    */
+  def fitQuantizer(corpus: DataFrame, vecCol: String, nCells: Int,
+      trainFraction: Double = 1.0, maxIter: Int = 20)
+      : org.apache.spark.ml.clustering.KMeansModel = {
     val fv = array_to_vector(col(vecCol).cast("array<double>"))
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
-    val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(20)
+    new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")
-    val model = kmeans.fit(trainSet.select(fv.as("__fv")))
+      .fit(trainSet.select(fv.as("__fv")))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, nCells: Int,
+      nprobe: Int, trainFraction: Double = 1.0, maxIter: Int = 20,
+      prefit: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    // a pre-fit quantizer decouples training cost from the search path
+    // entirely; otherwise fit here (sample-able, seeded)
+    val fv = array_to_vector(col(vecCol).cast("array<double>"))
+    val model = prefit.getOrElse(
+      fitQuantizer(corpus, vecCol, nCells, trainFraction, maxIter))
     val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val assigned = model.transform(corpus.withColumn("__fv", fv))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
@@ -218,11 +238,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: self-join within LSH buckets,
     * keep pairs above the cosine threshold. Same never-all-pairs posture as
     * minhash dedup — one bucket-keyed shuffle, per-bucket quadratic only.
+    * `maxBucket` is the same degenerate-bucket hot-key guard as in
+    * `Dedup.minhashCandidates`: a near-constant embedding cluster (e.g.
+    * boilerplate pages) cannot silently go quadratic inside one bucket.
     */
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
-      anchors: Seq[Seq[Double]], minCos: Double): DataFrame = {
-    val b = lshBuckets(vectors, vecCol, anchors)
+      anchors: Seq[Seq[Double]], minCos: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val b0 = lshBuckets(vectors, vecCol, anchors)
       .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
+    val b = b0.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val lhs = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val rhs = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     lhs.join(rhs, Seq("bucket"))

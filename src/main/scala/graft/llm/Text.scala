@@ -20,12 +20,18 @@ object Text {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", " ")
 
-  /** Whitespace tokens of the normalized text (empty strings dropped). */
+  /** Whitespace tokens of the normalized text (empty strings dropped).
+    * Native one-scan tokenizer ([[graft.functions.Tokens]]); identical
+    * (property-tested) to
+    * `filter(split(trim(normalize(text)), " +"), _ =!= "")`, whose filter
+    * HOF ran interpreted on every corpus pass.
+    */
   def tokens(text: Column): Column =
-    filter(split(trim(normalize(text)), " +"), t => t =!= "")
+    graft.functions.Tokens.tokens(text)
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — counting scan, no token array materialized. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCount.tokenCount(text)
 
   /** BPE-ish subword count: runs of letters, runs of digits, runs of other
     * non-space symbols each count as one token — the standard pre-tokenizer
@@ -77,9 +83,15 @@ object Text {
     "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "y"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ni"))
 
-  /** Count of tokens belonging to a marker list. */
+  /** Count of tokens belonging to a marker list. Native counting pass
+    * ([[graft.functions.StopwordCount]]) — beyond skipping the interpreted
+    * `size(filter(isin))` chain, a codegen'd leaf participates in
+    * whole-stage common-subexpression elimination, which the language-ID
+    * CASE chain needs (each count is referenced ~7×; the HOF form
+    * re-scanned the token array per reference).
+    */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    graft.functions.StopwordCount.stopwordCount(toks, words)
 
   /** Heuristic language ID: the language with the highest marker count,
     * ties broken by a fixed priority chain (en > de > fr > es > zh) so the
@@ -112,7 +124,7 @@ object Text {
       toks: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
-    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val sumLen = graft.functions.StrArrayLenSum.strArrayLenSum(toks)
     // lower() first — [^a-z0-9 ] on raw text would count every UPPERCASE
     // letter as punctuation and zero the quality score of capitalized docs
     val punct = length(text) -
@@ -143,7 +155,8 @@ object Text {
     * array makes the fingerprint order-canonical.
     */
   def fingerprint(text: Column, w: Int = 4, keepMod: Int = 8): Column =
-    array_sort(filter(shingleHashes(text, w), h => h % keepMod === 0))
+    graft.functions.ModFilterSorted.modFilterSorted(shingleHashes(text, w),
+      keepMod)
 
   // ------------------------------------------------------------- PII scrub
 
@@ -230,6 +243,14 @@ object Text {
       .otherwise(lit(0d))
   }
 
+  /** One-pass native form over a pre-staged token array — identical
+    * (property-tested) to `topNgramFractionFromGrams(ngrams(toks, n))`,
+    * which built every gram string and then counted each distinct gram
+    * with an interpreted O(distinct × grams) filter pass.
+    */
+  def topNgramFractionFromTokens(toks: Column, n: Int): Column =
+    graft.functions.TopNgramFraction.topNgramFraction(toks, n)
+
   def topNgramFraction(text: Column, n: Int): Column =
-    topNgramFractionFromGrams(ngrams(tokens(text), n))
+    topNgramFractionFromTokens(tokens(text), n)
 }

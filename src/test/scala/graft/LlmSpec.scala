@@ -49,6 +49,67 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows diverge between native and Column shingles")
   }
 
+  test("native token/sig/jaccard expressions == HOF Column chains") {
+    import spark.implicits._
+    import graft.functions._
+    val P = Dedup.P
+    val docs = Queries.T(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq("", "ab", "one two", "one two three",
+        "Crème BRÛLÉE, twice! Crème brûlée again", "  padded   spaces  ",
+        "a b a b a b", "123 456 789 123 456", "solo",
+        "x y x y x", "a a a a").toDF("text"))
+      .unionByName(spark.range(1).select(lit(null).cast("string").as("text")))
+    // the pre-native composable forms, reconstructed verbatim
+    val slowTokens = filter(split(trim(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " ")), " +"), t => t =!= "")
+    val slowHashes = transform(slowTokens, t => polyhash(t))
+    def slowSig(hs: org.apache.spark.sql.Column, k: Int) =
+      array((0 until k).map { i =>
+        val a = 2L * i + 1
+        val b = 12345L * i + 7
+        array_min(transform(hs, h => (h * a + b) % P))
+      }: _*)
+    def slowSimhash(hs: org.apache.spark.sql.Column, bits: Int) =
+      (0 until bits).map { i =>
+        val setCount = aggregate(hs, lit(0L),
+          (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+        when(setCount * 2 > size(hs), lit(1L) * (1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+    val en = Text.stopwords("en")
+    val staged = docs.select(col("text"), slowHashes.as("shh"),
+      Text.shingleHashes(col("text"), 3).as("shs"),
+      Text.tokens(col("text")).as("toks"),
+      slice(Text.shingleHashes(col("text"), 3), lit(1),
+        greatest(size(Text.shingleHashes(col("text"), 3)) - 2, lit(0)))
+        .as("shs2"))
+    val both = staged.select(
+      col("toks").as("f_toks"), slowTokens.as("s_toks"),
+      Text.tokenCount(col("text")).as("f_tc"), size(slowTokens).as("s_tc"),
+      TokenHashes.tokenHashes(col("text")).as("f_th"), col("shh").as("s_th"),
+      Dedup.simhashFromHashes(col("shh"), 16).as("f_sh"),
+      slowSimhash(col("shh"), 16).as("s_sh"),
+      Dedup.signatureFromHashes(col("shs"), 8).as("f_sig"),
+      slowSig(col("shs"), 8).as("s_sig"),
+      Text.stopwordCount(col("toks"), en).as("f_sw"),
+      size(filter(slowTokens, t => t.isin(en.map(lit(_)): _*))).as("s_sw"),
+      StrArrayLenSum.strArrayLenSum(col("toks")).as("f_sl"),
+      aggregate(slowTokens, lit(0L), (a, t) => a + length(t)).as("s_sl"),
+      Dedup.jaccard(col("shs"), col("shs2")).as("f_jc"),
+      when(size(array_union(col("shs"), col("shs2"))) > 0,
+        size(array_intersect(col("shs"), col("shs2"))).cast("double") /
+          size(array_union(col("shs"), col("shs2"))).cast("double"))
+        .otherwise(lit(0d)).as("s_jc"),
+      Text.topNgramFractionFromTokens(col("toks"), 2).as("f_tn"),
+      Text.topNgramFractionFromGrams(Text.ngrams(col("toks"), 2)).as("s_tn"),
+      ModFilterSorted.modFilterSorted(col("shs"), 8).as("f_mf"),
+      array_sort(filter(col("shs"), h => h % 8 === 0)).as("s_mf"))
+    for (p <- Seq("toks", "tc", "th", "sh", "sig", "sw", "sl", "jc", "tn",
+        "mf")) {
+      val bad = both.filter(not(col(s"f_$p") <=> col(s"s_$p"))).count()
+      assert(bad == 0, s"$bad rows diverge between native and HOF '$p'")
+    }
+  }
+
   test("native SubwordCount == regexp_count Column form over the corpus") {
     import spark.implicits._
     val docs = Queries.T(spark, sf001, "documents").select(col("text"))
