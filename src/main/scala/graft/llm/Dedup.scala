@@ -233,9 +233,12 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("n_cluster"))
-      val hop = labels.join(viaNeighbor, Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+      // carry the incoming label as `old` so convergence detection below
+      // is a scan of the checkpointed rows, not another shuffle join
+      val hop = labels.withColumnRenamed("cluster", "old")
+        .join(viaNeighbor, Seq("doc"), "left")
+        .select(col("doc"), col("old"),
+          least(col("old"), coalesce(col("n_cluster"), col("old")))
             .as("cluster"))
       // pointer jumping (path halving): also adopt the label of the
       // current representative, so the min spreads 2^iter hops per round
@@ -247,14 +250,13 @@ object Dedup {
       // self-join would otherwise DOUBLE the logical plan per iteration
       // (exponential analysis/optimization cost, OOMs around round 10)
       val next = hop.join(reps, Seq("cluster"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("old"),
           least(col("cluster"), coalesce(col("rep_cluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("doc")).filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("old")).count()
+      labels.unpersist() // release the previous round's checkpoint blocks
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

@@ -115,10 +115,19 @@ object GeoTIFF {
       }
       def ascii(e: Entry): String = {
         val size = e.count.toInt
-        val b = ByteBuffer.allocate(size)
-        if (size <= 4) { b.order(head.order()).putInt(e.raw); b.flip() }
-        else { ch.read(b, e.raw.toLong & 0xFFFFFFFFL); b.flip() }
-        val arr = new Array[Byte](size); b.get(arr)
+        val arr = new Array[Byte](size)
+        if (size <= 4) {
+          // inline payload: the 4 value bytes hold the chars — allocate 4
+          // and copy only `count` (a 1-3 byte tag like GDAL nodata "0"
+          // would otherwise overflow a count-sized buffer on putInt)
+          val b = ByteBuffer.allocate(4).order(head.order())
+          b.putInt(e.raw); b.flip()
+          b.get(arr, 0, size)
+        } else {
+          val b = ByteBuffer.allocate(size)
+          ch.read(b, e.raw.toLong & 0xFFFFFFFFL); b.flip()
+          b.get(arr)
+        }
         new String(arr, StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
       }
       val byTag = entries.map(e => e.tag -> e).toMap
@@ -302,7 +311,11 @@ object GeoTIFF {
       var aux = ifdOffset + ifdSize // trailing payload area
       val scaleOff = aux; aux += 3 * 8
       val tieOff = aux; aux += 6 * 8
-      val nodataOff = nodataStr.map { s => val o = aux; aux += s.length; o }
+      // TIFF 6.0: a payload of <= 4 bytes MUST live inline in the value
+      // field (short nodata like "0"/"-1" — common in real rasters); only
+      // longer strings go to the trailing area
+      val nodataTail = nodataStr.filter(_.length > 4)
+      val nodataOff = nodataTail.map { s => val o = aux; aux += s.length; o }
       val dataOff = (aux + 3) & ~3L
       w.entry(TImageWidth, 4, 1, width)
       w.entry(TImageLength, 4, 1, height)
@@ -315,14 +328,21 @@ object GeoTIFF {
       w.entry(TSampleFormat, 3, 1, 3)
       w.entry(TModelPixelScale, 12, 3, scaleOff)
       w.entry(TModelTiepoint, 12, 6, tieOff)
-      nodataStr.foreach(s => w.entry(TGdalNodata, 2, s.length, nodataOff.get))
+      nodataStr.foreach { s =>
+        val value =
+          if (s.length <= 4) // pack chars into the LE value field
+            s.getBytes(StandardCharsets.US_ASCII).zipWithIndex
+              .map { case (b, i) => (b & 0xFFL) << (8 * i) }.sum
+          else nodataOff.get
+        w.entry(TGdalNodata, 2, s.length, value)
+      }
       w.writeHeaderAndIfd(ifdOffset)
       val payload = ByteBuffer.allocate((dataOff - scaleOff).toInt)
         .order(ByteOrder.LITTLE_ENDIAN)
       payload.putDouble(scale).putDouble(scale).putDouble(0.0)
       payload.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       payload.putDouble(originLon).putDouble(originLat).putDouble(0.0)
-      nodataStr.foreach(s => payload.put(s.getBytes(StandardCharsets.US_ASCII)))
+      nodataTail.foreach(s => payload.put(s.getBytes(StandardCharsets.US_ASCII)))
       w.out.write(payload.array())
       val data = ByteBuffer.allocate(values.length * 4)
         .order(ByteOrder.LITTLE_ENDIAN)

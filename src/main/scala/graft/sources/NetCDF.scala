@@ -113,7 +113,16 @@ object NetCDF {
   }
 
   def parseHeader(buf: ByteBuffer): Header = {
-    require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
+    val (m0, m1, m2) = (buf.get(), buf.get(), buf.get())
+    // real CDS "format: netcdf" downloads are frequently NetCDF-4 (an HDF5
+    // container, magic \x89HDF) — name that case explicitly instead of a
+    // generic bad-magic error; the supported ingest path is parquet (or
+    // CDF-1/2 classic) per SURVEY §7.4
+    require(!(m0 == 0x89.toByte && m1 == 'H' && m2 == 'D'),
+      "NetCDF-4/HDF5 input detected (\\x89HDF magic): this reader supports " +
+        "the NetCDF classic format only (CDF-1/CDF-2) — convert to classic " +
+        "(`nccopy -k classic`) or ingest via parquet")
+    require(m0 == 'C' && m1 == 'D' && m2 == 'F',
       "not a NetCDF classic file (bad magic)")
     val version = buf.get().toInt
     require(version == 1 || version == 2,
@@ -351,6 +360,13 @@ object NetCDF {
         sp.dims.foreach(d => out.writeInt(dimIdx(d)))
         out.write(attList(sp.atts))
         out.writeInt(sp.ncType)
+        // CDF-1 carries vsize/begin as 32-bit fields: reject layouts that
+        // overflow them instead of silently truncating into a corrupt file
+        // (large cubes belong in the parquet sink, or a CDF-2 writer)
+        require(vsize(sp) <= 0xFFFFFFFFL && beginOf(n) <= 0xFFFFFFFFL,
+          s"variable '$n' exceeds the CDF-1 32-bit size/offset bounds " +
+            s"(vsize=${vsize(sp)}, begin=${beginOf(n)}): write this data " +
+            "through the parquet sink instead")
         out.writeInt(vsize(sp).toInt)
         out.writeInt(beginOf(n).toInt)
       }

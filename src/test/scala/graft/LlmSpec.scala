@@ -211,6 +211,15 @@ class LlmSpec extends SparkSpec {
     // full probe searches every cell, so results are brute-force-identical
     // regardless of what sample the quantizer trained on
     assert(run(1.0) == run(0.3))
+    // a pre-fit quantizer decouples training cost from search entirely
+    // and retrieves the same full-probe results
+    val prefit = Similarity.fitQuantizer(emb, "embedding", nCells = 4,
+      trainFraction = 0.5, maxIter = 3)
+    val viaPrefit = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      "vec_id", k = 3, nCells = 4, nprobe = 4, prefit = Some(prefit))
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity).toSeq
+    assert(viaPrefit == run(1.0))
   }
 
   test("duplicateClusters: components + canonical min-id survivor") {

@@ -161,6 +161,35 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("cols=[value]"), s"pruning not pushed:\n$plan")
   }
 
+  test("GeoTIFF: short nodata strings round-trip inline per TIFF 6.0") {
+    import graft.sources.GeoTIFF
+    val d = tmpDir()
+    // "0\0" is a 2-byte ASCII payload → must live inline in the IFD value
+    // field; a count-sized read buffer used to BufferOverflow on it
+    for ((nd, name) <- Seq(0f -> "z.tif", -1f -> "m.tif", 7f -> "s.tif")) {
+      val vals = Array(nd, 1f, 2f, 3f)
+      GeoTIFF.writeFloat32(s"$d/$name", 2, 2, vals, 0.0, 0.0, 1.0,
+        nodata = Some(nd))
+      val t = GeoTIFF.readHeader(s"$d/$name")
+      assert(t.nodata.contains(nd.toDouble),
+        s"$name: nodata ${t.nodata} != $nd")
+      val df = spark.read.format("geotiff").load(s"$d/$name")
+      assert(df.filter(col("value").isNull).count() == 1) // masked hole
+    }
+  }
+
+  test("NetCDF reader names the NetCDF-4/HDF5 case explicitly") {
+    val d = tmpDir(); val p = s"$d/h5.nc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
+        new Array[Byte](64))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NetCDF.readHeader(p)
+    }
+    assert(e.getMessage.contains("NetCDF-4/HDF5"), e.getMessage)
+    assert(e.getMessage.contains("classic"), e.getMessage)
+  }
+
   test("record (UNLIMITED) time dim: interleaved records read correctly") {
     val d = tmpDir(); val p = s"$d/rec.nc"
     // time is the record dim; TWO record vars exercise per-record
