@@ -13,7 +13,19 @@ import scala.jdk.CollectionConverters._
 object Config {
 
   /** The reference's config surface (both yaml files share one schema;
-    * unused halves are null per action).
+    * unused halves are null per action), plus explicit flags for the three
+    * decisions the reference gathers via interactive Y/n prompts — a
+    * library engine can't block on stdin, so each prompt becomes a config
+    * key with the prompt's exact semantics. `None` = the reference would
+    * have asked; callers must decide (the engine surfaces throw on None
+    * rather than guess).
+    *
+    *  - `gapfill` (`main.py:166-175`): run the gap-fill step on the input.
+    *  - `merge-polygons` (`main.py:334-351`): Y → one covering bbox region
+    *    (the BOX processing type, kernel = `Geometry.bboxAgg` union);
+    *    n → per-polygon regions (POLYGONS).
+    *  - `delete-source` (`core.py:219-228`): delete originals after
+    *    aggregation (kernel = `Ingest`'s delete-after path).
     */
   final case class PipelineConfig(
       action: String,
@@ -24,7 +36,23 @@ object Config {
       end: Option[String],
       preds: Seq[String],
       aggregationType: Option[String],
-      idField: Option[String])
+      idField: Option[String],
+      gapfill: Option[Boolean] = None,
+      mergePolygons: Option[Boolean] = None,
+      deleteSource: Option[Boolean] = None) {
+
+    /** Resolve a prompt-backed flag: configured value, or a clear error
+      * naming the key — the non-interactive analogue of the reference's
+      * "Invalid input" re-prompt loop.
+      */
+    def resolve(name: String, v: Option[Boolean]): Boolean =
+      v.getOrElse(throw new IllegalArgumentException(
+        s"config key `$name` is required in non-interactive use " +
+          "(the reference prompts Y/n for it)"))
+    def gapfillResolved: Boolean = resolve("gapfill", gapfill)
+    def mergePolygonsResolved: Boolean = resolve("merge-polygons", mergePolygons)
+    def deleteSourceResolved: Boolean = resolve("delete-source", deleteSource)
+  }
 
   /** Parse the supported YAML subset to an insertion-ordered map. Values:
     * null, Boolean, Long, Double, String, or Seq of those.
@@ -102,6 +130,18 @@ object Config {
   private def opt(m: Map[String, Any], k: String): Option[String] =
     m.get(k).flatMap(Option(_)).map(_.toString)
 
+  /** Boolean flag with the prompt's Y/n vocabulary accepted too. */
+  private def optBool(m: Map[String, Any], k: String): Option[Boolean] =
+    m.get(k).flatMap(Option(_)).map {
+      case b: Boolean => b
+      case s => s.toString.trim match {
+        case y if y.equalsIgnoreCase("y") || y.equalsIgnoreCase("yes") => true
+        case n if n.equalsIgnoreCase("n") || n.equalsIgnoreCase("no") => false
+        case other => throw new IllegalArgumentException(
+          s"config key `$k` expects a boolean (true/false/Y/n), got `$other`")
+      }
+    }
+
   def fromMap(m: Map[String, Any]): PipelineConfig = PipelineConfig(
     action = opt(m, "action").getOrElse(
       throw new IllegalArgumentException("config requires `action`")),
@@ -115,7 +155,10 @@ object Config {
       case _ => Nil
     },
     aggregationType = opt(m, "aggregation-type"),
-    idField = opt(m, "id-field"))
+    idField = opt(m, "id-field"),
+    gapfill = optBool(m, "gapfill"),
+    mergePolygons = optBool(m, "merge-polygons"),
+    deleteSource = optBool(m, "delete-source"))
 
   /** Load + extension check (the reference rejects non-.yaml/.yml,
     * `argparser.py:36-38`).

@@ -74,6 +74,25 @@ class ConfigSpec extends AnyFunSuite {
     assert(m("preds") == Seq("a, b", "c", "d,e"))
   }
 
+  test("prompt-backed flags: Y/n vocabulary, None requires a decision") {
+    val cfg = Config.fromMap(Config.parseYaml(
+      """action: process
+        |gapfill: Y
+        |merge-polygons: n
+        |delete-source: true""".stripMargin))
+    assert(cfg.gapfillResolved)
+    assert(!cfg.mergePolygonsResolved)
+    assert(cfg.deleteSourceResolved)
+    // unset flag = the reference would prompt; non-interactive use must
+    // error with the key name, not guess a default
+    val bare = Config.fromMap(Config.parseYaml("action: process"))
+    val e = intercept[IllegalArgumentException](bare.gapfillResolved)
+    assert(e.getMessage.contains("gapfill"))
+    // the re-prompt loop's invalid-input case is a load-time error
+    intercept[IllegalArgumentException](
+      Config.fromMap(Config.parseYaml("action: a\ngapfill: maybe")))
+  }
+
   test("load enforces the reference's extension rule and missing action") {
     val f = Files.createTempFile("graft_cfg", ".json")
     intercept[IllegalArgumentException](Config.load(f.toString))
