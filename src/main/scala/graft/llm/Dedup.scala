@@ -224,8 +224,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc")).localCheckpoint()
+    // seed each label with min(self, neighbors) — round 1's propagation
+    // folded into the init aggregate, so the dominant pair-sized clusters
+    // reach their fixpoint one full round (two Spark jobs) earlier
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("doc"),
+        least(col("src"), col("__mn")).as("cluster"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

@@ -110,6 +110,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("benched dedup plans run the native expressions, not HOF trees") {
+    // the round-4 regression class: interpreted higher-order functions in
+    // the signature/fingerprint paths. Pin the fix with plan assertions —
+    // the LSH candidate and simhash plans must carry the native codegen'd
+    // expressions and no ArrayTransform/ArrayAggregate in their place.
+    // parquet-backed input: a literal Seq would collapse into a
+    // LocalRelation (ConvertToLocalRelation pre-evaluates the projections)
+    // and the plan would carry no expressions at all
+    val docs = Queries.T(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val lsh = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(lsh.contains("minhash_sig"), s"native sig missing:\n$lsh")
+    assert(lsh.contains("shingle_hashes"), s"native shingles missing:\n$lsh")
+    assert(!lsh.contains("array_min(transform"),
+      s"interpreted sig chain resurfaced:\n$lsh")
+    val sim = Dedup.simhashCandidates(docs, "doc_id", "text",
+      tokenHashesFn = Dedup.tokenHashesPoly)
+      .queryExecution.optimizedPlan.toString
+    assert(sim.contains("simhash"), s"native simhash missing:\n$sim")
+    assert(sim.contains("token_hashes"), s"native token hashes missing:\n$sim")
+    // the banding slices legitimately use shiftright on the FINGERPRINT;
+    // the regression marker is an aggregate fold over the hash ARRAY
+    assert(!sim.contains("aggregate(hh"),
+      s"interpreted simhash folds resurfaced:\n$sim")
+  }
+
   test("native SubwordCount == regexp_count Column form over the corpus") {
     import spark.implicits._
     val docs = Queries.T(spark, sf001, "documents").select(col("text"))
