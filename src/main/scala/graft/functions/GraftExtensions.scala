@@ -115,6 +115,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "mod_filter_sorted(hashes, m)")
         ModFilterSorted(args.head, intLit(args(1), "modulus"))
+      }),
+    ("band_key",
+      info("band_key",
+        "band_key(sig, from, len) - polyhash fold of a signature slice"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "band_key(sig, from, len)")
+        BandKey(args.head, intLit(args(1), "from"), intLit(args(2), "len"))
+      }),
+    ("sig_match_count",
+      info("sig_match_count",
+        "sig_match_count(a, b) - equal non-null positions of two signatures"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sig_match_count(a, b)")
+        SigMatchCount(args.head, args(1))
       }))
 
   /** Register into an already-running session (tests, REPL). */

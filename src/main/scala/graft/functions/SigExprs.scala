@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -180,4 +180,122 @@ object MinHashSig {
 
   def minhashSig(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k))
+}
+
+/** `band_key(sig, from, len)` — the LSH band key: polyhash-fold of a
+  * signature slice, `acc = (acc·31 + pmod(x, P)) mod P` left to right.
+  * Replaces `aggregate(slice(sig, from+1, len), …)` (one interpreted fold
+  * per band per row — four extra HOF passes in every LSH candidate plan,
+  * and a major contributor to that plan's generated-code size). Null
+  * contract mirrors the fold: a null input array or any null element in
+  * the slice yields NULL.
+  */
+case class BandKey(child: Expression, from: Int, len: Int)
+    extends UnaryExpression {
+
+  require(from >= 0 && len >= 1, "band slice must be non-negative/non-empty")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "band_key"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    BandKey.compute(input.asInstanceOf[ArrayData], from, len)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+       |java.lang.Long ${ev.value}_r =
+       |  graft.functions.BandKey.compute($c, $from, $len);
+       |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BandKey =
+    copy(child = newChild)
+}
+
+object BandKey {
+
+  /** Fold over sig[from until from+len] clamped to the array end, exactly
+    * as `slice` clamps. pmod for sign safety on arbitrary long inputs.
+    */
+  def compute(a: ArrayData, from: Int, len: Int): java.lang.Long = {
+    val n = a.numElements()
+    val end = math.min(from + len, n)
+    var acc = 0L
+    var i = from
+    while (i < end) {
+      if (a.isNullAt(i)) return null // aggregate fold: null element → null
+      val x = a.getLong(i)
+      val pm = { val r = x % PolyHash.Mod; if (r < 0) r + PolyHash.Mod else r }
+      acc = (acc * 31 + pm) % PolyHash.Mod
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  def bandKey(sig: Column, from: Int, len: Int): Column =
+    Bridge.column(BandKey(Bridge.expression(sig), from, len))
+}
+
+/** `sig_match_count(a, b)` — number of positions where two signatures
+  * carry equal non-null values, over the overlapping prefix. Replaces the
+  * `aggregate(zip_with(a, b, (x, y) => if(x = y) 1 else 0), …)` HOF chain
+  * that scored every LSH candidate pair interpreted. Null contract
+  * mirrors the chain: either side NULL → NULL; a null ELEMENT simply
+  * doesn't count as a match (`null = y` is null → 0 in the chain).
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<BIGINT> inputs, got $l and $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SigMatchCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigMatchCount {
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  def sigMatchCount(a: Column, b: Column): Column =
+    Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))
 }

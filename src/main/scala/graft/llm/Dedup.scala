@@ -68,11 +68,12 @@ object Dedup {
     signatureFromHashes(Text.shingleHashes(text, shingleWidth), k)
 
   /** LSH band key: fold a signature slice through the polyhash recurrence —
-    * one long per band.
+    * one long per band. Native codegen'd expression
+    * ([[graft.functions.BandKey]]); bit-identical (property-tested) to the
+    * `aggregate(slice(sig, …), …)` fold it replaces.
     */
   def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
-    aggregate(slice(sig, band * rowsPerBand + 1, rowsPerBand), lit(0L),
-      (acc, x) => (acc * 31 + pmod(x, lit(P))) % P)
+    graft.functions.BandKey.bandKey(sig, band * rowsPerBand, rowsPerBand)
 
   /** Fuzzy-dup candidate pairs via banded LSH: explode (id, band, key),
     * self-join on (band, key), keep id_a < id_b, dedupe pairs, then score
@@ -111,9 +112,10 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+        // native one-pass match count (was an interpreted zip_with +
+        // aggregate fold per candidate pair — property-tested identical)
+        (graft.functions.SigMatchCount.sigMatchCount(col("sig_a"),
+          col("sig_b")).cast("double") / k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }

@@ -234,12 +234,14 @@ object NetCDF {
 
   // --------------------------------------------------------------- write
 
-  /** Minimal CDF-1 writer for region-sized gridded outputs and test
-    * fixtures (the analog of the reference's per-region NetCDF sink,
-    * `core.py:325-369` — which writes files of exactly this catalog size).
-    * Not a distributed sink: a NetCDF classic file is a single sequential
-    * byte stream, so big data belongs in parquet (OP-SNK-1); this exists
-    * for interchange with NetCDF-consuming tools.
+  /** Minimal classic writer (CDF-1 by default; `version = 2` emits CDF-2
+    * with 64-bit begin offsets for multi-GiB layouts) for region-sized
+    * gridded outputs and test fixtures (the analog of the reference's
+    * per-region NetCDF sink, `core.py:325-369` — which writes files of
+    * exactly this catalog size). Not a distributed sink: a NetCDF classic
+    * file is a single sequential byte stream, so big data belongs in
+    * parquet (OP-SNK-1); this exists for interchange with
+    * NetCDF-consuming tools.
     *
     * `data` maps variable name → (dim names, nc_type, values-as-doubles,
     * attributes). Dims are defined by `dims` in order; at most one may be
@@ -251,7 +253,9 @@ object NetCDF {
       values: Array[Double], atts: Seq[Att] = Nil)
 
   def write(path: String, dims: Seq[Dim], vars: Seq[(String, VarSpec)],
-      gatts: Seq[Att] = Nil, numRecs: Int = 0): Unit = {
+      gatts: Seq[Att] = Nil, numRecs: Int = 0, version: Int = 1): Unit = {
+    require(version == 1 || version == 2,
+      s"classic writer supports CDF-1 and CDF-2, got version $version")
     require(dims.count(_.isRecord) <= 1, "at most one record dimension")
     val recDimId = dims.indexWhere(_.isRecord)
     require(recDimId >= 0 || numRecs == 0,
@@ -322,9 +326,10 @@ object NetCDF {
     val singleRec = recVars.size == 1
     // layout pass: header size, then var begins — fixed vars first, then
     // the record section (all record vars interleave per record)
+    val beginBytes = if (version == 1) 4 else 8 // CDF-2: 64-bit offsets
     val varHeads = vars.map { case (n, sp) =>
       nameBytes(n).length + 4 + sp.dims.size * 4 +
-        attList(sp.atts).length + 4 /*type*/ + 4 /*vsize*/ + 4 /*begin CDF-1*/
+        attList(sp.atts).length + 4 /*type*/ + 4 /*vsize*/ + beginBytes
     }
     val headerSize = 4 /*magic*/ + 4 /*numrecs*/ +
       8 + dims.map(d => nameBytes(d.name).length + 4).sum +
@@ -348,7 +353,7 @@ object NetCDF {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
-      out.write(Array[Byte]('C', 'D', 'F', 1))
+      out.write(Array[Byte]('C', 'D', 'F', version.toByte))
       out.writeInt(if (recDimId >= 0) numRecs else 0)
       out.writeInt(TAG_DIM); out.writeInt(dims.size)
       dims.foreach { d => out.write(nameBytes(d.name)); out.writeInt(d.length) }
@@ -360,15 +365,20 @@ object NetCDF {
         sp.dims.foreach(d => out.writeInt(dimIdx(d)))
         out.write(attList(sp.atts))
         out.writeInt(sp.ncType)
-        // CDF-1 carries vsize/begin as 32-bit fields: reject layouts that
-        // overflow them instead of silently truncating into a corrupt file
-        // (large cubes belong in the parquet sink, or a CDF-2 writer)
-        require(vsize(sp) <= 0xFFFFFFFFL && beginOf(n) <= 0xFFFFFFFFL,
-          s"variable '$n' exceeds the CDF-1 32-bit size/offset bounds " +
-            s"(vsize=${vsize(sp)}, begin=${beginOf(n)}): write this data " +
-            "through the parquet sink instead")
+        // vsize is a 32-bit field in BOTH classic variants, and begin is
+        // 32-bit in CDF-1: reject overflowing layouts instead of silently
+        // truncating into a corrupt file (CDF-2 lifts the begin bound;
+        // cubes beyond either belong in the parquet sink)
+        require(vsize(sp) <= 0xFFFFFFFFL,
+          s"variable '$n' exceeds the classic-format 32-bit vsize bound " +
+            s"(vsize=${vsize(sp)}): write this data through the parquet sink")
+        require(version == 2 || beginOf(n) <= 0xFFFFFFFFL,
+          s"variable '$n' begins past the CDF-1 32-bit offset bound " +
+            s"(begin=${beginOf(n)}): write with version=2 (CDF-2) or " +
+            "through the parquet sink")
         out.writeInt(vsize(sp).toInt)
-        out.writeInt(beginOf(n).toInt)
+        if (version == 1) out.writeInt(beginOf(n).toInt)
+        else out.writeLong(beginOf(n))
       }
       // pad header to the first begin
       (headerSize until pad4(headerSize).toInt).foreach(_ => out.writeByte(0))

@@ -323,8 +323,9 @@ class SourcesSpec extends SparkSpec {
         Gen.oneOf(NetCDF.NC_SHORT, NetCDF.NC_INT, NetCDF.NC_FLOAT,
           NetCDF.NC_DOUBLE))
       seed <- Gen.choose(0, 1 << 20)
-    } yield (sizes, types, seed)
-    val prop = forAll(gen) { case (sizes, types, seed) =>
+      version <- Gen.oneOf(1, 2) // CDF-1 and CDF-2 (64-bit begins)
+    } yield (sizes, types, seed, version)
+    val prop = forAll(gen) { case (sizes, types, seed, version) =>
       n += 1
       val path = s"$d/prop_$n.nc"
       val dims = sizes.zipWithIndex.map { case (s, i) => Dim(s"d$i", s) }
@@ -334,7 +335,7 @@ class SourcesSpec extends SparkSpec {
         s"v$vi" -> VarSpec(dims.map(_.name), t,
           Array.tabulate(total)(j => ((seed + j * 7 + vi) % 1000 - 500).toDouble))
       }
-      NetCDF.write(path, dims, varSpecs)
+      NetCDF.write(path, dims, varSpecs, version = version)
       val h = NetCDF.readHeader(path)
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(path),
