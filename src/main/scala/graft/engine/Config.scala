@@ -135,8 +135,10 @@ object Config {
     m.get(k).flatMap(Option(_)).map {
       case b: Boolean => b
       case s => s.toString.trim match {
-        case y if y.equalsIgnoreCase("y") || y.equalsIgnoreCase("yes") => true
-        case n if n.equalsIgnoreCase("n") || n.equalsIgnoreCase("no") => false
+        case y if y.equalsIgnoreCase("y") || y.equalsIgnoreCase("yes") ||
+          y.equalsIgnoreCase("true") => true
+        case n if n.equalsIgnoreCase("n") || n.equalsIgnoreCase("no") ||
+          n.equalsIgnoreCase("false") => false
         case other => throw new IllegalArgumentException(
           s"config key `$k` expects a boolean (true/false/Y/n), got `$other`")
       }

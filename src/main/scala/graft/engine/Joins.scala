@@ -125,6 +125,13 @@ object Joins {
     // broadcast work with no cache to pin or checkpoint. The fact is thus
     // touched exactly twice (axis scan + final broadcast clip), never
     // shuffled. Null coordinates never snap (collect_set drops nulls).
+    //
+    // PRECONDITION (the reference's too, dataset.py:171-230): coordinates
+    // are GRID-QUANTIZED — corner snapping is only meaningful against a
+    // shared axis. Jittered point clouds (unbounded distinct coordinates)
+    // don't fit this operator; match them with nearestCoordMapping, whose
+    // distinct() stays distributed. Note the axis scan runs EAGERLY when
+    // this function is called (.head()), not when the result is consumed.
     val spark = grid.sparkSession
     val axesRow = grid.agg(collect_set(col(latCol)).as("lats"),
       collect_set(col(lonCol)).as("lons")).head()

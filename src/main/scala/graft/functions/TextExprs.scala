@@ -367,11 +367,10 @@ object JaccardSets {
       i += 1
     }
     // null elements behave as one shared sentinel value, matching
-    // array_intersect/array_union null semantics
+    // array_intersect/array_union null semantics: the union gains ONE slot
+    // if either side holds a null, the intersection one if both do
     if (aNull && bNull) inter += 1
-    else if (aNull || bNull) bOnly += 1
-    val union = setA.size() + (if (aNull && !bNull) 1 else 0) + bOnly +
-      (if (aNull && bNull) 1 else 0)
+    val union = setA.size() + bOnly + (if (aNull || bNull) 1 else 0)
     if (union > 0) inter.toDouble / union else 0d
   }
 

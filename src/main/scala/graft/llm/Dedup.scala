@@ -67,6 +67,22 @@ object Dedup {
   def minhashSignature(text: Column, shingleWidth: Int, k: Int): Column =
     signatureFromHashes(Text.shingleHashes(text, shingleWidth), k)
 
+  /** The LSH hot-key guard shared by every banded candidate generator
+    * (minhash bands, simhash slices, sign-LSH cosine buckets): drop
+    * buckets larger than `maxBucket` BEFORE the self-join, so a
+    * degenerate bucket (boilerplate shingles, near-constant embeddings)
+    * cannot silently go per-bucket quadratic. One count-window over the
+    * bucket key; mirrored into each caller's oracle as the same window
+    * filter.
+    */
+  private[llm] def pruneHotBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    df.withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
   /** LSH band key: fold a signature slice through the polyhash recurrence —
     * one long per band. Native codegen'd expression
     * ([[graft.functions.BandKey]]); bit-identical (property-tested) to the
@@ -101,10 +117,7 @@ object Dedup {
     val banded = sig.select(col("doc"), col("sig"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, rowsPerBand)): _*))
       .as(Seq("band", "key")))
-    val pruned = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucket)
+    val pruned = pruneHotBuckets(banded, Seq("band", "key"), maxBucket)
     val a = pruned.select(col("band"), col("key"), col("doc").as("doc_a"),
       col("sig").as("sig_a"))
     val b = pruned.select(col("band"), col("key"), col("doc").as("doc_b"),
@@ -188,10 +201,7 @@ object Dedup {
       array((0 until bands).map(j =>
         shiftright(col("sh"), j * w).bitwiseAND(mask)): _*))
       .as(Seq("band", "slice")))
-    val pruned = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("slice"))))
-      .filter(col("bucket_n") <= maxBucket)
+    val pruned = pruneHotBuckets(banded, Seq("band", "slice"), maxBucket)
     val a = pruned.select(col("band"), col("slice"), col("doc").as("doc_a"),
       col("sh").as("sh_a"))
     val b = pruned.select(col("band"), col("slice"), col("doc").as("doc_b"),

@@ -247,10 +247,7 @@ object Similarity {
       maxBucket: Int = 1000): DataFrame = {
     val b0 = lshBuckets(vectors, vecCol, anchors)
       .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
-    val b = b0.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val b = Dedup.pruneHotBuckets(b0, Seq("bucket"), maxBucket)
     val lhs = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val rhs = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     lhs.join(rhs, Seq("bucket"))

@@ -145,6 +145,30 @@ class LlmSpec extends SparkSpec {
       s"interpreted simhash folds resurfaced:\n$sim")
   }
 
+  test("jaccard_sets null-element semantics match array_intersect/union") {
+    // shingle arrays are containsNull=false, but the registered SQL
+    // function accepts arbitrary arrays — pin the sentinel-null math
+    // (review finding: an a-side-only null used to double-count the union)
+    def chain(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(size(array_union(a, b)) > 0,
+        size(array_intersect(a, b)).cast("double") /
+          size(array_union(a, b)).cast("double")).otherwise(lit(0d))
+    val nl = lit(null).cast("long")
+    val cases = Seq(
+      (array(lit(1L), nl), array(lit(1L))),            // null only left
+      (array(lit(1L)), array(lit(1L), nl)),            // null only right
+      (array(lit(1L), nl), array(lit(1L), nl)),        // null both
+      (array(nl), array(nl)),                          // all null
+      (array(nl), array(lit(2L))),                     // disjoint w/ null
+      (array().cast("array<long>"), array(lit(1L), nl)))
+    cases.foreach { case (a, b) =>
+      val r = spark.range(1)
+        .select(Dedup.jaccard(a, b).as("f"), chain(a, b).as("s")).head()
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"jaccard_sets diverges on $a vs $b: ${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   test("native SubwordCount == regexp_count Column form over the corpus") {
     import spark.implicits._
     val docs = Queries.T(spark, sf001, "documents").select(col("text"))

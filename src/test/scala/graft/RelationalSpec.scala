@@ -141,4 +141,43 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getDouble(0), r.getString(1))).toSet
     assert(out1 == Set((1.0, "x"), (1.0, "y"))) // lo's true value wins
   }
+
+  test("cornerSnapClip never shuffles the fact grid (plan assertion)") {
+    // the 100 TB lives in the grid: the clip must reach it as a broadcast
+    // join only — parquet-backed so ConvertToLocalRelation can't erase
+    // the plan under the assertion
+    val grid = Queries.T(spark, sf001, "lineitem").select(
+      col("l_orderkey"), col("l_quantity").as("glat"),
+      (col("l_discount") * 100).as("glon"))
+    val regions = Queries.T(spark, sf001, "nation").select(
+      col("n_nationkey").as("region_id"),
+      (col("n_nationkey") * 2.0 + 4.3).as("lat_max"),
+      (col("n_nationkey") * 2.0 + 0.7).as("lat_min"),
+      (col("n_nationkey") * 0.3 + 2.61).as("lon_max"),
+      (col("n_nationkey") * 0.28 + 2.41).as("lon_min"))
+    // AQE's wrapper node hides its children from collect(); the static
+    // plan has the same join shape and is what the assertion is about.
+    // Restore the PRIOR value, not a hardcoded one — the shared session
+    // outlives this test.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try Joins.cornerSnapClip(grid, regions, "region_id",
+        "glat", "glon").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // the outer clip join must be broadcast, and its STREAMED (grid) side
+    // must be shuffle-free all the way to the parquet scan — the snap
+    // windows may exchange region-sized rows, the fact may not move
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val bnlj = exec.collectFirst { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isDefined, s"clip join is not broadcast:\n$exec")
+    val streamed = bnlj.get.children.find(
+      c => c.collectFirst { case b: BroadcastExchangeExec => b }.isEmpty)
+    assert(streamed.isDefined, s"no shuffle-free streamed side:\n$exec")
+    assert(streamed.get.toString.contains("lineitem"),
+      s"streamed side is not the fact grid:\n${streamed.get}")
+    assert(streamed.get.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"fact-side shuffle in clip plan:\n${streamed.get}")
+  }
 }
