@@ -109,10 +109,12 @@ object LlmQueries {
     */
   private val l5 = Spec("q54_text_fingerprint",
     (s, d) => T(s, d, "documents")
-      .select(col("doc_id"), array_join(transform(
+      // cast("array<string>") is a codegen'd element-wise Cast — a
+      // transform(_.cast) lambda would be one more interpreted HOF pass
+      .select(col("doc_id"), array_join(
         graft.functions.ModFilterSorted.modFilterSorted(
-          graft.functions.ShingleHashes.shingleHashes(col("text"), 4), 8),
-        _.cast("string")), ",").as("fp")),
+          graft.functions.ShingleHashes.shingleHashes(col("text"), 4), 8)
+          .cast("array<string>"), ",").as("fp")),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents)
         SELECT doc_id, coalesce(array_to_string(
           list_sort(list_filter(${shingleSql(4)}, h -> h % 8 = 0)), ','), '')

@@ -43,9 +43,10 @@ object Config {
 
     /** Resolve a prompt-backed flag: configured value, or a clear error
       * naming the key — the non-interactive analogue of the reference's
-      * "Invalid input" re-prompt loop.
+      * "Invalid input" re-prompt loop. Private: the key name and Option
+      * must stay paired (callers use the *Resolved accessors).
       */
-    def resolve(name: String, v: Option[Boolean]): Boolean =
+    private def resolve(name: String, v: Option[Boolean]): Boolean =
       v.getOrElse(throw new IllegalArgumentException(
         s"config key `$name` is required in non-interactive use " +
           "(the reference prompts Y/n for it)"))

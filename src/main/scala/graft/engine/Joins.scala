@@ -113,6 +113,11 @@ object Joins {
     * Scale shape: snaps are distinct-coordinate × regions (dimension-sized
     * broadcast work); the grid — where the 100 TB lives — is touched once
     * by a broadcast join on the per-region corner spec and never shuffled.
+    *
+    * @note the coordinate-axis extraction scan EXECUTES EAGERLY when this
+    *       method is called (driver-collected axis lists), not when the
+    *       returned frame is consumed. Coordinates must be grid-quantized
+    *       (bounded distinct values per axis) — see the body comment.
     */
   def cornerSnapClip(grid: DataFrame, regions: DataFrame, idCol: String,
       latCol: String, lonCol: String): DataFrame = {

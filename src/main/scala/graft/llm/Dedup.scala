@@ -179,11 +179,15 @@ object Dedup {
     * fingerprint in 4 bands has only 16 bucket values per band — buckets
     * hold N/16 of the corpus and pair generation degrades to Θ(N²/16).
     * Production must widen the fingerprint so the slice space dwarfs the
-    * corpus: `bits = 64, tokenHashFn = xxhash64` gives 2^16 buckets per
+    * corpus: `bits = 64, tokenHashesFn = tokenHashes64` gives 2^16 buckets per
     * band. The 16-bit polyhash form exists for the cross-engine oracle.
     * `maxBucket` is the same degenerate-bucket hot-key guard as in
     * [[minhashCandidates]]: a narrow fingerprint or boilerplate-heavy
     * corpus cannot silently go quadratic.
+    *
+    * `tokenHashesFn` maps the TEXT column to its token-hash ARRAY
+    * (default [[tokenHashes64]]; the oracle-friendly 30-bit form is
+    * [[tokenHashesPoly]]).
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
@@ -309,6 +313,12 @@ object Dedup {
     * The verified pair list (≪ corpus at any real dup rate) is
     * checkpointed eagerly so both caches release HERE instead of pinning
     * executor storage for the session lifetime (the cornerSnapClip idiom).
+    *
+    * @note EXECUTES EAGERLY: the whole shingle→LSH→verify pipeline runs
+    *       when this method is CALLED (the checkpoint materializes it),
+    *       not when the returned frame is first consumed — and downstream
+    *       filters no longer push into the pipeline. Build it once, where
+    *       you mean to run it.
     */
   def fuzzyDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,

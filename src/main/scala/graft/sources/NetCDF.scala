@@ -350,6 +350,22 @@ object NetCDF {
       }
     }
     def beginOf(n: String): Long = fixedBegins.getOrElse(n, recBegins(n))
+    // validate the WHOLE layout before any byte is written — a mid-write
+    // require would leave a truncated, spec-invalid file on disk. vsize is
+    // a SIGNED 32-bit field in both classic variants, and begin is signed
+    // 32-bit in CDF-1 (external netcdf-c consumers parse them signed — an
+    // unsigned-range value round-trips in our reader but seeks to garbage
+    // in theirs); CDF-2 lifts the begin bound, cubes beyond either belong
+    // in the parquet sink.
+    vars.foreach { case (n, sp) =>
+      require(vsize(sp) <= Int.MaxValue,
+        s"variable '$n' exceeds the classic-format signed-32-bit vsize " +
+          s"bound (vsize=${vsize(sp)}): write through the parquet sink")
+      require(version == 2 || beginOf(n) <= Int.MaxValue,
+        s"variable '$n' begins past the CDF-1 signed-32-bit offset bound " +
+          s"(begin=${beginOf(n)}): write with version=2 (CDF-2) or " +
+          "through the parquet sink")
+    }
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
@@ -365,19 +381,6 @@ object NetCDF {
         sp.dims.foreach(d => out.writeInt(dimIdx(d)))
         out.write(attList(sp.atts))
         out.writeInt(sp.ncType)
-        // vsize is a SIGNED 32-bit field in both classic variants, and
-        // begin is signed 32-bit in CDF-1 (external netcdf-c consumers
-        // parse them signed — an unsigned-range value round-trips in our
-        // reader but seeks to garbage in theirs): reject overflowing
-        // layouts instead of emitting a spec-invalid file (CDF-2 lifts
-        // the begin bound; cubes beyond either belong in the parquet sink)
-        require(vsize(sp) <= Int.MaxValue,
-          s"variable '$n' exceeds the classic-format signed-32-bit vsize " +
-            s"bound (vsize=${vsize(sp)}): write through the parquet sink")
-        require(version == 2 || beginOf(n) <= Int.MaxValue,
-          s"variable '$n' begins past the CDF-1 signed-32-bit offset bound " +
-            s"(begin=${beginOf(n)}): write with version=2 (CDF-2) or " +
-            "through the parquet sink")
         out.writeInt(vsize(sp).toInt)
         if (version == 1) out.writeInt(beginOf(n).toInt)
         else out.writeLong(beginOf(n))
