@@ -471,7 +471,7 @@ object LlmQueries {
       // searches (fitQuantizer once, search per batch).
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
         "embedding", "vec_id", k = 5, nCells = 8, nprobe = 8,
-        trainFraction = 0.2, maxIter = 2)
+        trainFraction = 0.2, maxIter = 2, initMode = "random")
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
     },

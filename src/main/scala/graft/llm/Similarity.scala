@@ -188,13 +188,18 @@ object Similarity {
     * init are seeded so runs reproduce.
     */
   def fitQuantizer(corpus: DataFrame, vecCol: String, nCells: Int,
-      trainFraction: Double = 1.0, maxIter: Int = 20)
+      trainFraction: Double = 1.0, maxIter: Int = 20,
+      initMode: String = "k-means||")
       : org.apache.spark.ml.clustering.KMeansModel = {
     val fv = array_to_vector(col(vecCol).cast("array<double>"))
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
+    // initMode "random" skips the k-means|| init's extra data passes —
+    // seeded either way, so runs reproduce; centroid QUALITY only matters
+    // for nprobe < nCells recall, never for full-probe correctness
     new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(trainSet.select(fv.as("__fv")))
   }
@@ -202,13 +207,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, nCells: Int,
       nprobe: Int, trainFraction: Double = 1.0, maxIter: Int = 20,
+      initMode: String = "k-means||",
       prefit: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
       : DataFrame = {
     // a pre-fit quantizer decouples training cost from the search path
     // entirely; otherwise fit here (sample-able, seeded)
     val fv = array_to_vector(col(vecCol).cast("array<double>"))
     val model = prefit.getOrElse(
-      fitQuantizer(corpus, vecCol, nCells, trainFraction, maxIter))
+      fitQuantizer(corpus, vecCol, nCells, trainFraction, maxIter, initMode))
     val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val assigned = model.transform(corpus.withColumn("__fv", fv))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
