@@ -739,7 +739,41 @@ object LlmQueries {
         SELECT doc_id FROM corpus WHERE doc_id NOT IN
           (SELECT doc FROM cl WHERE doc != cluster)"""))
 
+  /** C4-style line-level cleaning (keep lines ending in terminal
+    * punctuation with ≥3 words) over a corpus with deterministically
+    * injected boilerplate: sentence breaks become line breaks, every 3rd
+    * doc gains a nav-crumb line (no terminal punct) and every 4th a
+    * too-short "Ok." line — so both drop rules fire.
+    */
+  private val l27 = Spec("q82_text_clean_lines",
+    (s, d) => {
+      val aug = concat(
+        regexp_replace(col("text"), "\\. ", ".\n"),
+        when(col("doc_id") % 3 === 0, lit("\nhome products contact"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nOk.")).otherwise(lit("")))
+      val staged = T(s, d, "documents").select(col("doc_id"), aug.as("t"))
+      staged.select(col("doc_id") +:
+        Text.lineStats(col("t"), minWords = 3).map {
+          case (n, c) => c.as(n) }: _*)
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+          regexp_replace(text, '\. ', '.' || chr(10), 'g') ||
+          CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'home products contact' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Ok.' ELSE '' END AS t
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+        k AS (SELECT doc_id, lines, list_filter(lines, l ->
+            (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+             ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+            AND len(list_filter(string_split(rtrim(l), ' '), w -> w != ''))
+              >= 3) AS kept FROM ls)
+        SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+          CAST(len(kept) AS INT) AS n_kept,
+          coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26)
+    l24, l25, l26, l27)
 }

@@ -214,6 +214,37 @@ object Text {
     expr
   }
 
+  // ------------------------------------------------- line-level cleaning
+
+  /** C4-style line filter (Raffel et al. 2020, the public rule set): keep
+    * only lines that END IN TERMINAL PUNCTUATION (`.`/`!`/`?`/`"`) and
+    * carry at least `minWords` space-separated words; everything else
+    * (menus, nav crumbs, cookie banners) is boilerplate. Pure Column
+    * composition over the line array — per-doc array math, shuffle-free
+    * over the corpus, and every primitive (split / rtrim / ends_with /
+    * filter) has an exact ANSI-SQL twin for the oracle.
+    */
+  def keepLine(line: Column, minWords: Int): Column = {
+    val t = rtrim(line)
+    val words = size(filter(split(t, " "), w => w =!= ""))
+    (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+      t.endsWith("\"")) && words >= minWords
+  }
+
+  def cleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(filter(split(text, "\n"), l => keepLine(l, minWords)), "\n")
+
+  /** Line-retention stats alongside the cleaned text — the audit columns
+    * a curation run reports per document.
+    */
+  def lineStats(text: Column, minWords: Int = 3): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    Seq(
+      "n_lines" -> size(lines),
+      "n_kept" -> size(filter(lines, l => keepLine(l, minWords))),
+      "clean" -> cleanLines(text, minWords))
+  }
+
   // ----------------------------------------------------- repetition filters
 
   /** Fraction of tokens that are repeats of an earlier token

@@ -145,6 +145,65 @@ class LlmSpec extends SparkSpec {
       s"interpreted simhash folds resurfaced:\n$sim")
   }
 
+  test("sig natives == HOF chains on ARBITRARY longs (property)") {
+    // the corpus test only feeds non-negative polyhash values; the
+    // production simhash path hashes with xxhash64 (negative longs), and
+    // the SQL surface accepts anything — stress sign handling, overflow
+    // wrap, and empty arrays with randomized inputs
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.functions._
+    import spark.implicits._
+    val P = Dedup.P
+    // bounded so the HOF affine `h·m + c` cannot overflow: under ANSI mode
+    // (Spark 4 default) Multiply THROWS on overflow instead of wrapping,
+    // so out-of-range longs aren't a semantics question either engine
+    // answers. ±2^59 still covers negative hashes and the full top bits.
+    val bound = Long.MaxValue / 16
+    val arrGen = Gen.listOf(Gen.chooseNum(-bound, bound))
+    val prop = forAll(Gen.listOfN(24, Gen.zip(arrGen, arrGen))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      def slowSig(hs: org.apache.spark.sql.Column, k: Int) =
+        array((0 until k).map { i =>
+          val m = 2L * i + 1; val c = 12345L * i + 7
+          array_min(transform(hs, h => (h * m + c) % P))
+        }: _*)
+      def slowSimhash(hs: org.apache.spark.sql.Column, bits: Int) =
+        (0 until bits).map { i =>
+          val setCount = aggregate(hs, lit(0L),
+            (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+          when(setCount * 2 > size(hs), lit(1L) * (1L << i)).otherwise(0L)
+        }.reduce(_ + _)
+      val bad = df.select(
+        Dedup.simhashFromHashes(col("a"), 64).as("f_sh"),
+        slowSimhash(col("a"), 64).as("s_sh"),
+        Dedup.signatureFromHashes(col("a"), 5).as("f_sig"),
+        slowSig(col("a"), 5).as("s_sig"),
+        Dedup.bandKey(col("a"), 0, 3).as("f_bk"),
+        aggregate(slice(col("a"), 1, 3), lit(0L),
+          (acc, x) => (acc * 31 + pmod(x, lit(P))) % P).as("s_bk"),
+        SigMatchCount.sigMatchCount(col("a"), col("b")).as("f_mc"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).as("s_mc"),
+        Dedup.jaccard(col("a"), col("b")).as("f_jc"),
+        when(size(array_union(col("a"), col("b"))) > 0,
+          size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))).cast("double"))
+          .otherwise(lit(0d)).as("s_jc"))
+        .filter(not(col("f_sh") <=> col("s_sh")) ||
+          not(col("f_sig") <=> col("s_sig")) ||
+          not(col("f_bk") <=> col("s_bk")) ||
+          not(col("f_mc") <=> col("s_mc")) ||
+          not(col("f_jc") <=> col("s_jc")))
+        .count()
+      Prop(bad == 0)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"native/HOF divergence on random longs: ${res.status}")
+  }
+
   test("jaccard_sets null-element semantics match array_intersect/union") {
     // shingle arrays are containsNull=false, but the registered SQL
     // function accepts arbitrary arrays — pin the sentinel-null math
@@ -258,6 +317,24 @@ class LlmSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 1 - 2.0 / 5 && out(2).getDouble(1) == 0.5)
     assert(out(3).getDouble(0) == 0.0 && out(3).getDouble(1) == 0.0)
     assert(out(4).getDouble(0) == 0.0 && out(4).getDouble(1) == 0.0)
+  }
+
+  test("C4 line cleaning: terminal-punct + min-words rules, stats") {
+    import spark.implicits._
+    val df = Seq(
+      "Good sentence here.\nnav crumb\nAlso kept lines!\nOk.\nKeep this one?",
+      "no punct at all",
+      "\"Quoted line stays here.\"",
+      "").toDF("text")
+    val out = df.select(llm.Text.lineStats(col("text")).map {
+      case (n, c) => c.as(n) }: _*).collect()
+    // doc 0: 5 lines; 'nav crumb' (no punct) and 'Ok.' (1 word) drop
+    assert(out(0).getInt(0) == 5 && out(0).getInt(1) == 3)
+    assert(out(0).getString(2) ==
+      "Good sentence here.\nAlso kept lines!\nKeep this one?")
+    assert(out(1).getInt(1) == 0 && out(1).getString(2) == "")
+    assert(out(2).getInt(1) == 1) // quote-terminated line kept
+    assert(out(3).getInt(0) == 1 && out(3).getInt(1) == 0)
   }
 
   test("IVF sample-trained quantizer still retrieves exactly at full probe") {
