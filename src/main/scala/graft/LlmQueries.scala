@@ -493,6 +493,10 @@ object LlmQueries {
   private val l19 = Spec("q74_text_pii_redact",
     (s, d) => {
       val did = col("doc_id")
+      // DECOMPOSED sequences injected (e + U+0301, A + U+030A) — NFC must
+      // compose them; precomposed literals would make len_raw diverge.
+      // Escapes, not raw combining marks: editors/formatters may silently
+      // NFC-normalize source files, which would flip the fixture.
       val aug = concat(col("text"),
         when(did % 2 === 0, concat(lit(" contact user"),
           did.cast("string"), lit("@example.com"))).otherwise(lit("")),
@@ -773,7 +777,33 @@ object LlmQueries {
           CAST(len(kept) AS INT) AS n_kept,
           coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k"""))
 
+  /** Unicode NFC normalization over a corpus with deterministically
+    * injected combining sequences (every 2nd doc gains `e`+U+0301, every
+    * 5th `A`+U+030A) — the canonical-equivalence fold a multilingual
+    * corpus needs before content hashing. Char counts before/after show
+    * exactly which rows composed.
+    */
+  private val l28 = Spec("q83_text_nfc_normalize",
+    (s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" A\u030angstrom"))
+          .otherwise(lit("")))
+      T(s, d, "documents").select(col("doc_id"), aug.as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("len_raw"),
+          Text.nfc(col("raw")).as("clean"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("clean")).as("len_nfc"), col("clean"))
+    },
+    Some("""WITH aug AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' A' || chr(778) || 'ngstrom'
+            ELSE '' END AS raw FROM documents)
+        SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+          CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+          nfc_normalize(raw) AS clean FROM aug"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27)
+    l24, l25, l26, l27, l28)
 }

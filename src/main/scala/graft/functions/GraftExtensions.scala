@@ -129,6 +129,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "sig_match_count(a, b)")
         SigMatchCount(args.head, args(1))
+      }),
+    ("nfc_normalize",
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "nfc_normalize(str)")
+        NfcNormalize(args.head)
       }))
 
   /** Register into an already-running session (tests, REPL). */

@@ -508,3 +508,52 @@ object ModFilterSorted {
   def modFilterSorted(hashes: Column, m: Int): Column =
     Bridge.column(ModFilterSorted(Bridge.expression(hashes), m))
 }
+
+/** `nfc_normalize(text)` — Unicode NFC canonical composition (combining
+  * sequences fold to precomposed codepoints: `e`+U+0301 → `é`), the
+  * standard pre-tokenization normalization a multilingual training corpus
+  * needs before hashing/dedup — two canonically-equivalent byte sequences
+  * must not count as distinct documents. Spark has no builtin; this wraps
+  * `java.text.Normalizer` as a codegen'd expression with an ASCII
+  * fast path (the overwhelming case — no allocation, no normalization
+  * pass). Oracle twin: DuckDB's `nfc_normalize` (both implement the
+  * stability-guaranteed Unicode canonical composition, property-tested
+  * equal in the gate).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  def compute(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) s // ASCII is NFC by construction — zero-copy pass-through
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+}

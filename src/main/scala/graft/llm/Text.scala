@@ -16,6 +16,14 @@ import graft.functions.PolyHash.polyhash
   */
 object Text {
 
+  /** Unicode NFC canonical composition ([[graft.functions.NfcNormalize]]):
+    * fold combining sequences to precomposed codepoints BEFORE hashing or
+    * dedup, so canonically-equivalent byte sequences can't masquerade as
+    * distinct documents. ASCII passes through zero-copy.
+    */
+  def nfc(text: Column): Column =
+    graft.functions.NfcNormalize.nfcNormalize(text)
+
   /** Lowercase + strip non-alphanumerics to spaces. */
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", " ")

@@ -319,6 +319,28 @@ class LlmSpec extends SparkSpec {
     assert(out(4).getDouble(0) == 0.0 && out(4).getDouble(1) == 0.0)
   }
 
+  test("NFC normalize: composes combining marks, ASCII passes through") {
+    import spark.implicits._
+    // explicit escapes — raw combining marks in source could be silently
+    // NFC'd by an editor, flipping the fixture
+    val decomposed = "cafe\u0301"
+    val precomposed = "caf\u00e9"
+    val df = Seq(decomposed, "A\u030angstrom", "plain ascii", precomposed)
+      .toDF("t")
+    val out = df.select(llm.Text.nfc(col("t")).as("n"),
+      length(col("t")).as("lr"), length(llm.Text.nfc(col("t"))).as("ln"))
+      .collect()
+    assert(out(0).getString(0) == precomposed && out(0).getInt(1) == 5 &&
+      out(0).getInt(2) == 4)
+    assert(out(1).getString(0) == "\u00c5ngstrom")
+    assert(out(2).getString(0) == "plain ascii") // zero-copy path
+    assert(out(3).getString(0) == precomposed) // already NFC → unchanged
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('" + decomposed + "') AS n")
+      .head().getString(0) == precomposed)
+  }
+
   test("C4 line cleaning: terminal-punct + min-words rules, stats") {
     import spark.implicits._
     val df = Seq(
