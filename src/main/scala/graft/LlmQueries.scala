@@ -803,7 +803,22 @@ object LlmQueries {
           CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
           nfc_normalize(raw) AS clean FROM aug"""))
 
+  /** Corpus-wide top-25 trigram mining — repeated n-grams across documents
+    * expose boilerplate templates no per-doc filter can see.
+    */
+  private val l29 = Spec("q84_text_top_ngrams",
+    (s, d) => Text.topNgramsCorpus(T(s, d, "documents"), "text", 3, 25),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT unnest([array_to_string(words[i+1:i+3], ' ') for i in
+          range(CASE WHEN len(words) >= 3 THEN len(words)-2 ELSE 0 END)])
+          AS gram FROM t),
+        c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram),
+        r AS (SELECT gram, n_occ, row_number() OVER
+          (ORDER BY n_occ DESC, gram) AS rank FROM c)
+        SELECT gram, n_occ, CAST(rank AS INT) AS rank FROM r
+        WHERE rank <= 25"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27, l28)
+    l24, l25, l26, l27, l28, l29)
 }

@@ -253,6 +253,29 @@ object Text {
       "clean" -> cleanLines(text, minWords))
   }
 
+  // ------------------------------------------------ corpus n-gram mining
+
+  /** Corpus-wide top-k most frequent word n-grams — the boilerplate-mining
+    * pass (Gopher/C4 style): repeated n-grams across DOCUMENTS expose
+    * templates, headers, and spam the per-doc filters can't see. One
+    * explode + one count aggregate (map-side combine ships one row per
+    * distinct gram per task) + a rank-k cut; ties break on the gram text
+    * so the result is deterministic and oracle-checkable. At 100 TB the
+    * shuffle carries distinct-gram cardinality, not corpus rows, and
+    * `WindowGroupLimit` prunes to k per partition before the final
+    * exchange.
+    */
+  def topNgramsCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(ngrams(tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("gram"))))
+      .filter(col("rank") <= k)
+  }
+
   // ----------------------------------------------------- repetition filters
 
   /** Fraction of tokens that are repeats of an earlier token
