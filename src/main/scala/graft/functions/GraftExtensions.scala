@@ -136,6 +136,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "nfc_normalize(str)")
         NfcNormalize(args.head)
+      }),
+    ("token_ngrams",
+      info("token_ngrams",
+        "token_ngrams(str, n) - word n-gram strings of the normalized text"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "token_ngrams(str, n)")
+        TokenNgrams(args.head, intLit(args(1), "ngram width"))
       }))
 
   /** Register into an already-running session (tests, REPL). */

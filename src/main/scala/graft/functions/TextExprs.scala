@@ -557,3 +557,64 @@ object NfcNormalize {
   def nfcNormalize(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
 }
+
+/** `token_ngrams(text, n)` — the word n-gram STRINGS of the normalized
+  * text (members joined with one space), in one scan. Replaces the
+  * `transform(sequence(…), i => array_join(slice(toks, i+1, n), " "))`
+  * chain, whose guard/sequence/slice reference the token argument 4× (the
+  * tokenizer ran 4× per row when composed directly) and whose per-gram
+  * lambda executes interpreted. Contract identical to
+  * `Text.ngrams(Text.tokens(text), n)` (property-tested): null → null,
+  * fewer than n tokens → empty array.
+  */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "ngram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toLowerCase.toString
+    val (starts, ends) = TokenScan.offsets(text)
+    val nTok = starts.length
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= nTok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(text, starts(i + j), ends(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tokenNgrams(text: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(Bridge.expression(text), n))
+}

@@ -269,7 +269,10 @@ object Text {
       n: Int, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs
-      .select(explode(ngrams(tokens(col(textCol)), n)).as("gram"))
+      // native one-scan gram build (the composed ngrams∘tokens chain
+      // re-tokenizes 4× per row and runs its per-gram lambda interpreted)
+      .select(explode(
+        graft.functions.TokenNgrams.tokenNgrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occ").desc, col("gram"))))

@@ -103,6 +103,8 @@ class LlmSpec extends SparkSpec {
       Text.topNgramFractionFromGrams(Text.ngrams(col("toks"), 2)).as("s_tn"),
       ModFilterSorted.modFilterSorted(col("shs"), 8).as("f_mf"),
       array_sort(filter(col("shs"), h => h % 8 === 0)).as("s_mf"),
+      TokenNgrams.tokenNgrams(col("text"), 2).as("f_ng"),
+      Text.ngrams(col("toks"), 2).as("s_ng"),
       Dedup.bandKey(col("shs"), 1, 3).as("f_bk"),
       aggregate(slice(col("shs"), 1 * 3 + 1, 3), lit(0L),
         (acc, x) => (acc * 31 + pmod(x, lit(P))) % P).as("s_bk"),
@@ -112,7 +114,7 @@ class LlmSpec extends SparkSpec {
         (x, y) => when(x === y, 1).otherwise(0)), lit(0),
         (acc, v) => acc + v).as("s_mc"))
     for (p <- Seq("toks", "tc", "th", "sh", "sig", "sw", "sl", "jc", "tn",
-        "mf", "bk", "mc")) {
+        "mf", "ng", "bk", "mc")) {
       val bad = both.filter(not(col(s"f_$p") <=> col(s"s_$p"))).count()
       assert(bad == 0, s"$bad rows diverge between native and HOF '$p'")
     }
