@@ -493,10 +493,6 @@ object LlmQueries {
   private val l19 = Spec("q74_text_pii_redact",
     (s, d) => {
       val did = col("doc_id")
-      // DECOMPOSED sequences injected (e + U+0301, A + U+030A) — NFC must
-      // compose them; precomposed literals would make len_raw diverge.
-      // Escapes, not raw combining marks: editors/formatters may silently
-      // NFC-normalize source files, which would flip the fixture.
       val aug = concat(col("text"),
         when(did % 2 === 0, concat(lit(" contact user"),
           did.cast("string"), lit("@example.com"))).otherwise(lit("")),
@@ -756,9 +752,15 @@ object LlmQueries {
         when(col("doc_id") % 3 === 0, lit("\nhome products contact"))
           .otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit("\nOk.")).otherwise(lit("")))
-      val staged = T(s, d, "documents").select(col("doc_id"), aug.as("t"))
+      // stage the split + filtered line arrays ONCE (interpreted HOFs get
+      // no CSE — deriving each stat from the text would re-split and
+      // re-filter per output column)
+      val staged = T(s, d, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"), split(col("t"), "\n").as("lines"),
+          Text.keptLines(col("t"), minWords = 3).as("kept"))
       staged.select(col("doc_id") +:
-        Text.lineStats(col("t"), minWords = 3).map {
+        Text.lineStatsFromKept(col("lines"), col("kept")).map {
           case (n, c) => c.as(n) }: _*)
     },
     Some("""WITH aug AS (SELECT doc_id,
@@ -785,6 +787,10 @@ object LlmQueries {
     */
   private val l28 = Spec("q83_text_nfc_normalize",
     (s, d) => {
+      // DECOMPOSED sequences injected (e + U+0301, A + U+030A) \u2014 NFC must
+      // compose them; precomposed literals would make len_raw diverge.
+      // Escapes, not raw combining marks: editors/formatters may silently
+      // NFC-normalize source files, which would flip the fixture.
       val aug = concat(col("text"),
         when(col("doc_id") % 2 === 0, lit(" cafe\u0301")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" A\u030angstrom"))

@@ -545,13 +545,18 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
 
   def compute(s: UTF8String): UTF8String = {
-    val b = s.getBytes
+    // byte-indexed probe, NOT getBytes: UnsafeRow-backed strings are
+    // buffer slices and getBytes would copy the payload the fast path
+    // exists to avoid
+    val n = s.numBytes()
     var i = 0
-    var ascii = true
-    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
-    if (ascii) s // ASCII is NFC by construction — zero-copy pass-through
-    else UTF8String.fromString(java.text.Normalizer.normalize(
-      s.toString, java.text.Normalizer.Form.NFC))
+    while (i < n) {
+      if (s.getByte(i) < 0)
+        return UTF8String.fromString(java.text.Normalizer.normalize(
+          s.toString, java.text.Normalizer.Form.NFC))
+      i += 1
+    }
+    s // ASCII is NFC by construction — zero-copy pass-through
   }
 
   def nfcNormalize(text: Column): Column =

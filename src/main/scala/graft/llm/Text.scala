@@ -239,19 +239,28 @@ object Text {
       t.endsWith("\"")) && words >= minWords
   }
 
+  def keptLines(text: Column, minWords: Int = 3): Column =
+    filter(split(text, "\n"), l => keepLine(l, minWords))
+
   def cleanLines(text: Column, minWords: Int = 3): Column =
-    array_join(filter(split(text, "\n"), l => keepLine(l, minWords)), "\n")
+    array_join(keptLines(text, minWords), "\n")
 
   /** Line-retention stats alongside the cleaned text — the audit columns
     * a curation run reports per document.
+    *
+    * PERF: takes PRE-STAGED `lines`/`kept` array columns (the HOF filter
+    * runs interpreted with no CSE — composing `keepLine` per output column
+    * would re-split and re-filter the text per reference; see the staged
+    * projection in q82).
     */
-  def lineStats(text: Column, minWords: Int = 3): Seq[(String, Column)] = {
-    val lines = split(text, "\n")
+  def lineStatsFromKept(lines: Column, kept: Column): Seq[(String, Column)] =
     Seq(
       "n_lines" -> size(lines),
-      "n_kept" -> size(filter(lines, l => keepLine(l, minWords))),
-      "clean" -> cleanLines(text, minWords))
-  }
+      "n_kept" -> size(kept),
+      "clean" -> array_join(kept, "\n"))
+
+  def lineStats(text: Column, minWords: Int = 3): Seq[(String, Column)] =
+    lineStatsFromKept(split(text, "\n"), keptLines(text, minWords))
 
   // ------------------------------------------------ corpus n-gram mining
 

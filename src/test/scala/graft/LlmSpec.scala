@@ -9,6 +9,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** LLM-pipeline operator semantics: polyhash, shingles, dedup, similarity. */
 class LlmSpec extends SparkSpec {
 
+  /** The pre-native HOF reference chains (shared by the corpus and the
+    * randomized property tests — ONE copy so the pinned contract can't
+    * drift between them).
+    */
+  private def slowSig(hs: org.apache.spark.sql.Column, k: Int) =
+    array((0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 12345L * i + 7
+      array_min(transform(hs, h => (h * a + b) % Dedup.P))
+    }: _*)
+
+  private def slowSimhash(hs: org.apache.spark.sql.Column, bits: Int) =
+    (0 until bits).map { i =>
+      val setCount = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(setCount * 2 > size(hs), lit(1L) * (1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
   test("polyhash goldens incl. empty / non-ASCII (byte fast path + fallback)") {
     assert(PolyHash.hash(UTF8String.fromString("abc")) == 96354L)
     assert(PolyHash.hash(UTF8String.fromString("")) == 0L)
@@ -59,22 +77,11 @@ class LlmSpec extends SparkSpec {
         "a b a b a b", "123 456 789 123 456", "solo",
         "x y x y x", "a a a a").toDF("text"))
       .unionByName(spark.range(1).select(lit(null).cast("string").as("text")))
-    // the pre-native composable forms, reconstructed verbatim
+    // the pre-native composable forms, reconstructed verbatim (sig/simhash
+    // chains shared with the randomized property test)
     val slowTokens = filter(split(trim(regexp_replace(lower(col("text")),
       "[^a-z0-9 ]", " ")), " +"), t => t =!= "")
     val slowHashes = transform(slowTokens, t => polyhash(t))
-    def slowSig(hs: org.apache.spark.sql.Column, k: Int) =
-      array((0 until k).map { i =>
-        val a = 2L * i + 1
-        val b = 12345L * i + 7
-        array_min(transform(hs, h => (h * a + b) % P))
-      }: _*)
-    def slowSimhash(hs: org.apache.spark.sql.Column, bits: Int) =
-      (0 until bits).map { i =>
-        val setCount = aggregate(hs, lit(0L),
-          (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-        when(setCount * 2 > size(hs), lit(1L) * (1L << i)).otherwise(0L)
-      }.reduce(_ + _)
     val en = Text.stopwords("en")
     val staged = docs.select(col("text"), slowHashes.as("shh"),
       Text.shingleHashes(col("text"), 3).as("shs"),
@@ -165,17 +172,6 @@ class LlmSpec extends SparkSpec {
     val arrGen = Gen.listOf(Gen.chooseNum(-bound, bound))
     val prop = forAll(Gen.listOfN(24, Gen.zip(arrGen, arrGen))) { pairs =>
       val df = pairs.toDF("a", "b")
-      def slowSig(hs: org.apache.spark.sql.Column, k: Int) =
-        array((0 until k).map { i =>
-          val m = 2L * i + 1; val c = 12345L * i + 7
-          array_min(transform(hs, h => (h * m + c) % P))
-        }: _*)
-      def slowSimhash(hs: org.apache.spark.sql.Column, bits: Int) =
-        (0 until bits).map { i =>
-          val setCount = aggregate(hs, lit(0L),
-            (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-          when(setCount * 2 > size(hs), lit(1L) * (1L << i)).otherwise(0L)
-        }.reduce(_ + _)
       val bad = df.select(
         Dedup.simhashFromHashes(col("a"), 64).as("f_sh"),
         slowSimhash(col("a"), 64).as("s_sh"),
