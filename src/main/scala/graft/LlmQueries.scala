@@ -824,7 +824,83 @@ object LlmQueries {
         SELECT gram, n_occ, CAST(rank AS INT) AS rank FROM r
         WHERE rank <= 25"""))
 
+  /** End-to-end curation pipeline — the composite a training-data run
+    * actually ships, as ONE dataflow: dup-injected corpus → per-doc
+    * features (lang ID, quality, token count) → quality gate → exact
+    * dedup (md5 keep-min-id survivors) → content-hash train/val/holdout
+    * split → per-(lang, split) report. Every stage is an operator already
+    * oracle-proven alone (q52/q53/q55/q79/q80); this pins their
+    * COMPOSITION end-to-end. Scale shape: two hash aggregates (dedup,
+    * report) + one broadcastable keep-list join — the corpus is scanned
+    * once and shuffled only on content hash and the 15-key report.
+    */
+  private val l30 = Spec("q85_pipeline_curation",
+    (s, d) => {
+      val corpus = dupCorpus(s, d)
+      val keep = Dedup.exact(corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val staged = corpus.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+      staged
+        .select(col("doc_id"),
+          Text.langIdFromTokens(col("toks")).as("lang_pred"),
+          Text.qualityScoreFromTokens(col("text"), col("toks")).as("q"),
+          size(col("toks")).as("nt"),
+          Text.hashSplit(col("text"),
+            Seq("train" -> 90, "val" -> 5, "holdout" -> 5)).as("split"))
+        .filter(col("q") >= 0.3)
+        .groupBy(col("lang_pred"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 6).as("mean_quality"),
+          round(avg(col("nt")), 6).as("mean_tokens"))
+    },
+    Some {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val counts = langs.map { l =>
+        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
+      }.mkString(", ")
+      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
+      val chain = langs.map(l =>
+        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH corpus AS ($dupCorpusSql),
+          keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+          t AS (SELECT doc_id, text, $wordsSql AS words FROM corpus
+            WHERE doc_id IN (SELECT doc_id FROM keep)),
+          f AS (SELECT doc_id, text, words,
+            CAST(len(words) AS DOUBLE) AS n_tokens,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+            CASE WHEN len(words) > 0 THEN
+              CAST(len(list_filter(words, w -> list_contains(
+                ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+                / CAST(len(words) AS DOUBLE) END AS stopword_ratio
+          FROM t),
+          sc AS (SELECT doc_id, text, words,
+            coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+              + (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE)))
+              + least(stopword_ratio * 4, CAST(1 AS DOUBLE)))
+              / CAST(3 AS DOUBLE), CAST(0 AS DOUBLE)) AS q,
+            CAST(len(words) AS INT) AS nt FROM f),
+          lang AS (SELECT doc_id, $counts FROM t),
+          lp AS (SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
+            FROM lang),
+          sp AS (SELECT doc_id, CASE
+            WHEN text IS NULL THEN NULL
+            WHEN ${phSql("text")} % 100 < 90 THEN 'train'
+            WHEN ${phSql("text")} % 100 < 95 THEN 'val'
+            ELSE 'holdout' END AS split FROM sc)
+          SELECT lp.lang_pred, sp.split, count(*) AS n_docs,
+            round(avg(sc.q), 6) AS mean_quality,
+            round(avg(sc.nt), 6) AS mean_tokens
+          FROM lp JOIN sc USING (doc_id) JOIN sp USING (doc_id)
+          WHERE sc.q >= CAST(0.3 AS DOUBLE)
+          GROUP BY lp.lang_pred, sp.split"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27, l28, l29)
+    l24, l25, l26, l27, l28, l29, l30)
 }
