@@ -831,8 +831,10 @@ object LlmQueries {
     * split → per-(lang, split) report. Every stage is an operator already
     * oracle-proven alone (q52/q53/q55/q79/q80); this pins their
     * COMPOSITION end-to-end. Scale shape: two hash aggregates (dedup,
-    * report) + one broadcastable keep-list join — the corpus is scanned
-    * once and shuffled only on content hash and the 15-key report.
+    * report) + one semi-join on doc_id against the survivor list (which is
+    * corpus-sized, so a shuffle semi-join — NOT broadcast — is the shape
+    * that survives 100 TB); the corpus shuffles only on content hash,
+    * doc_id, and the ~15-key report.
     */
   private val l30 = Spec("q85_pipeline_curation",
     (s, d) => {
