@@ -902,7 +902,109 @@ object LlmQueries {
           GROUP BY lp.lang_pred, sp.split"""
     })
 
+  /** Cross-document line-level dedup (C4-style: drop any line occurring
+    * ≥2 times across the WHOLE corpus) over a corpus with deterministically
+    * injected shared boilerplate: sentence breaks become line breaks, every
+    * 3rd doc gains a newsletter plug and every 4th a rights notice — lines
+    * that repeat across ~⅓/¼ of the corpus and must vanish from ALL of it,
+    * which no per-document filter can do.
+    */
+  private val l31 = Spec("q86_dedup_lines_corpus",
+    (s, d) => {
+      val aug = T(s, d, "documents").select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "\\. ", ".\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe to our newsletter today.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\nall rights reserved."))
+            .otherwise(lit(""))).as("text"))
+      graft.llm.Curation.dedupLinesAcrossCorpus(aug, "doc_id", "text",
+        minCount = 2)
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+          regexp_replace(text, '\. ', '.' || chr(10), 'g') ||
+          CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'subscribe to our newsletter today.' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved.'
+            ELSE '' END AS text FROM documents),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+        ex AS (SELECT doc_id, unnest([{'pos': i, 'line': lines[i+1]}
+          for i in range(len(lines))], recursive := true) FROM ls),
+        rep AS (SELECT line FROM ex GROUP BY line HAVING count(*) >= 2),
+        kept AS (SELECT doc_id, pos, line FROM ex
+          WHERE line NOT IN (SELECT line FROM rep)),
+        pk AS (SELECT doc_id, count(*) AS n_kept,
+          array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+          FROM kept GROUP BY doc_id)
+        SELECT l.doc_id, CAST(len(l.lines) AS INT) AS n_lines,
+          CAST(coalesce(pk.n_kept, 0) AS INT) AS n_kept,
+          CAST(len(l.lines) - coalesce(pk.n_kept, 0) AS INT) AS n_dropped,
+          coalesce(pk.clean, '') AS clean
+        FROM ls l LEFT JOIN pk ON l.doc_id = pk.doc_id"""))
+
+  /** Benchmark decontamination: per-doc 5-gram overlap against an eval set
+    * drawn from the corpus itself (every 53rd doc), so contamination is
+    * guaranteed for the eval docs and any doc sharing a 5-gram with them —
+    * the GPT-3/Gopher pre-training hygiene pass as one broadcast semi-join.
+    */
+  private val l32 = Spec("q87_decontaminate",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.llm.Curation.contaminationReport(docs,
+        docs.filter(col("doc_id") % 53 === 0), "doc_id", "text", n = 5)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, [array_to_string(words[i+1:i+5], ' ') for i in
+          range(CASE WHEN len(words) >= 5 THEN len(words)-4 ELSE 0 END)]
+          AS grams FROM t),
+        b AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE doc_id % 53 = 0),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        hit AS (SELECT doc_id, count(*) AS n_hit FROM ex
+          WHERE gram IN (SELECT gram FROM b) GROUP BY doc_id)
+        SELECT g.doc_id, CAST(len(g.grams) AS INT) AS n_grams,
+          CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+          coalesce(h.n_hit, 0) > 0 AS contaminated
+        FROM g LEFT JOIN hit h ON g.doc_id = h.doc_id"""))
+
+  /** Data-mixing cap: at most 40 docs per predicted language, chosen in
+    * content-hash order (deterministic and insertion-stable, unlike random
+    * sampling or id order). The rank filter must compile to a
+    * WindowGroupLimit partial top-k (pinned in LlmSpec) — with 5 language
+    * keys over 100 TB a plain window would shuffle everything to 5 tasks.
+    */
+  private val l33 = Spec("q88_mix_cap_per_lang",
+    (s, d) => {
+      val staged = T(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          Text.langIdFromTokens(col("toks")).as("lang_pred"))
+      graft.llm.Curation.capPerGroupByContent(staged, "lang_pred", "doc_id",
+        "text", cap = 40)
+        .select(col("doc_id"), col("lang_pred"), col("rk"))
+    },
+    Some {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val counts = langs.map { l =>
+        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
+      }.mkString(", ")
+      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
+      val chain = langs.map(l =>
+        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
+          c AS (SELECT doc_id, text, $counts FROM t),
+          lp AS (SELECT doc_id, text, CASE $chain ELSE 'und' END AS lang_pred
+            FROM c),
+          r AS (SELECT doc_id, lang_pred, row_number() OVER
+            (PARTITION BY lang_pred ORDER BY ${phSql("text")}, doc_id) AS rk
+            FROM lp)
+          SELECT doc_id, lang_pred, CAST(rk AS INT) AS rk FROM r
+          WHERE rk <= 40"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27, l28, l29, l30)
+    l24, l25, l26, l27, l28, l29, l30, l31, l32, l33)
 }

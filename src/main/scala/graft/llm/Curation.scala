@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.PolyHash.polyhash
+import graft.functions.TokenNgrams.tokenNgrams
+
+/** Corpus-level curation operators a large-scale training-data run needs
+  * beyond per-document filters: cross-document line deduplication (the
+  * C4-style "drop any line repeated across the corpus" pass), benchmark
+  * decontamination (n-gram overlap against an eval set), and deterministic
+  * per-group caps for data mixing.
+  *
+  * Scale posture (100 TB corpus): line dedup shuffles on line content
+  * (cardinality ≈ distinct lines, with map-side combine on the count);
+  * decontamination broadcasts the eval-set gram list (eval benchmarks are
+  * MBs against a TB corpus) so the corpus is never shuffled; the per-group
+  * cap's rank filter is pushed below the exchange by Spark's
+  * `WindowGroupLimit`, so the shuffle carries ≤ cap×tasks rows even when
+  * the group key has only a handful of values.
+  */
+object Curation {
+
+  /** Cross-document line-level dedup: any line whose exact text occurs at
+    * least `minCount` times across the WHOLE corpus is dropped from every
+    * document (C4 §2.1 drops lines occurring more than once — that is
+    * `minCount = 2`). Per document, returns the original line count, kept
+    * count, and the cleaned text reassembled in original line order.
+    *
+    * Dataflow: posexplode lines → count lines across the corpus (one hash
+    * aggregate; map-side combine ships one row per distinct line per
+    * task) → anti-join survivors against the repeated-line list (shuffle
+    * join keyed on line content; the repeat list is far smaller than the
+    * corpus but unbounded, so NOT broadcast) → per-doc ordered
+    * re-aggregation. Documents whose every line was dropped stay in the
+    * output with an empty `clean`.
+    */
+  def dedupLinesAcrossCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val repeated = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select(col("line"))
+    val kept = lines.join(repeated, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        // sort_array on (pos, line) structs restores document order;
+        // getField is the codegen'd per-element projection (a transform
+        // lambda would run interpreted)
+        array_join(sort_array(collect_list(struct(col("pos"), col("line"))))
+          .getField("line"), "\n").as("clean"))
+    docs
+      .select(col(idCol), size(split(col(textCol), "\n")).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)).cast("int"))
+          .as("n_dropped"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
+  /** Benchmark decontamination report: for each corpus document, how many
+    * of its word `n`-grams also appear in the eval benchmark's gram set.
+    * The standard pre-training hygiene pass (GPT-3 appendix C / Gopher
+    * A.2 use 8–13-gram overlap); `contaminated` flags any overlap, and
+    * callers threshold `n_hit` / `n_grams` for fractional policies.
+    *
+    * The benchmark side is collapsed to DISTINCT grams and broadcast —
+    * eval sets are MB-sized against a TB corpus, so the corpus side is
+    * never shuffled for the membership test (one broadcast semi-join on
+    * the exploded grams), then one hash re-aggregation on the doc id.
+    * Gram multiplicity in the DOCUMENT counts once per occurrence (two
+    * copies of a benchmark sentence = twice the hits).
+    */
+  def contaminationReport(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(tokenNgrams(col(textCol), n)).as("gram")).distinct()
+    val staged = docs
+      .select(col(idCol), tokenNgrams(col(textCol), n).as("grams"))
+    val hits = staged
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    staged
+      .select(col(idCol), size(col("grams")).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic per-group cap for data mixing: keep at most `cap`
+    * documents per group, chosen by content-hash order (reproducible
+    * across runs and engines, unlike a random sample), ties broken by the
+    * unique id. Returns the kept rows with their within-group rank.
+    *
+    * Scale: a rank-filter window over a low-cardinality group key (5
+    * languages over 100 TB) would naively shuffle everything to 5 tasks;
+    * Spark's `WindowGroupLimit` rewrites `rank <= cap` into a per-map
+    * partial top-`cap`, so the exchange carries ≤ cap×tasks rows. The
+    * LlmSpec plan assertion pins that rewrite.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+      orderHashCol: Column, cap: Int): DataFrame =
+    docs
+      .withColumn("rk", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(orderHashCol, col(idCol))))
+      .filter(col("rk") <= cap)
+
+  /** `capPerGroup` keyed on the polyhash of the text column — the default
+    * "hash order" policy (content-derived, so inserting unrelated new docs
+    * does not reshuffle which existing docs survive, unlike id order).
+    */
+  def capPerGroupByContent(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, cap: Int): DataFrame =
+    capPerGroup(docs, groupCol, idCol, polyhash(col(textCol)), cap)
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.PolyHash
 import graft.functions.PolyHash.polyhash
-import graft.llm.{Dedup, Similarity, Text}
+import graft.llm.{Curation, Dedup, Similarity, Text}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** LLM-pipeline operator semantics: polyhash, shingles, dedup, similarity. */
@@ -599,5 +599,70 @@ class LlmSpec extends SparkSpec {
       "vec_id", "embedding", "vec_id", 1, anchors).collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("neighbor_id") == 42L) // self in own bucket
+  }
+
+  test("line dedup across corpus: repeated lines vanish, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nshared line\nunique two"),
+      (2L, "another doc\nshared line"),
+      (3L, "solo content"),
+      (4L, "shared line")) // every line repeated → empty survivor
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[Int]("n_dropped"), r.getAs[String]("clean")))).toMap
+    assert(out(1L) == ((3, 2, 1, "unique one\nunique two"))) // order kept
+    assert(out(2L) == ((2, 1, 1, "another doc")))
+    assert(out(3L) == ((1, 1, 0, "solo content")))
+    assert(out(4L) == ((1, 0, 1, ""))) // fully-dropped doc stays, empty
+  }
+
+  test("contamination: eval-set 5-grams flag overlapping docs only") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, benchText), // the eval doc itself: every gram hits
+      (2L, "prefix words then the quick brown fox jumps too"), // one window
+      (3L, "completely different content with no overlap at all"),
+      (4L, "tiny doc")) // < 5 tokens → zero grams, zero hits
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationReport(docs,
+      docs.filter(col("doc_id") === 1), "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_grams"), r.getAs[Int]("n_hit"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) == ((5, 5, true)))
+    assert(out(2L)._3 && out(2L)._2 == 1) // "the quick brown fox jumps"
+    assert(out(3L) == ((4, 0, false))) // 8 tokens → 4 windows
+    assert(out(4L) == ((0, 0, false)))
+  }
+
+  test("capPerGroup: deterministic top-cap per group via WindowGroupLimit") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"doc number $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "grp")
+    val out = Curation.capPerGroupByContent(docs, "grp", "doc_id", "text", 10)
+    val rows = out.collect()
+    assert(rows.length == 20) // 15 per group capped to 10
+    assert(rows.groupBy(_.getAs[String]("grp")).forall(_._2.length == 10))
+    assert(rows.forall(_.getAs[Int]("rk") <= 10))
+    // same input → same survivors (content-hash order, not partition order)
+    val again = Curation.capPerGroupByContent(docs, "grp", "doc_id", "text",
+      10).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again.sameElements(rows.map(_.getAs[Long]("doc_id")).sorted))
+    // the scale contract: rank<=cap compiles to a partial top-k below the
+    // exchange, not a full shuffle into one task per group key.
+    // parquet-backed input so ConvertToLocalRelation can't fold the plan;
+    // the group key must be non-constant (a literal key makes the
+    // optimizer drop the partition spec and plan a global top-k instead)
+    val corpus = Queries.T(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 3).cast("string").as("grp"))
+    val plan = Curation.capPerGroupByContent(corpus, "grp", "doc_id", "text",
+      10).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k:\n$plan")
   }
 }
