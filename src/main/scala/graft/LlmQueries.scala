@@ -33,6 +33,60 @@ object LlmQueries {
     s"list_distinct([${phSql(s"array_to_string(words[i+1:i+$n], ' ')")} " +
       s"for i in range(CASE WHEN len(words) >= $n THEN len(words)-${n - 1} ELSE 0 END)])"
 
+  // ONE copy of each multi-query oracle fragment (lang-ID chain: q52, q80,
+  // q85, q88; quality CTEs: q80, q85; split CASE: q79, q85) — an edit to
+  // the stopword lists, quality blend, or split thresholds that missed one
+  // of the hand-synced copies would silently red only that query's gate.
+
+  private val langIdLangs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Per-language stopword-marker count select list over a `words` column
+    * (mirrors [[Text.langIdFromTokens]]'s counts). */
+  private val langCountsSql = langIdLangs.map { l =>
+    val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+    s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
+  }.mkString(", ")
+
+  /** Winning-language CASE over those counts (first-listed language wins
+    * ties, zero markers → 'und' — the exact [[Text.langIdFromTokens]]
+    * tie-break). */
+  private val langCaseSql = {
+    val maxc = langIdLangs.map(l => s"c_$l").mkString("greatest(", ",", ")")
+    langIdLangs.map(l => s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Quality-score CTE pair over a CTE exposing (doc_id, text, words):
+    * emits `f AS (features), sc AS (doc_id, <keep>, q, nt)` mirroring
+    * [[Text.qualityScoreFromTokens]]. `keep` = extra sc passthrough
+    * columns (comma-led), e.g. ", text". */
+  private def qualityCtesSql(src: String, keep: String): String =
+    s"""f AS (SELECT doc_id, text, words,
+          CAST(len(words) AS DOUBLE) AS n_tokens,
+          CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+          CASE WHEN len(words) > 0 THEN
+            CAST(len(list_filter(words, w -> list_contains(
+              ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE) END AS stopword_ratio
+        FROM $src),
+        sc AS (SELECT doc_id$keep,
+          coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+            + (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE)))
+            + least(stopword_ratio * 4, CAST(1 AS DOUBLE)))
+            / CAST(3 AS DOUBLE), CAST(0 AS DOUBLE)) AS q,
+          CAST(len(words) AS INT) AS nt FROM f)"""
+
+  /** 90/5/5 content-hash split CASE over a `text` column (mirrors
+    * [[Text.hashSplit]], incl. the NULL-propagation leading arm). */
+  private val hashSplitCaseSql =
+    s"""CASE WHEN text IS NULL THEN NULL
+        WHEN ${phSql("text")} % 100 < 90 THEN 'train'
+        WHEN ${phSql("text")} % 100 < 95 THEN 'val'
+        ELSE 'holdout' END"""
+
   // ------------------------------------------------------------------
 
   /** polyhash itself — the portable content-hash primitive. */
@@ -57,19 +111,9 @@ object LlmQueries {
     (s, d) => T(s, d, "documents")
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Text.langIdFromTokens(col("toks")).as("lang_pred")),
-    Some {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val counts = langs.map { l =>
-        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
-      }.mkString(", ")
-      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
-      val chain = langs.map(l =>
-        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
-          c AS (SELECT doc_id, $counts FROM t)
-          SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred FROM c"""
-    })
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          c AS (SELECT doc_id, $langCountsSql FROM t)
+          SELECT doc_id, $langCaseSql AS lang_pred FROM c"""))
 
   /** Quality features + composite score (ratio arithmetic — exact). */
   private val l4 = Spec("q53_text_quality",
@@ -121,16 +165,19 @@ object LlmQueries {
         AS fp FROM t"""))
 
   /** The duplicate-injected corpus: every 10th doc duplicated verbatim
-    * (id+100000) — exact-dup targets.
+    * (id+10^8) — exact-dup targets. The offset must clear the fixture's
+    * real id range: a collision would both let an injected dup survive
+    * dedup under a real doc's id and fan out the oracles' doc_id
+    * self-joins (q85) where Spark's one-projection pipeline does not.
     */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000))
+      .withColumn("doc_id", col("doc_id") + 100000000))
   }
   private val dupCorpusSql =
     """SELECT doc_id, text FROM documents UNION ALL
-       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"""
+       SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 10 = 0"""
 
   /** Near-dup-injected corpus: every 17th doc re-added with its tail
     * truncated — fuzzy-dup targets.
@@ -138,13 +185,13 @@ object LlmQueries {
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(docs.filter(col("doc_id") % 17 === 0).select(
-      (col("doc_id") + 100000).as("doc_id"),
+      (col("doc_id") + 100000000).as("doc_id"),
       substring(col("text"), lit(1),
         greatest(length(col("text")) - 15, lit(20)).cast("int")).as("text")))
   }
   private val nearDupCorpusSql =
     """SELECT doc_id, text FROM documents UNION ALL
-       SELECT doc_id + 100000,
+       SELECT doc_id + 100000000,
          substr(text, 1, CAST(greatest(length(text) - 15, 20) AS INT))
        FROM documents WHERE doc_id % 17 = 0"""
 
@@ -654,11 +701,7 @@ object LlmQueries {
     // leading IS NULL arm: Spark's hashSplit propagates a NULL key to a
     // NULL split, while a bare CASE would fall through NULL comparisons
     // to the ELSE arm — divergent on any future null-text fixture
-    Some(s"""SELECT doc_id, CASE
-        WHEN text IS NULL THEN NULL
-        WHEN ${phSql("text")} % 100 < 90 THEN 'train'
-        WHEN ${phSql("text")} % 100 < 95 THEN 'val'
-        ELSE 'holdout' END AS split FROM documents"""))
+    Some(s"SELECT doc_id, $hashSplitCaseSql AS split FROM documents"))
 
   /** Corpus quality report: per predicted language, doc count + mean
     * quality + mean token count — the end-of-pipeline summary every
@@ -677,41 +720,15 @@ object LlmQueries {
           round(avg(col("q")), 6).as("mean_quality"),
           round(avg(col("nt")), 6).as("mean_tokens"))
     },
-    Some {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val counts = langs.map { l =>
-        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
-      }.mkString(", ")
-      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
-      val chain = langs.map(l =>
-        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
-      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
-          f AS (SELECT doc_id, text, words,
-            CAST(len(words) AS DOUBLE) AS n_tokens,
-            CASE WHEN length(text) > 0 THEN
-              CAST(length(text) - length(regexp_replace(lower(text),
-                '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-            CASE WHEN len(words) > 0 THEN
-              CAST(len(list_filter(words, w -> list_contains(
-                ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
-                / CAST(len(words) AS DOUBLE) END AS stopword_ratio
-          FROM t),
-          sc AS (SELECT doc_id, words,
-            coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-              + (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE)))
-              + least(stopword_ratio * 4, CAST(1 AS DOUBLE)))
-              / CAST(3 AS DOUBLE), CAST(0 AS DOUBLE)) AS q,
-            CAST(len(words) AS INT) AS nt FROM f),
-          lang AS (SELECT doc_id, $counts FROM t),
-          lp AS (SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
-            FROM lang)
+    Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words
+            FROM documents),
+          ${qualityCtesSql("t", "")},
+          lang AS (SELECT doc_id, $langCountsSql FROM t),
+          lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM lang)
           SELECT lp.lang_pred, count(*) AS n_docs,
             round(avg(sc.q), 6) AS mean_quality,
             round(avg(sc.nt), 6) AS mean_tokens
-          FROM lp JOIN sc USING (doc_id) GROUP BY lp.lang_pred"""
-    })
+          FROM lp JOIN sc USING (doc_id) GROUP BY lp.lang_pred"""))
 
   /** End-to-end corpus dedup: the near-dup corpus pruned to cluster
     * survivors (LSH pairs → connected components → anti-join) — the
@@ -856,51 +873,20 @@ object LlmQueries {
           round(avg(col("q")), 6).as("mean_quality"),
           round(avg(col("nt")), 6).as("mean_tokens"))
     },
-    Some {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val counts = langs.map { l =>
-        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
-      }.mkString(", ")
-      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
-      val chain = langs.map(l =>
-        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
-      s"""WITH corpus AS ($dupCorpusSql),
+    Some(s"""WITH corpus AS ($dupCorpusSql),
           keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
           t AS (SELECT doc_id, text, $wordsSql AS words FROM corpus
             WHERE doc_id IN (SELECT doc_id FROM keep)),
-          f AS (SELECT doc_id, text, words,
-            CAST(len(words) AS DOUBLE) AS n_tokens,
-            CASE WHEN length(text) > 0 THEN
-              CAST(length(text) - length(regexp_replace(lower(text),
-                '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-            CASE WHEN len(words) > 0 THEN
-              CAST(len(list_filter(words, w -> list_contains(
-                ['the','a','of','and','to','in','is','it'], w))) AS DOUBLE)
-                / CAST(len(words) AS DOUBLE) END AS stopword_ratio
-          FROM t),
-          sc AS (SELECT doc_id, text, words,
-            coalesce((least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-              + (1 - least(punct_ratio * 5, CAST(1 AS DOUBLE)))
-              + least(stopword_ratio * 4, CAST(1 AS DOUBLE)))
-              / CAST(3 AS DOUBLE), CAST(0 AS DOUBLE)) AS q,
-            CAST(len(words) AS INT) AS nt FROM f),
-          lang AS (SELECT doc_id, $counts FROM t),
-          lp AS (SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
-            FROM lang),
-          sp AS (SELECT doc_id, CASE
-            WHEN text IS NULL THEN NULL
-            WHEN ${phSql("text")} % 100 < 90 THEN 'train'
-            WHEN ${phSql("text")} % 100 < 95 THEN 'val'
-            ELSE 'holdout' END AS split FROM sc)
+          ${qualityCtesSql("t", ", text")},
+          lang AS (SELECT doc_id, $langCountsSql FROM t),
+          lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM lang),
+          sp AS (SELECT doc_id, $hashSplitCaseSql AS split FROM sc)
           SELECT lp.lang_pred, sp.split, count(*) AS n_docs,
             round(avg(sc.q), 6) AS mean_quality,
             round(avg(sc.nt), 6) AS mean_tokens
           FROM lp JOIN sc USING (doc_id) JOIN sp USING (doc_id)
           WHERE sc.q >= CAST(0.3 AS DOUBLE)
-          GROUP BY lp.lang_pred, sp.split"""
-    })
+          GROUP BY lp.lang_pred, sp.split"""))
 
   /** Cross-document line-level dedup (C4-style: drop any line occurring
     * ≥2 times across the WHOLE corpus) over a corpus with deterministically
@@ -984,25 +970,15 @@ object LlmQueries {
         "text", cap = 40)
         .select(col("doc_id"), col("lang_pred"), col("rk"))
     },
-    Some {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val counts = langs.map { l =>
-        val lst = Text.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(words, w -> list_contains($lst, w))) AS INT) AS c_$l"
-      }.mkString(", ")
-      val maxc = langs.map(l => s"c_$l").mkString("greatest(", ",", ")")
-      val chain = langs.map(l =>
-        s"WHEN $maxc = c_$l AND c_$l > 0 THEN '$l'").mkString(" ")
-      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words FROM documents),
-          c AS (SELECT doc_id, text, $counts FROM t),
-          lp AS (SELECT doc_id, text, CASE $chain ELSE 'und' END AS lang_pred
-            FROM c),
+    Some(s"""WITH t AS (SELECT doc_id, text, $wordsSql AS words
+            FROM documents),
+          c AS (SELECT doc_id, text, $langCountsSql FROM t),
+          lp AS (SELECT doc_id, text, $langCaseSql AS lang_pred FROM c),
           r AS (SELECT doc_id, lang_pred, row_number() OVER
             (PARTITION BY lang_pred ORDER BY ${phSql("text")}, doc_id) AS rk
             FROM lp)
           SELECT doc_id, lang_pred, CAST(rk AS INT) AS rk FROM r
-          WHERE rk <= 40"""
-    })
+          WHERE rk <= 40"""))
 
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,

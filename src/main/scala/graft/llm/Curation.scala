@@ -54,7 +54,11 @@ object Curation {
         array_join(sort_array(collect_list(struct(col("pos"), col("line"))))
           .getField("line"), "\n").as("clean"))
     docs
-      .select(col(idCol), size(split(col(textCol), "\n")).as("n_lines"))
+      // newline count + 1 ≡ size(split(text, "\n")) without re-splitting
+      // the corpus into a second full line-array materialization;
+      // translate deletes the char in one codegen'd byte scan
+      .select(col(idCol), (length(col(textCol))
+        - length(translate(col(textCol), "\n", "")) + 1).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
@@ -80,14 +84,15 @@ object Curation {
       textCol: String, n: Int): DataFrame = {
     val benchGrams = bench
       .select(explode(tokenNgrams(col(textCol), n)).as("gram")).distinct()
-    val staged = docs
-      .select(col(idCol), tokenNgrams(col(textCol), n).as("grams"))
-    val hits = staged
-      .select(col(idCol), explode(col("grams")).as("gram"))
+    val hits = docs
+      .select(col(idCol), explode(tokenNgrams(col(textCol), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    staged
-      .select(col(idCol), size(col("grams")).as("n_grams"))
+    docs
+      // gram COUNT is closed-form from the token count — don't build the
+      // full n-gram string array a second time just to size() it
+      .select(col(idCol), greatest(Text.tokenCount(col(textCol)) - (n - 1),
+        lit(0)).as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
