@@ -980,7 +980,83 @@ object LlmQueries {
           SELECT doc_id, lang_pred, CAST(rk AS INT) AS rk FROM r
           WHERE rk <= 40"""))
 
+  /** Source-level (domain) quality gate: sources whose rounded mean
+    * quality < 0.585 are dropped wholesale — at sf0.01 that removes 6 of
+    * 20 sources. The survivors list is the query face; the blocklist is
+    * broadcast (see [[graft.llm.Curation.pruneLowQualitySources]]).
+    */
+  private val l34 = Spec("q89_prune_low_quality_sources",
+    (s, d) => graft.llm.Curation.pruneLowQualitySources(
+      T(s, d, "documents"), "doc_id", "text", "source",
+      minMeanQuality = 0.585).select(col("doc_id"), col("source")),
+    Some(s"""WITH t AS (SELECT doc_id, source, text, $wordsSql AS words
+            FROM documents),
+          ${qualityCtesSql("t", "")},
+          sa AS (SELECT t.source, round(avg(sc.q), 6) AS mean_q
+            FROM sc JOIN t USING (doc_id) GROUP BY t.source),
+          bad AS (SELECT source FROM sa
+            WHERE mean_q < CAST(0.585 AS DOUBLE))
+          SELECT doc_id, source FROM documents
+          WHERE source NOT IN (SELECT source FROM bad)"""))
+
+  /** Language-ID confusion matrix vs the fixture's gold `lang` column —
+    * the classifier-QA readout (which languages the stopword heuristic
+    * confuses, and how often it falls back to 'und').
+    */
+  private val l35 = Spec("q90_lang_id_confusion",
+    (s, d) => graft.llm.Curation.langIdConfusion(
+      T(s, d, "documents"), "text", "lang"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+            FROM documents),
+          c AS (SELECT doc_id, lang, $langCountsSql FROM t),
+          lp AS (SELECT lang AS lang_gold, $langCaseSql AS lang_pred FROM c)
+          SELECT lang_gold, lang_pred, count(*) AS n_docs FROM lp
+          GROUP BY lang_gold, lang_pred"""))
+
+  /** Corpus-trained unigram log-prob scoring (the LM-perplexity proxy):
+    * vocabulary from the corpus itself, mean ln p(token) per doc.
+    */
+  private val l36 = Spec("q91_unigram_logprob",
+    (s, d) => graft.llm.Curation.unigramLogProbScore(
+      T(s, d, "documents"), "doc_id", "text"),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          ex AS (SELECT doc_id, unnest(words) AS w FROM t),
+          v AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+          tot AS (SELECT sum(c) AS n FROM v),
+          s AS (SELECT doc_id, count(*) AS n_tokens,
+            avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS lp
+            FROM ex JOIN v USING (w) CROSS JOIN tot GROUP BY doc_id)
+          SELECT t.doc_id, CAST(coalesce(s.n_tokens, 0) AS INT) AS n_tokens,
+            round(s.lp, 6) AS mean_logp
+          FROM t LEFT JOIN s ON t.doc_id = s.doc_id"""))
+
+  /** k-NN label classification over the embedding space (k=10, first 16
+    * vectors as queries): majority label of the cosine neighbors, ties to
+    * the smaller label — the embedding-quality probe.
+    */
+  private val l37 = Spec("q92_knn_classify",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Similarity.knnClassify(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "label", "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 16),
+          s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+            ${dot2("q.qv", "c.embedding")} /
+              (sqrt(${dot2("q.qv", "q.qv")})
+                * sqrt(${dot2("c.embedding", "c.embedding")})) AS cos
+            FROM q CROSS JOIN embeddings c),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+          v AS (SELECT query_id, label, count(*) AS n_votes FROM r
+            WHERE rank <= 10 GROUP BY query_id, label),
+          w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, label) AS vr FROM v)
+          SELECT query_id, label AS pred_label,
+            CAST(n_votes AS INT) AS n_votes FROM w WHERE vr = 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27, l28, l29, l30, l31, l32, l33)
+    l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37)
 }

@@ -124,4 +124,76 @@ object Curation {
   def capPerGroupByContent(docs: DataFrame, groupCol: String, idCol: String,
       textCol: String, cap: Int): DataFrame =
     capPerGroup(docs, groupCol, idCol, polyhash(col(textCol)), cap)
+
+  /** Source-level quality gate: drop EVERY document from sources whose
+    * mean quality score falls below `minMeanQuality` — the domain
+    * blocklist pass web pipelines run before any per-document filter
+    * (a spam domain's best page is still spam). The mean is rounded to
+    * 6 decimals BEFORE comparison so the keep/drop decision is
+    * cross-engine stable (float aggregation order differs per engine;
+    * memory: a raw-float threshold is a coin flip at the boundary).
+    *
+    * Scale: one corpus scan for per-doc scores, a source-keyed aggregate
+    * (cardinality = #domains, ≪ corpus), and a broadcast anti-join on the
+    * blocklist — domains are web-bounded (~10^8 worst case, and the
+    * BLOCKED subset far smaller), so the corpus is never shuffled.
+    */
+  def pruneLowQualitySources(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minMeanQuality: Double): DataFrame = {
+    val staged = docs.select(col(srcCol), col(idCol), col(textCol),
+      Text.tokens(col(textCol)).as("toks"))
+    val bad = staged
+      .select(col(srcCol),
+        Text.qualityScoreFromTokens(col(textCol), col("toks")).as("q"))
+      .groupBy(col(srcCol)).agg(round(avg(col("q")), 6).as("mean_q"))
+      .filter(col("mean_q") < minMeanQuality)
+      .select(col(srcCol))
+    docs.join(broadcast(bad), Seq(srcCol), "left_anti")
+  }
+
+  /** Language-ID confusion matrix against a gold label column — the QA
+    * readout for the heuristic classifier (per (gold, predicted) doc
+    * counts). One staged-token projection and one 25-key aggregate.
+    */
+  def langIdConfusion(docs: DataFrame, textCol: String,
+      goldCol: String): DataFrame =
+    docs
+      .select(col(goldCol).as("lang_gold"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("lang_gold"), Text.langIdFromTokens(col("toks"))
+        .as("lang_pred"))
+      .groupBy(col("lang_gold"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus-trained unigram log-probability score: mean ln p(token) per
+    * document, p = corpus frequency — the cheap LM-perplexity proxy
+    * (CCNet-style) that flags gibberish (rare-token soup scores low) and
+    * boilerplate (common-token soup scores high). Rounded to 6 decimals
+    * (ln is libm-dependent in the last ulp; the mean's error is ~1e-14).
+    *
+    * Scale: vocab is a token-keyed count aggregate (Heaps-law sublinear in
+    * corpus size); it is then BROADCAST so the corpus-sized token stream
+    * is never shuffled for the lookup — broadcast is also the skew answer
+    * (a shuffle join on raw tokens funnels every "the" to one task). At
+    * 100 TB, cap the vocab at top-K with an OOV floor probability to bound
+    * the broadcast; fixture-scale vocabularies fit whole.
+    */
+  def unigramLogProbScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    val scored = toks
+      .join(broadcast(vocab), Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("c").cast("double") / col("n").cast("double"))).as("lp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast("int").as("n_tokens"),
+        round(col("lp"), 6).as("mean_logp")) // NULL for token-less docs
+  }
 }

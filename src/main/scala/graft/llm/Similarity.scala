@@ -51,6 +51,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN label classification: each query takes the majority label of its
+    * k nearest corpus vectors by cosine (self included when the query is
+    * drawn from the corpus), ties broken toward the smaller label so the
+    * prediction is deterministic and oracle-checkable. The standard
+    * embedding-quality probe (a good embedding space k-NN-classifies its
+    * own labels well).
+    *
+    * Scale: rides [[bruteForceTopK]] (queries broadcast, corpus scanned
+    * once); the label lookup joins the queries×k neighbor table against
+    * the corpus id→label projection — neighbor-id-keyed shuffle of a
+    * queries×k-sized frame, never the corpus — and the vote window is
+    * keyed on query_id (cardinality = |queries|).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labeled = nn.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("label")),
+      Seq("neighbor_id"))
+    labeled.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vrank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vrank") === 1)
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("n_votes").cast("int").as("n_votes"))
+  }
+
   /** Unit-normalize a vector given its precomputed norm (stage the norm
     * behind a projection boundary — embedding it in the transform lambda
     * would re-evaluate the dot-product fold per ELEMENT, HOF lambdas don't

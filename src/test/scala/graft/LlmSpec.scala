@@ -665,4 +665,73 @@ class LlmSpec extends SparkSpec {
       10).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no partial top-k:\n$plan")
   }
+
+  test("pruneLowQualitySources drops a junk domain wholesale") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " +
+      "to keep going with a longer sentence of real words in the corpus"
+    val docs = Seq(
+      (1L, good, "good.com"), (2L, good + " again and again", "good.com"),
+      (3L, "@@@@ #### !!!! %%%% ^^^^ &&&&", "spam.net"),
+      (4L, "$$$$ ???? ****", "spam.net"))
+      .toDF("doc_id", "text", "source")
+    // all-punct docs still score 1/3 (the punct term zeroes but the token
+    // and stopword terms coalesce) — 0.5 sits between 0.333 and 0.758
+    val out = Curation.pruneLowQualitySources(docs, "doc_id", "text",
+      "source", minMeanQuality = 0.5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L)))
+    assert(out.forall(_.getAs[String]("source") == "good.com"))
+  }
+
+  test("langIdConfusion counts (gold, predicted) pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is flat", "en"),
+      (2L, "the dog is in the fog and it is agog", "en"),
+      (3L, "der hund und die katze sind nicht das problem", "de"),
+      (4L, "xyzzy plugh qwerty", "en")) // no markers → und
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.langIdConfusion(docs, "text", "lang")
+      .collect().map(r => (r.getAs[String]("lang_gold"),
+        r.getAs[String]("lang_pred")) -> r.getAs[Long]("n_docs")).toMap
+    assert(out(("en", "en")) == 2L)
+    assert(out(("de", "de")) == 1L)
+    assert(out(("en", "und")) == 1L)
+    assert(out.values.sum == 4L)
+  }
+
+  test("unigramLogProbScore: hand-computed corpus frequencies") {
+    import spark.implicits._
+    // corpus tokens: aa ×3, bb ×1 → p(aa)=3/4, p(bb)=1/4
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.unigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), Option(r.getAs[java.lang.Double]
+          ("mean_logp")).map(_.doubleValue)))).toMap
+    val ln34 = math.log(3.0 / 4); val ln14 = math.log(1.0 / 4)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3 &&
+      math.abs(out(1L)._2.get - r6((2 * ln34 + ln14) / 3)) < 2e-6)
+    assert(out(2L) == ((1, Some(r6(ln34)))))
+    assert(out(3L) == ((0, None))) // token-less doc: NULL score, kept
+  }
+
+  test("knnClassify: majority label wins, ties break to smaller label") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; query 100 sits in cluster A
+    val a = Seq(1f, 0f); val b = Seq(0f, 1f)
+    val corpus = Seq(
+      (1L, a, 7), (2L, Seq(0.9f, 0.1f), 7), (3L, Seq(0.8f, 0.2f), 3),
+      (4L, b, 5), (5L, Seq(0.1f, 0.9f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus,
+      corpus.filter(col("vec_id") === 1), "vec_id", "embedding", "label",
+      "vec_id", k = 3).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("query_id") == 1L)
+    assert(out(0).getAs[Int]("pred_label") == 7) // 2 votes of 3
+    assert(out(0).getAs[Int]("n_votes") == 2)
+  }
 }
