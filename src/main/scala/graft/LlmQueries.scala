@@ -1056,7 +1056,57 @@ object LlmQueries {
           SELECT query_id, label AS pred_label,
             CAST(n_votes AS INT) AS n_votes FROM w WHERE vr = 1"""))
 
+  /** Per-document TF-IDF top-3 characteristic terms (idf = ln(N/df)) —
+    * sparse keyword extraction, the lexical dual of the embedding side.
+    */
+  private val l38 = Spec("q93_tfidf_top_terms",
+    (s, d) => graft.llm.Lexical.tfIdfTopTerms(
+      T(s, d, "documents"), "doc_id", "text", k = 3),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          ex AS (SELECT doc_id, unnest(words) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            GROUP BY doc_id, term),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          nn AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE)
+              / CAST(df AS DOUBLE)) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN nn),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rank FROM sc)
+          SELECT doc_id, term, CAST(rank AS INT) AS rank,
+            round(tfidf, 6) AS tfidf FROM r WHERE rank <= 3"""))
+
+  /** BM25 top-20 search for a fixed 3-term query (k1=1.2, b=0.75,
+    * Lucene idf). The oracle composes every float constant the same way
+    * the Spark side does (1.2 + 1, not a pre-folded 2.2) so the IEEE
+    * arithmetic is bit-identical before the final round.
+    */
+  private val l39 = Spec("q94_bm25_search",
+    (s, d) => graft.llm.Lexical.bm25Search(T(s, d, "documents"), "doc_id",
+      "text", Seq("spark", "window", "merge"), k = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS len FROM t),
+          st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+          ex AS (SELECT doc_id, unnest(words) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            WHERE term IN ('spark', 'window', 'merge')
+            GROUP BY doc_id, term),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT tf.doc_id, sum(
+              ln(CAST(1 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+                / (df + CAST(0.5 AS DOUBLE)))
+              * (tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE) * len / avg_len))) AS score
+            FROM tf JOIN df USING (term)
+            JOIN lens ON tf.doc_id = lens.doc_id
+            CROSS JOIN st GROUP BY tf.doc_id),
+          r AS (SELECT doc_id, score, row_number() OVER
+            (ORDER BY score DESC, doc_id) AS rk FROM sc)
+          SELECT doc_id, round(score, 6) AS score FROM r WHERE rk <= 20"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
-    l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37)
+    l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
+    l38, l39)
 }

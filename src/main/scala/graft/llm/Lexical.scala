@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lexical (sparse) retrieval operators: per-document TF-IDF keyword
+  * extraction and BM25 ranked search — the term-statistics complement to
+  * the dense-vector side in [[Similarity]] (production retrieval is
+  * hybrid: BM25 candidates ∪ ANN candidates → rerank).
+  *
+  * Scale posture: document-frequency tables are token-keyed aggregates
+  * (Heaps-law sublinear in corpus size) and are BROADCAST for the lookup
+  * joins, so the corpus-sized token stream is never shuffled on raw
+  * tokens (a shuffle join there funnels every "the" into one task — the
+  * classic skew). BM25 additionally filters the token stream to the
+  * query's terms FIRST, so everything downstream of the scan is
+  * query-sized, not corpus-sized.
+  */
+object Lexical {
+
+  /** Top-k characteristic terms per document by TF-IDF
+    * (idf = ln(N/df), tfidf = tf·idf), ties broken on the term string so
+    * the cut is deterministic. One explode → (doc, term) count → df
+    * aggregate → broadcast join back → per-doc WindowGroupLimit top-k.
+    * Token-less documents yield no rows (nothing to rank).
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(col("n_docs").cast("double")
+          / col("df").cast("double"))).as("tfidf"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /** BM25 ranked search (Robertson/Lucene form): score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)) over the query's terms,
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)); top-`k` documents by (score,
+    * id). Only documents containing ≥1 query term are scored — the rest
+    * have score 0 and are not results.
+    *
+    * The token stream is filtered to the query's terms BEFORE any
+    * aggregation (a literal isin over the handful of query terms), so tf,
+    * df, and the final score all operate on query-sized data; the only
+    * corpus-wide pass is the length/avg-length projection (a count
+    * aggregate). The final top-k is a global TakeOrderedAndProject — no
+    * full sort, no single-task window.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val lens = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).cast("double").as("len"))
+    val stats = lens.select(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avg_len"))
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // length normalizer (1−b) + b·len/avglen; constants composed the same
+    // way the SQL oracle composes them (literal-for-literal IEEE ops are
+    // engine-identical; a PRE-FOLDED k1+1 could round differently than
+    // the oracle's `1.2 + 1`)
+    val lenNorm = lit(1d - b) + lit(b) * col("len") / col("avg_len")
+    val idf = log(lit(1d)
+      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (idf * (col("tf") * (lit(k1) + lit(1d)))
+          / (col("tf") + lit(k1) * lenNorm)).as("s"))
+      .groupBy(col(idCol)).agg(sum(col("s")).as("score"))
+    scored
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+  }
+}

@@ -718,6 +718,40 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((0, None))) // token-less doc: NULL score, kept
   }
 
+  test("tfIdfTopTerms: corpus-wide term ranks as hand-computed") {
+    import spark.implicits._
+    // N=3; "rare" df=1 (idf=ln 3), "mid" df=2 (idf=ln 1.5), "the" df=3
+    // (idf=0 → never a top term despite tf)
+    val docs = Seq(
+      (1L, "the the the rare mid"), (2L, "the mid"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Lexical.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("tfidf")))).toMap
+    assert(out((1L, 1))._1 == "rare") // ln3 ≈ 1.0986 beats ln1.5 ≈ 0.405
+    assert(math.abs(out((1L, 1))._2 - math.log(3.0)) < 1e-6)
+    assert(out((1L, 2))._1 == "mid")
+    assert(out((2L, 1))._1 == "mid")
+    // doc 3 only contains the idf-0 term: it still ranks (score 0)
+    assert(out((3L, 1)) == (("the", 0.0)))
+  }
+
+  test("bm25Search: matching docs ranked, non-matching absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark join"), // high tf on the query term
+      (2L, "spark join table"), // one occurrence
+      (3L, "filter scan merge")) // no query term → absent
+      .toDF("doc_id", "text")
+    val out = graft.llm.Lexical.bm25Search(docs, "doc_id", "text",
+      Seq("spark"), k = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    val score = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("score")).toMap
+    assert(score(1L) > score(2L)) // tf saturation still orders 3 > 1
+    assert(score.values.forall(_ > 0))
+  }
+
   test("knnClassify: majority label wins, ties break to smaller label") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; query 100 sits in cluster A
