@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.{QFn, Spec}
 import graft.functions.PolyHash.polyhash
@@ -1081,32 +1082,91 @@ object LlmQueries {
     * the Spark side does (1.2 + 1, not a pre-folded 2.2) so the IEEE
     * arithmetic is bit-identical before the final round.
     */
+  /** BM25 score CTE chain for the fixed 3-term gate query — ONE copy
+    * (q94's result face, q95's lexical run); ends at `bmr` = the top-20
+    * by unrounded score. Every float constant is composed exactly as the
+    * Spark side composes it (1.2 + 1, not a pre-folded 2.2) so the IEEE
+    * arithmetic is bit-identical before the final round.
+    */
+  private val bm25CtesSql =
+    s"""t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS len FROM t),
+        st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+        ex AS (SELECT doc_id, unnest(words) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+          WHERE term IN ('spark', 'window', 'merge')
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id, sum(
+            ln(CAST(1 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)))
+            * (tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * len / avg_len))) AS score
+          FROM tf JOIN df USING (term)
+          JOIN lens ON tf.doc_id = lens.doc_id
+          CROSS JOIN st GROUP BY tf.doc_id),
+        bmr AS (SELECT doc_id, score, row_number() OVER
+          (ORDER BY score DESC, doc_id) AS rk FROM sc)"""
+
   private val l39 = Spec("q94_bm25_search",
     (s, d) => graft.llm.Lexical.bm25Search(T(s, d, "documents"), "doc_id",
       "text", Seq("spark", "window", "merge"), k = 20),
-    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
-          lens AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS len FROM t),
-          st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
-          ex AS (SELECT doc_id, unnest(words) AS term FROM t),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
-            WHERE term IN ('spark', 'window', 'merge')
-            GROUP BY doc_id, term),
-          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          sc AS (SELECT tf.doc_id, sum(
-              ln(CAST(1 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
-                / (df + CAST(0.5 AS DOUBLE)))
-              * (tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
-              / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-                + CAST(0.75 AS DOUBLE) * len / avg_len))) AS score
-            FROM tf JOIN df USING (term)
-            JOIN lens ON tf.doc_id = lens.doc_id
-            CROSS JOIN st GROUP BY tf.doc_id),
-          r AS (SELECT doc_id, score, row_number() OVER
-            (ORDER BY score DESC, doc_id) AS rk FROM sc)
-          SELECT doc_id, round(score, 6) AS score FROM r WHERE rk <= 20"""))
+    Some(s"""WITH $bm25CtesSql
+          SELECT doc_id, round(score, 6) AS score FROM bmr WHERE rk <= 20"""))
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical run and
+    * a brute-force cosine vector run (query = vec 42), absent-run ranks
+    * surfaced as -1 sentinels (a NULL int column lands as float64+NaN in
+    * the driver's pandas comparator, and NaN != NaN). The fixture's
+    * vec_id keys the same documents table rows by position.
+    */
+  private val l40 = Spec("q95_hybrid_rrf",
+    (s, d) => {
+      val lex = graft.llm.Lexical.bm25Search(T(s, d, "documents"), "doc_id",
+        "text", Seq("spark", "window", "merge"), k = 20)
+        // rank over the ROUNDED score (the run's public face) — 20 rows,
+        // so the global window is a non-issue
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      val emb = T(s, d, "embeddings")
+      val vec = graft.llm.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 42), "vec_id", "embedding", "vec_id",
+        k = 20).select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.llm.Lexical.rrfFuse(lex, vec, "doc_id", "rank", k0 = 60, k = 10)
+        .select(col("doc_id"),
+          coalesce(col("rank_a"), lit(-1)).as("rank_lex"),
+          coalesce(col("rank_b"), lit(-1)).as("rank_vec"),
+          col("rrf"))
+    },
+    Some(s"""WITH $bm25CtesSql,
+          lexr AS (SELECT doc_id, round(score, 6) AS rs FROM bmr
+            WHERE rk <= 20),
+          lex AS (SELECT doc_id, CAST(row_number() OVER
+            (ORDER BY rs DESC, doc_id) AS INT) AS rank_a FROM lexr),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+          vs AS (SELECT c.vec_id AS doc_id,
+            ${dot2("q.qv", "c.embedding")} /
+              (sqrt(${dot2("q.qv", "q.qv")})
+                * sqrt(${dot2("c.embedding", "c.embedding")})) AS cos
+            FROM q CROSS JOIN embeddings c),
+          vr AS (SELECT doc_id, CAST(row_number() OVER
+            (ORDER BY cos DESC, doc_id) AS INT) AS rank_b FROM vs),
+          vec AS (SELECT doc_id, rank_b FROM vr WHERE rank_b <= 20),
+          fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+            rank_a, rank_b,
+            coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE))
+              + coalesce(CAST(1 AS DOUBLE) / (60 + rank_b),
+                CAST(0 AS DOUBLE)) AS rrf
+            FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+          top AS (SELECT *, row_number() OVER
+            (ORDER BY rrf DESC, doc_id) AS fr FROM fused)
+          SELECT doc_id, coalesce(rank_a, -1) AS rank_lex,
+            coalesce(rank_b, -1) AS rank_vec, round(rrf, 6) AS rrf
+          FROM top WHERE fr <= 10"""))
 
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
-    l38, l39)
+    l38, l39, l40)
 }

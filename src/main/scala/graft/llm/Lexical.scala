@@ -89,4 +89,31 @@ object Lexical {
       .limit(k)
       .select(col(idCol), round(col("score"), 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion of two ranked runs (the standard hybrid
+    * retrieval combiner: BM25 candidates ∪ ANN candidates without score
+    * calibration): rrf(d) = Σ_runs 1/(k0+rank_d), absent-run documents
+    * contribute 0. Returns the fused top-`k` with both source ranks for
+    * explainability (NULL where a run missed the doc).
+    *
+    * Each run is (id, rank) — candidate-list-sized, so the full-outer
+    * join and top-k are trivially small next to whatever produced the
+    * runs; this op adds no corpus-scale work. The rank reciprocals are
+    * rational arithmetic composed literal-for-literal (engine-exact
+    * before the final 6-decimal round).
+    */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, idCol: String,
+      rankCol: String, k0: Int, k: Int): DataFrame = {
+    val a = runA.select(col(idCol), col(rankCol).as("rank_a"))
+    val b = runB.select(col(idCol), col(rankCol).as("rank_b"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1d) / (lit(k0) + col("rank_a")), lit(0d))
+          + coalesce(lit(1d) / (lit(k0) + col("rank_b")), lit(0d)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 }

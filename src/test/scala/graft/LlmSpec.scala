@@ -752,6 +752,24 @@ class LlmSpec extends SparkSpec {
     assert(score.values.forall(_ > 0))
   }
 
+  test("rrfFuse: overlap outranks either single run; absent ranks NULL") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vec = Seq((30L, 1), (40L, 2)).toDF("id", "rank")
+    val out = graft.llm.Lexical.rrfFuse(lex, vec, "id", "rank", 60, 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Integer]("rank_a")).map(_.toInt),
+          Option(r.getAs[Integer]("rank_b")).map(_.toInt),
+          r.getAs[Double]("rrf")))).toMap
+    // doc 30 is in both runs → 1/63 + 1/61 beats doc 10's 1/61 alone
+    assert(out(30L) == ((Some(3), Some(1),
+      BigDecimal(1.0 / 63 + 1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(10L)._2.isEmpty && out(40L)._1.isEmpty) // single-run docs
+    assert(out(30L)._3 > out(10L)._3 && out(10L)._3 > out(20L)._3)
+    assert(out.size == 4)
+  }
+
   test("knnClassify: majority label wins, ties break to smaller label") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; query 100 sits in cluster A
