@@ -371,6 +371,13 @@ object LlmQueries {
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
   private def dot2(a: String, b: String): String = dotSql.format(a, b)
 
+  /** Cosine between two array expressions — the ONE copy of the
+    * dot/(‖a‖·‖b‖) composition every vector-run oracle uses (a drifted
+    * copy would silently red only its query's gate; see the fragment
+    * rule above). */
+  private def cosSql(a: String, b: String): String =
+    s"${dot2(a, b)} / (sqrt(${dot2(a, a)}) * sqrt(${dot2(b, b)}))"
+
   /** Brute-force cosine top-k (k=5) for the first 8 query vectors. */
   private val l12 = Spec("q61_sim_bruteforce_topk",
     (s, d) => {
@@ -383,8 +390,7 @@ object LlmQueries {
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < 8),
         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-          ${dot2("q.qv", "c.embedding")} /
-            (sqrt(${dot2("q.qv", "q.qv")}) * sqrt(${dot2("c.embedding", "c.embedding")}))
+          ${cosSql("q.qv", "c.embedding")}
           AS cos FROM q CROSS JOIN embeddings c),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -419,8 +425,7 @@ object LlmQueries {
             v.embedding AS qvec FROM embeddings v
             WHERE v.vec_id BETWEEN 100 AND 107),
           s AS (SELECT qb.query_id, cb.neighbor_id,
-            ${dot2("qb.qvec", "cb.cvec")} /
-              (sqrt(${dot2("qb.qvec", "qb.qvec")}) * sqrt(${dot2("cb.cvec", "cb.cvec")}))
+            ${cosSql("qb.qvec", "cb.cvec")}
             AS cos FROM cb JOIN qb ON cb.bucket = qb.bucket),
           r AS (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -494,8 +499,7 @@ object LlmQueries {
             count(*) OVER (PARTITION BY bucket) AS bucket_n FROM b0)
             WHERE bucket_n <= 1000),
           p AS (SELECT x.id AS id_a, y.id AS id_b,
-            ${dot2("x.vec", "y.vec")} /
-              (sqrt(${dot2("x.vec", "x.vec")}) * sqrt(${dot2("y.vec", "y.vec")}))
+            ${cosSql("x.vec", "y.vec")}
             AS cos FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id)
           SELECT id_a, id_b, round(cos, 6) AS cos FROM p
           WHERE cos >= CAST(0.5 AS DOUBLE)"""
@@ -526,8 +530,7 @@ object LlmQueries {
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < 8),
         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-          ${dot2("q.qv", "c.embedding")} /
-            (sqrt(${dot2("q.qv", "q.qv")}) * sqrt(${dot2("c.embedding", "c.embedding")}))
+          ${cosSql("q.qv", "c.embedding")}
           AS cos FROM q CROSS JOIN embeddings c),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -988,8 +991,11 @@ object LlmQueries {
     */
   private val l34 = Spec("q89_prune_low_quality_sources",
     (s, d) => graft.llm.Curation.pruneLowQualitySources(
-      T(s, d, "documents"), "doc_id", "text", "source",
+      T(s, d, "documents"), "text", "source",
       minMeanQuality = 0.585).select(col("doc_id"), col("source")),
+    // NOT EXISTS, not NOT IN: a NULL source under NOT IN filters the row
+    // (NULL comparison), while Spark's left_anti keeps null-key rows —
+    // divergent on any future null-source fixture
     Some(s"""WITH t AS (SELECT doc_id, source, text, $wordsSql AS words
             FROM documents),
           ${qualityCtesSql("t", "")},
@@ -997,8 +1003,9 @@ object LlmQueries {
             FROM sc JOIN t USING (doc_id) GROUP BY t.source),
           bad AS (SELECT source FROM sa
             WHERE mean_q < CAST(0.585 AS DOUBLE))
-          SELECT doc_id, source FROM documents
-          WHERE source NOT IN (SELECT source FROM bad)"""))
+          SELECT doc_id, source FROM documents d
+          WHERE NOT EXISTS
+            (SELECT 1 FROM bad WHERE bad.source = d.source)"""))
 
   /** Language-ID confusion matrix vs the fixture's gold `lang` column —
     * the classifier-QA readout (which languages the stopword heuristic
@@ -1044,9 +1051,7 @@ object LlmQueries {
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 16),
           s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
-            ${dot2("q.qv", "c.embedding")} /
-              (sqrt(${dot2("q.qv", "q.qv")})
-                * sqrt(${dot2("c.embedding", "c.embedding")})) AS cos
+            ${cosSql("q.qv", "c.embedding")} AS cos
             FROM q CROSS JOIN embeddings c),
           r AS (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id) AS rank FROM s),
@@ -1069,24 +1074,23 @@ object LlmQueries {
             GROUP BY doc_id, term),
           df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
           nn AS (SELECT count(*) AS n_docs FROM documents),
-          sc AS (SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE)
-              / CAST(df AS DOUBLE)) AS tfidf
+          sc AS (SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE)
+              / CAST(df AS DOUBLE)), 6) AS tfidf
             FROM tf JOIN df USING (term) CROSS JOIN nn),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY tfidf DESC, term) AS rank FROM sc)
-          SELECT doc_id, term, CAST(rank AS INT) AS rank,
-            round(tfidf, 6) AS tfidf FROM r WHERE rank <= 3"""))
+          SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+          FROM r WHERE rank <= 3"""))
 
-  /** BM25 top-20 search for a fixed 3-term query (k1=1.2, b=0.75,
-    * Lucene idf). The oracle composes every float constant the same way
-    * the Spark side does (1.2 + 1, not a pre-folded 2.2) so the IEEE
-    * arithmetic is bit-identical before the final round.
-    */
   /** BM25 score CTE chain for the fixed 3-term gate query — ONE copy
-    * (q94's result face, q95's lexical run); ends at `bmr` = the top-20
-    * by unrounded score. Every float constant is composed exactly as the
-    * Spark side composes it (1.2 + 1, not a pre-folded 2.2) so the IEEE
-    * arithmetic is bit-identical before the final round.
+    * (q94's result face, q95's lexical run); ends at `bmr` = ranked
+    * 6-decimal-rounded scores. Ranking over the ROUNDED score mirrors
+    * the Spark side: the raw score is an order-dependent float sum, and
+    * a true tie sits exactly on the sf0.001 rank-20/21 boundary — the
+    * doc_id tie-break must not depend on bit-identical summation order.
+    * Every float constant is composed exactly as the Spark side composes
+    * it (1.2 + 1, not a pre-folded 2.2) so the IEEE arithmetic matches
+    * before the round.
     */
   private val bm25CtesSql =
     s"""t AS (SELECT doc_id, $wordsSql AS words FROM documents),
@@ -1106,14 +1110,14 @@ object LlmQueries {
           FROM tf JOIN df USING (term)
           JOIN lens ON tf.doc_id = lens.doc_id
           CROSS JOIN st GROUP BY tf.doc_id),
-        bmr AS (SELECT doc_id, score, row_number() OVER
-          (ORDER BY score DESC, doc_id) AS rk FROM sc)"""
+        bmr AS (SELECT doc_id, round(score, 6) AS score, row_number() OVER
+          (ORDER BY round(score, 6) DESC, doc_id) AS rk FROM sc)"""
 
   private val l39 = Spec("q94_bm25_search",
     (s, d) => graft.llm.Lexical.bm25Search(T(s, d, "documents"), "doc_id",
       "text", Seq("spark", "window", "merge"), k = 20),
     Some(s"""WITH $bm25CtesSql
-          SELECT doc_id, round(score, 6) AS score FROM bmr WHERE rk <= 20"""))
+          SELECT doc_id, score FROM bmr WHERE rk <= 20"""))
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical run and
     * a brute-force cosine vector run (query = vec 42), absent-run ranks
@@ -1140,15 +1144,12 @@ object LlmQueries {
           col("rrf"))
     },
     Some(s"""WITH $bm25CtesSql,
-          lexr AS (SELECT doc_id, round(score, 6) AS rs FROM bmr
-            WHERE rk <= 20),
+          lexr AS (SELECT doc_id, score AS rs FROM bmr WHERE rk <= 20),
           lex AS (SELECT doc_id, CAST(row_number() OVER
             (ORDER BY rs DESC, doc_id) AS INT) AS rank_a FROM lexr),
           q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
           vs AS (SELECT c.vec_id AS doc_id,
-            ${dot2("q.qv", "c.embedding")} /
-              (sqrt(${dot2("q.qv", "q.qv")})
-                * sqrt(${dot2("c.embedding", "c.embedding")})) AS cos
+            ${cosSql("q.qv", "c.embedding")} AS cos
             FROM q CROSS JOIN embeddings c),
           vr AS (SELECT doc_id, CAST(row_number() OVER
             (ORDER BY cos DESC, doc_id) AS INT) AS rank_b FROM vs),

@@ -138,9 +138,9 @@ object Curation {
     * blocklist — domains are web-bounded (~10^8 worst case, and the
     * BLOCKED subset far smaller), so the corpus is never shuffled.
     */
-  def pruneLowQualitySources(docs: DataFrame, idCol: String, textCol: String,
+  def pruneLowQualitySources(docs: DataFrame, textCol: String,
       srcCol: String, minMeanQuality: Double): DataFrame = {
-    val staged = docs.select(col(srcCol), col(idCol), col(textCol),
+    val staged = docs.select(col(srcCol), col(textCol),
       Text.tokens(col(textCol)).as("toks"))
     val bad = staged
       .select(col(srcCol),

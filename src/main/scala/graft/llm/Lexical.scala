@@ -34,14 +34,18 @@ object Lexical {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
+      // rank over the ROUNDED score: ln is libm-dependent in the last
+      // ulp, so two mathematically-equal tfidf values composed through
+      // different log arguments could rank-flip across engines if the
+      // raw doubles ordered the cut; 6 decimals makes ties explicit and
+      // the term tie-break deterministic on both sides
       .select(col(idCol), col("term"),
-        (col("tf") * log(col("n_docs").cast("double")
-          / col("df").cast("double"))).as("tfidf"))
+        round(col("tf") * log(col("n_docs").cast("double")
+          / col("df").cast("double")), 6).as("tfidf"))
       .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("rank"),
-        round(col("tfidf"), 6).as("tfidf"))
+      .select(col(idCol), col("term"), col("rank"), col("tfidf"))
   }
 
   /** BM25 ranked search (Robertson/Lucene form): score(d) = Σ_t idf(t) ·
@@ -60,14 +64,19 @@ object Lexical {
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val lens = docs.select(col(idCol),
-      Text.tokenCount(col(textCol)).cast("double").as("len"))
-    val stats = lens.select(count(lit(1)).as("n_docs"),
-      avg(col("len")).as("avg_len"))
+    val stats = docs
+      .select(Text.tokenCount(col(textCol)).cast("double").as("len"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+    // doc length rides the term-filtered token stream (max = the constant
+    // per-doc value) — joining a corpus-sized (id, len) frame here would
+    // be the one corpus-wide shuffle in an otherwise query-sized plan
     val tf = docs
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .select(col(idCol),
+        Text.tokenCount(col(textCol)).cast("double").as("len"),
+        explode(Text.tokens(col(textCol))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // length normalizer (1−b) + b·len/avglen; constants composed the same
     // way the SQL oracle composes them (literal-for-literal IEEE ops are
@@ -78,16 +87,19 @@ object Lexical {
       + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val scored = tf
       .join(broadcast(df), Seq("term"))
-      .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         (idf * (col("tf") * (lit(k1) + lit(1d)))
           / (col("tf") + lit(k1) * lenNorm)).as("s"))
-      .groupBy(col(idCol)).agg(sum(col("s")).as("score"))
+      // round BEFORE the top-k cut: the score is an order-dependent float
+      // sum, and a true tie on the k-th boundary (observed in the sf0.001
+      // fixture) would make the id tie-break depend on bit-identical
+      // summation order across engines; 6 decimals makes the tie explicit
+      .groupBy(col(idCol)).agg(round(sum(col("s")), 6).as("score"))
     scored
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("score"), 6).as("score"))
+      .select(col(idCol), col("score"))
   }
 
   /** Reciprocal-rank fusion of two ranked runs (the standard hybrid

@@ -677,7 +677,7 @@ class LlmSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     // all-punct docs still score 1/3 (the punct term zeroes but the token
     // and stopword terms coalesce) — 0.5 sits between 0.333 and 0.758
-    val out = Curation.pruneLowQualitySources(docs, "doc_id", "text",
+    val out = Curation.pruneLowQualitySources(docs, "text",
       "source", minMeanQuality = 0.5).collect()
     assert(out.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L)))
     assert(out.forall(_.getAs[String]("source") == "good.com"))
