@@ -196,4 +196,56 @@ object Joins {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(saltedSide, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** As-of join — for each left row, the LATEST right row with
+    * `right.time <= left.time` on the same key (point-in-time enrichment:
+    * trade/quote, event/last-context). Spark has no native as-of join; the
+    * scalable shape is NOT a per-row range subquery (quadratic per key) but
+    * a single union + running-window pass: tag both sides, shuffle once on
+    * the key, sort by (time, side-tag) within partitions, and carry the
+    * last-seen right payload forward with `last(ignoreNulls)`. Each row is
+    * touched once, state per partition is one payload struct — this
+    * survives 100 TB because cost is O(n log n) per key partition with one
+    * exchange total, independent of how many right rows precede a left row.
+    *
+    * The right payload travels as ONE struct so the match is atomic: a
+    * matched row whose payload FIELDS are null still stops the
+    * carry-forward (a bare-column fill would reach past it to an older
+    * row). At equal timestamps the right row is visible to the left row
+    * (at-or-before, inclusive) — the side tag orders right before left
+    * within a timestamp. Right-side (key, time) should be unique, as in
+    * any point-in-time table; duplicate right timestamps make the winner
+    * order-dependent.
+    *
+    * `tolerance`: optional max staleness — a match older than
+    * `left.time - tolerance` is nulled out (all output payload fields,
+    * including `<prefix>time`).
+    * Output = every left column + each payload column as `<prefix><name>`
+    * + the matched right timestamp as `<prefix><timeCol>`.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String], prefix: String = "asof_",
+      tolerance: Option[Column] = None): DataFrame = {
+    val tag = "__asof_is_left"
+    val pay = "__asof_payload"
+    val r = right.select(col(keyCol), col(timeCol), lit(0).as(tag),
+      struct((timeCol +: payloadCols).map(col): _*).as(pay))
+    val l = left.withColumn(tag, lit(1))
+      .withColumn(pay, lit(null).cast(r.schema(pay).dataType))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r, allowMissingColumns = true)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn(pay,
+        when(col(s"$pay.$timeCol") >= col(timeCol) - tol, col(pay)))
+      case None => filled
+    }
+    val expanded = (timeCol +: payloadCols).foldLeft(bounded) { (d, c) =>
+      d.withColumn(s"$prefix$c", col(s"$pay.$c"))
+    }
+    expanded.drop(tag, pay)
+  }
 }

@@ -53,4 +53,24 @@ object Windows {
         valueCols.map(c => avg(col(c)).as(s"${c}_mean")): _*)
     if (trim) g.filter(col("n_cells") === (block.toLong * block)) else g
   }
+
+  /** Batch sessionization — split each key's event stream into sessions at
+    * inactivity gaps > `gap` (an interval Column, e.g.
+    * `expr("INTERVAL '4' HOUR")`), numbering sessions 1..k per key in time
+    * order. The break-flag lag and the running sum share the SAME
+    * (key, time) window sort, so Catalyst plans one exchange + one sort;
+    * session numbering is per-key, so at 100 TB the window state is a
+    * single counter per partition stream — nothing accumulates. The
+    * streaming face of the same semantics is
+    * [[graft.streaming.Streaming.sessionize]] (`flatMapGroupsWithState`).
+    */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+      gap: Column, outCol: String = "session_idx"): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val brk = when(lag(col(timeCol), 1).over(byTime).isNull ||
+      col(timeCol) - lag(col(timeCol), 1).over(byTime) > gap, 1).otherwise(0)
+    df.withColumn(outCol,
+      sum(brk).over(byTime.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("int"))
+  }
 }
