@@ -473,28 +473,60 @@ object LlmQueries {
           unnest([CAST(floor(i * n_frames / CAST(4 AS DOUBLE)) AS INTEGER)
             for i in range(4)]) AS frame_idx FROM t"""))
 
-  /** Embedding-cosine near-dup pairs within sign-LSH buckets (threshold
-    * low enough to produce rows on the synthetic embeddings).
+  /** Near-dup-injected embedding corpus: every 100th vector re-added
+    * verbatim (id+10^6) and every 170th re-added with element 0 shifted by
+    * +0.25 (id+2·10^6) — guaranteed cosine-near-dup targets, mirroring the
+    * text fixtures' `nearDupCorpus` approach (random 64-dim vectors never
+    * clear cos 0.5 on their own, so an uninjected fixture passes on the
+    * empty set and proves nothing). Everything runs in double on both
+    * sides: float→double widening and the +0.25 shift are exact.
+    */
+  private def nearDupEmb(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val exact = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pert = emb.filter(col("vec_id") % 170 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.25d)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    emb.unionByName(exact).unionByName(pert)
+  }
+  private val nearDupEmbSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         FROM embeddings
+       UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+         FROM embeddings WHERE vec_id % 100 = 0
+       UNION ALL SELECT vec_id + 2000000,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.25],
+           CAST(embedding[2:] AS DOUBLE[]))
+         FROM embeddings WHERE vec_id % 170 = 0"""
+
+  /** Embedding-cosine near-dup pairs within sign-LSH buckets, over the
+    * injection fixture — non-empty output at every gate SF (an exact copy
+    * always lands in its original's bucket and scores cos ≈ 1).
     */
   private val l16 = Spec("q65_embed_near_dup",
     (s, d) => {
-      val emb = T(s, d, "embeddings")
+      val corpus = nearDupEmb(s, d)
       // 4 PINNED anchor planes (see q62's comment on oracle/SF agreement);
       // the maxBucket hot-key guard is mirrored into the oracle's window
       // filter exactly as in q57/q70
-      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
-      Similarity.cosineNearDups(emb, "vec_id", "embedding", anchors, 0.5,
+      val anchors = Similarity.firstVectors(corpus, "vec_id", "embedding", 4)
+      Similarity.cosineNearDups(corpus, "vec_id", "embedding", anchors, 0.5,
         maxBucket = 1000)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     },
     Some {
       val bucket = (0 until 4).map { j =>
-        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        val anchor = s"(SELECT embedding FROM corpus WHERE vec_id = $j)"
         s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
           s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
-      s"""WITH b0 AS (SELECT $bucket AS bucket, v.vec_id AS id,
-            v.embedding AS vec FROM embeddings v),
+      s"""WITH corpus AS ($nearDupEmbSql),
+          b0 AS (SELECT $bucket AS bucket, v.vec_id AS id,
+            v.embedding AS vec FROM corpus v),
           b AS (SELECT bucket, id, vec FROM (SELECT *,
             count(*) OVER (PARTITION BY bucket) AS bucket_n FROM b0)
             WHERE bucket_n <= 1000),
@@ -1166,8 +1198,61 @@ object LlmQueries {
             coalesce(rank_b, -1) AS rank_vec, round(rrf, 6) AS rrf
           FROM top WHERE fr <= 10"""))
 
+  /** ANN recall@k instrumentation: per-query recall of the sign-LSH
+    * neighbor set (4 pinned anchor planes, as q62) against brute-force
+    * ground truth at k=5 — the mechanism is already oracle-proven by
+    * q61/q62; this measures the QUALITY dial a user tunes anchors by.
+    * Both engines compute both retrievals and the intersection count, so
+    * the gate pins the whole instrumentation chain, not just the ratio.
+    */
+  private val l41 = Spec("q98_ann_recall",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+      val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", "vec_id", 5)
+      val approx = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+        "vec_id", 5, anchors)
+      Similarity.recallAtK(truth, approx, "query_id", "neighbor_id", 5)
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 8),
+          bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qv", "c.embedding")}
+            AS cos FROM q CROSS JOIN embeddings c),
+          br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM bs),
+          truth AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+          cb AS (SELECT $bucket AS bucket, v.vec_id AS neighbor_id,
+            v.embedding AS cvec FROM embeddings v),
+          qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+            v.embedding AS qvec FROM embeddings v WHERE v.vec_id < 8),
+          as0 AS (SELECT qb.query_id, cb.neighbor_id,
+            ${cosSql("qb.qvec", "cb.cvec")}
+            AS cos FROM cb JOIN qb ON cb.bucket = qb.bucket),
+          ar AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM as0),
+          approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5),
+          h AS (SELECT t.query_id, count(*) AS n_hits FROM truth t
+            JOIN approx a ON t.query_id = a.query_id
+              AND t.neighbor_id = a.neighbor_id
+            GROUP BY 1)
+          SELECT tq.query_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+              / CAST(5 AS DOUBLE), 6) AS recall
+          FROM (SELECT DISTINCT query_id FROM truth) tq
+          LEFT JOIN h ON tq.query_id = h.query_id"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
-    l38, l39, l40)
+    l38, l39, l40, l41)
 }

@@ -477,6 +477,44 @@ object Queries {
         (SELECT date_trunc('hour', ts) hr, count(*) n_b FROM events
          WHERE user_id % 2 = 1 GROUP BY 1) b ON a.hr = b.hr"""))
 
+  /** As-of join: each click/view (plus injected rows that land EXACTLY on a
+    * purchase timestamp — the equal-ts inclusivity probe) takes its user's
+    * latest at-or-before purchase, nulled when staler than 2 h. Every 4th
+    * purchase carries a NULL payload value, pinning the struct-atomic
+    * match semantics: a matched-but-null payload row must STOP the
+    * carry-forward (asof_ts set, asof_pval null), not reach past it.
+    * Oracle: DuckDB's native ASOF LEFT JOIN + the same staleness CASE.
+    */
+  private val join4 = Spec("q96_join4_asof",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 4 =!= 0, col("value")).as("pval"))
+      val left = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("user_id"), col("ts")))
+      Joins.asOfJoin(left, right, "user_id", "ts", Seq("pval"),
+        tolerance = Some(expr("INTERVAL '2' HOUR")))
+    },
+    Some("""WITH r AS (SELECT user_id, ts,
+          CASE WHEN event_id % 4 != 0 THEN value END AS pval
+          FROM events WHERE event_type = 'purchase'),
+        l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type IN ('click', 'view')
+          UNION ALL SELECT event_id + 10000000, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        j AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS rts, r.pval
+          FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts)
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(CASE WHEN rts >= ts - INTERVAL 2 HOUR THEN rts END
+            AS TIMESTAMP) AS asof_ts,
+          CASE WHEN rts >= ts - INTERVAL 2 HOUR THEN pval END AS asof_pval
+        FROM j"""))
+
   // ------------------------------------------------------------------
   // Aggregations
   // ------------------------------------------------------------------
@@ -579,6 +617,27 @@ object Queries {
         min_by(col("value"), col("ts"))).as("value_delta")),
     Some("""SELECT user_id, arg_max(value, ts) - arg_min(value, ts)
         AS value_delta FROM events GROUP BY user_id"""))
+
+  /** Batch sessionization: per-user session numbering at 30-min inactivity
+    * gaps. Oracle: the textbook lag-break + running-sum window pair — the
+    * same two-window shape the operator plans, so the gate pins the break
+    * strictness (gap must EXCEED the interval) and the 1-based numbering.
+    * The streaming face ([[graft.streaming.Streaming.sessionize]]) is
+    * asserted equivalent on a shared frame in ScaleToolsSpec.
+    */
+  private val win3 = Spec("q97_win3_sessionize",
+    (s, d) => Windows.sessionize(
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts")),
+      "user_id", "ts", expr("INTERVAL '30' MINUTE")),
+    Some("""WITH b AS (SELECT event_id, user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+          AS session_idx FROM b"""))
 
   /** OP-SORT-1 — multi-key total-order sort + limit. */
   private val sort1 = Spec("q27_sort1_multikey",
@@ -1080,9 +1139,9 @@ object Queries {
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
-    join1, join2, join3,
+    join1, join2, join3, join4,
     agg1, agg2, agg3, agg4, agg5,
-    win1, win2, sort1, set1, set2,
+    win1, win2, win3, sort1, set1, set2,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

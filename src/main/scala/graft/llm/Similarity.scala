@@ -294,6 +294,32 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Retrieval-quality instrumentation: per-query recall@k of an
+    * approximate neighbor set against exact ground truth — the number a
+    * user tunes `nprobe` / anchor count by. Both inputs are
+    * (query_id, neighbor_id) frames as produced by [[bruteForceTopK]] /
+    * [[annTopK]] / [[ivfTopK]]; recall = |truth ∩ approx| / k.
+    *
+    * Scale: both sides are queries×k-sized (the heavy corpus scans happen
+    * upstream), so every join and aggregate here is candidate-list work —
+    * the semi-join keys on (query, neighbor) and the count groups on
+    * |queries| keys. Queries whose approximate set missed entirely still
+    * report (recall 0), via the left join back onto the truth query list.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, queryIdCol: String,
+      neighborIdCol: String, k: Int): DataFrame = {
+    val hits = truth.select(col(queryIdCol), col(neighborIdCol))
+      .join(approx.select(col(queryIdCol), col(neighborIdCol)),
+        Seq(queryIdCol, neighborIdCol), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hits"))
+    truth.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** ANN top-k: only corpus vectors sharing the query's LSH bucket compete.
     * One shuffle keyed on bucket; each bucket is a small all-pairs. Recall
     * trades off with m (more planes → smaller buckets).

@@ -30,6 +30,56 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("asOfJoin: equal-ts inclusivity, null-payload stop, tolerance") {
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val right = Seq((1L, t(0), Some(1.0)), (1L, t(10), None),
+      (1L, t(20), Some(3.0))).toDF("k", "ts", "pay")
+    val left = Seq((1L, t(5), "a"), (1L, t(10), "b"), (1L, t(15), "c"),
+      (1L, t(25), "d"), (1L, t(200), "e"), (2L, t(0), "f"))
+      .toDF("k", "ts", "tag")
+    val out = Joins.asOfJoin(left, right, "k", "ts", Seq("pay"),
+      tolerance = Some(expr("INTERVAL '1' HOUR")))
+      .select(col("tag"), col("asof_ts"), col("asof_pay"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(out("a") == (t(0), 1.0))        // plain at-or-before match
+    assert(out("b") == (t(10), null))      // EQUAL ts: right row visible...
+    // ...and its null payload FIELD still wins (atomic struct match — a
+    // bare-column fill would reach past it to t(0)'s 1.0)
+    assert(out("c") == (t(10), null))
+    assert(out("d") == (t(20), 3.0))       // latest wins over older rows
+    assert(out("e") == (null, null))       // match older than tolerance
+    assert(out("f") == (null, null))       // key never seen on the right
+  }
+
+  test("batch sessionize agrees with streaming sessionize on closed sessions") {
+    val sp = spark
+    import sp.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val rows = Seq((1L, t(0), 1.0), (1L, t(2), 2.0), (1L, t(30), 5.0),
+      (1L, t(95), 7.0), (2L, t(5), 7.0), (2L, t(12), 1.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val batch = graft.engine.Windows.sessionize(df, "user_id", "ts",
+      expr("INTERVAL '10' MINUTE"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n"), sum(col("value")).as("sum"))
+    // streaming (batch-run) emits only sessions CLOSED by a later gap —
+    // each user's last session stays open — so compare on that subset
+    val lastIdx = batch.groupBy(col("user_id"))
+      .agg(max(col("session_idx")).as("last_idx"))
+    val closedBatch = batch.join(lastIdx, Seq("user_id"))
+      .filter(col("session_idx") < col("last_idx"))
+      .select(col("user_id"), col("start"), col("end"), col("n"), col("sum"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    val events = rows.map { case (u, ts, v) => Streaming.Event(u, ts, v) }.toDS()
+    val streamed = Streaming.sessionize(events, gapMs = 10 * 60 * 1000)
+      .collect().map(s => (s.user_id, s.start, s.end, s.n_events, s.sum_value))
+      .toSet
+    assert(closedBatch == streamed)
+    assert(streamed.nonEmpty) // user 1 closes two sessions; user 2 none
+  }
+
   test("sessionize (flatMapGroupsWithState) on a batch Dataset") {
     val sp = spark
     import sp.implicits._
