@@ -1054,18 +1054,28 @@ object LlmQueries {
           GROUP BY lang_gold, lang_pred"""))
 
   /** Corpus-trained unigram log-prob scoring (the LM-perplexity proxy):
-    * vocabulary from the corpus itself, mean ln p(token) per doc.
+    * vocabulary from the corpus itself, mean ln p(token) per doc — with
+    * the 100 TB broadcast bound ACTIVE: vocab capped at top-20 by
+    * (count desc, token), out-of-vocab tokens contribute the ln(1e-9)
+    * floor (the synthetic corpus has 31 distinct tokens, so the cap
+    * leaves real OOV traffic at every SF). The floor literal is the
+    * JVM-computed double rendered exactly into the oracle, so both
+    * engines average the identical OOV constant.
     */
   private val l36 = Spec("q91_unigram_logprob",
     (s, d) => graft.llm.Curation.unigramLogProbScore(
-      T(s, d, "documents"), "doc_id", "text"),
+      T(s, d, "documents"), "doc_id", "text", vocabTopK = Some(20)),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
           ex AS (SELECT doc_id, unnest(words) AS w FROM t),
           v AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
           tot AS (SELECT sum(c) AS n FROM v),
+          cv AS (SELECT w, c FROM (SELECT w, c, row_number() OVER
+            (ORDER BY c DESC, w) AS rn FROM v) WHERE rn <= 20),
           s AS (SELECT doc_id, count(*) AS n_tokens,
-            avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS lp
-            FROM ex JOIN v USING (w) CROSS JOIN tot GROUP BY doc_id)
+            avg(CASE WHEN c IS NOT NULL
+              THEN ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              ELSE CAST(${math.log(1e-9)} AS DOUBLE) END) AS lp
+            FROM ex LEFT JOIN cv USING (w) CROSS JOIN tot GROUP BY doc_id)
           SELECT t.doc_id, CAST(coalesce(s.n_tokens, 0) AS INT) AS n_tokens,
             round(s.lp, 6) AS mean_logp
           FROM t LEFT JOIN s ON t.doc_id = s.doc_id"""))

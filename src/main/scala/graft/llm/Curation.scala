@@ -174,22 +174,38 @@ object Curation {
     * Scale: vocab is a token-keyed count aggregate (Heaps-law sublinear in
     * corpus size); it is then BROADCAST so the corpus-sized token stream
     * is never shuffled for the lookup — broadcast is also the skew answer
-    * (a shuffle join on raw tokens funnels every "the" to one task). At
-    * 100 TB, cap the vocab at top-K with an OOV floor probability to bound
-    * the broadcast; fixture-scale vocabularies fit whole.
+    * (a shuffle join on raw tokens funnels every "the" to one task).
+    * `vocabTopK` BOUNDS that broadcast at any corpus size: only the top-K
+    * tokens by (count desc, token) keep their trained probability — a
+    * distributed partial top-k (TakeOrdered over the vocab aggregate, no
+    * global sort) — and every out-of-vocabulary token contributes the
+    * `oovLogProb` floor instead. `n_tokens` and the mean still run over
+    * ALL tokens, so a capped score remains a per-token average, not a
+    * filtered one. The floor is a caller-supplied log-probability literal
+    * (not a computed ln) so engines that mirror the score agree bit-wise
+    * on the OOV arm.
     */
-  def unigramLogProbScore(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      vocabTopK: Option[Int] = None,
+      oovLogProb: Double = math.log(1e-9)): DataFrame = {
     val toks = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c")).as("n"))
+    val fullVocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // the denominator stays the FULL token count — capping the vocab
+    // changes which tokens keep a trained p, not the training mass
+    val total = fullVocab.agg(sum(col("c")).as("n"))
+    val vocab = vocabTopK match {
+      case Some(k) => fullVocab.orderBy(col("c").desc, col("w")).limit(k)
+      case None => fullVocab
+    }
     val scored = toks
-      .join(broadcast(vocab), Seq("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("c").cast("double") / col("n").cast("double"))).as("lp"))
+        avg(when(col("c").isNotNull,
+          log(col("c").cast("double") / col("n").cast("double")))
+          .otherwise(lit(oovLogProb))).as("lp"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

@@ -718,6 +718,30 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((0, None))) // token-less doc: NULL score, kept
   }
 
+  test("unigramLogProbScore vocab cap: top-K kept, OOV floored, mean intact") {
+    import spark.implicits._
+    // counts: aa ×4, bb ×2, cc ×1, dd ×1 (total 8); top-2 = {aa, bb};
+    // cc/dd fall to the OOV floor; ties beyond K impossible here, but the
+    // boundary tie rule (count desc, token asc) is what picks bb over cc
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "aa aa bb dd")).toDF("doc_id", "text")
+    val floor = math.log(1e-9)
+    val out = Curation.unigramLogProbScore(docs, "doc_id", "text",
+      vocabTopK = Some(2), oovLogProb = floor)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Double]("mean_logp")))).toMap
+    val ln48 = math.log(4.0 / 8); val ln28 = math.log(2.0 / 8)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = r6((2 * ln48 + ln28 + floor) / 4)
+    assert(out(1L)._1 == 4 && math.abs(out(1L)._2 - want) < 2e-6)
+    assert(out(2L)._1 == 4 && math.abs(out(2L)._2 - want) < 2e-6)
+    // uncapped path unchanged: every token keeps its trained probability
+    val full = Curation.unigramLogProbScore(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).collect()(0).getAs[Double]("mean_logp")
+    val ln18 = math.log(1.0 / 8)
+    assert(math.abs(full - r6((2 * ln48 + ln28 + ln18) / 4)) < 2e-6)
+  }
+
   test("tfIdfTopTerms: corpus-wide term ranks as hand-computed") {
     import spark.implicits._
     // N=3; "rare" df=1 (idf=ln 3), "mid" df=2 (idf=ln 1.5), "the" df=3
