@@ -5,14 +5,25 @@ import java.nio.ByteBuffer
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM NetCDF-3 "classic" codec (CDF-1 32-bit and CDF-2 64-bit offset
-  * variants) — the reference pipeline's actual input format
-  * (`pipeline/carbonpipeline/dataset.py:25-34` opens `*.nc` and merges them
-  * into one cube). Implemented from the public NetCDF classic format spec:
-  * a flat header (dims, attrs, vars with absolute data offsets) followed by
-  * big-endian row-major variable blocks, record variables interleaved per
-  * record. No external library — the container has none — and none is
-  * needed: the classic format is a fixed-layout binary catalog.
+/** Pure-JVM NetCDF-3 "classic" codec (CDF-1 32-bit, CDF-2 64-bit-offset,
+  * and CDF-5 64-bit-data variants) — the reference pipeline's actual input
+  * format (`pipeline/carbonpipeline/dataset.py:25-34` opens `*.nc` and
+  * merges them into one cube). Implemented from the public NetCDF classic
+  * format spec (netcdf-c file-format appendix; CDF-5 per the PnetCDF
+  * spec): a flat header (dims, attrs, vars with absolute data offsets)
+  * followed by big-endian row-major variable blocks, record variables
+  * interleaved per record. No external library — the container has none —
+  * and none is needed: the classic formats are fixed-layout binary
+  * catalogs.
+  *
+  * CDF-5 is the ingest bridge for NetCDF-4 era data: `nccopy -k cdf5`
+  * converts an HDF5-container download losslessly for the 64-bit types
+  * (NetCDF-4's other additions — groups, compression — are container
+  * features, not data), and CDF-5 lifts both classic bounds that real CDS
+  * cubes hit (32-bit vsize per variable, 2^31 record count). In CDF-5
+  * every NON_NEG header field (numrecs, list counts, name lengths, dim
+  * lengths, ndims, dimids, attribute counts, vsize) widens to INT64 and
+  * five integer types join the classic six.
   *
   * Scale posture: the header is O(vars); every variable's bytes are
   * addressable by closed-form offset arithmetic, so a reader partition can
@@ -21,9 +32,11 @@ import java.nio.charset.StandardCharsets
   */
 object NetCDF {
 
-  // nc_type tags (classic set)
+  // nc_type tags (classic set + the CDF-5 additions)
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
   val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+  val NC_UBYTE = 7; val NC_USHORT = 8; val NC_UINT = 9
+  val NC_INT64 = 10; val NC_UINT64 = 11
 
   private val TAG_DIM = 0x0A
   private val TAG_VAR = 0x0B
@@ -53,22 +66,38 @@ object NetCDF {
   }
 
   def elemSize(ncType: Int): Int = ncType match {
-    case NC_BYTE | NC_CHAR => 1
-    case NC_SHORT => 2
-    case NC_INT | NC_FLOAT => 4
-    case NC_DOUBLE => 8
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
     case t => throw new IllegalArgumentException(s"unsupported nc_type $t")
   }
+
+  /** Unsigned-64 → double (values beyond 2^53 round, as any u64→f64 does). */
+  private def u64ToDouble(v: Long): Double =
+    if (v >= 0) v.toDouble else (v >>> 1).toDouble * 2.0 + (v & 1L)
 
   // ---------------------------------------------------------------- parse
 
   private def pad4(n: Long): Long = (n + 3) & ~3L
 
-  private final class Reader(buf: ByteBuffer) {
+  /** `wide` = CDF-5: every NON_NEG header field is INT64 (tags and nc_type
+    * stay INT). The JVM slab model keeps Int extents, so wide values are
+    * range-checked where they land in Int fields.
+    */
+  private final class Reader(buf: ByteBuffer, wide: Boolean) {
     def i4(): Int = buf.getInt()
     def i8(): Long = buf.getLong()
+    def nn(): Long = if (wide) i8() else i4().toLong
+    def nnInt(what: String): Int = {
+      val v = nn()
+      require(v >= 0 && v <= Int.MaxValue,
+        s"$what = $v outside the reader's 2^31 bound (CDF-5 allows it; " +
+          "this slab model does not — split the file at ingest)")
+      v.toInt
+    }
     def name(): String = {
-      val n = i4()
+      val n = nnInt("name length")
       val bytes = new Array[Byte](n)
       buf.get(bytes)
       buf.position(buf.position() + (pad4(n) - n).toInt)
@@ -82,10 +111,18 @@ object NetCDF {
       ncType match {
         case NC_CHAR => Left(new String(raw, StandardCharsets.UTF_8))
         case NC_BYTE => Right((0 until n).map(i => raw(i).toDouble))
+        case NC_UBYTE => Right((0 until n).map(i => (raw(i) & 0xFF).toDouble))
         case NC_SHORT => Right((0 until n).map(i => b.getShort(i * 2).toDouble))
+        case NC_USHORT =>
+          Right((0 until n).map(i => (b.getShort(i * 2) & 0xFFFF).toDouble))
         case NC_INT => Right((0 until n).map(i => b.getInt(i * 4).toDouble))
+        case NC_UINT =>
+          Right((0 until n).map(i => (b.getInt(i * 4).toLong & 0xFFFFFFFFL).toDouble))
         case NC_FLOAT => Right((0 until n).map(i => b.getFloat(i * 4).toDouble))
         case NC_DOUBLE => Right((0 until n).map(i => b.getDouble(i * 8)))
+        case NC_INT64 => Right((0 until n).map(i => b.getLong(i * 8).toDouble))
+        case NC_UINT64 =>
+          Right((0 until n).map(i => u64ToDouble(b.getLong(i * 8))))
       }
     }
   }
@@ -120,37 +157,39 @@ object NetCDF {
     // CDF-1/2 classic) per SURVEY §7.4
     require(!(m0 == 0x89.toByte && m1 == 'H' && m2 == 'D'),
       "NetCDF-4/HDF5 input detected (\\x89HDF magic): this reader supports " +
-        "the NetCDF classic format only (CDF-1/CDF-2) — convert to classic " +
-        "(`nccopy -k classic`) or ingest via parquet")
+        "the NetCDF classic formats only (CDF-1/2/5) — convert " +
+        "(`nccopy -k cdf5` keeps 64-bit types; `-k classic` for the " +
+        "narrow set) or ingest via parquet")
     require(m0 == 'C' && m1 == 'D' && m2 == 'F',
       "not a NetCDF classic file (bad magic)")
     val version = buf.get().toInt
-    require(version == 1 || version == 2,
-      s"unsupported NetCDF variant $version (CDF-1/CDF-2 supported; " +
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported NetCDF variant $version (CDF-1/2/5 supported; " +
         "NetCDF-4/HDF5 needs ingest-side conversion)")
-    val r = new Reader(buf)
-    val numRecs = r.i4()
+    val wide = version == 5
+    val r = new Reader(buf, wide)
+    val numRecs = r.nnInt("numrecs") // STREAMING (-1) rejected by the bound
     def tagged(expected: Int): Int = {
-      val tag = r.i4(); val count = r.i4()
+      val tag = r.i4(); val count = r.nnInt("list count")
       require(tag == expected || (tag == 0 && count == 0),
         s"bad tag $tag (expected $expected)")
       count
     }
     val dims = (0 until tagged(TAG_DIM)).map { _ =>
-      Dim(r.name(), r.i4())
+      Dim(r.name(), r.nnInt("dim length"))
     }
     def atts(): Seq[Att] = (0 until tagged(TAG_ATT)).map { _ =>
-      val n = r.name(); val t = r.i4(); val cnt = r.i4()
+      val n = r.name(); val t = r.i4(); val cnt = r.nnInt("att count")
       Att(n, t, r.attValues(t, cnt))
     }
     val gatts = atts()
     val vars = (0 until tagged(TAG_VAR)).map { _ =>
       val n = r.name()
-      val nd = r.i4()
-      val dimIds = (0 until nd).map(_ => r.i4())
+      val nd = r.nnInt("ndims")
+      val dimIds = (0 until nd).map(_ => r.nnInt("dimid"))
       val va = atts()
       val t = r.i4()
-      val vsize = r.i4().toLong & 0xFFFFFFFFL
+      val vsize = if (wide) r.i8() else r.i4().toLong & 0xFFFFFFFFL
       val begin = if (version == 1) r.i4().toLong & 0xFFFFFFFFL else r.i8()
       Var(n, dimIds, va, t, vsize, begin)
     }
@@ -221,26 +260,41 @@ object NetCDF {
     ncType match {
       case NC_BYTE | NC_CHAR =>
         while (i < n) { out(at + i) = buf.get().toDouble; i += 1 }
+      case NC_UBYTE =>
+        while (i < n) { out(at + i) = (buf.get() & 0xFF).toDouble; i += 1 }
       case NC_SHORT =>
         while (i < n) { out(at + i) = buf.getShort().toDouble; i += 1 }
+      case NC_USHORT =>
+        while (i < n) { out(at + i) = (buf.getShort() & 0xFFFF).toDouble; i += 1 }
       case NC_INT =>
         while (i < n) { out(at + i) = buf.getInt().toDouble; i += 1 }
+      case NC_UINT =>
+        while (i < n) {
+          out(at + i) = (buf.getInt().toLong & 0xFFFFFFFFL).toDouble; i += 1
+        }
       case NC_FLOAT =>
         while (i < n) { out(at + i) = buf.getFloat().toDouble; i += 1 }
       case NC_DOUBLE =>
         while (i < n) { out(at + i) = buf.getDouble(); i += 1 }
+      case NC_INT64 =>
+        while (i < n) { out(at + i) = buf.getLong().toDouble; i += 1 }
+      case NC_UINT64 =>
+        while (i < n) { out(at + i) = u64ToDouble(buf.getLong()); i += 1 }
     }
   }
 
   // --------------------------------------------------------------- write
 
   /** Minimal classic writer (CDF-1 by default; `version = 2` emits CDF-2
-    * with 64-bit begin offsets for multi-GiB layouts) for region-sized
-    * gridded outputs and test fixtures (the analog of the reference's
-    * per-region NetCDF sink, `core.py:325-369` — which writes files of
-    * exactly this catalog size). Not a distributed sink: a NetCDF classic
-    * file is a single sequential byte stream, so big data belongs in
-    * parquet (OP-SNK-1); this exists for interchange with
+    * with 64-bit begin offsets for multi-GiB layouts; `version = 5` emits
+    * CDF-5 with every NON_NEG field widened to INT64 plus the unsigned /
+    * 64-bit integer types — the format `nccopy -k cdf5` produces from
+    * NetCDF-4 downloads, and the round-trip fixture for that ingest path)
+    * for region-sized gridded outputs and test fixtures (the analog of the
+    * reference's per-region NetCDF sink, `core.py:325-369` — which writes
+    * files of exactly this catalog size). Not a distributed sink: a NetCDF
+    * classic file is a single sequential byte stream, so big data belongs
+    * in parquet (OP-SNK-1); this exists for interchange with
     * NetCDF-consuming tools.
     *
     * `data` maps variable name → (dim names, nc_type, values-as-doubles,
@@ -254,18 +308,47 @@ object NetCDF {
 
   def write(path: String, dims: Seq[Dim], vars: Seq[(String, VarSpec)],
       gatts: Seq[Att] = Nil, numRecs: Int = 0, version: Int = 1): Unit = {
-    require(version == 1 || version == 2,
-      s"classic writer supports CDF-1 and CDF-2, got version $version")
+    require(version == 1 || version == 2 || version == 5,
+      s"classic writer supports CDF-1/2/5, got version $version")
     require(dims.count(_.isRecord) <= 1, "at most one record dimension")
     val recDimId = dims.indexWhere(_.isRecord)
     require(recDimId >= 0 || numRecs == 0,
       "numRecs given but no record (length-0) dimension declared")
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    // CDF-5: every NON_NEG field is 8 bytes; tags and nc_type stay 4
+    val wide = version == 5
+    val nnBytes = if (wide) 8 else 4
+    def putNN(bb: ByteBuffer, v: Long): Unit =
+      if (wide) bb.putLong(v) else bb.putInt(v.toInt)
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes(StandardCharsets.UTF_8)
-      val padded = new Array[Byte](4 + pad4(b.length).toInt)
-      ByteBuffer.wrap(padded).putInt(b.length).put(b)
+      val padded = new Array[Byte](nnBytes + pad4(b.length).toInt)
+      val bb = ByteBuffer.wrap(padded)
+      putNN(bb, b.length)
+      bb.put(b)
       padded
+    }
+    def putElem(bb: ByteBuffer, ncType: Int, d: Double): Unit = ncType match {
+      case NC_BYTE | NC_UBYTE => bb.put(d.toByte)
+      case NC_SHORT | NC_USHORT => bb.putShort(d.toShort)
+      case NC_INT => bb.putInt(d.toInt)
+      // via toLong: Double.toInt SATURATES at 2^31-1, which would corrupt
+      // unsigned-range values (e.g. 4294967295.0 → MaxValue, not -1)
+      case NC_UINT => bb.putInt(d.toLong.toInt)
+      case NC_FLOAT => bb.putFloat(d.toFloat)
+      case NC_DOUBLE => bb.putDouble(d)
+      case NC_INT64 => bb.putLong(d.toLong)
+      // top-half u64 values re-wrap to the negative two's-complement long
+      // (Double.toLong saturates at 2^63-1); sub-2^53 values are exact
+      case NC_UINT64 => bb.putLong(
+        if (d >= 9.223372036854776e18) (d - 1.8446744073709552e19).toLong
+        else d.toLong)
+      case NC_CHAR => throw new IllegalArgumentException(
+        "numeric values with NC_CHAR type")
+    }
+    vars.foreach { case (n, sp) =>
+      require(wide || sp.ncType <= NC_DOUBLE,
+        s"$n: nc_type ${sp.ncType} needs CDF-5 (version = 5)")
     }
     def attBytes(a: Att): Array[Byte] = {
       val vb = a.value match {
@@ -275,29 +358,23 @@ object NetCDF {
         case Right(nums) =>
           val es = elemSize(a.ncType)
           val bb = ByteBuffer.allocate(nums.length * es)
-          nums.foreach { d =>
-            a.ncType match {
-              case NC_BYTE => bb.put(d.toByte)
-              case NC_SHORT => bb.putShort(d.toShort)
-              case NC_INT => bb.putInt(d.toInt)
-              case NC_FLOAT => bb.putFloat(d.toFloat)
-              case NC_DOUBLE => bb.putDouble(d)
-              case NC_CHAR => throw new IllegalArgumentException(
-                "numeric att with NC_CHAR type")
-            }
-          }
+          nums.foreach(putElem(bb, a.ncType, _))
           (bb.array(), nums.length)
       }
       val (raw, count) = vb
-      val out = ByteBuffer.allocate(nameBytes(a.name).length + 8 +
+      val out = ByteBuffer.allocate(nameBytes(a.name).length + 4 + nnBytes +
         pad4(raw.length).toInt)
-      out.put(nameBytes(a.name)).putInt(a.ncType).putInt(count).put(raw)
+      out.put(nameBytes(a.name)).putInt(a.ncType)
+      putNN(out, count)
+      out.put(raw)
       out.array()
     }
     def attList(as: Seq[Att]): Array[Byte] = {
       val body = as.flatMap(attBytes).toArray
-      val out = ByteBuffer.allocate(8 + body.length)
-      out.putInt(if (as.isEmpty) 0 else TAG_ATT).putInt(as.size).put(body)
+      val out = ByteBuffer.allocate(4 + nnBytes + body.length)
+      out.putInt(if (as.isEmpty) 0 else TAG_ATT)
+      putNN(out, as.size)
+      out.put(body)
       out.array()
     }
     def isRecVar(sp: VarSpec): Boolean =
@@ -326,15 +403,15 @@ object NetCDF {
     val singleRec = recVars.size == 1
     // layout pass: header size, then var begins — fixed vars first, then
     // the record section (all record vars interleave per record)
-    val beginBytes = if (version == 1) 4 else 8 // CDF-2: 64-bit offsets
+    val beginBytes = if (version == 1) 4 else 8 // CDF-2/5: 64-bit offsets
     val varHeads = vars.map { case (n, sp) =>
-      nameBytes(n).length + 4 + sp.dims.size * 4 +
-        attList(sp.atts).length + 4 /*type*/ + 4 /*vsize*/ + beginBytes
+      nameBytes(n).length + nnBytes /*ndims*/ + sp.dims.size * nnBytes +
+        attList(sp.atts).length + 4 /*type*/ + nnBytes /*vsize*/ + beginBytes
     }
-    val headerSize = 4 /*magic*/ + 4 /*numrecs*/ +
-      8 + dims.map(d => nameBytes(d.name).length + 4).sum +
+    val headerSize = 4 /*magic*/ + nnBytes /*numrecs*/ +
+      (4 + nnBytes) + dims.map(d => nameBytes(d.name).length + nnBytes).sum +
       attList(gatts).length +
-      8 + varHeads.sum
+      (4 + nnBytes) + varHeads.sum
     var offset = pad4(headerSize)
     val fixedBegins = scala.collection.mutable.Map.empty[String, Long]
     vars.foreach { case (n, sp) =>
@@ -352,36 +429,39 @@ object NetCDF {
     def beginOf(n: String): Long = fixedBegins.getOrElse(n, recBegins(n))
     // validate the WHOLE layout before any byte is written — a mid-write
     // require would leave a truncated, spec-invalid file on disk. vsize is
-    // a SIGNED 32-bit field in both classic variants, and begin is signed
-    // 32-bit in CDF-1 (external netcdf-c consumers parse them signed — an
-    // unsigned-range value round-trips in our reader but seeks to garbage
-    // in theirs); CDF-2 lifts the begin bound, cubes beyond either belong
-    // in the parquet sink.
+    // a SIGNED 32-bit field in CDF-1/2 (CDF-5 widens it to 64), and begin
+    // is signed 32-bit in CDF-1 (external netcdf-c consumers parse them
+    // signed — an unsigned-range value round-trips in our reader but seeks
+    // to garbage in theirs); CDF-2/5 lift the begin bound, cubes beyond
+    // any remaining bound belong in the parquet sink.
     vars.foreach { case (n, sp) =>
-      require(vsize(sp) <= Int.MaxValue,
+      require(wide || vsize(sp) <= Int.MaxValue,
         s"variable '$n' exceeds the classic-format signed-32-bit vsize " +
-          s"bound (vsize=${vsize(sp)}): write through the parquet sink")
-      require(version == 2 || beginOf(n) <= Int.MaxValue,
+          s"bound (vsize=${vsize(sp)}): write with version=5 (CDF-5) or " +
+          "through the parquet sink")
+      require(version != 1 || beginOf(n) <= Int.MaxValue,
         s"variable '$n' begins past the CDF-1 signed-32-bit offset bound " +
-          s"(begin=${beginOf(n)}): write with version=2 (CDF-2) or " +
+          s"(begin=${beginOf(n)}): write with version=2/5 or " +
           "through the parquet sink")
     }
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
+      def writeNN(v: Long): Unit =
+        if (wide) out.writeLong(v) else out.writeInt(v.toInt)
       out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-      out.writeInt(if (recDimId >= 0) numRecs else 0)
-      out.writeInt(TAG_DIM); out.writeInt(dims.size)
-      dims.foreach { d => out.write(nameBytes(d.name)); out.writeInt(d.length) }
+      writeNN(if (recDimId >= 0) numRecs else 0)
+      out.writeInt(TAG_DIM); writeNN(dims.size)
+      dims.foreach { d => out.write(nameBytes(d.name)); writeNN(d.length) }
       out.write(attList(gatts))
-      out.writeInt(TAG_VAR); out.writeInt(vars.size)
+      out.writeInt(TAG_VAR); writeNN(vars.size)
       vars.foreach { case (n, sp) =>
         out.write(nameBytes(n))
-        out.writeInt(sp.dims.size)
-        sp.dims.foreach(d => out.writeInt(dimIdx(d)))
+        writeNN(sp.dims.size)
+        sp.dims.foreach(d => writeNN(dimIdx(d)))
         out.write(attList(sp.atts))
         out.writeInt(sp.ncType)
-        out.writeInt(vsize(sp).toInt)
+        writeNN(vsize(sp))
         if (version == 1) out.writeInt(beginOf(n).toInt)
         else out.writeLong(beginOf(n))
       }
@@ -393,13 +473,8 @@ object NetCDF {
         val bb = ByteBuffer.allocate(size)
         (from until from + count).foreach { j =>
           val d = sp.values(j)
-          sp.ncType match {
-            case NC_BYTE | NC_CHAR => bb.put(d.toByte)
-            case NC_SHORT => bb.putShort(d.toShort)
-            case NC_INT => bb.putInt(d.toInt)
-            case NC_FLOAT => bb.putFloat(d.toFloat)
-            case NC_DOUBLE => bb.putDouble(d)
-          }
+          if (sp.ncType == NC_CHAR) bb.put(d.toByte)
+          else putElem(bb, sp.ncType, d)
         }
         bb.array()
       }

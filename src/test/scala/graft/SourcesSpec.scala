@@ -315,25 +315,35 @@ class SourcesSpec extends SparkSpec {
     import org.scalacheck.Prop.forAll
     val d = tmpDir()
     var n = 0
+    val classicTypes = Seq(NetCDF.NC_SHORT, NetCDF.NC_INT, NetCDF.NC_FLOAT,
+      NetCDF.NC_DOUBLE)
+    val cdf5Types = classicTypes ++ Seq(NetCDF.NC_UBYTE, NetCDF.NC_USHORT,
+      NetCDF.NC_UINT, NetCDF.NC_INT64, NetCDF.NC_UINT64)
     val gen = for {
       nDims <- Gen.choose(1, 3)
       sizes <- Gen.listOfN(nDims, Gen.choose(1, 5))
       nVars <- Gen.choose(1, 3)
+      version <- Gen.oneOf(1, 2, 5) // CDF-1/2 + CDF-5 (64-bit data)
       types <- Gen.listOfN(nVars,
-        Gen.oneOf(NetCDF.NC_SHORT, NetCDF.NC_INT, NetCDF.NC_FLOAT,
-          NetCDF.NC_DOUBLE))
+        Gen.oneOf(if (version == 5) cdf5Types else classicTypes))
       seed <- Gen.choose(0, 1 << 20)
-      version <- Gen.oneOf(1, 2) // CDF-1 and CDF-2 (64-bit begins)
     } yield (sizes, types, seed, version)
+    // small integers exactly representable in every nc_type; unsigned
+    // types get their (smaller) non-negative range
+    def valFor(t: Int, raw: Int): Double = t match {
+      case NetCDF.NC_UBYTE => math.abs(raw % 200).toDouble
+      case NetCDF.NC_USHORT | NetCDF.NC_UINT | NetCDF.NC_UINT64 =>
+        math.abs(raw % 1000).toDouble
+      case _ => (raw % 1000 - 500).toDouble
+    }
     val prop = forAll(gen) { case (sizes, types, seed, version) =>
       n += 1
       val path = s"$d/prop_$n.nc"
       val dims = sizes.zipWithIndex.map { case (s, i) => Dim(s"d$i", s) }
       val total = sizes.product
-      // small integers are exactly representable in every nc_type
       val varSpecs = types.zipWithIndex.map { case (t, vi) =>
         s"v$vi" -> VarSpec(dims.map(_.name), t,
-          Array.tabulate(total)(j => ((seed + j * 7 + vi) % 1000 - 500).toDouble))
+          Array.tabulate(total)(j => valFor(t, seed + j * 7 + vi)))
       }
       NetCDF.write(path, dims, varSpecs, version = version)
       val h = NetCDF.readHeader(path)
@@ -350,6 +360,49 @@ class SourcesSpec extends SparkSpec {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, s"NetCDF round-trip property failed: ${res.status}")
+  }
+
+  test("CDF-5 ingest road: wide header + 64-bit types reach parquet") {
+    // the NetCDF-4 bridge: `nccopy -k cdf5` output is exactly this format
+    // — wide (INT64) header fields, unsigned/64-bit types, record dim —
+    // and the documented road into the lake is DSv2 scan → parquet
+    val d = tmpDir(); val p = s"$d/wide.nc"
+    val nT = 3; val nX = 2
+    NetCDF.write(p,
+      dims = Seq(Dim("time", 0), Dim("x", nX)),
+      vars = Seq(
+        "time" -> VarSpec(Seq("time"), NetCDF.NC_INT64,
+          Array.tabulate(nT)(_.toDouble),
+          Seq(Att("units", NetCDF.NC_CHAR,
+            Left("hours since 2021-03-01 00:00:00")))),
+        "x" -> VarSpec(Seq("x"), NetCDF.NC_DOUBLE, Array(0.0, 1.0)),
+        "counts" -> VarSpec(Seq("time", "x"), NetCDF.NC_UINT,
+          Array(0.0, 3000000000.0, 7.0, 9.0, 11.0, 4294967295.0)),
+        "big" -> VarSpec(Seq("time", "x"), NetCDF.NC_INT64,
+          Array.tabulate(nT * nX)(i => (1L << 40).toDouble + i))),
+      numRecs = nT, version = 5)
+    val h = NetCDF.readHeader(p)
+    assert(h.numRecs == nT && h.dims.head.isRecord)
+    assert(h.vars.find(_.name == "counts").get.ncType == NetCDF.NC_UINT)
+    val out = s"$d/lake"
+    spark.read.format("netcdf").load(p).write.parquet(out)
+    val back = spark.read.parquet(out).orderBy("time", "x").collect()
+    assert(back.length == nT * nX)
+    // unsigned values above Int.MaxValue survive the whole road
+    assert(back(1).getAs[Double]("counts") == 3000000000.0)
+    assert(back(5).getAs[Double]("counts") == 4294967295.0)
+    assert(back(0).getAs[Double]("big") == (1L << 40).toDouble)
+    assert(back(0).getAs[Timestamp]("time") ==
+      Timestamp.valueOf("2021-03-01 00:00:00"))
+  }
+
+  test("classic writer refuses CDF-5-only types outside version 5") {
+    val e = intercept[IllegalArgumentException] {
+      NetCDF.write(s"${tmpDir()}/bad.nc", dims = Seq(Dim("x", 2)),
+        vars = Seq("v" -> VarSpec(Seq("x"), NetCDF.NC_INT64,
+          Array(1.0, 2.0))))
+    }
+    assert(e.getMessage.contains("CDF-5"), e.getMessage)
   }
 
   test("index dim fallback when a dimension has no coordinate variable") {
