@@ -1261,8 +1261,63 @@ object LlmQueries {
           LEFT JOIN h ON tq.query_id = h.query_id"""
     })
 
+  /** Fixed-token-window chunking with overlap (context 32, stride 24) —
+    * the pre-tokenization shard step. Pure map-side: tokenize once,
+    * codegen'd slice per chunk, no shuffle. The oracle mirrors the
+    * ceil-division chunk count and the 1-based inclusive list slice.
+    */
+  private val l42 = Spec("q99_text_chunks",
+    (s, d) => graft.llm.Shaping.chunkByTokens(T(s, d, "documents"),
+      "doc_id", "text", chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("n_tokens"), col("chunk_text")),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        c AS (SELECT doc_id, words,
+          CASE WHEN len(words) = 0 THEN 0
+            ELSE 1 + (greatest(len(words) - 32, 0) + 23) // 24 END AS nchunks
+          FROM t),
+        e AS (SELECT doc_id, words, unnest(range(nchunks)) AS chunk_id FROM c)
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(words[chunk_id*24+1 : chunk_id*24+32]) AS INT) AS n_tokens,
+          array_to_string(words[chunk_id*24+1 : chunk_id*24+32], ' ')
+            AS chunk_text
+        FROM e"""))
+
+  /** Contiguous greedy sequence packing into 256-token bins per source
+    * shard: one shuffle on the group key, one window cumsum — integer
+    * arithmetic end to end, so the bin assignment is cross-engine exact.
+    */
+  private val l43 = Spec("q100_pack_sequences",
+    (s, d) => graft.llm.Shaping.packSequences(T(s, d, "documents"),
+      "doc_id", "text", "source", budgetTokens = 256),
+    Some(s"""WITH t AS (SELECT source, doc_id,
+          CAST(len($wordsSql) AS INT) AS n_tokens FROM documents),
+        s AS (SELECT source, doc_id, n_tokens,
+          coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM t)
+        SELECT source, doc_id, n_tokens,
+          CAST(strt // 256 AS BIGINT) AS bin FROM s"""))
+
+  /** Deterministic stratified sampling to a per-language target mix:
+    * content-hash permille gate (no RNG — reproducible under partition
+    * retries and across engines; the q50-proven polyhash is the shared
+    * primitive).
+    */
+  private val l44 = Spec("q101_stratified_sample",
+    (s, d) => graft.llm.Shaping.stratifiedSample(
+      T(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "text", "lang",
+      permille = Seq("en" -> 600, "de" -> 400, "fr" -> 250, "es" -> 150),
+      defaultPermille = 50)
+      .select(col("doc_id"), col("lang")),
+    Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${phSql("text")} % 1000 <
+          CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
+            WHEN 'fr' THEN 250 WHEN 'es' THEN 150 ELSE 50 END"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
-    l38, l39, l40, l41)
+    l38, l39, l40, l41, l42, l43, l44)
 }

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash.polyhash
+
+/** Sequence shaping for training-data preparation: fixed-token-window
+  * chunking, contiguous sequence packing into context-window bins, and
+  * deterministic stratified sampling. These are the operators that sit
+  * between a curated corpus and a tokenizer/trainer: the corpus is sharded
+  * into model-context-sized pieces, packed to minimize padding, and
+  * sampled to a target language/source mix.
+  *
+  * Scale posture (100 TB): chunking is pure map-side work (tokenize →
+  * slice → explode — no shuffle, no state); packing shuffles once on the
+  * group key and runs one window cumsum per group; sampling is a
+  * map-side hash predicate (no RNG, no sort, reproducible under retries
+  * and across engines).
+  */
+object Shaping {
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * standard pre-tokenization shard step (context window `chunkSize`,
+    * step `stride`; `stride < chunkSize` gives `chunkSize - stride`
+    * tokens of overlap between consecutive chunks, the usual trick to
+    * avoid learning-boundary artifacts).
+    *
+    * Chunk `i` covers tokens `[i*stride, i*stride + chunkSize)`; the last
+    * chunk may be shorter but never empty; documents with zero tokens
+    * produce no chunks. One pass: the token array is staged behind a
+    * projection boundary once, then each chunk is a codegen'd `slice` —
+    * payload text is never shuffled.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val staged = docs.select(col(idCol),
+      graft.functions.Tokens.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    // integer ceil((n - chunkSize)/stride) via exact double division of
+    // small non-negative ints; +1 for the chunk at offset 0
+    val nChunks = (lit(1) +
+      ((greatest(n - chunkSize, lit(0)) + (stride - 1)) / stride)
+        .cast("int"))
+    staged.filter(n > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Contiguous greedy sequence packing: within each `groupCol` shard,
+    * documents in `idCol` order are laid end-to-end and cut into bins of
+    * `budgetTokens` — `bin = floor(running_start / budget)` where
+    * `running_start` is the token count of all preceding documents. This
+    * is the deterministic streaming form of packing (what a sharded
+    * tokenizer worker does); true first-fit bin packing is
+    * order-dependent and unstable under retries, so large pipelines use
+    * exactly this contiguous variant.
+    *
+    * Documents longer than the budget still occupy (at least) one bin —
+    * run [[chunkByTokens]] first if hard truncation is required. One
+    * shuffle on the group key; the cumsum is a single window pass.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val nTok = graft.functions.TokenCount.tokenCount(col(textCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(groupCol), col(idCol), nTok.as("n_tokens"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // exact: both sides are non-negative ints far below 2^53
+      .withColumn("bin", (col("__start") / budgetTokens).cast("bigint"))
+      .drop("__start")
+  }
+
+  /** Deterministic stratified sampling to a target per-stratum rate:
+    * keep a document iff `polyhash(key) mod 1000 < permille(stratum)`.
+    * Content-hash gating (not RNG) makes the sample reproducible across
+    * runs, engines, and partitionings — the property that matters when a
+    * 100 TB sampling job is retried per-partition. Rates are a small
+    * literal config, compiled into a codegen'd CASE chain (no join, no
+    * broadcast, no shuffle).
+    */
+  def stratifiedSample(docs: DataFrame, keyCol: String, stratumCol: String,
+      permille: Seq[(String, Int)], defaultPermille: Int = 0): DataFrame = {
+    permille.foreach { case (s, p) =>
+      require(p >= 0 && p <= 1000, s"permille for '$s' out of [0,1000]: $p")
+    }
+    val rate = permille.foldRight(lit(defaultPermille)) {
+      case ((stratum, p), acc) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    docs.filter(pmod(polyhash(col(keyCol)), lit(1000)) < rate)
+  }
+}
