@@ -83,10 +83,38 @@ object Multimodal {
         i => (i * frames / n).cast("int"))))
   }
 
-  /** The real-codec extension point: iterate payload batches per partition
-    * (the Scala analogue of `mapInPandas` — one decoder init per partition,
-    * amortized over its batch). `decode` maps a payload to a feature array;
-    * partitioning, schema and batch shape are handled here.
+  /** The preferred real-codec extension point: per-partition batch decode
+    * that STAYS INSIDE the SQL engine. `Dataset.mapPartitions` with a row
+    * encoder compiles to DeserializeToObject → MapPartitions →
+    * SerializeFromObject inside the same query plan — upstream parquet
+    * scans keep their columnar batches and pushed filters, AQE keeps
+    * re-planning downstream stages, and rows re-enter Tungsten format
+    * immediately after the decode. (PySpark's `mapInArrow` is the same
+    * idea for Python workers; the Scala `Dataset.mapInArrow` overload only
+    * accepts a Python-UDF column, so `mapPartitions` + encoder IS the
+    * Scala-native columnar-preserving form.) One decoder context per
+    * partition, amortized over its batch.
+    */
+  def mapBinaryBatchesTyped(df: DataFrame, mmCol: String, dim: Int)(
+      decode: Array[Byte] => Array[Double]): DataFrame = {
+    val outSchema = df.schema.add(StructField("features",
+      ArrayType(DoubleType)))
+    val payloadIdx = df.schema.fieldIndex(mmCol)
+    df.mapPartitions { rows =>
+      // one decoder context per partition would initialize here
+      rows.map { r =>
+        val mm = r.getStruct(payloadIdx)
+        val payload = mm.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq :+ decode(payload).toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** RDD-boundary fallback form of [[mapBinaryBatchesTyped]] — kept for
+    * codecs that need raw RDD control (custom partitioners, explicit
+    * preservesPartitioning). Crossing `df.rdd` abandons the query plan:
+    * no AQE below this point and a full deserialize to GenericRow, so
+    * prefer the typed form.
     */
   def mapBinaryBatches(df: DataFrame, mmCol: String, dim: Int)(
       decode: Array[Byte] => Array[Double]): DataFrame = {

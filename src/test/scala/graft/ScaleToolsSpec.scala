@@ -106,6 +106,31 @@ class ScaleToolsSpec extends SparkSpec {
     assert(out(1).getSeq[Double](1) == Seq(6.0, 'w'.toDouble))
   }
 
+  test("mapBinaryBatchesTyped agrees with the RDD form and keeps the plan") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "world!"), (3L, "")).toDF("id", "text")
+      .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+        lit("audio"), graft.functions.PolyHash.polyhash(col("text"))))
+    def dec(bytes: Array[Byte]): Array[Double] =
+      Array(bytes.length.toDouble,
+        bytes.headOption.map(_.toDouble).getOrElse(0d))
+    val typed = Multimodal.mapBinaryBatchesTyped(df, "mm", dim = 2)(dec)
+    val rddForm = Multimodal.mapBinaryBatches(df, "mm", dim = 2)(dec)
+    val a = typed.select(col("id"), col("features"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = rddForm.select(col("id"), col("features"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.toSeq == b.toSeq)
+    // the typed form is ONE query plan end-to-end: the decode shows up as
+    // a MapPartitions node (SQL engine), not an ExistingRDD scan boundary
+    val plan = typed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("LogicalRDD"), plan)
+    // while the RDD fallback really does sever the plan
+    assert(rddForm.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"))
+  }
+
   test("resizeMeta: aspect-preserving fit, payload untouched") {
     import spark.implicits._
     val row = Seq("x").toDF("text")
