@@ -61,8 +61,9 @@ object LlmQueries {
     * emits `f AS (features), sc AS (doc_id, <keep>, q, nt)` mirroring
     * [[Text.qualityScoreFromTokens]]. `keep` = extra sc passthrough
     * columns (comma-led), e.g. ", text". */
-  private def qualityCtesSql(src: String, keep: String): String =
-    s"""f AS (SELECT doc_id, text, words,
+  private def qualityCtesSql(src: String, keep: String,
+      fKeep: String = ""): String =
+    s"""f AS (SELECT doc_id$fKeep, text, words,
           CAST(len(words) AS DOUBLE) AS n_tokens,
           CASE WHEN length(text) > 0 THEN
             CAST(length(text) - length(regexp_replace(lower(text),
@@ -1316,8 +1317,103 @@ object LlmQueries {
           CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
             WHEN 'fr' THEN 250 WHEN 'es' THEN 150 ELSE 50 END"""))
 
+  /** Sorted-neighborhood near-dup candidates over the near-dup corpus:
+    * blocked SNM — 16-bit simhash sorted within 4-bit blocks, window 4,
+    * hamming ≤ 3 — the third candidate family beside minhash-LSH (q57)
+    * and simhash banding (q70), with its fixed (windowSize-1)·N candidate
+    * budget. Production width is bits=64/blockBits=16.
+    */
+  private val l45 = Spec("q103_dedup_snm_pairs",
+    (s, d) => graft.llm.Dedup.sortedNeighborhoodPairs(nearDupCorpus(s, d),
+      "doc_id", "text", bits = 16, blockBits = 4, windowSize = 4,
+      maxHamming = 3, tokenHashesFn = graft.llm.Dedup.tokenHashesPoly),
+    Some({
+      val leads = (1 to 3).map(o =>
+        s"lead(doc_id, $o) OVER w AS nd$o, lead(sh, $o) OVER w AS ns$o")
+        .mkString(", ")
+      val arms = (1 to 3).map(o =>
+        s"""SELECT least(doc_id, nd$o) AS doc_a,
+            greatest(doc_id, nd$o) AS doc_b,
+            bit_count(CAST(xor(sh, ns$o) AS BIGINT)) AS hamming
+            FROM ld WHERE nd$o IS NOT NULL""").mkString(" UNION ALL ")
+      s"""WITH corpus AS ($nearDupCorpusSql),
+          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+          hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t),
+          shf AS (SELECT doc_id, $simhashTermsSql AS sh FROM hh),
+          ld AS (SELECT doc_id, sh, $leads FROM shf
+            WINDOW w AS (PARTITION BY sh >> 12 ORDER BY sh, doc_id)),
+          pairs AS ($arms)
+          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+          FROM pairs WHERE hamming <= 3"""
+    }))
+
+  /** Per-language quality quartiles (equal-frequency tiers within each
+    * language) — the within-group form of "train on the top quartile".
+    * The ntile orders by the ROUNDED score then doc_id on both engines.
+    */
+  private val l46 = Spec("q104_quality_tiers",
+    (s, d) => graft.llm.Curation.qualityQuantiles(T(s, d, "documents"),
+      "doc_id", "text", "lang", n = 4),
+    Some(s"""WITH t AS (SELECT doc_id, lang, text, $wordsSql AS words
+          FROM documents),
+        ${qualityCtesSql("t", ", lang", ", lang")}
+        SELECT doc_id, lang, round(q, 6) AS quality,
+          CAST(ntile(4) OVER (PARTITION BY lang
+            ORDER BY round(q, 6), doc_id) AS INT) AS tier
+        FROM sc"""))
+
+  /** Nearest-centroid assignment: per-label mean embeddings (k-means
+    * M-step, components rounded before use) + cosine argmax assignment
+    * (E-step). Centroid components and the ranking cosine are both
+    * rounded to 6 so the assignment is cross-engine exact.
+    */
+  private val l47 = Spec("q105_centroid_assign",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Similarity.nearestCentroid(emb, "vec_id", "embedding",
+        graft.llm.Similarity.groupCentroids(emb, "embedding", "label"),
+        "label")
+    },
+    Some(s"""WITH ex AS (SELECT label, unnest([{'i': i, 'v': embedding[i+1]}
+            for i in range(len(embedding))], recursive := true)
+          FROM embeddings),
+        cm AS (SELECT label, i, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+          FROM ex GROUP BY label, i),
+        cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+          FROM cm GROUP BY label),
+        sc AS (SELECT e.vec_id, c.label,
+          round(${cosSql("e.embedding", "c.centroid")}, 6) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, label) AS rk FROM sc)
+        SELECT vec_id, label AS assigned, cos FROM r WHERE rk = 1"""))
+
+  /** Case/punctuation-variant dup corpus: every 13th doc re-appears
+    * upper-cased with trailing junk — byte-exact dedup (q55's key) CANNOT
+    * collapse these; the normalized key must. */
+  private val caseDupCorpusSql =
+    """SELECT doc_id, text FROM documents UNION ALL
+       SELECT doc_id + 100000000, upper(text) || ' !!' FROM documents
+       WHERE doc_id % 13 = 0"""
+
+  /** Normalized exact dedup over the case-variant corpus (canonical
+    * token-stream md5, keep-min-id). */
+  private val l48 = Spec("q106_dedup_normalized",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      graft.llm.Dedup.exactNormalized(corpus, "doc_id", "text")
+    },
+    Some(s"""WITH corpus AS ($caseDupCorpusSql),
+        t AS (SELECT doc_id, array_to_string($wordsSql, ' ') AS canon
+          FROM corpus)
+        SELECT md5(canon) AS content_hash, min(doc_id) AS keep_id,
+          count(*) AS n_copies FROM t GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
-    l38, l39, l40, l41, l42, l43, l44)
+    l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48)
 }

@@ -515,6 +515,33 @@ object Queries {
           CASE WHEN rts >= ts - INTERVAL 2 HOUR THEN pval END AS asof_pval
         FROM j"""))
 
+  /** OP-JOIN-5 — batch interval join: click→purchase attribution within a
+    * 10-minute per-user window. The time bound is integer microseconds on
+    * both engines (no interval/float drift); the equi-key keeps it a
+    * plain shuffled equi-join at scale.
+    */
+  private val join5 = Spec("q102_join5_interval",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      Joins.intervalJoin(clicks, purchases, "user_id", "click_ts",
+        "purchase_ts", lowerMs = 0L, upperMs = 10 * 60 * 1000L,
+        prefix = "")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+        CAST(c.ts AS TIMESTAMP) AS click_ts,
+        p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        FROM events c JOIN events p ON c.user_id = p.user_id
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+            + INTERVAL 10 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""))
+
   // ------------------------------------------------------------------
   // Aggregations
   // ------------------------------------------------------------------
@@ -1139,7 +1166,7 @@ object Queries {
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
-    join1, join2, join3, join4,
+    join1, join2, join3, join4, join5,
     agg1, agg2, agg3, agg4, agg5,
     win1, win2, win3, sort1, set1, set2,
     dt1, dt2, dt3, dt4, str1, str2,

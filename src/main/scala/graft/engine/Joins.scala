@@ -248,4 +248,36 @@ object Joins {
     }
     expanded.drop(tag, pay)
   }
+
+  /** OP-JOIN-5 — batch interval join: pair each left row with the right
+    * rows of the SAME key whose timestamp lands in
+    * `[left.ts + lowerMs, left.ts + upperMs]` (attribution windows,
+    * sensor-correlation, event causality). The batch face of
+    * [[graft.streaming.Streaming]]'s interval join.
+    *
+    * Scale shape: the key equality makes this a plain equi-join — one
+    * shuffle per side on the key, sort-merge within each key partition,
+    * and the time range applied as a join-time filter. No cross product
+    * ever materializes beyond a key group, and AQE's skew-join splitting
+    * still applies because the range lives in the join CONDITION, not a
+    * post-filter. The time bound is compared in integer microseconds on
+    * both engines — no interval-arithmetic or float drift.
+    *
+    * Column naming: left columns keep their names; right columns arrive
+    * `<prefix><name>` (the shared key is emitted once, unprefixed).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lowerMs: Long, upperMs: Long,
+      prefix: String = "r_"): DataFrame = {
+    require(lowerMs <= upperMs, s"empty interval [$lowerMs, $upperMs]")
+    val r = right.columns.foldLeft(right) { (d, c) =>
+      if (c == keyCol) d else d.withColumnRenamed(c, s"$prefix$c")
+    }
+    val lt = unix_micros(left(leftTs))
+    val rt = unix_micros(r(s"$prefix$rightTs"))
+    left.join(r,
+      left(keyCol) === r(keyCol) &&
+        rt >= lt + lit(lowerMs * 1000L) && rt <= lt + lit(upperMs * 1000L))
+      .drop(r(keyCol))
+  }
 }

@@ -212,4 +212,35 @@ object Curation {
         coalesce(col("n_tokens"), lit(0L)).cast("int").as("n_tokens"),
         round(col("lp"), 6).as("mean_logp")) // NULL for token-less docs
   }
+
+  /** Per-group quality quantile assignment: bucket each document into one
+    * of `n` equal-frequency tiers of its group's quality distribution
+    * (ntile over quality within language/source) — the knob behind
+    * "train on the top quartile per language": a single GLOBAL cutoff
+    * would gut low-resource languages whose whole distribution sits below
+    * the high-resource median, so the tiering must be within-group.
+    *
+    * Determinism: the window orders by the ROUNDED score then the unique
+    * id — raw float ordering would make tier boundaries depend on
+    * last-ulp libm drift (memory: a true tie sat exactly on a rank cut).
+    *
+    * Scale: one corpus scan for scores, then one window pass partitioned
+    * by the group key. ntile needs each group's total order (unlike a
+    * rank-filter there is no WindowGroupLimit shortcut), so group keys
+    * must be coarse-grained-few (languages, not domains) — for
+    * high-cardinality keys the right tool is the rank filter
+    * ([[capPerGroup]]) or an approx-quantile cutoff instead.
+    */
+  def qualityQuantiles(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need at least 2 tiers, got $n")
+    val staged = docs.select(col(idCol), col(groupCol), col(textCol),
+      Text.tokens(col(textCol)).as("toks"))
+    staged
+      .select(col(idCol), col(groupCol),
+        round(Text.qualityScoreFromTokens(col(textCol), col("toks")), 6)
+          .as("quality"))
+      .withColumn("tier", ntile(n).over(Window.partitionBy(col(groupCol))
+        .orderBy(col("quality"), col(idCol))))
+  }
 }

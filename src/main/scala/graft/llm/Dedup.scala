@@ -34,6 +34,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Normalized exact dedup: [[exact]] keyed on the CANONICAL text — lower
+    * case, punctuation stripped, whitespace collapsed (the token stream
+    * re-joined). Catches the trailing-space / smart-quote / case-variant
+    * re-crawls that byte-exact dedup misses while staying a single hash
+    * aggregate (Dolma-style "exact" dedup normalizes exactly like this
+    * before hashing). Same md5 / keep-min-id / copy-count contract as
+    * [[exact]]; the same 100 TB shape too — canonicalization is map-side
+    * per-row work, the only shuffle is the content-hash aggregate.
+    */
+  def exactNormalized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), array_join(
+        graft.functions.Tokens.tokens(col(textCol)), " ").as("__canon"))
+      .groupBy(md5(col("__canon").cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** MinHash signature over a PRE-MATERIALIZED shingle-hash array column:
     * k permutations approximated by affine transforms `(aᵢ·h + bᵢ) mod P`,
     * aᵢ = 2i+1 (odd), bᵢ = 12345·i + 7. Closed-form constants keep the
@@ -215,6 +232,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Sorted-neighborhood near-dup candidates — the third candidate-pair
+    * family beside minhash-LSH and simhash banding. Sort the corpus by
+    * fingerprint and compare each doc only to its next `windowSize - 1`
+    * neighbors in sort order: near-identical fingerprints are adjacent
+    * after sorting, so a tiny window finds them with ZERO bucket joins —
+    * total candidate count is exactly `(windowSize-1) · N`, immune to the
+    * degenerate-bucket blowup LSH needs `maxBucket` for.
+    *
+    * Scale shape: a truly global sorted window would funnel 100 TB through
+    * one partition, so the sort is BLOCKED on the fingerprint's top
+    * `blockBits` bits — rows shuffle once to 2^blockBits blocks, each
+    * block sorts locally, and the window pass is per-block. Because the
+    * block key is the sort prefix, block-local order IS global order;
+    * the only recall loss is pairs straddling a block boundary (the
+    * standard blocking trade — at most `windowSize - 1` boundary pairs
+    * per block, vanishing at corpus scale). Widen `blockBits` with the
+    * corpus so blocks stay executor-sized.
+    *
+    * Output: (doc_a, doc_b, hamming) with hamming ≤ `maxHamming`, each
+    * unordered pair at most once (a pair at sorted distance d emits only
+    * from its left member at offset d).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int = 64, blockBits: Int = 16,
+      windowSize: Int = 4, maxHamming: Int = 3,
+      tokenHashesFn: Column => Column = tokenHashes64): DataFrame = {
+    require(blockBits > 0 && blockBits < bits,
+      s"need 0 < blockBits < bits, got blockBits=$blockBits bits=$bits")
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol).as("doc"), tokenHashesFn(col(textCol)).as("hh"))
+      .select(col("doc"), simhashFromHashes(col("hh"), bits).as("sh"))
+      // top-of-fingerprint prefix: block-local sort order = global order
+      .withColumn("block", shiftright(col("sh"), bits - blockBits))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("sh"), col("doc"))
+    val leads = sh.select(col("doc"), col("sh"),
+      array((1 until windowSize).map(o => struct(
+        lead(col("doc"), o).over(w).as("nd"),
+        lead(col("sh"), o).over(w).as("ns"))): _*).as("nbs"))
+    leads.select(col("doc"), col("sh"), explode(col("nbs")).as("nb"))
+      .filter(col("nb.nd").isNotNull)
+      .select(least(col("doc"), col("nb.nd")).as("doc_a"),
+        greatest(col("doc"), col("nb.nd")).as("doc_b"),
+        hammingDist(col("sh"), col("nb.ns")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

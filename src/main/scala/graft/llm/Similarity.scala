@@ -82,6 +82,48 @@ object Similarity {
         col("n_votes").cast("int").as("n_votes"))
   }
 
+  /** Element-wise mean vector per group — the k-means M-step / class
+    * prototype builder. One posexplode + one (group, position)-keyed
+    * aggregate (cardinality = #groups × dim, map-side combined, never
+    * corpus-sized) + ordered reassembly via the codegen'd
+    * sort_array(collect_list(struct)) idiom — no interpreted lambda on
+    * the hot path. Components are ROUNDED to 6 decimals: double-sum order
+    * differs across engines and partitionings, and an unrounded centroid
+    * would leak that nondeterminism into every downstream distance.
+    */
+  def groupCentroids(vecs: DataFrame, vecCol: String,
+      groupCol: String): DataFrame =
+    vecs
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col(groupCol), col("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("i"), col("cv"))))
+        .getField("cv").as("centroid"))
+
+  /** Nearest-centroid assignment — the k-means E-step, and the classifier
+    * face of [[groupCentroids]] (assign every vector to its closest class
+    * prototype by cosine). Centroids are broadcast (#groups × dim — always
+    * dimension-sized); the corpus is scanned once, scored #groups times
+    * per row, and reduced by a query-side-cardinality window. Ranking
+    * compares the ROUNDED cosine (ties then break on the group key), so
+    * the assignment is stable across engines and partitionings.
+    *
+    * Output: (id, assigned group, cos) — one row per input vector.
+    */
+  def nearestCentroid(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, groupCol: String): DataFrame = {
+    val scored = vecs.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids))
+      .select(col(idCol), col(groupCol),
+        round(cosine(col(vecCol), col("centroid")), 6).as("cos"))
+    scored
+      .withColumn("crank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cos").desc, col(groupCol))))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col(groupCol).as("assigned"), col("cos"))
+  }
+
   /** Unit-normalize a vector given its precomputed norm (stage the norm
     * behind a projection boundary — embedding it in the transform lambda
     * would re-evaluate the dot-product fold per ELEMENT, HOF lambdas don't

@@ -810,4 +810,122 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Int]("pred_label") == 7) // 2 votes of 3
     assert(out(0).getAs[Int]("n_votes") == 2)
   }
+
+  test("sortedNeighborhoodPairs: near-dups adjacent in sort, budget fixed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and agaim"),
+      (3L, "completely unrelated text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      bits = 16, blockBits = 4, windowSize = 3, maxHamming = 3,
+      tokenHashesFn = Dedup.tokenHashesPoly)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // near-identical docs pair up
+    // candidate budget: each row emits at most windowSize-1 neighbors —
+    // with 3 docs and window 3 there can never be more than 3 pairs
+    assert(out.size <= 3)
+    // identical fingerprints sort adjacent regardless of id distance
+    val far = Seq((1L, "alpha beta gamma"), (500000L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val pairs2 = Dedup.sortedNeighborhoodPairs(far, "doc_id", "text",
+      bits = 16, blockBits = 4, windowSize = 2, maxHamming = 0,
+      tokenHashesFn = Dedup.tokenHashesPoly).collect()
+    assert(pairs2.length == 1 && pairs2(0).getInt(2) == 0)
+  }
+
+  test("groupCentroids + nearestCentroid: exact means, cosine argmax") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(3f, 0f), 0),   // label 0 mean (2, 0)
+      (3L, Seq(0f, 2f), 1), (4L, Seq(0f, 4f), 1),   // label 1 mean (0, 3)
+      (5L, Seq(0.9f, 0.1f), 9)) // stray row, its own centroid
+      .toDF("vec_id", "embedding", "label")
+    val cent = Similarity.groupCentroids(emb, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cent(0) == Seq(2.0, 0.0) && cent(1) == Seq(0.0, 3.0))
+    val assigned = Similarity.nearestCentroid(emb, "vec_id", "embedding",
+      Similarity.groupCentroids(
+        emb.filter(col("label") < 2), "embedding", "label"), "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every vector lands on its geometric side, including the stray
+    assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
+  test("exactNormalized collapses case/punct/whitespace variants only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "hello worlds")).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L)) // 1,2,3 merge; 4 survives alone
+    // byte-exact dedup sees 4 distinct texts — the normalization is the op
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("qualityQuantiles: equal-frequency tiers within each group") {
+    import spark.implicits._
+    val good = "the cat sat of the mat and the dog ran to the park in it"
+    val docs = (1 to 8).map(i => (i.toLong, "en",
+        if (i <= 4) good else "zzz !!! @@@ ###")) ++
+      Seq((9L, "de", good), (10L, "de", "qqq"))
+    val out = Curation.qualityQuantiles(docs.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // en: 8 docs → two tiers of 4; the garbage docs all land in tier 1
+    assert((5 to 8).forall(i => out(i.toLong) == 1))
+    assert((1 to 4).forall(i => out(i.toLong) == 2))
+    // de tiers computed within de only
+    assert(out(10L) == 1 && out(9L) == 2)
+  }
+
+  test("Shaping.chunkByTokens: cover, overlap, short-doc and empty-doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Shaping.chunkByTokens(docs, "doc_id", "text",
+      chunkSize = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    // doc 1: 7 tokens, stride 2 → chunks at 0,2,4 (last one short)
+    assert(out == Map(
+      (1L, 0) -> "a b c d", (1L, 1) -> "c d e f", (1L, 2) -> "e f g",
+      (2L, 0) -> "x y"))
+    // every token appears in at least one chunk (full cover)
+    val covered = out.collect { case ((d, _), t) if d == 1L => t }
+      .flatMap(_.split(" ")).toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("Shaping.packSequences: bins cut at the budget, per-group streams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h"),
+      (4L, "t", "one two three four five six seven eight"))
+      .toDF("doc_id", "src", "text")
+    val out = graft.llm.Shaping.packSequences(docs, "doc_id", "text",
+      "src", budgetTokens = 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // group s: starts 0,3,6 → bins 0,0,1; group t: its own stream, bin 0
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    // an over-budget doc still occupies a bin (doc 4: 8 tokens > 4)
+  }
+
+  test("Shaping.stratifiedSample: rates honored, deterministic, no RNG") {
+    import spark.implicits._
+    val docs = (1 to 1000).map(i => (i.toLong, s"doc number $i unique", if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val keep = graft.llm.Shaping.stratifiedSample(docs, "text", "lang",
+      permille = Seq("en" -> 1000, "xx" -> 0), defaultPermille = 0)
+    val langs = keep.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs == Map("en" -> 500L)) // 100% of en, 0% of xx
+    // determinism: exact same survivors on re-run
+    val a = keep.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = graft.llm.Shaping.stratifiedSample(docs, "text", "lang",
+      permille = Seq("en" -> 1000, "xx" -> 0), defaultPermille = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -52,6 +52,30 @@ class ScaleToolsSpec extends SparkSpec {
     assert(out("f") == (null, null))       // key never seen on the right
   }
 
+  test("intervalJoin: bounds inclusive, key-scoped, empty interval rejected") {
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((1L, t(0), "a"), (1L, t(30), "b"), (2L, t(0), "c"))
+      .toDF("k", "lts", "ltag")
+    val r = Seq((1L, t(0), "p"), (1L, t(10), "q"), (1L, t(11), "x"),
+      (2L, t(5), "y"), (3L, t(0), "z")).toDF("k", "rts", "rtag")
+    val out = Joins.intervalJoin(l, r, "k", "lts", "rts",
+      lowerMs = 0L, upperMs = 10 * 60 * 1000L)
+      .select(col("ltag"), col("r_rtag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // both interval ends inclusive; t(11) excluded; keys never cross
+    assert(out == Set(("a", "p"), ("a", "q"), ("c", "y")))
+    // negative lower bound reaches backward
+    val back = Joins.intervalJoin(l, r, "k", "lts", "rts",
+      lowerMs = -5 * 60 * 1000L, upperMs = 0L)
+      .select(col("ltag"), col("r_rtag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(back == Set(("a", "p")))
+    intercept[IllegalArgumentException] {
+      Joins.intervalJoin(l, r, "k", "lts", "rts", 10L, 0L)
+    }
+  }
+
   test("batch sessionize agrees with streaming sessionize on closed sessions") {
     val sp = spark
     import sp.implicits._
