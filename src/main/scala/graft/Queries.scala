@@ -612,6 +612,55 @@ object Queries {
       Seq("l_returnflag", "l_linestatus")),
     Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
 
+  private val eventTypes = Seq("click", "view", "purchase", "error", "signup")
+
+  /** OP-AGG-6 — explicit-value pivot: per-user event-type count matrix as
+    * ONE conditional-count aggregate (no discovery distinct pass, schema
+    * static).
+    */
+  private val agg6 = Spec("q107_pivot_counts",
+    (s, d) => Relational.pivotCounts(T(s, d, "events"), Seq("user_id"),
+      "event_type", eventTypes),
+    Some(s"""SELECT user_id, ${eventTypes.map(v =>
+        s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v")
+        .mkString(", ")}
+        FROM events GROUP BY user_id"""))
+
+  /** OP-SET-3 — unpivot/melt to long form (explode, shuffle-free). */
+  private val set3 = Spec("q108_unpivot_long",
+    (s, d) => Relational.unpivot(T(s, d, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_partkey"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some(Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, '$c' AS variable,
+          CAST($c AS DOUBLE) AS value FROM lineitem""")
+      .mkString(" UNION ALL ")))
+
+  /** OP-AGG-7 — exact linear-interpolated percentiles per event type
+    * (reporting grain; the corpus-wide form is the approx sketch).
+    */
+  private val agg7 = Spec("q109_percentile_summary",
+    (s, d) => Relational.percentileSummary(T(s, d, "events"),
+      Seq("event_type"), "value", Seq(0.5, 0.95, 0.99)),
+    Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.95), 6) AS p95,
+        round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type"""))
+
+  /** OP-AGG-8 — hierarchical rollup with grouping-id disambiguation;
+    * quantities are integer-valued so the sums are exact.
+    */
+  private val agg8 = Spec("q110_rollup_totals",
+    (s, d) => Relational.rollupAgg(T(s, d, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      "sum_qty" -> sum(col("l_quantity")),
+      "n_rows" -> count(lit(1))),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        count(*) AS n_rows,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
   // ------------------------------------------------------------------
   // Windows / sort / sets
   // ------------------------------------------------------------------
@@ -1167,8 +1216,8 @@ object Queries {
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3, join4, join5,
-    agg1, agg2, agg3, agg4, agg5,
-    win1, win2, win3, sort1, set1, set2,
+    agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8,
+    win1, win2, win3, sort1, set1, set2, set3,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -133,4 +133,61 @@ object Relational {
     df.agg(percentile_approx(col(c),
       array(probs.map(lit(_)): _*), lit((1 / relErr).toInt))
       .as(s"${c}_quantiles"))
+
+  /** OP-AGG-6 — pivot to wide: one output column per EXPLICIT pivot value
+    * (`count` of matching rows). The value list is required, not
+    * discovered: an implicit `.pivot(col)` runs a blocking distinct scan
+    * first AND would make the output schema data-dependent — at 100 TB
+    * both are wrong (schema must be stable for downstream writers; the
+    * scan is a full extra pass). With explicit values the whole pivot
+    * compiles to ONE hash aggregate of conditional counts — map-side
+    * partial, single shuffle on the group keys, no distinct pass.
+    */
+  def pivotCounts(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(when(col(pivotCol) === values.head, 1)).as(values.head),
+        values.tail.map(v =>
+          count(when(col(pivotCol) === v, 1)).as(v)): _*)
+
+  /** OP-SET-3 — unpivot / melt: wide value columns to (key, variable,
+    * value) long form. Pure per-row array explode (`stack`-equivalent) —
+    * no shuffle at any scale; nulls kept so melt(pivot(x)) is lossless.
+    */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "variable", valName: String = "value"): DataFrame =
+    df.select(idCols.map(col) :+ explode(array(valueCols.map(c =>
+      struct(lit(c).as(varName), col(c).cast("double").as(valName))): _*))
+      .as("__kv"): _*)
+      .select(idCols.map(col) :+ col(s"__kv.$varName") :+
+        col(s"__kv.$valName"): _*)
+
+  /** OP-AGG-7 — exact percentile summary per group (linear-interpolated,
+    * the ANSI `percentile_cont` semantics). Exact percentiles need each
+    * group's sorted values, so this is for REPORTING grains (per
+    * event-type, per day — thousands of groups of bounded size), not
+    * per-user grains; at corpus-wide grain use [[approxQuantiles]], whose
+    * constant-memory sketch is the 100 TB form. One shuffle on the group
+    * key; values rounded to 6 for cross-engine stability.
+    */
+  def percentileSummary(df: DataFrame, groupCols: Seq[String], c: String,
+      probs: Seq[Double]): DataFrame = {
+    val aggs = probs.map(p =>
+      round(percentile(col(c), lit(p)), 6).as(s"p${(p * 100).toInt}"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** OP-AGG-8 — hierarchical rollup: subtotals at every prefix of the
+    * grouping hierarchy plus the grand total, in one pass (Spark expands
+    * the grouping sets inside a single aggregate — one shuffle, not one
+    * job per level). Null grouping cells are the standard rollup markers;
+    * `grouping_id` disambiguates a real null key from a rolled-up one.
+    */
+  def rollupAgg(df: DataFrame, levels: Seq[String],
+      aggs: (String, Column)*): DataFrame =
+    // grouping_id() is only resolvable INSIDE the rollup aggregate
+    df.rollup(levels.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        (aggs.tail.map { case (n, c) => c.as(n) } :+
+          grouping_id().cast("int").as("gid")): _*)
 }

@@ -180,4 +180,44 @@ class RelationalSpec extends SparkSpec {
     assert(streamed.get.collect { case s: ShuffleExchangeExec => s }.isEmpty,
       s"fact-side shuffle in clip plan:\n${streamed.get}")
   }
+
+  test("pivotCounts/unpivot: explicit schema, melt round-trips the cells") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (1L, "a", 2.0), (1L, "b", 3.0),
+      (2L, "c", 4.0)).toDF("k", "t", "v")
+    val wide = Relational.pivotCounts(df, Seq("k"), "t", Seq("a", "b", "z"))
+    assert(wide.columns.toSeq == Seq("k", "a", "b", "z")) // static schema
+    val m = wide.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m == Map(1L -> ((2L, 1L, 0L)), 2L -> ((0L, 0L, 0L))))
+    // unlisted value 'c' is dropped by design (explicit-value contract)
+    val long = Relational.unpivot(wide, Seq("k"), Seq("a", "b", "z"))
+    assert(long.count() == 6) // 2 keys × 3 variables, nulls kept
+    assert(long.filter(col("k") === 1 && col("variable") === "a")
+      .head().getDouble(2) == 2.0)
+  }
+
+  test("percentileSummary: exact interpolation goldens") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Relational.percentileSummary(df, Seq("grp"), "v",
+      Seq(0.5, 0.95, 0.99)).head()
+    // linear interpolation over 1..100: p = 1 + 99*q
+    assert(r.getDouble(1) == 50.5 && r.getDouble(2) == 95.05)
+    assert(r.getDouble(3) == 99.01)
+  }
+
+  test("rollupAgg: subtotal rows at every prefix + grand total, gid marks") {
+    import spark.implicits._
+    val df = Seq(("r", "x", 1.0), ("r", "y", 2.0), ("s", "x", 4.0))
+      .toDF("a", "b", "v")
+    val out = Relational.rollupAgg(df, Seq("a", "b"),
+      "sv" -> sum(col("v")), "n" -> count(lit(1)))
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2), r.getInt(4)))
+      .toSet
+    assert(out == Set(
+      ("r", "x", 1.0, 0), ("r", "y", 2.0, 0), ("s", "x", 4.0, 0),
+      ("r", null, 3.0, 1), ("s", null, 4.0, 1), // level-1 subtotals
+      (null, null, 7.0, 3)))                    // grand total
+  }
 }
