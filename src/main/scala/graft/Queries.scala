@@ -661,6 +661,44 @@ object Queries {
         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  /** OP-WIN-4 — ordered funnel (signup → click → purchase, 48 h budget):
+    * chained conditional min-aggregates on the shared user-key
+    * partitioning; comparisons at µs resolution on both engines.
+    */
+  private val win4 = Spec("q111_funnel_steps",
+    (s, d) => Windows.funnel(T(s, d, "events"), "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"),
+      windowMs = 48L * 3600 * 1000),
+    Some("""WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+          GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+          GROUP BY e.user_id)
+        SELECT s1.user_id, t1, t2, t3,
+          CASE WHEN t3 IS NOT NULL
+            AND epoch_us(t3) - epoch_us(t1) <= 172800000000 THEN 1
+            ELSE 0 END AS completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""))
+
+  /** OP-WIN-5 — retention cohort matrix over absolute 7-day epoch weeks
+    * (integer µs division — calendar-free, tz-free, engine-exact).
+    */
+  private val win5 = Spec("q112_retention_cohorts",
+    (s, d) => Windows.retentionCohorts(T(s, d, "events"), "user_id", "ts"),
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+          FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM a
+          GROUP BY user_id)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+          count(*) AS n_users
+        FROM a JOIN c USING (user_id) GROUP BY 1, 2"""))
+
   // ------------------------------------------------------------------
   // Windows / sort / sets
   // ------------------------------------------------------------------
@@ -1217,7 +1255,7 @@ object Queries {
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3, join4, join5,
     agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8,
-    win1, win2, win3, sort1, set1, set2, set3,
+    win1, win2, win3, win4, win5, sort1, set1, set2, set3,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -73,4 +73,64 @@ object Windows {
       sum(brk).over(byTime.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)).cast("int"))
   }
+
+  /** Ordered funnel: for each key, the FIRST time each step completes
+    * given the previous step already had (t₁ = first step-1 event,
+    * tᵢ = first step-i event at-or-after tᵢ₋₁). A key that stalls at step
+    * i has null tᵢ₊₁.. columns; `completed` = 1 iff the last step fired
+    * within `windowMs` of t₁.
+    *
+    * Scale shape: NOT a per-user sorted scan — each step is one
+    * conditional min-aggregate keyed on the funnel key, joined to the
+    * previous step's frame on that same key. Every shuffle in the chain
+    * uses the one key partitioning (Catalyst reuses it; the per-step
+    * frames are one row per qualifying key, monotonically shrinking), so
+    * a 3-step funnel over 100 TB is 3 key-partitioned aggregates over a
+    * filtered event stream — no window sort, no state accumulation.
+    */
+  def funnel(df: DataFrame, keyCol: String, timeCol: String,
+      stepCol: String, steps: Seq[String], windowMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = df.filter(col(stepCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as("t1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val next = df.filter(col(stepCol) === step)
+          .select(col(keyCol), col(timeCol))
+          .join(acc.select(col(keyCol), col(s"t$i")), Seq(keyCol))
+          .filter(col(timeCol) >= col(s"t$i"))
+          .groupBy(col(keyCol)).agg(min(col(timeCol)).as(s"t${i + 1}"))
+        acc.join(next, Seq(keyCol), "left")
+    }
+    val last = s"t${steps.size}"
+    chained.withColumn("completed",
+      when(col(last).isNotNull &&
+        unix_micros(col(last)) - unix_micros(col("t1")) <= windowMs * 1000L,
+        1).otherwise(0))
+  }
+
+  /** Retention cohort matrix: users bucketed by their FIRST-activity week,
+    * counted in each later week they were active. Weeks are absolute
+    * 7-day epoch buckets (integer `µs ÷ week` division — no calendar or
+    * timezone arithmetic to drift between engines). Output one row per
+    * (cohort_week, week_offset) with the distinct-user count.
+    *
+    * Scale: one user-keyed aggregate for cohorts (map-side combined), one
+    * distinct (user, week) projection joined back on the user key, and a
+    * final count keyed by the (cohort, offset) matrix — cardinality
+    * ≈ weeks², tiny. The user-keyed shuffle partitioning is shared
+    * between the cohort aggregate and the join.
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String,
+      timeCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val wk = (unix_micros(col(timeCol)) / weekUs).cast("bigint")
+    val active = df.select(col(keyCol), wk.as("week")).distinct()
+    val cohort = active.groupBy(col(keyCol))
+      .agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, Seq(keyCol))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

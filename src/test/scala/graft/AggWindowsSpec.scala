@@ -86,4 +86,44 @@ class AggWindowsSpec extends SparkSpec {
     val trimmed = Windows.coarsen(odd, "x", "y", Seq("v"), 2, trim = true)
     assert(notrim.count() == 4 && trimmed.count() == 1)
   }
+
+  test("funnel: ordered chain, stall → nulls, window bounds completion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // u1: full chain inside 3h → completed
+      (1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+      // u2: b BEFORE its a — must not count; chain stalls at b
+      (2L, t(5), "a"), (2L, t(4), "b"),
+      // u3: full chain but c lands outside the 3h budget
+      (3L, t(1), "a"), (3L, t(2), "b"), (3L, t(9), "c"),
+      // u4: never enters the funnel (no a)
+      (4L, t(1), "b"), (4L, t(2), "c"))
+      .toDF("uid", "ts", "step")
+    val out = Windows.funnel(ev, "uid", "ts", "step", Seq("a", "b", "c"),
+      windowMs = 3L * 3600 * 1000).collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2), r.get(3),
+        r.getInt(4)))).toMap
+    assert(out(1L) == ((t(1), t(2), t(3), 1)))
+    assert(out(2L) == ((t(5), null, null, 0))) // pre-step events ignored
+    assert(out(3L) == ((t(1), t(2), t(9), 0))) // chain yes, window no
+    assert(!out.contains(4L)) // step-1 gate
+  }
+
+  test("retentionCohorts: absolute epoch weeks, distinct users per cell") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val wk = 7L * 86400 * 1000 // ms
+    def t(week: Int, off: Int = 0) =
+      new Timestamp(week.toLong * wk + off * 1000L)
+    val ev = Seq(
+      (1L, t(100)), (1L, t(100, 60)), (1L, t(102)),  // cohort 100, wks 0,2
+      (2L, t(100)), (2L, t(101)),                    // cohort 100, wks 0,1
+      (3L, t(101))).toDF("uid", "ts")                // cohort 101, wk 0
+    val out = Windows.retentionCohorts(ev, "uid", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((100L, 0L) -> 2L, (100L, 1L) -> 1L,
+      (100L, 2L) -> 1L, (101L, 0L) -> 1L))
+  }
 }
