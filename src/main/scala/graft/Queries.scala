@@ -699,6 +699,99 @@ object Queries {
           count(*) AS n_users
         FROM a JOIN c USING (user_id) GROUP BY 1, 2"""))
 
+  /** OP-WIN-6 — per-key linear gap interpolation (the arithmetic face of
+    * the reference's gap-fill split: interior gaps blend, edge gaps stay
+    * null). Values are nulled on a deterministic id predicate so both
+    * engines interpolate the same holes; (ts, event_id) makes the
+    * neighbour ordering total.
+    */
+  private val win6 = Spec("q113_interpolate_linear",
+    (s, d) => Windows.interpolateLinear(
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 3, lit(null))
+          .otherwise(col("value")).as("v")),
+      Seq("user_id"), "ts", "v", Seq("event_id")),
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+          FROM events),
+        w AS (SELECT event_id, user_id, ts, v,
+          last_value(CASE WHEN v IS NOT NULL
+              THEN {'t': epoch_us(ts), 'v': v} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+          first_value(CASE WHEN v IS NOT NULL
+              THEN {'t': epoch_us(ts), 'v': v} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+          FROM e)
+        SELECT event_id, user_id, ts, v,
+          CASE WHEN v IS NOT NULL THEN v
+            ELSE round(p.v + (n.v - p.v) *
+              CAST(epoch_us(ts) - p.t AS DOUBLE)
+              / CAST(n.t - p.t AS DOUBLE), 6) END AS value_interp
+        FROM w"""))
+
+  /** OP-MISC-4 — CDC merge/upsert: a derived update batch (10% in-place
+    * updates + sparse inserts) merged into `orders` on the order key.
+    */
+  private val misc4 = Spec("q114_merge_upsert",
+    (s, d) => {
+      val base = T(s, d, "orders")
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            lit(100.0).as("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority")))
+      Relational.mergeUpsert(base, updates, Seq("o_orderkey"))
+    },
+    Some("""WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+          o_totalprice + CAST(1000 AS DOUBLE) AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N',
+          CAST(100 AS DOUBLE), o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+          coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+          coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+          coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+          coalesce(u.o_orderdate, b.o_orderdate) AS o_orderdate,
+          coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+        FROM orders b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey"""))
+
+  /** OP-AGG-9 — fixed-width histogram of event values ([0,200) in 40
+    * bins); the > 200 tail exercises the edge-bin clamp.
+    */
+  private val agg9 = Spec("q115_histogram",
+    (s, d) => Relational.histogram(T(s, d, "events"), "value",
+      0.0, 200.0, 40),
+    Some("""WITH b AS (SELECT CAST(least(greatest(
+          floor((value - CAST(0 AS DOUBLE)) / CAST(5 AS DOUBLE)),
+          CAST(0 AS DOUBLE)), CAST(39 AS DOUBLE)) AS INT) AS bin
+        FROM events WHERE value IS NOT NULL)
+        SELECT bin, count(*) AS n,
+          round(CAST(0 AS DOUBLE) + bin * CAST(5 AS DOUBLE), 6) AS bin_lo,
+          round(CAST(0 AS DOUBLE) + (bin + 1) * CAST(5 AS DOUBLE), 6)
+            AS bin_hi
+        FROM b GROUP BY bin"""))
+
+  /** OP-AGG-10 — numeric column profiling report (long form). */
+  private val agg10 = Spec("q116_profile_numeric",
+    (s, d) => Relational.profileNumeric(T(s, d, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n_values,
+          count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS DOUBLE) AS min_value,
+          CAST(max($c) AS DOUBLE) AS max_value FROM lineitem""")
+      .mkString(" UNION ALL ")))
+
   // ------------------------------------------------------------------
   // Windows / sort / sets
   // ------------------------------------------------------------------
@@ -1254,8 +1347,9 @@ object Queries {
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3, join4, join5,
-    agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8,
-    win1, win2, win3, win4, win5, sort1, set1, set2, set3,
+    agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8, agg9, agg10,
+    win1, win2, win3, win4, win5, win6, sort1, set1, set2, set3,
+    misc4,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -177,6 +177,66 @@ object Relational {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CDC merge / upsert (the MERGE INTO shape without a table format):
+    * `updates` rows overwrite matching `base` rows on `keys`, unmatched
+    * updates insert, unmatched base rows pass through. One full-outer
+    * hash join on the key partitioning; with both sides bucketed on the
+    * key (the natural layout for a periodically-merged table) the
+    * exchange disappears entirely — the 100 TB form is "sort-merge on
+    * pre-bucketed layout", not a rewrite of the base table per batch.
+    * Per-column `coalesce(update, base)` keeps the projection inside
+    * whole-stage codegen.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val others = base.columns.filterNot(keys.contains).toSeq
+    base.as("b").join(updates.as("u"), keys, "full_outer")
+      .select(keys.map(col) ++ others.map(c =>
+        coalesce(col(s"u.$c"), col(s"b.$c")).as(c)): _*)
+  }
+
+  /** Fixed-width histogram: `nBins` equal bins over [lo, hi), out-of-range
+    * values clamped to the edge bins so the row count is conserved. One
+    * hash aggregate (map-side combined — at most `nBins` rows cross the
+    * shuffle per task); bin bounds are re-derived from the bin index so
+    * the output is exact integer/affine arithmetic, no float aggregation.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    df.filter(col(c).isNotNull).groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 6))
+      .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * w, 6))
+  }
+
+  /** Per-column profiling report in long form: value/null/distinct counts
+    * and min/max for a set of numeric columns. The multi-distinct
+    * aggregate plans as ONE pass with an Expand (k× map-side rows, k =
+    * |cols|) — acceptable at reporting cadence for a handful of columns;
+    * at 100 TB width swap the exact distinct for
+    * [[approxDistinct]]'s HLL sketch, which collapses the Expand.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count_if(col(c).isNull).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_values"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))): _*)).as("__p"))
+      .select("__p.*")
+  }
+
   /** OP-AGG-8 — hierarchical rollup: subtotals at every prefix of the
     * grouping hierarchy plus the grand total, in one pass (Spark expands
     * the grouping sets inside a single aggregate — one shuffle, not one

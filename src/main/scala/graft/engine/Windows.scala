@@ -109,6 +109,45 @@ object Windows {
         1).otherwise(0))
   }
 
+  /** Linear gap interpolation per key: null `valueCol` rows get the
+    * time-weighted linear blend of the nearest non-null neighbours on the
+    * (key, time) ordering; rows with no neighbour on one side stay null
+    * (no extrapolation — matching the conservative gap-fill posture of
+    * the reference's worklist split, `processor.py:89-109`, where edge
+    * gaps go to the model, not arithmetic).
+    *
+    * Scale shape: both neighbour lookups are running-state window
+    * functions (`last ignoreNulls` backward, `first ignoreNulls`
+    * forward) over the SAME (key, time) window sort, so Catalyst plans
+    * one exchange + one sort and streams each partition with O(1) state
+    * — no self-join against the non-null subset, which is the naive
+    * two-shuffle form. `tiebreakCols` must make the ordering total when
+    * the time column can tie within a key.
+    */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, tiebreakCols: Seq[String] = Nil,
+      outCol: String = "value_interp"): DataFrame = {
+    val byTime = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    // Pack (t, v) as ONE struct per observed row so the neighbour's time
+    // and value can never come from different rows; the struct is null
+    // exactly when the value is, which is what ignoreNulls skips.
+    val obs = when(col(valueCol).isNotNull,
+      struct(unix_micros(col(timeCol)).as("t"), col(valueCol).as("v")))
+    val prev = last(obs, ignoreNulls = true)
+      .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
+    val nxt = first(obs, ignoreNulls = true)
+      .over(byTime.rowsBetween(1, Window.unboundedFollowing))
+    val t = unix_micros(col(timeCol))
+    val blend = col("__p.v") + (col("__n.v") - col("__p.v")) *
+      (t - col("__p.t")).cast("double") /
+      (col("__n.t") - col("__p.t")).cast("double")
+    df.withColumn("__p", prev).withColumn("__n", nxt)
+      .withColumn(outCol, when(col(valueCol).isNotNull, col(valueCol))
+        .otherwise(round(blend, 6)))
+      .drop("__p", "__n")
+  }
+
   /** Retention cohort matrix: users bucketed by their FIRST-activity week,
     * counted in each later week they were active. Weeks are absolute
     * 7-day epoch buckets (integer `µs ÷ week` division — no calendar or

@@ -111,6 +111,43 @@ class AggWindowsSpec extends SparkSpec {
     assert(!out.contains(4L)) // step-1 gate
   }
 
+  test("interpolateLinear: interior gaps blend by time, edges stay null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(
+      // k1: 10 @1h, null @2h, null @3h, 40 @4h → 20, 30 (time-weighted)
+      ("k1", t(1), Some(10.0)), ("k1", t(2), None), ("k1", t(3), None),
+      ("k1", t(4), Some(40.0)),
+      // k1 leading edge: null before any observation stays null
+      ("k1", t(0), None),
+      // k2: isolation — k1's values must not leak across keys
+      ("k2", t(2), None), ("k2", t(3), Some(7.0)),
+      // k2 trailing edge: null after the last observation stays null
+      ("k2", t(5), None))
+      .toDF("k", "ts", "v")
+    val out = Windows.interpolateLinear(df, Seq("k"), "ts", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.get(3))
+      .toMap
+    assert(out(("k1", t(2))) == 20.0 && out(("k1", t(3))) == 30.0)
+    assert(out(("k1", t(0))) == null)           // no left neighbour
+    assert(out(("k2", t(2))) == null)           // k1 must not leak in
+    assert(out(("k2", t(5))) == null)           // no right neighbour
+    assert(out(("k1", t(1))) == 10.0)           // observed rows pass through
+  }
+
+  test("interpolateLinear: uneven spacing weights by elapsed time") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // 0 @0h, gap @1h, 30 @10h → 1/10 of the way = 3.0, not midpoint 15
+    val df = Seq(("k", t(0), Some(0.0)), ("k", t(1), None),
+      ("k", t(10), Some(30.0))).toDF("k", "ts", "v")
+    val out = Windows.interpolateLinear(df, Seq("k"), "ts", "v")
+      .filter(col("v").isNull).head().getDouble(3)
+    assert(out == 3.0)
+  }
+
   test("retentionCohorts: absolute epoch weeks, distinct users per cell") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -197,6 +197,40 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("mergeUpsert: update wins, insert lands, untouched rows pass") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val upd = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val out = Relational.mergeUpsert(base, upd, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> (("a", 10.0)), 2L -> (("B", 99.0)),
+      3L -> (("c", 30.0)), 4L -> (("d", 40.0))))
+  }
+
+  test("histogram: edge clamp conserves rows, bounds from bin index") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 19.9, 25.0).toDF("v") // 4 bins of 5
+    val out = Relational.histogram(df, "v", 0.0, 20.0, 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out(0) == ((3L, 0.0, 5.0)))  // -5 clamps up, 0 and 4.9 in range
+    assert(out(1) == ((1L, 5.0, 10.0)))
+    assert(out(3) == ((2L, 15.0, 20.0))) // 25 clamps down into last bin
+    assert(out.values.map(_._1).sum == 6L) // row count conserved
+  }
+
+  test("profileNumeric: null/distinct counts and double-cast extremes") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some(5L)), (None, Some(5L)), (Some(1.0), None),
+      (Some(3.0), Some(9L))).toDF("x", "y")
+    val out = Relational.profileNumeric(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("x") == ((3L, 1L, 2L, 1.0, 3.0)))
+    assert(out("y") == ((3L, 1L, 2L, 5.0, 9.0)))
+  }
+
   test("percentileSummary: exact interpolation goldens") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
