@@ -1323,29 +1323,37 @@ object LlmQueries {
     * and simhash banding (q70), with its fixed (windowSize-1)·N candidate
     * budget. Production width is bits=64/blockBits=16.
     */
+  /** SNM candidate CTE chain over the near-dup corpus (16-bit simhash,
+    * 4-bit blocks, window 4), ending in `cand(doc_a, doc_b, hamming ≤ 3)`
+    * — ONE copy shared by q103 and its edit-distance verify q117.
+    */
+  private val snmCtesSql: String = {
+    val leads = (1 to 3).map(o =>
+      s"lead(doc_id, $o) OVER w AS nd$o, lead(sh, $o) OVER w AS ns$o")
+      .mkString(", ")
+    val arms = (1 to 3).map(o =>
+      s"""SELECT least(doc_id, nd$o) AS doc_a,
+          greatest(doc_id, nd$o) AS doc_b,
+          bit_count(CAST(xor(sh, ns$o) AS BIGINT)) AS hamming
+          FROM ld WHERE nd$o IS NOT NULL""").mkString(" UNION ALL ")
+    s"""corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t),
+        shf AS (SELECT doc_id, $simhashTermsSql AS sh FROM hh),
+        ld AS (SELECT doc_id, sh, $leads FROM shf
+          WINDOW w AS (PARTITION BY sh >> 12 ORDER BY sh, doc_id)),
+        pairs AS ($arms),
+        cand AS (SELECT doc_a, doc_b, hamming FROM pairs
+          WHERE hamming <= 3)"""
+  }
+
   private val l45 = Spec("q103_dedup_snm_pairs",
     (s, d) => graft.llm.Dedup.sortedNeighborhoodPairs(nearDupCorpus(s, d),
       "doc_id", "text", bits = 16, blockBits = 4, windowSize = 4,
       maxHamming = 3, tokenHashesFn = graft.llm.Dedup.tokenHashesPoly),
-    Some({
-      val leads = (1 to 3).map(o =>
-        s"lead(doc_id, $o) OVER w AS nd$o, lead(sh, $o) OVER w AS ns$o")
-        .mkString(", ")
-      val arms = (1 to 3).map(o =>
-        s"""SELECT least(doc_id, nd$o) AS doc_a,
-            greatest(doc_id, nd$o) AS doc_b,
-            bit_count(CAST(xor(sh, ns$o) AS BIGINT)) AS hamming
-            FROM ld WHERE nd$o IS NOT NULL""").mkString(" UNION ALL ")
-      s"""WITH corpus AS ($nearDupCorpusSql),
-          t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
-          hh AS (SELECT doc_id, [${phSql("w")} for w in words] AS hs FROM t),
-          shf AS (SELECT doc_id, $simhashTermsSql AS sh FROM hh),
-          ld AS (SELECT doc_id, sh, $leads FROM shf
-            WINDOW w AS (PARTITION BY sh >> 12 ORDER BY sh, doc_id)),
-          pairs AS ($arms)
-          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
-          FROM pairs WHERE hamming <= 3"""
-    }))
+    Some(s"""WITH $snmCtesSql
+        SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+        FROM cand"""))
 
   /** Per-language quality quartiles (equal-frequency tiers within each
     * language) — the within-group form of "train on the top quartile".
@@ -1412,8 +1420,117 @@ object LlmQueries {
         SELECT md5(canon) AS content_hash, min(doc_id) AS keep_id,
           count(*) AS n_copies FROM t GROUP BY 1"""))
 
+  /** Edit-distance verification of the q103 SNM candidates: banded
+    * Levenshtein (3-arg early-exit form) over 200-char prefixes — the
+    * character-level verify beside the set-based q59/q60. Cost is
+    * candidate-bounded, never corpus².
+    */
+  private val l49 = Spec("q117_dedup_edit_distance",
+    (s, d) => {
+      val corpus = nearDupCorpus(s, d)
+      val cand = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+        bits = 16, blockBits = 4, windowSize = 4, maxHamming = 3,
+        tokenHashesFn = Dedup.tokenHashesPoly)
+      Dedup.editDistancePairs(corpus, "doc_id", "text", cand,
+        "doc_a", "doc_b", maxDist = 40, prefixLen = 200)
+    },
+    Some(s"""WITH $snmCtesSql
+        SELECT c.doc_a, c.doc_b,
+          CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+            AS INTEGER) AS edit_dist
+        FROM cand c JOIN corpus a ON a.doc_id = c.doc_a
+          JOIN corpus b ON b.doc_id = c.doc_b
+        WHERE levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+          <= 40"""))
+
+  /** Shingle containment on the injected (original, truncated-copy)
+    * pairs: the copy's set is ≈fully contained in the original's while
+    * Jaccard dilutes with the truncation — the asymmetric-dup metric
+    * next to q59's symmetric one.
+    */
+  private val l50 = Spec("q118_dedup_containment",
+    (s, d) => {
+      val sets = Dedup.shingleSets(nearDupCorpus(s, d), "doc_id", "text", 3)
+      val orig = sets.filter(col("doc") < 100000000L)
+        .select(col("doc").as("doc_a"), col("hs").as("set_a"))
+      val copy = sets.filter(col("doc") >= 100000000L)
+        .select((col("doc") - 100000000L).as("doc_a"),
+          col("doc").as("doc_b"), col("hs").as("set_b"))
+      orig.join(copy, Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          round(Dedup.containment(col("set_b"), col("set_a")), 6)
+            .as("cont_copy_in_orig"),
+          round(Dedup.containment(col("set_a"), col("set_b")), 6)
+            .as("cont_orig_in_copy"),
+          round(Dedup.jaccard(col("set_a"), col("set_b")), 6).as("jac"))
+    },
+    Some(s"""WITH corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CASE WHEN len(b.hs) > 0 THEN
+            CAST(len(list_filter(b.hs, x -> list_contains(a.hs, x)))
+              AS DOUBLE) / CAST(len(b.hs) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, 6) AS cont_copy_in_orig,
+          round(CASE WHEN len(a.hs) > 0 THEN
+            CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x)))
+              AS DOUBLE) / CAST(len(a.hs) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, 6) AS cont_orig_in_copy,
+          round(CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+            CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x)))
+              AS DOUBLE) / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, 6) AS jac
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000000"""))
+
+  /** Length-ramp weighted sampling: keep probability
+    * min(n_chars/4000, 1) × 0.8, decided by a salted content-hash coin —
+    * deterministic across engines, retries, and partitionings.
+    */
+  private val l51 = Spec("q119_weighted_sample",
+    (s, d) => graft.llm.Shaping.weightedSample(
+      T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", least(col("n_chars") / 4000.0, lit(1.0)) * 0.8,
+      salt = "w1"),
+    Some(s"""SELECT doc_id, n_chars FROM documents
+        WHERE (${phSql("CAST(doc_id AS VARCHAR) || ':w1'")}
+            * 2654435761) % 1000000007 % 1000000 <
+          floor(least(n_chars / CAST(4000 AS DOUBLE), CAST(1 AS DOUBLE))
+            * CAST(0.8 AS DOUBLE) * CAST(1000000 AS DOUBLE))"""))
+
+  /** Incremental batch-vs-corpus dedup: an ingest batch (40% exact
+    * re-crawls + genuinely new revisions, with in-batch duplicates) keeps
+    * only content the standing corpus has never seen — keep-min within
+    * the batch, hash anti-join against the corpus.
+    */
+  private val l52 = Spec("q120_dedup_incremental",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 300000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 33 === 0)
+          .select((col("doc_id") + 400000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      Dedup.incrementalDedup(docs, batch, "doc_id", "text")
+    },
+    Some("""WITH batch AS (
+        SELECT doc_id + 200000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        UNION ALL SELECT doc_id + 300000000, text || ' v2' FROM documents
+          WHERE doc_id % 11 = 0
+        UNION ALL SELECT doc_id + 400000000, text || ' v2' FROM documents
+          WHERE doc_id % 33 = 0),
+        bh AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+          count(*) AS n_in_batch FROM batch GROUP BY 1)
+        SELECT content_hash, keep_id, n_in_batch FROM bh
+        WHERE NOT EXISTS (SELECT 1 FROM documents c
+          WHERE md5(c.text) = bh.content_hash)"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
-    l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48)
+    l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
+    l52)
 }

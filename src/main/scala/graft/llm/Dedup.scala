@@ -284,6 +284,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance verification for a candidate-pair frame: join the two
+    * text prefixes in, compute banded Levenshtein, keep pairs within
+    * `maxDist`. The 3-arg `levenshtein` bound makes each comparison
+    * O(maxDist·L) instead of O(L²) — with distances needed only up to a
+    * small threshold, the early-exit band is the difference between
+    * feasible and not on long documents. Cost is bounded by the CANDIDATE
+    * count (LSH / SNM keeps that ≈ linear in corpus size), never corpus²;
+    * `prefixLen` caps the per-pair work for pathological document lengths
+    * (a real near-dup diverges within the prefix or not at all).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, aCol: String, bCol: String, maxDist: Int,
+      prefixLen: Int = 200): DataFrame = {
+    val pfx = docs.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    candidates.select(col(aCol), col(bCol))
+      .join(pfx.select(col("__id").as(aCol), col("__pfx").as("__pa")), aCol)
+      .join(pfx.select(col("__id").as(bCol), col("__pfx").as("__pb")), bCol)
+      .select(col(aCol), col(bCol),
+        levenshtein(col("__pa"), col("__pb"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0) // banded form returns -1 past the cap
+  }
+
+  /** Containment |A∩B| / |A| — the asymmetric face of Jaccard: ≈1 when A
+    * is a sub-document of B regardless of how much longer B is (quote
+    * extraction, boilerplate wrappers — cases where Jaccard dilutes below
+    * any usable threshold). Same guard contract as [[jaccard]]: 0.0 when
+    * A is empty or either side is null.
+    */
+  def containment(setA: Column, setB: Column): Column =
+    when(setA.isNull || setB.isNull || size(setA) === 0, 0.0)
+      .otherwise(size(array_intersect(setA, setB)).cast("double") /
+        size(setA).cast("double"))
+
+  /** Incremental dedup of an ingest batch against the standing corpus:
+    * keep-min-id within the batch, then anti-join the batch's content
+    * hashes against the corpus's. The corpus contributes ONLY a hash
+    * projection — at a daily 100 TB cadence that projection is a stored,
+    * hash-bucketed index table, so the anti-join is exchange-free on the
+    * corpus side and the per-batch cost is batch-sized, never a corpus
+    * rescan. Output: (content_hash, keep_id, n_in_batch) for genuinely
+    * new content only.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    exact(batch, idCol, textCol)
+      .withColumnRenamed("n_copies", "n_in_batch")
+      .join(corpus.select(md5(col(textCol).cast("binary"))
+        .as("content_hash")).distinct(), Seq("content_hash"), "left_anti")
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
     * shingle-hash-set columns — the verification stage after LSH. Native
     * one-pass expression ([[graft.functions.JaccardSets]]); identical

@@ -100,4 +100,25 @@ object Shaping {
     }
     docs.filter(pmod(polyhash(col(keyCol)), lit(1000)) < rate)
   }
+
+  /** Per-row weighted sampling: keep a row with probability `weight`
+    * (a Column in [0,1], e.g. a quality score or a length ramp) — the
+    * continuous-weight generalization of [[stratifiedSample]]'s per-
+    * stratum rates, for "sample proportional to quality" curation mixes.
+    * The coin is `mix(polyhash(id:salt)) mod 10⁶` against `⌊weight·10⁶⌋`:
+    * deterministic per row (reproducible under retries, engines,
+    * repartitioning), and `salt` decorrelates successive sampling passes
+    * over the same corpus. The multiplicative mix (Knuth's 2654435761,
+    * still mod the polyhash prime — int64-safe in any engine) matters:
+    * raw polyhash is LINEAR, so sequential ids land on a step-31² lattice
+    * whose residues mod 10⁶ are grossly non-uniform against a fixed
+    * threshold. Pure map-side predicate — no RNG state, no shuffle,
+    * fuses into whole-stage codegen.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      salt: String = "s1"): DataFrame = {
+    val h = polyhash(concat(col(idCol).cast("string"), lit(":" + salt)))
+    docs.filter(pmod(pmod(h * lit(2654435761L), lit(Dedup.P)),
+      lit(1000000L)) < floor(weight * 1000000.0))
+  }
 }

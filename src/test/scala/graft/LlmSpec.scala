@@ -912,6 +912,60 @@ class LlmSpec extends SparkSpec {
     // an over-budget doc still occupies a bin (doc 4: 8 tokens > 4)
   }
 
+  test("editDistancePairs: distances exact, banded cap drops far pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "kitten and more"), (2L, "sitting and more"),
+      (3L, "completely different prose here")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.llm.Dedup.editDistancePairs(docs, "doc_id", "text",
+      cand, "doc_a", "doc_b", maxDist = 5)
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getInt(2)).toMap
+    assert(m == Map((1L, 2L) -> 3)) // kitten→sitting = 3; far pair dropped
+  }
+
+  test("containment: asymmetric sub-document detection vs diluted Jaccard") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.llm.Dedup.containment(col("a"), col("b")).as("ab"),
+      graft.llm.Dedup.containment(col("b"), col("a")).as("ba"),
+      graft.llm.Dedup.jaccard(col("a"), col("b")).as("j")).head()
+    assert(r.getDouble(0) == 1.0)   // a fully inside b
+    assert(r.getDouble(1) == 0.25)  // b mostly outside a
+    assert(r.getDouble(2) == 0.25)  // Jaccard can't see the asymmetry
+    // guard: empty A → 0.0, not null/NaN
+    val e = spark.sql("SELECT 1").select(graft.llm.Dedup.containment(
+      array(), array(lit(1L))).as("c")).head().getDouble(0)
+    assert(e == 0.0)
+  }
+
+  test("weightedSample: weight-1 keeps all, weight-0 none, deterministic") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, i)).toDF("doc_id", "w")
+    def run(w: org.apache.spark.sql.Column, salt: String) =
+      graft.llm.Shaping.weightedSample(docs, "doc_id", w, salt)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(lit(1.0), "a").size == 500)
+    assert(run(lit(0.0), "a").isEmpty)
+    val half = run(lit(0.5), "a")
+    assert(half.size > 200 && half.size < 300) // hash-uniform ≈ 250
+    assert(run(lit(0.5), "a") == half)         // deterministic re-run
+    assert(run(lit(0.5), "b") != half)         // salt decorrelates passes
+  }
+
+  test("incrementalDedup: corpus content dropped, new kept, in-batch min") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.incrementalDedup(corpus, batch,
+      "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L)) // alpha known; gamma kept once, min id
+  }
+
   test("Shaping.stratifiedSample: rates honored, deterministic, no RNG") {
     import spark.implicits._
     val docs = (1 to 1000).map(i => (i.toLong, s"doc number $i unique", if (i % 2 == 0) "en" else "xx"))
