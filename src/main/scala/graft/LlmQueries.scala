@@ -1528,9 +1528,31 @@ object LlmQueries {
         WHERE NOT EXISTS (SELECT 1 FROM documents c
           WHERE md5(c.text) = bh.content_hash)"""))
 
+  /** Exact repeated-substring report (token-window ExactSubstr): per-doc
+    * repeated-window counts over the natural cross-document 5-gram
+    * repeats of the documents table (≥1k such grams at every gate SF —
+    * non-empty by measurement, not hope).
+    */
+  private val l53 = Spec("q123_repeated_spans",
+    (s, d) => graft.llm.Curation.repeatedSpans(T(s, d, "documents"),
+      "doc_id", "text", width = 5, minDocs = 2),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, unnest([{'p': i,
+            'gh': ${phSql("array_to_string(words[i+1:i+5], ' ')")}}
+            for i in range(CASE WHEN len(words) >= 5
+              THEN len(words)-4 ELSE 0 END)], recursive := true)
+          FROM t),
+        rep AS (SELECT gh FROM g GROUP BY gh
+          HAVING count(DISTINCT doc_id) >= 2)
+        SELECT g.doc_id, count(*) AS n_windows,
+          count(r.gh) AS n_repeated,
+          CAST(min(CASE WHEN r.gh IS NOT NULL THEN p END) AS INT)
+            AS first_repeated_pos
+        FROM g LEFT JOIN rep r ON r.gh = g.gh GROUP BY g.doc_id"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52)
+    l52, l53)
 }

@@ -792,6 +792,41 @@ object Queries {
           CAST(max($c) AS DOUBLE) AS max_value FROM lineitem""")
       .mkString(" UNION ALL ")))
 
+  /** OP-AGG-11 — skew-safe per-key distinct-value list: two-phase
+    * value-salted set collection (a hot key's row traffic spreads over
+    * the salt range; phase 2 merges only per-salt partial sets). CSV
+    * output — arrays don't survive the driver comparator.
+    */
+  private val agg11 = Spec("q121_distinct_values_per_key",
+    (s, d) => Relational.skewSafeDistinctList(T(s, d, "events"),
+      Seq("user_id"), "event_type"),
+    Some("""SELECT user_id,
+        array_to_string(list_sort(list_distinct(list(event_type))), ',')
+          AS values_csv,
+        CAST(count(DISTINCT event_type) AS INT) AS n_distinct
+        FROM events GROUP BY user_id"""))
+
+  /** Z-order (Morton) clustering key over a 1024×1024 grid projection of
+    * (l_partkey, l_suppkey) — the layout key that makes parquet min/max
+    * skipping work on BOTH dimensions of a bbox-style predicate
+    * ([[graft.engine.Layout]]; the write-side face is
+    * `Layout.layoutByZOrder`, plan-asserted in ScaleToolsSpec).
+    */
+  private val lay1 = Spec("q122_zorder_key",
+    (s, d) => T(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), pmod(col("l_partkey"), lit(1024)).as("gx"),
+      pmod(col("l_suppkey"), lit(1024)).as("gy"))
+      .withColumn("zkey", Layout.zorderKey(col("gx"), col("gy"), 10)),
+    Some({
+      val terms = (0 until 10).map(k =>
+        s"((((gx >> $k) & 1) << ${2 * k}) | " +
+          s"(((gy >> $k) & 1) << ${2 * k + 1}))")
+        .mkString(" | ")
+      s"""WITH g AS (SELECT l_orderkey, l_linenumber,
+          l_partkey % 1024 AS gx, l_suppkey % 1024 AS gy FROM lineitem)
+          SELECT l_orderkey, l_linenumber, gx, gy, $terms AS zkey FROM g"""
+    }))
+
   // ------------------------------------------------------------------
   // Windows / sort / sets
   // ------------------------------------------------------------------
@@ -1347,9 +1382,9 @@ object Queries {
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3, join4, join5,
-    agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8, agg9, agg10,
+    agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8, agg9, agg10, agg11,
     win1, win2, win3, win4, win5, win6, sort1, set1, set2, set3,
-    misc4,
+    misc4, lay1,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -177,6 +177,31 @@ object Relational {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe distinct-value list per key: the sorted distinct values of
+    * `valueCol` for each key, as a CSV string (arrays don't survive the
+    * cross-engine comparator; sorting makes the output deterministic).
+    *
+    * Why two phases: a plain `groupBy(key).collect_set` routes EVERY ROW
+    * of a hot key through one reducer — and set-collection, unlike
+    * sum/count, gets no map-side partial aggregation relief for that
+    * fan-in. Phase 1 groups on (key, salt-from-value) so a hot key's row
+    * traffic spreads over `nSalts` tasks and each partial set is already
+    * distinct; phase 2 merges only the nSalts partial sets per key. The
+    * salt derives from the VALUE (same value → same salt → distinctness
+    * preserved); it never affects the result, so a non-portable hash is
+    * fine here.
+    */
+  def skewSafeDistinctList(df: DataFrame, keys: Seq[String],
+      valueCol: String, nSalts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(nSalts)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(collect_set(col(valueCol)).as("__vs"))
+      .groupBy(keys.map(col): _*)
+      .agg(flatten(collect_list(col("__vs"))).as("__all"))
+      .select(keys.map(col) :+
+        array_join(array_sort(col("__all")), ",").as("values_csv") :+
+        size(col("__all")).as("n_distinct"): _*)
+
   /** CDC merge / upsert (the MERGE INTO shape without a table format):
     * `updates` rows overwrite matching `base` rows on `keys`, unmatched
     * updates insert, unmatched base rows pass through. One full-outer

@@ -243,4 +243,39 @@ object Curation {
       .withColumn("tier", ntile(n).over(Window.partitionBy(col(groupCol))
         .orderBy(col("quality"), col(idCol))))
   }
+
+  /** Exact repeated-substring report (the token-window approximation of
+    * Lee et al. 2022's suffix-array ExactSubstr dedup): for every
+    * document, how many of its `width`-token windows also occur in at
+    * least `minDocs − 1` OTHER documents, plus where the first such
+    * window starts. `n_repeated / n_windows` is the document's
+    * boilerplate fraction; a downstream pass can cut the flagged spans
+    * rather than drop the document — the property that makes ExactSubstr
+    * strictly gentler than document-level dedup.
+    *
+    * Dataflow: one positional n-gram explode (corpus-token-sized, narrow
+    * — id/pos/hash only, text never shuffled), a gram-keyed
+    * distinct-doc-count aggregate to find the repeated grams, a LEFT
+    * join of the positional stream back to that list (shuffle join on
+    * the gram hash — the repeated-gram list is corpus-boilerplate-sized
+    * and unbounded, so NOT broadcast), and a per-doc count aggregate.
+    * A gram repeated across millions of documents fans out exactly its
+    * occurrence count — already present in the stream — so no join-side
+    * blowup beyond the data's own skew.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, minDocs: Int = 2): DataFrame = {
+    val g = docs.select(col(idCol),
+        posexplode(tokenNgrams(col(textCol), width)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), polyhash(col("gram")).as("gh"))
+    val rep = g.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    g.join(rep, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("n_docs")).as("n_repeated"),
+        min(when(col("n_docs").isNotNull, col("pos")))
+          .as("first_repeated_pos"))
+  }
 }

@@ -966,6 +966,23 @@ class LlmSpec extends SparkSpec {
     assert(out == Map(11L -> 2L)) // alpha known; gamma kept once, min id
   }
 
+  test("repeatedSpans: shared windows flagged with position, unique not") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-window "alpha beta gamma"; doc 3 disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // windows at 0,1 — 0 repeated
+      (2L, "zz alpha beta gamma"),          // windows at 0,1 — 1 repeated
+      (3L, "one two three four five"))      // 3 windows, none repeated
+      .toDF("doc_id", "text")
+    val out = graft.llm.Curation.repeatedSpans(docs, "doc_id", "text",
+      width = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3))))).toMap
+    assert(out(1L) == ((2L, 1L, Some(0))))  // "alpha beta gamma" at pos 0
+    assert(out(2L) == ((2L, 1L, Some(1))))  // same gram at pos 1
+    assert(out(3L) == ((3L, 0L, None)))     // no cross-doc repeats
+  }
+
   test("Shaping.stratifiedSample: rates honored, deterministic, no RNG") {
     import spark.implicits._
     val docs = (1 to 1000).map(i => (i.toLong, s"doc number $i unique", if (i % 2 == 0) "en" else "xx"))

@@ -197,6 +197,18 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("skewSafeDistinctList: sorted distinct per key, hot key exact") {
+    import spark.implicits._
+    // hot key 1: 1000 rows over 3 values; key 2: one value
+    val df = ((1 to 1000).map(i => (1L, s"v${i % 3}")) ++
+      Seq((2L, "only"))).toDF("k", "v")
+    val out = Relational.skewSafeDistinctList(df, Seq("k"), "v", nSalts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == (("v0,v1,v2", 3)))
+    assert(out(2L) == (("only", 1)))
+  }
+
   test("mergeUpsert: update wins, insert lands, untouched rows pass") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

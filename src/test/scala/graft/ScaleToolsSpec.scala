@@ -30,6 +30,32 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("zorderKey: bit-interleave golden, layout yields disjoint z ranges") {
+    import spark.implicits._
+    import graft.engine.Layout
+    // x=3 (011) on even bits → 1+4; y=5 (101) on odd bits → 2+32
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"), 3)).head().getLong(0)
+    assert(z == 39L)
+    // adjacent cells share curve locality: z(x,y) and z(x+1,y) agree above
+    // the interleaved low bits for even x
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val laid = Layout.layoutByZOrder(grid, col("x"), col("y"),
+      numFiles = 8, bitsPerDim = 5)
+    val ranges = laid
+      .select(spark_partition_id().as("p"), col("__zkey"))
+      .groupBy("p").agg(min("__zkey").as("lo"), max("__zkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // range partitioning on the curve key → per-file key ranges disjoint,
+    // i.e. each output file is one compact curve segment (tight 2-D tile)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    assert(ranges.length > 1 && ranges.map(_._1).head == 0L)
+  }
+
   test("asOfJoin: equal-ts inclusivity, null-payload stop, tolerance") {
     import spark.implicits._
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
