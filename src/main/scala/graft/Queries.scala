@@ -827,6 +827,98 @@ object Queries {
           SELECT l_orderkey, l_linenumber, gx, gy, $terms AS zkey FROM g"""
     }))
 
+  /** Star-schema revenue cube: fact⋈fact on the order key, dim chain to
+    * region, (region, month) rollup in exact integer cents.
+    */
+  private val pipe4 = Spec("q124_star_revenue",
+    (s, d) => Pipeline.revenueByRegionMonth(T(s, d, "lineitem"),
+      T(s, d, "orders"), T(s, d, "customer"), T(s, d, "nation"),
+      T(s, d, "region")),
+    Some("""SELECT r_name AS region_name,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS year_month,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+          (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / CAST(10000 AS DOUBLE), 2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2"""))
+
+  /** OP-WIN-7 — time-weighted average per user (integer-exact Σ(v·dt)). */
+  private val win7 = Spec("q125_time_weighted_avg",
+    (s, d) => Windows.timeWeightedAvg(
+      T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      Seq("user_id"), "ts", "value", Seq("event_id")),
+    Some("""WITH l AS (SELECT user_id,
+          CAST(round(value * 100) AS BIGINT) AS vs,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        FROM events)
+        SELECT user_id,
+          round(CAST(sum(vs * (nt - t)) AS DOUBLE)
+            / CAST(sum(nt - t) AS DOUBLE) / 100, 6) AS twap,
+          count(*) AS n_intervals
+        FROM l WHERE nt IS NOT NULL GROUP BY user_id"""))
+
+  /** OP-MISC-5 — SCD-2 validity intervals from the event change log
+    * (consecutive unchanged states collapsed).
+    */
+  private val misc5 = Spec("q126_scd2_intervals",
+    (s, d) => Relational.scd2(
+      T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      Seq("user_id"), "ts", "event_type", Seq("event_id")),
+    Some("""WITH e AS (SELECT user_id, event_type,
+          CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        c AS (SELECT *, lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM e),
+        chg AS (SELECT user_id, event_type, ts, event_id FROM c
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER w AS valid_to,
+          CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  /** OP-AGG-12 — per-group winsorization at the exact [p5, p95] bounds. */
+  private val agg12 = Spec("q127_winsorize",
+    (s, d) => Relational.winsorize(
+      T(s, d, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      Seq("event_type"), "value", 0.05, 0.95),
+    Some("""WITH b AS (SELECT event_type,
+          round(quantile_cont(value, 0.05), 6) AS lo,
+          round(quantile_cont(value, 0.95), 6) AS hi
+        FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+          least(greatest(value, lo), hi) AS value_w
+        FROM events e JOIN b ON b.event_type = e.event_type"""))
+
+  /** OP-WIN-8 — session-level rollup over the q97 sessionization. */
+  private val win8 = Spec("q128_session_stats",
+    (s, d) => Windows.sessionStats(
+      T(s, d, "events").select(col("user_id"), col("ts")),
+      "user_id", "ts", expr("INTERVAL '30' MINUTE")),
+    Some("""WITH b AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+            AS session_idx FROM b)
+        SELECT user_id, session_idx, min(ts) AS session_start,
+          max(ts) AS session_end, count(*) AS n_events,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM s GROUP BY 1, 2"""))
+
   // ------------------------------------------------------------------
   // Windows / sort / sets
   // ------------------------------------------------------------------
@@ -1383,8 +1475,10 @@ object Queries {
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
     join1, join2, join3, join4, join5,
     agg1, agg2, agg3, agg4, agg5, agg6, agg7, agg8, agg9, agg10, agg11,
-    win1, win2, win3, win4, win5, win6, sort1, set1, set2, set3,
-    misc4, lay1,
+    agg12,
+    win1, win2, win3, win4, win5, win6, win7, win8,
+    sort1, set1, set2, set3,
+    misc4, misc5, lay1, pipe4,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

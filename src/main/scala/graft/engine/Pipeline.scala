@@ -93,4 +93,36 @@ object Pipeline {
       case None    => converted
     }
   }
+
+  /** Star-schema revenue rollup: fact → fact join on the order key, then
+    * the dimension chain, grouped to (region, month). The join placement
+    * IS the scale design: lineitem⋈orders shuffles on the order key (both
+    * are facts — with both bucketed on it, even that exchange goes away);
+    * customer joins on the cust key WITHOUT a broadcast hint because at
+    * full scale the customer dimension is fact-sized (AQE may still
+    * broadcast it at small SF — that's its call, made from measured
+    * sizes); nation and region are genuinely bounded dims and are
+    * broadcast explicitly. Revenue is computed in exact integer cents —
+    * `round(price·100)·(100 − round(disc·100))` — so the rollup sum is
+    * order-independent (a float product sum would hash-diverge across
+    * partitionings, let alone engines), divided back out once per group.
+    */
+  def revenueByRegionMonth(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val revCents = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    lineitem.select(col("l_orderkey"), revCents.as("__rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("year_month")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("year_month"))
+      .agg(round(sum(col("__rev")).cast("double") / 10000.0, 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The small relational glue operators of SURVEY §2.2/§2.5/§2.6 — each a
@@ -175,6 +176,51 @@ object Relational {
     val aggs = probs.map(p =>
       round(percentile(col(c), lit(p)), 6).as(s"p${(p * 100).toInt}"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SCD-2 interval build from a change log: collapse consecutive rows
+    * with an unchanged tracked attribute, then stamp each surviving state
+    * with its validity interval (`valid_to` = next change's time, null
+    * while current). The two window passes (change detection, interval
+    * stamp) share one (key, time) partitioning — one exchange; the filter
+    * between them shrinks the second sort to state-change rows only. The
+    * attribute comparison is null-safe, so a null state is a state, not a
+    * wildcard.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], timeCol: String,
+      attrCol: String, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val byTime = Window.partitionBy(keys.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    df.select(keys.map(col) ++ tiebreakCols.map(col) :+
+        col(attrCol) :+ col(timeCol): _*)
+      .withColumn("__prev", lag(col(attrCol), 1).over(byTime))
+      .withColumn("__first", row_number().over(byTime) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col(attrCol)))
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(byTime))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+      .select(keys.map(col) :+ col(attrCol) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+  }
+
+  /** Per-group winsorization: clamp a value column to its group's
+    * [pLo, pHi] exact percentile bounds (rounded to 6 on BOTH the bound
+    * computation and the clamp, so the comparison is engine-stable). The
+    * bounds frame is group-cardinality-sized — reporting grain — and is
+    * broadcast; the fact side is never shuffled. Same exact-percentile
+    * caveat as [[percentileSummary]]: for corpus-grain clamping use
+    * approx quantiles instead.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], c: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(c), lit(pLo)), 6).as("__lo"),
+        round(percentile(col(c), lit(pHi)), 6).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${c}_w",
+        least(greatest(col(c), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
   }
 
   /** Skew-safe distinct-value list per key: the sorted distinct values of

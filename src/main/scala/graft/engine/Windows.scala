@@ -74,6 +74,46 @@ object Windows {
         Window.currentRow)).cast("int"))
   }
 
+  /** Time-weighted average per key (the TWAP shape): each observation is
+    * weighted by how long it remained "current" — the µs gap to the next
+    * observation; the final observation of a key carries no interval and
+    * drops out. All arithmetic until the last division is exact integer:
+    * values are scaled to integer units (`round(v·scale)`), gaps are
+    * integer µs, and the weighted sum of longs is order-independent —
+    * a float Σ(v·dt) would hash-diverge across partitionings. One window
+    * pass for the gap (running state only) + one hash aggregate.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, tiebreakCols: Seq[String] = Nil,
+      scale: Int = 100): DataFrame = {
+    val byTime = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    val t = unix_micros(col(timeCol))
+    df.select(keyCols.map(col) :+
+        round(col(valueCol) * scale).cast("long").as("__vs") :+
+        (unix_micros(lead(col(timeCol), 1).over(byTime)) - t)
+          .as("__dt"): _*)
+      .filter(col("__dt").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(round(sum(col("__vs") * col("__dt")).cast("double") /
+          sum(col("__dt")).cast("double") / scale, 6).as("twap"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Session-level rollup on top of [[sessionize]]: bounds, event count,
+    * and exact µs duration per (key, session). The aggregate reuses the
+    * window's (key) partitioning — Catalyst plans one exchange for both.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, timeCol: String,
+      gap: Column): DataFrame =
+    sessionize(df, keyCol, timeCol, gap)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col(timeCol))) - unix_micros(min(col(timeCol))))
+          .as("duration_us"))
+
   /** Ordered funnel: for each key, the FIRST time each step completes
     * given the previous step already had (t₁ = first step-1 event,
     * tᵢ = first step-i event at-or-after tᵢ₋₁). A key that stalls at step

@@ -148,6 +148,34 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == 3.0)
   }
 
+  test("timeWeightedAvg: gaps weight values, final observation drops") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // 10 held for 10 s, 20 held for 20 s → (100+400)/30 = 16.666667
+    val df = Seq(("u", t(0), 1L, 10.0), ("u", t(10), 2L, 20.0),
+      ("u", t(30), 3L, 0.0),
+      ("single", t(0), 4L, 99.0)) // one observation → no interval → absent
+      .toDF("k", "ts", "eid", "v")
+    val out = Windows.timeWeightedAvg(df, Seq("k"), "ts", "v", Seq("eid"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("u" -> ((16.666667, 2L))))
+  }
+
+  test("sessionStats: bounds, counts, exact duration per session") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val df = Seq(("u", t(0)), ("u", t(10)), ("u", t(50))).toDF("k", "ts")
+    val out = Windows.sessionStats(df, "k", "ts",
+      expr("INTERVAL '30' MINUTE")).collect()
+      .map(r => r.getInt(1) -> ((r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1) == ((t(0), t(10), 2L, 600000000L))) // 10 min in µs
+    assert(out(2) == ((t(50), t(50), 1L, 0L)))
+  }
+
   test("retentionCohorts: absolute epoch weeks, distinct users per cell") {
     import spark.implicits._
     import java.sql.Timestamp

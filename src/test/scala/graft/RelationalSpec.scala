@@ -197,6 +197,38 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("scd2: unchanged states collapse, intervals chain, null is a state") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(
+      ("a", t(1), 1L, Some("x")), ("a", t(2), 2L, Some("x")), // collapse
+      ("a", t(3), 3L, Some("y")), ("a", t(4), 4L, Some("y")), // collapse
+      ("a", t(5), 5L, Some("x")),                             // x returns
+      ("b", t(1), 6L, None), ("b", t(2), 7L, None),           // null state
+      ("b", t(3), 8L, Some("z")))
+      .toDF("k", "ts", "eid", "attr")
+    val out = Relational.scd2(df, Seq("k"), "ts", "attr", Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(2)) ->
+        ((r.getString(1), r.get(3), r.getInt(4)))).toMap
+    assert(out.size == 5)
+    assert(out(("a", t(1))) == (("x", t(3), 0)))
+    assert(out(("a", t(3))) == (("y", t(5), 0)))
+    assert(out(("a", t(5))) == (("x", null, 1))) // current, open-ended
+    assert(out(("b", t(1))) == ((null, t(3), 0))) // null ≠ wildcard
+    assert(out(("b", t(3))) == (("z", null, 1)))
+  }
+
+  test("winsorize: exact group bounds clamp the tails only") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val out = Relational.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 5.95 && out(100L) == 95.05) // 1 + 99·p
+    assert(out(50L) == 50.0)                      // interior untouched
+  }
+
   test("skewSafeDistinctList: sorted distinct per key, hot key exact") {
     import spark.implicits._
     // hot key 1: 1000 rows over 3 values; key 2: one value

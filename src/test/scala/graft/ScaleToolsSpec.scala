@@ -30,6 +30,32 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("revenueByRegionMonth: exact cents rollup, dims-only broadcast") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val li = Seq((1L, 10.00, 0.05), (1L, 20.00, 0.00), (2L, 5.00, 0.10))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 7L, Timestamp.valueOf("2024-03-15 00:00:00")),
+      (2L, 8L, Timestamp.valueOf("2024-04-02 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((7L, 70L), (8L, 71L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((70L, 700L), (71L, 700L))
+      .toDF("n_nationkey", "n_regionkey")
+    val reg = Seq((700L, "amer")).toDF("r_regionkey", "r_name")
+    val out = graft.engine.Pipeline
+      .revenueByRegionMonth(li, ord, cust, nat, reg)
+    val rows = out.collect().map(r => r.getTimestamp(1).toString.take(7) ->
+      ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(rows("2024-03") == ((29.5, 2L))) // 10·0.95 + 20·1.00
+    assert(rows("2024-04") == ((4.5, 1L)))  // 5·0.90
+    // the code hints exactly two broadcasts (nation, region) — customer is
+    // fact-sized at scale and must be left to AQE's measured decision
+    val hints = out.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2, s"expected 2 dim broadcast hints, got $hints")
+  }
+
   test("zorderKey: bit-interleave golden, layout yields disjoint z ranges") {
     import spark.implicits._
     import graft.engine.Layout
