@@ -1550,9 +1550,77 @@ object LlmQueries {
             AS first_repeated_pos
         FROM g LEFT JOIN rep r ON r.gh = g.gh GROUP BY g.doc_id"""))
 
+  /** PQ code assignment over the label-prefit codebooks (m=2 subspaces of
+    * 32 dims; codes as subspace-ordered CSV). The ADC retrieval face is
+    * spec-tested (LlmSpec) — its approximation quality is workload-tuned,
+    * not oracle-pinned.
+    */
+  private val l54 = Spec("q129_pq_codes",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, "embedding", "label",
+        m = 2, dim = 64)
+      Similarity.pqCodesCsv(
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb), "vec_id")
+    },
+    Some(s"""WITH ex AS (SELECT label, unnest([{'i': i, 'v': embedding[i+1]}
+            for i in range(len(embedding))], recursive := true)
+          FROM embeddings),
+        cm AS (SELECT CAST(i // 32 AS INT) AS s, label AS code, i,
+          round(avg(CAST(v AS DOUBLE)), 6) AS cv FROM ex GROUP BY 1, 2, 3),
+        cent AS (SELECT s, code, list(cv ORDER BY i) AS centroid
+          FROM cm GROUP BY 1, 2),
+        sc AS (SELECT e.vec_id, c.s, c.code,
+          round(2 * ${dot2("e.embedding[c.s*32+1 : c.s*32+32]",
+            "c.centroid")} - ${dot2("c.centroid", "c.centroid")}, 6) AS sim
+          FROM embeddings e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY sim DESC, code) AS rk FROM sc)
+        SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes
+        FROM r WHERE rk = 1 GROUP BY vec_id"""))
+
+  /** Per-document sentence statistics over the punctuation-run splitter. */
+  private val l55 = Spec("q130_sentence_stats",
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"),
+        graft.llm.Text.sentenceArray(col("text")).as("__s"))
+      .select(col("doc_id"),
+        size(col("__s")).as("n_sentences"),
+        coalesce(array_max(transform(col("__s"), x => length(x))), lit(0))
+          .as("max_sentence_chars"),
+        when(size(col("__s")) > 0,
+          round(aggregate(col("__s"), lit(0), (a, x) => a + length(x))
+            .cast("double") / size(col("__s")), 6))
+          .otherwise(0.0).as("avg_sentence_chars")),
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+            s -> trim(s)), s -> s != '') AS ss FROM documents)
+        SELECT doc_id, CAST(len(ss) AS INT) AS n_sentences,
+          CAST(coalesce(list_aggregate(list_transform(ss, s -> length(s)),
+            'max'), 0) AS INT) AS max_sentence_chars,
+          CASE WHEN len(ss) > 0 THEN
+            round(CAST(list_aggregate(list_transform(ss, s -> length(s)),
+              'sum') AS DOUBLE) / len(ss), 6)
+            ELSE CAST(0 AS DOUBLE) END AS avg_sentence_chars
+        FROM t"""))
+
+  /** Exact phrase retrieval ("order scan" — present at every gate SF by
+    * measurement) with occurrence counts.
+    */
+  private val l56 = Spec("q132_phrase_search",
+    (s, d) => graft.llm.Lexical.phraseSearch(T(s, d, "documents"),
+      "doc_id", "text", "order scan"),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, CAST(len(list_filter(
+            [array_to_string(words[i+1:i+2], ' ')
+              for i in range(CASE WHEN len(words) >= 2
+                THEN len(words)-1 ELSE 0 END)],
+            x -> x = 'order scan')) AS INT) AS n_occurrences FROM t)
+        SELECT doc_id, n_occurrences FROM g WHERE n_occurrences > 0"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53)
+    l52, l53, l54, l55, l56)
 }

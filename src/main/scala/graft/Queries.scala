@@ -827,6 +827,18 @@ object Queries {
           SELECT l_orderkey, l_linenumber, gx, gy, $terms AS zkey FROM g"""
     }))
 
+  /** OP-JOIN-6 — ε-band join on account balance: cell-bucketed candidate
+    * generation + exact band filter, never a cross product.
+    */
+  private val join6 = Spec("q131_band_join",
+    (s, d) => Joins.bandJoin(
+      T(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal")),
+      T(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+      "s_acctbal", "c_acctbal", eps = 100.0),
+    Some("""SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal
+        FROM supplier JOIN customer
+          ON abs(s_acctbal - c_acctbal) <= CAST(100 AS DOUBLE)"""))
+
   /** Star-schema revenue cube: fact⋈fact on the order key, dim chain to
     * region, (region, month) rollup in exact integer cents.
     */
@@ -1478,7 +1490,7 @@ object Queries {
     agg12,
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
-    misc4, misc5, lay1, pipe4,
+    misc4, misc5, lay1, pipe4, join6,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -280,4 +280,25 @@ object Joins {
         rt >= lt + lit(lowerMs * 1000L) && rt <= lt + lit(upperMs * 1000L))
       .drop(r(keyCol))
   }
+
+  /** ε-band join: pairs with |left.v − right.v| ≤ eps, WITHOUT the cross
+    * product a naive range join plans. Values bucket into ε-cells; the
+    * (smaller) left side replicates to its cell ±1 — any in-band pair
+    * lands in a shared cell — then one equi-join on the cell key and the
+    * exact band filter. At 100 TB the shuffle keys on the cell: per-task
+    * fan-out is bounded by cell occupancy × 3, so a dense value region
+    * costs its own density, never |L|×|R|; a pathological hot cell gets
+    * the same salting answer as any hot join key ([[saltedEquiJoin]]).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, leftVal: String,
+      rightVal: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val cells = array((-1 to 1).map(o =>
+      floor(col(leftVal) / eps).cast("long") + o): _*)
+    left.withColumn("__cell", explode(cells))
+      .join(right.withColumn("__cell",
+        floor(col(rightVal) / eps).cast("long")), Seq("__cell"))
+      .filter(abs(col(leftVal) - col(rightVal)) <= eps)
+      .drop("__cell")
+  }
 }

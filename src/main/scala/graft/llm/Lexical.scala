@@ -19,6 +19,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Lexical {
 
+  /** Exact phrase search: documents containing the phrase's normalized
+    * token sequence verbatim, with the occurrence count. The phrase is
+    * canonicalized driver-side with the SAME normalization as the corpus
+    * tokens, then matched against the document's positional n-gram
+    * stream (one native `token_ngrams` pass — no index, no join; a
+    * standing phrase workload would precompute the gram→doc posting
+    * list, which is exactly [[graft.llm.Curation.repeatedSpans]]'s
+    * positional stream keyed the other way).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val toks = phrase.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+      .split(" +").filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, s"phrase '$phrase' has no tokens")
+    val canon = toks.mkString(" ")
+    val occ = size(filter(
+      graft.functions.TokenNgrams.tokenNgrams(col(textCol), toks.length),
+      g => g === canon))
+    docs.select(col(idCol), occ.as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (idf = ln(N/df), tfidf = tf·idf), ties broken on the term string so
     * the cut is deterministic. One explode → (doc, term) count → df

@@ -124,6 +124,96 @@ object Similarity {
       .select(col(idCol), col(groupCol).as("assigned"), col("cos"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) from a prefit grouping:
+    * each vector is cut into `m` contiguous subvectors and each subspace
+    * gets one centroid per group value — the same
+    * prefit-injection contract as [[fitQuantizer]] (the group column is
+    * whatever trained assignment the caller supplies; the gate uses
+    * labels so the codebook is closed-form). Components round to 6
+    * before use, like [[groupCentroids]], so no engine's float-sum order
+    * leaks into distances. Output: (s, code, centroid) — m×k rows of
+    * subDim components, always broadcast-sized.
+    */
+  def pqCodebooks(vecs: DataFrame, vecCol: String, groupCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    vecs.select(col(groupCol).as("code"), posexplode(col(vecCol))
+        .as(Seq("i", "v")))
+      .groupBy((col("i") / subDim).cast("int").as("s"), col("code"),
+        col("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("s"), col("code"))
+      .agg(sort_array(collect_list(struct(col("i"), col("cv"))))
+        .getField("cv").as("centroid"))
+  }
+
+  /** PQ encoding: per subspace, the L2-NEAREST codebook entry, scored as
+    * `2⟨x,c⟩ − ⟨c,c⟩` (equals −‖x−c‖² up to the per-row constant ‖x‖²,
+    * which cancels inside the argmax — one dot per candidate instead of
+    * a full difference fold). Rounded score, code-ordered tie-break —
+    * the [[nearestCentroid]] determinism contract per subspace. This is
+    * the step that turns a 4·dim-byte float vector into m small codes —
+    * a 16–64× storage compression, which is what makes billion-vector
+    * ANN fit a cluster's disks at all. Codebooks broadcast; one corpus
+    * scan; the per-(id, s) argmin reduces m×k scored rows to m.
+    * Output long form: (id, s, code).
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val sub = slice(col(vecCol), col("s") * size(col("centroid")) + 1,
+      size(col("centroid")))
+    vecs.select(col(idCol), col(vecCol))
+      .join(broadcast(codebooks))
+      .select(col(idCol), col("s"), col("code"),
+        round(dot(sub, col("centroid")) * 2 -
+          dot(col("centroid"), col("centroid")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol), col("s"))
+          .orderBy(col("sim").desc, col("code"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("s"), col("code"))
+  }
+
+  /** The gate-comparable face of [[pqEncode]]: codes as one CSV string
+    * in subspace order (the q56 signature-CSV trick — arrays don't
+    * survive the cross-engine comparator).
+    */
+  def pqCodesCsv(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("s"), col("code"))))
+          .getField("code"), _.cast("string")), ",").as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query is scored
+    * against every codebook entry ONCE (an m×k lookup table, broadcast),
+    * then the corpus contributes only its codes — the scan never touches
+    * raw floats, so the working set is the compressed corpus. The
+    * per-candidate score is the sum of m table entries (each pre-rounded;
+    * the m-term sum is re-rounded for rank stability). Approximate by
+    * construction — pair with [[recallAtK]] against [[bruteForceTopK]]
+    * to tune m/k, and with a float rerank of the shortlist
+    * ([[quantizedRerankTopK]]'s shape) when exactness matters.
+    */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val sub = slice(col(vecCol), col("s") * size(col("centroid")) + 1,
+      size(col("centroid")))
+    val lut = queries.select(col(queryIdCol).as("query_id"), col(vecCol))
+      .join(broadcast(codebooks))
+      .select(col("query_id"), col("s"), col("code"),
+        round(dot(sub, col("centroid")), 6).as("psim"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("psim")), 6).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** Unit-normalize a vector given its precomputed norm (stage the norm
     * behind a projection boundary — embedding it in the transform lambda
     * would re-evaluate the dot-product fold per ELEMENT, HOF lambdas don't

@@ -327,4 +327,13 @@ object Text {
 
   def topNgramFraction(text: Column, n: Int): Column =
     topNgramFractionFromTokens(tokens(text), n)
+
+  /** Sentence segmentation on terminal punctuation runs (`[.!?]+`), with
+    * empty fragments trimmed away — the unit for per-sentence quality
+    * stats (count, length distribution). Deliberately heuristic: a
+    * rule-per-abbreviation splitter is model territory; this is the
+    * corpus-stats face. Pure per-row array work, no shuffle.
+    */
+  def sentenceArray(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
 }

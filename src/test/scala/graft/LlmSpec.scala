@@ -983,6 +983,56 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, None)))     // no cross-doc repeats
   }
 
+  test("PQ: L2 code assignment, ADC exact on centroid-aligned vectors") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // codebook fit: one vector per label → centroids ARE those vectors
+    val fit = Seq((0L, Seq(1f, 1f, 1f, 1f), 0),
+      (1L, Seq(3f, 3f, 3f, 3f), 1)).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(fit, "embedding", "label", m = 2, dim = 4)
+    // encode a corpus of exact centroid combinations (mixed subspaces)
+    val corpus = Seq((10L, Seq(1f, 1f, 1f, 1f)), (11L, Seq(3f, 3f, 3f, 3f)),
+      (12L, Seq(1f, 1f, 3f, 3f))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val csv = Similarity.pqCodesCsv(codes, "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // L2 assignment: [1,1] must code to centroid [1,1], not the
+    // larger-norm [3,3] an inner-product argmax would collapse onto
+    assert(csv == Map(10L -> "0,0", 11L -> "1,1", 12L -> "0,1"))
+    // ADC: on centroid-aligned vectors the quantization is lossless, so
+    // ADC scores equal true inner products and the ranking is exact
+    val q = Seq((99L, Seq(1f, 1f, 3f, 3f))).toDF("vec_id", "embedding")
+    val top = Similarity.pqAdcTopK(codes, cb, q, "vec_id", "vec_id",
+      "embedding", k = 3).collect()
+      .map(r => (r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(top.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 11L), (2, 12L), (3, 10L))) // true dots 24 > 20 > 8
+    assert(top.map(_._3).toSeq == Seq(24.0, 20.0, 8.0))
+  }
+
+  test("sentenceArray: punctuation runs split, empties trimmed away") {
+    import spark.implicits._
+    val out = Seq("One. Two!! Three?  ", "", "no terminal punct")
+      .toDF("text")
+      .select(graft.llm.Text.sentenceArray(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("One", "Two", "Three"))
+    assert(out(1) == Seq())
+    assert(out(2) == Seq("no terminal punct"))
+  }
+
+  test("phraseSearch: normalized phrase, counts, non-matches absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "The quick brown fox. Quick brown shoes."),
+      (2L, "quick red fox"), (3L, "brown quick nothing"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Lexical.phraseSearch(docs, "doc_id", "text",
+      "Quick, Brown!").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 2)) // punctuation-normalized, both hits found
+  }
+
   test("Shaping.stratifiedSample: rates honored, deterministic, no RNG") {
     import spark.implicits._
     val docs = (1 to 1000).map(i => (i.toLong, s"doc number $i unique", if (i % 2 == 0) "en" else "xx"))

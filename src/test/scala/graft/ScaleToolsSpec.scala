@@ -30,6 +30,25 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("bandJoin: equals the naive band filter, plans an equi-join") {
+    import spark.implicits._
+    val l = Seq((1L, 10.0), (2L, 55.0), (3L, 200.0)).toDF("lid", "lv")
+    val r = Seq((7L, 12.0), (8L, 49.9), (9L, 120.0), (10L, -80.0))
+      .toDF("rid", "rv")
+    val got = Joins.bandJoin(l, r, "lv", "rv", eps = 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val want = l.crossJoin(r).filter(abs(col("lv") - col("rv")) <= 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(got == want && got == Set((1L, 7L), (2L, 8L)))
+    // the point of the cell bucketing: a hash/sort-merge EQUI-join, not a
+    // nested-loop cross product
+    val exec = Joins.bandJoin(l, r, "lv", "rv", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("revenueByRegionMonth: exact cents rollup, dims-only broadcast") {
     import spark.implicits._
     import java.sql.Timestamp
