@@ -1618,9 +1618,25 @@ object LlmQueries {
             x -> x = 'order scan')) AS INT) AS n_occurrences FROM t)
         SELECT doc_id, n_occurrences FROM g WHERE n_occurrences > 0"""))
 
+  /** Markup strip over tag/entity-wrapped document text (injected
+    * wrapper — the raw corpus has no HTML; the wrap makes every row
+    * exercise tag removal, entity decode, and whitespace collapse).
+    */
+  private val l57 = Spec("q135_strip_markup",
+    (s, d) => T(s, d, "documents").select(col("doc_id"),
+      graft.llm.Text.stripMarkup(concat(lit("<p class=\"x\">"), col("text"),
+        lit("</p> &amp; <br/> trailing&nbsp;tail"))).as("clean")),
+    Some("""SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace('<p class="x">' || text ||
+            '</p> &amp; <br/> trailing&nbsp;tail', '<[^>]*>', ' ', 'g'),
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&nbsp;', ' '),
+        '[ \t\n\r\f]+', ' ', 'g')) AS clean FROM documents"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56)
+    l52, l53, l54, l55, l56, l57)
 }

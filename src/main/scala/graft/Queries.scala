@@ -827,6 +827,76 @@ object Queries {
           SELECT l_orderkey, l_linenumber, gx, gy, $terms AS zkey FROM g"""
     }))
 
+  /** OP-WIN-9 — hourly OHLC bars per user (deterministic open/close via
+    * total-order ranks sharing one exchange).
+    */
+  private val win9 = Spec("q133_ohlc_bars",
+    (s, d) => Windows.ohlcBars(
+      T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      Seq("user_id"), "ts", "value", Seq("event_id")),
+    Some("""WITH e AS (SELECT user_id,
+          CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+            AS bar,
+          CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        w AS (SELECT *, row_number() OVER (PARTITION BY user_id, bar
+            ORDER BY ts, event_id) AS ra,
+          row_number() OVER (PARTITION BY user_id, bar
+            ORDER BY ts DESC, event_id DESC) AS rd FROM e)
+        SELECT user_id, bar, max(CASE WHEN ra = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rd = 1 THEN value END) AS close,
+          count(*) AS n_events
+        FROM w GROUP BY 1, 2"""))
+
+  /** OP-WIN-10 — daily active / new / cumulative reach curve. */
+  private val win10 = Spec("q134_daily_reach",
+    (s, d) => Windows.dailyReach(T(s, d, "events"), "user_id", "ts"),
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+            AS day
+          FROM events),
+        pd AS (SELECT day, count(*) AS n_active FROM a GROUP BY day),
+        fd AS (SELECT user_id, min(day) AS day FROM a GROUP BY user_id),
+        nw AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day)
+        SELECT pd.day, pd.n_active, coalesce(nw.n_new, 0) AS n_new,
+          CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pd.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_cum
+        FROM pd LEFT JOIN nw ON nw.day = pd.day"""))
+
+  /** OP-JOIN-7 — point-in-time SCD-2 lookup: every event enriched with
+    * the state interval covering its timestamp (rides the as-of union +
+    * window pass — no interval-predicate join).
+    */
+  private val join7 = Spec("q136_temporal_lookup",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val dim = Relational.scd2(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        Seq("user_id"), "ts", "event_type", Seq("event_id"))
+      Joins.temporalLookup(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        dim, "user_id", "ts", "valid_from", Seq("event_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        c AS (SELECT *, lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
+        chg AS (SELECT user_id, event_type, ts, event_id FROM c
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        iv AS (SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to FROM chg)
+        SELECT f.event_id, f.user_id, f.ts, iv.valid_from AS dim_ts,
+          iv.event_type AS dim_event_type
+        FROM e f JOIN iv ON iv.user_id = f.user_id
+          AND iv.valid_from <= f.ts
+          AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)"""))
+
   /** OP-JOIN-6 — ε-band join on account balance: cell-bucketed candidate
     * generation + exact band filter, never a cross product.
     */
@@ -1490,7 +1560,7 @@ object Queries {
     agg12,
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
-    misc4, misc5, lay1, pipe4, join6,
+    misc4, misc5, lay1, pipe4, join6, join7, win9, win10,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -281,6 +281,26 @@ object Joins {
       .drop(r(keyCol))
   }
 
+  /** Point-in-time dimension lookup against an SCD-2 change table
+    * ([[graft.engine.Relational.scd2]]'s output shape): each fact row
+    * gets the dimension state whose validity interval covers the fact
+    * time. For a well-formed SCD-2 table (intervals partition time from
+    * the first change, `valid_from` inclusive) that is exactly "latest
+    * state at-or-before the fact time", so this rides [[asOfJoin]]'s
+    * single union + window pass — no interval predicate join, no range
+    * explosion, one key-partitioned exchange. The dimension's (key,
+    * valid_from) must be unique — true by construction for [[scd2]].
+    * Output = fact columns + `<prefix>valid_from`-equivalent time +
+    * `<prefix><payload>` columns.
+    */
+  def temporalLookup(fact: DataFrame, dim: DataFrame, keyCol: String,
+      factTime: String, validFromCol: String, payloadCols: Seq[String],
+      prefix: String = "dim_"): DataFrame =
+    asOfJoin(fact,
+      dim.select((keyCol +: validFromCol +: payloadCols).map(col): _*)
+        .withColumnRenamed(validFromCol, factTime),
+      keyCol, factTime, payloadCols, prefix)
+
   /** ε-band join: pairs with |left.v − right.v| ≤ eps, WITHOUT the cross
     * product a naive range join plans. Values bucket into ε-cells; the
     * (smaller) left side replicates to its cell ±1 — any in-band pair

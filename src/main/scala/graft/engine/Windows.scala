@@ -100,6 +100,54 @@ object Windows {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** OHLC bars: per (key, time-bucket) the opening/closing values (first/
+    * last by a TOTAL (time, tiebreak) order) plus high/low/count. The two
+    * opposite-direction row_numbers share one (key, bar) exchange —
+    * Catalyst plans one shuffle, two in-partition sorts — and the final
+    * aggregate reuses the same partitioning. No min_by-on-composite
+    * trickery: an explicit rank keeps the open/close pick deterministic
+    * under timestamp ties on any engine.
+    */
+  def ohlcBars(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, tiebreakCols: Seq[String],
+      bucket: String = "hour"): DataFrame = {
+    val part = (keyCols.map(col) :+ col("__bar"))
+    val ord = (timeCol +: tiebreakCols).map(col)
+    val ranked = df
+      .withColumn("__bar", date_trunc(bucket, col(timeCol)))
+      .withColumn("__ra", row_number().over(
+        Window.partitionBy(part: _*).orderBy(ord: _*)))
+      .withColumn("__rd", row_number().over(
+        Window.partitionBy(part: _*).orderBy(ord.map(_.desc): _*)))
+    ranked.groupBy(keyCols.map(col) :+ col("__bar").as("bar"): _*)
+      .agg(max(when(col("__ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rd") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Daily reach curve: per day, the active key count, the first-seen
+    * (new) key count, and the cumulative distinct reach. Two key-keyed
+    * aggregates (distinct projection, first-day) and one final window
+    * cumsum over the DAY grain — whose cardinality is calendar-sized, so
+    * the single-partition window is a non-issue at any data scale.
+    */
+  def dailyReach(df: DataFrame, keyCol: String, timeCol: String): DataFrame = {
+    val active = df
+      .select(col(keyCol), date_trunc("day", col(timeCol)).as("day"))
+      .distinct()
+    val perDay = active.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+    val newPerDay = active.groupBy(col(keyCol))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    perDay.join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cum", sum(col("n_new")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Session-level rollup on top of [[sessionize]]: bounds, event count,
     * and exact µs duration per (key, session). The aggregate reuses the
     * window's (key) partitioning — Catalyst plans one exchange for both.

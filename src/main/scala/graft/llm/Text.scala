@@ -328,6 +328,23 @@ object Text {
   def topNgramFraction(text: Column, n: Int): Column =
     topNgramFractionFromTokens(tokens(text), n)
 
+  /** HTML/markup strip for web-crawl text: tags removed, the five core
+    * entities decoded, whitespace collapsed. Regex-only (RE2-safe
+    * patterns, no backrefs) so it is a pure codegen'd projection and
+    * engine-portable; it is the cheap pre-pass before [[cleanLines]] —
+    * a full HTML parser belongs at ingest, not in the hot path.
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "nbsp" -> " ").foldLeft(untagged) {
+      case (c, (ent, ch)) => regexp_replace(c, s"&$ent;", ch)
+    }
+    // explicit class, not \s: Java's \s matches \x0B, RE2's does not —
+    // the one place the two regex dialects would silently diverge here
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** Sentence segmentation on terminal punctuation runs (`[.!?]+`), with
     * empty fragments trimmed away — the unit for per-sentence quality
     * stats (count, length distribution). Deliberately heuristic: a

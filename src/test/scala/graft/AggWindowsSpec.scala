@@ -176,6 +176,36 @@ class AggWindowsSpec extends SparkSpec {
     assert(out(2) == ((t(50), t(50), 1L, 0L)))
   }
 
+  test("ohlcBars: open/close by total order, ties broken by tiebreak") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(3600000L + m * 60000L) // inside hour 1
+    val df = Seq(
+      ("u", t(5), 2L, 20.0),  // same ts as eid 1 — open must pick eid 1
+      ("u", t(5), 1L, 10.0),
+      ("u", t(30), 3L, 5.0),
+      ("u", t(59), 4L, 15.0)).toDF("k", "ts", "eid", "v")
+    val r = Windows.ohlcBars(df, Seq("k"), "ts", "v", Seq("eid")).head()
+    assert(r.getDouble(2) == 10.0) // open: (t5, eid1)
+    assert(r.getDouble(3) == 20.0 && r.getDouble(4) == 5.0) // high/low
+    assert(r.getDouble(5) == 15.0 && r.getLong(6) == 4L)    // close, n
+  }
+
+  test("dailyReach: active vs new vs cumulative distinct") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: Int, h: Int = 1) = Timestamp.valueOf(f"2024-01-0$d%d $h%02d:00:00")
+    val df = Seq((1L, t(1)), (1L, t(1, 5)), (2L, t(1)), // day1: u1,u2 new
+      (1L, t(2)),                                       // day2: u1 only
+      (3L, t(3)), (1L, t(3))).toDF("uid", "ts")         // day3: u3 new
+    val out = Windows.dailyReach(df, "uid", "ts").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 2L)))
+    assert(out("2024-01-02") == ((1L, 0L, 2L))) // active but nobody new
+    assert(out("2024-01-03") == ((2L, 1L, 3L)))
+  }
+
   test("retentionCohorts: absolute epoch weeks, distinct users per cell") {
     import spark.implicits._
     import java.sql.Timestamp

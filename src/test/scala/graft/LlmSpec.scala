@@ -1022,6 +1022,14 @@ class LlmSpec extends SparkSpec {
     assert(out(2) == Seq("no terminal punct"))
   }
 
+  test("stripMarkup: tags out, entities decoded, whitespace collapsed") {
+    import spark.implicits._
+    val out = Seq("<div a=\"1\">Hello &amp;\n <b>world</b>&nbsp;!</div>")
+      .toDF("text")
+      .select(graft.llm.Text.stripMarkup(col("text"))).head().getString(0)
+    assert(out == "Hello & world !")
+  }
+
   test("phraseSearch: normalized phrase, counts, non-matches absent") {
     import spark.implicits._
     val docs = Seq((1L, "The quick brown fox. Quick brown shoes."),

@@ -30,6 +30,23 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("temporalLookup: facts pick the covering SCD-2 interval") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // dim: state x from t1, y from t4 (scd2 shape: key, valid_from, attr)
+    val dim = Seq(("u", t(1), "x"), ("u", t(4), "y"))
+      .toDF("k", "valid_from", "state")
+    val fact = Seq(("u", t(0), 1L), ("u", t(1), 2L), ("u", t(3), 3L),
+      ("u", t(4), 4L), ("u", t(9), 5L)).toDF("k", "ts", "fid")
+    val out = Joins.temporalLookup(fact, dim, "k", "ts", "valid_from",
+      Seq("state")).collect()
+      .map(r => r.getLong(2) -> r.getString(4)).toMap
+    assert(out == Map(1L -> null, // before first interval
+      2L -> "x", 3L -> "x",       // valid_from inclusive, interior
+      4L -> "y", 5L -> "y"))      // boundary switches atomically
+  }
+
   test("bandJoin: equals the naive band filter, plans an equi-join") {
     import spark.implicits._
     val l = Seq((1L, 10.0), (2L, 55.0), (3L, 200.0)).toDF("lid", "lv")
