@@ -856,14 +856,16 @@ object Queries {
           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
             AS day
           FROM events),
-        pd AS (SELECT day, count(*) AS n_active FROM a GROUP BY day),
-        fd AS (SELECT user_id, min(day) AS day FROM a GROUP BY user_id),
-        nw AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day)
-        SELECT pd.day, pd.n_active, coalesce(nw.n_new, 0) AS n_new,
-          CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pd.day
+        t AS (SELECT day,
+          min(day) OVER (PARTITION BY user_id) AS fd FROM a),
+        g AS (SELECT day, count(*) AS n_active,
+          count(CASE WHEN day = fd THEN 1 END) AS n_new FROM t
+          GROUP BY day)
+        SELECT day, n_active, n_new,
+          CAST(sum(n_new) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS n_cum
-        FROM pd LEFT JOIN nw ON nw.day = pd.day"""))
+        FROM g"""))
 
   /** OP-JOIN-7 — point-in-time SCD-2 lookup: every event enriched with
     * the state interval covering its timestamp (rides the as-of union +

@@ -128,22 +128,24 @@ object Windows {
   }
 
   /** Daily reach curve: per day, the active key count, the first-seen
-    * (new) key count, and the cumulative distinct reach. Two key-keyed
-    * aggregates (distinct projection, first-day) and one final window
-    * cumsum over the DAY grain — whose cardinality is calendar-sized, so
-    * the single-partition window is a non-issue at any data scale.
+    * (new) key count, and the cumulative distinct reach. ONE fact scan:
+    * distinct (key, day) projection → a key-partitioned `min(day)`
+    * window tags each activity row with its key's first day (no second
+    * aggregate-and-join pass over the fact table) → one day-grain
+    * aggregate. The final cumsum windows over the DAY grain, whose
+    * cardinality is calendar-sized, so its single partition is a
+    * non-issue at any data scale.
     */
   def dailyReach(df: DataFrame, keyCol: String, timeCol: String): DataFrame = {
     val active = df
       .select(col(keyCol), date_trunc("day", col(timeCol)).as("day"))
       .distinct()
-    val perDay = active.groupBy(col("day"))
-      .agg(count(lit(1)).as("n_active"))
-    val newPerDay = active.groupBy(col(keyCol))
-      .agg(min(col("day")).as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
-    perDay.join(newPerDay, Seq("day"), "left")
-      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    active
+      .withColumn("__first_day",
+        min(col("day")).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day") === col("__first_day"), 1)).as("n_new"))
       .withColumn("n_cum", sum(col("n_new")).over(Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
