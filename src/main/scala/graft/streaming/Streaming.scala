@@ -88,6 +88,50 @@ object Streaming {
     keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 
+  /** Streaming OHLC bars: tumbling-window open/high/low/close per key.
+    * Open/close are `min_by`/`max_by` over a composite (time, tiebreak)
+    * struct — pure AGGREGATES, so the same transform runs under a
+    * watermark on a stream (window functions, which the batch
+    * [[graft.engine.Windows.ohlcBars]] uses for its rank determinism,
+    * are not streamable). The struct comparison is lexicographic, so the
+    * tiebreak resolves equal timestamps exactly like the batch face —
+    * the agreement is spec-pinned on a tied fixture. State per
+    * (key, window) is one running bar, evicted by the watermark.
+    */
+  def ohlcStream(events: DataFrame, tsCol: String, windowLen: String,
+      keyCol: String, valueCol: String, tiebreakCol: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark match {
+      case Some(w) => events.withWatermark(tsCol, w)
+      case None    => events
+    }
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    src.groupBy(col(keyCol), window(col(tsCol), windowLen))
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").as("bar"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"))
+  }
+
+  /** Streaming reach: distinct keys per tumbling window — the streaming
+    * face of [[graft.engine.Windows.dailyReach]]'s `n_active` (the
+    * cumulative curve needs history and stays a batch/report concern).
+    * Two watermark-bounded stateful stages: dedup on (key, window-start)
+    * inside the horizon, then a windowed count — state is one entry per
+    * distinct (key, window) in flight, never stream history.
+    */
+  def reachStream(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String): DataFrame = {
+    val tagged = events
+      .withColumn("__w", window(col(tsCol), windowLen).getField("start"))
+    val deduped = dedupStream(tagged, tsCol, Seq(keyCol, "__w"), watermark)
+    deduped.groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("window.start").as("w_start"), col("n_active"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -116,4 +116,46 @@ class StreamingSpec extends SparkSpec {
     val out = Streaming.windowedCounts(batch, "ts", "1 hour").collect()
     assert(out.length == 1 && out(0).getAs[Long]("n") == 2)
   }
+
+  test("ohlcStream agrees with batch ohlcBars, incl. timestamp ties") {
+    val sp = spark
+    import sp.implicits._
+    def t(m: Int) = new Timestamp(3600000L + m * 60000L)
+    val batch = Seq(
+      ("u", t(5), 2L, 20.0), ("u", t(5), 1L, 10.0), // tie: eid breaks it
+      ("u", t(30), 3L, 5.0), ("u", t(59), 4L, 15.0),
+      ("v", t(7), 5L, 7.0)).toDF("k", "ts", "eid", "v")
+    val stream = Streaming.ohlcStream(batch, "ts", "1 hour", "k", "v", "eid")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    val win = graft.engine.Windows.ohlcBars(batch, Seq("k"), "ts", "v",
+      Seq("eid")).collect().map(r => r.getString(0) -> ((r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(stream == win)
+    assert(stream("u") == ((10.0, 20.0, 5.0, 15.0, 4L))) // open picks eid 1
+  }
+
+  test("reachStream counts distinct keys per window on a stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val out = Streaming.reachStream(df, "ts", "user_id", "1 hour", "2 hours")
+    val q = out.writeStream.format("memory").queryName("reach")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:15:00"), 1L), // same user, dedup
+        (Timestamp.valueOf("2024-01-01 10:25:00"), 2L),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), 1L)) // next window
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM reach ORDER BY w_start").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+      assert(rows.toSeq == Seq(
+        "2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
+    } finally q.stop()
+  }
 }
