@@ -1634,9 +1634,35 @@ object LlmQueries {
           '&nbsp;', ' '),
         '[ \t\n\r\f]+', ' ', 'g')) AS clean FROM documents"""))
 
+  /** Duplicate-graph structure report: cluster size histogram over the
+    * q69 connected components — the number a dedup run is actually tuned
+    * by (how much mass sits in big boilerplate clusters vs pairs).
+    */
+  private val l58 = Spec("q139_cluster_sizes",
+    (s, d) => {
+      val pairs = Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id",
+        "text", shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+        maxBucket = 1000)
+      Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $lshCtes,
+        cand AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT s FROM edges),
+        reach(s, d) AS (SELECT s, s FROM nodes
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        cc AS (SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s),
+        sizes AS (SELECT cluster, count(*) AS n_members FROM cc
+          GROUP BY 1)
+        SELECT n_members, count(*) AS n_clusters FROM sizes GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56, l57)
+    l52, l53, l54, l55, l56, l57, l58)
 }

@@ -731,23 +731,24 @@ object Queries {
               / CAST(n.t - p.t AS DOUBLE), 6) END AS value_interp
         FROM w"""))
 
-  /** OP-MISC-4 — CDC merge/upsert: a derived update batch (10% in-place
-    * updates + sparse inserts) merged into `orders` on the order key.
+  /** The q114/q137 update batch (10% in-place updates + sparse inserts)
+    * and its merged-snapshot SQL — ONE copy each, shared by the merge
+    * query and the snapshot-diff query.
     */
-  private val misc4 = Spec("q114_merge_upsert",
-    (s, d) => {
-      val base = T(s, d, "orders")
-      val updates = base.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .unionByName(base.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
-            col("o_custkey"), lit("N").as("o_orderstatus"),
-            lit(100.0).as("o_totalprice"), col("o_orderdate"),
-            col("o_orderpriority")))
-      Relational.mergeUpsert(base, updates, Seq("o_orderkey"))
-    },
-    Some("""WITH upd AS (
+  private def ordersUpdates(base: DataFrame): DataFrame =
+    base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          lit(100.0).as("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")))
+
+  private val orderCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private val mergedOrdersCtesSql = s"""upd AS (
         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
           o_totalprice + CAST(1000 AS DOUBLE) AS o_totalprice,
           o_orderdate, o_orderpriority
@@ -755,14 +756,50 @@ object Queries {
         UNION ALL
         SELECT o_orderkey + 1000000000, o_custkey, 'N',
           CAST(100 AS DOUBLE), o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 97 = 0)
+        FROM orders WHERE o_orderkey % 97 = 0),
+      merged AS (
         SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-          coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
-          coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-          coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
-          coalesce(u.o_orderdate, b.o_orderdate) AS o_orderdate,
-          coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
-        FROM orders b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey"""))
+          ${orderCols.map(c => s"coalesce(u.$c, b.$c) AS $c")
+            .mkString(", ")}
+        FROM orders b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey)"""
+
+  /** OP-MISC-4 — CDC merge/upsert: a derived update batch merged into
+    * `orders` on the order key.
+    */
+  private val misc4 = Spec("q114_merge_upsert",
+    (s, d) => {
+      val base = T(s, d, "orders")
+      Relational.mergeUpsert(base, ordersUpdates(base), Seq("o_orderkey"))
+    },
+    Some(s"WITH $mergedOrdersCtesSql SELECT * FROM merged"))
+
+  /** OP-MISC-6 — snapshot diff (change-data-feed generator): old `orders`
+    * vs the merged snapshot with every 13th key deleted → I/U/D rows
+    * only, unchanged keys dropped.
+    */
+  private val misc6 = Spec("q137_snapshot_diff",
+    (s, d) => {
+      val base = T(s, d, "orders")
+      val merged = Relational
+        .mergeUpsert(base, ordersUpdates(base), Seq("o_orderkey"))
+        .filter(col("o_orderkey") % 13 =!= 0)
+      Relational.snapshotDiff(base, merged, Seq("o_orderkey"))
+    },
+    Some({
+      val changed = orderCols
+        .map(c => s"(o.$c IS DISTINCT FROM n.$c)").mkString(" OR ")
+      s"""WITH $mergedOrdersCtesSql,
+        ns AS (SELECT * FROM merged WHERE o_orderkey % 13 != 0),
+        cls AS (SELECT
+          coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            WHEN $changed THEN 'U' END AS op,
+          ${orderCols.map(c => s"n.$c AS new_$c").mkString(", ")},
+          ${orderCols.map(c => s"o.$c AS old_$c").mkString(", ")}
+          FROM orders o FULL JOIN ns n ON n.o_orderkey = o.o_orderkey)
+        SELECT * FROM cls WHERE op IS NOT NULL"""
+    }))
 
   /** OP-AGG-9 — fixed-width histogram of event values ([0,200) in 40
     * bins); the > 200 tail exercises the edge-bin clamp.
@@ -898,6 +935,19 @@ object Queries {
         FROM e f JOIN iv ON iv.user_id = f.user_id
           AND iv.valid_from <= f.ts
           AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)"""))
+
+  /** OP-WIN-11 — exact running balance per user (scaled-integer cumsum). */
+  private val win11 = Spec("q138_running_total",
+    (s, d) => Windows.runningTotal(
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      Seq("user_id"), "ts", "value", Seq("event_id")),
+    Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / 100, 6) AS running_value
+        FROM events"""))
 
   /** OP-JOIN-6 — ε-band join on account balance: cell-bucketed candidate
     * generation + exact band filter, never a cross product.
@@ -1562,7 +1612,7 @@ object Queries {
     agg12,
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
-    misc4, misc5, lay1, pipe4, join6, join7, win9, win10,
+    misc4, misc5, misc6, lay1, pipe4, join6, join7, win9, win10, win11,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

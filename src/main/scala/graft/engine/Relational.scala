@@ -248,6 +248,33 @@ object Relational {
         array_join(array_sort(col("__all")), ",").as("values_csv") :+
         size(col("__all")).as("n_distinct"): _*)
 
+  /** Snapshot diff — the change-data-feed generator to [[mergeUpsert]]'s
+    * consumer: classify every key as Insert (new only), Delete (old
+    * only), or Update (both sides, any non-key column differs —
+    * null-safely, so null→value and value→null are updates). Unchanged
+    * keys drop out. One full-outer hash join on the key; both snapshots
+    * bucketed on the key make it exchange-free — diffing two 100 TB
+    * snapshots is then a co-located single pass. Output: keys, `op`,
+    * and the non-key columns from both sides as `new_*` / `old_*`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val others = oldDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf.withColumn("__in_old", lit(1))
+    val n = newDf.withColumn("__in_new", lit(1))
+    val changed = others.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.as("o").join(n.as("n"), keys, "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        others.map(c => col(s"n.$c").as(s"new_$c")) ++
+        others.map(c => col(s"o.$c").as(s"old_$c")): _*)
+  }
+
   /** CDC merge / upsert (the MERGE INTO shape without a table format):
     * `updates` rows overwrite matching `base` rows on `keys`, unmatched
     * updates insert, unmatched base rows pass through. One full-outer

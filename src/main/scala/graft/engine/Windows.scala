@@ -100,6 +100,24 @@ object Windows {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Exact running total per key (ledger/balance semantics): cumulative
+    * sum in scaled integer units so the partial order of additions can
+    * never change the result — a float cumsum re-run after a partition
+    * retry could emit different low bits row by row; an integer one
+    * cannot. One (key, time) window, running state only; the division
+    * back to units happens per row at the end.
+    */
+  def runningTotal(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, tiebreakCols: Seq[String] = Nil,
+      scale: Int = 100): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_value",
+      round(sum(round(col(valueCol) * scale).cast("long")).over(w)
+        .cast("double") / scale, 6))
+  }
+
   /** OHLC bars: per (key, time-bucket) the opening/closing values (first/
     * last by a TOTAL (time, tiebreak) order) plus high/low/count. The two
     * opposite-direction row_numbers share one (key, bar) exchange —

@@ -148,6 +148,55 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == 3.0)
   }
 
+  test("runningTotal: exact cents cumsum per key, tiebreak stable") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    // 0.1 + 0.2 in float is the classic 0.30000000000000004 — the scaled
+    // integer path must produce exactly 0.3
+    val df = Seq(("u", t(1), 1L, 0.1), ("u", t(2), 2L, 0.2),
+      ("u", t(2), 3L, 0.05), ("w", t(1), 4L, 9.0))
+      .toDF("k", "ts", "eid", "v")
+    val out = Windows.runningTotal(df, Seq("k"), "ts", "v", Seq("eid"))
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(out == Map(1L -> 0.1, 2L -> 0.3, 3L -> 0.35, 4L -> 9.0))
+  }
+
+  test("interpolateLinear agrees with a reference scan on random gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val k = s"k${i % 5}"
+      val v = if (rnd.nextDouble() < 0.3) None
+        else Some((rnd.nextInt(1000) / 10.0))
+      (k, new Timestamp(i * 60000L), i.toLong, v)
+    }
+    val got = Windows.interpolateLinear(rows.toDF("k", "ts", "eid", "v"),
+      Seq("k"), "ts", "v", Seq("eid")).collect()
+      .map(r => r.getLong(2) -> Option(r.get(4)).map(_ => r.getDouble(4)))
+      .toMap
+    // reference: per-key ordered scan with explicit neighbour search
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2.getTime, r._3)).toVector
+      sorted.zipWithIndex.foreach { case ((_, ts, eid, v), i) =>
+        val want: Option[Double] = v.orElse {
+          val prev = sorted.take(i).reverse.find(_._4.isDefined)
+          val next = sorted.drop(i + 1).find(_._4.isDefined)
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val frac = (ts.getTime - p._2.getTime).toDouble /
+                (n._2.getTime - p._2.getTime)
+              Some(BigDecimal(p._4.get + (n._4.get - p._4.get) * frac)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            case _ => None
+          }
+        }
+        assert(got(eid) == want, s"eid=$eid")
+      }
+    }
+  }
+
   test("timeWeightedAvg: gaps weight values, final observation drops") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -197,6 +197,24 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("snapshotDiff: I/U/D classified, null-safe updates, unchanged drop") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, None, 40.0)).toDF("k", "s", "v")
+    val nw = Seq((1L, Some("a"), 10.0),          // unchanged → dropped
+      (2L, Some("B"), 20.0),                     // updated
+      (4L, Some("x"), 40.0),                     // null→value is an update
+      (5L, Some("e"), 50.0)).toDF("k", "s", "v") // insert; 3 deleted
+    val out = Relational.snapshotDiff(old, nw, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.get(2), r.get(4))))
+      .toMap
+    assert(out.size == 4)
+    assert(out(2L) == (("U", "B", "b")))
+    assert(out(3L) == (("D", null, "c")))
+    assert(out(4L) == (("U", "x", null))) // null old state ≠ wildcard
+    assert(out(5L) == (("I", "e", null)))
+  }
+
   test("scd2: unchanged states collapse, intervals chain, null is a state") {
     import spark.implicits._
     import java.sql.Timestamp

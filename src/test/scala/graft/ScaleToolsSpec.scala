@@ -30,6 +30,22 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("zorderKey round-trips: de-interleaving recovers both coordinates") {
+    import spark.implicits._
+    import graft.engine.Layout
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(_ =>
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y"), 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def unshuffle(z: Long, off: Int): Long =
+      (0 until 16).map(k => ((z >>> (2 * k + off)) & 1L) << k).reduce(_ | _)
+    zs.foreach { case (x, y, z) =>
+      assert(unshuffle(z, 0) == x && unshuffle(z, 1) == y, s"($x,$y)->$z")
+    }
+  }
+
   test("temporalLookup: facts pick the covering SCD-2 interval") {
     import spark.implicits._
     import java.sql.Timestamp
