@@ -949,6 +949,71 @@ object Queries {
           / 100, 6) AS running_value
         FROM events"""))
 
+  /** OP-JOIN-8 — geo nearest-site join (haversine, degree-cell
+    * candidates): synthesized planar coords in [0,50]° keep the q13
+    * convention; maxAbsLat 50° → cos ≈ 0.64 → cellDeg 300/70 ≈ 4.29
+    * satisfies the ±1-cell bound.
+    */
+  private val join8 = Spec("q140_nearest_spatial",
+    (s, d) => Joins.nearestSpatialJoin(
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("plat"), (col("l_discount") * 500).as("plon")),
+      T(s, d, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("slat"),
+        (col("n_nationkey") * 2.0).as("slon")),
+      Seq("l_orderkey", "l_linenumber"), "plat", "plon",
+      "n_nationkey", "slat", "slon", maxKm = 300.0, cellDeg = 300.0 / 70),
+    Some("""WITH p AS (SELECT l_orderkey, l_linenumber,
+          l_quantity AS plat, l_discount * 500 AS plon FROM lineitem),
+        st AS (SELECT n_nationkey,
+          n_nationkey * CAST(2 AS DOUBLE) AS slat,
+          n_nationkey * CAST(2 AS DOUBLE) AS slon FROM nation),
+        dd AS (SELECT p.l_orderkey, p.l_linenumber, st.n_nationkey,
+          round(CAST(12742 AS DOUBLE) * asin(sqrt(
+            sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+            + cos(radians(plat)) * cos(radians(slat))
+              * sin(radians(slon - plon) / 2)
+              * sin(radians(slon - plon) / 2))), 6) AS dist_km
+          FROM p CROSS JOIN st),
+        f AS (SELECT *, row_number() OVER
+            (PARTITION BY l_orderkey, l_linenumber
+             ORDER BY dist_km, n_nationkey) AS rk
+          FROM dd WHERE dist_km <= CAST(300 AS DOUBLE))
+        SELECT l_orderkey, l_linenumber, n_nationkey, dist_km
+        FROM f WHERE rk = 1"""))
+
+  /** OP-MISC-7 — data-quality expectation report over lineitem. */
+  private val misc7 = Spec("q141_quality_checks",
+    (s, d) => Relational.qualityChecks(T(s, d, "lineitem"), Seq(
+      "quantity_in_range" -> col("l_quantity").between(1, 50),
+      "discount_bounded" -> (col("l_discount") <= 0.1),
+      "shipdate_present" -> col("l_shipdate").isNotNull,
+      "price_positive" -> (col("l_extendedprice") > 0))),
+    Some(Seq(
+      ("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+      ("discount_bounded", "l_discount <= CAST(0.1 AS DOUBLE)"),
+      ("shipdate_present", "l_shipdate IS NOT NULL"),
+      ("price_positive", "l_extendedprice > 0")).map { case (n, p) =>
+      s"""SELECT '$n' AS check_name,
+          count(CASE WHEN NOT coalesce($p, false) THEN 1 END)
+            AS n_violations,
+          count(*) AS n_rows FROM lineitem"""
+    }.mkString(" UNION ALL ")))
+
+  /** OP-WIN-12 — flat lag/lead feature columns sharing one window sort. */
+  private val win12 = Spec("q142_lag_features",
+    (s, d) => Windows.lagFeatures(
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      Seq("user_id"), "ts", "value", lags = Seq(1, 2), leads = Seq(1),
+      tiebreakCols = Seq("event_id")),
+    Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        lag(value, 1) OVER w AS value_lag1,
+        lag(value, 2) OVER w AS value_lag2,
+        lead(value, 1) OVER w AS value_lead1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   /** OP-JOIN-6 — ε-band join on account balance: cell-bucketed candidate
     * generation + exact band filter, never a cross product.
     */
@@ -1612,7 +1677,8 @@ object Queries {
     agg12,
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
-    misc4, misc5, misc6, lay1, pipe4, join6, join7, win9, win10, win11,
+    misc4, misc5, misc6, misc7, lay1, pipe4, join6, join7, join8,
+    win9, win10, win11, win12,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** OP-MISC-2 / OP-SRC-4 — geometry→bbox kernels and the GeoJSON feature
@@ -159,5 +159,18 @@ object Geometry {
       min(col(latCol)).as("s"), max(col(lonCol)).as("e"))
     if (keyCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Great-circle distance in km (haversine, R = 6371). Written as an
+    * explicit `sin·sin` product chain (no `pow`) so the floating-point
+    * op sequence is identical on any engine that mirrors the formula.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    val dphi = radians(lat2 - lat1) / 2
+    val dlmb = radians(lon2 - lon1) / 2
+    val a = sin(dphi) * sin(dphi) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlmb) * sin(dlmb)
+    lit(12742.0) * asin(sqrt(a))
   }
 }

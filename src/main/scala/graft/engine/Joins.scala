@@ -301,6 +301,41 @@ object Joins {
         .withColumnRenamed(validFromCol, factTime),
       keyCol, factTime, payloadCols, prefix)
 
+  /** Geo nearest-neighbor join: each point gets its haversine-closest
+    * site within `maxKm`, via degree-cell bucketing — the 2-D analog of
+    * [[bandJoin]]: points replicate to their 3×3 cell neighborhood,
+    * sites sit in one cell, one equi-join on the cell key, exact
+    * distance filter + per-point argmin. Correctness bound: every site
+    * within `maxKm` must land inside ±1 cell, so `cellDeg` must be ≥
+    * maxKm / (111·cos(maxAbsLat)) — the longitude shrink factor, the
+    * caller's one geometry fact to supply. At scale the shuffle keys on
+    * cells (occupancy-bounded fan-out); a dimension-sized site table
+    * just broadcasts. The argmin ranks on the ROUNDED distance with the
+    * site key as tiebreak — deterministic across engines.
+    */
+  def nearestSpatialJoin(points: DataFrame, sites: DataFrame,
+      pointKeys: Seq[String], pLat: String, pLon: String,
+      siteKey: String, sLat: String, sLon: String,
+      maxKm: Double, cellDeg: Double): DataFrame = {
+    require(maxKm > 0 && cellDeg > 0, "maxKm and cellDeg must be positive")
+    val cells = array((for {di <- -1 to 1; dj <- -1 to 1} yield struct(
+      (floor(col(pLat) / cellDeg).cast("long") + di).as("ci"),
+      (floor(col(pLon) / cellDeg).cast("long") + dj).as("cj"))): _*)
+    val p = points.withColumn("__cell", explode(cells))
+    val s = sites.withColumn("__cell",
+      struct(floor(col(sLat) / cellDeg).cast("long").as("ci"),
+        floor(col(sLon) / cellDeg).cast("long").as("cj")))
+    p.join(s, Seq("__cell"))
+      .withColumn("dist_km", round(Geometry.haversineKm(col(pLat),
+        col(pLon), col(sLat), col(sLon)), 6))
+      .filter(col("dist_km") <= maxKm)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(pointKeys.map(col): _*)
+          .orderBy(col("dist_km"), col(siteKey))))
+      .filter(col("__rk") === 1)
+      .select(pointKeys.map(col) :+ col(siteKey) :+ col("dist_km"): _*)
+  }
+
   /** ε-band join: pairs with |left.v − right.v| ≤ eps, WITHOUT the cross
     * product a naive range join plans. Values bucket into ε-cells; the
     * (smaller) left side replicates to its cell ±1 — any in-band pair

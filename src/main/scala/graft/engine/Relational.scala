@@ -248,6 +248,28 @@ object Relational {
         array_join(array_sort(col("__all")), ",").as("values_csv") :+
         size(col("__all")).as("n_distinct"): _*)
 
+  /** Data-quality expectation report: each check is a boolean expectation
+    * Column (true = row passes; a NULL verdict counts as a violation, so
+    * an expectation over a null field fails loudly instead of slipping
+    * through three-valued logic). ONE aggregate pass computes every
+    * check's violation count plus the row total, then unpivots to long
+    * form — k checks cost one scan, not k.
+    */
+  def qualityChecks(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = count(lit(1)).as("__n") +: checks.map { case (n, c) =>
+      count_if(!coalesce(c, lit(false))).as(s"__v_$n")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map { case (n, _) => struct(
+        lit(n).as("check_name"),
+        col(s"__v_$n").as("n_violations"),
+        col("__n").as("n_rows"))
+      }: _*)).as("__c"))
+      .select("__c.*")
+  }
+
   /** Snapshot diff — the change-data-feed generator to [[mergeUpsert]]'s
     * consumer: classify every key as Insert (new only), Delete (old
     * only), or Update (both sides, any non-key column differs —

@@ -100,6 +100,23 @@ object Windows {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Lag/lead feature columns for model training: `value_lag{n}` /
+    * `value_lead{n}` per key in time order — the feature-engineering
+    * face of OP-WIN-1's array windows when the model wants flat columns.
+    * Every offset shares the ONE (key, time) window sort: one exchange,
+    * one sort, k projections.
+    */
+  def lagFeatures(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, lags: Seq[Int], leads: Seq[Int] = Nil,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    val withLags = lags.foldLeft(df)((d, n) =>
+      d.withColumn(s"${valueCol}_lag$n", lag(col(valueCol), n).over(w)))
+    leads.foldLeft(withLags)((d, n) =>
+      d.withColumn(s"${valueCol}_lead$n", lead(col(valueCol), n).over(w)))
+  }
+
   /** Exact running total per key (ledger/balance semantics): cumulative
     * sum in scaled integer units so the partial order of additions can
     * never change the result — a float cumsum re-run after a partition

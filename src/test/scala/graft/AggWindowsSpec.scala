@@ -148,6 +148,23 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == 3.0)
   }
 
+  test("lagFeatures: offsets share the key order, edges null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val df = Seq(("u", t(1), 1L, 10.0), ("u", t(2), 2L, 20.0),
+      ("u", t(3), 3L, 30.0), ("w", t(1), 4L, 7.0))
+      .toDF("k", "ts", "eid", "v")
+    val out = Windows.lagFeatures(df, Seq("k"), "ts", "v",
+      lags = Seq(1), leads = Seq(1), tiebreakCols = Seq("eid"))
+      .collect().map(r => r.getLong(2) -> ((Option(r.get(4)),
+        Option(r.get(5))))).toMap
+    assert(out(1L) == ((None, Some(20.0))))
+    assert(out(2L) == ((Some(10.0), Some(30.0))))
+    assert(out(3L) == ((Some(20.0), None)))
+    assert(out(4L) == ((None, None))) // other key isolated
+  }
+
   test("runningTotal: exact cents cumsum per key, tiebreak stable") {
     import spark.implicits._
     import java.sql.Timestamp

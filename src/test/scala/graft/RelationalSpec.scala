@@ -197,6 +197,17 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("qualityChecks: violations counted, null verdict is a violation") {
+    import spark.implicits._
+    val df = Seq(Some(5.0), Some(500.0), None).toDF("v")
+    val out = Relational.qualityChecks(df, Seq(
+      "in_range" -> col("v").between(0, 100),
+      "present" -> col("v").isNotNull)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // null v: between → NULL verdict → counts as violation, not a pass
+    assert(out == Map("in_range" -> ((2L, 3L)), "present" -> ((1L, 3L))))
+  }
+
   test("snapshotDiff: I/U/D classified, null-safe updates, unchanged drop") {
     import spark.implicits._
     val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),

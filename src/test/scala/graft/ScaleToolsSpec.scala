@@ -46,6 +46,32 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("nearestSpatialJoin: argmin matches brute force, radius respected") {
+    import spark.implicits._
+    import graft.engine.Geometry
+    val pts = Seq((1L, 10.0, 10.0), (2L, 10.0, 14.0), (3L, 45.0, 45.0))
+      .toDF("pid", "plat", "plon")
+    val sites = Seq((100L, 10.0, 10.5), (200L, 10.0, 13.0),
+      (300L, 0.0, 0.0)).toDF("sid", "slat", "slon")
+    val got = Joins.nearestSpatialJoin(pts, sites, Seq("pid"),
+      "plat", "plon", "sid", "slat", "slon",
+      maxKm = 300.0, cellDeg = 300.0 / 70).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute force over the same rounded metric
+    val brute = pts.crossJoin(sites)
+      .withColumn("d", round(Geometry.haversineKm(col("plat"), col("plon"),
+        col("slat"), col("slon")), 6))
+      .filter(col("d") <= 300.0)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("pid").orderBy(col("d"), col("sid"))))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(6))))
+      .toMap
+    assert(got == brute)
+    assert(got(1L)._1 == 100L && got(2L)._1 == 200L)
+    assert(!got.contains(3L)) // nothing within 300 km
+  }
+
   test("temporalLookup: facts pick the covering SCD-2 interval") {
     import spark.implicits._
     import java.sql.Timestamp
