@@ -1660,9 +1660,67 @@ object LlmQueries {
           GROUP BY 1)
         SELECT n_members, count(*) AS n_clusters FROM sizes GROUP BY 1"""))
 
+  /** Multi-probe sign-LSH ANN (q62's pinned-anchor setup, plus the
+    * 1-bit-flip probe ring — candidate set ⊇ q62's by construction; the
+    * nFlips=0 degradation to annTopK is spec-pinned).
+    */
+  private val l59 = Spec("q144_ann_multiprobe",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+      Similarity.annMultiProbeTopK(emb,
+        emb.filter(col("vec_id").between(100, 107)),
+        "vec_id", "embedding", "vec_id", 3, anchors, nFlips = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH cb AS (SELECT $bucket AS bucket, v.vec_id AS neighbor_id,
+            v.embedding AS cvec FROM embeddings v),
+          qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+            v.embedding AS qvec FROM embeddings v
+            WHERE v.vec_id BETWEEN 100 AND 107),
+          s AS (SELECT qb.query_id, cb.neighbor_id,
+            ${cosSql("qb.qvec", "cb.cvec")}
+            AS cos FROM cb JOIN qb
+            ON bit_count(CAST(xor(cb.bucket, qb.bucket) AS BIGINT)) <= 1),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+            round(cos, 6) AS cos FROM r WHERE rank <= 3"""
+    })
+
+  /** Per-source duplication report over a re-crawl-injected corpus
+    * (every 9th doc re-appears under a new id, same source — so each
+    * source's dup_rate is non-trivially non-zero by construction).
+    */
+  private val l60 = Spec("q145_source_dup_stats",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"),
+          col("source")))
+      graft.llm.Curation.sourceDupStats(corpus, "text", "source")
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text, source FROM documents UNION ALL
+        SELECT doc_id + 500000000, text, source FROM documents
+        WHERE doc_id % 9 = 0)
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(text)) AS n_distinct,
+          round(CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT md5(text))
+            AS DOUBLE) / count(*), 6) AS dup_rate
+        FROM corpus GROUP BY source"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56, l57, l58)
+    l52, l53, l54, l55, l56, l57, l58, l59, l60)
 }

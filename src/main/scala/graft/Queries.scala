@@ -1014,6 +1014,38 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** OP-MISC-8 — ray-casting point-in-polygon against a non-convex
+    * L-shaped polygon (literal vertex arrays; synthesized [0,10]² point
+    * coords per the q13 convention).
+    */
+  private val misc8 = Spec("q143_point_in_polygon",
+    (s, d) => {
+      val px = Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0)
+      val py = Seq(0.0, 0.0, 4.0, 4.0, 8.0, 8.0)
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Geometry.pointInPolygon(col("l_quantity") / 5.0,
+          col("l_discount") * 100,
+          array(px.map(lit(_)): _*), array(py.map(lit(_)): _*))
+          .as("inside"))
+    },
+    Some({
+      val xv = Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0)
+      val yv = Seq(0.0, 0.0, 4.0, 4.0, 8.0, 8.0)
+      def D(v: Double) = s"CAST($v AS DOUBLE)"
+      val terms = (0 until 6).map { i =>
+        val j = (i + 1) % 6
+        s"""(CASE WHEN ((${D(yv(i))} > py) != (${D(yv(j))} > py))
+            AND px < (${D(xv(j))} - ${D(xv(i))}) * (py - ${D(yv(i))})
+              / (${D(yv(j))} - ${D(yv(i))}) + ${D(xv(i))}
+            THEN 1 ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT l_orderkey, l_linenumber,
+          l_quantity / CAST(5 AS DOUBLE) AS px,
+          l_discount * 100 AS py FROM lineitem)
+          SELECT l_orderkey, l_linenumber, ($terms) % 2 = 1 AS inside
+          FROM p"""
+    }))
+
   /** OP-JOIN-6 — ε-band join on account balance: cell-bucketed candidate
     * generation + exact band filter, never a cross product.
     */
@@ -1677,7 +1709,7 @@ object Queries {
     agg12,
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
-    misc4, misc5, misc6, misc7, lay1, pipe4, join6, join7, join8,
+    misc4, misc5, misc6, misc7, misc8, lay1, pipe4, join6, join7, join8,
     win9, win10, win11, win12,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,

@@ -161,6 +161,30 @@ object Geometry {
     else df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Ray-casting point-in-polygon (crossing number, non-convex safe) over
+    * vertex-array columns — the general-geometry upgrade to the bbox
+    * kernels: a pure Column fold (aggregate over the edge list), so it
+    * rides whole-stage codegen with no UDF. Degenerate horizontal edges
+    * are safe: the crossing guard is false before the slope division can
+    * matter (IEEE ∞ compares false). Boundary points follow raw double
+    * arithmetic — identical on any engine mirroring the formula.
+    */
+  def pointInPolygon(px: Column, py: Column, xs: Column,
+      ys: Column): Column = {
+    val n = size(xs)
+    val crossings = aggregate(sequence(lit(0), n - 1), lit(0), (acc, i) => {
+      val x1 = element_at(xs, i + 1)
+      val y1 = element_at(ys, i + 1)
+      val j = pmod(i + 1, n)
+      val x2 = element_at(xs, j + 1)
+      val y2 = element_at(ys, j + 1)
+      val crosses = ((y1 > py) =!= (y2 > py)) &&
+        px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+      acc + when(crosses, 1).otherwise(0)
+    })
+    pmod(crossings, lit(2)) === 1
+  }
+
   /** Great-circle distance in km (haversine, R = 6371). Written as an
     * explicit `sin·sin` product chain (no `pow`) so the floating-point
     * op sequence is identical on any engine that mirrors the formula.

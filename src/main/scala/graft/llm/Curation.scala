@@ -244,6 +244,24 @@ object Curation {
         .orderBy(col("quality"), col(idCol))))
   }
 
+  /** Per-source duplication report: document count, distinct-content
+    * count, and duplication rate for every source — the first number a
+    * curation run reads per provider before deciding crawl priorities.
+    * One source-keyed aggregate over content hashes (two-level distinct
+    * handled by Spark's partial aggregation; at extreme source skew the
+    * same value-salted two-phase as
+    * [[graft.engine.Relational.skewSafeDistinctList]] applies).
+    */
+  def sourceDupStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol), md5(col(textCol).cast("binary")).as("__h"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_distinct"))
+      .withColumn("dup_rate", round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_docs"), 6))
+
   /** Exact repeated-substring report (the token-window approximation of
     * Lee et al. 2022's suffix-array ExactSubstr dedup): for every
     * document, how many of its `width`-token windows also occur in at

@@ -473,4 +473,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Multi-probe sign-LSH ANN: each query competes against its own
+    * bucket PLUS every bucket at Hamming distance 1 (one sign flipped) —
+    * the classic recall lever that costs m extra probe keys per query
+    * instead of more anchor planes or a bigger corpus-side fan-out. The
+    * corpus side is untouched (still one bucket per vector, one shuffle
+    * key); probes explode on the BROADCAST query side only, so the extra
+    * work is (m+1)× the query cardinality, nothing corpus-shaped.
+    * `nFlips = 0` degrades to exactly [[annTopK]] (spec-pinned).
+    */
+  def annMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      anchors: Seq[Seq[Double]], nFlips: Int = 1): DataFrame = {
+    require(nFlips == 0 || nFlips == 1,
+      s"only 0- or 1-bit probing supported, got $nFlips")
+    val m = anchors.size
+    val probes =
+      if (nFlips == 0) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until m).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val cb = lshBuckets(corpus, vecCol, anchors)
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"))
+    val qb = broadcast(lshBuckets(queries, vecCol, anchors)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(probes).as("bucket")))
+    val scored = cb.join(qb, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -55,4 +55,32 @@ class GeometrySpec extends AnyFunSuite {
     assert(Geometry.regionId(3, Bbox(46.0, -73.5, 45.0, -72.5)) ==
       "r3_45.0to46.0_-73.5to-72.5")
   }
+
+  test("pointInPolygon: non-convex L-shape, notch excluded") {
+    val sp = SparkSpec.spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // L-shape: unit squares minus the top-right quadrant notch
+    val xs = array(Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0).map(lit(_)): _*)
+    val ys = array(Seq(0.0, 0.0, 4.0, 4.0, 8.0, 8.0).map(lit(_)): _*)
+    val pts = Seq((2.0, 2.0, true),   // lower arm
+      (6.0, 2.0, true),               // right arm
+      (2.0, 6.0, true),               // upper arm
+      (6.0, 6.0, false),              // inside bbox but in the notch
+      (9.0, 1.0, false), (-1.0, 4.0, false)) // outside bbox
+      .toDF("px", "py", "want")
+    val out = pts.select(col("want"),
+      Geometry.pointInPolygon(col("px"), col("py"), xs, ys).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+  }
+
+  test("haversineKm: quarter-meridian and zero-distance goldens") {
+    import org.apache.spark.sql.functions._
+    val d = SparkSpec.spark.range(1).select(Geometry.haversineKm(lit(0.0), lit(0.0),
+      lit(90.0), lit(0.0)).as("q"), Geometry.haversineKm(lit(45.0),
+      lit(45.0), lit(45.0), lit(45.0)).as("z")).head()
+    assert(math.abs(d.getDouble(0) - 10007.5) < 1.0) // πR/2
+    assert(d.getDouble(1) == 0.0)
+  }
 }

@@ -1011,6 +1011,43 @@ class LlmSpec extends SparkSpec {
     assert(top.map(_._3).toSeq == Seq(24.0, 20.0, 8.0))
   }
 
+  test("annMultiProbeTopK: 0-flip equals annTopK; 1-flip widens candidates") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = rows(Similarity.annTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, anchors))
+    val zeroFlip = rows(Similarity.annMultiProbeTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, anchors, nFlips = 0))
+    assert(zeroFlip == single)
+    // wider probe ring ⇒ recall vs brute force can only improve
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(truth, approx, "query_id", "neighbor_id", 5)
+        .agg(avg("recall")).head().getDouble(0)
+    val r1 = meanRecall(Similarity.annMultiProbeTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, anchors, nFlips = 1))
+    assert(r1 >= meanRecall(Similarity.annTopK(emb, queries, "vec_id",
+      "embedding", "vec_id", 5, anchors)))
+  }
+
+  test("sourceDupStats: dup rate per source from content hashes") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "s1"), (2L, "a", "s1"), (3L, "b", "s1"),
+      (4L, "c", "s2")).toDF("doc_id", "text", "source")
+    val out = graft.llm.Curation.sourceDupStats(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("s1") == ((3L, 2L, 0.333333)))
+    assert(out("s2") == ((1L, 1L, 0.0)))
+  }
+
   test("sentenceArray: punctuation runs split, empties trimmed away") {
     import spark.implicits._
     val out = Seq("One. Two!! Three?  ", "", "no terminal punct")
