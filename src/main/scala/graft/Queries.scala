@@ -1014,6 +1014,19 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** OP-SNK-4 — JSONL round trip: the documents table through the
+    * training-data interchange format (2 deterministic range shards,
+    * explicit read schema) must come back value-identical.
+    */
+  private val snk4 = Spec("q146_jsonl_roundtrip",
+    (s, d) => {
+      Sinks.writeJsonl(T(s, d, "documents"), tmp("snk4"),
+        shardOn = Some(("doc_id", 2)))
+      Sinks.readJsonl(s, tmp("snk4"),
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
+
   /** OP-MISC-8 — ray-casting point-in-polygon against a non-convex
     * L-shaped polygon (literal vertex arrays; synthesized [0,10]² point
     * coords per the q13 convention).
@@ -1710,7 +1723,7 @@ object Queries {
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
     misc4, misc5, misc6, misc7, misc8, lay1, pipe4, join6, join7, join8,
-    win9, win10, win11, win12,
+    win9, win10, win11, win12, snk4,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -45,6 +45,28 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** OP-SNK-4 — JSONL sink/source: the training-data interchange format
+    * (one JSON object per line — what tokenizer and trainer tooling
+    * ingest). Writing is a plain per-partition serialization, no
+    * shuffle; `shardOn` optionally range-partitions on a key first so
+    * shard membership is DETERMINISTIC (a bare `repartition(n)` would
+    * round-robin rows differently per run — unacceptable for a dataset
+    * artifact that gets content-addressed or diffed). Reads take an
+    * explicit schema: schema inference is a full extra pass AND makes
+    * the result depend on which shards were sampled.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      shardOn: Option[(String, Int)] = None): Unit = {
+    val out = shardOn match {
+      case Some((c, n)) => df.repartitionByRange(n, col(c))
+      case None         => df
+    }
+    out.write.mode("overwrite").json(path)
+  }
+
+  def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Bucketed table write — the lakehouse layout that makes repeated
     * equi-joins/aggregations on `bucketCols` shuffle-free: both sides of a
     * join bucketed into the same `n` on the same keys satisfy each other's

@@ -143,6 +143,56 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "token_ngrams(str, n)")
         TokenNgrams(args.head, intLit(args(1), "ngram width"))
+      }),
+    // Composition functions: the builder assembles the same arithmetic
+    // the typed API defines, as a raw catalyst tree (a Column-built tree
+    // carries unresolved nodes a function builder may not return); the
+    // per-formula agreement with the Column face is spec-asserted.
+    ("haversine_km",
+      info("haversine_km",
+        "haversine_km(lat1, lon1, lat2, lon2) - great-circle km, R=6371"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4, "haversine_km(lat1, lon1, lat2, lon2)")
+        import org.apache.spark.sql.catalyst.expressions._
+        val Seq(lat1, lon1, lat2, lon2) = args
+        val dphi = Divide(ToRadians(Subtract(lat2, lat1)), Literal(2.0))
+        val dlmb = Divide(ToRadians(Subtract(lon2, lon1)), Literal(2.0))
+        val a = Add(Multiply(Sin(dphi), Sin(dphi)),
+          Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))),
+            Multiply(Sin(dlmb), Sin(dlmb))))
+        Multiply(Literal(12742.0), Asin(Sqrt(a)))
+      }),
+    ("containment",
+      info("containment",
+        "containment(a, b) - |a∩b| / |a| set containment (0 when a empty)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "containment(a, b)")
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.DoubleType
+        val (a, b) = (args.head, args(1))
+        If(Or(Or(IsNull(a), IsNull(b)), EqualTo(Size(a), Literal(0))),
+          Literal(0.0),
+          Divide(Cast(Size(ArrayIntersect(a, b)), DoubleType),
+            Cast(Size(a), DoubleType)))
+      }),
+    ("zorder_key",
+      info("zorder_key",
+        "zorder_key(x, y, bitsPerDim) - Morton-interleaved layout key"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "zorder_key(x, y, bitsPerDim)")
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.LongType
+        val bits = intLit(args(2), "bitsPerDim")
+        require(bits >= 1 && bits <= 31, s"bitsPerDim in [1,31], got $bits")
+        val x = Cast(args.head, LongType)
+        val y = Cast(args(1), LongType)
+        (0 until bits).map { k =>
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(x, Literal(k)),
+              Literal(1L)), Literal(2 * k)),
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(y, Literal(k)),
+              Literal(1L)), Literal(2 * k + 1)))
+        }.reduce[Expression]((l, r) => BitwiseOr(l, r))
       }))
 
   /** Register into an already-running session (tests, REPL). */

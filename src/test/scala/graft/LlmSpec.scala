@@ -259,6 +259,21 @@ class LlmSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a', length('xy'))").head
     }
+    // Column-composition registrations share the typed definitions
+    val r2 = spark.sql(
+      """SELECT haversine_km(0.0d, 0.0d, 0.0d, 0.0d) AS z,
+         containment(array(1L, 2L), array(1L, 2L, 3L)) AS c,
+         zorder_key(3, 5, 3) AS zk""").head
+    assert(r2.getAs[Double]("z") == 0.0)
+    assert(r2.getAs[Double]("c") == 1.0)
+    assert(r2.getAs[Long]("zk") == 39L)
+    // bit-exact agreement between the SQL tree and the Column face
+    val sqlH = spark.sql(
+      "SELECT haversine_km(10.0d, 20.0d, 30.0d, 40.0d) AS h")
+      .head.getDouble(0)
+    val colH = spark.range(1).select(graft.engine.Geometry.haversineKm(
+      lit(10.0), lit(20.0), lit(30.0), lit(40.0))).head.getDouble(0)
+    assert(sqlH == colH)
   }
 
   test("PII redaction: categories, ordering, and counts") {

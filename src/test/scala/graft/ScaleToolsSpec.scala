@@ -46,6 +46,26 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("writeJsonl: range shards are disjoint key tiles, read round-trips") {
+    import spark.implicits._
+    import graft.engine.Sinks
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_sink/jsonl_spec"
+    val df = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Sinks.writeJsonl(df, dir, shardOn = Some(("id", 4)))
+    val back = Sinks.readJsonl(spark, dir, "id BIGINT, text STRING")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (1 to 100).map(i => (i.toLong, s"doc $i")).toSet)
+    // each shard file covers one contiguous, disjoint key range
+    val ranges = back.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("nearestSpatialJoin: argmin matches brute force, radius respected") {
     import spark.implicits._
     import graft.engine.Geometry
