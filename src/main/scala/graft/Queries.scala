@@ -1014,6 +1014,73 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** OP-AGG-13 — group-median imputation over deterministically-nulled
+    * event values.
+    */
+  private val agg13 = Spec("q147_impute_median",
+    (s, d) => Relational.imputeByGroup(
+      T(s, d, "events").select(col("event_id"), col("event_type"),
+        when(col("event_id") % 11 === 5, lit(null))
+          .otherwise(col("value")).as("v")),
+      Seq("event_type"), "v"),
+    Some("""WITH e AS (SELECT event_id, event_type,
+          CASE WHEN event_id % 11 = 5 THEN NULL ELSE value END AS v
+          FROM events),
+        m AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+          FROM e GROUP BY 1)
+        SELECT event_id, e.event_type, v, coalesce(v, med) AS v_filled
+        FROM e JOIN m ON m.event_type = e.event_type"""))
+
+  /** OP-PRJ-4 — one-hot to an explicit vocabulary; 'signup' left out so
+    * the `_other` catch-all is exercised.
+    */
+  private val prj4 = Spec("q148_one_hot",
+    (s, d) => Relational.oneHot(
+      T(s, d, "events").select(col("event_id"), col("event_type")),
+      "event_type", eventTypes.filterNot(_ == "signup")),
+    Some(s"""SELECT event_id, event_type,
+        ${eventTypes.filterNot(_ == "signup").map(v =>
+          s"CASE WHEN event_type = '$v' THEN 1 ELSE 0 END AS event_type_$v")
+          .mkString(", ")},
+        CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+          (${eventTypes.filterNot(_ == "signup")
+            .map(v => s"'$v'").mkString(", ")})
+          THEN 1 ELSE 0 END AS event_type_other
+        FROM events"""))
+
+  /** OP-AGG-14 — smoothed target encoding of event_type against the
+    * value column (exact-cents sums; m = 10 pseudo-counts).
+    */
+  private val agg14 = Spec("q149_target_encode",
+    (s, d) => Relational.targetEncode(
+      T(s, d, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      "event_type", "value"),
+    Some("""WITH c AS (SELECT event_type,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+          count(value) AS n FROM events GROUP BY 1),
+        g AS (SELECT CAST(sum(CAST(round(value * 100) AS BIGINT))
+            AS DOUBLE) / (count(value) * 100) AS gmean FROM events),
+        enc AS (SELECT event_type,
+          round((s / 100 + CAST(10 AS DOUBLE) * gmean)
+            / (n + CAST(10 AS DOUBLE)), 6) AS event_type_enc
+          FROM c CROSS JOIN g)
+        SELECT event_id, e.event_type, value, event_type_enc
+        FROM events e JOIN enc ON enc.event_type = e.event_type"""))
+
+  /** OP-WIN-13 — within-language quality percentile rank (rounded score,
+    * rank ties shared — the score-calibration step).
+    */
+  private val win13 = Spec("q150_percent_rank",
+    (s, d) => Windows.percentRankIn(
+      T(s, d, "events").select(col("event_id"), col("event_type"),
+        round(col("value"), 1).as("score")),
+      Seq("event_type"), "score"),
+    Some("""SELECT event_id, event_type, round(value, 1) AS score,
+        round(percent_rank() OVER (PARTITION BY event_type
+          ORDER BY round(value, 1)), 6) AS pct_rank
+        FROM events"""))
+
   /** OP-SNK-4 — JSONL round trip: the documents table through the
     * training-data interchange format (2 deterministic range shards,
     * explicit read schema) must come back value-identical.
@@ -1723,7 +1790,7 @@ object Queries {
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
     misc4, misc5, misc6, misc7, misc8, lay1, pipe4, join6, join7, join8,
-    win9, win10, win11, win12, snk4,
+    win9, win10, win11, win12, win13, snk4, agg13, agg14, prj4,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

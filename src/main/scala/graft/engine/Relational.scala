@@ -248,6 +248,64 @@ object Relational {
         array_join(array_sort(col("__all")), ",").as("values_csv") :+
         size(col("__all")).as("n_distinct"): _*)
 
+  /** Group-median imputation: null values get their group's exact median
+    * (rounded to 6 on both the bound and the fill, per the
+    * [[percentileSummary]] cross-engine contract). The medians frame is
+    * group-cardinality-sized and broadcast; the fact side never
+    * shuffles. Same reporting-grain caveat as every exact percentile:
+    * corpus-grain imputation should use the approx sketch.
+    */
+  def imputeByGroup(df: DataFrame, groupCols: Seq[String],
+      c: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(c), lit(0.5)), 6).as("__med"))
+    df.join(broadcast(med), groupCols, "left")
+      .withColumn(s"${c}_filled", coalesce(col(c), col("__med")))
+      .drop("__med")
+  }
+
+  /** One-hot encoding to an EXPLICIT vocabulary — same static-schema
+    * contract as [[pivotCounts]]: unlisted values map to all-zeros (plus
+    * an optional `<col>_other` catch-all flag), so the output schema
+    * never depends on the data. Pure projection, codegen'd, no shuffle.
+    */
+  def oneHot(df: DataFrame, c: String, values: Seq[String],
+      withOther: Boolean = true): DataFrame = {
+    val hot = values.map(v =>
+      when(col(c) === v, 1).otherwise(0).as(s"${c}_$v"))
+    val other =
+      if (withOther)
+        Seq(when(col(c).isNotNull && !col(c).isin(values: _*), 1)
+          .otherwise(0).as(s"${c}_other"))
+      else Nil
+    df.select(df.columns.map(col) ++ hot ++ other: _*)
+  }
+
+  /** Smoothed target encoding: each category's mean target, shrunk
+    * toward the global mean by a pseudo-count prior —
+    * `(Σy + m·ȳ) / (n + m)` — the standard leak-resistant categorical
+    * featurizer. Target sums run in exact scaled integers (the
+    * [[graft.engine.Windows.runningTotal]] determinism trick), so the
+    * category mean is order-independent before the one rounded division.
+    * Two tiny aggregates (category-keyed, global) + a broadcast join
+    * back; the fact table is scanned once per aggregate and never
+    * shuffled on the join.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0, scale: Int = 100): DataFrame = {
+    val cents = round(col(targetCol) * scale).cast("long")
+    val perCat = df.groupBy(col(catCol))
+      .agg(sum(cents).as("__s"), count(cents).as("__n"))
+    val global = df.agg((sum(cents).cast("double") /
+      (count(cents) * scale)).as("__gmean"))
+    val enc = perCat.crossJoin(broadcast(global))
+      .select(col(catCol),
+        round((col("__s").cast("double") / scale +
+          lit(smoothing) * col("__gmean")) /
+          (col("__n") + lit(smoothing)), 6).as(s"${catCol}_enc"))
+    df.join(broadcast(enc), Seq(catCol), "left")
+  }
+
   /** Data-quality expectation report: each check is a boolean expectation
     * Column (true = row passes; a NULL verdict counts as a violation, so
     * an expectation over a null field fails loudly instead of slipping

@@ -100,6 +100,19 @@ object Windows {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Within-group percentile rank of a (pre-rounded) score — the
+    * calibration step that turns a raw quality score into "top X% of its
+    * language". `percent_rank` over the rounded score: ties share a rank
+    * on every engine, so no tiebreak column is needed for determinism.
+    * Needs each group's total order — reporting/stratum grain, same
+    * caveat as [[graft.engine.Relational.percentileSummary]].
+    */
+  def percentRankIn(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, outCol: String = "pct_rank"): DataFrame =
+    df.withColumn(outCol, round(percent_rank().over(
+      Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(scoreCol))), 6))
+
   /** Lag/lead feature columns for model training: `value_lag{n}` /
     * `value_lead{n}` per key in time order — the feature-engineering
     * face of OP-WIN-1's array windows when the model wants flat columns.

@@ -148,6 +148,18 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == 3.0)
   }
 
+  test("percentRankIn: ties share ranks, groups isolated") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 5.0),
+      ("h", 9.0)).toDF("grp", "s")
+    val out = Windows.percentRankIn(df, Seq("grp"), "s").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("g", 1.0)) == 0.0)
+    assert(out(("g", 2.0)) == 0.333333) // both tied rows share (2-1)/3
+    assert(out(("g", 5.0)) == 1.0)
+    assert(out(("h", 9.0)) == 0.0)      // singleton group
+  }
+
   test("lagFeatures: offsets share the key order, edges null") {
     import spark.implicits._
     import java.sql.Timestamp

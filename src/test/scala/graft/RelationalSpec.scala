@@ -197,6 +197,39 @@ class RelationalSpec extends SparkSpec {
       .head().getDouble(2) == 2.0)
   }
 
+  test("imputeByGroup: nulls get the group median, observed untouched") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1.0)), ("g", Some(3.0)), ("g", None),
+      ("h", Some(7.0)), ("h", None)).toDF("grp", "v")
+    val out = Relational.imputeByGroup(df, Seq("grp"), "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))) -> r.getDouble(2))
+    assert(out.count(_._2 == 2.0) == 1)  // g's null → median(1,3) = 2
+    assert(out.count(_._2 == 7.0) == 2)  // h's null → 7, observed 7 kept
+  }
+
+  test("oneHot: explicit vocab, other flag, static schema") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), Some("z"), None).toDF("c")
+    val out = Relational.oneHot(df, "c", Seq("a", "b"))
+    assert(out.columns.toSeq == Seq("c", "c_a", "c_b", "c_other"))
+    val m = out.collect().map(r => Option(r.getString(0)) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(m(Some("a")) == ((1, 0, 0)) && m(Some("b")) == ((0, 1, 0)))
+    assert(m(Some("z")) == ((0, 0, 1))) // unlisted → other
+    assert(m(None) == ((0, 0, 0)))      // null → no flag at all
+  }
+
+  test("targetEncode: shrinkage toward the global mean by pseudo-count") {
+    import spark.implicits._
+    // global mean 2.0; cat "a" mean 1.0 (n=2), m=2 → (2 + 2·2)/(2+2)=1.5
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0))
+      .toDF("cat", "y")
+    val out = Relational.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .select("cat", "cat_enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.5, "b" -> 2.5))
+  }
+
   test("qualityChecks: violations counted, null verdict is a violation") {
     import spark.implicits._
     val df = Seq(Some(5.0), Some(500.0), None).toDF("v")
