@@ -67,6 +67,22 @@ object Sinks {
   def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Small-file compaction — the lake-maintenance pass every streaming or
+    * per-batch writer eventually needs (thousands of KB-sized files turn
+    * scan planning and footer reads into the bottleneck long before
+    * data volume does). Range-repartition on `sortCol` into `nFiles`
+    * sorted outputs: each compacted file is a tight, disjoint key range,
+    * so min/max skipping on the sort key survives compaction. Write to a
+    * NEW path then swap — never compact in place (a failed overwrite of
+    * the live path loses data; the swap is the caller's atomic rename).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      sortCol: String, nFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outPath)
+
   /** Bucketed table write — the lakehouse layout that makes repeated
     * equi-joins/aggregations on `bucketCols` shuffle-free: both sides of a
     * join bucketed into the same `n` on the same keys satisfy each other's

@@ -132,6 +132,72 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("n_active"))
   }
 
+  final case class Running(user_id: Long, ts: Timestamp, value: Double,
+      running_value: Double)
+
+  /** Streaming running totals — the continuous face of
+    * [[graft.engine.Windows.runningTotal]] (live ledger balances). State
+    * per key is ONE long (the running scaled-integer total — the same
+    * exactness contract as the batch face: integer accumulation survives
+    * retries bit-identically; a float accumulator would drift). Within a
+    * batch, rows apply in (ts, then arrival) order; emission is
+    * per-event in Append mode. State never expires by design — a ledger
+    * is permanent — so key cardinality bounds memory, not time; callers
+    * with bounded-horizon keys should layer a timeout.
+    */
+  def runningTotals(events: Dataset[Event],
+      scale: Long = 100L): Dataset[Running] = {
+    implicit val outEnc = Encoders.product[Running]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Running](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          var acc = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+            acc += math.round(e.value * scale)
+            Running(userId, e.ts, e.value, acc.toDouble / scale)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+
+  final case class Upsert(key: Long, ts: Timestamp, op: String,
+      payload: String)
+  final case class Current(key: Long, ts: Timestamp, payload: String)
+
+  /** Streaming CDC apply — the continuous consumer of
+    * [[graft.engine.Relational.snapshotDiff]]'s I/U/D feed: latest-wins
+    * per key by (ts, arrival), deletes drop state, and every batch emits
+    * each touched key's CURRENT row (Update mode semantics via
+    * flatMapGroups emission). The materialized-view face of the batch
+    * [[graft.engine.Relational.mergeUpsert]]: state is one payload per
+    * LIVE key — deletes reclaim it, so memory tracks the table's live
+    * cardinality, not the feed's history.
+    */
+  def cdcApply(feed: Dataset[Upsert]): Dataset[Current] = {
+    implicit val outEnc = Encoders.product[Current]
+    implicit val keyEnc = Encoders.scalaLong
+    feed.groupByKey(_.key)
+      .flatMapGroupsWithState[Current, Current](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Upsert], state: GroupState[Current]) =>
+          val ordered = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          ordered.foreach { u =>
+            u.op match {
+              case "D" => cur = None
+              case _   => cur = Some(Current(key, u.ts, u.payload))
+            }
+          }
+          cur match {
+            case Some(c) => state.update(c); Iterator(c)
+            case None    => if (state.exists) state.remove(); Iterator.empty
+          }
+      }
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

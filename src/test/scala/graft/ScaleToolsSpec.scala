@@ -46,6 +46,30 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("compact: many small files → n sorted range files, content intact") {
+    import spark.implicits._
+    import graft.engine.Sinks
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sink/compact_spec"
+    val df = (1 to 1000).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+    df.repartition(16).write.mode("overwrite").parquet(s"$base/in")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(s"$base/in") == 16)
+    Sinks.compact(spark, s"$base/in", s"$base/out", "id", nFiles = 2)
+    assert(parts(s"$base/out") == 2)
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head().getLong(0) == 500500L)
+    // compacted files are disjoint sorted ranges on the sort key
+    val ranges = back.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("writeJsonl: range shards are disjoint key tiles, read round-trips") {
     import spark.implicits._
     import graft.engine.Sinks

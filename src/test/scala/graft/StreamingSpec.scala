@@ -117,6 +117,62 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Long]("n") == 2)
   }
 
+  test("runningTotals: exact balances accumulate across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("lbal")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 0.1),
+        Streaming.Event(1L, Timestamp.valueOf("2024-01-01 10:01:00"), 0.2))
+      q.processAllAvailable()
+      mem.addData( // state survives the batch boundary; 0.1+0.2+0.05=0.35
+        Streaming.Event(1L, Timestamp.valueOf("2024-01-01 10:02:00"), 0.05))
+      q.processAllAvailable()
+      val out = sp.sql("SELECT running_value FROM lbal ORDER BY ts")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(out == Seq(0.1, 0.3, 0.35)) // exact, no float drift
+      // agreement with the batch face on the same concatenated input
+      val batch = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 0L, 0.1),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, 0.2),
+        (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 2L, 0.05))
+        .toDF("k", "ts", "eid", "v")
+      val b = graft.engine.Windows.runningTotal(batch, Seq("k"), "ts", "v",
+        Seq("eid")).orderBy("ts").collect().map(_.getDouble(4)).toSeq
+      assert(b == out)
+    } finally q.stop()
+  }
+
+  test("cdcApply: latest wins, deletes reclaim state, current rows emitted") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[Streaming.Upsert]
+    val q = Streaming.cdcApply(mem.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streaming.Upsert(1L, t(0), "I", "a"),
+        Streaming.Upsert(1L, t(1), "U", "b"), // same batch: latest wins
+        Streaming.Upsert(2L, t(0), "I", "x"))
+      q.processAllAvailable()
+      mem.addData(Streaming.Upsert(2L, t(2), "D", ""))
+      q.processAllAvailable()
+      mem.addData(Streaming.Upsert(2L, t(3), "I", "y")) // re-insert after D
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT key, payload FROM cdc ORDER BY ts, key")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // batch1: current rows (1,b) and (2,x); batch2: delete emits nothing;
+      // batch3: (2,y)
+      assert(rows == Seq((2L, "x"), (1L, "b"), (2L, "y")))
+    } finally q.stop()
+  }
+
   test("ohlcStream agrees with batch ohlcBars, incl. timestamp ties") {
     val sp = spark
     import sp.implicits._
