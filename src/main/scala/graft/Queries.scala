@@ -1103,10 +1103,8 @@ object Queries {
       val px = Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0)
       val py = Seq(0.0, 0.0, 4.0, 4.0, 8.0, 8.0)
       T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        Geometry.pointInPolygon(col("l_quantity") / 5.0,
-          col("l_discount") * 100,
-          array(px.map(lit(_)): _*), array(py.map(lit(_)): _*))
-          .as("inside"))
+        Geometry.pointInPolygonLiteral(col("l_quantity") / 5.0,
+          col("l_discount") * 100, px, py).as("inside"))
     },
     Some({
       val xv = Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0)

@@ -70,9 +70,14 @@ class GeometrySpec extends AnyFunSuite {
       (9.0, 1.0, false), (-1.0, 4.0, false)) // outside bbox
       .toDF("px", "py", "want")
     val out = pts.select(col("want"),
-      Geometry.pointInPolygon(col("px"), col("py"), xs, ys).as("got"))
+      Geometry.pointInPolygon(col("px"), col("py"), xs, ys).as("got"),
+      Geometry.pointInPolygonLiteral(col("px"), col("py"),
+        Seq(0.0, 8.0, 8.0, 4.0, 4.0, 0.0),
+        Seq(0.0, 0.0, 4.0, 4.0, 8.0, 8.0)).as("got_lit"))
       .collect()
     out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+    // the unrolled literal form is the same predicate
+    out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), r))
   }
 
   test("haversineKm: quarter-meridian and zero-distance goldens") {
