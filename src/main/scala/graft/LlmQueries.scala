@@ -1718,9 +1718,40 @@ object LlmQueries {
             AS DOUBLE) / count(*), 6) AS dup_rate
         FROM corpus GROUP BY source"""))
 
+  /** Prefix-filter (PPJoin-style) verified pairs at Jaccard ≥ 0.5 over
+    * the near-dup corpus — the EXACT-threshold fourth candidate family
+    * (zero false negatives, unlike LSH/simhash/SNM).
+    */
+  private val l61 = Spec("q151_dedup_prefix_filter",
+    (s, d) => Dedup.prefixFilterCandidates(nearDupCorpus(s, d),
+      "doc_id", "text", shingleWidth = 3, minJaccard = 0.5),
+    Some(s"""WITH corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
+        tok AS (SELECT doc_id AS doc, unnest(hs) AS h FROM sh),
+        dfq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+        rk AS (SELECT doc, tok.h,
+          row_number() OVER (PARTITION BY doc ORDER BY df, tok.h) AS rk,
+          count(*) OVER (PARTITION BY doc) AS n
+          FROM tok JOIN dfq ON dfq.h = tok.h),
+        pfx AS (SELECT doc, h FROM rk
+          WHERE rk <= n - ceil(CAST(0.5 AS DOUBLE) * n) + 1),
+        pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc < b.doc),
+        v AS (SELECT doc_a, doc_b,
+          round(CASE WHEN len(list_distinct(sa.hs || sb.hs)) > 0 THEN
+            CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+              AS DOUBLE) / CAST(len(list_distinct(sa.hs || sb.hs))
+              AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, 6) AS jac
+          FROM pairs JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, jac FROM v
+        WHERE jac >= CAST(0.5 AS DOUBLE)"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56, l57, l58, l59, l60)
+    l52, l53, l54, l55, l56, l57, l58, l59, l60, l61)
 }

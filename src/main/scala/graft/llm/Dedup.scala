@@ -334,6 +334,51 @@ object Dedup {
       .join(corpus.select(md5(col(textCol).cast("binary"))
         .as("content_hash")).distinct(), Seq("content_hash"), "left_anti")
 
+  /** Prefix-filtering candidate pairs (the PPJoin family, Xiao et al.
+    * WWW'08): for Jaccard ≥ t, two sets MUST share at least one element
+    * among each one's `|s| − ⌈t·|s|⌉ + 1` RAREST elements (global
+    * document-frequency order, ties by hash). Unlike the three
+    * probabilistic families (minhash-LSH, simhash banding, SNM) this is
+    * an EXACT filter — zero false negatives at the threshold — at the
+    * cost of a corpus-wide df pass. Inherently skew-proof: the hot
+    * tokens ("the"-grade shingles) have the HIGHEST df, so they never
+    * enter a prefix and the prefix-token join key is rare by
+    * construction. Shuffles: df aggregate (map-combined), one
+    * (doc→token) rank window, the prefix equi-join, and the verify join
+    * carrying shingle arrays for candidates only.
+    * Output: (doc_a, doc_b, jaccard ≥ t) — verified, not candidates.
+    */
+  def prefixFilterCandidates(docs: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard in (0,1], got $minJaccard")
+    val sets = shingleSets(docs, idCol, textCol, shingleWidth)
+    val toks = sets.select(col("doc"), explode(col("hs")).as("h"))
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(dfreq, Seq("h"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+          .orderBy(col("__df"), col("h"))))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))))
+    val prefixes = ranked
+      .filter(col("__rk") <=
+        col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
+      .select(col("doc"), col("h"))
+    val pairs = prefixes.as("a").join(prefixes.as("b"), Seq("h"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sets.select(col("doc").as("doc_a"), col("hs").as("__sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc").as("doc_b"), col("hs").as("__sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("__sa"), col("__sb")), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
     * shingle-hash-set columns — the verification stage after LSH. Native
     * one-pass expression ([[graft.functions.JaccardSets]]); identical

@@ -1026,6 +1026,27 @@ class LlmSpec extends SparkSpec {
     assert(top.map(_._3).toSeq == Seq(24.0, 20.0, 8.0))
   }
 
+  test("prefixFilterCandidates: exact — equals brute-force pairs at t") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val t = 0.35
+    val got = Dedup.prefixFilterCandidates(docs, "doc_id", "text", 3, t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs, exact jaccard — the zero-false-negative bar
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val want = sets.as("a").join(sets.as("b"),
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        Dedup.jaccard(col("a.hs"), col("b.hs")).as("j"))
+      .filter(round(col("j"), 6) >= t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want) // neither false positives nor false negatives
+  }
+
   test("annMultiProbeTopK: 0-flip equals annTopK; 1-flip widens candidates") {
     import spark.implicits._
     import graft.llm.Similarity
