@@ -1749,9 +1749,54 @@ object LlmQueries {
         SELECT doc_a, doc_b, jac FROM v
         WHERE jac >= CAST(0.5 AS DOUBLE)"""))
 
+  /** Final sequence assembly over the q100 packing: per (source, bin),
+    * member texts concatenated in id order with an EOS separator.
+    */
+  private val l62 = Spec("q152_assemble_sequences",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val packed = graft.llm.Shaping
+        .packSequences(docs, "doc_id", "text", "source", 256)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      graft.llm.Shaping.assembleSequences(packed, "source", "bin",
+        "doc_id", "text")
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id, text,
+          CAST(len($wordsSql) AS INT) AS n_tokens FROM documents),
+        s2 AS (SELECT source, doc_id, text,
+          coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM t),
+        p AS (SELECT source, doc_id, text,
+          CAST(strt // 256 AS BIGINT) AS bin FROM s2)
+        SELECT source, bin, count(*) AS n_docs,
+          string_agg(text, '<|eos|>' ORDER BY doc_id) AS sequence_text
+        FROM p GROUP BY 1, 2"""))
+
+  /** Token-budget selection: best 800 tokens per source (≈60% of each
+    * source's ~1.4k total, so the cut bites at every SF), longest docs
+    * first (negated-length priority, id tiebreak).
+    */
+  private val l63 = Spec("q153_select_to_budget",
+    (s, d) => graft.llm.Shaping.selectToBudget(
+      T(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("__prio", -col("n_chars")),
+      "source", Seq("__prio", "doc_id"), "n_tokens", budgetTokens = 800L)
+      .drop("__prio"),
+    Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
+          CAST(len($wordsSql) AS INT) AS n_tokens FROM documents),
+        c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY -n_chars, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens FROM t)
+        SELECT doc_id, source, n_chars, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 800"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56, l57, l58, l59, l60, l61)
+    l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63)
 }

@@ -101,6 +101,42 @@ object Shaping {
     docs.filter(pmod(polyhash(col(keyCol)), lit(1000)) < rate)
   }
 
+  /** Assemble packed bins into final training sequences: within each
+    * (group, bin) from [[packSequences]], concatenate the member texts
+    * in id order with a separator token — the last shaping step before
+    * tokenization. One (group, bin)-keyed aggregate; `sort_array` of
+    * (id, text) structs makes the concatenation order deterministic
+    * under any partitioning (`collect_list` alone has no order
+    * contract).
+    */
+  def assembleSequences(packed: DataFrame, groupCol: String, binCol: String,
+      idCol: String, textCol: String,
+      separator: String = "<|eos|>"): DataFrame =
+    packed.groupBy(col(groupCol), col(binCol))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_list(struct(col(idCol),
+          col(textCol)))).getField(textCol), separator).as("sequence_text"))
+
+  /** Budget-constrained greedy selection: walk each group's docs in
+    * priority order, keep while the running token total stays within
+    * `budgetTokens` — "take the best N tokens per source", the mixing
+    * primitive behind every per-source token budget. One (group,
+    * priority) window cumsum; rows after the budget line drop out, the
+    * straddling doc is excluded (conservative — the budget is a cap,
+    * not a target). Priority must be totally ordered (pass a rounded
+    * score + id tiebreak).
+    */
+  def selectToBudget(docs: DataFrame, groupCol: String,
+      priorityCols: Seq[String], tokenCol: String,
+      budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priorityCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .withColumnRenamed("__cum", "cum_tokens")
+  }
+
   /** Per-row weighted sampling: keep a row with probability `weight`
     * (a Column in [0,1], e.g. a quality score or a length ramp) — the
     * continuous-weight generalization of [[stratifiedSample]]'s per-

@@ -1114,6 +1114,32 @@ class LlmSpec extends SparkSpec {
     assert(out == Map(1L -> 2)) // punctuation-normalized, both hits found
   }
 
+  test("assembleSequences: id-ordered concat per bin, any partitioning") {
+    import spark.implicits._
+    val packed = Seq(("s", 0L, 2L, "beta"), ("s", 0L, 1L, "alpha"),
+      ("s", 1L, 3L, "gamma"), ("t", 0L, 4L, "delta"))
+      .toDF("src", "bin", "doc_id", "text").repartition(7)
+    val out = graft.llm.Shaping.assembleSequences(packed, "src", "bin",
+      "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(("s", 0L)) == ((2L, "alpha<|eos|>beta"))) // id order, not
+    assert(out(("s", 1L)) == ((1L, "gamma")))            // arrival order
+    assert(out(("t", 0L)) == ((1L, "delta")))
+  }
+
+  test("selectToBudget: greedy cut per group, straddler excluded") {
+    import spark.implicits._
+    val docs = Seq(("s", 1L, 40L), ("s", 2L, 50L), ("s", 3L, 20L),
+      ("t", 4L, 100L)).toDF("src", "doc_id", "n_tokens")
+    val out = graft.llm.Shaping.selectToBudget(docs, "src",
+      Seq("doc_id"), "n_tokens", budgetTokens = 90L).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // s: cum 40, 90 kept; doc 3 at cum 110 excluded (cap, not target);
+    // t: its single doc exceeds the budget outright and drops too
+    assert(out == Map(1L -> 40L, 2L -> 90L))
+  }
+
   test("Shaping.stratifiedSample: rates honored, deterministic, no RNG") {
     import spark.implicits._
     val docs = (1 to 1000).map(i => (i.toLong, s"doc number $i unique", if (i % 2 == 0) "en" else "xx"))
