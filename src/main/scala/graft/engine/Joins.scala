@@ -348,6 +348,9 @@ object Joins {
   def bandJoin(left: DataFrame, right: DataFrame, leftVal: String,
       rightVal: String, eps: Double): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "band join sides must have disjoint column names; got overlap: " +
+        left.columns.intersect(right.columns).mkString(", "))
     val cells = array((-1 to 1).map(o =>
       floor(col(leftVal) / eps).cast("long") + o): _*)
     left.withColumn("__cell", explode(cells))

@@ -235,7 +235,9 @@ object Relational {
     * distinct; phase 2 merges only the nSalts partial sets per key. The
     * salt derives from the VALUE (same value → same salt → distinctness
     * preserved); it never affects the result, so a non-portable hash is
-    * fine here.
+    * fine here. The CSV output assumes values without commas (event
+    * types, status codes); free-text values need the array form — swap
+    * the final `array_join` off.
     */
   def skewSafeDistinctList(df: DataFrame, keys: Seq[String],
       valueCol: String, nSalts: Int = 16): DataFrame =
@@ -363,7 +365,10 @@ object Relational {
     * exchange disappears entirely — the 100 TB form is "sort-merge on
     * pre-bucketed layout", not a rewrite of the base table per batch.
     * Per-column `coalesce(update, base)` keeps the projection inside
-    * whole-stage codegen.
+    * whole-stage codegen — which also means an update row cannot NULL
+    * OUT a populated base field (coalesce falls through); model field
+    * erasure as a sentinel, or as delete+insert via [[snapshotDiff]]'s
+    * feed.
     */
   def mergeUpsert(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
@@ -381,6 +386,8 @@ object Relational {
     */
   def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
       nBins: Int): DataFrame = {
+    require(hi > lo && nBins > 0, s"need lo < hi and nBins > 0, " +
+      s"got [$lo, $hi) / $nBins")
     val w = (hi - lo) / nBins
     val bin = least(greatest(floor((col(c) - lo) / w), lit(0.0)),
       lit((nBins - 1).toDouble)).cast("int")
