@@ -1145,9 +1145,10 @@ object Queries {
       T(s, d, "region")),
     Some("""SELECT r_name AS region_name,
         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS year_month,
-        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
-          / CAST(10000 AS DOUBLE), 2) AS revenue,
+          + CAST(50 AS DOUBLE)) / CAST(100 AS DOUBLE))
+          / CAST(100 AS DOUBLE) AS revenue,
         count(*) AS n_items
         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
           JOIN customer ON c_custkey = o_custkey

@@ -122,7 +122,13 @@ object Pipeline {
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("year_month"))
-      .agg(round(sum(col("__rev")).cast("double") / 10000.0, 2)
-        .as("revenue"), count(lit(1)).as("n_items"))
+      // half-up to whole cents in INTEGER space — round(double, 2) is a
+      // trap for money: a .5 cents boundary (common with two-decimal
+      // inputs) rounds differently across engines depending on whether
+      // they round the shortest decimal repr or the scaled binary value
+      // (found by the sf0.1 sweep: 70334114.865 → .87 vs .86)
+      .agg((floor((sum(col("__rev")).cast("double") + 50.0) / 100.0)
+        .cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 }
