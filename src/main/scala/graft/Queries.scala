@@ -1014,6 +1014,45 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** OP-WIN-14 — dense hourly regrid + interpolation per user (the
+    * composed resample-then-gapfill flagship over the event stream).
+    */
+  private val win14 = Spec("q154_resample_interpolate",
+    (s, d) => Windows.resampleWithInterpolation(
+      T(s, d, "events").select(col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", "value"),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        h AS (SELECT user_id, date_trunc('hour', ts) AS ts,
+          round(avg(value), 6) AS v_mean FROM e GROUP BY 1, 2),
+        span AS (SELECT user_id, min(date_trunc('hour', ts)) AS t0,
+          max(date_trunc('hour', ts)) AS t1 FROM e GROUP BY 1),
+        grid AS (SELECT user_id,
+          unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM span),
+        j AS (SELECT g.user_id, g.ts, h.v_mean
+          FROM grid g LEFT JOIN h ON h.user_id = g.user_id
+            AND h.ts = g.ts),
+        w AS (SELECT user_id, ts, v_mean,
+          last_value(CASE WHEN v_mean IS NOT NULL
+              THEN {'t': epoch_us(ts), 'v6': round(v_mean * 1000000)}
+              END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+          first_value(CASE WHEN v_mean IS NOT NULL
+              THEN {'t': epoch_us(ts), 'v6': round(v_mean * 1000000)}
+              END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+          FROM j)
+        SELECT user_id, ts, v_mean,
+          CASE WHEN v_mean IS NOT NULL THEN v_mean
+            ELSE round(p.v6 + (n.v6 - p.v6) *
+              CAST(epoch_us(ts) - p.t AS DOUBLE)
+              / CAST(n.t - p.t AS DOUBLE))
+              / CAST(1000000 AS DOUBLE) END AS value_interp
+        FROM w"""))
+
   /** OP-AGG-13 — group-median imputation over deterministically-nulled
     * event values.
     */
@@ -1789,7 +1828,7 @@ object Queries {
     win1, win2, win3, win4, win5, win6, win7, win8,
     sort1, set1, set2, set3,
     misc4, misc5, misc6, misc7, misc8, lay1, pipe4, join6, join7, join8,
-    win9, win10, win11, win12, win13, snk4, agg13, agg14, prj4,
+    win9, win10, win11, win12, win13, win14, snk4, agg13, agg14, prj4,
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,

@@ -148,6 +148,56 @@ object Windows {
         .cast("double") / scale, 6))
   }
 
+  /** Regularize to a dense hourly grid + linear gap fill — the composed
+    * resample-then-gapfill shape of the reference's central flow
+    * (`dataset.py` resample + `core.py` gap fill), generalized to any
+    * keyed event stream: per key, every hour between the first and last
+    * observation exists in the output; hours with observations carry
+    * their (rounded) mean, empty hours get the time-weighted blend of
+    * the nearest observed hours ([[interpolateLinear]]), leading/
+    * trailing holes stay null. The grid explode is bounded by each key's
+    * time SPAN (never global calendar × keys), and the aggregate, join,
+    * and window all share the key partitioning.
+    */
+  def resampleWithInterpolation(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String): DataFrame = {
+    val hour = date_trunc("hour", col(timeCol))
+    val hourly = df.groupBy(keyCols.map(col) :+ hour.as("ts"): _*)
+      .agg(round(avg(col(valueCol)), 6).as("v_mean"))
+    val grid = df.groupBy(keyCols.map(col): _*)
+      .agg(min(hour).as("__t0"), max(hour).as("__t1"))
+      .select(keyCols.map(col) :+ explode(sequence(col("__t0"),
+        col("__t1"), expr("INTERVAL 1 HOUR"))).as("ts"): _*)
+    // Interpolate in 10⁻⁶-SCALED INTEGER space, not via round(blend, 6):
+    // blends of 6-decimal means land exactly on 7th-decimal halfways
+    // (dyadic grid fractions × rounded means), where fractional rounding
+    // diverges across engines — a double whose shortest decimal prints
+    // as the halfway rounds up under decimal-string half-up and down
+    // under scaled-binary rounding. Integer-target rounding has no such
+    // trap: z.5 is exactly representable, so identical input doubles
+    // round identically everywhere (the q124 money lesson, one level
+    // deeper).
+    val joined = grid.join(hourly, keyCols :+ "ts", "left")
+    val byTime = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts"))
+    val obs = when(col("v_mean").isNotNull,
+      struct(unix_micros(col("ts")).as("t"),
+        round(col("v_mean") * 1e6).as("v6")))
+    val prev = last(obs, ignoreNulls = true)
+      .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
+    val nxt = first(obs, ignoreNulls = true)
+      .over(byTime.rowsBetween(1, Window.unboundedFollowing))
+    val t = unix_micros(col("ts"))
+    val blend6 = round(col("__p.v6") + (col("__n.v6") - col("__p.v6")) *
+      (t - col("__p.t")).cast("double") /
+      (col("__n.t") - col("__p.t")).cast("double"))
+    joined.withColumn("__p", prev).withColumn("__n", nxt)
+      .withColumn("value_interp",
+        when(col("v_mean").isNotNull, col("v_mean"))
+          .otherwise(blend6 / 1e6))
+      .drop("__p", "__n")
+  }
+
   /** OHLC bars: per (key, time-bucket) the opening/closing values (first/
     * last by a TOTAL (time, tiebreak) order) plus high/low/count. The two
     * opposite-direction row_numbers share one (key, bar) exchange —

@@ -191,6 +191,24 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map(1L -> 0.1, 2L -> 0.3, 3L -> 0.35, 4L -> 9.0))
   }
 
+  test("resampleWithInterpolation: dense grid, hourly means, gap blend") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val df = Seq(
+      ("u", t(1, 10), 10.0), ("u", t(1, 50), 20.0), // hour 1 mean 15
+      ("u", t(4, 0), 45.0))                         // hours 2,3 are holes
+      .toDF("k", "ts", "v")
+    val out = Windows.resampleWithInterpolation(df, Seq("k"), "ts", "v")
+      .collect().map(r => r.getTimestamp(1).toString.take(13) ->
+        ((Option(r.get(2)), r.getDouble(3)))).toMap
+    assert(out.size == 4) // every hour in [1,4] exists
+    assert(out("2024-01-01 01") == ((Some(15.0), 15.0)))
+    assert(out("2024-01-01 02") == ((None, 25.0))) // 15 + (45-15)/3
+    assert(out("2024-01-01 03") == ((None, 35.0)))
+    assert(out("2024-01-01 04") == ((Some(45.0), 45.0)))
+  }
+
   test("interpolateLinear agrees with a reference scan on random gaps") {
     import spark.implicits._
     import java.sql.Timestamp
