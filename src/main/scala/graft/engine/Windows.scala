@@ -180,13 +180,16 @@ object Windows {
     val joined = grid.join(hourly, keyCols :+ "ts", "left")
     val byTime = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("ts"))
+    val byTimeDesc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts").desc)
     val obs = when(col("v_mean").isNotNull,
       struct(unix_micros(col("ts")).as("t"),
         round(col("v_mean") * 1e6).as("v6")))
+    // growing frames only — see [[interpolateLinear]]'s O(n²) note
     val prev = last(obs, ignoreNulls = true)
       .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
-    val nxt = first(obs, ignoreNulls = true)
-      .over(byTime.rowsBetween(1, Window.unboundedFollowing))
+    val nxt = last(obs, ignoreNulls = true)
+      .over(byTimeDesc.rowsBetween(Window.unboundedPreceding, -1))
     val t = unix_micros(col("ts"))
     val blend6 = round(col("__p.v6") + (col("__n.v6") - col("__p.v6")) *
       (t - col("__p.t")).cast("double") /
@@ -311,12 +314,22 @@ object Windows {
     * — no self-join against the non-null subset, which is the naive
     * two-shuffle form. `tiebreakCols` must make the ordering total when
     * the time column can tie within a key.
+    *
+    * Both neighbour lookups are GROWING frames (`unboundedPreceding..-1`
+    * over the forward and the REVERSED ordering), which Spark evaluates
+    * incrementally in O(n) per partition. The tempting direct form for
+    * the next neighbour — `first ignoreNulls over (1,
+    * unboundedFollowing)` — is a shrinking-from-above frame that Spark
+    * re-scans per row: O(n²) per partition, measured 19 s of a 20 s
+    * query on 720-row partitions before this was rewritten.
     */
   def interpolateLinear(df: DataFrame, keyCols: Seq[String], timeCol: String,
       valueCol: String, tiebreakCols: Seq[String] = Nil,
       outCol: String = "value_interp"): DataFrame = {
     val byTime = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    val byTimeDesc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tiebreakCols).map(col(_).desc): _*)
     // Pack (t, v) as ONE struct per observed row so the neighbour's time
     // and value can never come from different rows; the struct is null
     // exactly when the value is, which is what ignoreNulls skips.
@@ -324,8 +337,9 @@ object Windows {
       struct(unix_micros(col(timeCol)).as("t"), col(valueCol).as("v")))
     val prev = last(obs, ignoreNulls = true)
       .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
-    val nxt = first(obs, ignoreNulls = true)
-      .over(byTime.rowsBetween(1, Window.unboundedFollowing))
+    // next-after in forward order == last-before in exact reverse order
+    val nxt = last(obs, ignoreNulls = true)
+      .over(byTimeDesc.rowsBetween(Window.unboundedPreceding, -1))
     val t = unix_micros(col(timeCol))
     val blend = col("__p.v") + (col("__n.v") - col("__p.v")) *
       (t - col("__p.t")).cast("double") /
