@@ -1630,8 +1630,8 @@ object LlmQueries {
         replace(replace(replace(replace(replace(
           regexp_replace('<p class="x">' || text ||
             '</p> &amp; <br/> trailing&nbsp;tail', '<[^>]*>', ' ', 'g'),
-          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-          '&nbsp;', ' '),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+          '&amp;', '&'),
         '[ \t\n\r\f]+', ' ', 'g')) AS clean FROM documents"""))
 
   /** Duplicate-graph structure report: cluster size histogram over the

@@ -1246,8 +1246,9 @@ object Queries {
           round(quantile_cont(value, 0.95), 6) AS hi
         FROM events GROUP BY event_type)
         SELECT event_id, e.event_type, value,
-          least(greatest(value, lo), hi) AS value_w
-        FROM events e JOIN b ON b.event_type = e.event_type"""))
+          CASE WHEN lo IS NULL THEN value
+               ELSE least(greatest(value, lo), hi) END AS value_w
+        FROM events e LEFT JOIN b ON b.event_type = e.event_type"""))
 
   /** OP-WIN-8 — session-level rollup over the q97 sessionization. */
   private val win8 = Spec("q128_session_stats",

@@ -172,6 +172,10 @@ object Geometry {
   def pointInPolygon(px: Column, py: Column, xs: Column,
       ys: Column): Column = {
     val n = size(xs)
+    // Degenerate-ring guard (mirrors the `require` on the literal form):
+    // without it an empty xs makes sequence(0, n-1) the DESCENDING
+    // [0, -1] and the element_at lookups go null — a garbage verdict
+    // instead of a defined one. <3 vertices enclose nothing → false.
     val crossings = aggregate(sequence(lit(0), n - 1), lit(0), (acc, i) => {
       val x1 = element_at(xs, i + 1)
       val y1 = element_at(ys, i + 1)
@@ -182,7 +186,7 @@ object Geometry {
         px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
       acc + when(crosses, 1).otherwise(0)
     })
-    pmod(crossings, lit(2)) === 1
+    when(n >= 3, pmod(crossings, lit(2)) === 1).otherwise(lit(false))
   }
 
   /** [[pointInPolygon]] for a LITERAL polygon — the common case (clip

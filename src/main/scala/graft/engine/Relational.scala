@@ -211,15 +211,21 @@ object Relational {
     * broadcast; the fact side is never shuffled. Same exact-percentile
     * caveat as [[percentileSummary]]: for corpus-grain clamping use
     * approx quantiles instead.
+    *
+    * Rows whose group key is NULL keep their raw value: a NULL key never
+    * equi-matches the bounds frame (even though the aggregate computes a
+    * NULL-group row), so the join is LEFT and the clamp falls back to
+    * the unclamped value — dropping them silently (the inner-join
+    * behavior) would shrink the output on dirty keys.
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], c: String,
       pLo: Double, pHi: Double): DataFrame = {
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(round(percentile(col(c), lit(pLo)), 6).as("__lo"),
         round(percentile(col(c), lit(pHi)), 6).as("__hi"))
-    df.join(broadcast(bounds), groupCols)
-      .withColumn(s"${c}_w",
-        least(greatest(col(c), col("__lo")), col("__hi")))
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(s"${c}_w", when(col("__lo").isNull, col(c))
+        .otherwise(least(greatest(col(c), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

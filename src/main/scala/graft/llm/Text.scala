@@ -336,8 +336,12 @@ object Text {
     */
   def stripMarkup(text: Column): Column = {
     val untagged = regexp_replace(text, "<[^>]*>", " ")
-    val decoded = Seq("amp" -> "&", "lt" -> "<", "gt" -> ">",
-      "quot" -> "\"", "nbsp" -> " ").foldLeft(untagged) {
+    // `&amp;` is decoded LAST: decoding it first would turn an escaped
+    // entity like `&amp;lt;` into `&lt;` and then a second replacement
+    // into a literal `<` (double-decode). Standard entity decoding
+    // replaces the ampersand escape after every other entity.
+    val decoded = Seq("lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "nbsp" -> " ", "amp" -> "&").foldLeft(untagged) {
       case (c, (ent, ch)) => regexp_replace(c, s"&$ent;", ch)
     }
     // explicit class, not \s: Java's \s matches \x0B, RE2's does not —

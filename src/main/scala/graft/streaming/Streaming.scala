@@ -165,7 +165,8 @@ object Streaming {
 
   final case class Upsert(key: Long, ts: Timestamp, op: String,
       payload: String)
-  final case class Current(key: Long, ts: Timestamp, payload: String)
+  final case class Current(key: Long, ts: Timestamp, payload: String,
+      live: Boolean)
 
   /** Streaming CDC apply — the continuous consumer of
     * [[graft.engine.Relational.snapshotDiff]]'s I/U/D feed: latest-wins
@@ -175,6 +176,12 @@ object Streaming {
     * [[graft.engine.Relational.mergeUpsert]]: state is one payload per
     * LIVE key — deletes reclaim it, so memory tracks the table's live
     * cardinality, not the feed's history.
+    *
+    * Deletes of a key the stream has previously emitted produce a
+    * TOMBSTONE row (`live = false`, null payload, the delete's ts) —
+    * without it an Append-mode sink materializing current rows would
+    * keep the stale row forever. A delete for a key never seen emits
+    * nothing (the consumer holds no row to retract).
     */
   def cdcApply(feed: Dataset[Upsert]): Dataset[Current] = {
     implicit val outEnc = Encoders.product[Current]
@@ -185,15 +192,21 @@ object Streaming {
         (key: Long, rows: Iterator[Upsert], state: GroupState[Current]) =>
           val ordered = rows.toSeq.sortBy(_.ts.getTime)
           var cur = state.getOption
+          var delTs: Timestamp = null
           ordered.foreach { u =>
             u.op match {
-              case "D" => cur = None
-              case _   => cur = Some(Current(key, u.ts, u.payload))
+              case "D" => cur = None; delTs = u.ts
+              case _   => cur = Some(Current(key, u.ts, u.payload,
+                live = true))
             }
           }
           cur match {
             case Some(c) => state.update(c); Iterator(c)
-            case None    => if (state.exists) state.remove(); Iterator.empty
+            case None =>
+              if (state.exists) {
+                state.remove()
+                Iterator(Current(key, delTs, null, live = false))
+              } else Iterator.empty
           }
       }
   }

@@ -80,6 +80,19 @@ class GeometrySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), r))
   }
 
+  test("pointInPolygon: degenerate rings (<3 vertices) are false, not null") {
+    val sp = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    val out = sp.range(1).select(
+      Geometry.pointInPolygon(lit(1.0), lit(1.0),
+        array(), array()).as("empty"),
+      Geometry.pointInPolygon(lit(1.0), lit(1.0),
+        array(lit(0.0), lit(2.0)), array(lit(0.0), lit(2.0))).as("segment"))
+      .head()
+    assert(!out.isNullAt(0) && !out.getBoolean(0))
+    assert(!out.isNullAt(1) && !out.getBoolean(1))
+  }
+
   test("haversineKm: quarter-meridian and zero-distance goldens") {
     import org.apache.spark.sql.functions._
     val d = SparkSpec.spark.range(1).select(Geometry.haversineKm(lit(0.0), lit(0.0),

@@ -165,11 +165,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Streaming.Upsert(2L, t(3), "I", "y")) // re-insert after D
       q.processAllAvailable()
-      val rows = sp.sql("SELECT key, payload FROM cdc ORDER BY ts, key")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      // batch1: current rows (1,b) and (2,x); batch2: delete emits nothing;
-      // batch3: (2,y)
-      assert(rows == Seq((2L, "x"), (1L, "b"), (2L, "y")))
+      val rows = sp.sql("SELECT key, payload, live FROM cdc ORDER BY ts, key")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      // batch1: current rows (1,b) and (2,x); batch2: delete of a
+      // previously-emitted key emits a TOMBSTONE (live=false, null
+      // payload) so Append-mode sinks can retract; batch3: (2,y)
+      assert(rows == Seq((2L, "x", true), (1L, "b", true),
+        (2L, null, false), (2L, "y", true)))
     } finally q.stop()
   }
 
