@@ -1794,9 +1794,71 @@ object LlmQueries {
         SELECT doc_id, source, n_chars, n_tokens, cum_tokens FROM c
         WHERE cum_tokens <= 800"""))
 
+  /** Inverted index: per-term df / total tf / capped ascending posting
+    * list — the materialized structure behind the BM25/phrase queries.
+    */
+  private val l64 = Spec("q155_inverted_index",
+    (s, d) => graft.llm.Lexical.invertedIndex(T(s, d, "documents"),
+      "doc_id", "text", maxPostings = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM
+          (SELECT doc_id, unnest(words) AS term FROM t) GROUP BY 1, 2),
+        st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT)
+          AS tf_total FROM tf GROUP BY 1),
+        po AS (SELECT term, array_to_string(
+          list(doc_id ORDER BY doc_id)[1:20], ',') AS postings
+          FROM tf GROUP BY 1)
+        SELECT term, df, tf_total, postings FROM st JOIN po USING (term)"""))
+
+  /** χ² discriminative terms per language label (presence-grain
+    * contingency, exact integer counts, term-mirrored double combine).
+    */
+  private val l65 = Spec("q158_chi2_terms",
+    (s, d) => graft.llm.Lexical.chiSquareTerms(T(s, d, "documents"),
+      "doc_id", "text", "lang", minDf = 5L, k = 10),
+    Some(s"""WITH t AS (SELECT doc_id, lang AS label, $wordsSql AS words
+          FROM documents),
+        dt AS (SELECT doc_id, label, unnest(list_distinct(words)) AS term
+          FROM t),
+        tl AS (SELECT term, label, count(*) AS a FROM dt GROUP BY 1, 2),
+        tdf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df FROM tl
+          GROUP BY 1 HAVING sum(a) >= 5),
+        ln AS (SELECT lang AS label, count(*) AS nl FROM documents
+          GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM documents),
+        cts AS (SELECT tl.label, tl.term, a, df, df - a AS b, nl - a AS c,
+          n - df - (nl - a) AS d, n
+          FROM tl JOIN tdf USING (term) JOIN ln ON ln.label = tl.label
+          CROSS JOIN tot),
+        x AS (SELECT label, term, a, df,
+          CASE WHEN (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) > 0
+            THEN round(CAST(n AS DOUBLE)
+              * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+              / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS chi2 FROM cts),
+        r AS (SELECT label, term, a AS n_label_docs, df, chi2,
+          row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term)
+            AS rank FROM x)
+        SELECT label, term, n_label_docs, df, chi2, CAST(rank AS INT)
+          AS rank FROM r WHERE rank <= 10"""))
+
+  /** Corpus-specific stopword discovery (df ≥ 20% of docs, exact ppm). */
+  private val l66 = Spec("q163_corpus_stopwords",
+    (s, d) => graft.llm.Curation.corpusStopwords(T(s, d, "documents"),
+      "doc_id", "text", minDfPpm = 200000L),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        dt AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM t),
+        c AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM documents)
+        SELECT term, df, (df * 1000000) // nn AS df_ppm FROM c CROSS JOIN n
+        WHERE (df * 1000000) // nn >= 200000"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
-    l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63)
+    l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
+    l64, l65, l66)
 }

@@ -1820,6 +1820,158 @@ object Queries {
         SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
         GROUP BY w_start"""))
 
+  /** OP-WIN-15 — first-order Markov transitions over each user's ordered
+    * event stream, probabilities in exact integer ppm.
+    */
+  private val win15 = Spec("q156_event_transitions",
+    (s, d) => Windows.transitionCounts(T(s, d, "events"), "user_id", "ts",
+      "event_type", tiebreakCols = Seq("event_id")),
+    Some("""WITH s AS (SELECT user_id, event_type, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+          FROM events),
+        c AS (SELECT from_state, event_type AS to_state, count(*) AS n
+          FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot
+          FROM c GROUP BY 1)
+        SELECT from_state, to_state, n, (n * 1000000) // tot AS p_ppm
+        FROM c JOIN t USING (from_state)"""))
+
+  /** OP-AGG-15 — market-basket association pairs over (user, event_type)
+    * co-presence; confidence/lift in exact integer ppm.
+    */
+  private val agg15 = Spec("q157_assoc_pairs",
+    (s, d) => Relational.assocPairs(T(s, d, "events"), "user_id",
+      "event_type", minSupport = 2L),
+    Some("""WITH ti AS (SELECT DISTINCT user_id AS t, event_type AS i
+          FROM events WHERE event_type IS NOT NULL),
+        nt AS (SELECT count(DISTINCT t) AS n FROM ti),
+        cnt AS (SELECT i, count(*) AS c FROM ti GROUP BY i),
+        p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+          FROM ti l JOIN ti r ON l.t = r.t AND l.i < r.i
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT item_a, item_b, n_ab,
+          (n_ab * 1000000) // ca.c AS conf_ppm,
+          (n_ab * nt.n * 1000000) // (ca.c * cb.c) AS lift_ppm
+        FROM p CROSS JOIN nt
+        JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b"""))
+
+  /** OP-AGG-16 — robust (median/MAD) outlier flags per event type. */
+  private val agg16 = Spec("q159_mad_outliers",
+    (s, d) => Relational.madOutliers(
+      T(s, d, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      Seq("event_type"), "value", zCut = 3.5),
+    Some("""WITH e AS (SELECT event_id, event_type, value FROM events),
+        m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM e GROUP BY 1),
+        md AS (SELECT e.event_type, any_value(med) AS med,
+          quantile_cont(abs(value - med), 0.5) AS mad
+          FROM e JOIN m USING (event_type) GROUP BY e.event_type)
+        SELECT event_id, e.event_type, value,
+          CASE WHEN mad > 0 THEN
+            round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6)
+          END AS robust_z,
+          coalesce(CASE WHEN mad > 0 THEN
+            abs(round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6))
+              > CAST(3.5 AS DOUBLE) END, FALSE) AS is_outlier
+        FROM e LEFT JOIN md USING (event_type)"""))
+
+  /** OP-AGG-17 — per-group linear regression from integer-exact
+    * sufficient statistics (price cents vs quantity per return flag).
+    */
+  private val agg17 = Spec("q160_group_regression",
+    (s, d) => Relational.groupRegression(T(s, d, "lineitem"),
+      Seq("l_returnflag"), round(col("l_quantity")),
+      round(col("l_extendedprice") * 100)),
+    Some("""WITH s AS (SELECT l_returnflag,
+          CAST(round(l_quantity) AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        a AS (SELECT l_returnflag, count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM s GROUP BY 1),
+        f AS (SELECT l_returnflag, n, sx, sy,
+          CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+          CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+          FROM a)
+        SELECT l_returnflag, n,
+          CASE WHEN denx > 0 THEN
+            round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+          END AS slope,
+          CASE WHEN denx > 0 THEN round((CAST(sy AS DOUBLE)
+            - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+          END AS intercept,
+          CASE WHEN denx > 0 AND deny > 0 THEN
+            round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+              / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+          END AS r2
+        FROM f"""))
+
+  /** OP-JOIN-9 — Bloom-pruned equi-join; the oracle is the PLAIN join
+    * (no false negatives), which is exactly the operator's contract.
+    */
+  private val join9 = Spec("q161_bloom_join",
+    (s, d) => Joins.bloomPrunedJoin(
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey").as("p_partkey")),
+      T(s, d, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand")),
+      "p_partkey"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+          l_partkey AS p_partkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 1"""))
+
+  /** OP-MISC-9 — integer-exact PageRank (3 synchronous rounds, ppm
+    * ranks) over the supplier→customer shipment graph.
+    */
+  private val misc9 = Spec("q162_pagerank",
+    (s, d) => {
+      val e = T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      Graph.pageRankPpm(e, "src", "dst", iters = 3)
+    },
+    Some("""WITH e AS (SELECT DISTINCT
+          's' || CAST(l_suppkey AS VARCHAR) AS src,
+          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        c1 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY dst),
+        r1 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY dst),
+        r2 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY dst),
+        r3 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c3 USING (id))
+        SELECT id, rank FROM r3"""))
+
+  /** OP-AGG-18 — full CUBE with per-dimension grouping markers (the
+    * packed grouping_id's bit order is an engine convention; the 0/1
+    * marker per column is not).
+    */
+  private val agg18 = Spec("q164_cube_quantity",
+    (s, d) => Relational.cubeAgg(T(s, d, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      "sum_qty" -> sum(col("l_quantity")), "n" -> count(lit(1))),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          count(*) AS n, CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -1833,7 +1985,8 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2) ++ LlmQueries.specs
+    pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
+    win15, agg15, agg16, agg17, join9, misc9, agg18) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -197,6 +197,70 @@ object Joins {
     saltedFact.join(saltedSide, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  private val pow2: Array[Long] = Array.tabulate(64)(i => 1L << i)
+
+  /** Bloom-pruned equi-join: filter the fact side through a Bloom filter
+    * of the dim side's join keys BEFORE the join, then join exactly. The
+    * result is IDENTICAL to the plain inner join (a Bloom filter has no
+    * false negatives; false positives just reach the join and miss), so
+    * the oracle for this operator is the plain join itself — what the
+    * filter buys is that the shuffle after a selective dim predicate
+    * carries only `fpRate + matchRate` of the fact rows instead of all of
+    * them, the classic semi-join reduction when the dim side is too big
+    * to broadcast whole but its KEY SET fits a few KB of bits.
+    *
+    * Build shape: k positions per distinct dim key (Kirsch–Mitzenmacher
+    * double hashing over [[graft.functions.PolyHash]] — portable, unlike
+    * xxhash64), bit-packed DISTRIBUTED via a (word → bit_or) aggregate;
+    * only the finished `mBits/64` words land on the driver (16 KB at the
+    * default 2¹⁷ bits — bounded by CONFIG, not by dim cardinality) and
+    * ship back as one plan literal. The per-row membership test is pure
+    * codegen'd Column arithmetic (shift/mod/element_at/bitwiseAND) — no
+    * UDF, no custom expression needed.
+    *
+    * Size `mBits` ≈ 10–15 bits per distinct dim key for ~1% fp; an
+    * undersized filter stays CORRECT (it only prunes less).
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      mBits: Int = 1 << 17, nHashes: Int = 3): DataFrame =
+    fact.filter(bloomMightContain(dim, key, mBits, nHashes))
+      .join(dim, Seq(key))
+
+  /** The membership-test half of [[bloomPrunedJoin]], exposed so callers
+    * can push the same pruning predicate into OTHER dataflows over the
+    * fact table (and so the false-positive rate is measurable directly).
+    * Builds the filter eagerly (one dim-side job at plan-build time; the
+    * collect is `mBits/64` words — config-bounded) and returns the
+    * per-row test as a pure Column over `key`. NULL keys test false,
+    * matching inner-join semantics.
+    */
+  def bloomMightContain(dim: DataFrame, key: String, mBits: Int = 1 << 17,
+      nHashes: Int = 3): Column = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(nHashes >= 1 && nHashes <= 8, "1..8 hash functions")
+    import graft.functions.PolyHash.polyhash
+    def positions(c: Column): Seq[Column] = {
+      val s = c.cast("string")
+      val h1 = polyhash(s)
+      val h2 = polyhash(concat(s, lit("#")))
+      (0 until nHashes).map(i =>
+        pmod(h1 + lit(i.toLong) * h2 + lit(i.toLong * i), lit(mBits.toLong)))
+    }
+    val wordOf = (pos: Column) => shiftright(pos, 6).cast("int")
+    val maskOf = (pos: Column) =>
+      element_at(lit(pow2), pmod(pos, lit(64L)).cast("int") + 1)
+    val built = dim.select(col(key).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+      .select(explode(array(positions(col("__k")): _*)).as("__pos"))
+      .groupBy(wordOf(col("__pos")).as("__w"))
+      .agg(bit_or(maskOf(col("__pos"))).as("__bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val words = lit(Array.tabulate(mBits / 64)(i => built.getOrElse(i, 0L)))
+    positions(col(key)).map(pos =>
+      element_at(words, wordOf(pos) + 1).bitwiseAND(maskOf(pos)) =!= 0L)
+      .reduce(_ && _)
+  }
+
   /** As-of join — for each left row, the LATEST right row with
     * `right.time <= left.time` on the same key (point-in-time enrichment:
     * trade/quote, event/last-context). Spark has no native as-of join; the

@@ -441,4 +441,124 @@ object Relational {
       .agg(aggs.head._2.as(aggs.head._1),
         (aggs.tail.map { case (n, c) => c.as(n) } :+
           grouping_id().cast("int").as("gid")): _*)
+
+  /** Full CUBE over the grouping dimensions — every subset of `dims` gets
+    * its subtotal row, in one pass (one Expand + one shuffle, not 2^k
+    * jobs). Emits one 0/1 `g_<dim>` marker PER DIMENSION instead of the
+    * combined grouping_id: the bit order of a packed id is an
+    * engine-convention detail (Spark's MSB-first vs others'), while the
+    * per-column marker is unambiguous everywhere.
+    */
+  def cubeAgg(df: DataFrame, dims: Seq[String],
+      aggs: (String, Column)*): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        (aggs.tail.map { case (n, c) => c.as(n) } ++
+          dims.map(d => grouping(col(d)).cast("int").as(s"g_$d"))): _*)
+
+  /** Robust outlier flags per group: modified z-score against the group's
+    * median/MAD (`z = 0.6745·(x − med) / MAD`, Iglewicz–Hoaglin), flagged
+    * at `|z| > zCut`. Median-based, so a heavy tail can't drag its own
+    * threshold the way mean/stddev z-scores do. Two group-grain
+    * aggregates (median, then MAD of residuals) + one broadcast join back
+    * to the facts — the fact side is never shuffled. Groups with MAD = 0
+    * (constant-valued) and rows with a NULL group key flag nothing and
+    * carry a null z, same left-join fallback contract as [[winsorize]].
+    * z is rounded to 6 dp on both engines; the flag compares the ROUNDED
+    * z so the cut is repr-stable.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], c: String,
+      zCut: Double): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(c), lit(0.5)).as("__med"))
+    val mad = df.join(broadcast(med), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("__med")).as("__med"),
+        percentile(abs(col(c) - col("__med")), lit(0.5)).as("__mad"))
+    df.join(broadcast(mad), groupCols, "left")
+      .withColumn("robust_z",
+        when(col("__mad") > 0d,
+          round(lit(0.6745) * (col(c) - col("__med")) / col("__mad"), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > zCut, lit(false)))
+      .drop("__med", "__mad")
+  }
+
+  /** Per-group simple linear regression (slope / intercept / r²) with
+    * ENGINE-EXACT sufficient statistics: x and y enter as integers (the
+    * caller scales, e.g. cents), so Σx, Σy, Σxy, Σx², Σy² are integer
+    * sums — exact and order-independent, immune to the FP-accumulation
+    * nondeterminism that makes naive `regr_slope` hash-unstable across
+    * engines. The closed forms combine those sums in DECIMAL(38,0) (the
+    * n·Σxy − Σx·Σy products overflow a 64-bit long at ~10⁶ rows), then
+    * divide once in double and round to 6 dp. One aggregate, one shuffle
+    * at group grain. Degenerate groups (n < 2 or zero x-variance) yield
+    * null coefficients.
+    */
+  def groupRegression(df: DataFrame, groupCols: Seq[String],
+      xInt: Column, yInt: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = df
+      .select(groupCols.map(col) :+ xInt.cast("long").as("__x") :+
+        yInt.cast("long").as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      // product sums go through decimal(38,0): Σy² over ~10⁶ rows of
+      // cents² exceeds 2⁶³ and a long sum would WRAP silently
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x").cast(d38) * col("__y").cast(d38)).as("sxy"),
+        sum(col("__x").cast(d38) * col("__x").cast(d38)).as("sxx"),
+        sum(col("__y").cast(d38) * col("__y").cast(d38)).as("syy"))
+    val num = col("n").cast(d38) * col("sxy").cast(d38) -
+      col("sx").cast(d38) * col("sy").cast(d38)
+    val denX = col("n").cast(d38) * col("sxx").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38)
+    val denY = col("n").cast(d38) * col("syy").cast(d38) -
+      col("sy").cast(d38) * col("sy").cast(d38)
+    val slopeRaw = num.cast("double") / denX.cast("double")
+    stats
+      .withColumn("slope", when(denX > 0, round(slopeRaw, 6)))
+      .withColumn("intercept", when(denX > 0, round(
+        (col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+          col("n").cast("double"), 6)))
+      .withColumn("r2", when(denX > 0 && denY > 0, round(
+        (num.cast("double") * num.cast("double")) /
+          (denX.cast("double") * denY.cast("double")), 6)))
+      .drop("sx", "sy", "sxy", "sxx", "syy")
+  }
+
+  /** Association pairs over (transaction, item) co-occurrence — the
+    * market-basket classic: for every unordered item pair {a, b} present
+    * in the same transaction, support count, confidence(a→b), and lift,
+    * the latter two in exact parts-per-million (integer floor division —
+    * no FP ratio ever materializes, so the output is engine-exact).
+    * Shape: distinct (txn, item) first (map-side combine shrinks dup
+    * events), then a self-join on txn with `item_a < item_b`. Per-txn
+    * item sets are vocabulary-bounded (event types, product categories),
+    * so the join fan-out per transaction is k², k small — the standard
+    * scale posture for pair mining; an unbounded item domain needs the
+    * LSH family instead. `minSupport` prunes the pair tail.
+    */
+  def assocPairs(df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val ti = df.select(col(txnCol).as("__t"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val nTxn = ti.select(countDistinct(col("__t")).as("__n"))
+    val itemN = ti.groupBy(col("__i")).agg(count(lit(1)).as("__cnt"))
+    val pairs = ti.as("l")
+      .join(ti.as("r"), col("l.__t") === col("r.__t") &&
+        col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__cnt", "__na")), Seq("item_a"))
+      .join(broadcast(itemN.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__cnt", "__nb")), Seq("item_b"))
+      .crossJoin(broadcast(nTxn))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("(n_ab * 1000000) DIV __na").as("conf_ppm"),
+        expr("(n_ab * __n * 1000000) DIV (__na * __nb)").as("lift_ppm"))
+  }
 }

@@ -130,6 +130,34 @@ object Windows {
       d.withColumn(s"${valueCol}_lead$n", lead(col(valueCol), n).over(w)))
   }
 
+  /** First-order Markov transition counts over each key's ordered event
+    * stream: every consecutive (from_state → to_state) step, with the
+    * transition probability in exact parts-per-million (integer floor
+    * division of the count by the from-state's total outgoing steps — no
+    * FP ratio, engine-exact). One lag window sharing the key partitioning
+    * with everything else keyed this way, then a state-pair aggregate
+    * (state-vocabulary-sized — tiny) and a broadcast join of the
+    * from-state totals. The behavioral-analytics face of
+    * [[graft.engine.Relational.assocPairs]]: ordered steps, not
+    * co-presence.
+    */
+  def transitionCounts(df: DataFrame, keyCol: String, timeCol: String,
+      stateCol: String, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    val steps = df
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"),
+        col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    steps.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(n * 1000000) DIV __tot").as("p_ppm"))
+  }
+
   /** Exact running total per key (ledger/balance semantics): cumulative
     * sum in scaled integer units so the partial order of additions can
     * never change the result — a float cumsum re-run after a partition

@@ -296,4 +296,25 @@ object Curation {
         min(when(col("n_docs").isNotNull, col("pos")))
           .as("first_repeated_pos"))
   }
+
+  /** Corpus-specific stopword discovery: terms whose document frequency
+    * exceeds `minDfPpm` parts-per-million of the corpus — the data-driven
+    * replacement for a hand-curated stopword list (every corpus has its
+    * own "click", "subscribe", "loading"). df is presence-grain (distinct
+    * per doc before the explode aggregates), and the df/N ratio is exact
+    * integer ppm, so the cut is engine-exact at any corpus size. One
+    * explode → one term aggregate; output is vocabulary-sized.
+    */
+  def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
+      minDfPpm: Long): DataFrame = {
+    val total = docs.select(count(lit(1)).as("__n"))
+    docs.select(col(idCol).as("__id"),
+        explode(array_distinct(graft.llm.Text.tokens(col(textCol))))
+          .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .withColumn("df_ppm", expr("(df * 1000000) DIV __n"))
+      .filter(col("df_ppm") >= minDfPpm)
+      .select(col("term"), col("df"), col("df_ppm"))
+  }
 }

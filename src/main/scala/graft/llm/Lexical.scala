@@ -150,4 +150,85 @@ object Lexical {
       .select(col(idCol), col("rank_a"), col("rank_b"),
         round(col("rrf"), 6).as("rrf"))
   }
+
+  /** Inverted index build — the materialized retrieval structure behind
+    * [[bm25Search]]/[[phraseSearch]]: per term, document frequency, total
+    * occurrence count, and the posting list (ascending doc ids, CSV).
+    * Postings are CAPPED at `maxPostings` ids per term via a per-term
+    * WindowGroupLimit — the cap is the hot-key guard: "the" would
+    * otherwise collect a posting array proportional to the corpus into
+    * one reducer row (same discipline as `maxBucket` in the dedup
+    * family). df/tf stay EXACT over all occurrences (computed before the
+    * cap); only the materialized list truncates. One explode → one
+    * (term, doc) aggregate → one term-grain aggregate.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("__id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__id")).agg(count(lit(1)).as("__tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("tf_total"))
+    val postings = tf
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("__id"))))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(transform(sort_array(collect_list(col("__id"))),
+        _.cast("string")), ",").as("postings"))
+    stats.join(postings, Seq("term"))
+  }
+
+  /** χ²-based discriminative term selection per label — the classic
+    * feature-selection / corpus-contrast report (which terms mark German
+    * docs, which mark a crawl source). Presence-grain contingency per
+    * (term, label): a = label docs with term, b = other docs with term,
+    * c = label docs without, d = rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)
+    * (b+d)). Counts are exact longs; ad−bc is computed in LONG (exact —
+    * products are bounded by N², well under 2⁶³), cast to double once,
+    * and the final expression mirrors term-for-term in the oracle, so
+    * the double arithmetic is IEEE-identical cross-engine (no libm, no
+    * sum-order dependence). Top-`k` per label on (rounded χ², term).
+    *
+    * Shape: distinct (doc, label, term) explode → (term, label) counts;
+    * label totals are label-cardinality-sized and broadcast. `minDf`
+    * prunes the term tail before the window.
+    *
+    * Candidates are terms PRESENT in the label (a > 0): this reports
+    * positive markers; a term discriminative by its ABSENCE ranks in the
+    * labels it does appear in, not here.
+    */
+  def chiSquareTerms(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long, k: Int): DataFrame = {
+    val docTerm = docs.select(col(idCol).as("__id"), col(labelCol).as("label"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("term"))
+    val tl = docTerm.groupBy(col("term"), col("label"))
+      .agg(count(lit(1)).as("a"))
+    val termDf = tl.groupBy(col("term")).agg(sum(col("a")).as("__df"))
+      .filter(col("__df") >= minDf)
+    val labelN = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nl"))
+    val total = docs.select(count(lit(1)).as("__n"))
+    val counts = tl.join(termDf, Seq("term"))
+      .join(broadcast(labelN), Seq("label"))
+      .crossJoin(broadcast(total))
+      .withColumn("b", col("__df") - col("a"))
+      .withColumn("c", col("__nl") - col("a"))
+      .withColumn("d", col("__n") - col("__df") - col("c"))
+    val adbc = (col("a") * col("d") - col("b") * col("c")).cast("double")
+    val den = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")).cast("double") *
+      (col("a") + col("c")).cast("double") *
+      (col("b") + col("d")).cast("double")
+    counts
+      .withColumn("chi2",
+        when(den > 0d, round(col("__n").cast("double") * adbc * adbc / den, 6))
+          .otherwise(lit(0d)))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("chi2").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("term"), col("a").as("n_label_docs"),
+        col("__df").as("df"), col("chi2"), col("rank"))
+  }
 }

@@ -317,4 +317,22 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map((100L, 0L) -> 2L, (100L, 1L) -> 1L,
       (100L, 2L) -> 1L, (101L, 0L) -> 1L))
   }
+
+  test("transitionCounts: ordered per key, tie-broken, exact ppm floors") {
+    import spark.implicits._
+    def t(m: Int) = ts(f"2024-01-01 10:$m%02d:00")
+    // user 1: A→B→A→C (ties at :01 broken by the eid tiebreak)
+    // user 2: A→C; first event of each user contributes no transition
+    val ev = Seq((1L, t(0), 1L, "A"), (1L, t(1), 2L, "B"),
+      (1L, t(1), 3L, "A"), (1L, t(2), 4L, "C"),
+      (2L, t(0), 5L, "A"), (2L, t(3), 6L, "C"))
+      .toDF("uid", "ts", "eid", "state")
+    val out = Windows.transitionCounts(ev, "uid", "ts", "state",
+      tiebreakCols = Seq("eid")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from A: A→B 1, A→C 2 of 3 total → 333333 / 666666 (floor)
+    assert(out == Map(("A", "B") -> ((1L, 333333L)),
+      ("A", "C") -> ((2L, 666666L)), ("B", "A") -> ((1L, 1000000L))))
+  }
 }

@@ -1156,4 +1156,45 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
   }
+
+  test("invertedIndex: df/tf exact over all docs, posting list capped") {
+    import spark.implicits._
+    val docs = Seq((3L, "x x y"), (1L, "x z"), (2L, "x")).toDF("id", "text")
+    val out = graft.llm.Lexical.invertedIndex(docs, "id", "text",
+      maxPostings = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // x: df 3, tf 4 (doc 3 has two), postings capped to the 2 SMALLEST ids
+    assert(out("x") == ((3L, 4L, "1,2")))
+    assert(out("y") == ((1L, 1L, "3")))
+    assert(out("z") == ((1L, 1L, "1")))
+  }
+
+  test("chiSquareTerms: perfectly discriminative term ranks first") {
+    import spark.implicits._
+    // "foo" appears in ALL de docs and NO en docs; fillers shared
+    val docs = Seq(
+      (1L, "de", "foo und und"), (2L, "de", "foo und oder"),
+      (3L, "de", "foo oder"), (4L, "en", "and or"),
+      (5L, "en", "and and or"), (6L, "en", "or und")).toDF("id", "lang", "t")
+    val out = graft.llm.Lexical.chiSquareTerms(docs, "id", "t", "lang",
+      minDf = 1L, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(5)) -> r.getString(1)).toMap
+    // a=3,b=0,c=0,d=3 → chi2 = 6·(3·3)²/(3·3·3·3) = 6; shared terms score
+    // lower ("und": a=2,b=1 → 0.667; "oder": a=2,b=0 → 3)
+    assert(out(("de", 1)) == "foo")
+    // "or" is the en mirror image (all 3 en docs, no de doc)
+    assert(out(("en", 1)) == "or")
+  }
+
+  test("corpusStopwords: ppm threshold is an exact integer cut") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the the fox"))
+      .toDF("id", "text")
+    val out = graft.llm.Curation.corpusStopwords(docs, "id", "text",
+      minDfPpm = 600000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // df("the")=3 (presence-grain, not 4) → 1_000_000 ppm; others 333333
+    assert(out == Set(("the", 3L, 1000000L)))
+  }
 }

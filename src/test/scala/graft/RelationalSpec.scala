@@ -360,4 +360,71 @@ class RelationalSpec extends SparkSpec {
       ("r", null, 3.0, 1), ("s", null, 4.0, 1), // level-1 subtotals
       (null, null, 7.0, 3)))                    // grand total
   }
+
+  test("cubeAgg: every dimension subset present, per-dim markers") {
+    import spark.implicits._
+    val df = Seq(("r", "x", 1.0), ("r", "y", 2.0), ("s", "x", 4.0))
+      .toDF("a", "b", "v")
+    val out = Relational.cubeAgg(df, Seq("a", "b"),
+      "sv" -> sum(col("v")))
+      .collect()
+      .map(r => (r.get(0), r.get(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(out == Set(
+      ("r", "x", 1.0, 0, 0), ("r", "y", 2.0, 0, 0), ("s", "x", 4.0, 0, 0),
+      ("r", null, 3.0, 0, 1), ("s", null, 4.0, 0, 1), // by a
+      (null, "x", 5.0, 1, 0), (null, "y", 2.0, 1, 0), // by b (rollup lacks)
+      (null, null, 7.0, 1, 1)))
+  }
+
+  test("madOutliers: robust flag, constant group silent, null key kept") {
+    import spark.implicits._
+    // group g: eight 10s and one 1000 → med 10, MAD small but residuals 0
+    // for the 10s... use a spread so MAD > 0: 1..9 and 1000
+    val g = (1 to 9).map(i => ("g", i.toDouble)) :+ (("g", 1000.0))
+    val c = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)) // MAD = 0
+    val n = Seq((null.asInstanceOf[String], 7.0))
+    val out = Relational.madOutliers(
+      (g ++ c ++ n).toDF("k", "v"), Seq("k"), "v", zCut = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3)))
+    val gRows = out.filter(_._1 == "g")
+    assert(gRows.count(_._4) == 1)                 // only the 1000 flags
+    assert(gRows.find(_._2 == 1000.0).get._4)
+    assert(out.filter(_._1 == "c").forall(r => r._3 == null && !r._4))
+    val nullRow = out.find(_._1 == null).get       // kept, unflagged
+    assert(nullRow._3 == null && !nullRow._4)
+  }
+
+  test("groupRegression: exact line recovered, degenerate group null") {
+    import spark.implicits._
+    // y = 3x + 2 exactly; x-variance present
+    val exact = Seq(1L, 2L, 3L, 4L).map(x => ("a", x, 3 * x + 2))
+    val flat = Seq(("b", 5L, 9L), ("b", 5L, 11L)) // zero x-variance
+    val out = Relational.groupRegression(
+      (exact ++ flat).toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getDouble(a.fieldIndex("slope")) == 3.0)
+    assert(a.getDouble(a.fieldIndex("intercept")) == 2.0)
+    assert(a.getDouble(a.fieldIndex("r2")) == 1.0)
+    val b = out("b")
+    assert(b.isNullAt(b.fieldIndex("slope")) &&
+      b.isNullAt(b.fieldIndex("intercept")) && b.isNullAt(b.fieldIndex("r2")))
+  }
+
+  test("assocPairs: support/confidence/lift in exact ppm, floor division") {
+    import spark.implicits._
+    // 4 txns: {A,B} {A,B} {A,C} {B}; dup (1,A) row collapses at distinct
+    val df = Seq((1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"), (4, "B")).toDF("t", "i")
+    val out = Relational.assocPairs(df, "t", "i", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // n(A)=3, n(B)=3, n(C)=1, txns=4
+    // {A,B}: n=2, conf=2e6 DIV 3 = 666666, lift = 2*4e6 DIV 9 = 888888
+    // {A,C}: n=1, conf=1e6 DIV 3 = 333333, lift = 4e6 DIV 3 = 1333333
+    assert(out == Set(("A", "B", 2L, 666666L, 888888L),
+      ("A", "C", 1L, 333333L, 1333333L)))
+  }
 }

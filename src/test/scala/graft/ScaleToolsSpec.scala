@@ -361,4 +361,44 @@ class ScaleToolsSpec extends SparkSpec {
     assert(row.getInt(2) == 1000 % 240 + 1)
     assert(row.getLong(3) == "payload-bytes".length)
   }
+
+  test("bloomPrunedJoin ≡ plain join; the pre-join filter actually prunes") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(i => (i % 500, s"f$i")).toDF("k", "fv")
+    val dim = Seq((3L, "a"), (7L, "b"), (480L, "c"), (999L, "never"))
+      .toDF("k", "dv")
+    val got = Joins.bloomPrunedJoin(fact, dim, "k", mBits = 1 << 10)
+    val want = fact.join(dim, Seq("k"))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      want.collect().map(_.toString).sorted.toSeq)
+    // the membership test sits UNDER the join: a fact-side Filter doing
+    // word lookups (element_at against the packed literal). Checked on
+    // the ANALYZED plan — on a LocalRelation fixture the optimizer's
+    // ConvertToLocalRelation evaluates the filter eagerly and it
+    // disappears from the physical plan (on a file scan it stays).
+    assert(got.queryExecution.analyzed.toString.contains("element_at"))
+    // prune power, measured on the exposed predicate: all 4 dim keys
+    // pass (no false negatives — the Bloom guarantee the oracle relies
+    // on), and of the 496 non-dim fact keys only a small fp tail leaks
+    // (1024 bits / 3 hashes / 4 keys → fp ≈ 0.2%; allow ≤ 5%)
+    val kept = fact.select("k").distinct()
+      .filter(Joins.bloomMightContain(dim, "k", mBits = 1 << 10))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 7L, 480L).subsetOf(kept))
+    assert(kept.size <= 3 + 25)
+    // NULL keys test false, matching inner-join semantics
+    val nullKept = Seq[Option[Long]](None).toDF("k")
+      .filter(Joins.bloomMightContain(dim, "k", mBits = 1 << 10)).count()
+    assert(nullKept == 0)
+  }
+
+  test("pageRankPpm: hand-computed 3-node golden, integer-exact") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("s", "t")
+    val out = graft.engine.Graph.pageRankPpm(e, "s", "t", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r1: a=1000000, b=c=575000; r2: a=638750, b=c=575000;
+    // r3: a=638750, b=c=150000+(85*319375)DIV 100=421468 (floor, exact)
+    assert(out == Map("a" -> 638750L, "b" -> 421468L, "c" -> 421468L))
+  }
 }
