@@ -1855,10 +1855,32 @@ object LlmQueries {
         SELECT term, df, (df * 1000000) // nn AS df_ppm FROM c CROSS JOIN n
         WHERE (df * 1000000) // nn >= 200000"""))
 
+  /** LSH estimator calibration: estimated vs exact Jaccard per surfaced
+    * candidate pair, integer-ppm error — the (k, bands, threshold)
+    * tuning report.
+    */
+  private val l67 = Spec("q167_lsh_calibration",
+    (s, d) => Dedup.lshCalibration(nearDupCorpus(s, d), "doc_id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+      maxBucket = 1000),
+    Some(s"""WITH $lshCtes,
+        cand AS (SELECT doc_a, doc_b, est_jaccard FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        j AS (SELECT c.doc_a, c.doc_b,
+          CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_ppm,
+          CAST(round((CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+            CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x)))
+              AS DOUBLE) / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END) * 1000000) AS BIGINT) AS exact_ppm
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, est_ppm, exact_ppm,
+          abs(est_ppm - exact_ppm) AS err_ppm FROM j"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66)
+    l64, l65, l66, l67)
 }

@@ -1972,6 +1972,35 @@ object Queries {
           CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** OP-AGG-19 — lower weighted median per group, integer-exact pick. */
+  private val agg19 = Spec("q165_weighted_median",
+    (s, d) => Relational.weightedMedian(
+      T(s, d, "events").select(col("event_type"),
+        floor(col("value")).cast("long").as("v"),
+        (pmod(col("event_id"), lit(7)) + 1).as("w")),
+      Seq("event_type"), "v", "w"),
+    Some("""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+          event_id % 7 + 1 AS w FROM events WHERE value IS NOT NULL),
+        gv AS (SELECT event_type, v, CAST(sum(w) AS BIGINT) AS w
+          FROM e GROUP BY 1, 2),
+        c AS (SELECT event_type, v,
+          sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+          sum(w) OVER (PARTITION BY event_type) AS tw FROM gv)
+        SELECT event_type, min(v) AS weighted_median FROM c
+        WHERE cw * 2 >= tw GROUP BY 1"""))
+
+  /** OP-MISC-10 — hot-key skew report (the salt-or-not decision input). */
+  private val misc10 = Spec("q166_key_skew",
+    (s, d) => Relational.keySkewReport(T(s, d, "events"), Seq("user_id"),
+      topK = 10),
+    Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS nn FROM events),
+        r AS (SELECT user_id, n, row_number() OVER
+          (ORDER BY n DESC, user_id) AS rank FROM c)
+        SELECT user_id, n, (n * 1000000) // nn AS share_ppm,
+          CAST(rank AS INT) AS rank FROM r CROSS JOIN t
+        WHERE rank <= 10"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -1986,7 +2015,8 @@ object Queries {
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
-    win15, agg15, agg16, agg17, join9, misc9, agg18) ++ LlmQueries.specs
+    win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
+    misc10) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -544,21 +544,71 @@ object Relational {
     val ti = df.select(col(txnCol).as("__t"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull).distinct()
     val nTxn = ti.select(countDistinct(col("__t")).as("__n"))
-    val itemN = ti.groupBy(col("__i")).agg(count(lit(1)).as("__cnt"))
-    val pairs = ti.as("l")
-      .join(ti.as("r"), col("l.__t") === col("r.__t") &&
+    // item totals ride each row as a WINDOW over the distinct frame
+    // (item-partitioned — one exchange that ReuseExchange shares with
+    // the self-join) instead of a separate aggregate + two joins back,
+    // which would plan the corpus-sized distinct three more times
+    val withCnt = ti.withColumn("__cnt",
+      count(lit(1)).over(Window.partitionBy(col("__i"))))
+    val pairs = withCnt.as("l")
+      .join(withCnt.as("r"), col("l.__t") === col("r.__t") &&
         col("l.__i") < col("r.__i"))
       .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
+      .agg(count(lit(1)).as("n_ab"), min(col("l.__cnt")).as("__na"),
+        min(col("r.__cnt")).as("__nb"))
       .filter(col("n_ab") >= minSupport)
     pairs
-      .join(broadcast(itemN.withColumnRenamed("__i", "item_a")
-        .withColumnRenamed("__cnt", "__na")), Seq("item_a"))
-      .join(broadcast(itemN.withColumnRenamed("__i", "item_b")
-        .withColumnRenamed("__cnt", "__nb")), Seq("item_b"))
       .crossJoin(broadcast(nTxn))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         expr("(n_ab * 1000000) DIV __na").as("conf_ppm"),
         expr("(n_ab * __n * 1000000) DIV (__na * __nb)").as("lift_ppm"))
+  }
+
+  /** Lower weighted median per group: the smallest value whose inclusive
+    * cumulative weight reaches half the group's total (2·cumw ≥ totw —
+    * integer arithmetic throughout, so the pick is engine-exact; no
+    * interpolation, which would reintroduce FP). Weights are cast to
+    * long — fractional weights should be pre-scaled by the caller.
+    * Weights collapse per (group, value) FIRST, so the running sum is
+    * over distinct values and row order within a value can't matter.
+    * NULL values are excluded up-front (quantile semantics) — they would
+    * otherwise sort differently across engines (Spark nulls-first vs
+    * others' nulls-last) and skew the cumulative weights.
+    * One aggregate + one group-keyed window; group grain output.
+    */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: String): DataFrame = {
+    val gv = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val g = Window.partitionBy(groupCols.map(col): _*)
+    gv.withColumn("__cw", sum(col("__w")).over(g.orderBy(col(valueCol))))
+      .withColumn("__tw", sum(col("__w")).over(g))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("weighted_median"))
+  }
+
+  /** Hot-key diagnostic: the `topK` heaviest keys with exact ppm share of
+    * all rows — the report that decides whether a join needs
+    * [[graft.engine.Joins.saltedEquiJoin]] or an aggregate needs
+    * [[skewSafeDistinctList]]'s salting. The global top-k is a
+    * TakeOrdered (no full sort); rank is a row_number over the already-
+    * cut topK rows (driver-size — the one place a single-partition
+    * window is the right call). Ties break on the key columns so the
+    * cut is total-ordered.
+    */
+  def keySkewReport(df: DataFrame, keys: Seq[String],
+      topK: Int): DataFrame = {
+    val total = df.select(count(lit(1)).as("__n"))
+    val order = col("n").desc +: keys.map(col)
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(order: _*).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n * 1000000) DIV __n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("int"))
+      .drop("__n")
   }
 }

@@ -151,9 +151,12 @@ object Windows {
       .groupBy(col("__from").as("from_state"),
         col(stateCol).as("to_state"))
       .agg(count(lit(1)).as("n"))
-    val totals = steps.groupBy(col("from_state"))
-      .agg(sum(col("n")).as("__tot"))
-    steps.join(broadcast(totals), Seq("from_state"))
+    // from-state totals as a WINDOW over the aggregated (vocab²-sized)
+    // frame, not a groupBy + join back — the join form would embed the
+    // corpus lag-pass twice in the plan and scan the input twice
+    steps
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("from_state"))))
       .select(col("from_state"), col("to_state"), col("n"),
         expr("(n * 1000000) DIV __tot").as("p_ppm"))
   }

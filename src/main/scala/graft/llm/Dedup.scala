@@ -501,4 +501,40 @@ object Dedup {
     cands.unpersist()
     verified
   }
+
+  /** LSH calibration report — the tuning instrument for the
+    * (k, bands, threshold) dials: for every candidate pair the banded
+    * index surfaces, the MinHash-ESTIMATED Jaccard next to the EXACT
+    * shingle-set Jaccard and the absolute error, all in integer ppm
+    * (both ratios are dyadic/rational — `round(x·10⁶)` of identical
+    * doubles is engine-stable). The dedup-family sibling of
+    * [[graft.llm.Similarity.recallAtK]]: recall@k instruments the ANN
+    * index, this instruments the signature estimator (how tight is the
+    * estimate near the action threshold; how often does banding surface
+    * a pair the exact metric would reject). Same persist-once /
+    * checkpoint / release dataflow as [[fuzzyDuplicates]] — the exact
+    * sets ride the verify join only for surfaced candidates.
+    */
+  def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.25, maxBucket: Int = 1000): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleWidth).persist()
+    val cands = minhashCandidatesFromSets(sets, k, bands, minEstJaccard,
+      maxBucket).persist()
+    val involved = cands.select(col("doc_a").as("doc"))
+      .unionByName(cands.select(col("doc_b").as("doc"))).distinct()
+    val needed = sets.join(involved, Seq("doc"), "left_semi")
+    val out = cands
+      .join(needed.select(col("doc").as("doc_a"), col("hs").as("set_a")), "doc_a")
+      .join(needed.select(col("doc").as("doc_b"), col("hs").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard") * 1000000).cast("long").as("est_ppm"),
+        round(jaccard(col("set_a"), col("set_b")) * 1000000).cast("long")
+          .as("exact_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .localCheckpoint()
+    sets.unpersist()
+    cands.unpersist()
+    out
+  }
 }

@@ -205,12 +205,14 @@ object Lexical {
       explode(array_distinct(Text.tokens(col(textCol)))).as("term"))
     val tl = docTerm.groupBy(col("term"), col("label"))
       .agg(count(lit(1)).as("a"))
-    val termDf = tl.groupBy(col("term")).agg(sum(col("a")).as("__df"))
-      .filter(col("__df") >= minDf)
     val labelN = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("__nl"))
     val total = docs.select(count(lit(1)).as("__n"))
-    val counts = tl.join(termDf, Seq("term"))
+    // per-term df as a window over the (vocab × labels)-sized aggregate —
+    // a groupBy + join back would re-run the corpus explode twice
+    val counts = tl
+      .withColumn("__df", sum(col("a")).over(Window.partitionBy(col("term"))))
+      .filter(col("__df") >= minDf)
       .join(broadcast(labelN), Seq("label"))
       .crossJoin(broadcast(total))
       .withColumn("b", col("__df") - col("a"))

@@ -70,7 +70,11 @@ object Streaming {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, lowerBound: String,
-      upperBound: String, watermark: String): DataFrame = {
+      upperBound: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "leftouter", "left")
+      .contains(joinType.toLowerCase),
+      s"inner or left_outer only (right/full mirror left), got $joinType")
     val l = if (left.isStreaming) left.withWatermark(leftTs, watermark)
       else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, watermark)
@@ -85,7 +89,11 @@ object Streaming {
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerBound") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound")
     val cond = keys.map(k => l(k) === r(k)).foldLeft(timeCond)(_ && _)
-    keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+    // left_outer on streams: an unmatched left row is held in state and
+    // emitted null-padded only once BOTH watermarks pass its join window
+    // (the engine can't rule out a future match before that) — expect
+    // outer results one watermark-delay late, by design
+    keys.foldLeft(l.join(r, cond, joinType))((d, k) => d.drop(r(k)))
   }
 
   /** Streaming OHLC bars: tumbling-window open/high/low/close per key.

@@ -1187,6 +1187,26 @@ class LlmSpec extends SparkSpec {
     assert(out(("en", 1)) == "or")
   }
 
+  test("lshCalibration: exact copies read 1e6/1e6/0, est tracks exact") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs away"
+    val docs = Seq((1L, base), (2L, base),            // exact dup pair
+      (3L, base + " extra tail words here"),         // near dup of 1/2
+      (4L, "completely different content on another topic entirely"))
+      .toDF("id", "text")
+    val out = graft.llm.Dedup.lshCalibration(docs, "id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.2,
+      maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (est12, exact12, err12) = out((1L, 2L))
+    assert(est12 == 1000000L && exact12 == 1000000L && err12 == 0L)
+    // every surfaced pair: err is |est − exact| by construction
+    out.values.foreach { case (e, x, d) => assert(d == math.abs(e - x)) }
+    // the near-dup pair surfaces with exact < 1e6
+    assert(out.contains((1L, 3L)) && out((1L, 3L))._2 < 1000000L)
+  }
+
   test("corpusStopwords: ppm threshold is an exact integer cut") {
     import spark.implicits._
     val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the the fox"))

@@ -427,4 +427,27 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(("A", "B", 2L, 666666L, 888888L),
       ("A", "C", 1L, 333333L, 1333333L)))
   }
+
+  test("weightedMedian: weights move the pick, nulls out, ties stable") {
+    import spark.implicits._
+    // group g: values 1,2,3 with weights 1,1,10 → median 3 (2·cumw: at
+    // v=2 cum=2*2=4 < 12; at v=3 cum=24 ≥ 12); unweighted would pick 2
+    // group h: equal weights over 1,2 → lower median 1 (2·1 ≥ 2)
+    val df = Seq(("g", Some(1L), 1L), ("g", Some(2L), 1L),
+      ("g", Some(3L), 10L), ("g", None, 99L),
+      ("h", Some(1L), 1L), ("h", Some(2L), 1L)).toDF("k", "v", "w")
+    val out = Relational.weightedMedian(df, Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("g" -> 3L, "h" -> 1L))
+  }
+
+  test("keySkewReport: exact ppm shares, deterministic rank cut") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = Relational.keySkewReport(df, Seq("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq.sortBy(_._4)
+    assert(out == Seq(("hot", 6L, 600000L, 1), ("warm", 3L, 300000L, 2)))
+  }
 }

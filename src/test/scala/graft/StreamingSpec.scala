@@ -106,6 +106,52 @@ class StreamingSpec extends SparkSpec {
       "10 minutes", "0 minutes", "1 hour").count() == 1)
   }
 
+  test("intervalJoin left_outer: unmatched left emits null-padded after " +
+      "both watermarks pass its window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val out = Streaming.intervalJoin(
+      clicks.toDF().toDF("user_id", "c_ts"),
+      views.toDF().toDF("user_id", "v_ts"),
+      Seq("user_id"), "c_ts", "v_ts",
+      lowerBound = "10 minutes", upperBound = "0 minutes",
+      watermark = "5 minutes", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ivloj")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00")), // matches the view
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"))) // never matches
+      q.processAllAvailable()
+      // advance BOTH watermarks far past user 2's join window so the
+      // engine can prove no future view can match it
+      views.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      clicks.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT user_id, v_ts FROM ivloj WHERE user_id IN (1, 2)")
+        .collect().map(r => (r.getLong(0), r.getAs[Timestamp](1))).toSet
+      assert(rows == Set(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, null))) // the outer row, padded once provably unmatched
+    } finally q.stop()
+    // batch face: a plain left join with the range condition
+    val bc = Seq((1L, Timestamp.valueOf("2024-01-01 10:05:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00")))
+      .toDF("user_id", "c_ts")
+    val bv = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "v_ts")
+    val batch = Streaming.intervalJoin(bc, bv, Seq("user_id"), "c_ts",
+      "v_ts", "10 minutes", "0 minutes", "1 hour", "left_outer")
+      .collect().map(r => (r.getLong(0), r.getAs[Timestamp]("v_ts"))).toSet
+    assert(batch == Set(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")), (2L, null)))
+  }
+
   test("batch and streaming faces of the transform agree") {
     val sp = spark
     import sp.implicits._
