@@ -335,4 +335,25 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map(("A", "B") -> ((1L, 333333L)),
       ("A", "C") -> ((2L, 666666L)), ("B", "A") -> ((1L, 1000000L))))
   }
+
+  test("transitionCounts conservation on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val ev = (0 until 400).map(i => (rnd.nextInt(10).toLong,
+      ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+      i.toLong, s"s${rnd.nextInt(4)}"))
+    val rows = Windows.transitionCounts(ev.toDF("uid", "ts", "eid", "state"),
+      "uid", "ts", "state", tiebreakCols = Seq("eid")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // total transitions = rows − one per user
+    assert(rows.map(_._3).sum == 400 - ev.map(_._1).distinct.size)
+    // per from-state: probabilities are n-weighted exact floors of 1e6
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val tot = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, ppm) => assert(ppm == n * 1000000L / tot) }
+      // floors lose < |to-states| ppm in total
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.size)
+    }
+  }
 }

@@ -441,6 +441,55 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("g" -> 3L, "h" -> 1L))
   }
 
+  test("weightedMedian: unit weights on odd groups = exact middle element") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 7).flatMap { g =>
+      val n = 2 * rnd.nextInt(20) + 1 // odd sizes 1..39
+      Seq.fill(n)((s"g$g", rnd.nextInt(1000).toLong, 1L))
+    }
+    val got = Relational.weightedMedian(rows.toDF("k", "v", "w"),
+      Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(_._2).sorted.apply(rs.size / 2)
+    }
+    assert(got == want)
+  }
+
+  test("groupRegression agrees with a BigInt closed-form on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3).flatMap { g =>
+      Seq.fill(50)((s"g$g", rnd.nextInt(100).toLong,
+        rnd.nextInt(100000).toLong))
+    }
+    val got = Relational.groupRegression(rows.toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    def round6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val n = BigInt(rs.size)
+      val sx = rs.map(r => BigInt(r._2)).sum
+      val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rs.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val syy = rs.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      val slope = num.toDouble / denx.toDouble
+      val (gs, gi, gr) = got(k)
+      assert(gs == round6(slope), s"slope $k")
+      assert(gi == round6((sy.toDouble - slope * sx.toDouble) / n.toDouble),
+        s"intercept $k")
+      assert(gr == round6(num.toDouble * num.toDouble /
+        (denx.toDouble * deny.toDouble)), s"r2 $k")
+    }
+  }
+
   test("keySkewReport: exact ppm shares, deterministic rank cut") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))

@@ -392,6 +392,26 @@ class ScaleToolsSpec extends SparkSpec {
     assert(nullKept == 0)
   }
 
+  test("pageRankPpm matches a driver-side integer reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(80)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      .distinct
+    val got = graft.engine.Graph.pageRankPpm(edges.toDF("s", "t"), "s", "t",
+      iters = 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent reference: same integer recurrence over Scala Maps
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = nodes.map(n =>
+        n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == rank)
+  }
+
   test("pageRankPpm: hand-computed 3-node golden, integer-exact") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("s", "t")
