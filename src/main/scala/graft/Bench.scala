@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // Warm the session once (codegen compiler, parquet footers, FS cache)
     // so the first measured query doesn't absorb JVM/session startup.
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach {

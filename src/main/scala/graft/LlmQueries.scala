@@ -1877,10 +1877,29 @@ object LlmQueries {
         SELECT doc_a, doc_b, est_ppm, exact_ppm,
           abs(est_ppm - exact_ppm) AS err_ppm FROM j"""))
 
+  /** Vocabulary coverage curve (top-50 terms, cumulative ppm of token
+    * mass — the tokenizer-sizing report).
+    */
+  private val l68 = Spec("q168_vocab_coverage",
+    (s, d) => graft.llm.Lexical.vocabCoverage(T(s, d, "documents"),
+      "text", topK = 50),
+    Some(s"""WITH t AS (SELECT $wordsSql AS words FROM documents),
+        c AS (SELECT unnest(words) AS term FROM t),
+        g AS (SELECT term, count(*) AS n FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g),
+        r AS (SELECT term, n,
+          row_number() OVER (ORDER BY n DESC, term) AS rank,
+          CAST(sum(n) OVER (ORDER BY n DESC, term
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum FROM g)
+        SELECT term, n, CAST(rank AS INT) AS rank,
+          (cum * 1000000) // tt AS cum_ppm FROM r CROSS JOIN tot
+        WHERE rank <= 50"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67)
+    l64, l65, l66, l67, l68)
 }

@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.IntegerType
   * `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NanosRangePushdown)
+  }
 }
 
 object GraftExtensions {
@@ -195,9 +197,21 @@ object GraftExtensions {
         }.reduce[Expression]((l, r) => BitwiseOr(l, r))
       }))
 
-  /** Register into an already-running session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-running session (tests, REPL): the SQL
+    * functions plus the [[graft.plans.NanosRangePushdown]] optimizer
+    * rule (via the public `experimental.extraOptimizations` hook, which
+    * runs as a final fixed-point optimizer batch — the rule is
+    * idempotent by construction). Append-guarded, so calling twice is
+    * safe.
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, inf, builder) =>
       Bridge.registerFunction(spark, name, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.NanosRangePushdown)) {
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.NanosRangePushdown)
+    }
+  }
 }

@@ -180,6 +180,32 @@ object Lexical {
     stats.join(postings, Seq("term"))
   }
 
+  /** Vocabulary coverage curve: the top-`topK` terms by occurrence count
+    * with each prefix's cumulative share of TOTAL token mass in exact
+    * ppm — the "how big must the vocab be to cover 95% of tokens"
+    * report that sizes a tokenizer. The global cut is a TakeOrdered
+    * (deterministic on (count desc, term)); the rank/cumsum window runs
+    * over the already-cut topK rows only ([[keySkewReport]]'s
+    * discipline — the single-partition window never sees the full
+    * vocabulary). Total mass aggregates the same term-count frame the
+    * cut reads, sharing its exchange via ReuseExchange.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = docs
+      .select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.select(sum(col("n")).as("__tot"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    counts.orderBy(col("n").desc, col("term")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_ppm", expr(
+        """(sum(n) OVER (ORDER BY n DESC, term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+           DIV __tot"""))
+      .select(col("term"), col("n"), col("rank"), col("cum_ppm"))
+  }
+
   /** χ²-based discriminative term selection per label — the classic
     * feature-selection / corpus-contrast report (which terms mark German
     * docs, which mark a crawl source). Presence-grain contingency per

@@ -1207,6 +1207,23 @@ class LlmSpec extends SparkSpec {
     assert(out.contains((1L, 3L)) && out((1L, 3L))._2 < 1000000L)
   }
 
+  test("vocabCoverage: monotone cumulative ppm, full-vocab cut hits 1e6") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b x")).toDF("id", "text")
+    // 9 tokens: a=4, b=3, c=1, x=1
+    val out = graft.llm.Lexical.vocabCoverage(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).sortBy(_._3)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 1L, 3), ("x", 1L, 4)))
+    // cum ppm: 4/9, 7/9, 8/9, 9/9 floored
+    assert(out.map(_._4).toSeq == Seq(444444L, 777777L, 888888L, 1000000L))
+    // a tighter cut keeps the prefix unchanged
+    val cut = graft.llm.Lexical.vocabCoverage(docs, "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    assert(cut.toSeq == Seq(("a", 444444L), ("b", 777777L)))
+  }
+
   test("corpusStopwords: ppm threshold is an exact integer cut") {
     import spark.implicits._
     val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the the fox"))
