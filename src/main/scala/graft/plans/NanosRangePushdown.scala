@@ -52,30 +52,41 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  // NOTE each conversion-on-the-left arm is GUARDED on rawOf — an
+  // unguarded first arm would swallow every comparison of its class and
+  // make the literal-on-the-left mirrors below unreachable
   private def bounds(cmp: Expression): Seq[Expression] = cmp match {
-    case GreaterThanOrEqual(c, l) => (rawOf(c), microsOf(l)) match {
-      case (Some(x), Some(t)) => Seq(GreaterThanOrEqual(x, Literal(t * 1000L)))
-      case _ => Nil
-    }
-    case GreaterThan(c, l) => (rawOf(c), microsOf(l)) match {
-      case (Some(x), Some(t)) =>
-        Seq(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
-      case _ => Nil
-    }
-    case LessThanOrEqual(c, l) => (rawOf(c), microsOf(l)) match {
-      case (Some(x), Some(t)) =>
-        Seq(LessThanOrEqual(x, Literal(t * 1000L + 999L)))
-      case _ => Nil
-    }
-    case LessThan(c, l) => (rawOf(c), microsOf(l)) match {
-      case (Some(x), Some(t)) => Seq(LessThanOrEqual(x, Literal(t * 1000L - 1L)))
-      case _ => Nil
-    }
-    case EqualTo(c, l) => (rawOf(c), microsOf(l)) match {
-      case (Some(x), Some(t)) => Seq(GreaterThanOrEqual(x, Literal(t * 1000L)),
-        LessThanOrEqual(x, Literal(t * 1000L + 999L)))
-      case _ => Nil
-    }
+    case GreaterThanOrEqual(c, l) if rawOf(c).isDefined =>
+      (rawOf(c), microsOf(l)) match {
+        case (Some(x), Some(t)) =>
+          Seq(GreaterThanOrEqual(x, Literal(t * 1000L)))
+        case _ => Nil
+      }
+    case GreaterThan(c, l) if rawOf(c).isDefined =>
+      (rawOf(c), microsOf(l)) match {
+        case (Some(x), Some(t)) =>
+          Seq(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
+        case _ => Nil
+      }
+    case LessThanOrEqual(c, l) if rawOf(c).isDefined =>
+      (rawOf(c), microsOf(l)) match {
+        case (Some(x), Some(t)) =>
+          Seq(LessThanOrEqual(x, Literal(t * 1000L + 999L)))
+        case _ => Nil
+      }
+    case LessThan(c, l) if rawOf(c).isDefined =>
+      (rawOf(c), microsOf(l)) match {
+        case (Some(x), Some(t)) =>
+          Seq(LessThanOrEqual(x, Literal(t * 1000L - 1L)))
+        case _ => Nil
+      }
+    case EqualTo(c, l) if rawOf(c).isDefined =>
+      (rawOf(c), microsOf(l)) match {
+        case (Some(x), Some(t)) =>
+          Seq(GreaterThanOrEqual(x, Literal(t * 1000L)),
+            LessThanOrEqual(x, Literal(t * 1000L + 999L)))
+        case _ => Nil
+      }
     // literal-on-the-left mirrors
     case GreaterThanOrEqual(l, c) if rawOf(c).isDefined =>
       bounds(LessThanOrEqual(c, l))
@@ -83,6 +94,7 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
     case LessThanOrEqual(l, c) if rawOf(c).isDefined =>
       bounds(GreaterThanOrEqual(c, l))
     case LessThan(l, c) if rawOf(c).isDefined => bounds(GreaterThan(c, l))
+    case EqualTo(l, c) if rawOf(c).isDefined => bounds(EqualTo(c, l))
     case _ => Nil
   }
 

@@ -68,6 +68,12 @@ class PushdownSpec extends SparkSpec {
     assert(got(col("t") <= bound) == Set(t0 - 1L, t0, t0 + 999L))
     assert(got(col("t") < bound) == Set(t0 - 1L))
     assert(got(col("t") === bound) == Set(t0, t0 + 999L))
+    // literal-on-the-left mirrors rewrite too (and agree)
+    assert(got(bound <= col("t")) == got(col("t") >= bound))
+    assert(got(bound > col("t")) == got(col("t") < bound))
+    val mirrorPlan = conv.filter(bound <= col("t"))
+      .queryExecution.executedPlan.toString
+    assert(mirrorPlan.contains("GreaterThanOrEqual(ts,"), mirrorPlan)
     // and the derived bounds actually reach the parquet scan
     val plan = conv.filter(col("t") >= bound && col("t") <= bound)
       .queryExecution.executedPlan.toString
