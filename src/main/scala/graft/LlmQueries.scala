@@ -1834,7 +1834,10 @@ object LlmQueries {
           CASE WHEN (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
               * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) > 0
             THEN round(CAST(n AS DOUBLE)
-              * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                  AS DOUBLE)
+              * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                  AS DOUBLE)
               / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
                 * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6)
             ELSE CAST(0 AS DOUBLE) END AS chi2 FROM cts),
@@ -1893,8 +1896,8 @@ object LlmQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum FROM g)
         SELECT term, n, CAST(rank AS INT) AS rank,
-          (cum * 1000000) // tt AS cum_ppm FROM r CROSS JOIN tot
-        WHERE rank <= 50"""))
+          CAST((CAST(cum AS HUGEINT) * 1000000) // tt AS BIGINT) AS cum_ppm
+        FROM r CROSS JOIN tot WHERE rank <= 50"""))
 
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,

@@ -1850,8 +1850,10 @@ object Queries {
           FROM ti l JOIN ti r ON l.t = r.t AND l.i < r.i
           GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT item_a, item_b, n_ab,
-          (n_ab * 1000000) // ca.c AS conf_ppm,
-          (n_ab * nt.n * 1000000) // (ca.c * cb.c) AS lift_ppm
+          CAST((CAST(n_ab AS HUGEINT) * 1000000) // ca.c AS BIGINT)
+            AS conf_ppm,
+          CAST((CAST(n_ab AS HUGEINT) * nt.n * 1000000)
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
         FROM p CROSS JOIN nt
         JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b"""))
 

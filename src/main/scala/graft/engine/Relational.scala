@@ -559,9 +559,16 @@ object Relational {
       .filter(col("n_ab") >= minSupport)
     pairs
       .crossJoin(broadcast(nTxn))
+      // ppm combine in DECIMAL(38,0): n_ab·N·10⁶ passes 2⁶³ at ~3M
+      // transactions — long arithmetic would throw under ANSI mode (or
+      // wrap with it off) well inside this operator's design scale.
+      // IntegralDivide accepts decimals, so DIV stays an exact floor.
       .select(col("item_a"), col("item_b"), col("n_ab"),
-        expr("(n_ab * 1000000) DIV __na").as("conf_ppm"),
-        expr("(n_ab * __n * 1000000) DIV (__na * __nb)").as("lift_ppm"))
+        expr("""(CAST(n_ab AS DECIMAL(38,0)) * 1000000) DIV __na""")
+          .cast("long").as("conf_ppm"),
+        expr("""(CAST(n_ab AS DECIMAL(38,0)) * __n * 1000000)
+           DIV (CAST(__na AS DECIMAL(38,0)) * __nb)""")
+          .cast("long").as("lift_ppm"))
   }
 
   /** Lower weighted median per group: the smallest value whose inclusive
@@ -596,13 +603,16 @@ object Relational {
     * [[skewSafeDistinctList]]'s salting. The global top-k is a
     * TakeOrdered (no full sort); rank is a row_number over the already-
     * cut topK rows (driver-size — the one place a single-partition
-    * window is the right call). Ties break on the key columns so the
-    * cut is total-ordered.
+    * window is the right call). Ties break on the key columns with
+    * EXPLICIT nulls-last so the cut is total-ordered the same way on
+    * every engine (a NULL key group is legal, and Spark's default
+    * ascending order puts nulls first where most engines put them
+    * last — a tie at the cut would otherwise keep different rows).
     */
   def keySkewReport(df: DataFrame, keys: Seq[String],
       topK: Int): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))
-    val order = col("n").desc +: keys.map(col)
+    val order = col("n").desc +: keys.map(col(_).asc_nulls_last)
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .orderBy(order: _*).limit(topK)
       .crossJoin(broadcast(total))

@@ -136,8 +136,8 @@ object Windows {
     * division of the count by the from-state's total outgoing steps — no
     * FP ratio, engine-exact). One lag window sharing the key partitioning
     * with everything else keyed this way, then a state-pair aggregate
-    * (state-vocabulary-sized — tiny) and a broadcast join of the
-    * from-state totals. The behavioral-analytics face of
+    * (state-vocabulary-sized — tiny) whose from-state totals ride a
+    * window over that aggregated frame. The behavioral-analytics face of
     * [[graft.engine.Relational.assocPairs]]: ordered steps, not
     * co-presence.
     */

@@ -199,10 +199,12 @@ object Lexical {
     counts.orderBy(col("n").desc, col("term")).limit(topK)
       .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("int"))
+      // decimal combine: cum·10⁶ passes 2⁶³ at ~9.2e12 tokens — a long
+      // multiply would throw (ANSI) exactly at LLM-corpus scale
       .withColumn("cum_ppm", expr(
-        """(sum(n) OVER (ORDER BY n DESC, term
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
-           DIV __tot"""))
+        """(CAST(sum(n) OVER (ORDER BY n DESC, term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(38,0)) * 1000000) DIV __tot""").cast("long"))
       .select(col("term"), col("n"), col("rank"), col("cum_ppm"))
   }
 
@@ -223,7 +225,9 @@ object Lexical {
     *
     * Candidates are terms PRESENT in the label (a > 0): this reports
     * positive markers; a term discriminative by its ABSENCE ranks in the
-    * labels it does appear in, not here.
+    * labels it does appear in, not here. The a·d − b·c contingency
+    * product runs in DECIMAL(38,0) (a·d is bounded by nl·N, which
+    * passes 2⁶³ around 3×10⁹ docs) before the one cast to double.
     */
   def chiSquareTerms(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, minDf: Long, k: Int): DataFrame = {
@@ -244,7 +248,9 @@ object Lexical {
       .withColumn("b", col("__df") - col("a"))
       .withColumn("c", col("__nl") - col("a"))
       .withColumn("d", col("__n") - col("__df") - col("c"))
-    val adbc = (col("a") * col("d") - col("b") * col("c")).cast("double")
+    val d38 = "decimal(38,0)"
+    val adbc = (col("a").cast(d38) * col("d").cast(d38) -
+      col("b").cast(d38) * col("c").cast(d38)).cast("double")
     val den = (col("a") + col("b")).cast("double") *
       (col("c") + col("d")).cast("double") *
       (col("a") + col("c")).cast("double") *

@@ -498,5 +498,13 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getInt(3))).toSeq.sortBy(_._4)
     assert(out == Seq(("hot", 6L, 600000L, 1), ("warm", 3L, 300000L, 2)))
+    // a NULL key group tying on count sorts LAST (cross-engine total
+    // order: DuckDB/ANSI ascending defaults to nulls last)
+    val withNull = (Seq.fill(3)(Some("warm")) ++
+      Seq.fill(3)(Option.empty[String]) ++ Seq.fill(6)(Some("hot")))
+      .toDF("k")
+    val ranked = Relational.keySkewReport(withNull, Seq("k"), topK = 3)
+      .collect().map(r => r.getInt(3) -> r.getString(0)).toMap
+    assert(ranked == Map(1 -> "hot", 2 -> "warm", 3 -> null))
   }
 }
