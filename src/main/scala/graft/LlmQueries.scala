@@ -1899,10 +1899,63 @@ object LlmQueries {
           CAST((CAST(cum AS HUGEINT) * 1000000) // tt AS BIGINT) AS cum_ppm
         FROM r CROSS JOIN tot WHERE rank <= 50"""))
 
+  /** Shared jaccard-over-(a.hs, b.hs) SQL expression. */
+  private val jacAbSql =
+    """CASE WHEN len(list_distinct(a.hs || b.hs)) > 0 THEN
+        CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+          / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE)
+      ELSE CAST(0 AS DOUBLE) END"""
+
+  /** 90/5/5 content-hash split CASE over an arbitrary text expression. */
+  private def splitCaseOf(t: String): String =
+    s"""CASE WHEN $t IS NULL THEN NULL
+        WHEN ${phSql(t)} % 100 < 90 THEN 'train'
+        WHEN ${phSql(t)} % 100 < 95 THEN 'val'
+        ELSE 'holdout' END"""
+
+  /** Split-leakage audit: near-dup pairs straddling the content-hash
+    * split — why the pipeline order is dedup-THEN-split.
+    */
+  private val l69 = Spec("q169_split_leakage",
+    (s, d) => graft.llm.Curation.splitLeakage(nearDupCorpus(s, d),
+      "doc_id", "text", shingleWidth = 3, k = 16, bands = 4,
+      minJaccard = 0.2),
+    Some(s"""WITH $lshCtes,
+        cands AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.3 AS DOUBLE)),
+        ver AS (SELECT c.doc_a, c.doc_b, $jacAbSql AS jaccard
+          FROM cands c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b
+          WHERE $jacAbSql >= CAST(0.2 AS DOUBLE)),
+        sp AS (SELECT doc_id, ${splitCaseOf("text")} AS split FROM corpus)
+        SELECT v.doc_a, v.doc_b, v.jaccard,
+          sa.split AS split_a, sb.split AS split_b
+        FROM ver v JOIN sp sa ON sa.doc_id = v.doc_a
+        JOIN sp sb ON sb.doc_id = v.doc_b
+        WHERE sa.split IS DISTINCT FROM sb.split"""))
+
+  /** Similarity-band (hard-negative) pair mining over the LSH
+    * candidates: exact-Jaccard ppm in [0.2e6, 0.95e6).
+    */
+  private val l70 = Spec("q170_similarity_band",
+    (s, d) => graft.llm.Dedup.similarityBandPairs(nearDupCorpus(s, d),
+      "doc_id", "text", loPpm = 200000L, hiPpm = 950000L,
+      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+      maxBucket = 1000),
+    Some(s"""WITH $lshCtes,
+        cand AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        j AS (SELECT c.doc_a, c.doc_b,
+          CAST(round(($jacAbSql) * 1000000) AS BIGINT) AS exact_ppm
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, exact_ppm FROM j
+        WHERE exact_ppm >= 200000 AND exact_ppm < 950000"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l68)
+    l64, l65, l66, l67, l68, l69, l70)
 }

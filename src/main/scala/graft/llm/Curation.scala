@@ -305,6 +305,35 @@ object Curation {
     * integer ppm, so the cut is engine-exact at any corpus size. One
     * explode → one term aggregate; output is vocabulary-sized.
     */
+  /** Split-leakage audit: near-duplicate pairs whose members landed in
+    * DIFFERENT splits of the content-hash split — the exact leak that
+    * inflates eval numbers (a train doc's near-copy in holdout).
+    * [[graft.llm.Text.hashSplit]] is content-keyed, so EXACT copies
+    * always co-locate, but near-dups have different texts and split
+    * independently — this report is why the pipeline order is
+    * dedup-THEN-split, and after a run it should be EMPTY; non-empty
+    * output enumerates the pairs to quarantine. Dataflow = the proven
+    * fuzzy chain + two id-keyed joins of the split projection.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.2,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 90, "val" -> 5, "holdout" -> 5)): DataFrame = {
+    val pairs = graft.llm.Dedup.fuzzyDuplicates(docs, idCol, textCol,
+      shingleWidth, k, bands, minJaccard)
+    val splits = docs.select(col(idCol).as("__sid"),
+      graft.llm.Text.hashSplit(col(textCol), cuts).as("__split"))
+    pairs
+      .join(splits.select(col("__sid").as("doc_a"),
+        col("__split").as("split_a")), "doc_a")
+      .join(splits.select(col("__sid").as("doc_b"),
+        col("__split").as("split_b")), "doc_b")
+      .filter(!(col("split_a") <=> col("split_b")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

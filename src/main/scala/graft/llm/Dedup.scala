@@ -537,4 +537,28 @@ object Dedup {
     cands.unpersist()
     out
   }
+
+  /** Similarity-BAND pair mining — similar-but-not-duplicate pairs, the
+    * hard-negative / contrastive-training feed: candidate pairs whose
+    * EXACT Jaccard (integer ppm, same rounding as [[lshCalibration]])
+    * lands in `[loPpm, hiPpm)`. Rides the calibration dataflow, so the
+    * exact sets travel only for LSH-surfaced candidates.
+    *
+    * RECALL CONTRACT: pairs can only enter the band if banding surfaced
+    * them, so `minEstJaccard` (and the banding dials) bound how deep
+    * below the duplicate zone the mining reaches — a band floor far
+    * under the LSH threshold needs a lower-threshold candidate family
+    * (prefixFilterCandidates at small t, or sampled random pairing),
+    * not a wider filter here.
+    */
+  def similarityBandPairs(docs: DataFrame, idCol: String, textCol: String,
+      loPpm: Long, hiPpm: Long, shingleWidth: Int = 3, k: Int = 16,
+      bands: Int = 4, minEstJaccard: Double = 0.25,
+      maxBucket: Int = 1000): DataFrame = {
+    require(loPpm < hiPpm, "empty band")
+    lshCalibration(docs, idCol, textCol, shingleWidth, k, bands,
+      minEstJaccard, maxBucket)
+      .filter(col("exact_ppm") >= loPpm && col("exact_ppm") < hiPpm)
+      .select(col("doc_a"), col("doc_b"), col("exact_ppm"))
+  }
 }

@@ -1224,6 +1224,61 @@ class LlmSpec extends SparkSpec {
     assert(cut.toSeq == Seq(("a", 444444L), ("b", 777777L)))
   }
 
+  test("similarityBandPairs: duplicates excluded, band = calibration cut") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs away"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base + " extra tail words here"),
+      (4L, "completely different content on another topic entirely"))
+      .toDF("id", "text")
+    val band = graft.llm.Dedup.similarityBandPairs(docs, "id", "text",
+      loPpm = 200000L, hiPpm = 950000L, minEstJaccard = 0.2,
+      maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the exact-copy pair (ppm = 1e6) is OUT; the near-dup pairs are in
+    assert(!band.contains((1L, 2L)))
+    assert(band.contains((1L, 3L)))
+    band.values.foreach(p => assert(p >= 200000L && p < 950000L))
+    // consistency with the calibration report's exact_ppm
+    val cal = graft.llm.Dedup.lshCalibration(docs, "id", "text",
+      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.2,
+      maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(band == cal.filter { case (_, p) => p >= 200000L && p < 950000L })
+  }
+
+  test("splitLeakage: exact copies never leak, rows are cross-split " +
+      "near-dups, agreement with the composed form") {
+    import spark.implicits._
+    // 40 base docs + exact copies of 1..10 + truncated near-dups of all
+    val texts = (1 to 40).map(i =>
+      i -> (s"shared boilerplate sentence number $i with unique marker " +
+        s"word${i}a word${i}b word${i}c and enough tokens to shingle"))
+    val rows = texts.map { case (i, t) => (i.toLong, t) } ++
+      texts.take(10).map { case (i, t) => (i + 1000L, t) } ++ // exact
+      texts.map { case (i, t) => (i + 2000L, t.dropRight(25)) } // near
+    val docs = rows.toDF("doc_id", "text")
+    val leaks = graft.llm.Curation.splitLeakage(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4)))
+    // exact-copy pairs share content hash → same split → never emitted
+    leaks.foreach { case (a, b, _, sa, sb) =>
+      assert(!(b == a + 1000L), s"exact pair ($a,$b) leaked")
+      assert(sa != sb)
+    }
+    // independent composition: fuzzy pairs joined to split assignments
+    val pairs = graft.llm.Dedup.fuzzyDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = docs.select(col("doc_id"), graft.llm.Text.hashSplit(
+      col("text"), Seq("train" -> 90, "val" -> 5, "holdout" -> 5))
+      .as("s")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaks.map(l => (l._1, l._2)).toSet == want)
+  }
+
   test("corpusStopwords: ppm threshold is an exact integer cut") {
     import spark.implicits._
     val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the the fox"))
