@@ -2003,6 +2003,91 @@ object Queries {
           CAST(rank AS INT) AS rank FROM r CROSS JOIN t
         WHERE rank <= 10"""))
 
+  /** The co-purchase part graph: parts appearing on the same order are
+    * linked. `% 3` keeps the demo subgraph a fixed ninth of the pair
+    * volume; the operators themselves take any edge list.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String,
+      modFilter: Boolean): DataFrame = {
+    val li = (if (modFilter)
+        T(s, d, "lineitem").filter(col("l_partkey") % 3 === 0)
+      else T(s, d, "lineitem"))
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+    li.select(col("o"), col("l_partkey").as("pa"))
+      .join(li.select(col("o"), col("l_partkey").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+  }
+
+  /** OP-MISC-11 — per-node triangle counts over the co-purchase part
+    * graph (degree-oriented enumeration; the oracle enumerates the same
+    * triangle set with the naive id-ordered joins — method differs,
+    * output is the same set, which is the point of orienting).
+    */
+  private val misc11 = Spec("q171_triangle_counts",
+    (s, d) => Graph.triangleCounts(coPurchaseEdges(s, d, modFilter = true),
+      "pa", "pb"),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+          FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+          JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        n AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT node, count(*) AS triangles FROM n GROUP BY 1"""))
+
+  /** OP-MISC-12 — undirected degree histogram of the full co-purchase
+    * graph.
+    */
+  private val misc12 = Spec("q172_degree_histogram",
+    (s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d, modFilter = false),
+      "pa", "pb"),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT n, count(*) AS degree FROM
+          (SELECT lo AS n FROM e UNION ALL SELECT hi FROM e) GROUP BY 1)
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"""))
+
+  /** OP-MISC-13 — BFS min-hop labels (3 rounds) over the undirected
+    * supplier↔customer shipment graph from seed suppliers
+    * `s_suppkey % 10 = 1`.
+    */
+  private val misc13 = Spec("q173_bfs_hops",
+    (s, d) => {
+      val ed = T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      val e = ed.unionAll(ed.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val seeds = T(s, d, "supplier").filter(col("s_suppkey") % 10 === 1)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("id"))
+      Graph.bfsHops(e, "src", "dst", seeds, "id", maxHops = 3)
+    },
+    Some("""WITH ed AS (SELECT DISTINCT
+          's' || CAST(l_suppkey AS VARCHAR) AS src,
+          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS id,
+          0 AS hop FROM supplier WHERE s_suppkey % 10 = 1),
+        f1 AS (SELECT e.dst AS id, 1 AS hop FROM d0 JOIN e ON e.src = d0.id),
+        d1 AS (SELECT id, min(hop) AS hop FROM
+          (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+        f2 AS (SELECT e.dst AS id, 2 AS hop FROM d1
+          JOIN e ON e.src = d1.id WHERE d1.hop = 1),
+        d2 AS (SELECT id, min(hop) AS hop FROM
+          (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+        f3 AS (SELECT e.dst AS id, 3 AS hop FROM d2
+          JOIN e ON e.src = d2.id WHERE d2.hop = 2),
+        d3 AS (SELECT id, min(hop) AS hop FROM
+          (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1)
+        SELECT id, CAST(hop AS INT) AS hop FROM d3"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2018,7 +2103,7 @@ object Queries {
     fn1, fn2, fn3, fn4, fn5, fn6,
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
-    misc10) ++ LlmQueries.specs
+    misc10, misc11, misc12, misc13) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -421,4 +421,59 @@ class ScaleToolsSpec extends SparkSpec {
     // r3: a=638750, b=c=150000+(85*319375)DIV 100=421468 (floor, exact)
     assert(out == Map("a" -> 638750L, "b" -> 421468L, "c" -> 421468L))
   }
+
+  test("triangleCounts: K4 minus an edge, dupes/loops/direction ignored") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only.
+    // Reversed duplicates, a self-loop, and a repeat must not change it.
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("d", "b"),
+      ("c", "a"), ("b", "b"), ("a", "b")).toDF("s", "t")
+    val got = graft.engine.Graph.triangleCounts(e, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("triangleCounts matches a brute-force reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+    val got = graft.engine.Graph.triangleCounts(edges.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val ref = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+      n <- Seq(a, b, c)
+    } yield n).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == ref)
+  }
+
+  test("degreeHistogram: star graph gives one hub and n leaves") {
+    import spark.implicits._
+    val e = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "t")
+    val got = graft.engine.Graph.degreeHistogram(e, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 5L -> 1L))
+  }
+
+  test("bfsHops: min-hop labels on a diamond-with-tail, capped at maxHops") {
+    import spark.implicits._
+    // s→a, s→b, a→c, b→c, c→d, d→e; seed {s}: e is at hop 4 > cap 3.
+    val e = Seq(("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("d", "e")).toDF("x", "y")
+    val seeds = Seq("s").toDF("id")
+    val got = graft.engine.Graph.bfsHops(e, "x", "y", seeds, "id", 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("bfsHops: a seed on a cycle keeps hop 0 (min wins over re-reach)") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a")).toDF("x", "y")
+    val got = graft.engine.Graph.bfsHops(e, "x", "y", Seq("a").toDF("id"),
+      "id", 3).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1))
+  }
 }
