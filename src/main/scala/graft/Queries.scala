@@ -2088,6 +2088,52 @@ object Queries {
           (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1)
         SELECT id, CAST(hop AS INT) AS hop FROM d3"""))
 
+  /** OP-WIN-16 — top-20 session event-type paths (30-minute gap, first 5
+    * events per session in `(ts, event_id)` order).
+    */
+  private val win16 = Spec("q174_session_paths",
+    (s, d) => Windows.topSessionPaths(
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")),
+      "user_id", "ts", "event_type", "event_id",
+      expr("INTERVAL '30' MINUTE"), maxLen = 5, topK = 20),
+    Some("""WITH b AS (SELECT event_id, user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM b),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+            ORDER BY ts, event_id) AS rn FROM sess),
+        p AS (SELECT user_id, session_idx,
+            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+        k AS (SELECT path, n,
+            row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+        SELECT path, n, CAST(rank AS INT) AS rank FROM k
+        WHERE rank <= 20"""))
+
+  /** OP-WIN-17 — rolling lower median of `floor(value)` over each user's
+    * trailing 7 events.
+    */
+  private val win17 = Spec("q175_rolling_median",
+    (s, d) => Windows.rollingMedian(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", nRows = 7),
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        l AS (SELECT event_id, user_id, ts, v,
+          list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ls FROM e)
+        SELECT event_id, user_id, ts, v,
+          ls[(len(ls) + 1) // 2] AS roll_med FROM l"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2103,7 +2149,7 @@ object Queries {
     fn1, fn2, fn3, fn4, fn5, fn6,
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
-    misc10, misc11, misc12, misc13) ++ LlmQueries.specs
+    misc10, misc11, misc12, misc13, win16, win17) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

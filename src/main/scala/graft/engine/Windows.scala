@@ -381,6 +381,58 @@ object Windows {
       .drop("__p", "__n")
   }
 
+  /** Top event-type paths: sessionize on `gap`, keep each session's first
+    * `maxLen` events in `(time, tiebreak)` order, join their types with
+    * `>`, and rank the `topK` most frequent paths (count desc, path asc —
+    * a total order, so ranks are engine-stable). The collected per-session
+    * structs are sorted by `(time, tiebreak, type)` INSIDE the aggregate,
+    * so the path string never depends on shuffle arrival order.
+    *
+    * Scale: the heavy frames are one session window pass + one
+    * (key, session)-grain aggregate; the path-count table is
+    * distinct-path-sized and the final orderBy+limit is a TakeOrdered (no
+    * global sort), with the rank window running only over the topK
+    * survivors.
+    */
+  def topSessionPaths(df: DataFrame, keyCol: String, timeCol: String,
+      typeCol: String, tiebreakCol: String, gap: Column, maxLen: Int,
+      topK: Int): DataFrame = {
+    val sess = sessionize(df, keyCol, timeCol, gap)
+    val w = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(col(timeCol), col(tiebreakCol))
+    val paths = sess.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col(timeCol).as("t"), col(tiebreakCol).as("k"),
+        col(typeCol).as("e")))), x => x.getField("e")), ">").as("path"))
+    val order = Seq(col("n").desc, col("path").asc_nulls_last)
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(order: _*).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("int"))
+  }
+
+  /** Rolling LOWER median of `valCol` over the trailing `nRows` rows per
+    * key (in `orderCols` order — pass a tiebreak column; a tied frame
+    * boundary would make the window contents engine-dependent). The frame
+    * is collected and sorted per row, so this is O(nRows·log nRows) per
+    * row — correct posture for the small fixed windows the operator is
+    * for (7/30-day style smoothing), NOT for unbounded frames. Nulls are
+    * excluded from the frame; an all-null frame yields a null median.
+    */
+  def rollingMedian(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String, nRows: Int,
+      outCol: String = "roll_med"): DataFrame = {
+    require(nRows >= 1, "window must span at least the current row")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    val arr = array_sort(collect_list(col(valCol)).over(w))
+    df.withColumn(outCol, when(size(arr) > 0,
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))))
+  }
+
   /** Retention cohort matrix: users bucketed by their FIRST-activity week,
     * counted in each later week they were active. Weeks are absolute
     * 7-day epoch buckets (integer `µs ÷ week` division — no calendar or

@@ -356,4 +356,57 @@ class AggWindowsSpec extends SparkSpec {
       assert(s <= 1000000L && s > 1000000L - rs.size)
     }
   }
+
+  test("topSessionPaths: session split, maxLen cut, count-desc/path-asc rank") {
+    import spark.implicits._
+    // u1 has two sessions (gap > 30 min splits): a>b and a>b; u2 one
+    // session a>b>c>d whose 4th event is cut at maxLen = 3.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 08:00:00"), "a"),
+      (2L, 10L, ts("2024-01-01 08:10:00"), "b"),
+      (3L, 10L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, 10L, ts("2024-01-01 10:05:00"), "b"),
+      (5L, 20L, ts("2024-01-01 09:00:00"), "a"),
+      (6L, 20L, ts("2024-01-01 09:01:00"), "b"),
+      (7L, 20L, ts("2024-01-01 09:02:00"), "c"),
+      (8L, 20L, ts("2024-01-01 09:03:00"), "d")
+    ).toDF("event_id", "uid", "ts", "et")
+    val out = Windows.topSessionPaths(ev, "uid", "ts", "et", "event_id",
+      expr("INTERVAL '30' MINUTE"), maxLen = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a>b", 2L, 1), ("a>b>c", 1L, 2)))
+  }
+
+  test("topSessionPaths: same-timestamp events ordered by the tiebreak") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 08:00:00")
+    val ev = Seq((2L, 1L, t0, "x"), (1L, 1L, t0, "y"))
+      .toDF("event_id", "uid", "ts", "et")
+    val out = Windows.topSessionPaths(ev, "uid", "ts", "et", "event_id",
+      expr("INTERVAL '30' MINUTE"), maxLen = 5, topK = 5)
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("y>x"))
+  }
+
+  test("rollingMedian: lower median over a trailing frame, per key") {
+    import spark.implicits._
+    val rows = Seq((1L, "k", 5L), (2L, "k", 1L), (3L, "k", 9L),
+      (4L, "k", 7L), (5L, "j", 100L))
+      .toDF("i", "key", "v")
+    val out = Windows.rollingMedian(rows, Seq("key"), Seq("i"), "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // frames: [5]→5, [5,1]→1 (lower), [5,1,9]→5, [1,9,7]→7, j:[100]→100
+    assert(out == Map(1L -> 5L, 2L -> 1L, 3L -> 5L, 4L -> 7L, 5L -> 100L))
+  }
+
+  test("rollingMedian: nulls leave the frame; all-null frame gives null") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(4L)), (2L, None), (3L, None))
+      .toDF("i", "v").withColumn("key", lit("k"))
+    val out = Windows.rollingMedian(rows, Seq("key"), Seq("i"), "v", 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // frame at i=2 is [4] (null dropped); at i=3 both null → null median
+    assert(out == Map(1L -> Some(4L), 2L -> Some(4L), 3L -> None))
+  }
 }
