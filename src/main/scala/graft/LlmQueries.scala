@@ -1952,10 +1952,46 @@ object LlmQueries {
         SELECT doc_a, doc_b, exact_ppm FROM j
         WHERE exact_ppm >= 200000 AND exact_ppm < 950000"""))
 
+  /** Linear-counting distinct-user sketch per event type — the
+    * fixed-memory cardinality path; the sketch state is engine-exact
+    * under the shared polyhash, so even the ESTIMATE hash-matches.
+    */
+  private val l71 = Spec("q176_distinct_sketch",
+    (s, d) => graft.engine.Sketches.linearCountDistinct(
+      Queries.T(s, d, "events").select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", m = 4096),
+    Some(s"""WITH b AS (SELECT DISTINCT event_type,
+          ${phSql("CAST(user_id AS VARCHAR)")} % 4096 AS bkt
+          FROM events WHERE user_id IS NOT NULL),
+        o AS (SELECT event_type, count(*) AS occupied FROM b GROUP BY 1)
+        SELECT event_type, occupied,
+          CASE WHEN occupied < 4096 THEN
+            CAST(round(CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE)
+              / CAST(4096 - occupied AS DOUBLE))) AS BIGINT)
+          END AS est_distinct FROM o"""))
+
+  /** BPE merge-step statistic: top-30 adjacent character pairs over the
+    * corpus, weighted by word frequency.
+    */
+  private val l72 = Spec("q177_bpe_pairs",
+    (s, d) => graft.llm.Lexical.bpePairStep(
+      Queries.T(s, d, "documents"), "text", topK = 30),
+    Some(s"""WITH words AS (SELECT unnest($wordsSql) AS w FROM documents),
+        wf AS (SELECT w, count(*) AS f FROM words
+          WHERE len(w) >= 2 GROUP BY 1),
+        p AS (SELECT f, unnest([substr(w, i, 2)
+          for i in range(1, len(w))]) AS pair FROM wf),
+        c AS (SELECT pair, CAST(sum(f) AS BIGINT) AS weight
+          FROM p GROUP BY 1),
+        k AS (SELECT pair, weight,
+          row_number() OVER (ORDER BY weight DESC, pair) AS rank FROM c)
+        SELECT pair, weight, CAST(rank AS INT) AS rank FROM k
+        WHERE rank <= 30"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l68, l69, l70)
+    l64, l65, l66, l67, l68, l69, l70, l71, l72)
 }

@@ -265,4 +265,33 @@ object Lexical {
       .select(col("label"), col("term"), col("a").as("n_label_docs"),
         col("__df").as("df"), col("chi2"), col("rank"))
   }
+
+  /** BPE merge-step statistic: the top-`topK` adjacent CHARACTER pairs by
+    * corpus weight — each occurrence of a word contributes every adjacent
+    * pair inside it (`"aaa"` contributes `aa` twice), which is exactly the
+    * pair-frequency table byte-pair encoding greedily merges from. The
+    * ranking is the tokenizer-design input: the first merge a BPE trainer
+    * would perform is rank 1.
+    *
+    * Scale: pair mining runs on the DISTINCT-WORD table (Heaps-law
+    * sublinear in corpus size) weighted by word frequency — never on the
+    * token stream; the pair table is ≤ alphabet² rows, the final
+    * orderBy+limit a TakeOrdered, and the rank window runs only over the
+    * `topK` survivors. Words shorter than 2 chars carry no pairs.
+    */
+  def bpePairStep(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+    val order = Seq(col("weight").desc, col("pair").asc)
+    words
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("weight"))
+      .orderBy(order: _*).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("int"))
+  }
 }

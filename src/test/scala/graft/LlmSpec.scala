@@ -1289,4 +1289,15 @@ class LlmSpec extends SparkSpec {
     // df("the")=3 (presence-grain, not 4) → 1_000_000 ppm; others 333333
     assert(out == Set(("the", 3L, 1000000L)))
   }
+
+  test("bpePairStep: repeated in-word pairs count per position, " +
+      "short words drop, rank is (weight desc, pair asc)") {
+    import spark.implicits._
+    // "aaab" ×2 → pairs aa,aa,ab each occurrence; "ab" ×1; "a" ignored
+    val docs = Seq((1L, "aaab ab a"), (2L, "aaab")).toDF("id", "text")
+    val out = graft.llm.Lexical.bpePairStep(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // weights: aa = 2·2 = 4; ab = 2·1 + 1 = 3
+    assert(out.toSeq == Seq(("aa", 4L, 1), ("ab", 3L, 2)))
+  }
 }

@@ -469,6 +469,34 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2, "d" -> 3))
   }
 
+  test("linearCountDistinct: occupancy and estimate match a driver-side " +
+      "reference; saturated sketch estimates null") {
+    import spark.implicits._
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val m = 64
+    val vals = (1 to 300).map(i => ("g", s"u${i % 90}")) ++
+      (1 to 5).map(i => ("h", s"u$i"))
+    val got = graft.engine.Sketches.linearCountDistinct(
+      vals.toDF("grp", "v"), Seq("grp"), "v", m)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    val ref = vals.distinct.groupBy(_._1).view.mapValues { vs =>
+      val occ = vs.map(v => ph(v._2) % m).distinct.size.toLong
+      val est = if (occ < m)
+        Some(math.round(m.toDouble * math.log(m.toDouble / (m - occ))))
+      else None
+      (occ, est)
+    }.toMap
+    assert(got == ref)
+    // saturate: 500 distinct values into 4 buckets → occupied=4, est null
+    val sat = graft.engine.Sketches.linearCountDistinct(
+      (1 to 500).map(i => ("g", s"x$i")).toDF("grp", "v"), Seq("grp"), "v", 4)
+      .collect()
+    assert(sat.head.getLong(1) == 4L && sat.head.isNullAt(2))
+  }
+
   test("bfsHops: a seed on a cycle keeps hop 0 (min wins over re-reach)") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("b", "a")).toDF("x", "y")
