@@ -1988,10 +1988,31 @@ object LlmQueries {
         SELECT pair, weight, CAST(rank AS INT) AS rank FROM k
         WHERE rank <= 30"""))
 
+  /** Per-source unigram KL divergence from the corpus blend — the
+    * domain-shift / mixture-outlier report.
+    */
+  private val l73 = Spec("q178_source_kl",
+    (s, d) => graft.llm.Curation.sourceUnigramKl(
+      Queries.T(s, d, "documents"), "text", "source"),
+    Some(s"""WITH toks AS (SELECT source, unnest($wordsSql) AS t
+          FROM documents),
+        st AS (SELECT source, t, count(*) AS n_st FROM toks GROUP BY 1, 2),
+        s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+          FROM st GROUP BY 1),
+        tt AS (SELECT t, CAST(sum(n_st) AS BIGINT) AS n_t
+          FROM st GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st)
+        SELECT st.source, n_s AS n_tokens, count(*) AS n_terms,
+          round(sum((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+            * ln((CAST(n_st AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)))), 6) AS kl
+        FROM st JOIN s USING (source) JOIN tt USING (t) CROSS JOIN tot
+        GROUP BY 1, 2"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l68, l69, l70, l71, l72)
+    l64, l65, l66, l67, l68, l69, l70, l71, l72, l73)
 }

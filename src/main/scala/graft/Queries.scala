@@ -2134,6 +2134,24 @@ object Queries {
         SELECT event_id, user_id, ts, v,
           ls[(len(ls) + 1) // 2] AS roll_med FROM l"""))
 
+  /** OP-AGG-20 — equi-depth decile report of extended price per return
+    * flag (ANSI ntile over a total order).
+    */
+  private val agg20 = Spec("q179_equidepth_bins",
+    (s, d) => Relational.equiDepthBins(
+      T(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), nBins = 10),
+    Some("""WITH b AS (SELECT l_returnflag, l_extendedprice,
+          CAST(ntile(10) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+            AS bin
+          FROM lineitem)
+        SELECT l_returnflag, bin, count(*) AS n,
+          min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM b GROUP BY 1, 2"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2149,7 +2167,7 @@ object Queries {
     fn1, fn2, fn3, fn4, fn5, fn6,
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
-    misc10, misc11, misc12, misc13, win16, win17) ++ LlmQueries.specs
+    misc10, misc11, misc12, misc13, win16, win17, agg20) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

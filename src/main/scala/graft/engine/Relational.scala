@@ -609,6 +609,25 @@ object Relational {
     * ascending order puts nulls first where most engines put them
     * last — a tie at the cut would otherwise keep different rows).
     */
+  /** Equi-depth binning report: rank rows into `nBins` same-size buckets
+    * per group (ANSI `ntile` over a TOTAL order — pass tiebreak columns,
+    * or tied boundary rows land in engine-dependent bins) and emit each
+    * bucket's count and value range — the decile/percentile table that
+    * feeds range-partition boundaries, SLA bands, and skew checks. One
+    * window pass + one (group, bin)-grain aggregate; output is
+    * `|groups| · nBins` rows.
+    */
+  def equiDepthBins(df: DataFrame, groupCols: Seq[String], valCol: String,
+      tiebreakCols: Seq[String], nBins: Int): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((valCol +: tiebreakCols).map(col): _*)
+    df.withColumn("bin", ntile(nBins).over(w))
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"), min(col(valCol)).as("lo"),
+        max(col(valCol)).as("hi"))
+  }
+
   def keySkewReport(df: DataFrame, keys: Seq[String],
       topK: Int): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))

@@ -334,6 +334,42 @@ object Curation {
         col("split_a"), col("split_b"))
   }
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * `(source, n_tokens, n_terms, kl)` with
+    * `kl = Σ_t p(t|s) · ln(p(t|s)/p(t))`, the standard domain-shift /
+    * mixture-outlier score (a source whose language diverges from the
+    * blend shows a large KL; near-zero means it IS the blend). Every
+    * count is exact-integer; the only floats are the final per-term
+    * ratio/log and their sum, rounded to 6 dp — inside the tolerance the
+    * engine's other rounded-double reports (groupRegression, chi²) have
+    * proven out cross-engine.
+    *
+    * Scale: term stats live at (source, term) grain — Heaps-law
+    * sublinear in corpus size; the token stream is aggregated once and
+    * never joined raw (the per-term join keys the (source, term) table,
+    * not the stream), and the corpus-total frame is a one-row broadcast.
+    * p(t) > 0 wherever p(t|s) > 0 by construction, so the log is always
+    * finite.
+    */
+  def sourceUnigramKl(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.llm.Text.tokens(col(textCol))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("n_st"))
+    val s = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val tt = st.groupBy("t").agg(sum(col("n_st")).as("n_t"))
+    val tot = st.select(sum(col("n_st")).as("n"))
+    val p = col("n_st").cast("double") / col("n_s").cast("double")
+    val ratio = (col("n_st").cast("double") * col("n").cast("double")) /
+      (col("n_s").cast("double") * col("n_t").cast("double"))
+    st.join(s, "source").join(tt, "t").crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("n_s").as("n_tokens"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(p * log(ratio)), 6).as("kl"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("kl"))
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

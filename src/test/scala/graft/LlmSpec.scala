@@ -1290,6 +1290,26 @@ class LlmSpec extends SparkSpec {
     assert(out == Set(("the", 3L, 1000000L)))
   }
 
+  test("sourceUnigramKl: hand-computed two-source corpus; blend-identical " +
+      "source scores zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "A"), (2L, "a", "B"))
+      .toDF("id", "text", "source")
+    val out = graft.llm.Curation.sourceUnigramKl(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val klA = BigDecimal(2d / 3 * math.log(8d / 9) + 1d / 3 * math.log(4d / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klB = BigDecimal(math.log(4d / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map("A" -> ((3L, 2L, klA)), "B" -> ((1L, 1L, klB))))
+    // one source == the whole corpus → p(t|s) = p(t) → KL exactly 0
+    val solo = graft.llm.Curation.sourceUnigramKl(
+      Seq((1L, "x y x", "S")).toDF("id", "text", "source"), "text", "source")
+      .collect()
+    assert(solo.head.getDouble(3) == 0d)
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._

@@ -507,4 +507,18 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getInt(3) -> r.getString(0)).toMap
     assert(ranked == Map(1 -> "hot", 2 -> "warm", 3 -> null))
   }
+
+  test("equiDepthBins: ANSI ntile split (first bins take the remainder), " +
+      "per-bin count and value range") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1), ("g", 2L, 2), ("g", 3L, 3), ("g", 4L, 4),
+      ("g", 5L, 5), ("h", 7L, 1)).toDF("grp", "v", "tb")
+    val out = Relational.equiDepthBins(df, Seq("grp"), "v", Seq("tb"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g: 5 rows into 2 bins → ntile gives 3+2: [1,2,3] and [4,5]
+    assert(out == Map(("g", 1) -> ((3L, 1L, 3L)), ("g", 2) -> ((2L, 4L, 5L)),
+      ("h", 1) -> ((1L, 7L, 7L))))
+  }
 }
