@@ -2152,6 +2152,28 @@ object Queries {
           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         FROM b GROUP BY 1, 2"""))
 
+  /** OP-AGG-21 — Gini concentration of per-user activity within each
+    * event type (the "is this stream dominated by a few users" report).
+    */
+  private val agg21 = Spec("q180_gini_activity",
+    (s, d) => Relational.giniIndex(
+      T(s, d, "events").groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x")),
+      Seq("event_type"), "x", Seq("user_id")),
+    Some("""WITH ux AS (SELECT event_type, user_id, count(*) AS x
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, x, row_number() OVER
+          (PARTITION BY event_type ORDER BY x, user_id) AS i FROM ux),
+        a AS (SELECT event_type, count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sum_x,
+          sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS ix
+          FROM r GROUP BY 1)
+        SELECT event_type, n, sum_x,
+          CASE WHEN sum_x > 0 THEN
+            round(CAST(2 * ix - CAST(n + 1 AS HUGEINT) * sum_x AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)), 6)
+          END AS gini FROM a"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2167,7 +2189,8 @@ object Queries {
     fn1, fn2, fn3, fn4, fn5, fn6,
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
-    misc10, misc11, misc12, misc13, win16, win17, agg20) ++ LlmQueries.specs
+    misc10, misc11, misc12, misc13, win16, win17, agg20,
+    agg21) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -609,6 +609,35 @@ object Relational {
     * ascending order puts nulls first where most engines put them
     * last — a tie at the cut would otherwise keep different rows).
     */
+  /** Gini concentration index per group over NON-NEGATIVE integer values
+    * (null values excluded): with the group's values sorted ascending
+    * (tiebroken into a total order) and 1-indexed,
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — 0 = perfectly even,
+    * → 1 = all mass on one member. The whole numerator accumulates in
+    * DECIMAL(38,0) (exact, commutative — `Σ i·xᵢ` passes 2⁶³ at roughly
+    * 3×10⁹ rows of moderate values, the same ANSI-overflow class the ppm
+    * combines hit), and only the final ratio is floating, rounded 6 dp.
+    * One rank window + one group aggregate; output is group-grain.
+    * Groups with `Σx = 0` (all-zero values) have no concentration to
+    * measure → null.
+    */
+  def giniIndex(df: DataFrame, groupCols: Seq[String], valCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valCol).asc +: tiebreakCols.map(col(_).asc)): _*)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__i", row_number().over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sum_x"),
+        sum(col("__i").cast(d38) * col(valCol).cast(d38)).as("__ix"))
+      .withColumn("gini", when(col("sum_x") > 0, round(
+        (lit(2).cast(d38) * col("__ix") -
+          (col("n") + 1).cast(d38) * col("sum_x").cast(d38)).cast("double") /
+        (col("n").cast("double") * col("sum_x").cast("double")), 6)))
+      .drop("__ix")
+  }
+
   /** Equi-depth binning report: rank rows into `nBins` same-size buckets
     * per group (ANSI `ntile` over a TOTAL order — pass tiebreak columns,
     * or tied boundary rows land in engine-dependent bins) and emit each

@@ -72,6 +72,12 @@ object PolyHash {
     acc
   }
 
+  /** Same fold over a JVM String (UTF-16 code units) — for driver-side
+    * references and typed streaming state that must agree with the
+    * columnar expression bit-for-bit.
+    */
+  def hashString(str: String): Long = hashSlow(str)
+
   private def hashSlow(str: String): Long = {
     var acc = 0L
     var i = 0

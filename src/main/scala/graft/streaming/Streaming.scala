@@ -275,4 +275,48 @@ object Streaming {
           }
       }
   }
+
+  final case class KeyedValue(group: String, v: String)
+  final case class SketchUpdate(group: String, occupied: Int,
+      est_distinct: Option[Long])
+
+  /** Streaming linear-counting distinct — the continuous face of
+    * [[graft.engine.Sketches.linearCountDistinct]]: per group the state
+    * is an m-bit occupied-bucket bitmap (`⌈m/8⌉` bytes, FIXED regardless
+    * of how many values stream through — that is the whole point), each
+    * batch ORs its values' buckets in and emits the group's refreshed
+    * `(occupied, est_distinct)`. Buckets come from the same shared
+    * polyhash as the batch face, so after any prefix of the stream the
+    * emitted estimate is bit-identical to the batch operator over the
+    * same rows (spec-pinned), and a saturated sketch emits None rather
+    * than a fabricated number. State never expires (a cardinality
+    * counter is cumulative); group-key cardinality bounds memory.
+    */
+  def distinctSketchStream(values: Dataset[KeyedValue],
+      m: Int): Dataset[SketchUpdate] = {
+    require(m >= 2 && m % 8 == 0, "bucket count must be a positive multiple of 8")
+    implicit val outEnc = Encoders.product[SketchUpdate]
+    implicit val stEnc = Encoders.BINARY
+    implicit val keyEnc = Encoders.STRING
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedValue],
+            state: GroupState[Array[Byte]]) =>
+          val bits = state.getOption.getOrElse(new Array[Byte](m / 8))
+          rows.foreach { r =>
+            if (r.v != null) {
+              val b = (graft.functions.PolyHash.hashString(r.v) % m).toInt
+              bits(b >> 3) = (bits(b >> 3) | (1 << (b & 7))).toByte
+            }
+          }
+          state.update(bits)
+          val occ = bits.foldLeft(0)((a, x) =>
+            a + java.lang.Integer.bitCount(x & 0xff))
+          val est = if (occ < m)
+            Some(math.round(m.toDouble * math.log(m.toDouble / (m - occ))))
+          else None
+          Iterator(SketchUpdate(group, occ, est))
+      }
+  }
 }

@@ -508,6 +508,21 @@ class RelationalSpec extends SparkSpec {
     assert(ranked == Map(1 -> "hot", 2 -> "warm", 3 -> null))
   }
 
+  test("giniIndex: hand-computed goldens — even, concentrated, all-zero") {
+    import spark.implicits._
+    val df = Seq(("even", 1L, 5L), ("even", 2L, 5L),
+      ("conc", 1L, 0L), ("conc", 2L, 0L), ("conc", 3L, 0L), ("conc", 4L, 12L),
+      ("zero", 1L, 0L), ("zero", 2L, 0L)).toDF("grp", "tb", "x")
+    val out = Relational.giniIndex(df, Seq("grp"), "x", Seq("tb"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // even: (2·(1·5+2·5) − 3·10)/(2·10) = 0; conc: one of four holds all
+    // mass → (2·4·12 − 5·12)/(4·12) = 36/48 = 0.75; zero mass → null
+    assert(out == Map("even" -> ((2L, 10L, Some(0.0))),
+      "conc" -> ((4L, 12L, Some(0.75))), "zero" -> ((2L, 0L, None))))
+  }
+
   test("equiDepthBins: ANSI ntile split (first bins take the remainder), " +
       "per-bin count and value range") {
     import spark.implicits._

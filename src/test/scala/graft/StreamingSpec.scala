@@ -263,4 +263,36 @@ class StreamingSpec extends SparkSpec {
         "2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
     } finally q.stop()
   }
+
+  test("distinctSketchStream: per-batch refresh, cumulative state, " +
+      "bit-identical to the batch sketch on the same prefix") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val m = 64
+    val mem = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.distinctSketchStream(mem.toDS(), m)
+      .writeStream.format("memory").queryName("dsketch")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq("u1", "u2", "u3").map(Streaming.KeyedValue("g", _))
+      val b2 = Seq("u3", "u4").map(Streaming.KeyedValue("g", _)) // u3 repeats
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = sp.sql("SELECT occupied, est_distinct FROM dsketch")
+        .collect().map(r => (r.getInt(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      // batch face over the same prefixes
+      def ref(vs: Seq[String]) = graft.engine.Sketches.linearCountDistinct(
+        vs.map(("g", _)).toDF("grp", "v"), Seq("grp"), "v", m).collect()
+        .map(r => (r.getLong(1).toInt,
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).head
+      assert(got == Seq(ref(b1.map(_.v)), ref((b1 ++ b2).map(_.v))))
+      // the repeat contributed nothing: occupied grew by exactly |{u4}|'s
+      // bucket (or 0 on collision) — monotone, never by the dup
+      assert(got(1)._1 - got(0)._1 <= 1)
+    } finally q.stop()
+  }
 }
