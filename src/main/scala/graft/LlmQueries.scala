@@ -2009,10 +2009,52 @@ object LlmQueries {
         FROM st JOIN s USING (source) JOIN tt USING (t) CROSS JOIN tot
         GROUP BY 1, 2"""))
 
+  /** Cross-source duplicate-overlap matrix. The fixture plants a
+    * synthetic "recrawl" source holding exact copies of every 13th
+    * document (same convention as the dup-injected dedup corpora), so
+    * the report is provably non-empty at every gate SF — natural
+    * cross-source copies only appear at sf0.1.
+    */
+  private val l74 = Spec("q181_source_overlap",
+    (s, d) => {
+      val docs = Queries.T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000000).as("doc_id"), col("text"),
+          lit("recrawl").as("source")))
+      graft.llm.Curation.sourceOverlapMatrix(corpus, "text", "source")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+          UNION ALL SELECT doc_id + 100000000, text, 'recrawl'
+          FROM documents WHERE doc_id % 13 = 0),
+        hs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus
+          WHERE source IS NOT NULL)
+        SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_shared
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2"""))
+
+  /** Rendezvous (HRW) shard assignment, k = 8, over document ids. */
+  private val l75 = Spec("q182_rendezvous_shards",
+    (s, d) => graft.llm.Shaping.rendezvousAssign(
+        Queries.T(s, d, "documents").select(col("doc_id")), "doc_id", k = 8)
+      .groupBy("shard").agg(count(lit(1)).as("n_docs")),
+    Some(s"""WITH p AS (SELECT doc_id,
+          unnest([{'s': s, 'h': (${phSql(
+            "CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)")}
+            * 2654435761) % 1000000007}
+            for s in range(0, 8)]) AS u
+          FROM documents),
+        e AS (SELECT doc_id, u.s AS s, u.h AS h FROM p),
+        r AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+          ORDER BY h DESC, s DESC) AS rn FROM e)
+        SELECT CAST(s AS INT) AS shard, count(*) AS n_docs FROM r
+        WHERE rn = 1 GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l68, l69, l70, l71, l72, l73)
+    l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75)
 }

@@ -2174,6 +2174,31 @@ object Queries {
               / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)), 6)
           END AS gini FROM a"""))
 
+  /** OP-WIN-18 — rolling z-score anomaly flags over each user's trailing
+    * 30 events (exact-integer discriminant; see
+    * [[graft.engine.Windows.rollingZScore]]).
+    */
+  private val win18 = Spec("q183_rolling_zscore",
+    (s, d) => Windows.rollingZScore(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", nRows = 30),
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        s AS (SELECT event_id, user_id, ts, v,
+          CAST(count(v) OVER fr AS HUGEINT) AS n,
+          sum(CAST(v AS HUGEINT)) OVER fr AS s1,
+          sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER fr AS s2
+          FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts, v,
+          CASE WHEN n * s2 - s1 * s1 > 0 THEN
+            round(CAST(n * v - s1 AS DOUBLE)
+              / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)
+          END AS z FROM s"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2190,7 +2215,7 @@ object Queries {
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
-    agg21) ++ LlmQueries.specs
+    agg21, win18) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

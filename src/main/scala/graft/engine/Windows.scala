@@ -433,6 +433,34 @@ object Windows {
       element_at(arr, ((size(arr) + 1) / 2).cast("int"))))
   }
 
+  /** Rolling z-score anomaly flags over the trailing `nRows` rows per key:
+    * `z = (x − μ)/σ` against the frame's own population stats, computed
+    * as `(n·x − S₁)/√(n·S₂ − S₁²)` — numerator and discriminant are
+    * EXACT integers (DECIMAL(38,0) sums; `n·S₂` passes 2⁶³ near 10⁹-row
+    * frames of ~10³ values, the ANSI-overflow class), so "constant frame"
+    * is an exact `D = 0` test (→ null z), never a float-residue near-zero
+    * that would explode the ratio; only the final division/√ is floating,
+    * rounded 6 dp. Null values are excluded from the frame stats and get
+    * a null z. One window pass (three running aggregates share the
+    * frame), no self-joins.
+    */
+  def rollingZScore(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String, nRows: Int,
+      outCol: String = "z"): DataFrame = {
+    require(nRows >= 2, "a one-row frame has no spread")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    val x = col(valCol).cast(d38)
+    val n = count(col(valCol)).over(w).cast(d38)
+    val s1 = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val disc = n * s2 - s1 * s1
+    df.withColumn(outCol, when(col(valCol).isNotNull && disc > 0,
+      round((n * x - s1).cast("double") / sqrt(disc.cast("double")), 6)))
+  }
+
   /** Retention cohort matrix: users bucketed by their FIRST-activity week,
     * counted in each later week they were active. Weeks are absolute
     * 7-day epoch buckets (integer `µs ÷ week` division — no calendar or

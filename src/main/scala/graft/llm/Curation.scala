@@ -262,6 +262,33 @@ object Curation {
       .withColumn("dup_rate", round(lit(1.0) -
         col("n_distinct").cast("double") / col("n_docs"), 6))
 
+  /** Cross-source duplicate-overlap matrix: for every UNORDERED source
+    * pair, how many distinct content hashes occur in BOTH — the
+    * "which feeds are re-crawls of each other" report that drives source
+    * pruning order (drop the redundant feed, not both). Pairs are
+    * canonical (`source_a < source_b`) and only overlapping pairs emit.
+    *
+    * Dataflow: one `(hash, source)` DISTINCT (content-cardinality-sized),
+    * then a hash-keyed self-join producing per-hash source pairs and a
+    * pair-grain count. A hash present in k sources fans out C(k,2) pairs
+    * with k bounded by the SOURCE count (not the corpus), so the join is
+    * skew-safe by construction — the catalog of sources is small even
+    * when the corpus is 100 TB.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val hs = docs
+      .select(md5(col(textCol).cast("binary")).as("__h"),
+        col(sourceCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
+    hs.select(col("__h"), col("__s").as("source_a"))
+      .join(hs.select(col("__h"), col("__s").as("source_b")), "__h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact repeated-substring report (the token-window approximation of
     * Lee et al. 2022's suffix-array ExactSubstr dedup): for every
     * document, how many of its `width`-token windows also occur in at

@@ -388,6 +388,22 @@ class AggWindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq("y>x"))
   }
 
+  test("rollingZScore: exact-integer discriminant — constant frame is " +
+      "EXACTLY null, spread frame matches hand math") {
+    import spark.implicits._
+    val rows = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 10L))
+      .toDF("i", "v").withColumn("k", lit("g"))
+    val out = Windows.rollingZScore(rows, Seq("k"), Seq("i"), "v", 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // frames: [4] n=1 D=0 → null; [4,4] D=0 → null; [4,4,4] D=0 → null;
+    // [4,4,10]: n=3 S1=18 S2=132 D=3·132−324=72, z=(3·10−18)/√72=√2
+    val want = BigDecimal(12d / math.sqrt(72d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some(want)))
+  }
+
   test("rollingMedian: lower median over a trailing frame, per key") {
     import spark.implicits._
     val rows = Seq((1L, "k", 5L), (2L, "k", 1L), (3L, "k", 9L),

@@ -1310,6 +1310,39 @@ class LlmSpec extends SparkSpec {
     assert(solo.head.getDouble(3) == 0d)
   }
 
+  test("sourceOverlapMatrix: canonical pairs, distinct-hash grain, " +
+      "non-overlapping pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared one", "b"),
+      (3L, "shared one", "b"), // same hash twice in b — still 1 shared
+      (4L, "shared two", "a"), (5L, "shared two", "c"),
+      (6L, "only a", "a"), (7L, "only b", "b")
+    ).toDF("id", "text", "source")
+    val got = graft.llm.Curation.sourceOverlapMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 1L, ("a", "c") -> 1L))
+  }
+
+  test("rendezvousAssign: in-range deterministic shards; growing k only " +
+      "moves rows to the NEW shard; null id gets null") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => Tuple1(i)).toDF("id")
+    def shards(k: Int) = graft.llm.Shaping.rendezvousAssign(docs, "id", k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s4 = shards(4); val s5 = shards(5)
+    assert(s4.values.forall(s => s >= 0 && s < 4))
+    // HRW stability: every reassigned row moved to the new shard 4
+    val moved = s4.keys.filter(id => s4(id) != s5(id))
+    assert(moved.nonEmpty && moved.forall(id => s5(id) == 4))
+    // and the mix actually spreads: all 4 shards populated
+    assert(s4.values.toSet == Set(0, 1, 2, 3))
+    val n = graft.llm.Shaping.rendezvousAssign(
+      Seq[Option[Long]](None).toDF("id"), "id", 4).collect()
+    assert(n.head.isNullAt(1))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
