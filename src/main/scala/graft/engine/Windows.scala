@@ -388,6 +388,11 @@ object Windows {
     * structs are sorted by `(time, tiebreak, type)` INSIDE the aggregate,
     * so the path string never depends on shuffle arrival order.
     *
+    * CONTRACT: `typeCol` is expected non-null (null types are skipped by
+    * the join, and a session of ONLY null types yields the empty-string
+    * path, where SQL `string_agg` would yield NULL) — filter or coalesce
+    * null types upstream if they exist.
+    *
     * Scale: the heavy frames are one session window pass + one
     * (key, session)-grain aggregate; the path-count table is
     * distinct-path-sized and the final orderBy+limit is a TakeOrdered (no
