@@ -2199,6 +2199,34 @@ object Queries {
               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)
           END AS z FROM s"""))
 
+  /** OP-MISC-14 — connected components of the sparsified shipment graph
+    * (every 50th order): min-node component labels, oracle = recursive
+    * reachability closure.
+    */
+  private val misc14 = Spec("q184_connected_components",
+    (s, d) => {
+      val e = T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_orderkey") % 50 === 0),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("b"))
+      Graph.connectedComponents(e, "a", "b")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT
+          's' || CAST(l_suppkey AS VARCHAR) AS a,
+          'c' || CAST(o_custkey AS VARCHAR) AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderkey % 50 = 0),
+        e AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        r AS (WITH RECURSIVE reach(id, lab) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id)
+          SELECT id, lab FROM reach)
+        SELECT id AS node, min(lab) AS component FROM r GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2215,7 +2243,7 @@ object Queries {
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
-    agg21, win18) ++ LlmQueries.specs
+    agg21, win18, misc14) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -155,6 +155,23 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Connected components over any undirected edge list —
+    * `(node, component)` with component = the smallest node in the
+    * component. Thin façade over the pointer-jumping min-label engine in
+    * [[graft.llm.Dedup.duplicateClusters]] (path-halving: the min spreads
+    * 2^round hops per round, so a diameter-d graph converges in O(log d)
+    * rounds with per-round plan checkpointing — the shape that survives a
+    * 100 TB edge list, vs naive HashMin's O(d) rounds). Exposed here so
+    * graph workloads don't reach into the dedup module for a general
+    * algorithm; isolated nodes carry no edges and so don't appear.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame =
+    graft.llm.Dedup.duplicateClusters(
+      edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull),
+      srcCol, dstCol, maxIter)
+      .select(col("doc").as("node"), col("cluster").as("component"))
+
   /** Breadth-first min-hop labels from a seed set over the DIRECTED edge
     * list: `(id, hop)` for every node within `maxHops` hops, hop = exact
     * BFS distance (seeds at 0). Frontier-style rounds: round `i` expands

@@ -469,6 +469,20 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2, "d" -> 3))
   }
 
+  test("connectedComponents: min-node labels across chains, cycles, and " +
+      "disjoint components; null-endpoint edges dropped") {
+    import spark.implicits._
+    // comp {a,b,c,d} (chain + cycle back-edge), comp {x,y}; null edge noise
+    val e = Seq(Some("a") -> Some("b"), Some("b") -> Some("c"),
+      Some("c") -> Some("a"), Some("c") -> Some("d"),
+      Some("x") -> Some("y"), None -> Some("z"), Some("z") -> None)
+      .map { case (s, t) => (s.orNull, t.orNull) }.toDF("s", "t")
+    val got = graft.engine.Graph.connectedComponents(e, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("linearCountDistinct: occupancy and estimate match a driver-side " +
       "reference; saturated sketch estimates null") {
     import spark.implicits._
