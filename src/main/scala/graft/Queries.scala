@@ -2227,6 +2227,39 @@ object Queries {
           SELECT id, lab FROM reach)
         SELECT id AS node, min(lab) AS component FROM r GROUP BY 1"""))
 
+  /** OP-WIN-19 — interval union coverage per user: each event opens a
+    * `[ts, ts + (1 + event_id%7) minutes]` activity interval; overlapping
+    * intervals merge into islands, coverage in exact µs.
+    */
+  private val win19 = Spec("q185_interval_coverage",
+    (s, d) => Windows.intervalCoverage(
+      T(s, d, "events").select(col("user_id"), col("event_id"),
+        col("ts").as("ivs"),
+        expr("timestampadd(MINUTE, CAST(event_id % 7 + 1 AS INT), ts)")
+          .as("ive")),
+      Seq("user_id"), "ivs", "ive", Seq("event_id")),
+    Some("""WITH iv AS (SELECT user_id, event_id,
+          CAST(ts AS TIMESTAMP) AS ivs,
+          CAST(ts AS TIMESTAMP)
+            + to_minutes(CAST(event_id % 7 + 1 AS BIGINT)) AS ive
+          FROM events),
+        m AS (SELECT user_id, event_id, epoch_us(ivs) AS s, epoch_us(ive) AS e,
+          max(epoch_us(ive)) OVER (PARTITION BY user_id
+            ORDER BY ivs, ive, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM iv),
+        f AS (SELECT user_id, s, e,
+          sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY s, e, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m),
+        g AS (SELECT user_id, island, count(*) AS n, min(s) AS i_s,
+          max(e) AS i_e FROM f GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+          count(*) AS n_islands,
+          CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+        FROM g GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2243,7 +2276,7 @@ object Queries {
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
-    agg21, win18, misc14) ++ LlmQueries.specs
+    agg21, win18, misc14, win19) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -438,6 +438,42 @@ object Windows {
       element_at(arr, ((size(arr) + 1) / 2).cast("int"))))
   }
 
+  /** Interval coverage (gaps-and-islands): merge each key's overlapping /
+    * touching `[start, end]` intervals into islands and report
+    * `(keys…, n_intervals, n_islands, covered_us)` — the union length in
+    * exact integer µs (uptime, sensor-coverage, SLA math). An interval
+    * opens a new island iff its start exceeds the running max end of all
+    * PRIOR intervals in `(start, end, tiebreak)` order — the running max
+    * (not `lag(end)`) is what makes an interval that ends inside an
+    * earlier, longer one stay in that island. Two window passes sharing
+    * one sort order + two aggregates; all arithmetic integer µs, so the
+    * result is engine-exact. Rows with a null endpoint or `end < start`
+    * are rejected loudly rather than silently skewing coverage.
+    */
+  def intervalCoverage(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val bad = df.filter(col(startCol).isNull || col(endCol).isNull ||
+      col(endCol) < col(startCol)).limit(1).count()
+    require(bad == 0,
+      s"null or inverted [$startCol, $endCol] interval in input")
+    val s = unix_micros(col(startCol))
+    val e = unix_micros(col(endCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(startCol).asc +: col(endCol).asc +:
+        tiebreakCols.map(col(_).asc)): _*)
+    val priorMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(priorMax.isNull || (s > priorMax), 1).otherwise(0)
+    df.withColumn("__island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keyCols :+ "__island").map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(s).as("__is"), max(e).as("__ie"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"))
+  }
+
   /** Rolling z-score anomaly flags over the trailing `nRows` rows per key:
     * `z = (x − μ)/σ` against the frame's own population stats, computed
     * as `(n·x − S₁)/√(n·S₂ − S₁²)` — numerator and discriminant are

@@ -388,6 +388,28 @@ class AggWindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq("y>x"))
   }
 
+  test("intervalCoverage: islands via running-max end (a long interval " +
+      "swallows later short ones), exact covered micros") {
+    import spark.implicits._
+    // k: [0,10] ∪ [2,3] ∪ [4,12] ∪ [15,16] → islands [0,12] + [15,16]
+    //   — lag(end) logic would wrongly split at [4,12] (prev end 3 < 4,
+    //   but the RUNNING max end is 10 ≥ 4, same island)
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq((1L, ts(0), ts(10)), (2L, ts(2), ts(3)),
+      (3L, ts(4), ts(12)), (4L, ts(15), ts(16)))
+      .toDF("i", "s", "e").withColumn("k", lit("g"))
+    val out = Windows.intervalCoverage(rows, Seq("k"), "s", "e", Seq("i"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((4L, 2L, (12L + 1L) * 60L * 1000000L)))
+    // inverted interval rejected loudly
+    val badRows = Seq((1L, ts(5), ts(1))).toDF("i", "s", "e")
+      .withColumn("k", lit("g"))
+    val err = intercept[IllegalArgumentException] {
+      Windows.intervalCoverage(badRows, Seq("k"), "s", "e", Seq("i"))
+    }
+    assert(err.getMessage.contains("inverted"))
+  }
+
   test("rollingZScore: exact-integer discriminant — constant frame is " +
       "EXACTLY null, spread frame matches hand math") {
     import spark.implicits._
