@@ -410,6 +410,64 @@ class AggWindowsSpec extends SparkSpec {
     assert(err.getMessage.contains("inverted"))
   }
 
+  test("intervalCoverage matches a brute-force minute-set reference on " +
+      "random interval soups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 200).map { i =>
+      val k = s"k${rnd.nextInt(5)}"
+      val s = rnd.nextInt(500)
+      (i.toLong, k, Timestamp.valueOf(f"2024-01-01 ${s / 60}%02d:${s % 60}%02d:00"),
+        s, s + rnd.nextInt(30))
+    }
+    val df = rows.map { case (i, k, _, s, e) =>
+      (i, k, Timestamp.valueOf(f"2024-01-01 ${s / 60}%02d:${s % 60}%02d:00"),
+        Timestamp.valueOf(f"2024-01-01 ${e / 60}%02d:${e % 60}%02d:00"))
+    }.toDF("i", "k", "s", "e")
+    val got = Windows.intervalCoverage(df, Seq("k"), "s", "e", Seq("i"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ref = rows.groupBy(_._2).view.mapValues { ivs =>
+      // covered minutes = union of [s, e) half-open minute sets; islands =
+      // components of the interval overlap graph (touching endpoints merge)
+      val minutes = ivs.flatMap { case (_, _, _, s, e) => s until e }.toSet
+      val sorted = ivs.map(v => (v._4, v._5)).sortBy(identity)
+      var islands = 0; var maxEnd = Int.MinValue
+      sorted.foreach { case (s, e) =>
+        if (s > maxEnd) islands += 1
+        maxEnd = math.max(maxEnd, e)
+      }
+      (ivs.size.toLong, islands.toLong, minutes.size.toLong * 60L * 1000000L)
+    }.toMap
+    assert(got == ref)
+  }
+
+  test("rollingZScore matches a driver-side reference on random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+    val got = Windows.rollingZScore(rows.toDF("i", "k", "v"),
+      Seq("k"), Seq("i"), "v", 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val ref = rows.groupBy(_._2).values.flatMap { grp =>
+      val sorted = grp.sortBy(_._1)
+      sorted.zipWithIndex.map { case ((i, _, v), idx) =>
+        val frame = sorted.slice(math.max(0, idx - 4), idx + 1).map(_._3)
+        val n = BigInt(frame.size)
+        val s1 = frame.map(BigInt(_)).sum
+        val s2 = frame.map(x => BigInt(x) * BigInt(x)).sum
+        val d = n * s2 - s1 * s1
+        i -> (if (d > 0)
+          Some(BigDecimal((n * v - s1).toDouble / math.sqrt(d.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None)
+      }
+    }.toMap
+    assert(got == ref)
+  }
+
   test("rollingZScore: exact-integer discriminant — constant frame is " +
       "EXACTLY null, spread frame matches hand math") {
     import spark.implicits._
