@@ -2260,6 +2260,118 @@ object Queries {
           CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
         FROM g GROUP BY 1"""))
 
+  /** OP-WIN-20 — lag-1 autocorrelation of each user's value series. */
+  private val win20 = Spec("q186_autocorr",
+    (s, d) => Windows.autocorr(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", lagK = 1),
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        p AS (SELECT user_id, v AS x, lag(v, 1) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM e),
+        f AS (SELECT user_id, CAST(x AS HUGEINT) AS x,
+          CAST(y AS HUGEINT) AS y FROM p WHERE y IS NOT NULL),
+        a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM f GROUP BY 1),
+        dd AS (SELECT *, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+          FROM a)
+        SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN dx > 0 AND dy > 0 THEN
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+          END AS acf FROM dd"""))
+
+  /** OP-AGG-22 — PSI drift report: extended-price distribution of each
+    * order-key-third against the first, 20 fixed bins.
+    */
+  private val agg22 = Spec("q187_psi_drift",
+    (s, d) => Relational.psiReport(
+      T(s, d, "lineitem").select(col("l_extendedprice"),
+        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
+          .as("split")),
+      "split", "s0", "l_extendedprice", lo = 0d, hi = 110000d, nBins = 20),
+    Some("""WITH b AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS split,
+          CAST(least(greatest(floor((l_extendedprice - 0.0) / 5500.0),
+            0.0), 19.0) AS INT) AS bin
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT split, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        t AS (SELECT *, sum(n) OVER (PARTITION BY split) AS tot FROM c),
+        pp AS (SELECT split, bin,
+          CAST((n * 1000000) // tot AS BIGINT) AS ppm FROM t),
+        r AS (SELECT bin, ppm AS ref_ppm FROM pp WHERE split = 's0'),
+        cu AS (SELECT split, bin, ppm AS cur_ppm FROM pp
+          WHERE split <> 's0'),
+        j AS (SELECT cu.split, cu.bin,
+          coalesce(r.ref_ppm, 0) AS ref_ppm, cu.cur_ppm
+          FROM cu LEFT JOIN r USING (bin)),
+        k AS (SELECT *, CASE WHEN ref_ppm > 0 AND cur_ppm > 0 THEN
+            round(CAST(cur_ppm - ref_ppm AS DOUBLE) / 1000000
+              * ln(CAST(cur_ppm AS DOUBLE) / CAST(ref_ppm AS DOUBLE)), 6)
+          ELSE CAST(0 AS DOUBLE) END AS psi_term FROM j)
+        SELECT split, bin, ref_ppm, cur_ppm, psi_term,
+          round(sum(psi_term) OVER (PARTITION BY split), 6) AS psi
+        FROM k"""))
+
+  /** OP-AGG-23 — Benford first-digit audit of price cents per return
+    * flag.
+    */
+  private val agg23 = Spec("q188_benford_prices",
+    (s, d) => Relational.benfordReport(
+      T(s, d, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      Seq("l_returnflag"), "cents"),
+    Some("""WITH v AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        d AS (SELECT l_returnflag,
+          CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM v WHERE c > 0),
+        c2 AS (SELECT l_returnflag, digit, count(*) AS n FROM d
+          GROUP BY 1, 2),
+        t AS (SELECT *, sum(n) OVER (PARTITION BY l_returnflag) AS tot
+          FROM c2),
+        x AS (SELECT l_returnflag, digit, n,
+          CAST((n * 1000000) // tot AS BIGINT) AS obs_ppm,
+          CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+            WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+            ELSE 45757 END AS BIGINT) AS expected_ppm FROM t)
+        SELECT l_returnflag, digit, n, obs_ppm, expected_ppm,
+          obs_ppm - expected_ppm AS excess_ppm FROM x"""))
+
+  /** OP-MISC-15 — pairwise missingness matrix over three derived
+    * columns with deterministic null patterns.
+    */
+  private val misc15 = Spec("q189_missingness",
+    (s, d) => Relational.missingnessMatrix(
+      T(s, d, "events").select(
+        when(col("value") >= 10, col("value")).as("a"),
+        when(col("event_type") =!= "click", col("event_type")).as("b"),
+        when(col("user_id") % 7 =!= 0, col("user_id")).as("c")),
+      Seq("a", "b", "c")),
+    Some("""WITH e AS (SELECT
+          CASE WHEN value >= 10 THEN value END AS a,
+          CASE WHEN event_type <> 'click' THEN event_type END AS b,
+          CASE WHEN user_id % 7 <> 0 THEN user_id END AS c
+          FROM events),
+        m AS (SELECT count(*) AS n_rows,
+          count(*) FILTER (a IS NULL AND b IS NULL) AS ab_both,
+          count(*) FILTER (a IS NULL OR b IS NULL) AS ab_any,
+          count(*) FILTER (a IS NULL AND c IS NULL) AS ac_both,
+          count(*) FILTER (a IS NULL OR c IS NULL) AS ac_any,
+          count(*) FILTER (b IS NULL AND c IS NULL) AS bc_both,
+          count(*) FILTER (b IS NULL OR c IS NULL) AS bc_any
+          FROM e)
+        SELECT 'a' AS col_a, 'b' AS col_b, ab_both AS n_both_null,
+          ab_any AS n_any_null, n_rows FROM m
+        UNION ALL SELECT 'a', 'c', ac_both, ac_any, n_rows FROM m
+        UNION ALL SELECT 'b', 'c', bc_both, bc_any, n_rows FROM m"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2276,7 +2388,8 @@ object Queries {
     pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
-    agg21, win18, misc14, win19) ++ LlmQueries.specs
+    agg21, win18, misc14, win19, win20, agg22, agg23,
+    misc15) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

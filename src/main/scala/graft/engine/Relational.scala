@@ -609,6 +609,114 @@ object Relational {
     * ascending order puts nulls first where most engines put them
     * last — a tie at the cut would otherwise keep different rows).
     */
+  /** Population stability index (PSI) between a reference split and every
+    * other split of one frame, over the same fixed-width edge-clamped
+    * bins as [[histogram]]: per (split, bin),
+    * `term = (p − q) · ln(p/q)` with p/q the bin's share in the current/
+    * reference split. Shares are exact integer ppm (floor division), so
+    * the binning and masses hash-stable; only the final `ln` term is
+    * floating, rounded 6 dp. Bins empty on EITHER side contribute
+    * nothing (the standard unsmoothed convention — documented, not
+    * hidden: `ref_ppm`/`cur_ppm` are emitted so a zero-mass bin is
+    * visible; bins with mass ONLY in the reference emit no row — their
+    * term is zero under the same convention). Output one row per
+    * (split, bin) with the term plus the split's `psi` total; the usual
+    * read: < 0.1 stable, 0.1–0.25 drift to watch, > 0.25 investigate.
+    *
+    * Scale: one scan → one (split, bin) aggregate (cardinality
+    * |splits|·nBins — tiny); the per-split totals and psi sums are
+    * windows over that tiny frame, never a second scan.
+    */
+  def psiReport(df: DataFrame, splitCol: String, refValue: String,
+      valCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(hi > lo && nBins > 0, "need lo < hi and nBins > 0")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valCol) - lo) / w), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(splitCol).as("split"), bin.as("bin"))
+      .agg(count(lit(1)).as("__n"))
+    val bySplit = Window.partitionBy(col("split"))
+    val ppm = expr("(__n * 1000000) DIV __tot")
+    val withPpm = counts
+      .withColumn("__tot", sum(col("__n")).over(bySplit))
+      .withColumn("__ppm", ppm)
+    val ref = withPpm.filter(col("split") === refValue)
+      .select(col("bin"), col("__ppm").as("ref_ppm"))
+    val cur = withPpm.filter(col("split") =!= refValue)
+      .select(col("split"), col("bin"), col("__ppm").as("cur_ppm"))
+    val term = (col("cur_ppm") - col("ref_ppm")).cast("double") / 1000000d *
+      log(col("cur_ppm").cast("double") / col("ref_ppm").cast("double"))
+    cur.join(ref, Seq("bin"), "left")
+      .withColumn("ref_ppm", coalesce(col("ref_ppm"), lit(0L)))
+      .withColumn("psi_term",
+        when(col("ref_ppm") > 0 && col("cur_ppm") > 0, round(term, 6))
+          .otherwise(lit(0d)))
+      .withColumn("psi", round(sum(col("psi_term")).over(bySplit), 6))
+      .select(col("split"), col("bin"), col("ref_ppm"), col("cur_ppm"),
+        col("psi_term"), col("psi"))
+  }
+
+  /** Benford first-digit audit per group: the distribution of the first
+    * significant digit of a POSITIVE integer column against Benford's
+    * law, with the expected masses as exact ppm LITERALS
+    * (`⌊log₁₀(1+1/d)·10⁶⌉` precomputed — no engine's `ln` in the
+    * output path at all). Emits per (group, digit): count, observed ppm
+    * (exact floor division), expected ppm, and the signed ppm excess.
+    * The first digit comes from the integer's decimal STRING (engines
+    * agree on integer rendering; `floor(log10(x))` would risk boundary
+    * ulps at exact powers of ten). Non-positive values are excluded
+    * (Benford is defined on positive magnitudes). One aggregate;
+    * output ≤ 9 rows per group.
+    */
+  def benfordReport(df: DataFrame, groupCols: Seq[String],
+      valCol: String): DataFrame = {
+    // round(log10(1+1/d)*1e6) for d = 1..9; sums to 1_000_000 exactly
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expectedCol = element_at(
+      array(expected.map(lit): _*), col("digit").cast("int"))
+    val digit = substring(col(valCol).cast("string"), 1, 1).cast("int")
+    df.filter(col(valCol).isNotNull && col(valCol) > 0)
+      .groupBy((groupCols.map(col) :+ digit.as("digit")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(groupCols.map(col): _*)))
+      .withColumn("obs_ppm", expr("(n * 1000000) DIV __tot"))
+      .withColumn("expected_ppm", expectedCol)
+      .withColumn("excess_ppm", col("obs_ppm") - col("expected_ppm"))
+      .drop("__tot")
+  }
+
+  /** Pairwise missingness matrix over `cols`: for every unordered column
+    * pair, how often both / either are null — the co-missingness
+    * structure that tells "these sensors fail together" apart from
+    * independent gaps (complements [[profileNumeric]]'s per-column null
+    * counts). ONE scan: all `k(k−1)/2` pair counters are conditional
+    * aggregates in a single row, exploded to long form driver-free.
+    */
+  def missingnessMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("n_rows") +: pairs.flatMap { case (a, b) =>
+      Seq(
+        count_if(col(a).isNull && col(b).isNull).as(s"__both_${a}_$b"),
+        count_if(col(a).isNull || col(b).isNull).as(s"__any_${a}_$b"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__both_${a}_$b").as("n_both_null"),
+        col(s"__any_${a}_$b").as("n_any_null"))
+    }: _*)).as("__p")
+    row.select(col("n_rows"), stacked)
+      .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
+        col("__p.n_both_null").as("n_both_null"),
+        col("__p.n_any_null").as("n_any_null"), col("n_rows"))
+  }
+
   /** Gini concentration index per group over NON-NEGATIVE integer values
     * (null values excluded): with the group's values sorted ascending
     * (tiebroken into a total order) and 1-indexed,

@@ -438,6 +438,45 @@ object Windows {
       element_at(arr, ((size(arr) + 1) / 2).cast("int"))))
   }
 
+  /** Lag-`k` autocorrelation per key: Pearson correlation of the paired
+    * series `(xₜ, xₜ₋ₖ)` in `orderCols` order —
+    * `r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))`, the
+    * same integer-exact sufficient-statistics discipline as
+    * `Relational.groupRegression`: every sum accumulates in
+    * DECIMAL(38,0), both variance discriminants are exact (a constant
+    * side is an exact zero → null r, never a float-residue explosion),
+    * and only the final ratio is floating, rounded 6 dp. Pairs with a
+    * null on either side are dropped (SQL corr convention). One lag
+    * window + one aggregate; output is key-grain
+    * `(keys…, n_pairs, acf)`.
+    */
+  def autocorr(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valCol: String, lagK: Int): DataFrame = {
+    require(lagK >= 1, "lag must be positive")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val paired = df
+      .withColumn("__y", lag(col(valCol), lagK).over(w))
+      .filter(col(valCol).isNotNull && col("__y").isNotNull)
+      .select(keyCols.map(col) :+ col(valCol).cast(d38).as("__x") :+
+        col("__y").cast(d38).as("__y"): _*)
+    paired.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__n", col("n_pairs").cast(d38))
+      .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("acf", when(col("__dx") > 0 && col("__dy") > 0,
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          sqrt(col("__dx").cast("double") * col("__dy").cast("double")), 6)))
+      .select((keyCols.map(col) :+ col("n_pairs") :+ col("acf")): _*)
+  }
+
   /** Interval coverage (gaps-and-islands): merge each key's overlapping /
     * touching `[start, end]` intervals into islands and report
     * `(keys…, n_intervals, n_islands, covered_us)` — the union length in

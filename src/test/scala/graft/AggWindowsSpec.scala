@@ -410,6 +410,20 @@ class AggWindowsSpec extends SparkSpec {
     assert(err.getMessage.contains("inverted"))
   }
 
+  test("autocorr: linear series +1, alternating series -1, constant null") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => ("lin", i.toLong, i.toLong)) ++
+      (1 to 10).map(i => ("alt", i.toLong, if (i % 2 == 0) 5L else -5L)) ++
+      (1 to 10).map(i => ("const", i.toLong, 7L))
+    val out = Windows.autocorr(rows.toDF("k", "i", "v"),
+      Seq("k"), Seq("i"), "v", lagK = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out == Map("lin" -> ((9L, Some(1.0))),
+      "alt" -> ((9L, Some(-1.0))), "const" -> ((9L, None))))
+  }
+
   test("intervalCoverage matches a brute-force minute-set reference on " +
       "random interval soups") {
     import spark.implicits._

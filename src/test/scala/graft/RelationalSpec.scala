@@ -508,6 +508,63 @@ class RelationalSpec extends SparkSpec {
     assert(ranked == Map(1 -> "hot", 2 -> "warm", 3 -> null))
   }
 
+  test("psiReport: identical split distributions score exactly zero; " +
+      "a shifted split scores the hand-computed positive PSI") {
+    import spark.implicits._
+    // ref s0: 10 rows in bin0, 10 in bin1; same: identical; shift: 15/5
+    val rows =
+      (1 to 10).map(_ => ("s0", 5d)) ++ (1 to 10).map(_ => ("s0", 15d)) ++
+      (1 to 10).map(_ => ("same", 5d)) ++ (1 to 10).map(_ => ("same", 15d)) ++
+      (1 to 15).map(_ => ("shift", 5d)) ++ (1 to 5).map(_ => ("shift", 15d))
+    val out = Relational.psiReport(rows.toDF("split", "v"),
+      "split", "s0", "v", lo = 0d, hi = 20d, nBins = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(out(("same", 0)) == ((500000L, 500000L, 0.0)))
+    // shift: bins 750000/250000 vs 500000/500000 →
+    // psi = 0.25·ln(1.5) + (−0.25)·ln(0.5) = 0.25·ln 3
+    val want = BigDecimal(
+      BigDecimal(0.25 * math.log(1.5)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +
+      BigDecimal(-0.25 * math.log(0.5)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("shift", 0))._3 == want)
+  }
+
+  test("benfordReport: digits from the decimal string, exact ppm, " +
+      "expected masses sum to one million") {
+    import spark.implicits._
+    val rows = Seq(("g", 123L), ("g", 19L), ("g", 100L), ("g", 950L),
+      ("g", 2L), ("g", -5L), ("g", 0L))
+      .toDF("grp", "v")
+    val out = Relational.benfordReport(rows, Seq("grp"), "v")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // positives: 123, 19, 100, 950, 2 → digits 1:3, 9:1, 2:1 of 5
+    assert(out(1) == ((3L, 600000L, 301030L, 298970L)))
+    assert(out(9) == ((1L, 200000L, 45757L, 154243L)))
+    assert(out(2) == ((1L, 200000L, 176091L, 23909L)))
+    assert(out.keySet == Set(1, 2, 9))
+  }
+
+  test("missingnessMatrix: one-scan pair counts on a hand fixture") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some(1L), Some("x"), Some(1L)),
+      (None, Some("y"), Some(2L)),
+      (None, None, Some(3L)),
+      (Some(4L), None, None)
+    ).toDF("a", "b", "c")
+    val out = Relational.missingnessMatrix(rows, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 3L, 4L)),
+      ("a", "c") -> ((0L, 3L, 4L)),
+      ("b", "c") -> ((1L, 2L, 4L))))
+  }
+
   test("giniIndex: hand-computed goldens — even, concentrated, all-zero") {
     import spark.implicits._
     val df = Seq(("even", 1L, 5L), ("even", 2L, 5L),
