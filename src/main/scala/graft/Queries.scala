@@ -2372,6 +2372,45 @@ object Queries {
         UNION ALL SELECT 'a', 'c', ac_both, ac_any, n_rows FROM m
         UNION ALL SELECT 'b', 'c', bc_both, bc_any, n_rows FROM m"""))
 
+  /** Streaming-face windowed PSI (batch face for the oracle): daily
+    * value-distribution drift against a fixed 5-bin reference histogram.
+    */
+  private val strm3 = Spec("q190_stream_psi_windowed",
+    (s, d) => graft.streaming.Streaming.psiWindowed(
+      T(s, d, "events"), "ts", "value", "1 day",
+      refPpm = Seq(300000L, 250000L, 200000L, 150000L, 100000L),
+      lo = 0d, hi = 350d),
+    Some("""WITH b AS (SELECT date_trunc('day', ts) AS w_start,
+          CAST(least(greatest(floor((value - 0.0) / 70.0), 0.0), 4.0)
+            AS INT) AS bin
+          FROM events WHERE value IS NOT NULL),
+        a AS (SELECT w_start,
+          count(*) FILTER (bin = 0) AS c0,
+          count(*) FILTER (bin = 1) AS c1,
+          count(*) FILTER (bin = 2) AS c2,
+          count(*) FILTER (bin = 3) AS c3,
+          count(*) FILTER (bin = 4) AS c4
+          FROM b GROUP BY 1),
+        p AS (SELECT w_start, c0 + c1 + c2 + c3 + c4 AS n,
+          CAST((c0 * 1000000) // (c0 + c1 + c2 + c3 + c4) AS BIGINT) AS p0,
+          CAST((c1 * 1000000) // (c0 + c1 + c2 + c3 + c4) AS BIGINT) AS p1,
+          CAST((c2 * 1000000) // (c0 + c1 + c2 + c3 + c4) AS BIGINT) AS p2,
+          CAST((c3 * 1000000) // (c0 + c1 + c2 + c3 + c4) AS BIGINT) AS p3,
+          CAST((c4 * 1000000) // (c0 + c1 + c2 + c3 + c4) AS BIGINT) AS p4
+          FROM a)
+        SELECT w_start, n, round(
+          (CASE WHEN p0 > 0 THEN CAST(p0 - 300000 AS DOUBLE) / 1000000
+            * ln(CAST(p0 AS DOUBLE) / 300000.0) ELSE 0.0 END)
+          + (CASE WHEN p1 > 0 THEN CAST(p1 - 250000 AS DOUBLE) / 1000000
+            * ln(CAST(p1 AS DOUBLE) / 250000.0) ELSE 0.0 END)
+          + (CASE WHEN p2 > 0 THEN CAST(p2 - 200000 AS DOUBLE) / 1000000
+            * ln(CAST(p2 AS DOUBLE) / 200000.0) ELSE 0.0 END)
+          + (CASE WHEN p3 > 0 THEN CAST(p3 - 150000 AS DOUBLE) / 1000000
+            * ln(CAST(p3 AS DOUBLE) / 150000.0) ELSE 0.0 END)
+          + (CASE WHEN p4 > 0 THEN CAST(p4 - 100000 AS DOUBLE) / 1000000
+            * ln(CAST(p4 AS DOUBLE) / 100000.0) ELSE 0.0 END), 6) AS psi
+        FROM p"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2389,7 +2428,7 @@ object Queries {
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
-    misc15) ++ LlmQueries.specs
+    misc15, strm3) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -276,6 +276,51 @@ object Streaming {
       }
   }
 
+  /** Windowed PSI drift monitor — the streaming face of
+    * [[graft.engine.Relational.psiReport]] against a FIXED reference
+    * histogram (`refPpm(b)` = the reference's exact-ppm mass of bin `b`,
+    * typically psiReport's ref column exported from the training
+    * snapshot). Single-aggregate form: the per-bin counters are `nBins`
+    * conditional aggregates in ONE `groupBy(window)` — a chained
+    * two-level aggregate would be illegal under streaming Append mode —
+    * and psi is then pure column arithmetic over the window-grain row.
+    * Current-side ppm shares are exact integer floor division; bins
+    * empty on either side contribute 0 (the batch face's unsmoothed
+    * convention); the float term chain is a FIXED left-to-right fold
+    * over bin index, so the sum order is engine-stable. On a batch
+    * frame the watermark is a no-op and the result is oracle-checkable
+    * SQL; on a stream, state per window is `nBins + 1` longs.
+    */
+  def psiWindowed(events: DataFrame, tsCol: String, valCol: String,
+      windowLen: String, refPpm: Seq[Long], lo: Double, hi: Double,
+      watermark: Option[String] = None): DataFrame = {
+    val nBins = refPpm.size
+    require(nBins > 0 && hi > lo, "need bins and lo < hi")
+    require(refPpm.forall(p => p >= 0 && p <= 1000000L),
+      "reference masses are ppm in [0, 1e6]")
+    val binW = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valCol) - lo) / binW), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    val counters = (0 until nBins).map(b =>
+      count_if(col("__bin") === b).as(s"__c$b"))
+    val agg = src.filter(col(valCol).isNotNull).withColumn("__bin", bin)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val n = (0 until nBins).map(b => col(s"__c$b")).reduce(_ + _)
+    val terms = refPpm.zipWithIndex.map { case (ref, b) =>
+      val ppm = expr(s"(__c$b * 1000000) DIV __n")
+      if (ref == 0L) lit(0d)
+      else when(ppm > 0,
+        (ppm - lit(ref)).cast("double") / 1000000d *
+          log(ppm.cast("double") / lit(ref.toDouble))).otherwise(lit(0d))
+    }.reduce(_ + _)
+    agg.withColumn("__n", n)
+      .withColumn("psi", round(terms, 6))
+      .select(col("window.start").as("w_start"), col("__n").as("n"),
+        col("psi"))
+  }
+
   final case class KeyedValue(group: String, v: String)
   final case class SketchUpdate(group: String, occupied: Int,
       est_distinct: Option[Long])

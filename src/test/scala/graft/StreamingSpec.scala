@@ -264,6 +264,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psiWindowed: streaming windows agree with the batch face; " +
+      "matching distribution scores zero") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val ref = Seq(500000L, 500000L) // reference: half low, half high
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = Streaming.psiWindowed(df, "ts", "value", "1 hour", ref,
+        lo = 0d, hi = 10d, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("psiwin")
+      .outputMode("complete").start()
+    try {
+      // hour 10: 2 low + 2 high = exactly the reference → psi 0
+      // hour 11: 3 low + 1 high = drifted
+      val t = (h: Int, m: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((t(10, 0), 1.0), (t(10, 10), 2.0), (t(10, 20), 7.0),
+        (t(10, 30), 8.0), (t(11, 0), 1.0), (t(11, 10), 2.0),
+        (t(11, 20), 3.0), (t(11, 30), 9.0))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM psiwin ORDER BY w_start").collect()
+        .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[Long]("n"),
+          r.getAs[Double]("psi")))
+      assert(rows.length == 2)
+      assert(rows(0)._2 == 4L && rows(0)._3 == 0.0)
+      // batch face on the same rows gives the identical drifted psi
+      val batch = Seq((t(11, 0), 1.0), (t(11, 10), 2.0), (t(11, 20), 3.0),
+        (t(11, 30), 9.0)).toDF("ts", "value")
+      val b = Streaming.psiWindowed(batch, "ts", "value", "1 hour", ref,
+        lo = 0d, hi = 10d).collect()
+      assert(rows(1)._3 == b.head.getDouble(2) && rows(1)._3 > 0d)
+    } finally q.stop()
+  }
+
   test("distinctSketchStream: per-batch refresh, cumulative state, " +
       "bit-identical to the batch sketch on the same prefix") {
     val sp = spark
