@@ -637,18 +637,21 @@ object Relational {
       .groupBy(col(splitCol).as("split"), bin.as("bin"))
       .agg(count(lit(1)).as("__n"))
     val bySplit = Window.partitionBy(col("split"))
-    val ppm = expr("(__n * 1000000) DIV __tot")
-    val withPpm = counts
-      .withColumn("__tot", sum(col("__n")).over(bySplit))
-      .withColumn("__ppm", ppm)
-    val ref = withPpm.filter(col("split") === refValue)
-      .select(col("bin"), col("__ppm").as("ref_ppm"))
-    val cur = withPpm.filter(col("split") =!= refValue)
-      .select(col("split"), col("bin"), col("__ppm").as("cur_ppm"))
+    // the reference column is a bin-partitioned window over the SAME tiny
+    // counts frame, not a self-join of two filtered branches — that shape
+    // re-executes the scan+aggregate once per branch (the SCALE.md
+    // aggregate-totals-as-windows rule)
+    val byBin = Window.partitionBy(col("bin"))
     val term = (col("cur_ppm") - col("ref_ppm")).cast("double") / 1000000d *
       log(col("cur_ppm").cast("double") / col("ref_ppm").cast("double"))
-    cur.join(ref, Seq("bin"), "left")
-      .withColumn("ref_ppm", coalesce(col("ref_ppm"), lit(0L)))
+    counts
+      .withColumn("__tot", sum(col("__n")).over(bySplit))
+      .withColumn("__ppm", expr("(__n * 1000000) DIV __tot"))
+      .withColumn("ref_ppm", coalesce(
+        max(when(col("split") === refValue, col("__ppm"))).over(byBin),
+        lit(0L)))
+      .filter(col("split") =!= refValue)
+      .withColumn("cur_ppm", col("__ppm"))
       .withColumn("psi_term",
         when(col("ref_ppm") > 0 && col("cur_ppm") > 0, round(term, 6))
           .otherwise(lit(0d)))

@@ -380,21 +380,29 @@ object Curation {
     */
   def sourceUnigramKl(docs: DataFrame, textCol: String,
       srcCol: String): DataFrame = {
+    // the (source, term) aggregate is the expensive frame (one pass over
+    // the token stream) and is read FOUR times (source totals, term
+    // totals, corpus total, main join) — persist once, eager-checkpoint
+    // the source-grain result, release (the pageRankPpm discipline)
     val st = docs
       .select(col(srcCol).as("source"),
         explode(graft.llm.Text.tokens(col(textCol))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("n_st"))
+      .persist()
     val s = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
     val tt = st.groupBy("t").agg(sum(col("n_st")).as("n_t"))
     val tot = st.select(sum(col("n_st")).as("n"))
     val p = col("n_st").cast("double") / col("n_s").cast("double")
     val ratio = (col("n_st").cast("double") * col("n").cast("double")) /
       (col("n_s").cast("double") * col("n_t").cast("double"))
-    st.join(s, "source").join(tt, "t").crossJoin(broadcast(tot))
+    val out = st.join(s, "source").join(tt, "t").crossJoin(broadcast(tot))
       .groupBy(col("source"), col("n_s").as("n_tokens"))
       .agg(count(lit(1)).as("n_terms"),
         round(sum(p * log(ratio)), 6).as("kl"))
       .select(col("source"), col("n_tokens"), col("n_terms"), col("kl"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    out
   }
 
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
