@@ -2062,8 +2062,12 @@ object Queries {
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-      val e = ed.unionAll(ed.select(col("dst").as("src"),
-        col("src").as("dst")))
+      // both directions in ONE pass over the join (a two-branch union
+      // would execute the lineitem⋈orders join once per branch)
+      val e = ed.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
       val seeds = T(s, d, "supplier").filter(col("s_suppkey") % 10 === 1)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("id"))
       Graph.bfsHops(e, "src", "dst", seeds, "id", maxHops = 3)

@@ -170,11 +170,18 @@ object Graph {
     * algorithm; isolated nodes carry no edges and so don't appear.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame =
-    graft.llm.Dedup.duplicateClusters(
-      edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull),
-      srcCol, dstCol, maxIter)
+      maxIter: Int = 20): DataFrame = {
+    // the CC engine reads its pair frame twice (both edge directions) —
+    // persist the caller's (possibly expensive) edge derivation through
+    // the call; safe to release on return because the engine's per-round
+    // convergence actions leave the result eagerly checkpointed
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .persist()
+    val out = graft.llm.Dedup.duplicateClusters(e, srcCol, dstCol, maxIter)
       .select(col("doc").as("node"), col("cluster").as("component"))
+    e.unpersist(false)
+    out
+  }
 
   /** Breadth-first min-hop labels from a seed set over the DIRECTED edge
     * list: `(id, hop)` for every node within `maxHops` hops, hop = exact
