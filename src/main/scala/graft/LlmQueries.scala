@@ -2051,10 +2051,70 @@ object LlmQueries {
         SELECT CAST(s AS INT) AS shard, count(*) AS n_docs FROM r
         WHERE rn = 1 GROUP BY 1"""))
 
+  /** Per-document Flesch-style readability report. */
+  private val l76 = Spec("q191_readability",
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val sents = Text.sentenceArray(col("text"))
+      Queries.T(s, d, "documents").select(col("doc_id"),
+          size(toks).as("n_words"), size(sents).as("n_sentences"),
+          Text.syllablesFromTokens(toks).as("n_syllables"))
+        .withColumn("flesch",
+          when(col("n_words") > 0 && col("n_sentences") > 0,
+            round(lit(206.835) - lit(1.015) *
+              (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double")), 6)))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words,
+          list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+            s -> trim(s)), s -> s != '') AS ss FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(words) AS INT) AS n_words,
+          CAST(len(ss) AS INT) AS n_sentences,
+          CAST(list_sum(list_transform(words, w ->
+            greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+            AS BIGINT) AS n_syllables FROM t)
+        SELECT doc_id, n_words, n_sentences,
+          coalesce(n_syllables, 0) AS n_syllables,
+          CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+            round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE)
+              * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+                / CAST(n_words AS DOUBLE)), 6)
+          END AS flesch FROM m"""))
+
+  /** Corpus Zipf-law fit over the top-500 terms. */
+  private val l77 = Spec("q192_zipf_fit",
+    (s, d) => graft.llm.Lexical.zipfFit(
+      Queries.T(s, d, "documents"), "text", topK = 500),
+    Some(s"""WITH toks AS (SELECT unnest($wordsSql) AS t FROM documents),
+        tf AS (SELECT t, count(*) AS n FROM toks GROUP BY 1),
+        h AS (SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rank
+          FROM tf),
+        xy AS (SELECT
+          CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+          CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+          FROM h WHERE rank <= 500),
+        a AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM xy),
+        dd AS (SELECT *, n_terms * sxy - sx * sy AS num,
+          n_terms * sxx - sx * sx AS dx, n_terms * syy - sy * sy AS dy
+          FROM a)
+        SELECT CAST(n_terms AS BIGINT) AS n_terms,
+          CASE WHEN dx > 0 THEN
+            round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6) END AS slope,
+          CASE WHEN dx > 0 AND dy > 0 THEN
+            round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+              / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) END AS r2
+        FROM dd"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75)
+    l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
+    l76, l77)
 }

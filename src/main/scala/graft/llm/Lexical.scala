@@ -279,6 +279,47 @@ object Lexical {
     * orderBy+limit a TakeOrdered, and the rank window runs only over the
     * `topK` survivors. Words shorter than 2 chars carry no pairs.
     */
+  /** Zipf-law fit over the top-`topK` terms: least-squares slope of
+    * `ln(freq)` against `ln(rank)` (a healthy natural-language corpus
+    * sits near −1; boilerplate/spam skews it) with `r²` as the fit
+    * quality. Both logs are SCALED-INTEGER (`⌊ln(·)·10⁶⌉` micro-nats)
+    * before the sufficient statistics, which then accumulate exactly in
+    * DECIMAL(38,0) — the groupRegression discipline, so the fit is
+    * engine-exact even though it is a regression over logarithms (the
+    * scale factor cancels in the slope). The term table is
+    * Heaps-sublinear; the head cut is a TakeOrdered and the rank window
+    * runs only over the `topK` survivors.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 2, "a fit needs at least two points")
+    val d38 = "decimal(38,0)"
+    val tf = docs.select(explode(Text.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col("t").asc)
+    val xy = tf.orderBy(order: _*).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select(
+        round(log(col("rank").cast("double")) * 1000000d).cast("long")
+          .cast(d38).as("x"),
+        round(log(col("n").cast("double")) * 1000000d).cast("long")
+          .cast(d38).as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .withColumn("__n", col("n_terms").cast(d38))
+      .withColumn("__num", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("slope", when(col("__dx") > 0,
+        round(col("__num").cast("double") / col("__dx").cast("double"), 6)))
+      .withColumn("r2", when(col("__dx") > 0 && col("__dy") > 0,
+        round(col("__num").cast("double") * col("__num").cast("double") /
+          (col("__dx").cast("double") * col("__dy").cast("double")), 6)))
+      .select(col("n_terms"), col("slope"), col("r2"))
+  }
+
   def bpePairStep(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     val words = docs
       .select(explode(Text.tokens(col(textCol))).as("w"))

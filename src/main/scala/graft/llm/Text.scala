@@ -357,4 +357,14 @@ object Text {
     */
   def sentenceArray(text: Column): Column =
     filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+
+  /** Total syllable estimate over a token array: vowel-group runs
+    * (`[aeiouy]+`) per token, floored at one per token — the classic
+    * Flesch-family heuristic (digit-only tokens count one). Pure Column
+    * fold, codegen-friendly; feeds the readability report (q191).
+    */
+  def syllablesFromTokens(toks: Column): Column =
+    aggregate(transform(toks, w =>
+      greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long")),
+      lit(0L), (a, x) => a + x)
 }

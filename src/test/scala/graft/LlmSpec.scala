@@ -1343,6 +1343,65 @@ class LlmSpec extends SparkSpec {
     assert(n.head.isNullAt(1))
   }
 
+  test("syllablesFromTokens: vowel-group runs per token, floor one, " +
+      "empty array zero, null propagates") {
+    import spark.implicits._
+    // hello→2 (e,o), world→1 (o), 123→1 (floored), rhythm→1 (y),
+    // beautiful→3 (eau, i, u)
+    val out = Seq("hello world 123 rhythm beautiful", "", null)
+      .toDF("text")
+      .select(Text.syllablesFromTokens(Text.tokens(col("text"))).as("s"))
+      .collect()
+    assert(out(0).getLong(0) == 8L)
+    assert(out(1).getLong(0) == 0L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("zipfFit: agrees with an independent BigInt least-squares over " +
+      "the same micro-nat lattice; topK cuts; degenerate fit is null") {
+    import spark.implicits._
+    // counts: a=8, b=4, c=2, d=1 → ranks 1..4 (count desc, term asc)
+    val docs = Seq((1L, "a a a a b b c d"), (2L, "a a a a b b c"))
+      .toDF("id", "text")
+    def ref(counts: Seq[Long]): (Long, Option[Double], Option[Double]) = {
+      val pts = counts.zipWithIndex.map { case (n, i) =>
+        (BigInt(math.round(math.log(i + 1d) * 1e6)),
+          BigInt(math.round(math.log(n.toDouble) * 1e6)))
+      }
+      val k = BigInt(pts.size)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = k * sxy - sx * sy
+      val dx = k * sxx - sx * sx; val dy = k * syy - sy * sy
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (pts.size.toLong,
+        if (dx > 0) Some(r6(num.toDouble / dx.toDouble)) else None,
+        if (dx > 0 && dy > 0)
+          Some(r6(num.toDouble * num.toDouble / (dx.toDouble * dy.toDouble)))
+        else None)
+    }
+    def got(topK: Int) = {
+      val r = graft.llm.Lexical.zipfFit(docs, "text", topK).collect().head
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    assert(got(10) == ref(Seq(8L, 4L, 2L, 1L)))
+    assert(got(2) == ref(Seq(8L, 4L)))    // head cut honored
+    val slope = got(10)._2.get
+    assert(slope < 0d)                    // Zipf slope is negative
+    val r2 = got(10)._3.get
+    assert(r2 > 0.9 && r2 <= 1d)          // near-power-law corpus fits well
+    // single distinct term → rank variance 0 → null slope/r2, n_terms 1
+    val solo = graft.llm.Lexical.zipfFit(
+      Seq((1L, "x x x")).toDF("id", "text"), "text", topK = 5)
+    val sr = solo.collect().head
+    assert(sr.getLong(0) == 1L && sr.isNullAt(1) && sr.isNullAt(2))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
