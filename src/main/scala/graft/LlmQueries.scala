@@ -2110,11 +2110,85 @@ object LlmQueries {
               / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) END AS r2
         FROM dd"""))
 
+  /** Per-document type–token / hapax lexical-diversity report. */
+  private val l78 = Spec("q198_lexical_diversity",
+    (s, d) => graft.llm.Lexical.lexicalDiversity(
+      Queries.T(s, d, "documents"), "doc_id", "text"),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS t
+          FROM documents),
+        c AS (SELECT doc_id, t, count(*) AS n FROM t GROUP BY 1, 2),
+        a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+          count(*) AS n_types,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax FROM c GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+          round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            AS ttr,
+          round(CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            AS hapax_ratio FROM a"""))
+
+  /** Character-class census + entropy gibberish screen. */
+  private val l79 = Spec("q199_char_entropy",
+    (s, d) => Queries.T(s, d, "documents")
+      .select(col("doc_id"), Text.charClassCensus(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_letters"), col("c.n_digits"),
+        col("c.n_spaces"), col("c.n_other"), col("c.entropy")),
+    Some(s"""WITH c AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
+            AS cl,
+          CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS BIGINT)
+            AS cd,
+          CAST(len(regexp_extract_all(lower(text), '[ \t\n\f\r]'))
+            AS BIGINT) AS cs,
+          CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\f\r]'))
+            AS BIGINT) AS co
+          FROM documents),
+        n AS (SELECT doc_id, coalesce(cl, 0) AS n_letters,
+          coalesce(cd, 0) AS n_digits, coalesce(cs, 0) AS n_spaces,
+          coalesce(co, 0) AS n_other, cl + cd + cs + co AS nn FROM c)
+        SELECT doc_id, n_letters, n_digits, n_spaces, n_other,
+          CASE WHEN nn > 0 THEN round(
+            (CASE WHEN n_letters > 0 THEN
+              -(CAST(n_letters AS DOUBLE) / CAST(nn AS DOUBLE))
+                * ln(CAST(n_letters AS DOUBLE) / CAST(nn AS DOUBLE))
+              ELSE 0.0 END)
+            + (CASE WHEN n_digits > 0 THEN
+              -(CAST(n_digits AS DOUBLE) / CAST(nn AS DOUBLE))
+                * ln(CAST(n_digits AS DOUBLE) / CAST(nn AS DOUBLE))
+              ELSE 0.0 END)
+            + (CASE WHEN n_spaces > 0 THEN
+              -(CAST(n_spaces AS DOUBLE) / CAST(nn AS DOUBLE))
+                * ln(CAST(n_spaces AS DOUBLE) / CAST(nn AS DOUBLE))
+              ELSE 0.0 END)
+            + (CASE WHEN n_other > 0 THEN
+              -(CAST(n_other AS DOUBLE) / CAST(nn AS DOUBLE))
+                * ln(CAST(n_other AS DOUBLE) / CAST(nn AS DOUBLE))
+              ELSE 0.0 END), 6) END AS entropy
+        FROM n"""))
+
+  /** Temperature-½ source mix weights, exact-integer form. */
+  private val l80 = Spec("q200_mix_weights",
+    (s, d) => graft.llm.Shaping.temperatureMixWeights(
+      Queries.T(s, d, "documents"), "source", "text"),
+    Some(s"""WITH p AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        t AS (SELECT p.*, sum(n_tokens) OVER () AS tot FROM p),
+        s AS (SELECT source, n_docs, n_tokens,
+          CAST((n_tokens * 1000000) // tot AS BIGINT) AS share_ppm
+          FROM t),
+        q AS (SELECT *, CAST(floor(sqrt(CAST(share_ppm AS DOUBLE)))
+          AS BIGINT) AS sq FROM s),
+        w AS (SELECT *, sum(sq) OVER () AS stot FROM q)
+        SELECT source, n_docs, n_tokens, share_ppm,
+          CAST((sq * 1000000) // stot AS BIGINT) AS weight_ppm
+        FROM w"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77)
+    l76, l77, l78, l79, l80)
 }

@@ -2415,6 +2415,164 @@ object Queries {
             * ln(CAST(p4 AS DOUBLE) / 100000.0) ELSE 0.0 END), 6) AS psi
         FROM p"""))
 
+  /** OP-AGG-24 — two-sample KS drift: price-cents ECDF of each
+    * order-key-third against the first (same splits as the PSI report,
+    * binning-free statistic).
+    */
+  private val agg24 = Spec("q193_ks_drift",
+    (s, d) => Relational.ksReport(
+      T(s, d, "lineitem").select(
+        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
+          .as("split"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "split", "s0", "cents", lo = 0d, hi = 11000000d, nBuckets = 64),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s, cur.cum AS cumc, r.cum AS cumr,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          max(abs(cumr * nc - cumc * nr)) AS dnum FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur, CAST(dnum AS BIGINT) AS d_num,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(dnum AS DOUBLE)
+              / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS ks FROM a"""))
+
+  /** OP-AGG-25 — Mann–Whitney U: event-value distribution of odd-id
+    * users against even-id users, tie-corrected, doubled-U exact.
+    */
+  private val agg25 = Spec("q194_mann_whitney",
+    (s, d) => Relational.mannWhitneyReport(
+      T(s, d, "events").select(
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("grp"),
+        floor(col("value")).cast("long").as("v")),
+      "grp", "g0", "v", lo = 0d, hi = 350d, nBuckets = 16),
+    Some("""WITH e AS (SELECT 'g' || CAST(user_id % 2 AS VARCHAR) AS s,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        j AS (SELECT cur.s, cur.t AS tc, r.t AS tr,
+          (cur.cum - cur.t) + (r.cum - r.t) AS cb, cur.t + r.t AS ta
+          FROM f cur JOIN f r ON r.s = 'g0' AND r.v = cur.v
+          WHERE cur.s <> 'g0'),
+        a AS (SELECT s, sum(tr) AS nr, sum(tc) AS nc,
+          sum(tc * (cb * 2 + ta + 1)) AS r2,
+          sum(ta * ta * ta - ta) AS tie FROM j GROUP BY 1),
+        b AS (SELECT s, nr, nc, r2 - nc * (nc + 1) AS u2, nr + nc AS nn,
+          tie FROM a)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur, CAST(u2 AS BIGINT) AS u2,
+          CASE WHEN nr > 0 AND nc > 0
+              AND (nn + 1) * nn * (nn - 1) - tie > 0 THEN
+            round(CAST(u2 - nr * nc AS DOUBLE)
+              / sqrt(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                * (CAST((nn + 1) * nn * (nn - 1) - tie AS DOUBLE)
+                  / CAST(3 * nn * (nn - 1) AS DOUBLE))), 6)
+          END AS z FROM b"""))
+
+  /** OP-WIN-21 — exact-rational EWMA (α = 1/4, 8-row frame) of each
+    * user's value series.
+    */
+  private val win21 = Spec("q195_ewma",
+    (s, d) => Windows.ewma(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", nRows = 8,
+      alphaNum = 1, alphaDen = 4),
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        l AS (SELECT event_id, user_id, ts, v,
+          list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ls FROM e)
+        SELECT event_id, user_id, ts, v,
+          round(CAST(list_sum([CAST(ls[j+1] AS HUGEINT)
+              * CAST(round(pow(3, len(ls)-1-j)
+                * pow(4, 7-(len(ls)-1-j))) AS HUGEINT)
+              for j in range(len(ls))]) AS DOUBLE)
+            / CAST(list_sum([CAST(round(pow(3, len(ls)-1-j)
+              * pow(4, 7-(len(ls)-1-j))) AS HUGEINT)
+              for j in range(len(ls))]) AS DOUBLE), 6) AS ewma
+        FROM l"""))
+
+  /** OP-WIN-22 — two-sided CUSUM drift alarms on each user's value
+    * series (target 175, slack 10, threshold 400), closed window form.
+    */
+  private val win22 = Spec("q196_cusum",
+    (s, d) => Windows.cusum(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v",
+      target = 175L, slack = 10L, threshold = 400L),
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        s AS (SELECT event_id, user_id, ts, v,
+          CAST(sum(v - 175) OVER run AS BIGINT) AS p,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+          FROM e WINDOW run AS (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ab AS (SELECT *, p - 10 * rn AS a, p + 10 * rn AS b FROM s),
+        f AS (SELECT event_id, user_id, ts, v, p,
+          CAST(a - least(0, min(a) OVER run) AS BIGINT) AS cusum_pos,
+          CAST(greatest(0, max(b) OVER run) - b AS BIGINT) AS cusum_neg
+          FROM ab WINDOW run AS (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts, v, p AS run_sum,
+          cusum_pos, cusum_neg,
+          cusum_pos > 400 AS alarm_pos, cusum_neg > 400 AS alarm_neg
+        FROM f"""))
+
+  /** OP-WIN-23 — maximum drawdown of each customer's order-price
+    * series in date order.
+    */
+  private val win23 = Spec("q197_max_drawdown",
+    (s, d) => Windows.maxDrawdown(
+      T(s, d, "orders").select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), "cents"),
+    Some("""WITH o AS (SELECT o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          o_orderdate, o_orderkey FROM orders
+          WHERE o_totalprice IS NOT NULL),
+        m AS (SELECT o_custkey, cents,
+          max(cents) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+            AS dd FROM o)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          CAST(max(cents) AS BIGINT) AS peak,
+          CAST(max(dd) AS BIGINT) AS max_drawdown FROM m GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2432,7 +2590,7 @@ object Queries {
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
-    misc15, strm3) ++ LlmQueries.specs
+    misc15, strm3, agg24, agg25, win21, win22, win23) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -768,6 +768,146 @@ object Relational {
         max(col(valCol)).as("hi"))
   }
 
+  /** Per-split ECDF support grid shared by [[ksReport]] and
+    * [[mannWhitneyReport]]: for every split and every value observed in
+    * ANY split, the split's count at that value (`__t`, 0 where absent)
+    * and its running total up to and including it (`__cum`) — i.e. the
+    * un-normalized ECDF evaluated on the union support, which is where
+    * two-sample statistics must be read (the sup of `|F₁−F₂|` and the
+    * combined ranks both live at the other sample's points too).
+    *
+    * Scale: counts collapse to (split, value) grain first (one hash
+    * aggregate), the grid is that value set crossed with the tiny split
+    * list (broadcast), and the prefix sum is the two-level range trick —
+    * a window inside each fixed-width value bucket plus broadcast
+    * per-bucket offsets — so no unpartitioned window ever sees the full
+    * value axis. The grid frame is persisted across its two readers
+    * (bucket totals + main pass) per the single-pass audit rule; all
+    * counts accumulate in DECIMAL(38,0).
+    */
+  private[engine] def ecdfGrid(df: DataFrame, splitCol: String,
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, "need a positive bucketed range")
+    val d38 = "decimal(38,0)"
+    val width = (hi - lo) / nBuckets
+    val c = df.filter(col(splitCol).isNotNull && col(valCol).isNotNull)
+      .select(col(splitCol).cast("string").as("__s"),
+        col(valCol).cast("long").as("__v"))
+      .groupBy("__s", "__v").agg(count(lit(1)).cast(d38).as("__t"))
+      .persist()
+    val splits = c.select("__s").distinct()
+    val grid = c.select("__v").distinct().crossJoin(broadcast(splits))
+    val bucket = least(greatest(
+        floor((col("__v").cast("double") - lo) / width), lit(0)),
+      lit(nBuckets - 1)).cast("int")
+    val full = grid.join(c, Seq("__s", "__v"), "left")
+      .withColumn("__t", coalesce(col("__t"), lit(0).cast(d38)))
+      .withColumn("__b", bucket)
+      .withColumn("__local", sum(col("__t")).over(
+        Window.partitionBy("__s", "__b").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .persist()
+    val off = full.groupBy("__s", "__b").agg(sum(col("__t")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.partitionBy("__s").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(d38)))
+      .select("__s", "__b", "__off")
+    val out = full.join(broadcast(off), Seq("__s", "__b"))
+      .withColumn("__cum", col("__off") + col("__local"))
+      .select("__s", "__v", "__t", "__cum")
+      .localCheckpoint(true)
+    full.unpersist(false); c.unpersist(false)
+    out
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift report: for every split against
+    * the `refValue` split, `D = sup |F_ref − F_cur|` over the union
+    * support. The sup is kept EXACT until the last step: with counts
+    * `cum` and totals `N`, `|F_r − F_c| = |cum_r·N_c − cum_c·N_r| /
+    * (N_r·N_c)`, and the numerator max is integer DECIMAL(38,0)
+    * arithmetic (safe past 2⁶³, the ANSI-overflow class at 10⁹-row
+    * splits), so the report hashes engine-stable; only the final ratio
+    * is floating, rounded 6 dp. Complements [[psiReport]]: KS is
+    * binning-free (reads the exact ECDFs) where PSI reads a fixed
+    * histogram. `lo`/`hi`/`nBuckets` only shape the internal prefix-sum
+    * partitioning, never the statistic. Output one row per non-reference
+    * split: `(split, n_ref, n_cur, d_num, ks)`; a missing reference
+    * split yields an empty report (no rows to test against), never a
+    * silent zero.
+    */
+  def ksReport(df: DataFrame, splitCol: String, refValue: String,
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val e = ecdfGrid(df, splitCol, valCol, lo, hi, nBuckets)
+    val d38 = "decimal(38,0)"
+    val tot = e.groupBy("__s").agg(sum(col("__t")).cast(d38).as("__n"))
+    val refN = tot.filter(col("__s") === refValue)
+      .select(col("__n").as("__nr"))
+    val ref = e.filter(col("__s") === refValue)
+      .select(col("__v"), col("__cum").as("__cumr"))
+    e.filter(col("__s") =!= refValue)
+      .join(ref, Seq("__v"))
+      .join(broadcast(tot), Seq("__s"))
+      .crossJoin(broadcast(refN))
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        max(abs(col("__cumr") * col("__n") - col("__cum") * col("__nr")))
+          .as("__dnum"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        col("__dnum").cast("long").as("d_num"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round(col("__dnum").cast("double") /
+            (col("__nr2").cast("double") * col("__nc2").cast("double")), 6))
+          .as("ks"))
+  }
+
+  /** Mann–Whitney U rank-sum test of every split against `refValue`,
+    * tie-corrected. All sufficient statistics are EXACT integers on the
+    * shared [[ecdfGrid]]: with per-value counts `t` and exclusive
+    * combined ranks `cb`, the DOUBLED rank sum of the current sample is
+    * `Σ t_c·(2·cb + t_all + 1)` (average ranks over a tie block are
+    * half-integers, so doubling keeps them integral), the doubled U is
+    * `u2 = R2 − n_c·(n_c+1)`, and the tie correction `Σ (t³ − t)`
+    * accumulates alongside — DECIMAL(38,0) throughout. The normal
+    * approximation `z = (u2 − n_r·n_c) / √(n_r·n_c·((N+1)·N·(N−1) − T) /
+    * (3·N·(N−1)))` is the only floating step, rounded 6 dp; an all-tied
+    * pair has `T = N³−N` exactly, so the zero-variance guard is an exact
+    * integer test, never a float-residue division. Output per split:
+    * `(split, n_ref, n_cur, u2, z)` with `u2` the doubled U of the
+    * current sample (so `U = u2/2`, possibly half-integer under ties).
+    */
+  def mannWhitneyReport(df: DataFrame, splitCol: String, refValue: String,
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val e = ecdfGrid(df, splitCol, valCol, lo, hi, nBuckets)
+    val ref = e.filter(col("__s") === refValue)
+      .select(col("__v"), col("__t").as("__tr"), col("__cum").as("__cumr"))
+    val cb = (col("__cum") - col("__t")) + (col("__cumr") - col("__tr"))
+    val tAll = col("__t") + col("__tr")
+    e.filter(col("__s") =!= refValue)
+      .join(ref, Seq("__v"))
+      .withColumn("__cb", cb).withColumn("__ta", tAll)
+      .groupBy(col("__s").as("split"))
+      .agg(sum(col("__tr")).as("__nr"), sum(col("__t")).as("__nc"),
+        sum(col("__t") * (col("__cb") * 2 + col("__ta") + 1)).as("__r2"),
+        sum(col("__ta") * col("__ta") * col("__ta") - col("__ta"))
+          .as("__tie"))
+      .withColumn("__u2", col("__r2") - col("__nc") * (col("__nc") + 1))
+      .withColumn("__nn", col("__nr") + col("__nc"))
+      .withColumn("__var3",
+        (col("__nn") + 1) * col("__nn") * (col("__nn") - 1) - col("__tie"))
+      .select(col("split"), col("__nr").cast("long").as("n_ref"),
+        col("__nc").cast("long").as("n_cur"),
+        col("__u2").cast("long").as("u2"),
+        when(col("__nr") > 0 && col("__nc") > 0 && col("__var3") > 0,
+          round((col("__u2") - col("__nr") * col("__nc")).cast("double") /
+            sqrt(col("__nr").cast("double") * col("__nc").cast("double") *
+              (col("__var3").cast("double") /
+                (col("__nn") * col("__nn") * 3 - col("__nn") * 3)
+                  .cast("double"))), 6))
+          .as("z"))
+  }
+
   def keySkewReport(df: DataFrame, keys: Seq[String],
       topK: Int): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))

@@ -438,6 +438,109 @@ object Windows {
       element_at(arr, ((size(arr) + 1) / 2).cast("int"))))
   }
 
+  /** Exponentially weighted moving average over the trailing `nRows`
+    * rows per key, with a RATIONAL smoothing factor
+    * `α = alphaNum/alphaDen` kept exact: with `p = alphaDen − alphaNum`
+    * and `q = alphaDen`, the weight of the value `i` steps back is
+    * `(p/q)^i`, and scaling every weight by `q^(nRows−1)` makes both the
+    * weighted sum and the weight total EXACT integers
+    * (pandas-`adjust=true` normalization — the truncated weight tail is
+    * renormalized away, so the first rows of a series are unbiased).
+    * Only the final ratio is floating, rounded 6 dp. The integer weights
+    * `p^i·q^(nRows−1−i)` must stay double-exact (< 2⁵³) for the oracle
+    * lattice to agree — enforced, which bounds `nRows` at ~27 for
+    * `q = 4`; the products then accumulate in DECIMAL(38,0). The frame
+    * is collected per row (O(nRows) per row — smoothing-window posture,
+    * like [[rollingMedian]]); rows with a null value get a null ewma and
+    * must be pre-filtered from the series (Spark's `collect_list` and
+    * the SQL `list()` window disagree on null retention, so a null INSIDE
+    * the frame is a contract violation, not a convention).
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valCol: String, nRows: Int, alphaNum: Int, alphaDen: Int,
+      outCol: String = "ewma"): DataFrame = {
+    require(nRows >= 1, "window must span at least the current row")
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    require(math.pow(alphaDen, nRows - 1.0) < math.pow(2, 52),
+      s"q^(nRows-1) must stay double-exact; shrink nRows or alphaDen")
+    val d38 = "decimal(38,0)"
+    val p = alphaDen - alphaNum
+    val q = alphaDen
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    val az = collect_list(col(valCol)).over(w)
+    // element j (0-based) of the frame is i = m−1−j steps back
+    val weight = (j: Column, m: Column) =>
+      round(pow(lit(p), m - 1 - j) * pow(lit(q), lit(nRows - 1) - (m - 1 - j)))
+        .cast("long").cast(d38)
+    val m = size(az)
+    val num = aggregate(
+      zip_with(az, sequence(lit(0), m - 1), (x, j) =>
+        x.cast(d38) * weight(j, m)),
+      lit(0).cast(d38), (acc, t) => acc + t)
+    val den = aggregate(
+      transform(sequence(lit(0), m - 1), j => weight(j, m)),
+      lit(0).cast(d38), (acc, t) => acc + t)
+    df.withColumn(outCol, when(col(valCol).isNotNull && m > 0,
+      round(num.cast("double") / den.cast("double"), 6)))
+  }
+
+  /** Two-sided CUSUM change detector per key, in closed window form: the
+    * recursion `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack))` has the
+    * exact prefix-sum solution `S⁺ₜ = aₜ − min(0, min_{j≤t} aⱼ)` with
+    * `aₜ = Pₜ − slack·t` over the running sum `Pₜ = Σ(xᵢ − target)`
+    * (and mirrored `S⁻ₜ = max(0, max_{j≤t} bⱼ) − bₜ`,
+    * `bₜ = Pₜ + slack·t`), so the stateful detector becomes two window
+    * passes sharing one sort — no recursion, no UDAF, engine-exact
+    * integer arithmetic throughout (`valCol` must be integral; the `0`
+    * terms are the empty-prefix case the plain running min misses).
+    * Emits per row: the running sum, both CUSUM sides, and alarm flags
+    * against `threshold`. Null values are rejected by precondition
+    * (a null would silently freeze the prefix); filter first.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valCol: String, target: Long, slack: Long,
+      threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0, "slack >= 0 and threshold > 0")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val staged = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col(valCol) - target).over(run))
+      .withColumn("__a", col("__p") - lit(slack) * col("__rn"))
+      .withColumn("__b", col("__p") + lit(slack) * col("__rn"))
+    staged
+      .withColumn("cusum_pos",
+        col("__a") - least(lit(0L), min(col("__a")).over(run)))
+      .withColumn("cusum_neg",
+        greatest(lit(0L), max(col("__b")).over(run)) - col("__b"))
+      .withColumn("alarm_pos", (col("cusum_pos") > threshold).cast("boolean"))
+      .withColumn("alarm_neg", (col("cusum_neg") > threshold).cast("boolean"))
+      .drop("__rn", "__a", "__b")
+      .withColumnRenamed("__p", "run_sum")
+  }
+
+  /** Maximum drawdown per key: the largest peak-to-trough drop
+    * `max_t (max_{j≤t} xⱼ − xₜ)` of the series in `orderCols` order —
+    * the standard worst-regression summary for a monitored metric
+    * (revenue, throughput, score). One running-max window + one
+    * aggregate, integer-exact for integral `valCol`. Output per key:
+    * `(keys…, n, peak, max_drawdown)`.
+    */
+  def maxDrawdown(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__dd", max(col(valCol)).over(w) - col(valCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), max(col(valCol)).as("peak"),
+        max(col("__dd")).as("max_drawdown"))
+  }
+
   /** Lag-`k` autocorrelation per key: Pearson correlation of the paired
     * series `(xₜ, xₜ₋ₖ)` in `orderCols` order —
     * `r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))`, the
@@ -539,6 +642,73 @@ object Windows {
     val disc = n * s2 - s1 * s1
     df.withColumn(outCol, when(col(valCol).isNotNull && disc > 0,
       round((n * x - s1).cast("double") / sqrt(disc.cast("double")), 6)))
+  }
+
+  /** RFM (recency / frequency / monetary) customer scoring, quintiles
+    * WITHIN a segment column: per customer, days since their last
+    * transaction (against the corpus-wide max date — a one-row
+    * broadcast), transaction count, and amount total, each scored 1–5
+    * by an ANSI `ntile(5)` over `(metric, customer)` inside the segment
+    * (ties are totally ordered by the customer key, so the quintile cut
+    * is engine-stable; score 5 = most recent / most frequent / highest
+    * spend). `rfm` packs the three digits.
+    *
+    * Scale: one customer-grain aggregate plus one single-column re-scan
+    * for the global max date (column-pruned — the
+    * `Pipeline` one-row-bounds precedent, cheaper than materializing
+    * the aggregate twice); the three ntile windows share one
+    * segment-partitioned sort each — quintiles are deliberately
+    * per-segment so no window ever spans the full customer table.
+    */
+  def rfmScores(tx: DataFrame, custCol: String, segCol: String,
+      dateCol: String, amountCol: String): DataFrame = {
+    val per = tx.groupBy(col(custCol), col(segCol))
+      .agg(max(col(dateCol)).as("__last"), count(lit(1)).as("frequency"),
+        sum(col(amountCol)).as("monetary"))
+    val mx = tx.select(max(col(dateCol)).as("__mx"))
+    def sc(m: Column) = ntile(5).over(Window.partitionBy(col(segCol))
+      .orderBy(m.asc, col(custCol).asc)).cast("int")
+    per.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        ((unix_micros(col("__mx")) - unix_micros(col("__last")))
+          / lit(86400000000L)).cast("long"))
+      .withColumn("r_score", sc(col("__last")))
+      .withColumn("f_score", sc(col("frequency")))
+      .withColumn("m_score", sc(col("monetary")))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .drop("__mx", "__last")
+  }
+
+  /** First/last-touch attribution: for every conversion event, the first
+    * and last NON-conversion touch of the same key within the trailing
+    * `lookbackUs` microseconds (exclusive of the conversion's own
+    * microsecond), plus the touch count. The window min/max runs over a
+    * sortable string key `zero-padded-µs # zero-padded-tiebreak # type`
+    * — lexicographic min/max of that encoding IS the (time, tiebreak)
+    * order, which makes "first" and "last" total and engine-stable even
+    * under equal timestamps, with no self-join and no struct-ordering
+    * dependence. One range-framed window per key ordered by µs; nulls
+    * (conversions inside the frame) fall out of min/max naturally.
+    */
+  def touchAttribution(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, tiebreakCol: String, typeCol: String,
+      convType: String, lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 1L, "lookback must exceed one microsecond")
+    val us = unix_micros(col(timeCol))
+    val key = concat(lpad(us.cast("string"), 20, "0"), lit("#"),
+      lpad(col(tiebreakCol).cast("string"), 12, "0"), lit("#"),
+      col(typeCol))
+    val touch = when(col(typeCol) =!= convType, key)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(us)
+      .rangeBetween(-lookbackUs, -1L)
+    df.withColumn("__first", min(touch).over(w))
+      .withColumn("__last", max(touch).over(w))
+      .withColumn("n_touches", count(touch).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("first_touch", split(col("__first"), "#").getItem(2))
+      .withColumn("last_touch", split(col("__last"), "#").getItem(2))
+      .drop("__first", "__last")
   }
 
   /** Retention cohort matrix: users bucketed by their FIRST-activity week,

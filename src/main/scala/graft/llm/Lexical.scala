@@ -335,4 +335,31 @@ object Lexical {
       .withColumn("rank",
         row_number().over(Window.orderBy(order: _*)).cast("int"))
   }
+
+  /** Per-document lexical diversity: token count, type (distinct-token)
+    * count, hapax (once-only token) count, and the derived type–token
+    * and hapax ratios (rounded 6 dp) — the classic vocabulary-richness
+    * screen (template/boilerplate text runs a low TTR, keyboard-mash a
+    * high one). Documents with zero tokens emit no row (a 0/0 ratio has
+    * no meaning and every downstream join treats absence as "nothing to
+    * score").
+    *
+    * Scale: the (doc, token) aggregate is token-grain (the same shuffle
+    * class as TF-IDF's df pass) and collapses immediately to doc grain —
+    * counts ride DECIMAL-free longs; no token list is ever collected.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("__t"))
+      .groupBy("doc_id", "__t").agg(count(lit(1)).as("__n"))
+      .groupBy("doc_id")
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", round(
+        col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("hapax_ratio", round(
+        col("n_hapax").cast("double") / col("n_tokens").cast("double"), 6))
+  }
 }

@@ -185,4 +185,40 @@ object Shaping {
     docs.withColumn(outCol, when(col(idCol).isNotNull,
       array_max(scored).getField("s").cast("int")))
   }
+
+  /** Temperature-τ=½ sampling weights per source — the standard
+    * multilingual/multi-source rebalancing step (`w_s ∝ p_s^τ`,
+    * up-weighting tail sources, down-weighting the head): token share
+    * per source as exact integer ppm, then `√share` as an INTEGER floor
+    * square root and the final weights as exact ppm of the √-share
+    * total. The floor-√ stays engine-exact because IEEE `sqrt` is
+    * correctly rounded and non-square integers ≤ 10⁶ sit ≥ 5·10⁻⁴ away
+    * from any integer — so the whole report hashes engine-stable with
+    * no floating residue at all. τ is fixed at ½ precisely because it is
+    * the one classic temperature with an exact integer form; other τ
+    * need a float `pow` whose cross-engine stability this report
+    * refuses to gamble on.
+    *
+    * Scale: one corpus scan (map-side token counting — the counting
+    * expression never materializes a token array) into a source-grain
+    * aggregate, eagerly checkpointed (it is read by its own total twice
+    * — the single-pass audit rule), then arithmetic on the tiny frame.
+    */
+  def temperatureMixWeights(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = per.select(sum(col("n_tokens")).as("__tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV __tot"))
+      .withColumn("__s",
+        floor(sqrt(col("share_ppm").cast("double"))).cast("long"))
+    val stot = shared.select(sum(col("__s")).as("__stot"))
+    shared.crossJoin(broadcast(stot))
+      .withColumn("weight_ppm", expr("(__s * 1000000) DIV __stot"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("weight_ppm"))
+  }
 }

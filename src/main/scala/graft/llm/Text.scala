@@ -367,4 +367,39 @@ object Text {
     aggregate(transform(toks, w =>
       greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long")),
       lit(0L), (a, x) => a + x)
+
+  /** Per-document character-class census + Shannon entropy (nats) over
+    * the four classes letters / digits / whitespace / other — a cheap
+    * gibberish-and-boilerplate screen (natural prose sits near
+    * letters-dominant low entropy; encoded blobs and tables push mass
+    * into digits/other). Counts are exact-integer regexp scans of the
+    * lowercased text (the "other" class is counted by its own negated
+    * class, NOT derived from a length subtraction — length semantics
+    * differ across engines, counting does not; whitespace is the
+    * explicit five-char class, the [[subwordPattern]] `\s`-vs-RE2
+    * lesson). The entropy fold is the fixed left-to-right four-term sum
+    * (letters, digits, space, other — the PSI float discipline), each
+    * term `−(c/N)·ln(c/N)` only when `c > 0`; rounded 6 dp. Returns a
+    * struct column `(n_letters, n_digits, n_spaces, n_other, entropy)`;
+    * an empty/null text yields zero counts and a null entropy.
+    */
+  def charClassCensus(text: Column): Column = {
+    val lower6 = lower(text)
+    def cnt(pat: String) = regexp_count(lower6, lit(pat)).cast("long")
+    val cl = cnt("[a-z]")
+    val cd = cnt("[0-9]")
+    val cs = cnt("[ \t\n\f\r]")
+    val co = cnt("[^a-z0-9 \t\n\f\r]")
+    val n = cl + cd + cs + co
+    def term(c: Column) = when(c > 0,
+      -(c.cast("double") / n.cast("double")) *
+        log(c.cast("double") / n.cast("double"))).otherwise(lit(0d))
+    val ent = when(n > 0,
+      round(term(cl) + term(cd) + term(cs) + term(co), 6))
+    struct(coalesce(cl, lit(0L)).as("n_letters"),
+      coalesce(cd, lit(0L)).as("n_digits"),
+      coalesce(cs, lit(0L)).as("n_spaces"),
+      coalesce(co, lit(0L)).as("n_other"),
+      ent.as("entropy"))
+  }
 }

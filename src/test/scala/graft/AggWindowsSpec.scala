@@ -509,6 +509,67 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 2L -> 1L, 3L -> 5L, 4L -> 7L, 5L -> 100L))
   }
 
+  test("ewma: exact rational weights match an independent BigInt " +
+      "reference; constant series is exactly its value; warmup " +
+      "renormalizes") {
+    import spark.implicits._
+    val vals = Seq(10L, 20L, 5L, 40L, 40L, 40L, 40L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v").withColumn("k", lit("g"))
+    val nRows = 4; val p = 3; val q = 4
+    val got = Windows.ewma(rows, Seq("k"), Seq("i"), "v", nRows, 1, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ref = vals.indices.map { t =>
+      val frame = vals.slice(math.max(0, t - nRows + 1), t + 1)
+      val m = frame.size
+      val ws = (0 until m).map(j =>
+        BigInt(p).pow(m - 1 - j) * BigInt(q).pow(nRows - 1 - (m - 1 - j)))
+      val num = frame.zip(ws).map { case (x, w) => BigInt(x) * w }.sum
+      t.toLong -> BigDecimal(num.toDouble / ws.sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got == ref)
+    // first row: weights renormalize → ewma == the value itself
+    assert(got(0L) == 10d)
+    // constant tail: once the frame is all 40s the ewma is exactly 40
+    assert(got(6L) == 40d)
+  }
+
+  test("cusum: closed window form equals the textbook recursion on a " +
+      "step-change series; alarms fire only after the shift") {
+    import spark.implicits._
+    // target 10, slack 2: quiet around 10, then a +10 step
+    val vals = Seq(10L, 9L, 11L, 10L, 20L, 21L, 22L, 19L, 20L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v").withColumn("k", lit("g"))
+    val out = Windows.cusum(rows, Seq("k"), Seq("i"), "v",
+      target = 10L, slack = 2L, threshold = 15L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    // independent reference: the recursion itself
+    var sp = 0L; var sn = 0L
+    val ref = vals.zipWithIndex.map { case (v, i) =>
+      sp = math.max(0L, sp + (v - 10L - 2L))
+      sn = math.max(0L, sn + (10L - 2L - v))
+      i.toLong -> ((sp, sn, sp > 15L, sn > 15L))
+    }.toMap
+    assert(out == ref)
+    assert(!out(3L)._3 && out(7L)._3) // alarm only after the step
+  }
+
+  test("maxDrawdown: peak-to-trough over the ordered series, per key") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 5L),
+      (4L, "a", 40L), (5L, "a", 20L), (6L, "b", 7L))
+      .toDF("i", "key", "v")
+    val out = Windows.maxDrawdown(rows, Seq("key"), Seq("i"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: peaks 10,30,30,40,40 → drawdowns 0,0,25,0,20 → max 25
+    assert(out == Map("a" -> ((5L, 40L, 25L)), "b" -> ((1L, 7L, 0L))))
+  }
+
   test("rollingMedian: nulls leave the frame; all-null frame gives null") {
     import spark.implicits._
     val rows = Seq((1L, Some(4L)), (2L, None), (3L, None))

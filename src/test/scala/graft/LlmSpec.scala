@@ -1402,6 +1402,64 @@ class LlmSpec extends SparkSpec {
     assert(sr.getLong(0) == 1L && sr.isNullAt(1) && sr.isNullAt(2))
   }
 
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lexicalDiversity: hand counts incl. hapax; zero-token doc " +
+      "emits no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat the dog cat the"), (2L, "a b c"),
+      (3L, "..."), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.llm.Lexical.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // doc 1: 6 tokens, 3 types (the×3, cat×2, dog×1), 1 hapax
+    assert(out == Map(
+      1L -> ((6L, 3L, 1L, 0.5, round6(1d / 6))),
+      2L -> ((3L, 3L, 3L, 1.0, 1.0))))
+  }
+
+  test("charClassCensus: exact class counts; entropy of a uniform " +
+      "two-class text is ln 2; empty text null entropy") {
+    import spark.implicits._
+    val out = Seq("ab12", "abc", "", null.asInstanceOf[String],
+      "a b\tc\nd").toDF("text")
+      .select(Text.charClassCensus(col("text")).as("c"))
+      .select("c.n_letters", "c.n_digits", "c.n_spaces", "c.n_other",
+        "c.entropy").collect()
+    // "ab12": 2 letters 2 digits → H = ln 2
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) == ((2L, 2L, 0L, 0L)))
+    assert(out(0).getDouble(4) == round6(math.log(2)))
+    // single class → entropy exactly 0
+    assert(out(1).getDouble(4) == 0d)
+    // empty and null: zero counts, null entropy
+    Seq(2, 3).foreach { i =>
+      assert((out(i).getLong(0), out(i).getLong(1), out(i).getLong(2),
+        out(i).getLong(3)) == ((0L, 0L, 0L, 0L)) && out(i).isNullAt(4))
+    }
+    // tab and newline count as whitespace
+    assert(out(4).getLong(2) == 3L)
+  }
+
+  test("temperatureMixWeights: exact ppm shares, integer floor-sqrt, " +
+      "tail source up-weighted vs its raw share") {
+    import spark.implicits._
+    // head source 9× the tail's tokens
+    val docs = Seq((1L, "t t t t t t t t t", "head"), (2L, "t", "tail"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Shaping.temperatureMixWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // shares: 900000 / 100000 ppm; √ = 948 / 316; weights over 1264
+    assert(out == Map(
+      "head" -> ((1L, 9L, 900000L, 948L * 1000000L / 1264L)),
+      "tail" -> ((1L, 1L, 100000L, 316L * 1000000L / 1264L))))
+    // temperature flattening: tail weight share ≫ raw token share
+    assert(out("tail")._4 > 2 * out("tail")._3)
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._

@@ -580,6 +580,43 @@ class RelationalSpec extends SparkSpec {
       "conc" -> ((4L, 12L, Some(0.75))), "zero" -> ((2L, 0L, None))))
   }
 
+  test("ksReport: hand-computed sup at the union grid (incl. a point the " +
+      "current split lacks), missing reference is empty, bucket count " +
+      "never moves the statistic") {
+    import spark.implicits._
+    // ref {1,2,2,3}, cur {2,3,3,4}: D attained at v=2 → 8/16 = 0.5
+    val df = (Seq(1L, 2L, 2L, 3L).map(("r", _)) ++
+      Seq(2L, 3L, 3L, 4L).map(("c", _))).toDF("s", "v")
+    def run(nb: Int) = Relational.ksReport(df, "s", "r", "v", 0d, 5d, nb)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(run(2) == Seq(("c", 4L, 4L, 8L, 0.5)))
+    assert(run(1) == run(2) && run(7) == run(2)) // internal partitioning only
+    assert(Relational.ksReport(df, "s", "absent", "v", 0d, 5d, 2)
+      .count() == 0L)
+  }
+
+  test("mannWhitneyReport: doubled rank sums with ties match the " +
+      "hand-ranked golden; all-tied pair has exact zero variance") {
+    import spark.implicits._
+    // ref {1,2,2,3}, cur {2,3,3,4}: ranks 1, 3(avg), 6(avg), 8 →
+    // R_cur = 3+6+6+8 = 23 → u2 = 46 − 4·5 = 26; T = 48 →
+    // z = 10/√(16·456/168) = 1.5174424…
+    val df = (Seq(1L, 2L, 2L, 3L).map(("r", _)) ++
+      Seq(2L, 3L, 3L, 4L).map(("c", _))).toDF("s", "v")
+    val out = Relational.mannWhitneyReport(df, "s", "r", "v", 0d, 5d, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(("c", 4L, 4L, 26L, 1.517442)))
+    // identical constant samples: u2 = 2U = n₁·n₂ = 4, tie term exactly
+    // N³−N → null z
+    val tied = (Seq(5L, 5L).map(("r", _)) ++ Seq(5L, 5L).map(("c", _)))
+      .toDF("s", "v")
+    val t = Relational.mannWhitneyReport(tied, "s", "r", "v", 0d, 9d, 2)
+      .collect().head
+    assert(t.getLong(3) == 4L && t.isNullAt(4))
+  }
+
   test("equiDepthBins: ANSI ntile split (first bins take the remainder), " +
       "per-bin count and value range") {
     import spark.implicits._
