@@ -2184,11 +2184,71 @@ object LlmQueries {
           CAST((sq * 1000000) // stot AS BIGINT) AS weight_ppm
         FROM w"""))
 
+  /** Count-min-sketch top-k heavy hitters over order custkeys: estimate
+    * = min over 4 hash rows of 512-bucket totals, exact count alongside
+    * (est − n is the collision inflation). Engine-exact under the shared
+    * polyhash, so the oracle rebuilds the identical sketch in SQL.
+    */
+  private val l81 = Spec("q204_cms_topk",
+    (s, d) => graft.engine.Sketches.cmsTopK(
+      Queries.T(s, d, "orders").select(col("o_custkey")),
+      "o_custkey", d = 4, w = 512, k = 50),
+    Some(s"""WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS n FROM orders
+          WHERE o_custkey IS NOT NULL GROUP BY 1),
+        h AS (SELECT key, n, r,
+          ${phSql("CAST(r AS VARCHAR) || '#' || key")} % 512 AS bucket
+          FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+        bt AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS btot
+          FROM h GROUP BY 1, 2),
+        e AS (SELECT h.key, CAST(max(h.n) AS BIGINT) AS n,
+          CAST(min(bt.btot) AS BIGINT) AS est
+          FROM h JOIN bt ON bt.r = h.r AND bt.bucket = h.bucket
+          GROUP BY 1),
+        k AS (SELECT key, n, est,
+          row_number() OVER (ORDER BY est DESC, key) AS rank FROM e)
+        SELECT key, n, est, CAST(rank AS INT) AS rank
+        FROM k WHERE rank <= 50"""))
+
+  /** Per-source encoding-damage audit: U+FFFD, raw C0 controls, and
+    * double-encode mojibake marker counts, exact integers in one scan.
+    */
+  private val l82 = {
+    // chr() code points of the mojibake markers, mirroring
+    // Curation.MojibakeMarkers char-for-char
+    val markers = Seq(Seq(195, 169), Seq(195, 188),
+      Seq(226, 8364, 8482), Seq(226, 8364, 339))
+    val mojiSql = markers.map(m =>
+      s"position(${m.map(c => s"chr($c)").mkString(" || ")} IN text) > 0")
+      .mkString("(", " OR ", ")")
+    val replSql = "position(chr(65533) IN text) > 0"
+    val ctrlSql = "regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')"
+    Spec("q205_encoding_audit",
+      (s, d) => graft.llm.Curation.encodingAudit(
+        Queries.T(s, d, "documents"), "text", "source"),
+      Some(s"""WITH e AS (SELECT source, text FROM documents
+            WHERE text IS NOT NULL),
+          a AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN $replSql THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_replacement,
+            CAST(sum(CASE WHEN $ctrlSql THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_control,
+            CAST(sum(CASE WHEN $mojiSql THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_mojibake,
+            CAST(sum(CASE WHEN $replSql OR $ctrlSql OR $mojiSql
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged
+            FROM e GROUP BY 1)
+          SELECT src AS source, n_docs, n_replacement, n_control,
+            n_mojibake, n_damaged,
+            CAST((n_damaged * 1000000) // n_docs AS BIGINT) AS damaged_ppm
+          FROM a"""))
+  }
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80)
+    l76, l77, l78, l79, l80, l81, l82)
 }

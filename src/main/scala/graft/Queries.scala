@@ -2573,6 +2573,124 @@ object Queries {
           CAST(max(cents) AS BIGINT) AS peak,
           CAST(max(dd) AS BIGINT) AS max_drawdown FROM m GROUP BY 1"""))
 
+  /** OP-AGG-26 — pairwise Pearson correlation matrix of the four
+    * lineitem value columns, one scan, exact decimal sufficient stats.
+    * The oracle states the same per-pair formula over HUGEINT sums,
+    * keeping the two discriminants under SEPARATE square roots exactly
+    * like the engine (their product overflows both DECIMAL(38,0) and
+    * int128 at volumes where the factors are fine).
+    */
+  private val agg26 = {
+    val pairCols = Seq("qty", "cents", "disc_ppm", "tax_ppm")
+    val pairSql = (for {
+      i <- pairCols.indices; j <- pairCols.indices if i < j
+    } yield {
+      val (a, b) = (pairCols(i), pairCols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+          round(CAST(n*sxy - sx*sy AS DOUBLE) /
+            (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+             sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) END AS corr
+        FROM (SELECT CAST(count(*) AS HUGEINT) AS n,
+          sum(CAST($a AS HUGEINT)) AS sx, sum(CAST($b AS HUGEINT)) AS sy,
+          sum(CAST($a AS HUGEINT)*CAST($b AS HUGEINT)) AS sxy,
+          sum(CAST($a AS HUGEINT)*CAST($a AS HUGEINT)) AS sxx,
+          sum(CAST($b AS HUGEINT)*CAST($b AS HUGEINT)) AS syy
+          FROM e WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+    }).mkString("\n        UNION ALL\n        ")
+    Spec("q201_corr_matrix",
+      (s, d) => Relational.correlationMatrix(
+        T(s, d, "lineitem").select(
+          floor(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_discount") * 1000000).cast("long").as("disc_ppm"),
+          round(col("l_tax") * 1000000).cast("long").as("tax_ppm")),
+        pairCols),
+      Some(s"""WITH e AS (SELECT
+          CAST(floor(l_quantity) AS BIGINT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(round(l_discount * 1000000) AS BIGINT) AS disc_ppm,
+          CAST(round(l_tax * 1000000) AS BIGINT) AS tax_ppm FROM lineitem)
+        $pairSql"""))
+  }
+
+  /** OP-AGG-27 — pointwise mutual information of (source, lang) cells
+    * over the documents table: which languages over/under-index in
+    * which sources relative to independence.
+    */
+  private val agg27 = Spec("q202_pmi_cells",
+    (s, d) => Relational.pmiReport(
+      T(s, d, "documents"), "source", "lang", minCount = 1L),
+    Some("""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_ab
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1, 2),
+        m AS (SELECT source, lang, n_ab,
+          CAST(sum(n_ab) OVER (PARTITION BY source) AS BIGINT) AS n_a,
+          CAST(sum(n_ab) OVER (PARTITION BY lang) AS BIGINT) AS n_b,
+          CAST(sum(n_ab) OVER () AS BIGINT) AS n_total FROM c)
+        SELECT source, lang, n_ab, n_a, n_b,
+          round(ln(CAST(CAST(n_ab AS HUGEINT) * CAST(n_total AS HUGEINT)
+              AS DOUBLE)
+            / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+              AS DOUBLE)), 6) AS pmi
+        FROM m"""))
+
+  /** OP-MISC-16 — per-brand Pareto frontier of parts maximizing both
+    * retail price and size: the running-max window rule against the
+    * oracle's independent NOT-EXISTS dominance definition.
+    */
+  private val misc16 = Spec("q203_pareto_frontier",
+    (s, d) => Relational.paretoFrontier2d(
+      T(s, d, "part").filter(col("p_brand").isNotNull)
+        .select(col("p_brand"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("sz")),
+      Seq("p_brand"), "cents", "sz"),
+    Some("""WITH e AS (SELECT p_brand,
+          CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+          CAST(p_size AS BIGINT) AS sz FROM part
+          WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL
+            AND p_size IS NOT NULL),
+        g AS (SELECT p_brand, cents, sz, CAST(count(*) AS BIGINT)
+          AS n_points FROM e GROUP BY 1, 2, 3)
+        SELECT g.* FROM g WHERE NOT EXISTS (SELECT 1 FROM g o
+          WHERE o.p_brand = g.p_brand AND o.cents >= g.cents
+            AND o.sz >= g.sz
+            AND (o.cents > g.cents OR o.sz > g.sz))"""))
+
+  /** OP-WIN-24 — seasonal-baseline residuals: each event's value against
+    * the trailing mean of the same (event_type, day-of-week, hour) slot.
+    * Day-of-week is integer date math on both sides — never an engine
+    * dow() convention.
+    */
+  private val win24 = Spec("q206_seasonal_residuals",
+    (s, d) => Windows.seasonalResiduals(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("event_type"), "ts", Seq("event_id"), "v", nPrior = 4),
+    Some("""WITH e AS (SELECT event_id, event_type,
+          CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value) AS BIGINT) AS v
+          FROM events WHERE ts IS NOT NULL),
+        w AS (SELECT event_id, event_type, ts, v,
+          CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS INT)
+            AS slot_dow,
+          CAST(hour(ts) AS INT) AS slot_hour FROM e),
+        r AS (SELECT *,
+          CAST(count(v) OVER f AS BIGINT) AS n_prior,
+          CAST(sum(v) OVER f AS BIGINT) AS s
+          FROM w WINDOW f AS (PARTITION BY event_type, slot_dow, slot_hour
+            ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, event_type, ts, v, slot_dow, slot_hour, n_prior,
+          CASE WHEN n_prior > 0 THEN
+            round(CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE), 6)
+          END AS baseline,
+          CASE WHEN n_prior > 0 AND v IS NOT NULL THEN
+            round(v - CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE), 6)
+          END AS residual
+        FROM r"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2590,7 +2708,8 @@ object Queries {
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
-    misc15, strm3, agg24, agg25, win21, win22, win23) ++ LlmQueries.specs
+    misc15, strm3, agg24, agg25, win21, win22, win23,
+    agg26, agg27, misc16, win24) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

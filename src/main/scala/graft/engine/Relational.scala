@@ -920,4 +920,128 @@ object Relational {
         row_number().over(Window.orderBy(order: _*)).cast("int"))
       .drop("__n")
   }
+
+  /** Pairwise Pearson correlation matrix over INTEGER-valued columns in
+    * ONE scan: every pair's six sufficient statistics (pairwise-complete
+    * `n, Σx, Σy, Σxy, Σx², Σy²`) are conditional aggregates of a single
+    * `df.agg`, exploded to long form `(col_a, col_b, n, corr)` — the
+    * [[missingnessMatrix]] shape. All sums accumulate in DECIMAL(38,0)
+    * (exact, commutative — order-proof under shuffle), and
+    * `r = (n·Σxy − Σx·Σy) / (√Dx · √Dy)` keeps the two discriminants
+    * SEPARATE under the square roots: `Dx·Dy` would pass 10³⁸ (decimal
+    * overflow, and 2¹²⁷ in a 128-bit oracle engine) at ~10⁶ rows of
+    * ~10⁷-scale values where the factors individually are fine. A
+    * constant column is an exact `D = 0` → null r, never a float-residue
+    * division. "Pairwise-complete" means each pair counts exactly the
+    * rows where BOTH of its columns are non-null (the R `use =
+    * "pairwise.complete.obs"` convention) — pairs see different n on
+    * ragged nulls, and that n is part of the output.
+    *
+    * Scale: one full scan, zero shuffles beyond the single global
+    * aggregate's partial-merge (6·k(k−1)/2 + 1 counters per task), and a
+    * one-row result exploded driver-free. k is bounded by the caller
+    * (counter count is quadratic in k; k ≤ ~40 keeps the row under
+    * Spark's 64 KB codegen method limit the same way missingnessMatrix
+    * does).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val d38 = "decimal(38,0)"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, col(a)).cast(d38)
+      val y = when(both, col(b)).cast(d38)
+      Seq(count_if(both).as(s"__n_${a}_$b"),
+        sum(x).as(s"__sx_${a}_$b"), sum(y).as(s"__sy_${a}_$b"),
+        sum(x * y).as(s"__sxy_${a}_$b"),
+        sum(x * x).as(s"__sxx_${a}_$b"),
+        sum(y * y).as(s"__syy_${a}_$b"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(pairs.map { case (a, b) =>
+      val n = col(s"__n_${a}_$b").cast(d38)
+      val sx = col(s"__sx_${a}_$b"); val sy = col(s"__sy_${a}_$b")
+      val sxy = col(s"__sxy_${a}_$b")
+      val dx = n * col(s"__sxx_${a}_$b") - sx * sx
+      val dy = n * col(s"__syy_${a}_$b") - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_${a}_$b").as("n"),
+        when(dx > 0 && dy > 0,
+          round((n * sxy - sx * sy).cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6))
+          .as("corr"))
+    }: _*)).as("__p")
+    row.select(stacked)
+      .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
+        col("__p.n").as("n"), col("__p.corr").as("corr"))
+  }
+
+  /** Pointwise mutual information report over two categorical columns:
+    * for every co-occurring `(a, b)` cell with support ≥ `minCount`,
+    * `pmi = ln(n_ab·N / (n_a·n_b))` in nats from EXACT integer counts —
+    * positive = the pair co-occurs above independence, negative = below.
+    * Per-CELL output is deliberate: a summed mutual-information scalar
+    * would fold float terms in shuffle-dependent order, while each cell's
+    * single `ln` over an exact integer ratio is engine-stable (the
+    * [[psiReport]] discipline). Null keys are excluded (they have no
+    * marginal).
+    *
+    * Scale: one input scan aggregates to the `(a, b)` cell grain; the
+    * marginals and the grand total are windows OVER THAT CELL FRAME
+    * (≤ |A|·|B| rows — the partitionless total window sorts the tiny
+    * cell frame, never the input), so nothing upstream executes twice
+    * and input size only enters through the first aggregate.
+    */
+  def pmiReport(df: DataFrame, colA: String, colB: String,
+      minCount: Long = 1L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("n_a", sum(col("n_ab")).over(wa))
+      .withColumn("n_b", sum(col("n_ab")).over(wb))
+      .withColumn("n_total", sum(col("n_ab")).over(wAll))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast(d38) * col("n_total").cast(d38)).cast("double") /
+        (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double")), 6))
+      .select(col("a").as(colA), col("b").as(colB), col("n_ab"),
+        col("n_a"), col("n_b"), col("pmi"))
+  }
+
+  /** 2-D Pareto frontier per group, maximizing BOTH `xCol` and `yCol`:
+    * the distinct points no other point weakly dominates (x' ≥ x ∧
+    * y' ≥ y with one strict). One sort does all the work: over distinct
+    * points ordered `(x DESC, y DESC)`, every PRECEDING row has x ≥ this
+    * x (and y ≥ this y when x ties), so a point is dominated iff the
+    * running max of y over the preceding frame reaches its own y —
+    * strictly-greater-x dominators and same-x-higher-y dominators fall
+    * out of the same test because ties are distinct-point ties. No
+    * self-join, no O(n²) dominance probe; the oracle states the
+    * NOT-EXISTS definition independently.
+    *
+    * Scale: one distinct aggregate at `(group, x, y)` grain (carrying
+    * the duplicate count through as `n_points`), one group-partitioned
+    * window over that aggregate. Null coordinates are excluded — they
+    * order arbitrarily and dominate nothing.
+    */
+  def paretoFrontier2d(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((groupCols :+ xCol :+ yCol).map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(xCol).desc, col(yCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__my", max(col(yCol)).over(w))
+      .filter(col("__my").isNull || col("__my") < col(yCol))
+      .drop("__my")
+  }
 }

@@ -43,4 +43,53 @@ object Sketches {
         round(lit(m.toDouble) * log(lit(m.toDouble) /
           (lit(m.toLong) - col("occupied")).cast("double"))).cast("bigint")))
   }
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan, J.Alg 2005):
+    * `d` hash rows × `w` buckets, bucket of row i = `polyhash("i#key") %
+    * w`, estimate = min over the d rows of the bucket totals — a
+    * one-sided overestimate (`est ≥ n` always, equality when no
+    * collision in some row). Emits the top `k` keys by ESTIMATE
+    * (`est DESC, key` total order) with the exact count alongside, so
+    * the report doubles as sketch calibration: `est − n` is the
+    * collision inflation at this (d, w).
+    *
+    * Engine-exact by the same argument as [[linearCountDistinct]]: the
+    * sketch state is integer bucket totals under the shared portable
+    * hash, so the estimate is deterministic and oracle-checkable, unlike
+    * library CMS implementations with private seeds.
+    *
+    * Scale: the input collapses to key grain in ONE scan (map-side
+    * partial aggregation does the heavy lifting); everything downstream
+    * — the d-way explode, the `(row, bucket)` totals (≤ d·w rows
+    * regardless of input), the min-join — runs on that key-grain frame,
+    * which is persisted because two plan branches read it (the audit
+    * rule), then checkpointed and released. On a true stream the same
+    * bucket totals would accumulate in `d·w` integers of state; this is
+    * the batch face of that sketch.
+    */
+  def cmsTopK(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 1024,
+      k: Int = 50): DataFrame = {
+    require(d >= 1 && w >= 2 && k >= 1, "need d >= 1, w >= 2, k >= 1")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val hashed = counts.select(col("key"), col("n"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket", pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit("#"), col("key"))), lit(w)))
+    val btot = hashed.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("n")).as("btot"))
+    val est = hashed.join(btot, Seq("row", "bucket"))
+      .groupBy(col("key")).agg(max(col("n")).as("n"),
+        min(col("btot")).as("est"))
+    val out = est
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("est").desc, col("key").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("n"), col("est"), col("rank"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
 }

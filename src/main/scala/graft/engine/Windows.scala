@@ -735,4 +735,46 @@ object Windows {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Seasonal-baseline residuals: each row's value against the trailing
+    * mean of the SAME weekly slot (day-of-week × hour) for its key — the
+    * "is 3 AM Sunday traffic normal for 3 AM Sunday" monitor that a plain
+    * trailing window gets wrong on anything with a daily/weekly cycle.
+    * The window partitions by `(keys…, dow, hour)` ordered by time over
+    * the `nPrior` PRECEDING same-slot values (the current row never sees
+    * itself), `baseline = Σ/n` with integer sums and `residual = v −
+    * baseline`, both rounded 6 dp; rows with no same-slot history carry
+    * null baseline/residual but stay in the output. Day-of-week is
+    * engine-proof integer math — days since Monday 1970-01-05 mod 7
+    * (0 = Monday) — never an engine's dow() convention (Spark counts
+    * Sunday = 1, DuckDB Sunday = 0; memory: convention mismatches hash-
+    * fail whole queries).
+    *
+    * Scale: ONE window pass; the slot partitioning multiplies key
+    * cardinality by up to 168, which SHRINKS partitions — the sort is
+    * per (key, slot) and no state outlives the frame. Null values join
+    * the ride-along rows (excluded from sums by the count(v)/sum(v)
+    * null rule).
+    */
+  def seasonalResiduals(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, tiebreakCols: Seq[String], valCol: String,
+      nPrior: Int = 4): DataFrame = {
+    require(nPrior >= 1, "need at least one prior slot value")
+    val dow = pmod(datediff(to_date(col(timeCol)), lit("1970-01-05")
+      .cast("date")), lit(7))
+    val hr = hour(col(timeCol))
+    val w = Window
+      .partitionBy((keyCols.map(col) :+ dow :+ hr): _*)
+      .orderBy((col(timeCol).asc +: tiebreakCols.map(col(_).asc)): _*)
+      .rowsBetween(-nPrior.toLong, -1)
+    val n = count(col(valCol)).over(w)
+    val s = sum(col(valCol)).over(w)
+    df.withColumn("slot_dow", dow.cast("int"))
+      .withColumn("slot_hour", hr.cast("int"))
+      .withColumn("n_prior", n)
+      .withColumn("baseline", when(n > 0,
+        round(s.cast("double") / n.cast("double"), 6)))
+      .withColumn("residual", when(n > 0 && col(valCol).isNotNull,
+        round(col(valCol) - s.cast("double") / n.cast("double"), 6)))
+  }
 }

@@ -405,6 +405,43 @@ object Curation {
     out
   }
 
+  /** Mojibake sequences that mark UTF-8 read back as Latin-1 and
+    * re-encoded: 'é'→"Ã©", 'ü'→"Ã¼", '’'→"â€™", '“'→"â€œ".
+    * A curated literal list, not a heuristic regex — each marker is a
+    * byte sequence essentially impossible in intentional text. */
+  private val MojibakeMarkers = Seq(
+    "\u00C3\u00A9", // e-acute double-encoded
+    "\u00C3\u00BC", // u-umlaut double-encoded
+    "\u00E2\u20AC\u2122", // right single quote double-encoded
+    "\u00E2\u20AC\u0153") // left double quote double-encoded
+
+  /** Per-source encoding-damage audit — the "is this crawl slice
+    * readable" gate run before any text op sees the bytes: counts of
+    * docs containing U+FFFD (a decoder already gave up), raw C0 control
+    * characters other than tab/newline/CR (binary junk or wrong
+    * charset), and classic double-encode mojibake sequences
+    * ([[MojibakeMarkers]]), plus a ppm rate of any-damage docs. All
+    * counts are exact integers from conditional aggregates in ONE scan
+    * (the missingnessMatrix discipline); output is source-grain.
+    */
+  def encodingAudit(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val t = col(textCol)
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val moji = MojibakeMarkers.map(m => t.contains(lit(m)))
+      .reduce(_ || _)
+    val damaged = t.contains(lit("�")) || t.rlike(ctrl) || moji
+    docs.filter(t.isNotNull)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(t.contains(lit("�"))).as("n_replacement"),
+        count_if(t.rlike(ctrl)).as("n_control"),
+        count_if(moji).as("n_mojibake"),
+        count_if(damaged).as("n_damaged"))
+      .withColumn("damaged_ppm",
+        expr("(n_damaged * 1000000) DIV n_docs"))
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

@@ -580,4 +580,28 @@ class AggWindowsSpec extends SparkSpec {
     // frame at i=2 is [4] (null dropped); at i=3 both null → null median
     assert(out == Map(1L -> Some(4L), 2L -> Some(4L), 3L -> None))
   }
+
+  test("seasonalResiduals: same weekly slot only, trailing-4 mean, " +
+      "integer dow (Monday = 0), no-history rows carry nulls") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // six successive Mondays 10:00 (1970-01-05 is a Monday) + one Tuesday
+    def t(week: Int, dayOff: Int = 0, hr: Int = 10) = new Timestamp(
+      ((4L + week * 7L + dayOff) * 86400L + hr * 3600L) * 1000L)
+    val rows = (1 to 6).map(i => (i.toLong, "k", t(i - 1), i * 10L)) :+
+      (7L, "k", t(0, dayOff = 1), 999L)
+    val out = Windows.seasonalResiduals(
+      rows.toDF("id", "key", "ts", "v"), Seq("key"), "ts", Seq("id"), "v", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getLong(6),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+          if (r.isNullAt(8)) None else Some(r.getDouble(8))))).toMap
+    assert(out(1L) == ((0, 10, 0L, None, None)))
+    assert(out(2L) == ((0, 10, 1L, Some(10.0), Some(10.0))))
+    assert(out(5L) == ((0, 10, 4L, Some(25.0), Some(25.0))))
+    // row 6: frame is rows 2..5 → mean(20,30,40,50) = 35
+    assert(out(6L) == ((0, 10, 4L, Some(35.0), Some(25.0))))
+    // the Tuesday row shares no slot with the Mondays
+    assert(out(7L) == ((1, 10, 0L, None, None)))
+  }
 }

@@ -1470,4 +1470,23 @@ class LlmSpec extends SparkSpec {
     // weights: aa = 2·2 = 4; ab = 2·1 + 1 = 3
     assert(out.toSeq == Seq(("aa", 4L, 1), ("ab", 3L, 2)))
   }
+
+  test("encodingAudit: U+FFFD, C0 controls (tab/newline/CR exempt), and " +
+      "mojibake markers flag independently; damaged counts any") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "clean text with\ttab and\nnewline and\rcr"),
+      ("s1", "lost byte \uFFFD here"),
+      ("s1", "binary\u0001junk"),
+      ("s2", "double encoded caf\u00C3\u00A9 menu"), // mojibake e-acute
+      ("s2", "curly \u00E2\u20AC\u2122 quote"), // mojibake right quote
+      ("s2", "fine")).toDF("source", "text")
+    val out = graft.llm.Curation.encodingAudit(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(
+      "s1" -> ((3L, 1L, 1L, 0L, 2L, 666666L)),
+      "s2" -> ((3L, 0L, 0L, 2L, 2L, 666666L))))
+  }
 }

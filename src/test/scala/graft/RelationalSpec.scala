@@ -630,4 +630,58 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(("g", 1) -> ((3L, 1L, 3L)), ("g", 2) -> ((2L, 4L, 5L)),
       ("h", 1) -> ((1L, 7L, 7L))))
   }
+
+  test("correlationMatrix: exact ±1 goldens, constant column → null, " +
+      "pairwise-complete n differs per pair on ragged nulls") {
+    import spark.implicits._
+    // b = 2a (rows 1-3, then null), c = 4 − a (all rows), d constant
+    val df = Seq(
+      (1L, Some(2L), 3L, 7L), (2L, Some(4L), 2L, 7L),
+      (3L, Some(6L), 1L, 7L), (4L, None, 0L, 7L))
+      .toDF("a", "b", "c", "d")
+    val out = Relational.correlationMatrix(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((3L, Some(1.0))), ("a", "c") -> ((4L, Some(-1.0))),
+      ("a", "d") -> ((4L, None)), ("b", "c") -> ((3L, Some(-1.0))),
+      ("b", "d") -> ((3L, None)), ("c", "d") -> ((4L, None))))
+  }
+
+  test("pmiReport: hand-computed nats on a 3-cell fixture; minCount " +
+      "prunes cells, never marginals") {
+    import spark.implicits._
+    val df = Seq(("x", "1"), ("x", "1"), ("x", "2"), ("y", "2"))
+      .toDF("s", "t")
+    def m(minC: Long) = Relational.pmiReport(df, "s", "t", minC)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(m(1L) == Map(
+      ("x", "1") -> ((2L, 3L, 2L, 0.287682)),  // ln(2·4/(3·2))
+      ("x", "2") -> ((1L, 3L, 2L, -0.405465)), // ln(1·4/(3·2))
+      ("y", "2") -> ((1L, 1L, 2L, 0.693147)))) // ln(1·4/(1·2))
+    // the (x,2)/(y,2) cells drop but n_b for the survivor is untouched
+    assert(m(2L) == Map(("x", "1") -> ((2L, 3L, 2L, 0.287682))))
+  }
+
+  test("paretoFrontier2d: running-max rule matches brute-force dominance " +
+      "(incl. same-x ties and duplicate points)") {
+    import spark.implicits._
+    val pts = Seq(("g", 1L, 5L), ("g", 2L, 4L), ("g", 2L, 4L),
+      ("g", 2L, 5L), ("g", 3L, 1L), ("g", 3L, 2L), ("g", 1L, 1L),
+      ("h", 1L, 1L))
+    val out = Relational.paretoFrontier2d(pts.toDF("grp", "x", "y"),
+      Seq("grp"), "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // brute force over distinct points per group
+    val want = pts.groupBy(p => (p._1, p._2, p._3))
+      .map { case ((g, x, y), rows) => (g, x, y, rows.size.toLong) }
+      .filter { case (g, x, y, _) => !pts.exists { case (g2, x2, y2) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) } }.toSet
+    assert(out == want)
+    assert(want.map(t => (t._1, t._2, t._3)) ==
+      Set(("g", 2L, 5L), ("g", 3L, 2L), ("h", 1L, 1L)))
+  }
 }

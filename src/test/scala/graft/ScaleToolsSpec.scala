@@ -518,4 +518,37 @@ class ScaleToolsSpec extends SparkSpec {
       "id", 3).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == Map("a" -> 0, "b" -> 1))
   }
+
+  test("cmsTopK: estimates match a driver-side sketch rebuilt from the " +
+      "same polyhash, est >= exact count always, rank is (est DESC, key)") {
+    import spark.implicits._
+    val d = 4; val w = 64
+    val keys = ('a' to 'p').map(_.toString)
+    val counts = keys.zipWithIndex.map { case (k, i) => k -> (i + 1L) }
+    val rows = counts.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    val out = graft.engine.Sketches.cmsTopK(rows.toDF("k"), "k",
+      d = d, w = w, k = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // driver-side reference sketch under the identical hash
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(row: Int, key: String): Long = {
+      val h = graft.functions.PolyHash.hash(
+        UTF8String.fromString(s"$row#$key"))
+      ((h % w) + w) % w
+    }
+    val btot = (0 until d).map { r =>
+      counts.groupBy { case (k, _) => bucket(r, k) }
+        .map { case (b, ks) => b -> ks.map(_._2).sum }
+    }
+    val wantEst = counts.map { case (k, _) =>
+      k -> (0 until d).map(r => btot(r)(bucket(r, k))).min }.toMap
+    val exact = counts.toMap
+    assert(out.length == keys.size)
+    out.foreach { case (k, n, est, _) =>
+      assert(n == exact(k) && est == wantEst(k) && est >= n) }
+    val ordered = out.sortBy(_._4)
+    assert(ordered.map(t => (t._1, t._3)).toSeq ==
+      out.sortBy(t => (-t._3, t._1)).map(t => (t._1, t._3)).toSeq)
+  }
 }
