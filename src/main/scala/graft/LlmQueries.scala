@@ -2244,11 +2244,80 @@ object LlmQueries {
           FROM a"""))
   }
 
+  /** Cohen's kappa of the lang-ID heuristic against the stored lang
+    * label — chance-corrected agreement over the same confusion matrix
+    * q90 reports, every term exact-integer until the final ratio.
+    */
+  private val l83 = Spec("q208_lang_id_kappa",
+    (s, d) => graft.engine.Relational.cohenKappaFromCells(
+      graft.llm.Curation.langIdConfusion(
+        T(s, d, "documents").filter(col("lang").isNotNull),
+        "text", "lang"),
+      "lang_gold", "lang_pred", "n_docs"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+          FROM documents WHERE lang IS NOT NULL),
+        c AS (SELECT doc_id, lang, $langCountsSql FROM t),
+        lp AS (SELECT lang AS g, $langCaseSql AS p FROM c),
+        cells AS (SELECT g, p, CAST(count(*) AS HUGEINT) AS n
+          FROM lp GROUP BY 1, 2),
+        tot AS (SELECT sum(n) AS tot,
+          sum(CASE WHEN g = p THEN n ELSE 0 END) AS agree FROM cells),
+        ma AS (SELECT g AS cat, sum(n) AS ma FROM cells GROUP BY 1),
+        mb AS (SELECT p AS cat, sum(n) AS mb FROM cells GROUP BY 1),
+        ch AS (SELECT sum(coalesce(ma, 0) * coalesce(mb, 0)) AS s
+          FROM ma FULL OUTER JOIN mb USING (cat))
+        SELECT CAST(tot AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+          CAST((agree * 1000000) // tot AS BIGINT) AS agree_ppm,
+          CAST((s * 1000000) // (tot * tot) AS BIGINT) AS chance_ppm,
+          CASE WHEN tot * tot <> s THEN
+            round(CAST(tot * agree - s AS DOUBLE)
+              / CAST(tot * tot - s AS DOUBLE), 6) END AS kappa
+        FROM tot CROSS JOIN ch"""))
+
+  /** Mergeable partial profiles: per-source sufficient-stat slices over
+    * (n_chars, n_tokens) merged to the global profile; the oracle is the
+    * DIRECT single-pass profile — their equality is the combiner
+    * contract under test.
+    */
+  private val l84 = Spec("q209_profile_merge",
+    (s, d) => graft.engine.Relational.mergeProfiles(
+      graft.engine.Relational.partialProfile(
+        T(s, d, "documents").select(col("source"), col("n_chars"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        Seq("source"), Seq("n_chars", "n_tokens"))),
+    Some(s"""WITH e AS (SELECT source, n_chars,
+          CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents),
+        u AS (
+          SELECT 'n_chars' AS col_name, CAST(count(n_chars) AS BIGINT)
+            AS n,
+          CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+          sum(CAST(n_chars AS HUGEINT)) AS s,
+          sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2,
+          CAST(min(n_chars) AS BIGINT) AS min_value,
+          CAST(max(n_chars) AS BIGINT) AS max_value FROM e
+          UNION ALL
+          SELECT 'n_tokens', CAST(count(n_tokens) AS BIGINT),
+          CAST(sum(CASE WHEN n_tokens IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          sum(CAST(n_tokens AS HUGEINT)),
+          sum(CAST(n_tokens AS HUGEINT) * CAST(n_tokens AS HUGEINT)),
+          CAST(min(n_tokens) AS BIGINT), CAST(max(n_tokens) AS BIGINT)
+          FROM e)
+        SELECT col_name, n, n_null, CAST(s AS BIGINT) AS sum, min_value,
+          max_value,
+          CASE WHEN n > 0 THEN
+            round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS mean,
+          CASE WHEN n > 0 THEN
+            round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE))
+              / CAST(n AS DOUBLE), 6) END AS stddev
+        FROM u"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, l82)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84)
 }

@@ -2691,6 +2691,41 @@ object Queries {
           END AS residual
         FROM r"""))
 
+  /** OP-AGG-28 — Theil–Sen robust spend trend per customer: lower-median
+    * pairwise slope of order cents over epoch days. The oracle
+    * enumerates the same rank-identified pairs and picks the same
+    * positional median.
+    */
+  private val agg28 = Spec("q207_theil_sen",
+    (s, d) => Relational.theilSen(
+      T(s, d, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")
+            .cast("date")).cast("long").as("x"),
+          round(col("o_totalprice") * 100).cast("long").as("y"),
+          col("o_orderkey")),
+      Seq("o_custkey"), "x", "y", Seq("o_orderkey")),
+    Some("""WITH o AS (SELECT o_custkey,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS x,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS y, o_orderkey
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY x, o_orderkey) AS rn FROM o),
+        p AS (SELECT a.o_custkey, a.rn AS ra, b.rn AS rb,
+          round(CAST(b.y - a.y AS DOUBLE)
+            / CAST(b.x - a.x AS DOUBLE), 6) AS slope
+          FROM r a JOIN r b ON a.o_custkey = b.o_custkey
+            AND a.rn < b.rn AND a.x <> b.x),
+        k AS (SELECT o_custkey, slope,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY slope, ra, rb) AS k,
+          count(*) OVER (PARTITION BY o_custkey) AS np FROM p)
+        SELECT o_custkey, CAST(np AS BIGINT) AS n_pairs, slope
+        FROM k WHERE k = (np + 1) // 2"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2709,7 +2744,7 @@ object Queries {
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
-    agg26, agg27, misc16, win24) ++ LlmQueries.specs
+    agg26, agg27, misc16, win24, agg28) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

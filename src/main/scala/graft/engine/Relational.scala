@@ -1016,6 +1016,171 @@ object Relational {
         col("n_a"), col("n_b"), col("pmi"))
   }
 
+  /** Theil–Sen robust trend per group: the LOWER MEDIAN of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)` over the group's series — the
+    * estimator that shrugs off ~29% outliers where OLS
+    * ([[groupRegression]]) folds. Slopes are rounded to 6 dp BEFORE the
+    * median pick and the pick itself is positional over the total order
+    * `(slope, rn_a, rn_b)`, so the selected element is engine-stable
+    * even with tied slopes. Pairs with equal x are skipped (no slope —
+    * the standard Theil–Sen convention); groups left with zero pairs
+    * drop out.
+    *
+    * Scale: pair enumeration is a SELF-JOIN on the group key —
+    * deliberately quadratic in GROUP size, linear in group count; the
+    * contract is per-entity series (orders per customer, readings per
+    * sensor: 10²–10³ rows/group ⇒ ≤ 10⁶ pairs/group), NOT a global
+    * series. Callers with big groups pre-aggregate (e.g. daily means)
+    * first. The ranked input is persisted through the self-join's two
+    * branches (the audit rule), and the group-grain result is
+    * checkpointed so the cache can be released eagerly.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, tiebreakCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(xCol).asc +: tiebreakCols.map(col(_).asc)): _*)
+    val ranked = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols ++ (xCol +: yCol +: tiebreakCols)).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      // __rn now carries the (x, tiebreak) identity; the tiebreak columns
+      // themselves stay out of the O(n²) pair frame
+      .drop(tiebreakCols: _*)
+      .persist()
+    val a = ranked.select(groupCols.map(col) :+ col(xCol).as("__xa") :+
+      col(yCol).as("__ya") :+ col("__rn").as("__ra"): _*)
+    val b = ranked.select(groupCols.map(col) :+ col(xCol).as("__xb") :+
+      col(yCol).as("__yb") :+ col("__rn").as("__rb"): _*)
+    val slopes = a.join(b, groupCols)
+      .filter(col("__ra") < col("__rb") && col("__xa") =!= col("__xb"))
+      .withColumn("__slope", round(
+        (col("__yb") - col("__ya")).cast("double") /
+        (col("__xb") - col("__xa")).cast("double"), 6))
+    val pick = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__slope").asc, col("__ra").asc, col("__rb").asc)
+    val out = slopes
+      .withColumn("__k", row_number().over(pick))
+      .withColumn("__np", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      // `/` on Spark Columns is double division — DIV keeps the lower-
+      // median index integral ((np+1) div 2, 1-based)
+      .filter(col("__k") === expr("(__np + 1) DIV 2"))
+      .select(groupCols.map(col) :+ col("__np").as("n_pairs") :+
+        col("__slope").as("slope"): _*)
+      .localCheckpoint(true)
+    ranked.unpersist(false)
+    out
+  }
+
+  /** Cohen's kappa from a pre-aggregated confusion/agreement matrix
+    * `(aCol, bCol, nCol)` — inter-rater agreement corrected for chance:
+    * `κ = (n·Σ_agree − Σ_c ma_c·mb_c) / (n² − Σ_c ma_c·mb_c)`, every
+    * term an EXACT integer (DECIMAL(38,0) — `n²` passes 2⁶³ at ~3×10⁹
+    * ratings), only the final ratio floating, 6 dp. Also emits the raw
+    * and chance agreement as exact ppm. Degenerate chance agreement
+    * (`n² = Σ ma·mb`: both raters constant) → null κ. The category
+    * union is handled by a full outer join of the two marginal vectors
+    * (a category one rater never uses contributes 0 chance mass).
+    *
+    * Everything downstream of the caller-supplied cell frame is
+    * cell-grain (≤ |A|·|B| rows) — the input is aggregated once by
+    * [[cohenKappa]]'s raw-pairs face and never re-scanned (cells are
+    * persisted through the three marginal branches, result
+    * checkpointed, cache released).
+    */
+  def cohenKappaFromCells(cellsIn: DataFrame, aCol: String, bCol: String,
+      nCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = cellsIn.select(col(aCol).as("__a"), col(bCol).as("__b"),
+      col(nCol).cast(d38).as("__n")).persist()
+    val tot = cells.agg(sum(col("__n")).as("__tot"),
+      sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(lit(0).cast(d38))).as("__agree"))
+    val ma = cells.groupBy(col("__a").as("__cat"))
+      .agg(sum(col("__n")).as("__ma"))
+    val mb = cells.groupBy(col("__b").as("__cat"))
+      .agg(sum(col("__n")).as("__mb"))
+    val chance = ma.join(mb, Seq("__cat"), "full_outer")
+      .agg(sum(coalesce(col("__ma"), lit(0).cast(d38)) *
+        coalesce(col("__mb"), lit(0).cast(d38))).as("__s"))
+    val out = tot.crossJoin(broadcast(chance))
+      .select(col("__tot").cast("long").as("n"),
+        col("__agree").cast("long").as("n_agree"),
+        // DIV (integral quotient), not `/`: decimal division rounds at
+        // its result scale, which can disagree with the oracle's floor
+        expr("(__agree * 1000000) DIV __tot").as("agree_ppm"),
+        expr("(__s * 1000000) DIV (__tot * __tot)").as("chance_ppm"),
+        when(col("__tot") * col("__tot") =!= col("__s"), round(
+          (col("__tot") * col("__agree") - col("__s")).cast("double") /
+          (col("__tot") * col("__tot") - col("__s")).cast("double"), 6))
+          .as("kappa"))
+      .localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
+  /** [[cohenKappaFromCells]] over raw rating pairs: rows where either
+    * rater abstained (null) are excluded, then one aggregate builds the
+    * cell frame. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    cohenKappaFromCells(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__cnt")),
+      aCol, bCol, "__cnt")
+
+  /** Mergeable partial profile of INTEGER-valued columns, the combiner
+    * half of distributed profiling: per `(group, column)`, the exact
+    * sufficient statistics `(n, n_null, sum, sum_sq, min, max)` — every
+    * one associative/commutative (sums in DECIMAL(38,0)), so partials
+    * from independent slices [[mergeProfiles]] into exactly the profile
+    * a direct global pass would produce. ONE scan, conditional
+    * aggregates, long-form output via the missingnessMatrix explode.
+    */
+  def partialProfile(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val d38 = "decimal(38,0)"
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count_if(col(c).isNull).as(s"__nn_$c"),
+      sum(col(c).cast(d38)).as(s"__s_$c"),
+      sum(col(c).cast(d38) * col(c).cast(d38)).as(s"__s2_$c"),
+      min(col(c)).cast("long").as(s"__mn_$c"),
+      max(col(c)).cast("long").as(s"__mx_$c")))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) :+ explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"), col(s"__s_$c").as("sum"),
+        col(s"__s2_$c").as("sum_sq"), col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))): _*)).as("__p")): _*)
+      .select((groupCols.map(col) :+ col("__p.*")): _*)
+  }
+
+  /** Merge [[partialProfile]] slices to the global per-column profile:
+    * re-aggregate the associative stats, then derive `mean` and the
+    * POPULATION `stddev` from the exact sums — discriminant
+    * `n·Σx² − (Σx)²` stays exact decimal (zero for a constant column →
+    * stddev 0, never a negative float residue under the square root).
+    * The result equals a direct single-pass profile bit-for-bit — that
+    * equality is the point (and the spec pin): partial aggregation
+    * states can ship from 1000 executors or 1000 daily runs and compose.
+    */
+  def mergeProfiles(parts: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val n = col("n").cast(d38)
+    val disc = n * col("sum_sq") - col("sum") * col("sum")
+    parts.groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+        sum(col("sum")).as("sum"), sum(col("sum_sq")).as("sum_sq"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .withColumn("mean", when(col("n") > 0,
+        round(col("sum").cast("double") / col("n").cast("double"), 6)))
+      .withColumn("stddev", when(col("n") > 0,
+        round(sqrt(disc.cast("double")) / col("n").cast("double"), 6)))
+      .withColumn("sum", col("sum").cast("long"))
+      .drop("sum_sq")
+  }
+
   /** 2-D Pareto frontier per group, maximizing BOTH `xCol` and `yCol`:
     * the distinct points no other point weakly dominates (x' ≥ x ∧
     * y' ≥ y with one strict). One sort does all the work: over distinct

@@ -364,4 +364,54 @@ object Streaming {
           Iterator(SketchUpdate(group, occ, est))
       }
   }
+
+  final case class CusumPoint(key: Long, ts: Timestamp, v: Long)
+  final case class CusumState(rn: Long, p: Long, minA: Long, maxB: Long)
+  final case class CusumUpdate(key: Long, ts: Timestamp, v: Long,
+      run_sum: Long, cusum_pos: Long, cusum_neg: Long,
+      alarm_pos: Boolean, alarm_neg: Boolean)
+
+  /** Streaming face of [[graft.engine.Windows.cusum]]: two-sided CUSUM
+    * drift alarms as a continuous per-key monitor. The batch operator's
+    * closed window form (prefix sum minus running extrema) collapses to
+    * FOUR longs of state per key — `(rn, Σ(v−target), min a, max b)` —
+    * updated in arrival order within each micro-batch (rows sorted by
+    * (ts, key) like every stateful face here), so the emitted
+    * `cusum_pos/neg` and alarms are BIT-IDENTICAL to the batch operator
+    * over any prefix of the stream however the rows are split into
+    * batches (the distinctSketchStream discipline, spec-pinned). This is
+    * the recursion `S⁺ₜ = max(0, S⁺ₜ₋₁ + (vₜ−target) − slack)` in its
+    * prefix-sum form: state never grows with history, and a restart
+    * resumes exactly from the checkpointed four longs.
+    */
+  def cusumStream(points: Dataset[CusumPoint], target: Long, slack: Long,
+      threshold: Long): Dataset[CusumUpdate] = {
+    require(slack >= 0 && threshold > 0, "slack >= 0 and threshold > 0")
+    implicit val outEnc = Encoders.product[CusumUpdate]
+    implicit val stEnc = Encoders.product[CusumState]
+    implicit val keyEnc = Encoders.scalaLong
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CusumPoint],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MaxValue, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+            val rn = st.rn + 1
+            val p = st.p + (r.v - target)
+            val a = p - slack * rn
+            val b = p + slack * rn
+            val minA = math.min(st.minA, a)
+            val maxB = math.max(st.maxB, b)
+            st = CusumState(rn, p, minA, maxB)
+            val pos = a - math.min(0L, minA)
+            val neg = math.max(0L, maxB) - b
+            CusumUpdate(key, r.ts, r.v, p, pos, neg,
+              pos > threshold, neg > threshold)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -684,4 +684,60 @@ class RelationalSpec extends SparkSpec {
     assert(want.map(t => (t._1, t._2, t._3)) ==
       Set(("g", 2L, 5L), ("g", 3L, 2L), ("h", 1L, 1L)))
   }
+
+  test("theilSen: lower-median pairwise slope shrugs off the outlier " +
+      "OLS would chase; equal-x pairs contribute no slope") {
+    import spark.implicits._
+    // y = 10x with a wild outlier at x=3, plus a duplicate-x pair
+    val df = Seq(("g", 0L, 0L, 1L), ("g", 1L, 10L, 2L), ("g", 2L, 20L, 3L),
+      ("g", 3L, 1000L, 4L), ("h", 2L, 20L, 5L), ("h", 2L, 40L, 6L),
+      ("h", 0L, 0L, 7L), ("h", 1L, 10L, 8L))
+      .toDF("grp", "x", "y", "tb")
+    val out = Relational.theilSen(df, Seq("grp"), "x", "y", Seq("tb"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // g slopes sorted: 10,10,10,333.33…,495,980 → median idx (6+1) div 2 = 3
+    assert(out("g") == ((6L, 10.0)))
+    // h: the (2,20)-(2,40) pair is skipped → 5 pairs: 10,10,10,20,30
+    assert(out("h") == ((5L, 10.0)))
+  }
+
+  test("cohenKappa: textbook 2x2 golden; disjoint categories score " +
+      "zero; constant raters have no chance-corrected signal") {
+    import spark.implicits._
+    val cells = Seq(("yes", "yes", 20L), ("yes", "no", 5L),
+      ("no", "yes", 10L), ("no", "no", 15L)).toDF("a", "b", "n")
+    val r = Relational.cohenKappaFromCells(cells, "a", "b", "n")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((50L, 35L, 700000L, 500000L, 0.4)))
+    // rater B answers in a category A never uses → chance mass 0, κ = 0
+    val disj = Relational.cohenKappa(
+      Seq(("a", "c"), ("a", "c")).toDF("ra", "rb"), "ra", "rb")
+      .collect().head
+    assert(disj.getLong(1) == 0L && disj.getDouble(4) == 0.0)
+    // both raters constant and agreeing: n² = Σ ma·mb → null κ
+    val const = Relational.cohenKappa(
+      Seq(("x", "x"), ("x", "x"), ("x", "x")).toDF("ra", "rb"),
+      "ra", "rb").collect().head
+    assert(const.getLong(1) == 3L && const.isNullAt(4))
+  }
+
+  test("partialProfile slices merge to exactly the direct global " +
+      "profile; hand-checked mean/stddev") {
+    import spark.implicits._
+    val df = Seq(("s1", Some(1L), Some(7L)), ("s1", Some(2L), None),
+      ("s2", Some(3L), Some(9L)), ("s2", Some(4L), Some(11L)),
+      ("s2", None, Some(13L))).toDF("src", "a", "b")
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).sortBy(_._1).toSeq
+    val merged = canon(Relational.mergeProfiles(
+      Relational.partialProfile(df, Seq("src"), Seq("a", "b"))))
+    val direct = canon(Relational.mergeProfiles(
+      Relational.partialProfile(df, Seq(), Seq("a", "b"))))
+    assert(merged == direct)
+    val a = merged.toMap.apply("a")
+    // a = {1,2,3,4}: mean 2.5, population stddev √(4·30−100)/4 = 1.118034
+    assert(a == Seq(4L, 1L, 10L, 1L, 4L, 2.5, 1.118034))
+  }
 }

@@ -329,4 +329,47 @@ class StreamingSpec extends SparkSpec {
       assert(got(1)._1 - got(0)._1 <= 1)
     } finally q.stop()
   }
+
+  test("cusumStream: bit-identical to the batch cusum on the full series " +
+      "regardless of how rows split into micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    // one drifting key, one steady key, interleaved
+    val series = Seq(
+      (1L, 0, 100L), (1L, 1, 130L), (1L, 2, 140L), (1L, 3, 150L),
+      (1L, 4, 160L), (2L, 0, 100L), (2L, 1, 101L), (2L, 2, 99L),
+      (1L, 5, 40L), (1L, 6, 30L), (2L, 3, 100L))
+      .map { case (k, i, v) => Streaming.CusumPoint(k, t(i), v) }
+    def run(splits: Seq[Seq[Streaming.CusumPoint]], name: String) = {
+      val mem = MemoryStream[Streaming.CusumPoint]
+      val q = Streaming.cusumStream(mem.toDS(), target = 100L,
+        slack = 5L, threshold = 50L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        sp.sql(s"SELECT * FROM $name").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+            r.getBoolean(7))).sortBy(x => (x._1, x._2.getTime)).toSeq
+      } finally q.stop()
+    }
+    // batch-face reference over the identical rows
+    val want = graft.engine.Windows.cusum(
+      series.map(p => (p.key, p.ts, p.v)).toDF("key", "ts", "v"),
+      Seq("key"), Seq("ts"), "v", target = 100L, slack = 5L,
+      threshold = 50L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7))).sortBy(x => (x._1, x._2.getTime)).toSeq
+    val oneBatch = run(Seq(series), "cusum_a")
+    val manyBatches = run(series.grouped(3).toSeq, "cusum_b")
+    assert(oneBatch == want)
+    assert(manyBatches == want)
+    // the drifting key actually alarms, the steady key never does
+    assert(want.filter(_._1 == 1L).exists(_._7))
+    assert(!want.filter(_._1 == 2L).exists(x => x._7 || x._8))
+  }
 }
