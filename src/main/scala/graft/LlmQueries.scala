@@ -2313,11 +2313,67 @@ object LlmQueries {
               / CAST(n AS DOUBLE), 6) END AS stddev
         FROM u"""))
 
+  /** Cross-source cosine similarity of unigram count profiles — which
+    * sources are vocabulary near-duplicates of each other.
+    */
+  private val l85 = Spec("q211_source_cosine",
+    (s, d) => graft.llm.Curation.sourceCosineMatrix(
+      T(s, d, "documents"), "text", "source"),
+    Some(s"""WITH toks AS (SELECT source, unnest($wordsSql) AS t
+          FROM documents),
+        st AS (SELECT source, t, CAST(count(*) AS HUGEINT) AS n
+          FROM toks GROUP BY 1, 2),
+        nm AS (SELECT source, sum(n * n) AS q FROM st GROUP BY 1),
+        d AS (SELECT a.source AS source_a, b.source AS source_b,
+          CAST(count(*) AS BIGINT) AS n_shared_terms,
+          sum(a.n * b.n) AS dot
+          FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared_terms,
+          round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.q AS DOUBLE))
+            * sqrt(CAST(nb.q AS DOUBLE))), 6) AS cosine
+        FROM d JOIN nm na ON na.source = d.source_a
+        JOIN nm nb ON nb.source = d.source_b"""))
+
+  /** ViT-style patch grid over the stub image metadata: one row per
+    * fully-fitting 128×128 window at stride 128, coordinates recovered
+    * from a single patch-index explode.
+    */
+  private val l86 = Spec("q212_mm_patch_grid",
+    (s, d) => {
+      val withMm = T(s, d, "documents")
+        .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+          lit("image"), polyhash(col("text"))))
+      Multimodal.patchGrid(withMm, "mm", patch = 128, stride = 128)
+        .select(col("doc_id"), col("mm.meta.width").as("width"),
+          col("mm.meta.height").as("height"), col("patch_idx"),
+          col("grid_x"), col("grid_y"), col("x0"), col("y0"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+          CAST(h % 1280 + 64 AS INTEGER) AS width,
+          CAST(h % 720 + 64 AS INTEGER) AS height
+          FROM (SELECT doc_id, ${phSql("text")} AS h FROM documents)),
+        g AS (SELECT doc_id, width, height,
+          CASE WHEN width >= 128 THEN
+            CAST(floor(CAST(width - 128 AS DOUBLE) / 128) AS INTEGER) + 1
+            ELSE 0 END AS nx,
+          CASE WHEN height >= 128 THEN
+            CAST(floor(CAST(height - 128 AS DOUBLE) / 128) AS INTEGER) + 1
+            ELSE 0 END AS ny FROM t),
+        p AS (SELECT doc_id, width, height, nx,
+          unnest(range(nx * ny)) AS pi FROM g WHERE nx * ny > 0)
+        SELECT doc_id, width, height, CAST(pi AS INT) AS patch_idx,
+          CAST(pi % nx AS INT) AS grid_x,
+          CAST(floor(CAST(pi AS DOUBLE) / nx) AS INT) AS grid_y,
+          CAST((pi % nx) * 128 AS INT) AS x0,
+          CAST(floor(CAST(pi AS DOUBLE) / nx) * 128 AS INT) AS y0
+        FROM p"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, l82, l83, l84)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86)
 }

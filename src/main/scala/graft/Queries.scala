@@ -2726,6 +2726,32 @@ object Queries {
         SELECT o_custkey, CAST(np AS BIGINT) AS n_pairs, slope
         FROM k WHERE k = (np + 1) // 2"""))
 
+  /** OP-WIN-25 — Hampel outlier flags on each user's value series:
+    * trailing-7 lower median ± 3·MAD, exact integer arithmetic
+    * end-to-end (median and MAD are element picks, never averages).
+    */
+  private val win25 = Spec("q210_hampel_outliers",
+    (s, d) => Windows.hampelOutliers(
+      T(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", nRows = 7, k = 3L),
+    Some("""WITH e AS (SELECT event_id, user_id,
+          CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        l AS (SELECT event_id, user_id, ts, v,
+          list_sort(list(v) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ls FROM e),
+        m AS (SELECT *, ls[(len(ls) + 1) // 2] AS med FROM l),
+        d AS (SELECT *, list_sort([abs(x - med) for x in ls])
+          [(len(ls) + 1) // 2] AS mad FROM m)
+        SELECT event_id, user_id, ts, v, CAST(med AS BIGINT) AS med,
+          CAST(mad AS BIGINT) AS mad,
+          abs(v - med) > 3 * mad AS outlier
+        FROM d"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2744,7 +2770,7 @@ object Queries {
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
-    agg26, agg27, misc16, win24, agg28) ++ LlmQueries.specs
+    agg26, agg27, misc16, win24, agg28, win25) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

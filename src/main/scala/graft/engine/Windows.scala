@@ -756,6 +756,41 @@ object Windows {
     * the ride-along rows (excluded from sums by the count(v)/sum(v)
     * null rule).
     */
+  /** Hampel outlier filter over the trailing `nRows` rows per key:
+    * flag `|x − med| > k·MAD`, where `med` is the frame's lower median
+    * and `MAD` the lower median of absolute deviations — the robust
+    * cousin of [[rollingZScore]] (a single previous spike inflates a
+    * z-score's σ and masks the next one; the median absolute deviation
+    * barely moves). For INTEGER values every comparison here is exact
+    * integer arithmetic end-to-end — median and MAD are element PICKS,
+    * not averages — so the outlier verdict is engine-stable with no
+    * float tolerance at all. A constant frame has MAD = 0 and flags any
+    * deviation (the standard Hampel degeneracy; callers who want slack
+    * add it to k). Null values must be pre-filtered: Spark's
+    * `collect_list` drops frame nulls while SQL `list()` keeps them, so
+    * a null inside the frame is a contract violation (the [[ewma]]
+    * convention) — pre-filter the series, as the registered query does.
+    *
+    * Scale: one window pass, O(nRows log nRows) per row for the two
+    * in-frame sorts — smoothing-window posture like [[rollingMedian]],
+    * sized for nRows in the tens, not thousands.
+    */
+  def hampelOutliers(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String, nRows: Int,
+      k: Long = 3L): DataFrame = {
+    require(nRows >= 2, "a one-row frame has no deviation scale")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    val arr = array_sort(collect_list(col(valCol)).over(w))
+    val mid = ((size(arr) + 1) / 2).cast("int")
+    val med = element_at(arr, mid)
+    val mad = element_at(array_sort(transform(arr,
+      x => abs(x - med))), mid)
+    df.withColumn("med", med).withColumn("mad", mad)
+      .withColumn("outlier", abs(col(valCol) - med) > lit(k) * mad)
+  }
+
   def seasonalResiduals(df: DataFrame, keyCols: Seq[String],
       timeCol: String, tiebreakCols: Seq[String], valCol: String,
       nPrior: Int = 4): DataFrame = {

@@ -442,6 +442,56 @@ object Curation {
         expr("(n_damaged * 1000000) DIV n_docs"))
   }
 
+  /** Cross-source cosine similarity over unigram count profiles — the
+    * symmetric companion to [[sourceUnigramKl]] (KL says "how far is
+    * this source from the blend"; this says "which sources are each
+    * other's near-duplicates in vocabulary"). For each source pair with
+    * any shared term: shared-term count and
+    * `cos = Σ nₐ·n_b / (√Σnₐ² · √Σn_b²)` — dot and norms accumulate as
+    * exact integers, the two norms stay under SEPARATE square roots
+    * (the correlationMatrix overflow discipline), only the final ratio
+    * is floating, 6 dp.
+    *
+    * Scale: everything runs at `(source, term)` grain (Heaps-law
+    * sublinear); the pair dot is a self-join on term with `source_a <
+    * source_b` — output and intermediate are bounded by |sources|² and
+    * shared vocabulary, never corpus size. The profile frame feeds
+    * three branches (two norm lookups + the dot), so it is persisted
+    * once, the pair-grain result checkpointed, and the cache released.
+    */
+  def sourceCosineMatrix(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.llm.Text.tokens(col(textCol))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).cast(d38).as("n"))
+      .persist()
+    val norms = st.groupBy("source")
+      .agg(sum(col("n") * col("n")).as("q"))
+    val a = st.select(col("source").as("source_a"), col("t"),
+      col("n").as("na"))
+    val b = st.select(col("source").as("source_b"), col("t"),
+      col("n").as("nb"))
+    val dots = a.join(b, Seq("t"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("na") * col("nb")).as("__dot"))
+    val out = dots
+      .join(broadcast(norms.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("q", "__qa")), Seq("source_a"))
+      .join(broadcast(norms.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("q", "__qb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__qa").cast("double")) *
+           sqrt(col("__qb").cast("double"))), 6).as("cosine"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    out
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

@@ -83,6 +83,41 @@ object Multimodal {
         i => (i * frames / n).cast("int"))))
   }
 
+  /** ViT-style patch grid: one row per `patch × patch` window at `stride`
+    * spacing over the image metadata — the tokenization step of an image
+    * encoder, as a METADATA-ONLY explode (the payload column is carried
+    * by reference; actual pixel extraction belongs in the
+    * [[mapBinaryBatchesTyped]] decode stage, which consumes these
+    * coordinates). Patches are emitted only where they fit entirely
+    * (`x0 + patch ≤ width`, ViT convention — no ragged edge padding);
+    * an image smaller than one patch yields no rows. Grid coordinates
+    * come from ONE `patch_idx` explode with div/mod recovery, not a
+    * nested double explode.
+    */
+  def patchGrid(df: DataFrame, mmCol: String, patch: Int,
+      stride: Int): DataFrame = {
+    require(patch >= 1 && stride >= 1, "patch and stride must be positive")
+    val w = col(s"$mmCol.meta.width")
+    val h = col(s"$mmCol.meta.height")
+    // integer floor-div via double: dims are < 2^31 so the double is exact
+    def fits(dim: Column) = when(dim >= patch,
+      floor((dim - patch).cast("double") / stride).cast("int") + 1)
+      .otherwise(lit(0))
+    val nx = fits(w)
+    val ny = fits(h)
+    val n = nx * ny
+    df.withColumn("__nx", nx)
+      .withColumn("patch_idx",
+        explode(when(n > 0, sequence(lit(0), n - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("grid_x", pmod(col("patch_idx"), col("__nx")))
+      .withColumn("grid_y", floor(col("patch_idx").cast("double") /
+        col("__nx")).cast("int"))
+      .withColumn("x0", col("grid_x") * stride)
+      .withColumn("y0", col("grid_y") * stride)
+      .drop("__nx")
+  }
+
   /** The preferred real-codec extension point: per-partition batch decode
     * that STAYS INSIDE the SQL engine. `Dataset.mapPartitions` with a row
     * encoder compiles to DeserializeToObject → MapPartitions →

@@ -604,4 +604,33 @@ class AggWindowsSpec extends SparkSpec {
     // the Tuesday row shares no slot with the Mondays
     assert(out(7L) == ((1, 10, 0L, None, None)))
   }
+
+  test("hampelOutliers: MAD shrugs off the spike a z-score's sigma " +
+      "chases; constant frame flags any deviation") {
+    import spark.implicits._
+    // steady 10s, one spike, then back to steady — trailing 5 frame
+    val vals = Seq(10L, 11L, 10L, 12L, 500L, 10L, 11L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v").withColumn("key", lit("k"))
+    val out = Windows.hampelOutliers(df, Seq("key"), Seq("i"), "v",
+      nRows = 5, k = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // at the spike: frame {10,11,10,12,500} → med 11, MAD = lower
+    // median of {1,0,1,1,489} = 1 → |500−11| > 3 → outlier
+    assert(out(4L) == ((11L, 1L, true)))
+    // right after: frame {11,10,12,500,10} → med 11, MAD 1, |10−11| ≤ 3
+    // — the spike INSIDE the frame does not mask its neighbors
+    assert(out(5L) == ((11L, 1L, false)))
+    // warmup degeneracy, pinned: 2- and 4-row frames of this jittery
+    // series have lower-median MAD = 0, so any deviation flags (rows 1
+    // and 3); full frames with jitter have MAD ≥ 1 and stay quiet
+    assert(out.filter(_._2._3).keySet == Set(1L, 3L, 4L))
+    // constant frame: MAD 0 → any deviation flags
+    val const = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 6L))
+      .toDF("i", "v").withColumn("key", lit("c"))
+    val c = Windows.hampelOutliers(const, Seq("key"), Seq("i"), "v", 3, 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(!c(2L) && c(3L))
+  }
 }

@@ -1489,4 +1489,47 @@ class LlmSpec extends SparkSpec {
       "s1" -> ((3L, 1L, 1L, 0L, 2L, 666666L)),
       "s2" -> ((3L, 0L, 0L, 2L, 2L, 666666L))))
   }
+
+  test("sourceCosineMatrix: hand-computed cosine, identical sources " +
+      "score exactly 1, disjoint vocabularies emit no pair") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x y y"),   // profiles a=(2,1), b=(1,2)
+      ("c", "x x y"),                   // c identical to a
+      ("d", "zzz")).toDF("source", "text")
+    val out = graft.llm.Curation.sourceCosineMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // cos(a,b) = (2+2)/(√5·√5) = 0.8; identical profiles → exactly 1.0
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.8)), ("a", "c") -> ((2L, 1.0)),
+      ("b", "c") -> ((2L, 0.8))))
+  }
+
+  test("patchGrid: full-fit convention, div/mod coordinate recovery, " +
+      "too-small images vanish") {
+    import spark.implicits._
+    // hand-built mm structs: 300×150 with patch 100/stride 100 →
+    // nx=3, ny=1; 90×90 → no patches
+    val df = Seq((1, 300, 150), (2, 90, 90)).toDF("id", "w", "h")
+      .withColumn("mm", struct(lit(Array.emptyByteArray).as("payload"),
+        struct(lit("image").as("modality"), lit(0L).as("byte_len"),
+          col("w").cast("int").as("width"), col("h").cast("int").as("height"),
+          lit(1).as("n_frames")).as("meta")))
+    val out = graft.llm.Multimodal.patchGrid(df, "mm", 100, 100)
+      .select("id", "patch_idx", "grid_x", "grid_y", "x0", "y0")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    assert(out == Set((1, 0, 0, 0, 0, 0), (1, 1, 1, 0, 100, 0),
+      (1, 2, 2, 0, 200, 0)))
+    // overlapping stride: 250×100, patch 100, stride 50 → nx=4, ny=1
+    val df2 = Seq((3, 250, 100)).toDF("id", "w", "h")
+      .withColumn("mm", struct(lit(Array.emptyByteArray).as("payload"),
+        struct(lit("image").as("modality"), lit(0L).as("byte_len"),
+          col("w").cast("int").as("width"), col("h").cast("int").as("height"),
+          lit(1).as("n_frames")).as("meta")))
+    val xs = graft.llm.Multimodal.patchGrid(df2, "mm", 100, 50)
+      .select("x0").collect().map(_.getInt(0)).sorted.toSeq
+    assert(xs == Seq(0, 50, 100, 150))
+  }
 }
