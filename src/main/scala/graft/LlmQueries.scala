@@ -2369,11 +2369,63 @@ object LlmQueries {
           CAST(floor(CAST(pi AS DOUBLE) / nx) * 128 AS INT) AS y0
         FROM p"""))
 
+  /** Gopher-rule quality flags — every ratio an exact integer
+    * cross-multiplication, raw-word and normalized-token streams mirrored
+    * independently.
+    */
+  private val l87 = Spec("q215_gopher_flags",
+    (s, d) => graft.llm.Curation.gopherFlags(
+      T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
+    Some {
+      val stopsSum = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with").map(w =>
+        s"(CASE WHEN list_contains(nw, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS rw,
+          string_split(text, chr(10)) AS ls,
+          $wordsSql AS nw
+        FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id,
+          CAST(len(rw) AS BIGINT) AS n_words,
+          CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(coalesce(list_sum([CAST(len(x) AS BIGINT) for x in rw]), 0)
+            AS BIGINT) AS sum_word_chars,
+          CAST(len(list_filter(rw, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) AS n_alpha_words,
+          CAST(len(text) - len(replace(text, '#', ''))
+            + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT)
+            AS n_symbols,
+          CAST(len(list_filter(ls, l -> regexp_matches(l, '^ *[-*•]')))
+            AS BIGINT) AS n_bullet_lines,
+          CAST(len(list_filter(ls, l -> regexp_matches(l,
+            '(\\.\\.\\.|…) *$$'))) AS BIGINT) AS n_ellipsis_lines,
+          CAST($stopsSum AS BIGINT) AS n_stops_present
+        FROM w)
+      SELECT *,
+        (n_words < 50 OR n_words > 100000) AS f_word_count,
+        (sum_word_chars < 3 * n_words OR sum_word_chars > 10 * n_words)
+          AS f_mean_word_len,
+        10 * n_symbols > n_words AS f_symbol_ratio,
+        10 * n_bullet_lines > 9 * n_lines AS f_bullet,
+        10 * n_ellipsis_lines > 3 * n_lines AS f_ellipsis,
+        5 * n_alpha_words < 4 * n_words AS f_alpha,
+        n_stops_present < 2 AS f_stopwords,
+        NOT ((n_words < 50 OR n_words > 100000)
+          OR (sum_word_chars < 3 * n_words OR sum_word_chars > 10 * n_words)
+          OR 10 * n_symbols > n_words
+          OR 10 * n_bullet_lines > 9 * n_lines
+          OR 10 * n_ellipsis_lines > 3 * n_lines
+          OR 5 * n_alpha_words < 4 * n_words
+          OR n_stops_present < 2) AS keep
+      FROM c"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87)
 }

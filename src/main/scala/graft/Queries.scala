@@ -2752,6 +2752,41 @@ object Queries {
           abs(v - med) > 3 * mad AS outlier
         FROM d"""))
 
+  /** Functional-dependency violation profiler: does `l_partkey` determine
+    * `l_suppkey` in lineitem? (It does not — each part has several
+    * suppliers — so the output enumerates the per-part evidence.)
+    */
+  private val misc17 = Spec("q213_fd_violations",
+    (s, d) => Relational.fdViolations(
+      T(s, d, "lineitem"), Seq("l_partkey"), "l_suppkey"),
+    Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_rhs
+        FROM lineitem WHERE l_partkey IS NOT NULL
+        GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1"""))
+
+  /** OP-WIN-26 — running distinct event-type count per user (the
+    * "behavioral breadth so far" curve), exact via the first-occurrence
+    * flag + running sum construction.
+    */
+  private val win26 = Spec("q214_running_distinct",
+    (s, d) => Windows.runningDistinctCount(
+      T(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type"),
+    Some("""WITH e AS (SELECT event_id, user_id,
+          CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        f AS (SELECT *, CASE WHEN row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+            THEN 1 ELSE 0 END AS ff FROM e)
+        SELECT event_id, user_id, ts, event_type,
+          CAST(sum(ff) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_distinct_so_far
+        FROM f"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2770,7 +2805,8 @@ object Queries {
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
-    agg26, agg27, misc16, win24, agg28, win25) ++ LlmQueries.specs
+    agg26, agg27, misc16, win24, agg28, win25, misc17,
+    win26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -1209,4 +1209,25 @@ object Relational {
       .filter(col("__my").isNull || col("__my") < col(yCol))
       .drop("__my")
   }
+
+  /** Functional-dependency violation profiler: for the candidate FD
+    * `lhs → rhs`, emit every lhs key where more than one distinct rhs
+    * value occurs — the per-key evidence a schema-inference or
+    * data-quality pass needs before trusting a column as a lookup key.
+    * Rows with a NULL lhs component are excluded (a null key neither
+    * proves nor violates a dependency); NULL rhs values are ignored by
+    * the distinct count, matching ANSI `count(DISTINCT)`.
+    *
+    * Scale: one aggregate at lhs-key grain with a partial-aggregating
+    * distinct; output is bounded by the number of VIOLATING keys, so a
+    * near-valid FD on a 100 TB fact returns a small frame. Exact
+    * integer counts only — nothing here is float.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: String): DataFrame =
+    df.filter(lhs.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(rhs)).as("n_distinct_rhs"))
+      .filter(col("n_distinct_rhs") > 1)
 }

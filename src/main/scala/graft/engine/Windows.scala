@@ -791,6 +791,37 @@ object Windows {
       .withColumn("outlier", abs(col(valCol) - med) > lit(k) * mad)
   }
 
+  /** Running distinct count per key: for each row, how many DISTINCT
+    * `valCol` values this key has produced up to and including now —
+    * the exact form of the "new vs returning behavior" curve (first
+    * session with a new event type bumps it; repeats do not). Two
+    * passes: a first-occurrence flag (`row_number = 1` over
+    * `(key, val)` ordered by `orderCols`) and a running sum of that
+    * flag at key grain. `orderCols` must be a TOTAL order per key
+    * (include a unique tiebreak) or the first-occurrence pick is
+    * nondeterministic; null values form their own "value" by window
+    * partitioning, so pre-filter them if that is not wanted (the
+    * registered query does).
+    *
+    * Scale: two window shuffles — `(key, val)` grain then `key` grain
+    * — which is the exact-answer floor (a running COUNT(DISTINCT)
+    * cannot partial-aggregate); the approximate alternative at 100 TB
+    * is a per-key [[graft.engine.Sketches]] register set carried as
+    * state, which trades that second shuffle for an estimate.
+    */
+  def runningDistinctCount(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String): DataFrame = {
+    val wFirst = Window.partitionBy((keyCols :+ valCol).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_so_far", sum(col("__first")).over(wRun))
+      .drop("__first")
+  }
+
   def seasonalResiduals(df: DataFrame, keyCols: Seq[String],
       timeCol: String, tiebreakCols: Seq[String], valCol: String,
       nPrior: Int = 4): DataFrame = {

@@ -492,6 +492,76 @@ object Curation {
     out
   }
 
+  /** Gopher-style document quality flags (Rae et al. 2021 §A1.1.2, the
+    * rule set most open-web curation stacks still start from), with
+    * every ratio test kept as an EXACT integer cross-multiplication —
+    * `mean_word_len < 3` is `sum_chars < 3·n_words`, `bullet > 90%` is
+    * `10·n_bullet > 9·n_lines` — so no flag ever rides on a float
+    * division's representation. Two tokenizations, deliberately:
+    * length/alpha/symbol rules run over RAW whitespace words (Gopher
+    * counts punctuation as part of the word), the stopword-presence
+    * rule over the normalized [[Text.tokens]] stream (stopwords are
+    * defined post-normalization). A document is `keep` iff NO flag
+    * fires. Flags: word count outside [minWords, maxWords], mean word
+    * length outside [3, 10], symbol-to-word ratio (# and ellipses)
+    * > 10%, > 90% bullet-started lines, > 30% ellipsis-ended lines,
+    * < 80% words containing an alphabetic char, and < 2 distinct
+    * required stopwords present.
+    *
+    * Scale: a pure per-row projection — no shuffle, no UDF, fully
+    * codegen'd; runs at scan speed on a 100 TB corpus.
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = expr(
+      s"filter(split($textCol, '\\\\s+'), x -> x != '')")
+    val lines = split(col(textCol), "\n")
+    val requiredStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__w", words)
+      .withColumn("__l", lines)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_lines", size(col("__l")).cast("long"))
+      .withColumn("sum_word_chars",
+        aggregate(col("__w"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("n_alpha_words",
+        size(filter(col("__w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_symbols",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))).cast("long") +
+          size(expr(s"regexp_extract_all($textCol, '\\\\.\\\\.\\\\.|…', 0)"))
+            .cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(col("__l"), l => l.rlike("^ *[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("__l"),
+          l => l.rlike("(\\.\\.\\.|…) *$"))).cast("long"))
+      .withColumn("n_stops_present",
+        requiredStops.map(w =>
+          array_contains(Text.tokens(col(textCol)), w).cast("long"))
+          .reduce(_ + _))
+      .withColumn("f_word_count",
+        col("n_words") < minWords || col("n_words") > maxWords)
+      .withColumn("f_mean_word_len",
+        col("sum_word_chars") < lit(3L) * col("n_words") ||
+          col("sum_word_chars") > lit(10L) * col("n_words"))
+      .withColumn("f_symbol_ratio",
+        lit(10L) * col("n_symbols") > col("n_words"))
+      .withColumn("f_bullet",
+        lit(10L) * col("n_bullet_lines") > lit(9L) * col("n_lines"))
+      .withColumn("f_ellipsis",
+        lit(10L) * col("n_ellipsis_lines") > lit(3L) * col("n_lines"))
+      .withColumn("f_alpha",
+        lit(5L) * col("n_alpha_words") < lit(4L) * col("n_words"))
+      .withColumn("f_stopwords", col("n_stops_present") < 2L)
+      .withColumn("keep",
+        !(col("f_word_count") || col("f_mean_word_len") ||
+          col("f_symbol_ratio") || col("f_bullet") || col("f_ellipsis") ||
+          col("f_alpha") || col("f_stopwords")))
+      .drop("__w", "__l", textCol)
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

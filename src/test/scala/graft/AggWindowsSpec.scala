@@ -633,4 +633,14 @@ class AggWindowsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
     assert(!c(2L) && c(3L))
   }
+
+  test("runningDistinctCount: repeats do not bump the curve, new values " +
+      "do; keys are independent") {
+    import spark.implicits._
+    val df = Seq((1L, "k", "a"), (2L, "k", "b"), (3L, "k", "a"),
+      (4L, "k", "c"), (5L, "j", "a")).toDF("i", "key", "v")
+    val out = Windows.runningDistinctCount(df, Seq("key"), Seq("i"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+  }
 }

@@ -1532,4 +1532,32 @@ class LlmSpec extends SparkSpec {
       .select("x0").collect().map(_.getInt(0)).sorted.toSeq
     assert(xs == Seq(0, 50, 100, 150))
   }
+
+  test("gopherFlags: each rule fires on its crafted document and stays " +
+      "quiet on clean prose") {
+    import spark.implicits._
+    // 51 words (17 × 3) of clean prose with stopwords — no flag fires
+    val clean = (("the quick brown fox jumps over the lazy dog and " +
+      "that dog would have stayed with it ") * 3).trim
+    val bullets = "- one\n- two\n- three"          // 100% bullet lines
+    val ellip = "we waited...\nand then...\nmore…\nok"  // 3/4 ellipsis-end
+    val symbols = "the of and ### ### have with that be to ..."
+    val numeric = "the be to of and 111 222 333 444 555 666 777 888 999"
+    val docs = Seq((1L, clean), (2L, bullets), (3L, ellip),
+      (4L, symbols), (5L, numeric)).toDF("doc_id", "text")
+    val out = graft.llm.Curation.gopherFlags(docs, "doc_id", "text",
+      minWords = 5, maxWords = 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) =
+      out(id).getBoolean(out(id).fieldIndex(c))
+    assert(f(1L, "keep"))
+    assert(f(2L, "f_bullet") && f(2L, "f_stopwords"))
+    assert(f(3L, "f_ellipsis"))
+    // symbols: 11 words, 6 '#' + 1 '...' = 7 symbols → 70 > 11 fires
+    assert(f(4L, "f_symbol_ratio") && !f(4L, "f_bullet"))
+    // numeric: 14 words, 5 alpha → 25 < 56 fires; stopwords present
+    assert(f(5L, "f_alpha") && !f(5L, "f_stopwords"))
+    // exact integer counts on the clean doc: 51 words, 1 line
+    assert(out(1L).getLong(out(1L).fieldIndex("n_words")) == 51L)
+  }
 }

@@ -740,4 +740,19 @@ class RelationalSpec extends SparkSpec {
     // a = {1,2,3,4}: mean 2.5, population stddev √(4·30−100)/4 = 1.118034
     assert(a == Seq(4L, 1L, 10L, 1L, 4L, 2.5, 1.118034))
   }
+
+  test("fdViolations: only keys mapping to >1 distinct rhs surface; " +
+      "null lhs excluded, null rhs ignored by the distinct count") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("k1"), Some("a")), (Some("k1"), Some("a")),   // valid key
+      (Some("k2"), Some("a")), (Some("k2"), Some("b")),   // violation
+      (Some("k3"), Some("x")), (Some("k3"), None),        // null rhs inert
+      (None, Some("a")), (None, Some("b"))                // null lhs out
+    ).toDF("lhs", "rhs")
+    val out = Relational.fdViolations(df, Seq("lhs"), "rhs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("k2" -> ((2L, 2L))))
+  }
 }
