@@ -2787,6 +2787,29 @@ object Queries {
             AS n_distinct_so_far
         FROM f"""))
 
+  /** k-core peel (k = 3, 3 rounds) over the filtered co-purchase part
+    * graph; the oracle unrolls the identical synchronous peel as chained
+    * CTEs.
+    */
+  private val misc18 = Spec("q216_kcore",
+    (s, d) => Graph.kCorePeel(coPurchaseEdges(s, d, modFilter = true),
+      "pa", "pb", k = 3, rounds = 3),
+    Some {
+      val peel = (1 to 3).map(i =>
+        s"""d$i AS (SELECT n, count(*) AS c FROM (SELECT u AS n FROM e${i - 1}
+              UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+          s$i AS (SELECT n FROM d$i WHERE c >= 3),
+          e$i AS (SELECT e.u, e.v FROM e${i - 1} e JOIN s$i a ON e.u = a.n
+            JOIN s$i b ON e.v = b.n)""").mkString(", ")
+      s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        $peel
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+          (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1"""
+    })
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2806,7 +2829,7 @@ object Queries {
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
-    win26) ++ LlmQueries.specs
+    win26, misc18) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

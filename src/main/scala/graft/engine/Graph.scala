@@ -159,6 +159,50 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** k-core peeling over the UNDIRECTED graph: `rounds` synchronous
+    * rounds of "delete every node with degree < k, then recompute
+    * degrees on the surviving subgraph". Output: `(node, degree)` for
+    * the nodes still standing, with their degree in the FINAL surviving
+    * subgraph. When the peel reaches a fixpoint within the budget this
+    * IS the k-core (every survivor has ≥ k surviving neighbors);
+    * `rounds` is a fixed unroll like [[pageRankPpm]]'s — extra rounds
+    * past convergence are cheap no-ops, and the worst-case peel depth
+    * (a chain collapsing one layer per round) needs diameter-many
+    * rounds, so callers size it to the graph like [[bfsHops]]'s
+    * `maxHops`.
+    *
+    * Scale: each round is one degree aggregate (map-side combined) plus
+    * two semi-joins of the edge frame against the (much smaller)
+    * survivor set — the edge frame shrinks monotonically, so round cost
+    * decays. Each round's edge frame is persisted and the previous one
+    * released (the [[bfsHops]] lineage discipline: without the
+    * persist, round r re-executes every earlier round's joins — 2^r
+    * recompute); the final frame is eagerly checkpointed before the
+    * caches drop.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = undirected(edges, srcCol, dstCol).persist()
+    val kept = scala.collection.mutable.Buffer(e)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val survivors = deg.filter(col("d") >= k).select("n")
+      e = e.join(survivors.withColumnRenamed("n", "u"), Seq("u"),
+          "left_semi")
+        .join(survivors.withColumnRenamed("n", "v"), Seq("v"),
+          "left_semi")
+        .select("u", "v").persist()
+      kept += e
+    }
+    val out = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    kept.foreach(_.unpersist(false))
+    out
+  }
+
   /** Connected components over any undirected edge list —
     * `(node, component)` with component = the smallest node in the
     * component. Thin façade over the pointer-jumping min-label engine in

@@ -204,6 +204,41 @@ object Shaping {
     * aggregate, eagerly checkpointed (it is read by its own total twice
     * — the single-pass audit rule), then arithmetic on the tiny frame.
     */
+  /** Deterministic round-robin interleave across sources: global
+    * position 1 goes to round-1 of the first source, position 2 to
+    * round-1 of the second, … cycling until short sources exhaust — the
+    * curriculum-shuffle a trainer wants when a corpus must mix sources
+    * evenly WITHOUT a random permutation (reproducible, resumable,
+    * engine-stable). `orderCols` must totally order rows within a
+    * source (include a unique id).
+    *
+    * The global position is computed ARITHMETICALLY, not with a global
+    * window: a row at within-source round `r` of source `s` is preceded
+    * by `Σ_{s'} min(r−1, n_{s'})` rows from earlier rounds plus the
+    * same-round rows of sources ordered before `s` that are long enough
+    * to still participate — so one within-source window (parallel at
+    * source grain) plus a broadcast of the tiny per-source-count frame
+    * replaces the single-partition ORDER BY that would serialize a
+    * 100 TB corpus through one task. The broadcast join is keyless by
+    * construction (every row meets all #sources counts — fan-out =
+    * #sources, dimension-sized, an audited BNLJ like the corpus-total
+    * joins).
+    */
+  def interleaveSources(docs: DataFrame, srcCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(srcCol)).orderBy(orderCols.map(col): _*)
+    val ranked = docs.withColumn("round", row_number().over(w).cast("long"))
+    val sizes = docs.groupBy(col(srcCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(sizes))
+      .groupBy((srcCol +: orderCols).map(col) :+ col("round"): _*)
+      .agg(sum(least(col("round") - 1L, col("__n"))).as("__before"),
+        sum(when(col("__s") < col(srcCol) && col("__n") >= col("round"),
+          1L).otherwise(0L)).as("__peers"))
+      .withColumn("pos", col("__before") + col("__peers") + 1L)
+      .drop("__before", "__peers")
+  }
+
   def temperatureMixWeights(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
     val per = docs.groupBy(col(srcCol).as("source"))
