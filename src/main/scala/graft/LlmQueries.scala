@@ -2373,6 +2373,113 @@ object LlmQueries {
     * cross-multiplication, raw-word and normalized-token streams mirrored
     * independently.
     */
+  /** Deterministic round-robin source interleave: global curriculum
+    * position from one within-source window + a broadcast of the tiny
+    * per-source count frame — no global ORDER BY. The oracle replays the
+    * identical arithmetic (rows before = Σ min(round−1, n_src) + earlier
+    * same-round peers).
+    */
+  private val l88 = Spec("q217_interleave_sources",
+    (s, d) => graft.llm.Shaping.interleaveSources(
+      T(s, d, "documents").select(col("doc_id"), col("source")),
+      "source", Seq("doc_id")),
+    Some("""WITH r AS (SELECT source, doc_id,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS round
+          FROM documents),
+        s AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1)
+        SELECT r.source, r.doc_id, r.round,
+          CAST(sum(least(r.round - 1, s.n))
+            + sum(CASE WHEN s.s2 < r.source AND s.n >= r.round
+                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS pos
+        FROM r CROSS JOIN s GROUP BY 1, 2, 3"""))
+
+  /** Exact mix resample: temperature-½ target weights → largest corpus
+    * the data supports at that mix (λ = min n_s·10⁶/w_s) → per-source
+    * quota kept in content-hash order. The oracle replays the weight
+    * arithmetic (q200's CTE) and the identical rank selection under the
+    * shared polyhash.
+    */
+  private val l89 = Spec("q218_resample_to_mix",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val w = graft.llm.Shaping.temperatureMixWeights(docs, "source", "text")
+      graft.llm.Shaping.resampleToMix(
+        docs.select(col("doc_id"), col("source")), "source", "doc_id", w)
+    },
+    Some(s"""WITH p AS (SELECT source,
+          CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        t AS (SELECT p.*, sum(n_tokens) OVER () AS tot FROM p),
+        sh AS (SELECT source,
+          CAST((n_tokens * 1000000) // tot AS BIGINT) AS share_ppm FROM t),
+        q AS (SELECT source, CAST(floor(sqrt(CAST(share_ppm AS DOUBLE)))
+          AS BIGINT) AS sq FROM sh),
+        w AS (SELECT source,
+          CAST((sq * 1000000) // sum(sq) OVER () AS BIGINT) AS wp FROM q),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        lam AS (SELECT min((n * 1000000) // wp) AS lam
+          FROM c JOIN w USING (source)),
+        quota AS (SELECT source, (SELECT lam FROM lam) * wp // 1000000
+          AS keep FROM w),
+        r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          ORDER BY ${phSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+          FROM documents)
+        SELECT r.doc_id, r.source FROM r JOIN quota USING (source)
+        WHERE rk <= keep"""))
+
+  /** Per-source boilerplate lines: non-blank lines covering ≥ 20% of a
+    * source's docs (and ≥ 2 docs), doc-level distinct. The corpus's
+    * synthetic texts share no lines, so the fixture stamps a cookie
+    * banner on every third doc (the q57/q85 dup-injection pattern) —
+    * the detector must report it per source at the exact injected rate.
+    */
+  private val l90 = Spec("q219_boilerplate_lines",
+    (s, d) => graft.llm.Curation.boilerplateLines(
+      T(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("COOKIE NOTICE accept our cookies\n"), col("text")))
+          .otherwise(col("text"))),
+      "source", "doc_id", "text", minDocs = 2, minPpm = 200000L),
+    Some("""WITH stamped AS (SELECT source, doc_id,
+          CASE WHEN doc_id % 3 = 0
+            THEN 'COOKIE NOTICE accept our cookies' || chr(10) || text
+            ELSE text END AS text FROM documents),
+        dl AS (SELECT source, doc_id,
+          unnest(list_distinct(string_split(text, chr(10)))) AS line
+          FROM stamped),
+        f AS (SELECT * FROM dl WHERE length(trim(line)) > 0),
+        pl AS (SELECT source, line, CAST(count(*) AS BIGINT)
+          AS n_docs_with_line FROM f GROUP BY 1, 2),
+        ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM stamped GROUP BY 1)
+        SELECT pl.source, pl.line, n_docs_with_line, n_docs,
+          CAST((n_docs_with_line * 1000000) // n_docs AS BIGINT) AS rate_ppm
+        FROM pl JOIN ps USING (source)
+        WHERE n_docs_with_line >= 2
+          AND (n_docs_with_line * 1000000) // n_docs >= 200000"""))
+
+  /** Per-doc trigram novelty vs everything earlier in id order (ppm of
+    * distinct grams first seen in this doc).
+    */
+  private val l91 = Spec("q220_ngram_novelty",
+    (s, d) => graft.llm.Text.ngramNovelty(
+      T(s, d, "documents"), "doc_id", "text", 3),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(words[i+1:i+3], ' ') for i in
+            range(CASE WHEN len(words) >= 3 THEN len(words)-2 ELSE 0 END)]))
+          AS gram FROM t),
+        f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY 1)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST((sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+            * 1000000) // count(*) AS BIGINT) AS novel_ppm
+        FROM g JOIN f USING (gram) GROUP BY 1"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2427,5 +2534,6 @@ object LlmQueries {
     l38, l39, l40, l41, l42, l43, l44, l45, l46, l47, l48, l49, l50, l51,
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
+    l89, l90, l91)
 }

@@ -25,17 +25,26 @@ object Queries {
   type QFn = (SparkSession, String) => DataFrame
   final case class Spec(name: String, fn: QFn, oracle: Option[String])
 
-  /** Table loader. `events` carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * only reads via the nanosAsLong legacy flag — convert back to
-    * TimestampType with integer division (ns epochs exceed 2^53, so a
-    * double-division cast would corrupt them; the testdata is
-    * microsecond-aligned, verified).
+  /** Table loader. `events.ts` has shipped in two vintages: parquet
+    * TIMESTAMP(NANOS) (Spark 4 reads it only as a raw long via the
+    * nanosAsLong legacy flag — convert back with integer division; ns
+    * epochs exceed 2^53, so a double-division cast would corrupt them)
+    * and TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as an LTZ
+    * instant via inferTimestampNTZ=false: the session TZ is pinned UTC
+    * engine-wide, so the stored micros surface unchanged — same value
+    * and type as the nanos derivation, and native parquet range
+    * pushdown works with no post-scan conversion to see through).
     */
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   private def tmp(name: String): String =

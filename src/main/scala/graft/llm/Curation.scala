@@ -562,6 +562,35 @@ object Curation {
       .drop("__w", "__l", textCol)
   }
 
+  /** Per-source boilerplate-line detection — the navigation/footer/cookie
+    * banner lines a crawler stamps on every page of a site: non-blank
+    * lines present in ≥ `minDocs` docs AND ≥ `minPpm` of the SOURCE's
+    * documents (doc-level distinct: a line repeated inside one doc
+    * counts once). The per-source rate is what separates true site
+    * boilerplate from corpus-wide common lines —
+    * [[dedupLinesAcrossCorpus]]'s global count can't see that a line
+    * covers 90% of ONE domain.
+    *
+    * Scale: distinct-lines-per-doc explode → one (source, line)
+    * aggregate; the per-source doc counts are source-grain and
+    * broadcast. Output is the boilerplate dictionary (tiny), typically
+    * broadcast back for removal.
+    */
+  def boilerplateLines(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, minDocs: Int, minPpm: Long): DataFrame = {
+    val dl = docs.select(col(srcCol).as("source"), col(idCol),
+        explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val perLine = dl.groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("n_docs_with_line"))
+    val perSrc = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    perLine.join(broadcast(perSrc), "source")
+      .withColumn("rate_ppm", expr("(n_docs_with_line * 1000000) DIV n_docs"))
+      .filter(col("n_docs_with_line") >= minDocs &&
+        col("rate_ppm") >= minPpm)
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

@@ -204,6 +204,24 @@ object Shaping {
     * aggregate, eagerly checkpointed (it is read by its own total twice
     * — the single-pass audit rule), then arithmetic on the tiny frame.
     */
+  def temperatureMixWeights(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = per.select(sum(col("n_tokens")).as("__tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV __tot"))
+      .withColumn("__s",
+        floor(sqrt(col("share_ppm").cast("double"))).cast("long"))
+    val stot = shared.select(sum(col("__s")).as("__stot"))
+    shared.crossJoin(broadcast(stot))
+      .withColumn("weight_ppm", expr("(__s * 1000000) DIV __stot"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("weight_ppm"))
+  }
+
   /** Deterministic round-robin interleave across sources: global
     * position 1 goes to round-1 of the first source, position 2 to
     * round-1 of the second, … cycling until short sources exhaust — the
@@ -239,21 +257,35 @@ object Shaping {
       .drop("__before", "__peers")
   }
 
-  def temperatureMixWeights(docs: DataFrame, srcCol: String,
-      textCol: String): DataFrame = {
-    val per = docs.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-      .localCheckpoint(true)
-    val tot = per.select(sum(col("n_tokens")).as("__tot"))
-    val shared = per.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV __tot"))
-      .withColumn("__s",
-        floor(sqrt(col("share_ppm").cast("double"))).cast("long"))
-    val stot = shared.select(sum(col("__s")).as("__stot"))
-    shared.crossJoin(broadcast(stot))
-      .withColumn("weight_ppm", expr("(__s * 1000000) DIV __stot"))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("share_ppm"), col("weight_ppm"))
+  /** Exact deterministic downsample to a target source mix. Given
+    * per-source target weights (ppm, e.g. [[temperatureMixWeights]]
+    * output or hand-set), find the LARGEST corpus the current data can
+    * supply at exactly that mix — the binding source is the one with the
+    * least data relative to its weight (λ = min_s n_s·10⁶ / w_s) — and
+    * keep exactly `floor(λ·w_s/10⁶)` docs per source, chosen by content
+    * hash order (reproducible under retries, no RNG, engine-portable).
+    *
+    * Scale: the weights frame is source-grain (broadcast); selection is
+    * one within-source window rank over `(polyhash(id), id)` — parallel
+    * at source grain, never a global sort. The hash order also makes the
+    * kept set STABLE as the corpus grows: a new doc displaces at most
+    * one old doc per source, which is what incremental re-mixes want.
+    */
+  def resampleToMix(docs: DataFrame, srcCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    // λ over the joined (count, weight) frame: both sides source-grain
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .join(weights.select(col("source").as(srcCol),
+        col("weight_ppm").as("__w")), srcCol)
+    val lam = counts.select(min(expr("(__n * 1000000) DIV __w"))
+      .as("__lam"))
+    val quota = counts.crossJoin(broadcast(lam))
+      .select(col(srcCol), expr("(__lam * __w) DIV 1000000").as("__keep"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(polyhash(col(idCol).cast("string")), col(idCol))
+    docs.join(broadcast(quota), srcCol)
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .filter(col("__r") <= col("__keep"))
+      .drop("__r", "__keep")
   }
 }

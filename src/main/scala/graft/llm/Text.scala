@@ -288,6 +288,33 @@ object Text {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document n-gram novelty against everything EARLIER in id order:
+    * the fraction (ppm) of a doc's distinct n-grams whose corpus-wide
+    * first occurrence (min id) is the doc itself — the cheap
+    * "is this document adding anything" diversity/memorization signal
+    * scored corpus-wide in one pass (novelty 1.0 = all grams first seen
+    * here; near 0 = the doc restates earlier text). Deterministic: ids
+    * give the total order, no sampling.
+    *
+    * Scale: distinct-grams-per-doc explode → one min-id aggregate at
+    * gram grain (map-side combined) → fan-out-1 join back on the gram
+    * key (the decontamination shuffle shape; popular-gram skew is
+    * AQE-splittable because the aggregate side is one row per gram).
+    * Integer ppm output — no float residue.
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol), explode(array_distinct(
+        graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col(idCol)).as("__first"))
+    grams.join(first, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_ppm", expr("(n_novel * 1000000) DIV n_grams"))
+  }
+
   // ----------------------------------------------------- repetition filters
 
   /** Fraction of tokens that are repeats of an earlier token

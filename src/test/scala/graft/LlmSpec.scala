@@ -1460,6 +1460,72 @@ class LlmSpec extends SparkSpec {
     assert(out("tail")._4 > 2 * out("tail")._3)
   }
 
+  test("interleaveSources: round-robin golden, positions are a " +
+      "permutation of 1..N, within-source order preserved") {
+    import spark.implicits._
+    // a has 3 docs, b has 2, c has 1 → a1 b1 c1 a2 b2 a3
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
+      (20L, "c")).toDF("id", "src")
+    val out = graft.llm.Shaping.interleaveSources(docs, "src", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(("a", 1L) -> 1L, ("b", 10L) -> 2L, ("c", 20L) -> 3L,
+      ("a", 2L) -> 4L, ("b", 11L) -> 5L, ("a", 3L) -> 6L))
+    // permutation: every global position 1..N exactly once
+    assert(out.values.toSeq.sorted == (1L to 6L))
+    // within-source order preserved in global position
+    assert(out(("a", 1L)) < out(("a", 2L)) && out(("a", 2L)) < out(("a", 3L)))
+  }
+
+  test("resampleToMix: exact per-source quotas at the binding-source " +
+      "maximum, hash-order selection is stable under corpus growth") {
+    import spark.implicits._
+    // 8 docs of a, 2 of b; target 50/50 → b binds: λ=4, keep 2+2
+    val docs = ((1L to 8L).map(i => (i, "a")) ++ Seq((100L, "b"), (101L, "b")))
+      .toDF("id", "src")
+    val weights = Seq(("a", 500000L), ("b", 500000L))
+      .toDF("source", "weight_ppm")
+    val kept = graft.llm.Shaping.resampleToMix(docs, "src", "id", weights)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.count(_._1 == "a") == 2 && kept.count(_._1 == "b") == 2)
+    // growth stability: adding docs to the NON-binding source changes
+    // nothing (quota and hash ranks of kept rows are unchanged)
+    val grown = docs.union(Seq((9L, "a"), (10L, "a")).toDF("id", "src"))
+    val kept2 = graft.llm.Shaping.resampleToMix(grown, "src", "id", weights)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept2.filter(_._1 == "b").toSet == kept.filter(_._1 == "b").toSet)
+  }
+
+  test("boilerplateLines: per-source rate with in-doc repeats counted " +
+      "once, blank lines ignored, thresholds enforced") {
+    import spark.implicits._
+    // "nav" in 3/3 docs of a (twice in doc 1 — counts once); "body" in
+    // 1 doc; source b has "nav" once only (under minDocs)
+    val docs = Seq(
+      (1L, "a", "nav\nnav\nbody text"), (2L, "a", "nav\nother"),
+      (3L, "a", "nav\n\n  "), (4L, "b", "nav\nsolo")).toDF("id", "src", "text")
+    val out = graft.llm.Curation.boilerplateLines(docs, "src", "id", "text",
+        minDocs = 2, minPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "nav", 3L, 3L, 1000000L)))
+  }
+
+  test("ngramNovelty: first doc fully novel, verbatim restatement " +
+      "scores 0, partial overlap is the exact ppm") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), // grams: abg bgd
+      (2L, "alpha beta gamma delta"),              // restates both → 0
+      (3L, "alpha beta gamma epsilon zeta eta"))   // abg old; 3 new of 4
+      .toDF("id", "text")
+    val out = graft.llm.Text.ngramNovelty(docs, "id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((4L, 3L, 750000L)))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._

@@ -450,6 +450,25 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("kCorePeel: cascading pendant chain peels layer-by-layer; " +
+      "triangle survives as the 2-core with exact final degrees") {
+    import spark.implicits._
+    // triangle {x,y,z} + pendant chain x-p-q (reversed dupe included)
+    val e = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "p"), ("p", "q"),
+      ("y", "x")).toDF("s", "t")
+    def peel(rounds: Int) =
+      graft.engine.Graph.kCorePeel(e, "s", "t", k = 2, rounds = rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1 drops q (deg 1) only — p still stands on the x edge
+    assert(peel(1) == Map("x" -> 3L, "y" -> 2L, "z" -> 2L, "p" -> 1L))
+    // round 2 drops p; rounds past the fixpoint are no-ops
+    val core = Map("x" -> 2L, "y" -> 2L, "z" -> 2L)
+    assert(peel(2) == core && peel(4) == core)
+    // k above the max degree empties the graph
+    assert(graft.engine.Graph.kCorePeel(e, "s", "t", k = 4, rounds = 2)
+      .count() == 0L)
+  }
+
   test("degreeHistogram: star graph gives one hub and n leaves") {
     import spark.implicits._
     val e = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "t")
