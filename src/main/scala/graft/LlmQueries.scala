@@ -2480,6 +2480,104 @@ object LlmQueries {
             * 1000000) // count(*) AS BIGINT) AS novel_ppm
         FROM g JOIN f USING (gram) GROUP BY 1"""))
 
+  /** Bloom-filter calibration audit: customer keys build the filter,
+    * order custkeys (members) plus +10⁷-shifted keys (non-members)
+    * probe it. The oracle rebuilds the identical (row, bucket) bit set
+    * under the shared polyhash.
+    */
+  private val l92 = Spec("q221_bloom_audit",
+    (s, d) => graft.engine.Sketches.bloomAudit(
+      T(s, d, "customer"), "c_custkey",
+      T(s, d, "orders").select(col("o_custkey"))
+        .union(T(s, d, "orders")
+          .select((col("o_custkey") + 10000000L).as("o_custkey"))),
+      "o_custkey", d = 3, mBits = 4096),
+    Some {
+      val r3 = "(SELECT unnest([0, 1, 2]) AS row)"
+      s"""WITH mem AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS pkey
+          FROM customer WHERE c_custkey IS NOT NULL),
+        bits AS (SELECT DISTINCT row,
+          ${phSql("CAST(row AS VARCHAR) || '#' || pkey")} % 4096 AS bucket
+          FROM mem CROSS JOIN $r3),
+        p AS (SELECT DISTINCT CAST(k AS VARCHAR) AS pkey FROM
+          (SELECT o_custkey AS k FROM orders
+           UNION ALL SELECT o_custkey + 10000000 FROM orders)
+          WHERE k IS NOT NULL),
+        ph AS (SELECT pkey, row,
+          ${phSql("CAST(row AS VARCHAR) || '#' || pkey")} % 4096 AS bucket
+          FROM p CROSS JOIN $r3),
+        hits AS (SELECT pkey FROM ph JOIN bits USING (row, bucket)
+          GROUP BY pkey HAVING count(*) = 3),
+        j AS (SELECT p.pkey, m.pkey AS mk, h.pkey AS hk FROM p
+          LEFT JOIN mem m ON p.pkey = m.pkey
+          LEFT JOIN hits h ON p.pkey = h.pkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+          CAST(count(mk) AS BIGINT) AS n_members,
+          CAST(count(hk) AS BIGINT) AS n_hits,
+          CAST(sum(CASE WHEN hk IS NOT NULL AND mk IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+          CAST((sum(CASE WHEN hk IS NOT NULL AND mk IS NULL
+            THEN 1 ELSE 0 END) * 1000000)
+            // (count(*) - count(mk)) AS BIGINT) AS fp_ppm
+        FROM j"""
+    })
+
+  /** Pairwise source Jensen–Shannon divergence (shared-term scan +
+    * one-sided-mass closed form), 6 dp.
+    */
+  private val l93 = Spec("q222_source_js",
+    (s, d) => graft.llm.Curation.sourceJensenShannon(
+      T(s, d, "documents"), "text", "source"),
+    Some(s"""WITH st AS (SELECT source, unnest($wordsSql) AS t
+          FROM documents),
+        c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+          FROM st GROUP BY 1, 2),
+        tot AS (SELECT source, sum(n) AS ntot FROM c GROUP BY 1),
+        p AS (SELECT c.source, t, CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE)
+          AS p FROM c JOIN tot USING (source)),
+        sh AS (SELECT a.source AS source_a, b.source AS source_b,
+          a.p AS pa, b.p AS pb FROM p a
+          JOIN p b ON a.t = b.t AND a.source < b.source),
+        g AS (SELECT source_a, source_b,
+          CAST(count(*) AS BIGINT) AS n_shared_terms,
+          sum(pa * ln(2 * pa / (pa + pb)) / 2
+            + pb * ln(2 * pb / (pa + pb)) / 2) AS core,
+          sum(pa) AS sa, sum(pb) AS sb FROM sh GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared_terms,
+          round(core + ln(2) / 2 * (2 - sa - sb), 6) AS js FROM g"""))
+
+  /** Heaps-law vocabulary-growth fit: prefix curve at 50-doc bucket
+    * boundaries, Theil–Sen lower-median slope in log–log space.
+    */
+  private val l94 = Spec("q223_heaps_law",
+    (s, d) => graft.llm.Lexical.heapsLawFit(
+      T(s, d, "documents"), "doc_id", "text", bucketSize = 50L),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        pd AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nt FROM t),
+        fo AS (SELECT tok, min(doc_id) AS fid FROM
+          (SELECT doc_id, unnest(list_distinct(words)) AS tok FROM t)
+          GROUP BY 1),
+        nn AS (SELECT fid, CAST(count(*) AS BIGINT) AS n_new
+          FROM fo GROUP BY 1),
+        dd AS (SELECT pd.doc_id, nt, coalesce(n_new, 0) AS n_new
+          FROM pd LEFT JOIN nn ON pd.doc_id = nn.fid),
+        b AS (SELECT doc_id // 50 AS bk, sum(nt) AS bt, sum(n_new) AS bn
+          FROM dd GROUP BY 1),
+        c AS (SELECT bk, sum(bt) OVER (ORDER BY bk) AS ct,
+          sum(bn) OVER (ORDER BY bk) AS cv FROM b),
+        pts AS (SELECT bk, ln(CAST(ct AS DOUBLE)) AS lx,
+          ln(CAST(cv AS DOUBLE)) AS ly FROM c WHERE ct > 0 AND cv > 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY lx, bk) AS rn
+          FROM pts),
+        p2 AS (SELECT a.rn AS ra, b.rn AS rb,
+          round((b.ly - a.ly) / (b.lx - a.lx), 6) AS slope
+          FROM r a JOIN r b ON a.rn < b.rn AND a.lx <> b.lx),
+        k AS (SELECT slope, row_number() OVER (ORDER BY slope, ra, rb)
+          AS k, count(*) OVER () AS np FROM p2)
+        SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+          CAST(np AS BIGINT) AS n_pairs, slope AS beta
+        FROM k WHERE k = (np + 1) // 2"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2535,5 +2633,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91)
+    l89, l90, l91, l92, l93, l94)
 }

@@ -92,4 +92,64 @@ object Sketches {
     counts.unpersist(false)
     out
   }
+
+  /** Bloom-filter membership audit — build a `d`-hash / `mBits`-bucket
+    * Bloom filter over `members`, probe it with `probes`, and report the
+    * one-row calibration summary: probe count, true members among
+    * probes, filter hits, false positives, and the false-positive rate
+    * (ppm over the non-member probes). No false negatives by
+    * construction — every member probe hits — so `n_hits − n_members`
+    * IS the false-positive count, and the report tells a user whether
+    * (d, mBits) is sized right for their key cardinality BEFORE they
+    * wire the filter into a join pre-screen.
+    *
+    * Engine-exact: the filter state is "which (row, bucket) cells are
+    * set" under the shared portable hash (the [[cmsTopK]] salt
+    * convention `row#key`), so the oracle rebuilds the identical bit
+    * set in SQL.
+    *
+    * Scale: members collapse to key grain in one aggregate; the bit-set
+    * frame is ≤ `d·mBits` rows REGARDLESS of member cardinality — that
+    * bound is the entire point of a Bloom filter — and broadcasts to
+    * the probe side, so probes are never shuffled; the exact-membership
+    * check joins at probe-key grain. The one-row output ends the plan.
+    */
+  def bloomAudit(members: DataFrame, memberCol: String, probes: DataFrame,
+      probeCol: String, d: Int = 3, mBits: Int = 4096): DataFrame = {
+    require(d >= 1 && mBits >= 2, "need d >= 1, mBits >= 2")
+    val keys = members.filter(col(memberCol).isNotNull)
+      .select(col(memberCol).cast("string").as("pkey")).distinct()
+      .persist()
+    val bits = keys
+      .select(col("pkey"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row"), pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit("#"), col("pkey"))),
+        lit(mBits)).as("bucket"))
+      .distinct()
+    val p = probes.filter(col(probeCol).isNotNull)
+      .select(col(probeCol).cast("string").as("pkey")).distinct()
+    val hits = p
+      .select(col("pkey"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket", pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit("#"), col("pkey"))),
+        lit(mBits)))
+      .join(broadcast(bits), Seq("row", "bucket"), "left_semi")
+      .groupBy(col("pkey")).agg(count(lit(1)).as("__set"))
+      .filter(col("__set") === d)
+      .select(col("pkey")).withColumn("__h", lit(1L))
+    val out = p
+      .join(keys.withColumn("__m", lit(1L)), Seq("pkey"), "left")
+      .join(hits, Seq("pkey"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_members"),
+        sum(coalesce(col("__h"), lit(0L))).as("n_hits"),
+        sum(when(col("__h") === 1L && col("__m").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_ppm", expr("""CASE WHEN n_probes > n_members
+        THEN (n_false_pos * 1000000) DIV (n_probes - n_members)
+        ELSE NULL END"""))
+      .localCheckpoint(true)
+    keys.unpersist(false)
+    out
+  }
 }

@@ -562,6 +562,58 @@ object Curation {
       .drop("__w", "__l", textCol)
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the bounded symmetric companion completing the
+    * source-similarity toolkit: [[sourceUnigramKl]] scores each source
+    * against the corpus blend, [[sourceCosineMatrix]] scores vocabulary
+    * overlap as vectors, and this scores the pair as DISTRIBUTIONS
+    * (0 = identical mixes, ln 2 ≈ 0.693 = disjoint). Per pair:
+    * `JS = ½·KL(Pₐ‖M) + ½·KL(P_b‖M)`, `M = (Pₐ+P_b)/2`. Terms present
+    * in only one side each contribute `½·p·ln 2`, so the shared-term
+    * scan plus the two shared-mass totals determine the whole sum:
+    * `JS = Σ_shared [½pₐ ln(2pₐ/(pₐ+p_b)) + ½p_b ln(2p_b/(pₐ+p_b))]
+    *       + ½ ln 2 · (2 − Σpₐ − Σp_b)`.
+    * Float sums rounded to 6 dp (the [[sourceUnigramKl]] discipline).
+    * Pairs sharing no term are omitted (they'd all read exactly ln 2) —
+    * the [[sourceCosineMatrix]] convention.
+    *
+    * Scale: everything runs at `(source, term)` grain; the pair frame
+    * is a term-keyed self-join bounded by shared vocabulary, never
+    * corpus size. The profile frame feeds both join sides — persisted
+    * once, result checkpointed, cache released.
+    */
+  def sourceJensenShannon(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.llm.Text.tokens(col(textCol))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("n"))
+      .persist()
+    val totals = st.groupBy("source").agg(sum(col("n")).as("__ntot"))
+    val prof = st.join(broadcast(totals), "source")
+      .select(col("source"), col("t"),
+        (col("n").cast("double") / col("__ntot").cast("double")).as("p"))
+    val a = prof.select(col("source").as("source_a"), col("t"),
+      col("p").as("__pa"))
+    val b = prof.select(col("source").as("source_b"), col("t"),
+      col("p").as("__pb"))
+    val ln2 = math.log(2.0)
+    val pa = col("__pa"); val pb = col("__pb")
+    val out = a.join(b, "t").filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(pa * log(lit(2d) * pa / (pa + pb)) / 2 +
+          pb * log(lit(2d) * pb / (pa + pb)) / 2).as("__core"),
+        sum(pa).as("__sa"), sum(pb).as("__sb"))
+      .withColumn("js", round(col("__core") +
+        lit(ln2 / 2) * (lit(2d) - col("__sa") - col("__sb")), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+        col("js"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    out
+  }
+
   /** Per-source boilerplate-line detection — the navigation/footer/cookie
     * banner lines a crawler stamps on every page of a site: non-blank
     * lines present in ≥ `minDocs` docs AND ≥ `minPpm` of the SOURCE's

@@ -362,4 +362,53 @@ object Lexical {
       .withColumn("hapax_ratio", round(
         col("n_hapax").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /** Heaps-law fit — vocabulary growth exponent β in `V(n) ≈ K·n^β`
+    * over the corpus in id order, the tokenizer-sizing number (how fast
+    * does vocabulary grow as this corpus scales?) and a drift check
+    * against [[zipfFit]]'s frequency-side exponent. Points are the
+    * prefix curve `(cum_tokens, vocab)` sampled at `bucketSize`-doc
+    * boundaries; the log–log slope is the Theil–Sen lower-median
+    * ([[graft.engine.Relational.theilSen]] — robust to the curve's
+    * early-corpus bend, positional pick so the fit is engine-stable).
+    * Output one row: `(n_points, n_pairs, beta)`.
+    *
+    * Scale: per-doc token counts are map-side; vocabulary increments
+    * come from one term-grain min-id aggregate (first occurrence —
+    * the ngramNovelty shuffle shape); both collapse to BUCKET grain
+    * before any window, so the global cumsum orders `docs/bucketSize`
+    * rows, not the corpus — callers size `bucketSize` to keep the
+    * point count in the hundreds (the theilSen pair frame is quadratic
+    * in points).
+    */
+  def heapsLawFit(docs: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be positive")
+    val perDoc = docs.select(col(idCol).as("__id"),
+      Text.tokenCount(col(textCol)).cast("long").as("__nt"))
+    val newTerms = docs.select(col(idCol).as("__fid"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__fid")).as("__fid"))
+      .groupBy(col("__fid")).agg(count(lit(1)).as("__nn"))
+    val buckets = perDoc.join(newTerms, perDoc("__id") === newTerms("__fid"),
+        "left")
+      .select(col("__id"), col("__nt"), coalesce(col("__nn"), lit(0L))
+        .as("__nn"))
+      .groupBy(expr(s"__id DIV $bucketSize").as("__b"))
+      .agg(sum(col("__nt")).as("__bt"), sum(col("__nn")).as("__bn"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = buckets
+      .withColumn("__ct", sum(col("__bt")).over(wCum))
+      .withColumn("__cv", sum(col("__bn")).over(wCum))
+      .filter(col("__ct") > 0 && col("__cv") > 0)
+      .select(col("__b"), log(col("__ct").cast("double")).as("__lx"),
+        log(col("__cv").cast("double")).as("__ly"))
+      .withColumn("__g", lit(1))
+      .localCheckpoint(true)
+    graft.engine.Relational.theilSen(pts, Seq("__g"), "__lx", "__ly",
+        Seq("__b"))
+      .crossJoin(broadcast(pts.select(count(lit(1)).as("n_points"))))
+      .select(col("n_points"), col("n_pairs"), col("slope").as("beta"))
+  }
 }

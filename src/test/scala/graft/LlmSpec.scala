@@ -1526,6 +1526,56 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((4L, 3L, 750000L)))
   }
 
+  test("sourceJensenShannon: identical mixes score exactly 0, hand " +
+      "golden for the asymmetric pair, disjoint vocab emits no row") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "x y y"), ("c", "x x y"),
+      ("d", "zz ww")).toDF("src", "text")
+    val out = graft.llm.Curation.sourceJensenShannon(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // a ≡ c → 0 exactly; a vs b: (2/3)ln(4/3) + (1/3)ln(2/3) ≈ 0.056633
+    assert(out(("a", "c")) == ((2L, 0.0)))
+    assert(out(("a", "b")) == ((2L, 0.056633)))
+    assert(out(("b", "c")) == ((2L, 0.056633)))
+    // d shares no term with anyone → absent
+    assert(!out.keySet.exists(p => p._1 == "d" || p._2 == "d"))
+  }
+
+  test("bloomAudit: no false negatives, false positives are exactly " +
+      "hits minus members, member-only probe set nulls the rate") {
+    import spark.implicits._
+    val members = Seq(1L, 2L, 3L).toDF("k")
+    val probes = Seq(1L, 2L, 3L, 100L, 200L, 300L, 400L).toDF("k")
+    val r = graft.engine.Sketches.bloomAudit(members, "k", probes, "k",
+      d = 3, mBits = 4096).collect().head
+    val (np, nm, nh, nfp) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(np == 7L && nm == 3L)
+    assert(nh >= nm) // every member probe hits — no false negatives
+    assert(nfp == nh - nm)
+    assert(r.getLong(4) == nfp * 1000000L / 4L)
+    // probing only members: fp rate has no denominator → null
+    val r2 = graft.engine.Sketches.bloomAudit(members, "k", members, "k",
+      d = 3, mBits = 4096).collect().head
+    assert(r2.getLong(2) == 3L && r2.isNullAt(4))
+  }
+
+  test("heapsLawFit: all-new-token corpus fits beta = 1 exactly; " +
+      "constant-vocabulary corpus fits beta = 0") {
+    import spark.implicits._
+    val growing = (1L to 10L).map(i => (i, s"t${i}a t${i}b"))
+      .toDF("id", "text")
+    val g = graft.llm.Lexical.heapsLawFit(growing, "id", "text", 1L)
+      .collect().head
+    assert((g.getLong(0), g.getLong(1), g.getDouble(2)) == ((10L, 45L, 1.0)))
+    val flat = (1L to 8L).map(i => (i, "same three tokens"))
+      .toDF("id", "text")
+    val f = graft.llm.Lexical.heapsLawFit(flat, "id", "text", 1L)
+      .collect().head
+    assert(f.getLong(0) == 8L && f.getDouble(2) == 0.0)
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
