@@ -2578,6 +2578,38 @@ object LlmQueries {
           CAST(np AS BIGINT) AS n_pairs, slope AS beta
         FROM k WHERE k = (np + 1) // 2"""))
 
+  /** Iterative Lloyd k-means (k = 4, 2 assignment rounds, min-id seeds);
+    * the oracle unrolls the identical E/M chain as CTEs (q105's
+    * centroid/assign SQL, twice).
+    */
+  private val l95 = Spec("q224_kmeans_rounds",
+    (s, d) => graft.llm.Similarity.kMeansRounds(
+      T(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 2),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+            AS cid,
+          [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+        s1 AS (SELECT e.vec_id, c.cid,
+          round(${cosSql("e.embedding", "c.centroid")}, 6) AS cos
+          FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM s1)
+          WHERE rk = 1),
+        x1 AS (SELECT a1.cid, unnest([{'i': i, 'v': embedding[i+1]}
+            for i in range(len(embedding))], recursive := true)
+          FROM e JOIN a1 USING (vec_id)),
+        cm1 AS (SELECT cid, i, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+          FROM x1 GROUP BY 1, 2),
+        c1 AS (SELECT cid, list(cv ORDER BY i) AS centroid
+          FROM cm1 GROUP BY 1),
+        s2 AS (SELECT e.vec_id, c.cid,
+          round(${cosSql("e.embedding", "c.centroid")}, 6) AS cos
+          FROM e CROSS JOIN c1 c),
+        r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, cid) AS rk FROM s2)
+        SELECT vec_id, cid AS assigned, cos FROM r2 WHERE rk = 1"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2633,5 +2665,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94)
+    l89, l90, l91, l92, l93, l94, l95)
 }

@@ -124,6 +124,54 @@ object Similarity {
       .select(col(idCol), col(groupCol).as("assigned"), col("cos"))
   }
 
+  /** Lloyd k-means over an embedding column, a fixed number of
+    * assignment rounds — the full iterative face of the
+    * [[groupCentroids]]/[[nearestCentroid]] E/M pair (which give one
+    * closed-form step from a prefit grouping; this LEARNS the grouping).
+    * Deterministic end-to-end: seeds are the `k` vectors with the
+    * smallest ids (no RNG — reproducible and oracle-checkable, the
+    * fitQuantizer init convention), centroid components round to 6
+    * before use ([[groupCentroids]] discipline), and assignment ranks
+    * the ROUNDED cosine with group-key tie-break. `rounds` is a fixed
+    * unroll like `kCorePeel`'s; clusters that lose every member simply
+    * drop out of the next round's centroid frame (k shrinks — the
+    * deterministic alternative to a re-seed heuristic).
+    *
+    * Output: final `(id, assigned, cos)` per vector.
+    *
+    * Scale: per round, centroids are k×dim (always broadcast), the
+    * corpus is scanned once and reduced by a per-id window — the
+    * nearestCentroid shape — and the M-step is one (cluster, component)
+    * aggregate. The corpus projection feeds every round's two branches
+    * (score + M-step join) and is persisted ONCE; per-round centroid
+    * frames are eagerly checkpointed (tiny) so round r's plan does not
+    * re-execute rounds 1..r−1 — the kCorePeel lineage discipline.
+    */
+  def kMeansRounds(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val e = vecs.select(col(idCol), col(vecCol)).persist()
+    var cent = e.orderBy(col(idCol)).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cid"),
+        transform(col(vecCol), v => round(v.cast("double"), 6))
+          .as("centroid"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      out = nearestCentroid(e, idCol, vecCol, cent, "cid")
+      if (r < rounds)
+        cent = groupCentroids(
+          e.join(out.select(col(idCol), col("assigned").as("cid")),
+            Seq(idCol)), vecCol, "cid")
+          .localCheckpoint(true)
+    }
+    val res = out.localCheckpoint(true)
+    e.unpersist(false)
+    res
+  }
+
   /** Product-quantization codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011) from a prefit grouping:
     * each vector is cut into `m` contiguous subvectors and each subspace

@@ -1576,6 +1576,24 @@ class LlmSpec extends SparkSpec {
     assert(f.getLong(0) == 8L && f.getDouble(2) == 0.0)
   }
 
+  test("kMeansRounds: separable clusters converge to the exact " +
+      "partition; extra rounds past the fixpoint change nothing") {
+    import spark.implicits._
+    // seeds are min-ids 1 and 2 — one per true cluster by construction
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.95f, 0.05f)),
+      (5L, Array(0.1f, 0.9f)), (6L, Array(0.05f, 0.95f)))
+      .toDF("id", "v")
+    def fit(rounds: Int) =
+      graft.llm.Similarity.kMeansRounds(pts, "id", "v", k = 2, rounds)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = fit(2)
+    assert(Seq(1L, 3L, 4L).map(got) == Seq(0, 0, 0))
+    assert(Seq(2L, 5L, 6L).map(got) == Seq(1, 1, 1))
+    assert(fit(3) == got) // fixpoint
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
