@@ -2610,6 +2610,87 @@ object LlmQueries {
           ORDER BY cos DESC, cid) AS rk FROM s2)
         SELECT vec_id, cid AS assigned, cos FROM r2 WHERE rk = 1"""))
 
+  /** Ordered view→click→purchase funnel at user grain: greedy earliest
+    * step times, strict-after chaining, nulls from first drop-off.
+    */
+  private val l96 = Spec("q225_funnel_steps",
+    (s, d) => graft.engine.Windows.funnelSteps(T(s, d, "events"),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT s1.user_id, t1,
+          min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+          FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+            AND e.event_type = 'click'
+          GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, t1, t2,
+          min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+          FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+            AND e.event_type = 'purchase'
+          GROUP BY 1, 2, 3)
+        SELECT user_id, t1, t2, t3,
+          CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+            AS n_completed
+        FROM s3"""))
+
+  /** Multimodal sequence packing: per-doc cost = text tokens + ViT
+    * patch count from the stub image metadata, packed per lang at an
+    * 8192-token context budget.
+    */
+  private val l97 = Spec("q226_mm_pack",
+    (s, d) => {
+      val withMm = T(s, d, "documents")
+        .withColumn("mm", Multimodal.attach(col("text").cast("binary"),
+          lit("image"), polyhash(col("text"))))
+      val cost = withMm.select(col("lang"), col("doc_id"),
+        (graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+          + Multimodal.patchCount(col("mm"), 128, 128)).as("cost"))
+      graft.llm.Shaping.packByCost(cost, "doc_id", "cost", "lang", 8192L)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(len($wordsSql) AS BIGINT) AS ntok,
+          CAST(h % 1280 + 64 AS INTEGER) AS width,
+          CAST(h % 720 + 64 AS INTEGER) AS height
+          FROM (SELECT doc_id, lang, text, ${phSql("text")} AS h
+            FROM documents)),
+        c AS (SELECT lang, doc_id, ntok + CAST(
+          (CASE WHEN width >= 128 THEN (width - 128) // 128 + 1 ELSE 0 END)
+          * (CASE WHEN height >= 128 THEN (height - 128) // 128 + 1
+             ELSE 0 END) AS BIGINT) AS cost FROM t),
+        p AS (SELECT lang, doc_id, cost, coalesce(sum(cost) OVER
+          (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM c)
+        SELECT lang, doc_id, cost, CAST(st // 8192 AS BIGINT) AS bin
+        FROM p"""))
+
+  /** Best-copy-per-cluster dedup pick over the case-variant dup corpus:
+    * the longer (suffixed) variant must win its cluster, not the
+    * min-id original.
+    */
+  private val l98 = Spec("q227_keep_best_per_cluster",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      val clustered = corpus.select(col("doc_id"),
+        md5(array_join(graft.functions.Tokens.tokens(col("text")), " ")
+          .cast("binary")).as("cluster"),
+        length(col("text")).cast("long").as("score"))
+      graft.llm.Dedup.keepBestPerCluster(clustered, "doc_id", "cluster",
+        "score")
+    },
+    Some(s"""WITH corpus AS ($caseDupCorpusSql),
+        t AS (SELECT doc_id,
+          md5(array_to_string($wordsSql, ' ')) AS cluster,
+          CAST(length(text) AS BIGINT) AS score FROM corpus),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          ORDER BY score DESC, doc_id) AS rk FROM t)
+        SELECT doc_id, cluster, score FROM r WHERE rk = 1"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2665,5 +2746,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98)
 }

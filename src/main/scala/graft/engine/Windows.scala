@@ -843,4 +843,47 @@ object Windows {
       .withColumn("residual", when(n > 0 && col(valCol).isNotNull,
         round(col(valCol) - s.cast("double") / n.cast("double"), 6)))
   }
+
+  /** Ordered funnel analysis — for each entity, the earliest time it
+    * completed each step of `steps` IN ORDER (step i+1 must occur
+    * strictly after the chosen step-i time; the standard product-funnel
+    * definition). Output: `(key, t1..tk, n_completed)` with nulls from
+    * the first uncompleted step on — the per-entity frame a conversion
+    * report aggregates, kept at entity grain so drop-off DIAGNOSIS
+    * (which users stalled where, at what timestamps) stays possible.
+    *
+    * Earliest-first semantics are greedy per step: t1 is the global min
+    * of step 1, t2 the min step-2 event after t1, and so on. Greedy
+    * first times can miss orderings a backtracking match would find
+    * (e.g. a later step-1 event enabling an earlier step 2) — that
+    * variant needs a per-entity sequence scan; this one is the
+    * aggregate-only industry default.
+    *
+    * Scale: one persisted pass over `(key, ts, type)`; per step, one
+    * equi-join at ENTITY grain against the step's filtered events plus
+    * a conditional-min aggregate — k small and fixed. No windows, no
+    * per-entity sort; skew on hot entities is one aggregate key.
+    */
+  def funnelSteps(events: DataFrame, keyCol: String, timeCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val base = events.select(col(keyCol), col(timeCol), col(typeCol))
+      .persist()
+    var cur = base.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as("t1"))
+    for (i <- 2 to steps.size) {
+      val stepEv = base.filter(col(typeCol) === steps(i - 1))
+        .select(col(keyCol), col(timeCol).as("__ts"))
+      cur = cur.join(stepEv, Seq(keyCol), "left")
+        .groupBy(col(keyCol) +: (1 until i).map(j => col(s"t$j")): _*)
+        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts")))
+          .as(s"t$i"))
+    }
+    val out = cur.withColumn("n_completed",
+        steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1)
+          .otherwise(0)).reduce(_ + _))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
 }

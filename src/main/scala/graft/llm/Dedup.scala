@@ -51,6 +51,31 @@ object Dedup {
       .groupBy(md5(col("__canon").cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Keep the BEST representative per duplicate cluster instead of the
+    * min-id one — the curation-quality upgrade over [[exactNormalized]]
+    * / keep-one-per-cluster pruning: when near-duplicates differ (one
+    * is truncated, one is the clean original), "first seen" keeps
+    * whichever crawled first; this keeps the highest-scoring copy.
+    * `clustered` carries `(idCol, clusterCol, scoreCol)` — cluster from
+    * any dedup face (content hash, CC label), score from any quality
+    * signal. Ties break on min id, so the pick is total-ordered and
+    * engine-stable.
+    *
+    * Scale: one window rank per cluster — `WindowGroupLimit` prunes to
+    * the per-partition leader before the exchange, the
+    * [[graft.llm.Curation.capPerGroup]] pattern.
+    */
+  def keepBestPerCluster(clustered: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clustered
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .drop("__r")
+  }
+
   /** MinHash signature over a PRE-MATERIALIZED shingle-hash array column:
     * k permutations approximated by affine transforms `(aᵢ·h + bᵢ) mod P`,
     * aᵢ = 2i+1 (odd), bᵢ = 12345·i + 7. Closed-form constants keep the

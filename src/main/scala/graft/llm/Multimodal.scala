@@ -94,15 +94,35 @@ object Multimodal {
     * come from ONE `patch_idx` explode with div/mod recovery, not a
     * nested double explode.
     */
+  /** Patches along one dimension under the full-fit convention — shared
+    * by [[patchGrid]] (which explodes them) and [[patchCount]] (which
+    * only needs the total). Integer floor-div via double: dims < 2^31,
+    * so the double is exact.
+    */
+  private def fitsDim(dim: Column, patch: Int, stride: Int): Column =
+    when(dim >= patch,
+      floor((dim - patch).cast("double") / stride).cast("int") + 1)
+      .otherwise(lit(0))
+
+  /** Number of ViT patches an image contributes WITHOUT exploding them —
+    * the context-budget cost of the image for sequence packing
+    * ([[graft.llm.Shaping.packByCost]]): a multimodal training sequence
+    * spends one token per patch, so `text_tokens + patchCount` is the
+    * document's footprint. Pure metadata arithmetic, codegen'd.
+    */
+  def patchCount(mmCol: Column, patch: Int, stride: Int): Column = {
+    require(patch >= 1 && stride >= 1, "patch and stride must be positive")
+    (fitsDim(mmCol.getField("meta").getField("width"), patch, stride) *
+      fitsDim(mmCol.getField("meta").getField("height"), patch, stride))
+      .cast("long")
+  }
+
   def patchGrid(df: DataFrame, mmCol: String, patch: Int,
       stride: Int): DataFrame = {
     require(patch >= 1 && stride >= 1, "patch and stride must be positive")
     val w = col(s"$mmCol.meta.width")
     val h = col(s"$mmCol.meta.height")
-    // integer floor-div via double: dims are < 2^31 so the double is exact
-    def fits(dim: Column) = when(dim >= patch,
-      floor((dim - patch).cast("double") / stride).cast("int") + 1)
-      .otherwise(lit(0))
+    def fits(dim: Column) = fitsDim(dim, patch, stride)
     val nx = fits(w)
     val ny = fits(h)
     val n = nx * ny

@@ -69,15 +69,29 @@ object Shaping {
     * shuffle on the group key; the cumsum is a single window pass.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, budgetTokens: Int): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
-    val nTok = graft.functions.TokenCount.tokenCount(col(textCol))
+      groupCol: String, budgetTokens: Int): DataFrame =
+    packByCost(docs.select(col(groupCol), col(idCol),
+        graft.functions.TokenCount.tokenCount(col(textCol))
+          .as("n_tokens")),
+      idCol, "n_tokens", groupCol, budgetTokens.toLong)
+
+  /** [[packSequences]] generalized to an arbitrary precomputed cost
+    * column — the form a MULTIMODAL packer needs, where a document's
+    * context footprint is text tokens PLUS image patch tokens
+    * ([[graft.llm.Multimodal.patchCount]]) plus any fixed separator
+    * overhead. Same contiguous-cumsum contract: within each group, rows
+    * in `idCol` order are laid end-to-end and `bin = floor(running_start
+    * / budget)`. One shuffle on the group key, one window pass.
+    */
+  def packByCost(docs: DataFrame, idCol: String, costCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(groupCol), col(idCol), nTok.as("n_tokens"))
-      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    docs.select(col(groupCol), col(idCol), col(costCol))
+      .withColumn("__start", coalesce(sum(col(costCol)).over(w), lit(0L)))
       // exact: both sides are non-negative ints far below 2^53
-      .withColumn("bin", (col("__start") / budgetTokens).cast("bigint"))
+      .withColumn("bin", (col("__start") / budget).cast("bigint"))
       .drop("__start")
   }
 

@@ -643,4 +643,26 @@ class AggWindowsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
   }
+
+  test("funnelSteps: strict-after chaining, out-of-order steps stall the " +
+      "funnel, users without step one are absent") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "buy"),
+      // u2: click precedes view; the only later click is at 5, and the
+      // buy at 4 is BEFORE that click → t3 null
+      ("u2", 1L, "click"), ("u2", 2L, "view"), ("u2", 5L, "click"),
+      ("u2", 4L, "buy"),
+      ("u3", 1L, "buy"), // never viewed → absent entirely
+      ("u4", 7L, "view")).toDF("u", "ts", "typ")
+    val out = Windows.funnelSteps(ev, "u", "ts", "typ",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4)))).toMap
+    assert(out.keySet == Set("u1", "u2", "u4"))
+    assert(out("u1") == ((Some(1L), Some(2L), Some(3L), 3)))
+    assert(out("u2") == ((Some(2L), Some(5L), None, 2)))
+    assert(out("u4") == ((Some(7L), None, None, 1)))
+  }
 }

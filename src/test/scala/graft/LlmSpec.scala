@@ -1594,6 +1594,48 @@ class LlmSpec extends SparkSpec {
     assert(fit(3) == got) // fixpoint
   }
 
+  test("keepBestPerCluster: max score wins, ties break on min id, " +
+      "singletons pass through") {
+    import spark.implicits._
+    val rows = Seq((1L, "A", 5L), (2L, "A", 9L), (3L, "A", 9L),
+      (4L, "B", 1L)).toDF("id", "cluster", "score")
+    val out = graft.llm.Dedup.keepBestPerCluster(rows, "id", "cluster",
+      "score").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out == Map("A" -> 2L, "B" -> 4L))
+  }
+
+  test("packByCost: bins cut at the running-cost budget; packSequences " +
+      "is the tokenCount specialization") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, 3000L), ("g", 2L, 3000L), ("g", 3L, 3000L),
+      ("g", 4L, 9000L), ("g", 5L, 1L)).toDF("grp", "id", "cost")
+    val out = graft.llm.Shaping.packByCost(rows, "id", "cost", "grp", 8192L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // starts: 0, 3000, 6000, 9000, 18000 → bins 0,0,0,1,2
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    val docs = Seq(("g", 1L, "a b c"), ("g", 2L, "d e")).toDF("grp", "id", "t")
+    val viaSeq = graft.llm.Shaping.packSequences(docs, "id", "t", "grp", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(viaSeq.toSet == Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("patchCount: closed form equals the exploded patchGrid cardinality") {
+    import spark.implicits._
+    val imgs = Seq((1L, 300, 200), (2L, 127, 500), (3L, 128, 128))
+      .toDF("id", "w", "h")
+      .withColumn("mm", struct(struct(col("w").as("width"),
+        col("h").as("height")).as("meta")))
+    val counted = imgs.select(col("id"),
+      graft.llm.Multimodal.patchCount(col("mm"), 128, 128).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 300×200 → 2×1; 127-wide → 0; exact-fit → 1×1
+    assert(counted == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+    val exploded = graft.llm.Multimodal.patchGrid(imgs, "mm", 128, 128)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exploded == counted.filter(_._2 > 0))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
