@@ -287,10 +287,15 @@ object Shaping {
     */
   def resampleToMix(docs: DataFrame, srcCol: String, idCol: String,
       weights: DataFrame): DataFrame = {
-    // λ over the joined (count, weight) frame: both sides source-grain
+    // λ over the joined (count, weight) frame: both sides source-grain.
+    // Eagerly checkpointed — three consumers (λ, quota, and λ's own
+    // crossJoin back) would otherwise re-execute the corpus count and
+    // the whole weights subtree per branch (the single-pass audit rule;
+    // q218's plan sweep showed 7 BNLJ before, 1 after).
     val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
       .join(weights.select(col("source").as(srcCol),
         col("weight_ppm").as("__w")), srcCol)
+      .localCheckpoint(true)
     val lam = counts.select(min(expr("(__n * 1000000) DIV __w"))
       .as("__lam"))
     val quota = counts.crossJoin(broadcast(lam))
