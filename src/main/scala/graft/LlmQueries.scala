@@ -2691,6 +2691,37 @@ object LlmQueries {
           ORDER BY score DESC, doc_id) AS rk FROM t)
         SELECT doc_id, cluster, score FROM r WHERE rk = 1"""))
 
+  /** Multi-epoch up-sampling schedule: skewed target weights (src0 at
+    * 25%, src1 at 15%, the rest at their uniform ~5% share) → per-source
+    * epoch counts (max(1, w DIV share)) → doc × epoch explode: src0 runs
+    * 5 epochs, src1 3, everyone else 1.
+    */
+  private val l99 = Spec("q229_epoch_plan",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val w = docs.select(col("source")).distinct()
+        .withColumn("weight_ppm",
+          when(col("source") === "src0", 250000L)
+            .when(col("source") === "src1", 150000L)
+            .otherwise(33333L))
+      graft.llm.Shaping.epochPlan(
+        docs.select(col("doc_id"), col("source")), "source", "doc_id", w)
+    },
+    Some("""WITH w AS (SELECT DISTINCT source,
+          CASE WHEN source = 'src0' THEN 250000
+               WHEN source = 'src1' THEN 150000
+               ELSE 33333 END AS wp FROM documents),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        ct AS (SELECT c.*, sum(n) OVER () AS dtot FROM c),
+        r AS (SELECT ct.source,
+          greatest(1, wp // ((n * 1000000) // dtot)) AS n_epochs
+          FROM ct JOIN w USING (source))
+        SELECT d.source, d.doc_id, CAST(n_epochs AS BIGINT) AS n_epochs,
+          CAST(unnest(generate_series(1, CAST(n_epochs AS INT)))
+            AS BIGINT) AS epoch
+        FROM documents d JOIN r USING (source)"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2746,5 +2777,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99)
 }

@@ -2819,6 +2819,42 @@ object Queries {
           (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1"""
     })
 
+  /** Label propagation (2 clamped-seed rounds, neighbor majority, min-
+    * label ties) over the filtered co-purchase graph; seeds are every
+    * 7th part labeled by partkey mod 5. The oracle unrolls both rounds.
+    */
+  private val misc19 = Spec("q228_label_prop",
+    (s, d) => {
+      val seeds = T(s, d, "lineitem")
+        .filter(col("l_partkey") % 3 === 0 && col("l_partkey") % 7 === 0)
+        .select(col("l_partkey").as("node"),
+          (col("l_partkey") % 5).as("label")).distinct()
+      Graph.labelPropagation(coPurchaseEdges(s, d, modFilter = true),
+        "pa", "pb", seeds, "node", "label", rounds = 2)
+    },
+    Some {
+      val round = (i: Int) =>
+        s"""v$i AS (SELECT nb.n, l.label, count(*) AS c FROM nb
+              JOIN l${i - 1} l ON nb.m = l.n GROUP BY 1, 2),
+          p$i AS (SELECT n, label FROM (SELECT *, row_number() OVER
+              (PARTITION BY n ORDER BY c DESC, label) AS rk FROM v$i)
+            WHERE rk = 1),
+          l$i AS (SELECT * FROM seed UNION ALL
+            SELECT p.n, p.label FROM p$i p LEFT JOIN seed s ON p.n = s.n
+            WHERE s.n IS NULL)"""
+      s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS m FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        seed AS (SELECT DISTINCT l_partkey AS n, l_partkey % 5 AS label
+          FROM lineitem WHERE l_partkey % 3 = 0 AND l_partkey % 7 = 0),
+        l0 AS (SELECT * FROM seed),
+        ${round(1)}, ${round(2)}
+        SELECT n AS node, CAST(label AS BIGINT) AS label FROM l2"""
+    })
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2838,7 +2874,7 @@ object Queries {
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
-    win26, misc18) ++ LlmQueries.specs
+    win26, misc18, misc19) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

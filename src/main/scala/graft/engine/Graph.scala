@@ -203,6 +203,52 @@ object Graph {
     out
   }
 
+  /** Synchronous label propagation from clamped seeds — the
+    * semi-supervised companion to [[connectedComponents]] (CC spreads
+    * the MIN label to everything reachable; this spreads labels by
+    * NEIGHBOR MAJORITY, so distinct communities in one component keep
+    * distinct labels). Each round, every node adopts the most common
+    * label among its labeled neighbors (ties → smallest label); seed
+    * nodes never change (clamped, the semi-supervised convention);
+    * unlabeled nodes stay absent until a labeled neighbor appears.
+    * `rounds` is a fixed unroll — labels reach hop-`rounds` distance
+    * from the seeds, the [[bfsHops]] sizing rule.
+    *
+    * Scale: per round, one join of the neighbor list against the
+    * CURRENT label frame (labels-sized, not edge-sized build side early
+    * on) and one (node, label) vote aggregate + per-node window pick.
+    * Label frames are eagerly checkpointed per round (the [[kCorePeel]]
+    * lineage discipline); the neighbor list is persisted once across
+    * all rounds.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val e = undirected(edges, srcCol, dstCol)
+    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
+      .union(e.select(col("v").as("n"), col("u").as("m")))
+      .persist()
+    val seed = seeds.select(col(nodeCol).as("n"), col(labelCol).as("label"))
+      .localCheckpoint(true)
+    var labels = seed
+    for (_ <- 1 to rounds) {
+      val votes = nbrs
+        .join(labels.select(col("n").as("m"), col("label")), "m")
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("__c"))
+      val pick = votes.withColumn("__r",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n"))
+            .orderBy(col("__c").desc, col("label").asc)))
+        .filter(col("__r") === 1).select(col("n"), col("label"))
+      labels = seed
+        .unionByName(pick.join(seed.select("n"), Seq("n"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    nbrs.unpersist(false)
+    labels.select(col("n").as("node"), col("label"))
+  }
+
   /** Connected components over any undirected edge list —
     * `(node, component)` with component = the smallest node in the
     * component. Thin façade over the pointer-jumping min-label engine in

@@ -218,6 +218,40 @@ object Shaping {
     * aggregate, eagerly checkpointed (it is read by its own total twice
     * — the single-pass audit rule), then arithmetic on the tiny frame.
     */
+  /** Multi-epoch repetition schedule to a target source mix — the
+    * UP-sampling dual of [[resampleToMix]] (which discards from
+    * over-represented sources; this repeats under-represented ones —
+    * what trainers do when the tail data is too valuable to leave at
+    * one epoch). Per source, `n_epochs = max(1, weight_ppm DIV
+    * share_ppm)`: the floor of the over-sampling ratio, so a source
+    * already at/above its target runs one epoch and a 3× under-served
+    * source runs 3. Output repeats every doc once per epoch with an
+    * `epoch` index — the frame a shard-writer partitions by (doc,
+    * epoch). Deterministic; a source below 1 ppm of docs has share 0
+    * (null ratio) and clamps to one epoch.
+    *
+    * Scale: one source-grain count (checkpointed — three derivations
+    * read it), a dimension-sized repeat frame broadcast to the corpus,
+    * and one `sequence` explode — the corpus is scanned once and never
+    * shuffled.
+    */
+  def epochPlan(docs: DataFrame, srcCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val tot = counts.select(sum(col("__n")).as("__tot"))
+    val reps = counts.crossJoin(broadcast(tot))
+      .withColumn("__share", expr("(__n * 1000000) DIV __tot"))
+      .join(weights.select(col("source").as(srcCol),
+        col("weight_ppm").as("__w")), srcCol)
+      .withColumn("n_epochs", greatest(lit(1L), expr("__w DIV __share")))
+      .select(col(srcCol), col("n_epochs"))
+      .localCheckpoint(true)
+    docs.select(col(srcCol), col(idCol))
+      .join(broadcast(reps), srcCol)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+  }
+
   def temperatureMixWeights(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
     val per = docs.groupBy(col(srcCol).as("source"))

@@ -1636,6 +1636,20 @@ class LlmSpec extends SparkSpec {
     assert(exploded == counted.filter(_._2 > 0))
   }
 
+  test("epochPlan: under-served source repeats floor(w/share) epochs, " +
+      "over-served clamps to one") {
+    import spark.implicits._
+    val docs = ((1L to 9L).map(i => (i, "a")) :+ ((100L, "b")))
+      .toDF("id", "src")
+    val weights = Seq(("a", 500000L), ("b", 500000L))
+      .toDF("source", "weight_ppm")
+    val out = graft.llm.Shaping.epochPlan(docs, "src", "id", weights)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // shares: a 900000, b 100000 → epochs a=1, b=5
+    assert(out.count(_._1 <= 9L) == 9)
+    assert(out.filter(_._1 == 100L).map(_._2).sorted.toSeq == (1L to 5L))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._

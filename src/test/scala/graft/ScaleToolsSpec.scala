@@ -469,6 +469,28 @@ class ScaleToolsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("labelPropagation: labels reach hop-r distance, majority wins, " +
+      "ties take the smaller label, seeds are clamped") {
+    import spark.implicits._
+    // chain a-b-c-d plus x with three labeled neighbors (1, 2, 2) and
+    // y with a tie (1, 2); seed s3 is itself adjacent to the 2s
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("s1", "x"), ("s2", "x"), ("s3", "x"),
+      ("s1", "y"), ("s2", "y")).toDF("s", "t")
+    val seeds = Seq(("a", 1L), ("s1", 1L), ("s2", 2L), ("s3", 2L))
+      .toDF("node", "label")
+    def run(r: Int) = graft.engine.Graph.labelPropagation(
+        e, "s", "t", seeds, "node", "label", rounds = r)
+      .collect().map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    val r1 = run(1)
+    assert(r1("b") == 1L && !r1.contains("c") && !r1.contains("d"))
+    assert(r1("x") == 2L) // majority 2 over 1
+    assert(r1("y") == 1L) // 1-1 tie → smaller label
+    assert(r1("s1") == 1L && r1("s3") == 2L) // clamped
+    val r2 = run(2)
+    assert(r2("c") == 1L && !r2.contains("d"))
+  }
+
   test("degreeHistogram: star graph gives one hub and n leaves") {
     import spark.implicits._
     val e = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "t")
