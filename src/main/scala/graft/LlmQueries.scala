@@ -2722,6 +2722,48 @@ object LlmQueries {
             AS BIGINT) AS epoch
         FROM documents d JOIN r USING (source)"""))
 
+  /** ADC retrieval over PQ codes (m = 2 subspaces, label codebooks,
+    * first-4 query vectors, k = 5): the compressed-corpus search that
+    * completes the PQ story (codebooks → codes → asymmetric-distance
+    * scan). The oracle extends q129's CTE chain with the query LUT.
+    */
+  private val l100 = Spec("q230_pq_adc_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, "embedding", "label",
+        m = 2, dim = 64)
+      Similarity.pqAdcTopK(
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb), cb,
+        emb.filter(col("vec_id") < 4), "vec_id", "vec_id", "embedding",
+        k = 5)
+    },
+    Some(s"""WITH ex AS (SELECT label, unnest([{'i': i, 'v': embedding[i+1]}
+            for i in range(len(embedding))], recursive := true)
+          FROM embeddings),
+        cm AS (SELECT CAST(i // 32 AS INT) AS s, label AS code, i,
+          round(avg(CAST(v AS DOUBLE)), 6) AS cv FROM ex GROUP BY 1, 2, 3),
+        cent AS (SELECT s, code, list(cv ORDER BY i) AS centroid
+          FROM cm GROUP BY 1, 2),
+        sc AS (SELECT e.vec_id, c.s, c.code,
+          round(2 * ${dot2("e.embedding[c.s*32+1 : c.s*32+32]",
+            "c.centroid")} - ${dot2("c.centroid", "c.centroid")}, 6) AS sim
+          FROM embeddings e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY sim DESC, code) AS rk FROM sc),
+        codes AS (SELECT vec_id, s, code FROM r WHERE rk = 1),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 4),
+        lut AS (SELECT query_id, c.s, c.code,
+          round(${dot2("q.embedding[c.s*32+1 : c.s*32+32]", "c.centroid")},
+            6) AS psim
+          FROM q CROSS JOIN cent c),
+        a AS (SELECT lut.query_id, codes.vec_id, round(sum(psim), 6) AS adc
+          FROM codes JOIN lut USING (s, code) GROUP BY 1, 2),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, vec_id) AS rank FROM a)
+        SELECT query_id, vec_id, adc, CAST(rank AS INT) AS rank
+        FROM rr WHERE rank <= 5"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2777,5 +2819,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100)
 }

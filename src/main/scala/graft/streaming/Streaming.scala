@@ -365,6 +365,66 @@ object Streaming {
       }
   }
 
+  final case class CmsPoint(group: String, key: String)
+  final case class CmsEstimate(group: String, key: String, est: Long)
+
+  /** Streaming face of [[graft.engine.Sketches.cmsTopK]]: count-min
+    * heavy-hitter estimates as a continuous monitor. State per group is
+    * the d×w bucket-total array (FIXED size regardless of key
+    * cardinality — the sketch's point); each batch adds its keys under
+    * the same `row#key` shared-polyhash salt as the batch face and
+    * emits the refreshed estimate for every key SEEN IN THAT BATCH
+    * (emission is batch-local so output stays Append-legal; a consumer
+    * keeps its own top-k, which is candidate-tracking — the standard
+    * CMS deployment split). After any stream prefix the emitted
+    * estimate for a key is BIT-IDENTICAL to the batch operator's `est`
+    * over the same rows (the distinctSketchStream discipline,
+    * spec-pinned). State never expires: a frequency sketch is
+    * cumulative; group-key cardinality bounds memory.
+    */
+  def cmsStream(points: Dataset[CmsPoint], d: Int,
+      w: Int): Dataset[CmsEstimate] = {
+    require(d >= 1 && w >= 2, "need d >= 1, w >= 2")
+    implicit val outEnc = Encoders.product[CmsEstimate]
+    implicit val stEnc = Encoders.BINARY
+    implicit val keyEnc = Encoders.STRING
+    def buckets(key: String): Array[Int] =
+      Array.tabulate(d)(i =>
+        (graft.functions.PolyHash.hashString(s"$i#$key") % w).toInt)
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Byte], CmsEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[CmsPoint],
+            state: GroupState[Array[Byte]]) =>
+          // longs packed into bytes: BINARY state keeps the encoder
+          // schema-free like distinctSketchStream's bitmap
+          val bytes = state.getOption.getOrElse(new Array[Byte](d * w * 8))
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          val tot = new Array[Long](d * w)
+          buf.asLongBuffer().get(tot)
+          val seen = scala.collection.mutable.LinkedHashSet[String]()
+          rows.foreach { r =>
+            if (r.key != null) {
+              seen += r.key
+              val bs = buckets(r.key)
+              var i = 0
+              while (i < d) { tot(i * w + bs(i)) += 1; i += 1 }
+            }
+          }
+          buf.rewind(); buf.asLongBuffer().put(tot)
+          state.update(bytes)
+          seen.iterator.map { k =>
+            val bs = buckets(k)
+            var est = Long.MaxValue
+            var i = 0
+            while (i < d) {
+              est = math.min(est, tot(i * w + bs(i))); i += 1
+            }
+            CmsEstimate(group, k, est)
+          }
+      }
+  }
+
   final case class CusumPoint(key: Long, ts: Timestamp, v: Long)
   final case class CusumState(rn: Long, p: Long, minA: Long, maxB: Long)
   final case class CusumUpdate(key: Long, ts: Timestamp, v: Long,

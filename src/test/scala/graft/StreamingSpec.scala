@@ -330,6 +330,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsStream: per-batch estimates bit-identical to the batch " +
+      "cmsTopK est over the same prefix; state is d*w longs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val (d, w) = (4, 64)
+    val mem = MemoryStream[Streaming.CmsPoint]
+    val q = Streaming.cmsStream(mem.toDS(), d, w)
+      .writeStream.format("memory").queryName("cmsstream")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq("a", "a", "b", "c", "a")
+      val b2 = Seq("b", "a", "d")
+      mem.addData(b1.map(Streaming.CmsPoint("g", _)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(Streaming.CmsPoint("g", _)): _*)
+      q.processAllAvailable()
+      val got = sp.sql("SELECT key, est FROM cmsstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      // batch face over each prefix (k large → all keys present)
+      def ref(vs: Seq[String]) = graft.engine.Sketches.cmsTopK(
+        vs.toDF("k"), "k", d, w, k = 100).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val (r1, r2) = (ref(b1), ref(b1 ++ b2))
+      // batch 1 emits a,b,c at prefix-1 estimates; batch 2 emits b,a,d
+      // at prefix-2 estimates (insertion order within each batch)
+      assert(got.take(3).toSeq == Seq("a" -> r1("a"), "b" -> r1("b"),
+        "c" -> r1("c")))
+      assert(got.drop(3).toSeq == Seq("b" -> r2("b"), "a" -> r2("a"),
+        "d" -> r2("d")))
+    } finally q.stop()
+  }
+
   test("cusumStream: bit-identical to the batch cusum on the full series " +
       "regardless of how rows split into micro-batches") {
     val sp = spark
