@@ -2764,6 +2764,62 @@ object LlmQueries {
         SELECT query_id, vec_id, adc, CAST(rank AS INT) AS rank
         FROM rr WHERE rank <= 5"""))
 
+  /** URL canonicalization over synthesized crawl-variant URLs: fragment
+    * and utm_* stripped, scheme+host lowercased (path case kept),
+    * trailing slash removed, surviving params preserved. The oracle
+    * replays the identical split/filter/join pipeline (deliberately
+    * regex-free — capture-group replacement syntax is not portable).
+    */
+  private val l101 = Spec("q232_canonical_url",
+    (s, d) => {
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".COM/Page/"), col("doc_id"),
+            lit("?utm_source=feed&x=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://www."), col("source"), lit(".com/Page/"),
+            col("doc_id"), lit("?x=1")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www."), col("source"), lit(".com/page/"),
+            col("doc_id"), lit("/")))
+        .otherwise(concat(lit("https://www."), col("source"),
+          lit(".com/page/"), col("doc_id"), lit("?utm_campaign=a")))
+      T(s, d, "documents").select(col("doc_id"), url.as("url"),
+        graft.llm.Curation.canonicalizeUrl(url).as("canonical"))
+    },
+    Some("""WITH u AS (SELECT doc_id, CASE
+          WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || upper(source)
+            || '.COM/Page/' || doc_id || '?utm_source=feed&x=1#frag'
+          WHEN doc_id % 4 = 1 THEN 'https://www.' || source
+            || '.com/Page/' || doc_id || '?x=1'
+          WHEN doc_id % 4 = 2 THEN 'https://www.' || source
+            || '.com/page/' || doc_id || '/'
+          ELSE 'https://www.' || source || '.com/page/' || doc_id
+            || '?utm_campaign=a' END AS url FROM documents),
+        s1 AS (SELECT doc_id, url,
+          string_split(url, '#')[1] AS nofrag FROM u),
+        s2 AS (SELECT *, string_split(nofrag, '?')[1] AS base,
+          CASE WHEN len(string_split(nofrag, '?')) > 1
+            THEN string_split(nofrag, '?')[2] ELSE '' END AS query
+          FROM s1),
+        s3 AS (SELECT *, list_filter(string_split(query, '&'), p ->
+          NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+          AND NOT starts_with(p, 'gclid=') AND p != '') AS kept FROM s2),
+        s4 AS (SELECT *, string_split(base, '://') AS sp FROM s3),
+        s5 AS (SELECT *, CASE WHEN len(sp) > 1 THEN sp[2] ELSE base END
+          AS rest FROM s4),
+        s6 AS (SELECT *, string_split(rest, '/')[1] AS host,
+          CASE WHEN len(string_split(rest, '/')) > 1
+            THEN '/' || array_to_string(string_split(rest, '/')[2:], '/')
+            ELSE '' END AS pth FROM s5),
+        s7 AS (SELECT *, CASE WHEN len(sp) > 1
+            THEN lower(sp[1]) || '://' || lower(host) || rtrim(pth, '/')
+            ELSE lower(host) || rtrim(pth, '/') END AS cleanbase
+          FROM s6)
+        SELECT doc_id, url, CASE WHEN len(kept) > 0
+          THEN cleanbase || '?' || array_to_string(kept, '&')
+          ELSE cleanbase END AS canonical FROM s7"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2819,5 +2875,5 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101)
 }

@@ -2855,6 +2855,43 @@ object Queries {
         SELECT n AS node, CAST(label AS BIGINT) AS label FROM l2"""
     })
 
+  /** Neighbor-set Jaccard over the co-purchase graph (pairs sharing ≥ 2
+    * neighbors).
+    */
+  private val misc20 = Spec("q231_neighbor_jaccard",
+    (s, d) => Graph.neighborJaccard(coPurchaseEdges(s, d, modFilter = true),
+      "pa", "pb", minCommon = 2),
+    Some("""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS m FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        pr AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT)
+            AS common
+          FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT a, b, common, round(CAST(common AS DOUBLE)
+          / CAST(da.deg + db.deg - common AS DOUBLE), 6) AS jaccard
+        FROM pr JOIN deg da ON da.n = pr.a JOIN deg db ON db.n = pr.b"""))
+
+  /** Per-user Shannon entropy of the event-type distribution. */
+  private val agg29 = Spec("q233_user_entropy",
+    (s, d) => Relational.categoricalEntropy(T(s, d, "events"),
+      Seq("user_id"), "event_type"),
+    Some("""WITH c AS (SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS n FROM events
+          WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT c.*, sum(n) OVER (PARTITION BY user_id) AS tot
+          FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_categories,
+          CAST(max(tot) AS BIGINT) AS n_rows,
+          round(0 - sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy
+        FROM t GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2874,7 +2911,7 @@ object Queries {
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
-    win26, misc18, misc19) ++ LlmQueries.specs
+    win26, misc18, misc19, misc20, agg29) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

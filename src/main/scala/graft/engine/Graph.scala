@@ -203,6 +203,47 @@ object Graph {
     out
   }
 
+  /** Neighbor-set Jaccard similarity for node pairs sharing at least
+    * `minCommon` neighbors — the classic link-prediction / entity-
+    * resolution feature ("how alike are two nodes' neighborhoods"),
+    * complementing [[triangleCounts]] (closure) with overlap strength:
+    * `J = common / (deg(a) + deg(b) − common)`, counts exact integers,
+    * only the final ratio floating (6 dp).
+    *
+    * Scale: the wedge self-join (pairs through a shared neighbor) is
+    * Σ deg² — the same cost class as triangle counting; `minCommon`
+    * prunes AFTER the pair aggregate, so hub-heavy graphs should be
+    * degree-capped upstream (drop nodes above a degree ceiling — the
+    * standard similarity-graph hygiene; a celebrity node's wedges say
+    * nothing about its spokes' similarity anyway). Degrees are a
+    * node-grain frame joined twice.
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val e = undirected(edges, srcCol, dstCol)
+    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
+      .union(e.select(col("v").as("n"), col("u").as("m")))
+      .persist()
+    // node-grain, read by BOTH endpoint joins — checkpointed (audit rule)
+    val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val pairs = nbrs.select(col("n").as("a"), col("m"))
+      .join(nbrs.select(col("n").as("b"), col("m")), "m")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val out = pairs
+      .join(deg.select(col("n").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("__db")), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("__da") + col("__db") - col("common")).cast("double"), 6))
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+      .localCheckpoint(true)
+    nbrs.unpersist(false)
+    out
+  }
+
   /** Synchronous label propagation from clamped seeds — the
     * semi-supervised companion to [[connectedComponents]] (CC spreads
     * the MIN label to everything reachable; this spreads labels by

@@ -1016,6 +1016,37 @@ object Relational {
         col("n_a"), col("n_b"), col("pmi"))
   }
 
+  /** Per-key Shannon entropy of a categorical column — the behavioral-
+    * diversity diagnostic (does this user do one thing or many? is this
+    * source one doc template or varied?): `H = −Σ p·ln p` in nats over
+    * the key's category distribution, with the category count and total
+    * alongside. Exact integer counts; only the final entropy is
+    * floating, 6 dp. Null categories are excluded (a missing value is
+    * not a behavior). Uniform over k categories → ln k; single
+    * category → exactly 0.
+    *
+    * Scale: one (key, category) aggregate (map-side combined), then a
+    * key-grain window for the total — cell grain is bounded by
+    * |keys|·|categories|, never row count.
+    */
+  def categoricalEntropy(df: DataFrame, keyCols: Seq[String],
+      catCol: String): DataFrame = {
+    val cells = df.filter(col(catCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(catCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    cells
+      .withColumn("__tot", sum(col("__n")).over(wKey))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_categories"),
+        max(col("__tot")).as("n_rows"),
+        // 0 − Σ, not −Σ: a single-category key sums to ±0.0 and unary
+        // minus would emit −0.0, whose bit pattern differs across
+        // engines; 0 − (±0.0) is +0.0 everywhere
+        round(lit(0d) - sum(p * log(p)), 6).as("entropy"))
+  }
+
   /** Theil–Sen robust trend per group: the LOWER MEDIAN of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)` over the group's series — the
     * estimator that shrugs off ~29% outliers where OLS

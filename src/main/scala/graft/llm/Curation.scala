@@ -643,6 +643,43 @@ object Curation {
         col("rate_ppm") >= minPpm)
   }
 
+  /** URL canonicalization for crawl dedup — the normalization that
+    * collapses the same page's crawl variants to one key BEFORE any
+    * content hash: drop the fragment, drop tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`), lowercase scheme+host (path case is
+    * preserved — it is significant on most origins), and strip a
+    * trailing path slash. Built ENTIRELY from split/filter/join column
+    * ops — no regex, because capture-group replacement syntax differs
+    * between regex dialects ($1 vs \\1) and a canonicalizer must be
+    * engine-portable to the oracle. Pure projection: codegen'd, no
+    * shuffle, composes with [[graft.llm.Dedup.exactNormalized]]'s
+    * keep-min as `dedup(canonicalizeUrl(url))`.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = element_at(split(url, "#", 2), 1)
+    val base = element_at(split(noFrag, "\\?", 2), 1)
+    val query = when(size(split(noFrag, "\\?", 2)) > 1,
+      element_at(split(noFrag, "\\?", 2), 2)).otherwise(lit(""))
+    val keptParams = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=")) && p =!= lit(""))
+    // scheme+host lowercased, path preserved: rest = after "://",
+    // host = rest up to the first "/", path = the remainder
+    val scheme = element_at(split(base, "://", 2), 1)
+    val rest = when(size(split(base, "://", 2)) > 1,
+      element_at(split(base, "://", 2), 2)).otherwise(base)
+    val host = element_at(split(rest, "/", 2), 1)
+    val path = when(size(split(rest, "/", 2)) > 1,
+      concat(lit("/"), element_at(split(rest, "/", 2), 2)))
+      .otherwise(lit(""))
+    val cleanBase = when(size(split(base, "://", 2)) > 1,
+        concat(lower(scheme), lit("://"), lower(host), rtrim(path, "/")))
+      .otherwise(concat(lower(host), rtrim(path, "/")))
+    when(size(keptParams) > 0,
+      concat(cleanBase, lit("?"), array_join(keptParams, "&")))
+      .otherwise(cleanBase)
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

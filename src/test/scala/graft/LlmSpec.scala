@@ -1650,6 +1650,23 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._1 == 100L).map(_._2).sorted.toSeq == (1L to 5L))
   }
 
+  test("canonicalizeUrl: fragment/utm stripped, host lowercased with " +
+      "path case kept, trailing slash removed, bare host passes") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM/Page/1?utm_source=a&x=1#frag" ->
+        "https://www.ex.com/Page/1?x=1",
+      "https://ex.com/p/2?utm_campaign=a" -> "https://ex.com/p/2",
+      "https://ex.com/p/3/" -> "https://ex.com/p/3",
+      "https://ex.com/" -> "https://ex.com",
+      "ex.com/A/b?gclid=z&keep=1" -> "ex.com/A/b?keep=1",
+      "https://Ex.com#top" -> "https://ex.com")
+    val out = cases.map(_._1).toDF("u")
+      .select(graft.llm.Curation.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._

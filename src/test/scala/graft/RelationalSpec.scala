@@ -755,4 +755,19 @@ class RelationalSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map("k2" -> ((2L, 2L))))
   }
+
+  test("categoricalEntropy: uniform is ln k, constant is +0.0 (not -0.0), " +
+      "3:1 split matches the hand value, nulls excluded") {
+    import spark.implicits._
+    val df = (Seq("w", "x", "y", "z").map(("u1", _)) ++
+      Seq(("u2", "w"), ("u2", "w"), ("u2", null)) ++
+      (Seq("w", "w", "w", "x").map(("u3", _)))).toDF("k", "c")
+    val out = graft.engine.Relational.categoricalEntropy(df, Seq("k"), "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("u1") == ((4L, 4L, 1.386294)))
+    assert(out("u2") == ((1L, 2L, 0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(out("u2")._3) == 0L)
+    assert(out("u3") == ((2L, 4L, 0.562335)))
+  }
 }

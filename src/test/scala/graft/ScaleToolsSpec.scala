@@ -491,6 +491,22 @@ class ScaleToolsSpec extends SparkSpec {
     assert(r2("c") == 1L && !r2.contains("d"))
   }
 
+  test("neighborJaccard: 4-cycle opposite corners score exactly 1, " +
+      "a pendant dilutes its endpoint, minCommon prunes") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    def run(extra: Seq[(String, String)]) =
+      graft.engine.Graph.neighborJaccard((cyc ++ extra).toDF("s", "t"),
+        "s", "t", minCommon = 2).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    // a,c share {b,d}; b,d share {a,c}; all degrees 2 → J = 1
+    assert(run(Nil) == Map(("a", "c") -> ((2L, 1.0)),
+      ("b", "d") -> ((2L, 1.0))))
+    // pendant e on a: deg(a)=3 → J(a,c) = 2/(3+2-2) = 2/3
+    assert(run(Seq(("a", "e")))(("a", "c")) == ((2L, 0.666667)))
+  }
+
   test("degreeHistogram: star graph gives one hub and n leaves") {
     import spark.implicits._
     val e = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "t")
