@@ -2820,6 +2820,60 @@ object LlmQueries {
           THEN cleanbase || '?' || array_to_string(kept, '&')
           ELSE cleanbase END AS canonical FROM s7"""))
 
+  /** Code-vs-prose flags over a code-injected corpus (every 5th doc
+    * gets a function block appended; the raw corpus has zero structural
+    * lines — probed before fixture design, the q219 lesson).
+    */
+  private val l102 = Spec("q234_code_flags",
+    (s, d) => graft.llm.Text.codeFlags(
+      T(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit("\ndef main(x):\n    y = x + 1;\n    return y;\n}")))
+          .otherwise(col("text"))),
+      "doc_id", "text"),
+    Some("""WITH c AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+          THEN text || chr(10) || 'def main(x):' || chr(10)
+            || '    y = x + 1;' || chr(10) || '    return y;'
+            || chr(10) || '}'
+          ELSE text END AS text FROM documents),
+        t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM c),
+        m AS (SELECT doc_id,
+          CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(ls, l -> ends_with(rtrim(l), ';')))
+            AS BIGINT) AS n_semi_lines,
+          CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '{')
+            OR trim(l) = '}')) AS BIGINT) AS n_brace_lines,
+          CAST(len(list_filter(ls, l -> substr(l, 1, 4) = '    '
+            OR substr(l, 1, 1) = chr(9))) AS BIGINT) AS n_indent_lines,
+          (contains(text, 'def ') OR contains(text, '#include')
+            OR contains(text, 'function ')) AS has_kw
+          FROM t)
+        SELECT *, (has_kw OR 10 * (n_semi_lines + n_brace_lines
+          + n_indent_lines) >= 3 * n_lines) AS is_code FROM m"""))
+
+  /** Instruction-pair mining over a Q/A-injected corpus (every 7th doc
+    * gets two question/answer line pairs appended).
+    */
+  private val l103 = Spec("q235_prompt_pairs",
+    (s, d) => graft.llm.Curation.minePromptPairs(
+      T(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit("\nWhat is the answer?\nIt is 42.\nWhy?\nBecause.")))
+          .otherwise(col("text"))),
+      "doc_id", "text"),
+    Some("""WITH c AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          THEN text || chr(10) || 'What is the answer?' || chr(10)
+            || 'It is 42.' || chr(10) || 'Why?' || chr(10) || 'Because.'
+          ELSE text END AS text FROM documents),
+        t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c),
+        p AS (SELECT doc_id, unnest([{'pos': i,
+            'prompt': trim(ls[i + 1]), 'response': trim(ls[i + 2])}
+          for i in range(CASE WHEN len(ls) >= 2 THEN len(ls) - 1
+            ELSE 0 END)], recursive := true) FROM t)
+        SELECT doc_id, CAST(pos AS INT) AS pos, prompt, response FROM p
+        WHERE ends_with(prompt, '?') AND response != ''"""))
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2875,5 +2929,6 @@ object LlmQueries {
     l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
+    l102, l103)
 }

@@ -680,6 +680,34 @@ object Curation {
       .otherwise(cleanBase)
   }
 
+  /** Instruction-pair mining: adjacent line pairs where the first line
+    * ends with '?' and the next is non-blank — the cheap heuristic
+    * harvest of Q/A-shaped supervision from raw text (forum dumps, FAQ
+    * pages) that seeds an instruction-tuning set before any model-based
+    * filtering. Output `(id, pos, prompt, response)` with `pos` the
+    * 0-based line index of the prompt; both sides trimmed.
+    *
+    * One pass, no shuffle: the adjacent-pair enumeration is a staged
+    * index `transform` + `filter` + one explode (the sequence guard
+    * avoids the descending-`sequence(0,-1)` trap on short docs).
+    */
+  def minePromptPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val staged = docs.select(col(idCol), split(col(textCol), "\n")
+      .as("__ls"))
+    val n = size(col("__ls"))
+    val idxs = when(n >= 2, sequence(lit(0), n - 2))
+      .otherwise(array().cast("array<int>"))
+    val pairs = filter(transform(idxs, i => struct(i.as("pos"),
+        trim(element_at(col("__ls"), i + 1)).as("prompt"),
+        trim(element_at(col("__ls"), i + 2)).as("response"))),
+      p => p.getField("prompt").endsWith("?") &&
+        p.getField("response") =!= "")
+    staged.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.pos").as("pos"),
+        col("__p.prompt").as("prompt"), col("__p.response").as("response"))
+  }
+
   def corpusStopwords(docs: DataFrame, idCol: String, textCol: String,
       minDfPpm: Long): DataFrame = {
     val total = docs.select(count(lit(1)).as("__n"))

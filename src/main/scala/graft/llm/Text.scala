@@ -315,6 +315,35 @@ object Text {
       .withColumn("novel_ppm", expr("(n_novel * 1000000) DIV n_grams"))
   }
 
+  /** Code-vs-prose detection flags — the corpus-splitting signal a
+    * training mix needs before code and natural text get different
+    * curation paths (code fails every prose quality rule; prose
+    * pollutes code dedup). Deterministic surface counts, no model:
+    * semicolon-terminated lines, brace lines, indented lines, keyword
+    * presence; `is_code` = keyword hit OR ≥ 30% structural lines. All
+    * integer counts + booleans — the [[graft.llm.Curation.gopherFlags]]
+    * report shape, one pass, no shuffle.
+    */
+  def codeFlags(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), col(textCol),
+        split(col(textCol), "\n").as("__ls"))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(filter(col("__ls"), l => rtrim(l).endsWith(";")))
+          .cast("long").as("n_semi_lines"),
+        size(filter(col("__ls"), l =>
+          rtrim(l).endsWith("{") || trim(l) === "}"))
+          .cast("long").as("n_brace_lines"),
+        size(filter(col("__ls"), l =>
+          l.startsWith("    ") || l.startsWith("\t")))
+          .cast("long").as("n_indent_lines"),
+        (col(textCol).contains("def ") || col(textCol).contains("#include")
+          || col(textCol).contains("function ")).as("has_kw"))
+      .withColumn("is_code", col("has_kw") ||
+        lit(10L) * (col("n_semi_lines") + col("n_brace_lines") +
+          col("n_indent_lines")) >= lit(3L) * col("n_lines"))
+
   // ----------------------------------------------------- repetition filters
 
   /** Fraction of tokens that are repeats of an earlier token

@@ -1667,6 +1667,36 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("codeFlags: structural lines counted per class, keyword hit " +
+      "flags alone, prose stays clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain prose here\nanother line"),
+      (2L, "int x;\n{\n    indented\n}"),
+      (3L, "we call def main(x) in prose")).toDF("id", "text")
+    val out = graft.llm.Text.codeFlags(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0L, false, false)))
+    assert(out(2L) == ((4L, 1L, 2L, 1L, false, true)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L, true, true)))
+  }
+
+  test("minePromptPairs: '?' line followed by non-blank yields a pair, " +
+      "blank responses and short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Q one?\nAnswer.\nmid\nQ two?   \n\nafter"),
+      (2L, "no questions here\nat all"),
+      (3L, "hmm?")).toDF("id", "text")
+    val out = graft.llm.Curation.minePromptPairs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    // "Q two?" is followed by a blank line → rejected; doc 3 too short
+    assert(out.toSeq == Seq((1L, 0, "Q one?", "Answer.")))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
