@@ -365,6 +365,59 @@ object Streaming {
       }
   }
 
+  final case class FunnelEvent(key: Long, ts: Timestamp, step: String)
+  final case class FunnelAdvance(key: Long, step_idx: Int, ts: Timestamp)
+
+  /** Streaming face of [[graft.engine.Windows.funnelSteps]]: per-entity
+    * funnel progression as a continuous monitor, emitting one
+    * `(key, step_idx, ts)` row the moment a step completes (1-based
+    * step index). State per key is one long per step (the completed
+    * step's micros, or unset) — fixed size, no event history. Events
+    * replay in (ts, step-order) within each batch, and a step `i`
+    * completes only when step `i−1` is done STRICTLY earlier — the
+    * batch operator's greedy-earliest strict-after semantics, so over
+    * any in-order prefix the advances equal the batch `t1..tk` non-null
+    * set however the rows split into micro-batches (spec-pinned, the
+    * cusumStream discipline). Late (out-of-ts-order) arrivals follow
+    * the same in-order contract as every stateful face here.
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    implicit val outEnc = Encoders.product[FunnelAdvance]
+    implicit val stEnc = Encoders.kryo[Array[Long]]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Long], FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[Array[Long]]) =>
+          val done = state.getOption.getOrElse(
+            Array.fill(steps.size)(Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          // micros, not getTime millis: the strict-after comparison must
+          // see the same precision as the batch operator's timestamps
+          def micros(ts: Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          rows.toSeq
+            .filter(e => e.ts != null && stepIdx.contains(e.step))
+            .sortBy(e => (micros(e.ts), stepIdx(e.step)))
+            .foreach { e =>
+              val i = stepIdx(e.step)
+              val t = micros(e.ts)
+              if (done(i) == Long.MinValue &&
+                  (i == 0 || (done(i - 1) != Long.MinValue &&
+                    done(i - 1) < t))) {
+                done(i) = t
+                out += FunnelAdvance(key, i + 1, e.ts)
+              }
+            }
+          state.update(done)
+          out.iterator
+      }
+  }
+
   final case class CmsPoint(group: String, key: String)
   final case class CmsEstimate(group: String, key: String, est: Long)
 

@@ -363,6 +363,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: advances equal the batch funnelSteps non-null set " +
+      "regardless of micro-batch splits; strict-after enforced") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val steps = Seq("view", "click", "buy")
+    // u1 completes all; u2's buy precedes its click → stalls at click;
+    // u3 has click-before-view in ONE batch (replay must order by ts)
+    val ev = Seq(
+      Streaming.FunnelEvent(1L, t(1), "view"),
+      Streaming.FunnelEvent(1L, t(2), "click"),
+      Streaming.FunnelEvent(1L, t(3), "buy"),
+      Streaming.FunnelEvent(2L, t(1), "view"),
+      Streaming.FunnelEvent(2L, t(4), "buy"),
+      Streaming.FunnelEvent(2L, t(5), "click"),
+      Streaming.FunnelEvent(3L, t(2), "click"),
+      Streaming.FunnelEvent(3L, t(1), "view"))
+    def run(splits: Seq[Seq[Streaming.FunnelEvent]], name: String) = {
+      val mem = MemoryStream[Streaming.FunnelEvent]
+      val q = Streaming.funnelStream(mem.toDS(), steps)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        sp.sql(s"SELECT key, step_idx, ts FROM $name").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      } finally q.stop()
+    }
+    val oneBatch = run(Seq(ev), "fs1")
+    val threeBatches = run(Seq(ev.take(3), ev.slice(3, 6), ev.drop(6)), "fs2")
+    assert(oneBatch == threeBatches)
+    // batch operator over the same rows: non-null t_i ↔ an advance
+    val batch = graft.engine.Windows.funnelSteps(
+      ev.map(e => (e.key, e.ts, e.step)).toDF("u", "ts", "typ"),
+      "u", "ts", "typ", steps).collect().flatMap { r =>
+      (1 to 3).flatMap(i => if (r.isNullAt(i)) None
+        else Some((r.getLong(0), i, r.getTimestamp(i))))
+    }.toSet
+    assert(oneBatch == batch)
+    // u2 stalled at click (buy@4 < click@5), u3 completed both in order
+    assert(!oneBatch.contains((2L, 3, t(4))) &&
+      oneBatch.contains((3L, 2, t(2))))
+  }
+
   test("cusumStream: bit-identical to the batch cusum on the full series " +
       "regardless of how rows split into micro-batches") {
     val sp = spark
