@@ -2874,6 +2874,95 @@ object LlmQueries {
         SELECT doc_id, CAST(pos AS INT) AS pos, prompt, response FROM p
         WHERE ends_with(prompt, '?') AND response != ''"""))
 
+  /** Mixed-language detection over a French-injected corpus (every 11th
+    * doc gets a run of fr markers appended): primary/secondary language
+    * + counts + the 30%-ratio mixed flag. The oracle reuses the shared
+    * lang-ID count fragment and mirrors both CASE chains.
+    */
+  private val l104 = Spec("q236_lang_mixture",
+    (s, d) => graft.llm.Text.langMixture(
+      T(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"),
+          lit(" le la les et des est un dans"))).otherwise(col("text"))),
+      "doc_id", "text", ratioPct = 30),
+    Some {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val mask = langs.map(l => s"CASE WHEN primary_lang = '$l' THEN -1 " +
+        s"ELSE c_$l END AS m_$l").mkString(", ")
+      val ms = langs.map(l => s"m_$l").mkString("greatest(", ",", ")")
+      val secCase = langs.map(l =>
+        s"WHEN ms = m_$l AND m_$l > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH cc AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+            THEN text || ' le la les et des est un dans'
+            ELSE text END AS text FROM documents),
+        t AS (SELECT doc_id, $wordsSql AS words FROM cc),
+        m AS (SELECT doc_id, $langCountsSql FROM t),
+        x AS (SELECT *, greatest(c_en, c_de, c_fr, c_es, c_zh) AS mx
+          FROM m),
+        p AS (SELECT *, $langCaseSql AS primary_lang FROM x),
+        k AS (SELECT *, $mask FROM p),
+        y AS (SELECT *, $ms AS ms FROM k),
+        sc AS (SELECT *, $secCase AS secondary_lang FROM y),
+        f AS (SELECT doc_id, primary_lang,
+          CAST(CASE WHEN primary_lang != 'und' THEN mx ELSE 0 END AS INT)
+            AS n_primary,
+          secondary_lang,
+          CAST(CASE WHEN secondary_lang != 'und' THEN ms ELSE 0 END
+            AS INT) AS n_secondary FROM sc)
+        SELECT *, (n_primary > 0 AND n_secondary * 100 >= n_primary * 30)
+          AS mixed FROM f"""
+    })
+
+  /** SemDeDup-style composite: embedding near-dup pairs (q65's injected
+    * fixture) → connected components → keep the highest-norm member per
+    * cluster — the end-to-end semantic prune with a quality pick
+    * instead of keep-min-id, every stage an operator already
+    * oracle-proven alone (q65/q69/q227); this pins the COMPOSITION.
+    */
+  private val l105 = Spec("q237_semantic_prune",
+    (s, d) => {
+      val corpus = nearDupEmb(s, d)
+      val anchors = Similarity.firstVectors(corpus, "vec_id", "embedding", 4)
+      val pairs = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+        anchors, 0.5, maxBucket = 1000)
+      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      val scored = clusters.join(corpus.select(col("vec_id").as("doc"),
+        round(Similarity.norm(col("embedding")), 6).as("score")), "doc")
+      Dedup.keepBestPerCluster(scored, "doc", "cluster", "score")
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM corpus WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE corpus AS ($nearDupEmbSql),
+          b0 AS (SELECT $bucket AS bucket, v.vec_id AS id,
+            v.embedding AS vec FROM corpus v),
+          b AS (SELECT bucket, id, vec FROM (SELECT *,
+            count(*) OVER (PARTITION BY bucket) AS bucket_n FROM b0)
+            WHERE bucket_n <= 1000),
+          pp AS (SELECT x.id AS id_a, y.id AS id_b,
+            ${cosSql("x.vec", "y.vec")}
+            AS cos FROM b x JOIN b y ON x.bucket = y.bucket
+            AND x.id < y.id),
+          cand AS (SELECT id_a, id_b FROM pp
+            WHERE cos >= CAST(0.5 AS DOUBLE)),
+          edges AS (SELECT id_a AS s, id_b AS d FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+          nodes AS (SELECT DISTINCT s FROM edges),
+          reach(s, d) AS (SELECT s, s FROM nodes
+            UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+          cl AS (SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s),
+          scd AS (SELECT cl.doc, cl.cluster,
+            round(sqrt(${dot2("c.embedding", "c.embedding")}), 6) AS score
+            FROM cl JOIN corpus c ON c.vec_id = cl.doc),
+          rr AS (SELECT *, row_number() OVER (PARTITION BY cluster
+            ORDER BY score DESC, doc) AS rk FROM scd)
+          SELECT doc, cluster, score FROM rr WHERE rk = 1"""
+    })
+
   private val l87 = Spec("q215_gopher_flags",
     (s, d) => graft.llm.Curation.gopherFlags(
       T(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text"),
@@ -2930,5 +3019,5 @@ object LlmQueries {
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
-    l102, l103)
+    l102, l103, l104, l105)
 }

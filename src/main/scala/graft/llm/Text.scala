@@ -120,6 +120,50 @@ object Text {
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** Mixed-language document detection — the curation gate between
+    * clean language ID ([[langIdFromTokens]], which reports only the
+    * winner) and the reality of web text (boilerplate in one language
+    * wrapping content in another, code-switched forums). Reports the
+    * primary and strongest secondary language by marker count (same
+    * first-listed-wins tie-break as langId) and flags `mixed` when the
+    * secondary reaches `ratioPct`% of the primary's markers. One
+    * projection pass — the counts are codegen'd leaves shared across
+    * the CASE chains by whole-stage CSE, the langId discipline.
+    */
+  def langMixture(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ratioPct: Int): org.apache.spark.sql.DataFrame = {
+    require(ratioPct >= 1 && ratioPct <= 100,
+      s"ratioPct must be in [1, 100], got $ratioPct")
+    val order = Seq("en", "de", "fr", "es", "zh")
+    val withCounts = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: order.map(l =>
+        stopwordCount(col("__toks"), stopwords(l)).cast("int")
+          .as(s"c_$l")): _*)
+    val cnt = order.map(l => col(s"c_$l"))
+    val maxAll = cnt.reduce(greatest(_, _))
+    val primary = order.zip(cnt).foldRight(lit("und"): Column) {
+      case ((l, c), rest) => when(maxAll === c && c > 0, l).otherwise(rest)
+    }
+    val masked = order.zip(cnt).map { case (l, c) =>
+      when(lit(l) === primary, lit(-1)).otherwise(c)
+    }
+    val maxSec = masked.reduce(greatest(_, _))
+    val secondary = order.zip(masked).foldRight(lit("und"): Column) {
+      case ((l, m), rest) => when(maxSec === m && m > 0, l).otherwise(rest)
+    }
+    withCounts
+      .withColumn("primary_lang", primary)
+      .withColumn("n_primary",
+        when(primary =!= "und", maxAll).otherwise(0))
+      .withColumn("secondary_lang", secondary)
+      .withColumn("n_secondary",
+        when(secondary =!= "und", maxSec).otherwise(0))
+      .withColumn("mixed", col("n_primary") > 0 &&
+        col("n_secondary") * 100 >= col("n_primary") * ratioPct)
+      .drop(order.map(l => s"c_$l"): _*)
+  }
+
   /** Quality-score feature bundle (length / punctuation / stopword ratios,
     * mean word length) + a bounded composite score in [0, 1]. The exact
     * blend is a heuristic; what matters at scale is that it is one

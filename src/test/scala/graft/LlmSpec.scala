@@ -1697,6 +1697,23 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, "Q one?", "Answer.")))
   }
 
+  test("langMixture: marker counts pick primary/secondary with langId " +
+      "tie-break, ratio flag fires, marker-free text is und") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of and to"),       // pure en
+      (2L, "the a of and le la"),    // en 4, fr 2 (le also zh 1)
+      (3L, "the der"),               // en/de tie → order wins
+      (4L, "zzz qqq")).toDF("id", "text")
+    val out = graft.llm.Text.langMixture(docs, "id", "text", ratioPct = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getString(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("en", 5, "und", 0, false)))
+    assert(out(2L) == (("en", 4, "fr", 2, true)))
+    assert(out(3L) == (("en", 1, "de", 1, true)))
+    assert(out(4L) == (("und", 0, "und", 0, false)))
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
