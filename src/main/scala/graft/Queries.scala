@@ -2892,6 +2892,29 @@ object Queries {
             * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy
         FROM t GROUP BY 1"""))
 
+  /** Blocked fuzzy record linkage: dirty customer names (middle char
+    * replaced) matched back to the master list, blocking on
+    * (length, last-2) — the key that survives middle-of-string typos.
+    */
+  private val misc21 = Spec("q238_fuzzy_link",
+    (s, d) => {
+      val names = T(s, d, "customer").select(col("c_name"))
+      val dirty = T(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+        .select(concat(substring(col("c_name"), 1, 9), lit("x"),
+          substring(col("c_name"), 11, 1000)).as("c_dirty"))
+      Joins.blockedFuzzyJoin(names, dirty, "c_name", "c_dirty",
+        n => Seq(length(n), substring(n, -2, 2)), maxDist = 1)
+    },
+    Some("""WITH dirty AS (SELECT substr(c_name, 1, 9) || 'x'
+            || substr(c_name, 11) AS r FROM customer
+          WHERE c_custkey % 7 = 0),
+        lb AS (SELECT c_name AS l, length(c_name) AS bl,
+          right(c_name, 2) AS bs FROM customer),
+        rb AS (SELECT r, length(r) AS bl, right(r, 2) AS bs FROM dirty)
+        SELECT l, r, CAST(levenshtein(l, r) AS INT) AS dist
+        FROM lb JOIN rb USING (bl, bs)
+        WHERE levenshtein(l, r) <= 1"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -2911,7 +2934,7 @@ object Queries {
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
-    win26, misc18, misc19, misc20, agg29) ++ LlmQueries.specs
+    win26, misc18, misc19, misc20, agg29, misc21) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

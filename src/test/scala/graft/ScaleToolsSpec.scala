@@ -507,6 +507,21 @@ class ScaleToolsSpec extends SparkSpec {
     assert(run(Seq(("a", "e")))(("a", "c")) == ((2L, 0.666667)))
   }
 
+  test("blockedFuzzyJoin: in-block typos verify by distance, " +
+      "block-key-changing typos escape (the documented trade-off)") {
+    import spark.implicits._
+    val master = Seq("anna", "bob", "carol").toDF("name")
+    // anxa: middle sub (caught); bxb: middle sub (caught); xnna: FIRST
+    // char sub — dist 1 but the (first-char, length) block key changed;
+    // dave: unrelated
+    val dirty = Seq("anxa", "bxb", "xnna", "dave").toDF("dirty")
+    val out = graft.engine.Joins.blockedFuzzyJoin(master, dirty,
+        "name", "dirty",
+        n => Seq(length(n), substring(n, 1, 1)), maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSet == Set(("anna", "anxa", 1), ("bob", "bxb", 1)))
+  }
+
   test("degreeHistogram: star graph gives one hub and n leaves") {
     import spark.implicits._
     val e = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("s", "t")
