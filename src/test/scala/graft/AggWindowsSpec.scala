@@ -644,6 +644,42 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
   }
 
+  test("funnelSteps property: matches an independent greedy-scan " +
+      "reference on random event streams") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.listOfN(24, Gen.zip(Gen.chooseNum(1, 4),
+      Gen.chooseNum(1L, 20L), Gen.oneOf("a", "b", "c", "x")))
+    def ref(evs: Seq[(Int, Long, String)]) =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        var prev = Option.empty[Long]
+        var stalled = false
+        val ts = steps.map { s =>
+          if (stalled) None
+          else {
+            val cands = es.collect { case (_, t, st)
+              if st == s && prev.forall(t > _) => t }
+            val t = if (cands.isEmpty) None else Some(cands.min)
+            if (t.isEmpty) stalled = true else prev = t
+            t
+          }
+        }
+        if (ts.head.isEmpty) None else Some(u.toLong -> ts)
+      }
+    val prop = Prop.forAll(evGen) { evs =>
+      val got = Windows.funnelSteps(
+          evs.map(e => (e._1.toLong, e._2, e._3)).toDF("u", "ts", "typ"),
+          "u", "ts", "typ", steps)
+        .collect().map(r => r.getLong(0) -> (1 to 3).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toList).toMap
+      Prop(got == ref(evs))
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"funnel reference divergence: ${res.status}")
+  }
+
   test("funnelSteps: strict-after chaining, out-of-order steps stall the " +
       "funnel, users without step one are absent") {
     import spark.implicits._

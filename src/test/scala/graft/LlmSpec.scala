@@ -1714,6 +1714,60 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == (("und", 0, "und", 0, false)))
   }
 
+  test("interleaveSources property: positions are a permutation of 1..N " +
+      "and within-source order is preserved, for random source sizes") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import spark.implicits._
+    val gen = Gen.listOfN(4, Gen.chooseNum(0, 6))
+    val prop = Prop.forAll(gen) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (1 to n).map(j => (si * 100L + j, s"s$si"))
+      }
+      if (docs.isEmpty) Prop(true)
+      else {
+        val out = graft.llm.Shaping.interleaveSources(
+            docs.toDF("id", "src"), "src", Seq("id"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        val perm = out.map(_._3).sorted.toSeq == (1L to docs.size)
+        val ordered = out.groupBy(_._1).forall { case (_, rows) =>
+          val byId = rows.sortBy(_._2).map(_._3)
+          byId.sorted.toSeq == byId.toSeq
+        }
+        Prop(perm && ordered)
+      }
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"interleave property failed: ${res.status}")
+  }
+
+  test("resampleToMix property: per-source kept counts equal the " +
+      "binding-source quota formula, for random counts and weights") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import spark.implicits._
+    val gen = Gen.listOfN(3,
+      Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(100000L, 900000L)))
+    val prop = Prop.forAll(gen) { specs =>
+      val docs = specs.zipWithIndex.flatMap { case ((n, _), si) =>
+        (1 to n).map(j => (si * 100L + j, s"s$si"))
+      }
+      val weights = specs.zipWithIndex
+        .map { case ((_, w), si) => (s"s$si", w) }
+      val lam = specs.map { case (n, w) => n * 1000000L / w }.min
+      val expect = specs.zipWithIndex.map { case ((_, w), si) =>
+        s"s$si" -> lam * w / 1000000L
+      }.toMap
+      val got = graft.llm.Shaping.resampleToMix(docs.toDF("id", "src"),
+          "src", "id", weights.toDF("source", "weight_ppm"))
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.length.toLong).toMap
+      Prop(expect.forall { case (s, k) => got.getOrElse(s, 0L) == k })
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"resample quota property failed: ${res.status}")
+  }
+
   test("bpePairStep: repeated in-word pairs count per position, " +
       "short words drop, rank is (weight desc, pair asc)") {
     import spark.implicits._
