@@ -318,6 +318,11 @@ object Shaping {
     * at source grain, never a global sort. The hash order also makes the
     * kept set STABLE as the corpus grows: a new doc displaces at most
     * one old doc per source, which is what incremental re-mixes want.
+    *
+    * Sources absent from `weights` are EXCLUDED from the output (the
+    * count-weight join is inner): an unweighted source has no quota,
+    * and emitting it unsampled would silently break the mix. Same
+    * contract in [[epochPlan]].
     */
   def resampleToMix(docs: DataFrame, srcCol: String, idCol: String,
       weights: DataFrame): DataFrame = {

@@ -1636,6 +1636,19 @@ class LlmSpec extends SparkSpec {
     assert(exploded == counted.filter(_._2 > 0))
   }
 
+  test("resampleToMix/epochPlan: sources absent from the weights frame " +
+      "are excluded, not passed through unsampled") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val w = Seq(("a", 1000000L)).toDF("source", "weight_ppm")
+    val kept = graft.llm.Shaping.resampleToMix(docs, "src", "id", w)
+      .collect().map(_.getString(0))
+    assert(kept.nonEmpty && kept.forall(_ == "a"))
+    val planned = graft.llm.Shaping.epochPlan(docs, "src", "id", w)
+      .collect().map(_.getString(0))
+    assert(planned.nonEmpty && planned.forall(_ == "a"))
+  }
+
   test("epochPlan: under-served source repeats floor(w/share) epochs, " +
       "over-served clamps to one") {
     import spark.implicits._
