@@ -418,6 +418,54 @@ object Streaming {
       }
   }
 
+  final case class KeyedDoc(shard: String, key: String, payload: String)
+
+  /** Bounded-state streaming dedup via a Bloom filter — the 100 TB
+    * answer to [[dedupStream]]'s honest limitation: exact streaming
+    * dedup state grows with DISTINCT KEYS FOREVER (a watermark only
+    * bounds it if duplicates arrive close together), while this keeps
+    * `⌈mBits/8⌉` bytes per shard no matter how many keys stream
+    * through. The trade: a false positive DROPS a genuinely new
+    * document (never the reverse — no duplicate ever passes), at a
+    * rate set by (d, mBits) vs key cardinality — acceptable for corpus
+    * curation, where losing ~0.1% of docs is cheaper than petabyte
+    * state, and measurable up front with the batch
+    * [[graft.engine.Sketches.bloomAudit]] on a sample. Buckets use the
+    * same `row#key` shared-polyhash salt, so the batch audit's fp rate
+    * IS this operator's drop rate at the same sizing.
+    */
+  def bloomDedupStream(docs: Dataset[KeyedDoc], d: Int,
+      mBits: Int): Dataset[KeyedDoc] = {
+    require(d >= 1 && mBits >= 8 && mBits % 8 == 0,
+      "need d >= 1 and mBits a positive multiple of 8")
+    implicit val outEnc = Encoders.product[KeyedDoc]
+    implicit val stEnc = Encoders.BINARY
+    implicit val keyEnc = Encoders.STRING
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[Array[Byte], KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, rows: Iterator[KeyedDoc],
+            state: GroupState[Array[Byte]]) =>
+          val bits = state.getOption.getOrElse(new Array[Byte](mBits / 8))
+          val out = scala.collection.mutable.ArrayBuffer[KeyedDoc]()
+          rows.foreach { r =>
+            if (r.key != null) {
+              val bs = Array.tabulate(d)(i =>
+                (graft.functions.PolyHash.hashString(s"$i#${r.key}")
+                  % mBits).toInt)
+              val seen = bs.forall(b => (bits(b >> 3) & (1 << (b & 7))) != 0)
+              if (!seen) {
+                bs.foreach(b =>
+                  bits(b >> 3) = (bits(b >> 3) | (1 << (b & 7))).toByte)
+                out += r
+              }
+            }
+          }
+          state.update(bits)
+          out.iterator
+      }
+  }
+
   final case class CmsPoint(group: String, key: String)
   final case class CmsEstimate(group: String, key: String, est: Long)
 

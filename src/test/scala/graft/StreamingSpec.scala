@@ -408,6 +408,49 @@ class StreamingSpec extends SparkSpec {
       oneBatch.contains((3L, 2, t(2))))
   }
 
+  test("bloomDedupStream: duplicates never pass, cross-batch state " +
+      "holds, and a saturated filter drops new keys (the documented fp " +
+      "mode) exactly where the shared hash predicts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def doc(k: String) = Streaming.KeyedDoc("g", k, s"payload-$k")
+    val mem = MemoryStream[Streaming.KeyedDoc]
+    val q = Streaming.bloomDedupStream(mem.toDS(), d = 3, mBits = 4096)
+      .writeStream.format("memory").queryName("bloomdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(doc("a"), doc("b"), doc("a"))
+      q.processAllAvailable()
+      mem.addData(doc("b"), doc("c"))
+      q.processAllAvailable()
+      val got = sp.sql("SELECT key FROM bloomdedup").collect()
+        .map(_.getString(0)).toSeq
+      // in-batch dup 'a' and cross-batch dup 'b' both dropped
+      assert(got == Seq("a", "b", "c"))
+    } finally q.stop()
+    // saturation: with d=1, mBits=8 the drop point of each key is fully
+    // determined by the shared polyhash — replay it driver-side
+    val keys = (1 to 20).map(i => s"k$i")
+    val bits = scala.collection.mutable.Set[Long]()
+    val expect = keys.filter { k =>
+      val b = graft.functions.PolyHash.hashString(s"0#$k") % 8
+      if (bits.contains(b)) false else { bits += b; true }
+    }
+    val mem2 = MemoryStream[Streaming.KeyedDoc]
+    val q2 = Streaming.bloomDedupStream(mem2.toDS(), d = 1, mBits = 8)
+      .writeStream.format("memory").queryName("bloomsat")
+      .outputMode("append").start()
+    try {
+      mem2.addData(keys.map(doc): _*)
+      q2.processAllAvailable()
+      val got2 = sp.sql("SELECT key FROM bloomsat").collect()
+        .map(_.getString(0)).toSeq
+      assert(got2 == expect)
+      assert(got2.size < keys.size) // some distinct key WAS dropped
+    } finally q2.stop()
+  }
+
   test("cusumStream: bit-identical to the batch cusum on the full series " +
       "regardless of how rows split into micro-batches") {
     val sp = spark
