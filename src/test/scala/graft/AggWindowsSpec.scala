@@ -644,6 +644,17 @@ class AggWindowsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
   }
 
+  test("funnelSteps: single-step funnel is the per-entity min; " +
+      "duplicate timestamps collapse to one earliest") {
+    import spark.implicits._
+    val ev = Seq((1L, 5L, "a"), (1L, 3L, "a"), (1L, 3L, "a"),
+      (2L, 9L, "a"), (2L, 9L, "b")).toDF("u", "ts", "typ")
+    val out = Windows.funnelSteps(ev, "u", "ts", "typ", Seq("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(out == Map(1L -> ((3L, 1)), 2L -> ((9L, 1))))
+  }
+
   test("funnelSteps property: matches an independent greedy-scan " +
       "reference on random event streams") {
     import org.scalacheck.{Gen, Prop, Test => SchkTest}

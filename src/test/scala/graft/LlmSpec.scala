@@ -1576,6 +1576,18 @@ class LlmSpec extends SparkSpec {
     assert(f.getLong(0) == 8L && f.getDouble(2) == 0.0)
   }
 
+  test("kMeansRounds: k beyond the corpus degrades to one point per " +
+      "cluster with cos exactly 1") {
+    import spark.implicits._
+    val pts = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val out = graft.llm.Similarity.kMeansRounds(pts, "id", "v",
+        k = 5, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(1L -> ((0, 1.0)), 2L -> ((1, 1.0))))
+  }
+
   test("kMeansRounds: separable clusters converge to the exact " +
       "partition; extra rounds past the fixpoint change nothing") {
     import spark.implicits._
