@@ -2846,11 +2846,15 @@ object LlmQueries {
             OR trim(l) = '}')) AS BIGINT) AS n_brace_lines,
           CAST(len(list_filter(ls, l -> substr(l, 1, 4) = '    '
             OR substr(l, 1, 1) = chr(9))) AS BIGINT) AS n_indent_lines,
+          CAST(len(list_filter(ls, l -> ends_with(rtrim(l), ';')
+            OR ends_with(rtrim(l), '{') OR trim(l) = '}'
+            OR substr(l, 1, 4) = '    ' OR substr(l, 1, 1) = chr(9)))
+            AS BIGINT) AS n_struct_lines,
           (contains(text, 'def ') OR contains(text, '#include')
             OR contains(text, 'function ')) AS has_kw
           FROM t)
-        SELECT *, (has_kw OR 10 * (n_semi_lines + n_brace_lines
-          + n_indent_lines) >= 3 * n_lines) AS is_code FROM m"""))
+        SELECT *, (has_kw OR 10 * n_struct_lines >= 3 * n_lines)
+          AS is_code FROM m"""))
 
   /** Instruction-pair mining over a Q/A-injected corpus (every 7th doc
     * gets two question/answer line pairs appended).

@@ -34,16 +34,39 @@ object Queries {
     * engine-wide, so the stored micros surface unchanged — same value
     * and type as the nanos derivation, and native parquet range
     * pushdown works with no post-scan conversion to see through).
+    *
+    * Both flags are SCOPED to this one read — saved, set, and restored
+    * around the `spark.read` call — so loading `events` cannot change
+    * how NTZ/nanos timestamp columns in other tables read later in the
+    * same session are typed (no load-order dependence). Restoring
+    * immediately after `spark.read.parquet` is safe because the flags
+    * act at schema-inference time: the relation's resolved schema is
+    * captured in the returned DataFrame and governs the later lazy scan
+    * (verified empirically — post-restore actions return correct LTZ
+    * values while a fresh read reverts to NTZ typing).
     */
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      val prevNanos =
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      val prevNtz =
+        spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
+      try {
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => raw
+        }
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        restore("spark.sql.legacy.parquet.nanosAsLong", prevNanos)
+        restore("spark.sql.parquet.inferTimestampNTZ.enabled", prevNtz)
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 

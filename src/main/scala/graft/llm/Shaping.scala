@@ -227,8 +227,10 @@ object Shaping {
     * already at/above its target runs one epoch and a 3× under-served
     * source runs 3. Output repeats every doc once per epoch with an
     * `epoch` index — the frame a shard-writer partitions by (doc,
-    * epoch). Deterministic; a source below 1 ppm of docs has share 0
-    * (null ratio) and clamps to one epoch.
+    * epoch). Deterministic; a source below 1 ppm of docs has share 0,
+    * which an explicit guard clamps to one epoch (the division is never
+    * evaluated — under ANSI mode, default-on in Spark 4, `DIV 0` would
+    * otherwise throw rather than yield null).
     *
     * Scale: one source-grain count (checkpointed — three derivations
     * read it), a dimension-sized repeat frame broadcast to the corpus,
@@ -244,7 +246,8 @@ object Shaping {
       .withColumn("__share", expr("(__n * 1000000) DIV __tot"))
       .join(weights.select(col("source").as(srcCol),
         col("weight_ppm").as("__w")), srcCol)
-      .withColumn("n_epochs", greatest(lit(1L), expr("__w DIV __share")))
+      .withColumn("n_epochs", when(col("__share") === 0L, lit(1L))
+        .otherwise(greatest(lit(1L), expr("__w DIV __share"))))
       .select(col(srcCol), col("n_epochs"))
       .localCheckpoint(true)
     docs.select(col(srcCol), col(idCol))
@@ -322,7 +325,11 @@ object Shaping {
     * Sources absent from `weights` are EXCLUDED from the output (the
     * count-weight join is inner): an unweighted source has no quota,
     * and emitting it unsampled would silently break the mix. Same
-    * contract in [[epochPlan]].
+    * contract in [[epochPlan]]. Sources with `weight_ppm = 0` — which
+    * [[temperatureMixWeights]] legitimately emits for sub-ppm sources
+    * (`floor(√0) = 0`) — are excluded the same way: zero weight is zero
+    * quota, and keeping them in the λ scan would divide by zero (a
+    * runtime error under ANSI mode, default-on in Spark 4).
     */
   def resampleToMix(docs: DataFrame, srcCol: String, idCol: String,
       weights: DataFrame): DataFrame = {
@@ -333,7 +340,7 @@ object Shaping {
     // q218's plan sweep showed 7 BNLJ before, 1 after).
     val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
       .join(weights.select(col("source").as(srcCol),
-        col("weight_ppm").as("__w")), srcCol)
+        col("weight_ppm").as("__w")).filter(col("__w") > 0L), srcCol)
       .localCheckpoint(true)
     val lam = counts.select(min(expr("(__n * 1000000) DIV __w"))
       .as("__lam"))

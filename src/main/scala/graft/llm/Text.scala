@@ -364,7 +364,11 @@ object Text {
     * curation paths (code fails every prose quality rule; prose
     * pollutes code dedup). Deterministic surface counts, no model:
     * semicolon-terminated lines, brace lines, indented lines, keyword
-    * presence; `is_code` = keyword hit OR ≥ 30% structural lines. All
+    * presence; `is_code` = keyword hit OR ≥ 30% structural lines, where
+    * a structural line is counted ONCE even when it hits several classes
+    * (an indented `x;` line is one structural line, not two —
+    * `n_struct_lines` is a distinct-line count, not the sum of the three
+    * per-class counts, so the 30% threshold means what it says). All
     * integer counts + booleans — the [[graft.llm.Curation.gopherFlags]]
     * report shape, one pass, no shuffle.
     */
@@ -382,11 +386,14 @@ object Text {
         size(filter(col("__ls"), l =>
           l.startsWith("    ") || l.startsWith("\t")))
           .cast("long").as("n_indent_lines"),
+        size(filter(col("__ls"), l =>
+          rtrim(l).endsWith(";") || rtrim(l).endsWith("{") ||
+          trim(l) === "}" || l.startsWith("    ") || l.startsWith("\t")))
+          .cast("long").as("n_struct_lines"),
         (col(textCol).contains("def ") || col(textCol).contains("#include")
           || col(textCol).contains("function ")).as("has_kw"))
       .withColumn("is_code", col("has_kw") ||
-        lit(10L) * (col("n_semi_lines") + col("n_brace_lines") +
-          col("n_indent_lines")) >= lit(3L) * col("n_lines"))
+        lit(10L) * col("n_struct_lines") >= lit(3L) * col("n_lines"))
 
   // ----------------------------------------------------- repetition filters
 

@@ -1675,6 +1675,32 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._1 == 100L).map(_._2).sorted.toSeq == (1L to 5L))
   }
 
+  test("epochPlan: a sub-ppm source (share_ppm floors to 0) clamps to " +
+      "one epoch instead of dividing by zero under ANSI mode") {
+    import spark.implicits._
+    // 2,000,001 docs of "a" vs 1 doc of "b": b's share is
+    // floor(1e6 / 2000002) = 0 — the valuable-tail-source scenario.
+    val docs = spark.range(0, 2000001).selectExpr("id", "'a' AS src")
+      .union(spark.range(9000000, 9000001).selectExpr("id", "'b' AS src"))
+    val weights = Seq(("a", 999999L), ("b", 1L)).toDF("source", "weight_ppm")
+    val out = graft.llm.Shaping.epochPlan(docs, "src", "id", weights)
+    // must not throw DIVIDE_BY_ZERO; b keeps exactly one epoch
+    val b = out.filter(col("src") === "b").collect()
+    assert(b.length == 1 && b.head.getLong(3) == 1L)
+  }
+
+  test("resampleToMix: weight_ppm = 0 rows (temperatureMixWeights emits " +
+      "them for sub-ppm sources) are excluded, not a divide-by-zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "src")
+    val weights = Seq(("a", 1000000L), ("b", 0L))
+      .toDF("source", "weight_ppm")
+    val kept = graft.llm.Shaping.resampleToMix(docs, "src", "id", weights)
+      .collect().map(_.getString(0))
+    assert(kept.nonEmpty && kept.forall(_ == "a"))
+  }
+
   test("canonicalizeUrl: fragment/utm stripped, host lowercased with " +
       "path case kept, trailing slash removed, bare host passes") {
     import spark.implicits._
@@ -1692,20 +1718,28 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
-  test("codeFlags: structural lines counted per class, keyword hit " +
-      "flags alone, prose stays clean") {
+  test("codeFlags: structural lines counted once per line (overlapping " +
+      "classes don't double-fire the threshold), keyword hit flags " +
+      "alone, prose stays clean") {
     import spark.implicits._
     val docs = Seq(
       (1L, "plain prose here\nanother line"),
       (2L, "int x;\n{\n    indented\n}"),
-      (3L, "we call def main(x) in prose")).toDF("id", "text")
+      (3L, "we call def main(x) in prose"),
+      // one line that is BOTH indented and semicolon-terminated among 5
+      // lines: distinct-line count 1/5 = 20% < 30% → not code; the old
+      // per-class sum (2) would have fired the threshold at 40%
+      (4L, "    x = 1;\nprose\nprose\nprose\nprose")).toDF("id", "text")
     val out = graft.llm.Text.codeFlags(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7))))
       .toMap
-    assert(out(1L) == ((2L, 0L, 0L, 0L, false, false)))
-    assert(out(2L) == ((4L, 1L, 2L, 1L, false, true)))
-    assert(out(3L) == ((1L, 0L, 0L, 0L, true, true)))
+    assert(out(1L) == ((2L, 0L, 0L, 0L, 0L, false, false)))
+    // all 4 lines of doc 2 are structural, each counted once
+    assert(out(2L) == ((4L, 1L, 2L, 1L, 4L, false, true)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L, 0L, true, true)))
+    assert(out(4L) == ((5L, 1L, 0L, 1L, 1L, false, false)))
   }
 
   test("minePromptPairs: '?' line followed by non-blank yields a pair, " +
