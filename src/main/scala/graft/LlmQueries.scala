@@ -2923,11 +2923,23 @@ object LlmQueries {
     * cluster — the end-to-end semantic prune with a quality pick
     * instead of keep-min-id, every stage an operator already
     * oracle-proven alone (q65/q69/q227); this pins the COMPOSITION.
+    *
+    * Anchors are corpus-scaled via [[Similarity.autoAnchors]]
+    * (m = ⌈log₂(N/256)⌉ sign planes → expected bucket ≈ 256 at ANY
+    * corpus size), NOT a pinned count: with fixed anchors the bucket
+    * count is constant, so per-bucket all-pairs work grows
+    * quadratically at 100× and the maxBucket cap starts silently
+    * dropping recall. The oracle mirrors the derivation exactly —
+    * integer bit-length math on the corpus count (see
+    * [[Similarity.anchorCount]]'s cross-engine note) and anchor ordinal
+    * j = row_number over vec_id − 1 — so Spark and DuckDB agree on the
+    * full bucket layout at every SF.
     */
   private val l105 = Spec("q237_semantic_prune",
     (s, d) => {
       val corpus = nearDupEmb(s, d)
-      val anchors = Similarity.firstVectors(corpus, "vec_id", "embedding", 4)
+      val anchors = Similarity.autoAnchors(corpus, "vec_id", "embedding",
+        targetBucket = 256)
       val pairs = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
         anchors, 0.5, maxBucket = 1000)
       val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
@@ -2936,14 +2948,17 @@ object LlmQueries {
       Dedup.keepBestPerCluster(scored, "doc", "cluster", "score")
     },
     Some {
-      val bucket = (0 until 4).map { j =>
-        val anchor = s"(SELECT embedding FROM corpus WHERE vec_id = $j)"
-        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
-          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
       s"""WITH RECURSIVE corpus AS ($nearDupEmbSql),
-          b0 AS (SELECT $bucket AS bucket, v.vec_id AS id,
-            v.embedding AS vec FROM corpus v),
+          mm AS (SELECT greatest(1,
+            length(bin(((count(*) + 255) // 256) - 1))) AS m FROM corpus),
+          anch AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+            embedding AS avec FROM corpus ORDER BY vec_id
+            LIMIT (SELECT m FROM mm)),
+          b0 AS (SELECT v.vec_id AS id, v.embedding AS vec,
+            sum(CASE WHEN ${dot2("v.embedding", "a.avec")} > 0
+              THEN (CAST(1 AS BIGINT) << a.j) ELSE CAST(0 AS BIGINT) END)
+              AS bucket
+            FROM corpus v CROSS JOIN anch a GROUP BY v.vec_id, v.embedding),
           b AS (SELECT bucket, id, vec FROM (SELECT *,
             count(*) OVER (PARTITION BY bucket) AS bucket_n FROM b0)
             WHERE bucket_n <= 1000),

@@ -341,10 +341,17 @@ object Similarity {
     * means buckets grow linearly with the corpus and per-bucket all-pairs
     * work grows quadratically. m = ⌈log₂(N / targetBucket)⌉ keeps expected
     * bucket size ≈ targetBucket at any N (≥ 1 plane always).
+    *
+    * Computed in EXACT integer math (bit length of ⌈N/target⌉ − 1, which
+    * equals ⌈log₂(N/target)⌉ since 2^m ≥ x ⟺ 2^m ≥ ⌈x⌉), not float
+    * logs — a DuckDB oracle mirrors this derivation and `ln(x)/ln(2)`
+    * landing on an integer boundary differently across libms would flip
+    * the whole bucket layout. q237 pins the SQL mirror.
     */
-  def anchorCount(corpusSize: Long, targetBucket: Long = 1024): Int =
-    math.max(1, math.ceil(math.log(math.max(1.0,
-      corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
+  def anchorCount(corpusSize: Long, targetBucket: Long = 1024): Int = {
+    val q = (corpusSize + targetBucket - 1) / targetBucket // ceil div
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, q) - 1))
+  }
 
   /** The corpus's first m vectors by id — the deterministic, PRNG-free
     * anchor choice. One m-row collect, catalog-cheap.
