@@ -449,12 +449,33 @@ object Windows {
     * Only the final ratio is floating, rounded 6 dp. The integer weights
     * `p^i·q^(nRows−1−i)` must stay double-exact (< 2⁵³) for the oracle
     * lattice to agree — enforced, which bounds `nRows` at ~27 for
-    * `q = 4`; the products then accumulate in DECIMAL(38,0). The frame
-    * is collected per row (O(nRows) per row — smoothing-window posture,
-    * like [[rollingMedian]]); rows with a null value get a null ewma and
-    * must be pre-filtered from the series (Spark's `collect_list` and
-    * the SQL `list()` window disagree on null retention, so a null INSIDE
-    * the frame is a contract violation, not a convention).
+    * `q = 4`. Rows with a null value get a null ewma and
+    * must be pre-filtered from the series (a null inside the window
+    * would poison the prefix sums, so a null INSIDE the frame is a
+    * contract violation, not a convention).
+    *
+    * CLOSED FORM, O(1) per row (the [[cusum]] discipline): the naive
+    * frame-fold is O(nRows) per row. Instead the series is cut into
+    * tumbling blocks of `w = nRows` rows, so any trailing window spans
+    * at most two blocks. With in-block offset `o`, `e = (w−1)−o`, and
+    * the weight table `CE(o) = p^e·q^o`, stage `c = x·CE(o)` (head) and
+    * `d = x·CE(o−1)` for `o ≥ 1` (tail); then for each row
+    *   `num·CE(o) = PrefixC·q^(w−1) + SuffixD·p^(w−1)`
+    * where PrefixC is the in-block running sum of `c` and SuffixD is
+    * the previous block's suffix sum of `d` from offset `o+1` — fetched
+    * as `lag(F, w−1)` of the in-block suffix-inclusive scan `F`, which
+    * lands exactly on (block−1, offset o+1) whenever o < w−1 (a row at
+    * o = w−1 has a full in-block window and no tail). Every `c` with
+    * `o_s ≤ o_t` carries `p^(e_s) ⋜ p^(e_t)` and every `d` with
+    * `o_s > o_t` carries `q^(o_s−1) ⋜ q^(o_t)`, so the final `div` by
+    * `CE(o)` is exact integer division and the recovered numerator is
+    * IDENTICAL to the naive fold's — the oracle and the output lattice
+    * are unchanged. Denominator: `Σ p^i·q^(w−1−i)` over `m = min(rn+1,
+    * w)` terms, a per-`m` literal table. Two block-scoped window scans +
+    * one lag that all reuse the per-key exchange (HashPartitioning on
+    * the keys satisfies the (keys, block) clustering), no per-row array.
+    * The recovered numerator must fit a long — subsumed by the < 2⁵³
+    * double-exactness the oracle lattice already requires.
     */
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       valCol: String, nRows: Int, alphaNum: Int, alphaDen: Int,
@@ -466,24 +487,51 @@ object Windows {
     val d38 = "decimal(38,0)"
     val p = alphaDen - alphaNum
     val q = alphaDen
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = nRows
+    def dec(b: BigInt): Column =
+      lit(new java.math.BigDecimal(b.bigInteger)).cast(d38)
+    // CE(o) = p^(w−1−o) · q^o — the weight of the element o slots into a
+    // block (equivalently: the frame weight at distance (w−1)−o).
+    val ceTab = (0 until w).map(o =>
+      BigInt(p).pow(w - 1 - o) * BigInt(q).pow(o))
+    val ceArr = array(ceTab.map(dec): _*)
+    // DEN(m) = Σ_{i=0..m−1} p^i·q^(w−1−i): the warmup-renormalized
+    // weight total for an m-row frame.
+    val denArr = array((1 to w).map(m =>
+      dec((0 until m).map(i =>
+        BigInt(p).pow(i) * BigInt(q).pow(w - 1 - i)).sum)): _*)
+    val wk = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(nRows - 1L), Window.currentRow)
-    val az = collect_list(col(valCol)).over(w)
-    // element j (0-based) of the frame is i = m−1−j steps back
-    val weight = (j: Column, m: Column) =>
-      round(pow(lit(p), m - 1 - j) * pow(lit(q), lit(nRows - 1) - (m - 1 - j)))
-        .cast("long").cast(d38)
-    val m = size(az)
-    val num = aggregate(
-      zip_with(az, sequence(lit(0), m - 1), (x, j) =>
-        x.cast(d38) * weight(j, m)),
-      lit(0).cast(d38), (acc, t) => acc + t)
-    val den = aggregate(
-      transform(sequence(lit(0), m - 1), j => weight(j, m)),
-      lit(0).cast(d38), (acc, t) => acc + t)
-    df.withColumn(outCol, when(col(valCol).isNotNull && m > 0,
-      round(num.cast("double") / den.cast("double"), 6)))
+    val wb = Window.partitionBy((keyCols :+ "__blk").map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val staged = df
+      .withColumn("__rn", row_number().over(wk).cast("long") - 1L)
+      .withColumn("__blk", expr(s"__rn div $w"))
+      .withColumn("__o", (col("__rn") % w).cast("int"))
+      .withColumn("__c",
+        col(valCol).cast(d38) * element_at(ceArr, col("__o") + 1))
+      .withColumn("__d", when(col("__o") > 0,
+        col(valCol).cast(d38) * element_at(ceArr, col("__o")))
+        .otherwise(lit(0).cast(d38)))
+    val prefixC =
+      sum(col("__c")).over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    val suffD =
+      sum(col("__d")).over(wb.rowsBetween(0, Window.unboundedFollowing))
+    staged
+      .withColumn("__f", suffD)
+      .withColumn("__tail", when(col("__o") === w - 1, lit(0).cast(d38))
+        .otherwise(coalesce(lag(col("__f"), w - 1).over(wk),
+          lit(0).cast(d38))))
+      .withColumn("__nsc", prefixC * dec(BigInt(q).pow(w - 1)) +
+        col("__tail") * dec(BigInt(p).pow(w - 1)))
+      .withColumn("__sc", element_at(ceArr, col("__o") + 1))
+      .withColumn("__num", expr("__nsc div __sc"))
+      .withColumn("__den", element_at(denArr,
+        least(col("__rn") + 1L, lit(w.toLong)).cast("int")))
+      .withColumn(outCol, when(col(valCol).isNotNull,
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)))
+      .drop("__rn", "__blk", "__o", "__c", "__d", "__f", "__tail",
+        "__sc", "__nsc", "__num", "__den")
   }
 
   /** Two-sided CUSUM change detector per key, in closed window form: the

@@ -535,6 +535,41 @@ class AggWindowsSpec extends SparkSpec {
     assert(got(6L) == 40d)
   }
 
+  test("ewma closed form: equals the naive BigInt frame-fold across " +
+      "block boundaries, multiple keys and window widths") {
+    import spark.implicits._
+    // deterministic pseudo-random series long enough to cross several
+    // tumbling blocks for every w under test
+    def series(seed: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => ((seed + i) * 6364136223846793005L +
+        1442695040888963407L) % 1000L)
+    for (w <- Seq(1, 2, 3, 5, 8); (num, den) <- Seq((1, 4), (2, 5))) {
+      val p = den - num; val q = den
+      val keys = Seq("a" -> 37, "b" -> 23) // different lengths per key
+      val rows = keys.flatMap { case (k, n) =>
+        series(k.hashCode.toLong, n).zipWithIndex.map { case (v, i) =>
+          (k, i.toLong, v)
+        }
+      }.toDF("k", "i", "v")
+      val got = Windows.ewma(rows, Seq("k"), Seq("i"), "v", w, num, den)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+        .toMap
+      val ref = keys.flatMap { case (k, n) =>
+        val vals = series(k.hashCode.toLong, n)
+        vals.indices.map { t =>
+          val frame = vals.slice(math.max(0, t - w + 1), t + 1)
+          val m = frame.size
+          val ws = (0 until m).map(j =>
+            BigInt(p).pow(m - 1 - j) * BigInt(q).pow(w - 1 - (m - 1 - j)))
+          val s = frame.zip(ws).map { case (x, c) => BigInt(x) * c }.sum
+          (k, t.toLong) -> BigDecimal(s.toDouble / ws.sum.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }.toMap
+      assert(got == ref, s"w=$w alpha=$num/$den")
+    }
+  }
+
   test("cusum: closed window form equals the textbook recursion on a " +
       "step-change series; alarms fire only after the shift") {
     import spark.implicits._
