@@ -211,53 +211,90 @@ object Joins {
     *
     * Build shape: k positions per distinct dim key (Kirsch–Mitzenmacher
     * double hashing over [[graft.functions.PolyHash]] — portable, unlike
-    * xxhash64), bit-packed DISTRIBUTED via a (word → bit_or) aggregate;
-    * only the finished `mBits/64` words land on the driver (16 KB at the
-    * default 2¹⁷ bits — bounded by CONFIG, not by dim cardinality) and
-    * ship back as one plan literal. The per-row membership test is pure
-    * codegen'd Column arithmetic (shift/mod/element_at/bitwiseAND) — no
-    * UDF, no custom expression needed.
+    * xxhash64), bit-packed DISTRIBUTED via a (word → bit_or) aggregate
+    * that stays a RELATION: the packed words never land on the driver.
+    * The membership test is `nHashes` broadcast left-joins of the fact's
+    * (word, mask) stage columns against that words relation (each a
+    * ≤ `mBits/64`-row broadcast — dimension-sized by CONFIG, reused
+    * across the hash probes by exchange reuse), then one conjunctive
+    * filter `(bits & mask) != 0` per probe; a missing word row is an
+    * all-zero word (coalesce 0). Everything stays whole-stage codegen
+    * and the fact side never shuffles before the filter.
     *
     * Size `mBits` ≈ 10–15 bits per distinct dim key for ~1% fp; an
     * undersized filter stays CORRECT (it only prunes less).
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      mBits: Int = 1 << 17, nHashes: Int = 3): DataFrame =
-    fact.filter(bloomMightContain(dim, key, mBits, nHashes))
-      .join(dim, Seq(key))
+      mBits: Int = 1 << 17, nHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(nHashes >= 1 && nHashes <= 8, "1..8 hash functions")
+    val words = bloomBits(dim, key, mBits, nHashes)
+    val pruned = (0 until nHashes).foldLeft(fact) { (f, i) =>
+      val pos = bloomPositions(col(key), mBits, nHashes)(i)
+      f.withColumn(s"__bw$i", shiftright(pos, 6).cast("int"))
+        .withColumn(s"__bm$i",
+          element_at(lit(pow2), pmod(pos, lit(64L)).cast("int") + 1))
+        .join(broadcast(words.select(col("__w").as(s"__ww$i"),
+          col("__bits").as(s"__bb$i"))),
+          col(s"__bw$i") === col(s"__ww$i"), "left")
+        .filter(coalesce(col(s"__bb$i"), lit(0L))
+          .bitwiseAND(col(s"__bm$i")) =!= 0L)
+        .drop(s"__bw$i", s"__bm$i", s"__ww$i", s"__bb$i")
+    }
+    pruned.join(dim, Seq(key))
+  }
 
-  /** The membership-test half of [[bloomPrunedJoin]], exposed so callers
-    * can push the same pruning predicate into OTHER dataflows over the
-    * fact table (and so the false-positive rate is measurable directly).
-    * Builds the filter eagerly (one dim-side job at plan-build time; the
-    * collect is `mBits/64` words — config-bounded) and returns the
-    * per-row test as a pure Column over `key`. NULL keys test false,
-    * matching inner-join semantics.
+  /** The packed Bloom filter of `dim`'s key set as a RELATION of
+    * (`__w` word index, `__bits` packed long) — at most `mBits/64` rows,
+    * absent words meaning zero. Shared by [[bloomPrunedJoin]] (broadcast
+    * form) and [[bloomMightContain]] (plan-literal form).
+    */
+  def bloomBits(dim: DataFrame, key: String, mBits: Int = 1 << 17,
+      nHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(nHashes >= 1 && nHashes <= 8, "1..8 hash functions")
+    dim.select(col(key).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+      .select(explode(array(
+        bloomPositions(col("__k"), mBits, nHashes): _*)).as("__pos"))
+      .groupBy(shiftright(col("__pos"), 6).cast("int").as("__w"))
+      .agg(bit_or(element_at(lit(pow2),
+        pmod(col("__pos"), lit(64L)).cast("int") + 1)).as("__bits"))
+  }
+
+  private def bloomPositions(c: Column, mBits: Int,
+      nHashes: Int): Seq[Column] = {
+    import graft.functions.PolyHash.polyhash
+    val s = c.cast("string")
+    val h1 = polyhash(s)
+    val h2 = polyhash(concat(s, lit("#")))
+    (0 until nHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2 + lit(i.toLong * i), lit(mBits.toLong)))
+  }
+
+  /** The membership-test half of [[bloomPrunedJoin]] as a pure Column,
+    * exposed so callers can push the same pruning predicate into OTHER
+    * dataflows over the fact table (and so the false-positive rate is
+    * measurable directly). A Column cannot carry a join, so this variant
+    * necessarily materializes the words on the driver (one dim-side job
+    * at plan-build time, `mBits/64` longs — 16 KB at the default 2¹⁷
+    * bits, bounded by CONFIG not dim cardinality) and embeds them as a
+    * plan literal. At `mBits ≫ 2²⁰` prefer [[bloomPrunedJoin]]'s
+    * broadcast-relation form, which never drives the words through the
+    * driver or the plan. NULL keys test false, matching inner-join
+    * semantics.
     */
   def bloomMightContain(dim: DataFrame, key: String, mBits: Int = 1 << 17,
       nHashes: Int = 3): Column = {
     require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
     require(nHashes >= 1 && nHashes <= 8, "1..8 hash functions")
-    import graft.functions.PolyHash.polyhash
-    def positions(c: Column): Seq[Column] = {
-      val s = c.cast("string")
-      val h1 = polyhash(s)
-      val h2 = polyhash(concat(s, lit("#")))
-      (0 until nHashes).map(i =>
-        pmod(h1 + lit(i.toLong) * h2 + lit(i.toLong * i), lit(mBits.toLong)))
-    }
-    val wordOf = (pos: Column) => shiftright(pos, 6).cast("int")
-    val maskOf = (pos: Column) =>
-      element_at(lit(pow2), pmod(pos, lit(64L)).cast("int") + 1)
-    val built = dim.select(col(key).as("__k")).filter(col("__k").isNotNull)
-      .distinct()
-      .select(explode(array(positions(col("__k")): _*)).as("__pos"))
-      .groupBy(wordOf(col("__pos")).as("__w"))
-      .agg(bit_or(maskOf(col("__pos"))).as("__bits"))
+    val built = bloomBits(dim, key, mBits, nHashes)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val words = lit(Array.tabulate(mBits / 64)(i => built.getOrElse(i, 0L)))
-    positions(col(key)).map(pos =>
-      element_at(words, wordOf(pos) + 1).bitwiseAND(maskOf(pos)) =!= 0L)
+    bloomPositions(col(key), mBits, nHashes).map(pos =>
+      element_at(words, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(element_at(lit(pow2),
+          pmod(pos, lit(64L)).cast("int") + 1)) =!= 0L)
       .reduce(_ && _)
   }
 

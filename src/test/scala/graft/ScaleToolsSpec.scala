@@ -371,12 +371,19 @@ class ScaleToolsSpec extends SparkSpec {
     val want = fact.join(dim, Seq("k"))
     assert(got.collect().map(_.toString).sorted.toSeq ==
       want.collect().map(_.toString).sorted.toSeq)
-    // the membership test sits UNDER the join: a fact-side Filter doing
-    // word lookups (element_at against the packed literal). Checked on
-    // the ANALYZED plan — on a LocalRelation fixture the optimizer's
-    // ConvertToLocalRelation evaluates the filter eagerly and it
-    // disappears from the physical plan (on a file scan it stays).
-    assert(got.queryExecution.analyzed.toString.contains("element_at"))
+    // the membership test is nHashes broadcast left-joins against the
+    // packed words RELATION (no driver collect, no plan literal): the
+    // physical plan must carry 3 probe joins + the final equi-join, all
+    // broadcast (the words side is mBits/64 rows, the dim is tiny), and
+    // the fact side must not exchange before the probes.
+    // (the words AGGREGATE itself may shuffle — it is dim-sized; what
+    // must not happen is a fact-side exchange, which would show as a
+    // SortMergeJoin or ShuffledHashJoin probe instead of broadcast)
+    val phys = got.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(phys).length >= 4, phys)
+    assert(!phys.contains("SortMergeJoin") &&
+      !phys.contains("ShuffledHashJoin"), phys)
+    assert(phys.contains("ReusedExchange"), phys)
     // prune power, measured on the exposed predicate: all 4 dim keys
     // pass (no false negatives — the Bloom guarantee the oracle relies
     // on), and of the 496 non-dim fact keys only a small fp tail leaks
