@@ -30,6 +30,47 @@ class ScaleToolsSpec extends SparkSpec {
     assert(again == salted)
   }
 
+  test("saltedEquiJoin engages under a pathological hot key: the shuffle " +
+      "partitions on (key, salt) and the hot key fans out across buckets") {
+    import spark.implicits._
+    val buckets = 16
+    // bench-scale skew: one key holds 50k of 55k rows — the shape where
+    // an unsalted shuffle serializes through one reducer
+    val fact = spark.range(0, 55000L)
+      .select(when(col("id") < 50000L, 1L).otherwise(col("id") % 500L)
+        .as("k"), col("id").as("v"))
+    val side = (0L until 500L).map(k => (k, s"lab$k")).toDF("k", "label")
+    // salting targets the side-too-big-to-broadcast regime; force the
+    // shuffle path so the spec pins the exchange layout (with a small
+    // fixture side Spark would just broadcast it and shuffle nothing)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Joins.saltedEquiJoin(fact, side, Seq("k"), buckets)
+      // the exchange must cluster on (k, __salt), not k alone — that IS
+      // the skew engagement: the hot key's rows land on `buckets`
+      // reducers instead of one
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(phys.contains("hashpartitioning(k#") &&
+        phys.contains("__salt"), phys)
+      // data-level fan-out: recompute the deterministic salt the
+      // operator assigns and check the hot key spreads over most buckets
+      val hotSalts = fact.filter(col("k") === 1L)
+        .withColumn("__salt",
+          pmod(xxhash64(col("k"), col("v")), lit(buckets)).cast("int"))
+        .select("__salt").distinct().count()
+      assert(hotSalts >= buckets - 2, s"hot key used only $hotSalts buckets")
+      // correctness at this scale without collecting 55k rows: row count
+      // and an order-insensitive checksum must equal the plain join's
+      def sig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)),
+          bit_xor(xxhash64(col("k"), col("v"), col("label"))))
+          .collect()(0).toSeq
+      assert(sig(joined) == sig(fact.join(side, Seq("k"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThresh)
+  }
+
   test("zorderKey round-trips: de-interleaving recovers both coordinates") {
     import spark.implicits._
     import graft.engine.Layout
