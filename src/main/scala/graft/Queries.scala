@@ -1852,6 +1852,68 @@ object Queries {
         SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
         GROUP BY w_start"""))
 
+  /** The shared CDC feed fixture: key = user_id mod 100, every 3rd
+    * event a delete (dense enough that several keys END in a delete at
+    * every SF, so the tombstone branch is actually exercised — probed:
+    * ≥ 2 tombstones at sf0.001/0.01/0.1),
+    * payload = event_type:floor(value) (null payload
+    * when either part is null — Spark `concat` and DuckDB `||` agree).
+    * NOTE: `cdcFeedSql` must precede the specs that splice it — a
+    * forward val reference inside an object is null at init.
+    */
+  private def cdcFeed(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").select(
+      (col("user_id") % 100).as("key"), col("ts"), col("event_id"),
+      when(col("event_id") % 3 === 0, lit("D")).otherwise(lit("U"))
+        .as("op"),
+      concat(col("event_type"), lit(":"),
+        floor(col("value")).cast("long").cast("string")).as("payload"))
+  private val cdcFeedSql =
+    """WITH f AS (SELECT user_id % 100 AS key, CAST(ts AS TIMESTAMP) AS ts,
+          event_id,
+          CASE WHEN event_id % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+          event_type || ':' ||
+            CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS payload
+        FROM events),
+      p1 AS (SELECT key, ts, op, payload FROM (SELECT *, row_number()
+          OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+      live1 AS (SELECT key FROM p1 WHERE op != 'D'),
+      p2 AS (SELECT key, ts, op, payload FROM (SELECT *, row_number()
+          OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1)"""
+
+  /** Tombstone-visible CDC batch face (see [[graft.streaming.Streaming
+    * .cdcApplyBatch]]): an I/U/D feed derived from events, replayed as
+    * two micro-batches split mid-month — the oracle checks batch 2's
+    * exact emission, tombstones included. event_id tie-breaks
+    * same-timestamp rows per key on BOTH engines.
+    */
+  private val strm4 = Spec("q239_cdc_batch2_emission",
+    (s, d) => graft.streaming.Streaming.cdcApplyBatch(
+      cdcFeed(s, d), "key", "ts", "op", "payload",
+      lit("2024-01-16 00:00:00").cast("timestamp"), Seq("event_id")),
+    Some(s"""$cdcFeedSql
+        SELECT p2.key, p2.ts,
+          CASE WHEN p2.op != 'D' THEN p2.payload END AS payload,
+          (p2.op != 'D') AS live
+        FROM p2 LEFT JOIN live1 ON p2.key = live1.key
+        WHERE p2.op != 'D' OR live1.key IS NOT NULL"""))
+
+  /** The materialized current table after the same two-batch replay —
+    * untouched batch-1 keys plus batch 2's live rows.
+    */
+  private val strm5 = Spec("q240_cdc_state_table",
+    (s, d) => graft.streaming.Streaming.cdcStateTable(
+      cdcFeed(s, d), "key", "ts", "op", "payload",
+      lit("2024-01-16 00:00:00").cast("timestamp"), Seq("event_id")),
+    Some(s"""$cdcFeedSql
+        SELECT p1.key, p1.ts, p1.payload, TRUE AS live FROM p1
+          LEFT JOIN p2 ON p1.key = p2.key
+          WHERE p1.op != 'D' AND p2.key IS NULL
+        UNION ALL
+        SELECT key, ts, payload, TRUE AS live FROM p2 WHERE op != 'D'"""))
+
   /** OP-WIN-15 — first-order Markov transitions over each user's ordered
     * event stream, probabilities in exact integer ppm.
     */
@@ -2951,7 +3013,7 @@ object Queries {
     dt1, dt2, dt3, dt4, str1, str2,
     misc1, misc1b, misc2, misc3,
     fn1, fn2, fn3, fn4, fn5, fn6,
-    pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2,
+    pipe1, pipe2, pipe3, src5, src6, src7, strm1, strm2, strm4, strm5,
     win15, agg15, agg16, agg17, join9, misc9, agg18, agg19,
     misc10, misc11, misc12, misc13, win16, win17, agg20,
     agg21, win18, misc14, win19, win20, agg22, agg23,

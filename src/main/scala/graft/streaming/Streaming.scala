@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -217,6 +217,74 @@ object Streaming {
               } else Iterator.empty
           }
       }
+  }
+
+  /** Batch face of [[cdcApply]] for a two-micro-batch replay, exposing
+    * the TOMBSTONE-VISIBLE output shape to the SQL oracle (hash oracles
+    * cannot replay per-micro-batch state, but they CAN check one batch
+    * boundary expressed relationally). The feed is split at `splitTs`
+    * into batch 1 (`ts < splitTs`, establishes state) and batch 2
+    * (`ts >= splitTs`); the result is exactly what [[cdcApply]] emits
+    * for batch 2: for every key batch 2 touches, its current row
+    * (latest non-delete, `live = true`) — or, when batch 2 ends in a
+    * delete AND batch 1 left the key live, a tombstone (`live = false`,
+    * null payload, the delete's ts). A batch-2 delete of a key batch 1
+    * never materialized emits nothing, mirroring the stream's
+    * state-existence check. `tiebreakCols` totally order same-timestamp
+    * rows per key (the stream relies on arrival order there; a gate
+    * query must not).
+    *
+    * Plan: one exchange on the key — both phase windows and the
+    * liveness join cluster on it.
+    */
+  def cdcApplyBatch(feed: DataFrame, keyCol: String, tsCol: String,
+      opCol: String, payloadCol: String, splitTs: Column,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val (p1, p2) = cdcPhaseLasts(feed, keyCol, tsCol, opCol, payloadCol,
+      splitTs, tiebreakCols)
+    val live1 = p1.filter(col("op") =!= "D")
+      .select(col("key"), lit(true).as("__live1"))
+    p2.join(live1, Seq("key"), "left")
+      .filter(col("op") =!= "D" || col("__live1").isNotNull)
+      .select(col("key"), col("ts"),
+        when(col("op") =!= "D", col("payload")).as("payload"),
+        (col("op") =!= "D").as("live"))
+  }
+
+  /** The materialized current table after the same two-batch replay as
+    * [[cdcApplyBatch]] — what an idempotent sink holds once batch 2's
+    * emission (tombstones applied as retractions) lands: batch-1 keys
+    * batch 2 never touched, plus batch 2's live rows.
+    */
+  def cdcStateTable(feed: DataFrame, keyCol: String, tsCol: String,
+      opCol: String, payloadCol: String, splitTs: Column,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val (p1, p2) = cdcPhaseLasts(feed, keyCol, tsCol, opCol, payloadCol,
+      splitTs, tiebreakCols)
+    val untouched = p1.filter(col("op") =!= "D")
+      .join(p2.select(col("key")), Seq("key"), "left_anti")
+    untouched.unionByName(p2.filter(col("op") =!= "D"))
+      .select(col("key"), col("ts"), col("payload"), lit(true).as("live"))
+  }
+
+  /** Shared phase split for the CDC batch faces: per key, the LAST feed
+    * row (by ts + tiebreaks) of each phase, normalized to
+    * (key, ts, op, payload).
+    */
+  private def cdcPhaseLasts(feed: DataFrame, keyCol: String, tsCol: String,
+      opCol: String, payloadCol: String, splitTs: Column,
+      tiebreakCols: Seq[String]): (DataFrame, DataFrame) = {
+    val normalized = feed.select((Seq(col(keyCol).as("key"),
+      col(tsCol).as("ts"), col(opCol).as("op"),
+      col(payloadCol).as("payload")) ++ tiebreakCols.map(col)): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy((col("ts").desc +: tiebreakCols.map(col(_).desc)): _*)
+    def lastPerKey(phase: DataFrame): DataFrame = phase
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("ts"), col("op"), col("payload"))
+    (lastPerKey(normalized.filter(col("ts") < splitTs)),
+      lastPerKey(normalized.filter(col("ts") >= splitTs)))
   }
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -222,6 +222,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApplyBatch/cdcStateTable agree with streaming cdcApply over " +
+      "a two-batch replay, tombstones included") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1 (< :10): key 1 live "b", key 2 live "x", key 3 deleted,
+    // key 5 live "w". batch 2 (>= :10): key 1 updated, key 2 deleted
+    // (tombstone: batch-1 live), key 3 deleted again (nothing: state
+    // never existed), key 4 insert-then-delete within the batch
+    // (nothing), key 5 untouched.
+    val feed = Seq(
+      (1L, t(0), "I", "a"), (1L, t(1), "U", "b"),
+      (2L, t(2), "I", "x"),
+      (3L, t(3), "I", "m"), (3L, t(4), "D", null),
+      (5L, t(5), "I", "w"),
+      (1L, t(10), "U", "c"),
+      (2L, t(11), "D", null),
+      (3L, t(12), "D", null),
+      (4L, t(13), "I", "q"), (4L, t(14), "D", null))
+    val split = lit("2024-01-01 10:10:00").cast("timestamp")
+    val feedDf = feed.toDF("key", "ts", "op", "payload")
+    val gotEmit = Streaming.cdcApplyBatch(feedDf, "key", "ts", "op",
+      "payload", split)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getString(2), r.getBoolean(3))).toSet
+    assert(gotEmit == Set((1L, t(10), "c", true), (2L, t(11), null, false)))
+    val gotState = Streaming.cdcStateTable(feedDf, "key", "ts", "op",
+      "payload", split)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(gotState == Set(1L -> "c", 5L -> "w"))
+    // the streaming face replayed over the same two micro-batches must
+    // emit exactly gotEmit in its second batch
+    val mem = MemoryStream[Streaming.Upsert]
+    val q = Streaming.cdcApply(mem.toDS())
+      .writeStream.format("memory").queryName("cdc2b")
+      .outputMode("append").start()
+    try {
+      mem.addData(feed.filter(_._2.before(t(10)))
+        .map(u => Streaming.Upsert(u._1, u._2, u._3, u._4)): _*)
+      q.processAllAvailable()
+      mem.addData(feed.filter(!_._2.before(t(10)))
+        .map(u => Streaming.Upsert(u._1, u._2, u._3, u._4)): _*)
+      q.processAllAvailable()
+      // batch-2 emissions are exactly the rows stamped >= the split
+      // (batch-1 current rows all carry pre-split timestamps)
+      val streamEmit = sp.sql(
+        "SELECT key, ts, payload, live FROM cdc2b WHERE ts >= TIMESTAMP " +
+          "'2024-01-01 10:10:00'")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getBoolean(3))).toSet
+      assert(streamEmit == gotEmit)
+    } finally q.stop()
+  }
+
   test("ohlcStream agrees with batch ohlcBars, incl. timestamp ties") {
     val sp = spark
     import sp.implicits._
