@@ -473,9 +473,16 @@ object Joins {
     *
     * Scale: the cross product is confined to each block (choose keys so
     * blocks stay 10²–10³); the verify distance is computed once per
-    * candidate. Skewed blocks are an AQE skew-join case; a degenerate
-    * key (every row one block) reintroduces O(n²) — that is a key
-    * bug, not an operator mode.
+    * candidate, behind two lossless cheapeners — a length pre-filter
+    * (edit distance is at least the length difference, so
+    * `|len(l)−len(r)| > maxDist` candidates drop before any DP table)
+    * and the THRESHOLDED Levenshtein (the 3-arg form abandons the DP as
+    * soon as the banded minimum exceeds `maxDist`, turning the verify
+    * from O(|l|·|r|) to O(maxDist·min(|l|,|r|)) per candidate — the
+    * term that dominates when a dense block makes candidates plentiful
+    * and matches rare). Skewed blocks are an AQE skew-join case; a
+    * degenerate key (every row one block) reintroduces O(n²) — that is
+    * a key bug, not an operator mode.
     */
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame, lCol: String,
       rCol: String, blockKeys: Column => Seq[Column],
@@ -486,8 +493,9 @@ object Joins {
     val rb = right.select(col(rCol).as("r"),
       struct(blockKeys(col(rCol)): _*).as("__bk"))
     lb.join(rb, "__bk")
-      .withColumn("dist", levenshtein(col("l"), col("r")))
-      .filter(col("dist") <= maxDist)
+      .filter(abs(length(col("l")) - length(col("r"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("l"), col("r"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l"), col("r"), col("dist"))
   }
 }

@@ -389,9 +389,26 @@ object Dedup {
     val prefixes = ranked
       .filter(col("__rk") <=
         col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
-      .select(col("doc"), col("h"))
+      .select(col("doc"), col("h"), col("__rk"), col("__n"))
+    // Exact PPJoin pruning on the candidate stream (same paper): the
+    // LENGTH filter (J ≥ t forces min(na,nb) ≥ t·max(na,nb)) and the
+    // PREFIX-POSITIONAL bound (overlap ≤ 1 + min(na−i, nb−j) at the
+    // matching prefix ranks, which must reach the overlap threshold
+    // α = t·(na+nb)/(1+t)). Both are lossless at the threshold — a pair
+    // survives if ANY shared prefix token passes, and the filters sit
+    // BEFORE the distinct so that is exactly the semantics. The 1e-9
+    // slack errs toward KEEPING borderline candidates, so float
+    // rounding can only cost pruning power, never a valid pair. This is
+    // what keeps candidate growth near-linear when the corpus grows
+    // with a saturating vocabulary (rare tokens stop being rare).
     val pairs = prefixes.as("a").join(prefixes.as("b"), Seq("h"))
       .filter(col("a.doc") < col("b.doc"))
+      .filter(least(col("a.__n"), col("b.__n")).cast("double") >=
+        lit(minJaccard) * greatest(col("a.__n"), col("b.__n")) - 1e-9)
+      .filter(lit(1 + minJaccard) *
+        (lit(1) + least(col("a.__n") - col("a.__rk"),
+          col("b.__n") - col("b.__rk"))).cast("double") >=
+        lit(minJaccard) * (col("a.__n") + col("b.__n")) - 1e-9)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     pairs
