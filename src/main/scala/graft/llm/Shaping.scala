@@ -262,13 +262,20 @@ object Shaping {
         sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
       .localCheckpoint(true)
     val tot = per.select(sum(col("n_tokens")).as("__tot"))
+    // Zero-denominator guards (ANSI mode, default-on in Spark 4, makes
+    // DIV 0 a runtime error): __tot = 0 when every doc tokenizes empty
+    // (all shares/weights 0 — callers like resampleToMix then emit
+    // nothing, the sensible fixpoint); __stot = 0 when every share
+    // floors to 0 ppm (> 10⁶ sub-ppm sources), same clamp.
     val shared = per.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV __tot"))
+      .withColumn("share_ppm", when(col("__tot") > 0L,
+        expr("(n_tokens * 1000000) DIV __tot")).otherwise(lit(0L)))
       .withColumn("__s",
         floor(sqrt(col("share_ppm").cast("double"))).cast("long"))
     val stot = shared.select(sum(col("__s")).as("__stot"))
     shared.crossJoin(broadcast(stot))
-      .withColumn("weight_ppm", expr("(__s * 1000000) DIV __stot"))
+      .withColumn("weight_ppm", when(col("__stot") > 0L,
+        expr("(__s * 1000000) DIV __stot")).otherwise(lit(0L)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("share_ppm"), col("weight_ppm"))
   }

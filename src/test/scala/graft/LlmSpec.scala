@@ -1689,6 +1689,18 @@ class LlmSpec extends SparkSpec {
     assert(b.length == 1 && b.head.getLong(3) == 1L)
   }
 
+  test("temperatureMixWeights: an all-empty-token corpus yields zero " +
+      "shares and weights instead of dividing by zero under ANSI mode") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", ""), (2L, "b", "   "), (3L, "b", ""))
+      .toDF("id", "source", "text")
+    val out = graft.llm.Shaping
+      .temperatureMixWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map("a" -> ((0L, 0L)), "b" -> ((0L, 0L))))
+  }
+
   test("resampleToMix: weight_ppm = 0 rows (temperatureMixWeights emits " +
       "them for sub-ppm sources) are excluded, not a divide-by-zero") {
     import spark.implicits._
