@@ -3047,6 +3047,135 @@ object LlmQueries {
       FROM c"""
     })
 
+  /** DSIR-style importance weights against the English slice as the
+    * target domain: hashed-unigram bag models (64 buckets, add-one
+    * smoothing), per-doc log importance = log p_target − log p_raw.
+    * The importance-resampling data-selection recipe, engine-stable via
+    * 6-dp-rounded per-bucket log-ratios folded in bucket order.
+    */
+  private val l106 = Spec("q241_dsir_weights",
+    (s, d) => graft.llm.Selection.dsirImportanceWeights(
+      T(s, d, "documents"), "doc_id", "text",
+      col("lang") === "en", nBuckets = 64),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+            FROM documents),
+          ex AS (SELECT doc_id, (lang = 'en') AS tgt,
+            CAST(${phSql("w")} % 64 AS INT) AS b
+            FROM (SELECT doc_id, lang, unnest(words) AS w FROM t)),
+          pd AS (SELECT doc_id, tgt, b, count(*) AS n FROM ex
+            GROUP BY doc_id, tgt, b),
+          raw AS (SELECT b, sum(n) AS r FROM pd GROUP BY b),
+          tg AS (SELECT b, sum(n) AS tc FROM pd WHERE tgt GROUP BY b),
+          tot AS (SELECT (SELECT sum(r) FROM raw) AS rt,
+            (SELECT coalesce(sum(tc), 0) FROM tg) AS tt),
+          model AS (SELECT raw.b,
+            round(ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE)
+                / CAST(tt + 64 AS DOUBLE))
+              - ln(CAST(r + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 6)
+              AS lr
+            FROM raw LEFT JOIN tg USING (b) CROSS JOIN tot),
+          sc AS (SELECT doc_id, sum(n) AS nt,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(CAST(n AS DOUBLE) * lr ORDER BY b)),
+              (a, x) -> a + x) AS s
+            FROM pd JOIN model USING (b) GROUP BY doc_id)
+          SELECT t.doc_id, CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_tokens,
+            round(sc.s, 6) AS logw
+          FROM t LEFT JOIN sc USING (doc_id)"""))
+
+  /** Hashed-token Naive Bayes lang classifier: train on doc_id % 5 != 0,
+    * score the held-out fifth — the aggregate-expressed fastText-filter
+    * shape; model = 5×64 broadcast grid.
+    */
+  private val l107 = Spec("q242_nb_classify",
+    (s, d) => graft.llm.Selection.nbTrainScore(
+      T(s, d, "documents"), "doc_id", "text", "lang",
+      pmod(col("doc_id"), lit(5)) =!= 0, nBuckets = 64),
+    Some(s"""WITH t AS (SELECT doc_id, lang, (doc_id % 5 != 0) AS tr,
+            $wordsSql AS words FROM documents),
+          ex AS (SELECT doc_id, lang, tr,
+            CAST(${phSql("w")} % 64 AS INT) AS b
+            FROM (SELECT doc_id, lang, tr, unnest(words) AS w FROM t)),
+          pd AS (SELECT doc_id, lang, tr, b, count(*) AS n FROM ex
+            GROUP BY doc_id, lang, tr, b),
+          trdocs AS (SELECT DISTINCT doc_id, lang FROM pd WHERE tr),
+          pri AS (SELECT lang AS l, count(*) AS dl FROM trdocs
+            GROUP BY lang),
+          nt AS (SELECT sum(dl) AS dt FROM pri),
+          priors AS (SELECT l, round(ln(CAST(dl AS DOUBLE)
+            / CAST(dt AS DOUBLE)), 6) AS prior
+            FROM pri CROSS JOIN nt),
+          cnt AS (SELECT lang AS l, b, sum(n) AS c FROM pd WHERE tr
+            GROUP BY lang, b),
+          totl AS (SELECT l, sum(c) AS tl FROM cnt GROUP BY l),
+          grid AS (SELECT l, CAST(i.i AS INT) AS b FROM priors
+            CROSS JOIN (SELECT unnest(range(64)) AS i) i),
+          model AS (SELECT g.l, g.b,
+            round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+              / CAST(coalesce(tl, 0) + 64 AS DOUBLE)), 6) AS ll
+            FROM grid g LEFT JOIN cnt ON cnt.l = g.l AND cnt.b = g.b
+            LEFT JOIN totl ON totl.l = g.l),
+          held AS (SELECT doc_id, lang AS tru, b, n FROM pd
+            WHERE NOT tr),
+          sc AS (SELECT doc_id, tru, m.l AS pl,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(CAST(n AS DOUBLE) * ll ORDER BY b)),
+              (a, x) -> a + x) AS s
+            FROM held JOIN model m USING (b)
+            GROUP BY doc_id, tru, m.l),
+          fin AS (SELECT doc_id, tru, pl, round(prior + s, 6) AS score
+            FROM sc JOIN priors p ON p.l = sc.pl),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, pl) AS rk FROM fin)
+          SELECT doc_id, tru AS label, pl AS pred_label, score
+          FROM r WHERE rk = 1"""))
+
+  /** Global length-curriculum position (bucket width 32 tokens,
+    * hash-shuffled within bucket) — total order with no global sort.
+    */
+  private val l108 = Spec("q243_curriculum_order",
+    (s, d) => graft.llm.Selection.curriculumOrder(
+      T(s, d, "documents"), "doc_id", "text", bucketWidth = 32),
+    Some(s"""WITH t AS (SELECT doc_id,
+            CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents),
+          b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+            ${phSql("'cur:' || CAST(doc_id AS VARCHAR)")} AS h FROM t)
+          SELECT doc_id, n_tokens, bucket,
+            CAST(row_number() OVER (ORDER BY bucket, h, doc_id)
+              AS BIGINT) AS pos
+          FROM b"""))
+
+  /** Contrastive pair mining over the raw embedding corpus (first 16
+    * vectors as anchors): best positive at cos ≥ 0.25, top-5 hard
+    * negatives below 0.2.
+    */
+  private val l109 = Spec("q244_contrastive_pairs",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Selection.contrastiveMine(emb,
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        "vec_id", k = 5, posThr = 0.25, negCeil = 0.2)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 16),
+          s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qv", "c.embedding")} AS cos
+            FROM q CROSS JOIN embeddings c),
+          pos AS (SELECT query_id, 'pos' AS role, CAST(rk AS INT)
+              AS rank, neighbor_id, round(cos, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+              FROM s WHERE neighbor_id != query_id
+                AND cos >= CAST(0.25 AS DOUBLE))
+            WHERE rk = 1),
+          neg AS (SELECT query_id, 'neg' AS role, CAST(rk AS INT)
+              AS rank, neighbor_id, round(cos, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+              FROM s WHERE cos < CAST(0.2 AS DOUBLE))
+            WHERE rk <= 5)
+          SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3055,5 +3184,5 @@ object LlmQueries {
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
-    l102, l103, l104, l105)
+    l102, l103, l104, l105, l106, l107, l108, l109)
 }

@@ -1,0 +1,266 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash.polyhash
+
+/** Data-selection operators: the published techniques a training run uses
+  * to CHOOSE documents, on top of the dedup/quality filters —
+  * importance-resampling weights against a target domain (DSIR, Xie et
+  * al. 2023 style: hashed-n-gram bag features, log likelihood ratio),
+  * a hashed-token Naive Bayes classifier (the fastText-classifier shape
+  * of the quality/domain filters in public corpus pipelines, train +
+  * score wholly in aggregates), and global curriculum ordering (a total
+  * position over the corpus by difficulty bucket without a global sort).
+  *
+  * Scale posture (100 TB): every model here is bucket- or label-grain —
+  * hundreds of rows, broadcast — and every corpus pass is one explode +
+  * one hash aggregate at (doc, bucket) grain with map-side combine.
+  * Per-document float folds run over bucket-sorted arrays (≤ `nBuckets`
+  * entries) so the IEEE summation order is deterministic under ANY
+  * partitioning — results are retry- and engine-stable, which is what
+  * makes them oracle-checkable by hash.
+  */
+object Selection {
+
+  private val d38 = "decimal(38,0)"
+
+  /** Per-document hashed-token bucket counts: one row per (doc, bucket)
+    * with the token-instance count, plus the `extraCols` carried at doc
+    * grain. Zero-token documents produce no rows (no evidence, no
+    * likelihood) — callers re-attach them if their contract needs it.
+    */
+  private def docBucketCounts(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int,
+      extra: Seq[(Column, String)]): DataFrame =
+    docs.select(col(idCol) +: explode(Text.tokens(col(textCol))).as("__w")
+        +: extra.map { case (c, n) => c.as(n) }: _*)
+      .withColumn("__b", pmod(polyhash(col("__w")), lit(nBuckets))
+        .cast("int"))
+      .drop("__w")
+      .groupBy(col(idCol) +: col("__b") +: extra.map(e => col(e._2)): _*)
+      .agg(count(lit(1)).as("__n"))
+
+  /** Deterministic left fold of `valCol` over rows grouped by `grpCols`,
+    * summed in ascending `ordCol` order: collect the (order, value)
+    * pairs, sort, fold. The arrays are bucket-bounded (≤ nBuckets
+    * entries), so this is per-group constant work — the price of an
+    * IEEE sum whose order does not depend on partitioning.
+    */
+  private def orderedSum(df: DataFrame, grpCols: Seq[String],
+      ordCol: String, valCol: String, outCol: String): DataFrame =
+    df.groupBy(grpCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ordCol).as("o"),
+        col(valCol).as("v")))).as("__cs"))
+      .withColumn(outCol, aggregate(col("__cs"), lit(0.0d),
+        (acc, x) => acc + x.getField("v")))
+      .drop("__cs")
+
+  /** DSIR-style importance weights: per-document log importance
+    * `log p_target(doc) − log p_raw(doc)` under hashed-unigram bag
+    * models with add-one smoothing — the Data Selection via Importance
+    * Resampling recipe (hashed n-gram features; unigram grain here, the
+    * caller pre-concatenates grams for higher orders). `targetPred`
+    * marks the target-domain rows (e.g. a trusted source); the raw
+    * model is the whole corpus. Documents that tokenize empty carry a
+    * null `logw` (no evidence either way). Per-bucket log-ratios are
+    * rounded 6 dp BEFORE the per-doc fold and the fold runs in bucket
+    * order, so the output is bitwise engine-stable.
+    *
+    * Scale: two bucket-grain aggregates (≤ `nBuckets` rows each) build
+    * the model, which broadcasts; the corpus sees one tokenize-explode
+    * pass collapsed to (doc, bucket) grain with map-side combine, one
+    * broadcast join, one doc-grain fold. Counts in DECIMAL(38,0) — the
+    * token-instance totals of a 100 TB corpus pass 2⁶³.
+    */
+  def dsirImportanceWeights(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    val pd = docBucketCounts(docs, idCol, textCol, nBuckets,
+      Seq(targetPred -> "__tgt")).localCheckpoint(true)
+    val raw = pd.groupBy("__b").agg(sum(col("__n")).cast(d38).as("__r"))
+    val tgt = pd.filter(col("__tgt")).groupBy("__b")
+      .agg(sum(col("__n")).cast(d38).as("__t"))
+    val tot = raw.agg(sum(col("__r")).cast(d38).as("__rt"))
+      .crossJoin(tgt.agg(coalesce(sum(col("__t")), lit(0)).cast(d38)
+        .as("__tt")))
+    val model = raw.join(tgt, Seq("__b"), "left").crossJoin(tot)
+      .select(col("__b"), round(
+        log((coalesce(col("__t"), lit(0)) + 1).cast("double") /
+          (col("__tt") + nBuckets).cast("double")) -
+        log((col("__r") + 1).cast("double") /
+          (col("__rt") + nBuckets).cast("double")), 6).as("__lr"))
+    val contrib = pd.join(broadcast(model), Seq("__b"))
+      .withColumn("__c", col("__n").cast("double") * col("__lr"))
+    val scored = orderedSum(contrib, Seq(idCol), "__b", "__c", "__s")
+      .join(pd.groupBy(col(idCol)).agg(sum(col("__n")).as("__nt")),
+        Seq(idCol))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).cast("long").as("n_tokens"),
+        round(col("__s"), 6).as("logw"))
+  }
+
+  /** Hashed-token Naive Bayes: train a multinomial NB model on the
+    * `trainPred` rows (labels from `labelCol`, features = token counts
+    * in `nBuckets` hash buckets, add-one smoothing over the bucket
+    * vocabulary) and score the REMAINING rows, emitting the argmax
+    * label per document — the classifier shape behind public
+    * quality/domain filters, with train and inference both expressed as
+    * aggregates (no driver-side model object; the "model" is a
+    * labels×buckets broadcast frame).
+    *
+    * Output: one row per scored document with ≥ 1 token —
+    * `(id, label, pred_label, score)` where `label` is the true value,
+    * `score` the winning joint log-likelihood `ln prior + Σ_b n_b·ll_lb`
+    * rounded 6 dp, and ties on the rounded score break toward the
+    * smaller label string. Per-(label,bucket) log-likelihoods and
+    * priors are rounded 6 dp before use and folds run in bucket order —
+    * engine-stable like [[dsirImportanceWeights]].
+    *
+    * Scale: the model grid is |labels|×`nBuckets` (broadcast); scoring
+    * is (doc, bucket) grain joined to the grid — fan-out |labels|,
+    * collapsed immediately by the doc-grain fold; the rank window is
+    * keyed per document over |labels| rows.
+    */
+  def nbTrainScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    val pd = docBucketCounts(docs, idCol, textCol, nBuckets,
+      Seq(col(labelCol) -> "__l", trainPred -> "__tr"))
+      .localCheckpoint(true)
+    // class priors over TRAIN DOCS (token-bearing ones — the same rows
+    // the likelihood model sees)
+    val trainDocs = pd.filter(col("__tr"))
+      .select(col(idCol), col("__l")).distinct()
+    val prior = trainDocs.groupBy(col("__l"))
+      .agg(count(lit(1)).cast(d38).as("__dl"))
+    val nTrain = prior.agg(sum(col("__dl")).cast(d38).as("__dt"))
+    val priors = prior.crossJoin(nTrain)
+      .select(col("__l"), round(log(col("__dl").cast("double") /
+        col("__dt").cast("double")), 6).as("__prior"))
+    // per-(label, bucket) token counts on the FULL bucket grid, so
+    // unseen (label, bucket) cells get the smoothed default
+    val cnt = pd.filter(col("__tr")).groupBy(col("__l"), col("__b"))
+      .agg(sum(col("__n")).cast(d38).as("__c"))
+    val grid = priors.select(col("__l"))
+      .crossJoin(spark_range_df(priors.sparkSession, nBuckets))
+    val totL = cnt.groupBy(col("__l"))
+      .agg(sum(col("__c")).cast(d38).as("__tl"))
+    val model = grid.join(cnt, Seq("__l", "__b"), "left")
+      .join(totL, Seq("__l"), "left")
+      .select(col("__l"), col("__b"), round(log(
+        (coalesce(col("__c"), lit(0)) + 1).cast("double") /
+          (coalesce(col("__tl"), lit(0)) + nBuckets).cast("double")), 6)
+        .as("__ll"))
+    // score the held-out docs against every label
+    val held = pd.filter(!col("__tr"))
+      .select(col(idCol), col("__l").as("__true"), col("__b"), col("__n"))
+    val folded = orderedSum(
+      held.join(broadcast(model.withColumnRenamed("__l", "__pl")),
+          Seq("__b"))
+        .withColumn("__c2", col("__n").cast("double") * col("__ll")),
+      Seq(idCol, "__true", "__pl"), "__b", "__c2", "__s")
+    val scoredAll = folded
+      .join(broadcast(priors.withColumnRenamed("__l", "__pl")),
+        Seq("__pl"))
+      .withColumn("__score", round(col("__prior") + col("__s"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__pl").asc)
+    scoredAll.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__true").as("label"),
+        col("__pl").as("pred_label"), col("__score").as("score"))
+  }
+
+  /** Tiny 0..n-1 integer frame (bucket axis of the NB grid). */
+  private def spark_range_df(spark: org.apache.spark.sql.SparkSession,
+      n: Int): DataFrame =
+    spark.range(n).select(col("id").cast("int").as("__b"))
+
+  /** Global curriculum order: a TOTAL position over the corpus by
+    * (difficulty bucket asc, deterministic hash shuffle within bucket)
+    * — short-to-long length curriculum with reproducible within-level
+    * shuffling — computed with NO global sort: per-bucket counts (a
+    * bucket-grain frame) give broadcast exclusive prefix offsets, a
+    * within-bucket window numbers rows, `pos = offset + row_number`.
+    * The same two-level-numbering discipline as `interleaveSources`;
+    * the only unpartitioned window runs over the bucket-grain counts
+    * frame (≤ a few thousand rows at any corpus size with a sane
+    * `bucketWidth`).
+    *
+    * Difficulty = whitespace token count; bucket = `n_tokens DIV
+    * bucketWidth`. Output `(id, n_tokens, bucket, pos)`, `pos` 1-based
+    * and dense over the whole corpus.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int = 32): DataFrame = {
+    require(bucketWidth >= 1, "bucket width must be positive")
+    val staged = docs.select(col(idCol),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
+      .withColumn("__h", polyhash(concat(lit("cur:"),
+        col(idCol).cast("string"))))
+    val counts = staged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val offs = counts.withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("__off"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    staged.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pos", col("__off") + row_number().over(wIn))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("pos"))
+  }
+
+  /** Contrastive pair mining over an embedding corpus: for each query,
+    * its best POSITIVE (most similar non-self neighbor with cosine ≥
+    * `posThr`) and the top-`k` HARD NEGATIVES (most similar neighbors
+    * with cosine < `negCeil` — close enough to be hard, far enough to
+    * be wrong) — the batch that contrastive embedding training mines
+    * from its own corpus. Output `(query_id, role, rank, neighbor_id,
+    * cos)` with role ∈ {'pos','neg'}, rank 1-based within role, cosine
+    * rounded 6 dp, ties toward the smaller neighbor id.
+    *
+    * Scale: one scored pass (queries broadcast against the corpus, the
+    * [[Similarity.bruteForceTopK]] discipline — the corpus is never
+    * shuffled); both role windows key on query_id, so the exchange
+    * carries |queries|×|corpus| scored rows collapsed by the rank
+    * filters' `WindowGroupLimit` pushdown. For corpus-× -corpus mining
+    * swap the broadcast side for the LSH-bucketed candidates path
+    * (`Similarity.annTopK`) — same output contract.
+    */
+  def contrastiveMine(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      posThr: Double, negCeil: Double): DataFrame = {
+    require(k >= 1 && posThr > negCeil,
+      "need k >= 1 and a positive threshold above the negative ceiling")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__cv")).as("__cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    val pos = scored
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("__cos") >= posThr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .withColumn("role", lit("pos"))
+    val neg = scored.filter(col("__cos") < negCeil)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg)
+      .select(col("query_id"), col("role"), col("rank"),
+        col("neighbor_id"), round(col("__cos"), 6).as("cos"))
+  }
+}

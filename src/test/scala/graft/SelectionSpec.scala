@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Selection
+
+/** Data-selection operators: DSIR importance weights, hashed-token Naive
+  * Bayes, curriculum ordering, contrastive mining — the edge cases the
+  * oracle corpus doesn't force (zero-token docs, empty target slices,
+  * partition-order invariance of the float folds, tie-breaks).
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("dsir: zero-token doc gets null logw; weights finite; target slice scores higher on disjoint vocab") {
+    val d = docs(
+      (1L, "alpha beta alpha gamma", "en"),
+      (2L, "alpha gamma beta beta", "en"),
+      (3L, "zork quux blarg zork", "de"),
+      (4L, "quux blarg blarg zork", "de"),
+      (5L, "  ...  ", "de")) // tokenizes empty
+    val out = Selection.dsirImportanceWeights(d, "doc_id", "text",
+      col("lang") === "en", nBuckets = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out(5L) == (0L, None))
+    val enAvg = Seq(1L, 2L).map(out(_)._2.get).sum / 2
+    val deAvg = Seq(3L, 4L).map(out(_)._2.get).sum / 2
+    assert(enAvg > deAvg,
+      s"target-vocab docs must score higher: en=$enAvg de=$deAvg")
+    out.values.foreach { case (_, w) =>
+      w.foreach(v => assert(!v.isNaN && !v.isInfinite)) }
+  }
+
+  test("dsir: empty target slice still yields finite weights; fold is partition-order invariant") {
+    val base = (1L to 40L).map(i =>
+      (i, (1L to (i % 7 + 3)).map(j => s"w${(i * j) % 11}").mkString(" "),
+        if (i % 3 == 0) "en" else "de"))
+    val d = docs(base: _*)
+    val none = Selection.dsirImportanceWeights(d, "doc_id", "text",
+      lit(false), nBuckets = 8).collect()
+    assert(none.length == 40 &&
+      none.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    // same corpus, different physical layout → bitwise-identical weights
+    val a = Selection.dsirImportanceWeights(d.repartition(1), "doc_id",
+      "text", col("lang") === "en", 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = Selection.dsirImportanceWeights(d.repartition(7,
+        col("doc_id")), "doc_id", "text", col("lang") === "en", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b, "bucket-ordered fold must not depend on partitioning")
+  }
+
+  test("nb: separable classes classify held-out docs; zero-token held-out doc is absent") {
+    val d = docs(
+      (1L, "cat dog cat bird", "en"), (2L, "dog cat bird bird", "en"),
+      (3L, "cat bird dog dog", "en"), (4L, "hund katze vogel hund", "de"),
+      (5L, "katze hund vogel vogel", "de"),
+      (6L, "vogel katze katze hund", "de"),
+      // held out (doc_id % 3 == 0 is TRAIN here; pred = the others)
+      (10L, "cat dog bird", "en"), (11L, "hund katze vogel", "de"),
+      (13L, "...", "de")) // zero tokens, held out
+    val out = Selection.nbTrainScore(d, "doc_id", "text", "lang",
+      col("doc_id") <= 6, nBuckets = 32)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) == ("en", "en") && out(11L) == ("de", "de"))
+  }
+
+  test("nb: all-unseen-token doc ties on symmetric training → smaller label wins") {
+    // two labels, perfectly symmetric token mass and doc counts
+    val d = docs(
+      (1L, "aa aa bb", "x1"), (2L, "aa bb bb", "x1"),
+      (3L, "cc cc dd", "x2"), (4L, "cc dd dd", "x2"),
+      (9L, "zz zz zz", "x1")) // zz unseen; symmetric likelihoods
+    // symmetric IF the unseen token's bucket is unseen for both labels
+    // and both labels have equal totals — holds by construction
+    val out = Selection.nbTrainScore(d, "doc_id", "text", "lang",
+      col("doc_id") <= 4, nBuckets = 64).collect()
+    assert(out.length == 1 && out.head.getString(2) == "x1")
+  }
+
+  test("curriculum: dense 1..N positions matching the single-window reference order") {
+    val d = docs((1L to 100L).map(i =>
+      (i, (1L to (i % 37 + 1)).map(j => s"t$j").mkString(" "), "en")): _*)
+    val got = Selection.curriculumOrder(d, "doc_id", "text",
+      bucketWidth = 8)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sorted.toSeq == (1L to 100L).toSeq,
+      "positions must be dense 1..N")
+    // reference: global sort by (bucket, hash, id) on the driver
+    val hash = graft.functions.PolyHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val ref = rows.sortBy(r => (r._3,
+      hash.hash(UTF8String.fromString(s"cur:${r._1}")), r._1))
+      .zipWithIndex.map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    rows.foreach(r => assert(ref(r._1) == r._4,
+      s"doc ${r._1}: two-level pos ${r._4} != global ${ref(r._1)}"))
+  }
+
+  test("contrastive: positive excludes self and respects thresholds; negatives bounded by k") {
+    val dim = 4
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.9, 0.1, 0, 0)), // near-dup of 1
+      (3L, v(0, 1, 0, 0)), (4L, v(0, 0, 1, 0)),
+      (5L, v(0, 0, 0, 1)), (6L, v(-1, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Selection.contrastiveMine(corpus,
+      corpus.filter(col("vec_id") === 1), "vec_id", "embedding",
+      "vec_id", k = 3, posThr = 0.8, negCeil = 0.2)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val pos = out.filter(_._1 == "pos")
+    assert(pos.length == 1 && pos.head._3 == 2L && pos.head._4 >= 0.8)
+    val neg = out.filter(_._1 == "neg")
+    assert(neg.length == 3 && neg.forall(_._4 < 0.2) &&
+      neg.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+    assert(!out.exists(r => r._1 == "pos" && r._3 == 1L),
+      "self must never be the positive")
+  }
+}
