@@ -3176,6 +3176,112 @@ object LlmQueries {
             WHERE rk <= 5)
           SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
+  /** Winnowing fingerprint selection (k=4-gram hashes, window w=4):
+    * the MOSS guarantee at ~1/w shingle density, per-doc map-side only.
+    */
+  private val l110 = Spec("q245_winnow_fingerprints",
+    (s, d) => Dedup.winnowingFingerprints(
+      T(s, d, "documents"), "doc_id", "text", k = 4, w = 4),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          g AS (SELECT doc_id,
+            [${phSql("array_to_string(words[i+1:i+4], ' ')")}
+              for i in range(CASE WHEN len(words) >= 4
+                THEN len(words) - 3 ELSE 0 END)] AS hs FROM t),
+          m AS (SELECT doc_id, CASE
+              WHEN len(hs) >= 4 THEN [list_min(hs[i+1:i+4])
+                for i in range(len(hs) - 3)]
+              WHEN len(hs) >= 1 THEN [list_min(hs)]
+              ELSE [] END AS mins FROM g)
+          SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+          WHERE len(mins) > 0"""))
+
+  /** Winnowing overlap pairs with the hot-fingerprint guard — the
+    * MOSS-style detector as a bounded inverted-index self-join.
+    */
+  private val l111 = Spec("q246_winnow_pairs",
+    (s, d) => Dedup.winnowingPairs(T(s, d, "documents"), "doc_id",
+      "text", k = 4, w = 4, minShared = 2, maxDocsPerFp = 100),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+          g AS (SELECT doc_id,
+            [${phSql("array_to_string(words[i+1:i+4], ' ')")}
+              for i in range(CASE WHEN len(words) >= 4
+                THEN len(words) - 3 ELSE 0 END)] AS hs FROM t),
+          m AS (SELECT doc_id, CASE
+              WHEN len(hs) >= 4 THEN [list_min(hs[i+1:i+4])
+                for i in range(len(hs) - 3)]
+              WHEN len(hs) >= 1 THEN [list_min(hs)]
+              ELSE [] END AS mins FROM g),
+          fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp
+            FROM m WHERE len(mins) > 0),
+          bounded AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+              count(*) OVER (PARTITION BY fp) AS nd FROM fps)
+            WHERE nd <= 100),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bounded a JOIN bounded b USING (fp)
+            WHERE a.doc_id < b.doc_id)
+          SELECT id_a, id_b, count(*) AS n_shared FROM p
+          GROUP BY id_a, id_b HAVING count(*) >= 2"""))
+
+  /** Packing-efficiency report per language over three candidate
+    * context budgets — exact bins/waste/crossings for the contiguous
+    * packing contract.
+    */
+  private val l112 = Spec("q247_packing_efficiency",
+    (s, d) => graft.llm.Shaping.packingEfficiency(
+      T(s, d, "documents"), "doc_id", "text", "lang",
+      Seq(128, 512, 2048)),
+    Some(s"""WITH t AS (SELECT lang, doc_id,
+            CAST(len($wordsSql) AS BIGINT) AS n FROM documents),
+          s AS (SELECT lang, doc_id, n, coalesce(sum(n) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS st FROM t),
+          e AS (SELECT lang, n, st,
+            CAST(unnest([128, 512, 2048]) AS BIGINT) AS budget FROM s),
+          a AS (SELECT lang, budget,
+            count(*) AS n_docs, sum(n) AS total_tokens,
+            sum(CASE WHEN n > 0
+              THEN (st + n - 1) // budget - st // budget
+              ELSE 0 END) AS n_crossings,
+            sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS n_oversize
+            FROM e GROUP BY lang, budget),
+          b AS (SELECT *, CAST(CASE WHEN total_tokens > 0
+              THEN (total_tokens + budget - 1) // budget
+              ELSE 0 END AS BIGINT) AS n_bins FROM a)
+          SELECT lang, budget, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(total_tokens AS BIGINT) AS total_tokens, n_bins,
+            CAST(n_bins * budget - total_tokens AS BIGINT) AS padding,
+            CAST(CASE WHEN n_bins > 0
+              THEN ((n_bins * budget - total_tokens) * 1000000)
+                // (n_bins * budget) ELSE 0 END AS BIGINT) AS pad_ppm,
+            CAST(n_crossings AS BIGINT) AS n_crossings,
+            CAST(n_oversize AS BIGINT) AS n_oversize
+          FROM b"""))
+
+  /** Tokenizer fertility per language: subwords/word and chars/subword
+    * — the per-language context-budget tax audit.
+    */
+  private val l113 = Spec("q248_tokenizer_fertility",
+    (s, d) => graft.llm.Curation.tokenizerFertility(
+      T(s, d, "documents"), "text", "lang"),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+          CAST(sum(len($wordsSql)) AS BIGINT) AS n_words,
+          CAST(sum(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+'))) AS BIGINT)
+            AS n_subwords,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          CASE WHEN sum(len($wordsSql)) > 0 THEN
+            round(CAST(sum(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+'))) AS DOUBLE)
+              / CAST(sum(len($wordsSql)) AS DOUBLE), 6) END AS fertility,
+          CASE WHEN sum(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+'))) > 0 THEN
+            round(CAST(sum(length(text)) AS DOUBLE)
+              / CAST(sum(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+'))) AS DOUBLE), 6)
+            END AS chars_per_subword
+        FROM documents GROUP BY lang"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3184,5 +3290,6 @@ object LlmQueries {
     l64, l65, l66, l67, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
-    l102, l103, l104, l105, l106, l107, l108, l109)
+    l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
+    l113)
 }

@@ -324,6 +324,29 @@ object Curation {
           .as("first_repeated_pos"))
   }
 
+  /** Tokenizer fertility by group: subwords-per-word and
+    * chars-per-subword ratios per `groupCol` value (lang, source) — the
+    * standard check that a tokenizer doesn't silently tax one language
+    * 3× the context budget of another. Uses the engine's BPE-ish
+    * pre-tokenizer classes ([[graft.llm.Text.subwordCount]]) against
+    * whitespace words; sums are exact longs, the two ratios are the
+    * only floating steps (rounded 6 dp). One hash aggregate with
+    * map-side combine; group cardinality = #languages.
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_words"),
+        sum(Text.subwordCount(col(textCol)).cast("long")).as("n_subwords"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .withColumn("fertility", when(col("n_words") > 0L,
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6)))
+      .withColumn("chars_per_subword", when(col("n_subwords") > 0L,
+        round(col("n_chars").cast("double") /
+          col("n_subwords").cast("double"), 6)))
+
   /** Corpus-specific stopword discovery: terms whose document frequency
     * exceeds `minDfPpm` parts-per-million of the corpus — the data-driven
     * replacement for a hand-curated stopword list (every corpus has its

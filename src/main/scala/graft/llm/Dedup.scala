@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PolyHash.polyhash
 
@@ -602,5 +603,69 @@ object Dedup {
       minEstJaccard, maxBucket)
       .filter(col("exact_ppm") >= loPpm && col("exact_ppm") < hiPpm)
       .select(col("doc_a"), col("doc_b"), col("exact_ppm"))
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme, Schleimer/Wilkerson/Aiken
+    * SIGMOD'03): hash every word `k`-gram IN ORDER, slide a window of
+    * `w` consecutive gram hashes, keep each window's MINIMUM, emit the
+    * distinct selected hashes — the guarantee is that any shared run of
+    * ≥ `w + k − 1` words between two documents shares at least one
+    * fingerprint, at ~1/w the density of the full shingle set. The
+    * selected SET is tie-rule-free (equal minima select the same
+    * value), so the output is engine-exact. Documents shorter than
+    * `k + w − 1` words contribute their single overall-min gram hash
+    * when they have ≥ k words, else nothing.
+    *
+    * Output `(id, fp)` exploded — one row per distinct fingerprint.
+    * Pure map-side work (tokenize → gram hashes → window minima →
+    * distinct → explode); no shuffle.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need positive gram and window widths")
+    // every array is staged behind its own projection boundary so later
+    // references are ATTRIBUTES: an inline `hs` inside the window lambda
+    // would re-hash the whole document per window (O(len²) per doc —
+    // measured 8× on the corpus pass), and CollapseProject keeps the
+    // stages apart because the aliases are referenced more than once
+    val hs = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(Text.ngrams(col("__toks"), k), g => polyhash(g))
+          .as("__hs"))
+    val mins = hs.select(col(idCol),
+      when(size(col("__hs")) >= w,
+          transform(sequence(lit(0), size(col("__hs")) - w),
+            i => array_min(slice(col("__hs"), i + 1, lit(w)))))
+        .when(size(col("__hs")) >= 1, array(array_min(col("__hs"))))
+        .otherwise(array().cast("array<bigint>")).as("__mins"))
+    mins.select(col(idCol), explode(array_distinct(col("__mins"))).as("fp"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the
+    * MOSS-style overlap detector. Fingerprints held by more than
+    * `maxDocsPerFp` documents are dropped BEFORE pairing (the
+    * boilerplate guard: a fingerprint from a shared license header
+    * would otherwise pair quadratically), so the join is bounded per
+    * key — the same hot-bucket discipline as the MinHash/SimHash
+    * candidate generators. One fingerprint-keyed self-join of the
+    * (fp → docs) inverted index, then a pair-grain count.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      "need a positive overlap floor and a pairable fp cap")
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
+    val bounded = fps.withColumn("__nd",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__nd") <= maxDocsPerFp)
+    val a = bounded.select(col("fp"), col(idCol).as("id_a"))
+    val b = bounded.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

@@ -95,6 +95,56 @@ object Shaping {
       .drop("__start")
   }
 
+  /** Packing-efficiency report for the contiguous-cumsum packing
+    * contract ([[packByCost]]): for each candidate context budget `L`,
+    * the exact bin count, padding waste, number of documents that span
+    * a bin boundary (each span = one attention-mask split a trainer
+    * pays for), and the count of documents longer than `L` outright
+    * (chunk-first candidates) — the report that picks a context length
+    * BEFORE committing a 100 TB tokenization run.
+    *
+    * All integer-exact: with per-group running starts `s` (computed
+    * ONCE — they don't depend on `L`) and doc costs `n`, a doc spans
+    * `(s+n−1) DIV L − s DIV L` boundaries, group waste is
+    * `ceil(T/L)·L − T`. One shuffle + one window per group (shared
+    * across all budgets), then an explode over the small budget list.
+    * Output one row per (group, budget): `(group, budget, n_docs,
+    * total_tokens, n_bins, padding, pad_ppm, n_crossings, n_oversize)`.
+    */
+  def packingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      "need at least one positive budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = docs.select(col(groupCol), col(idCol),
+        graft.functions.TokenCount.tokenCount(col(textCol)).cast("long")
+          .as("__n"))
+      .withColumn("__s", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("budget",
+        explode(array(budgets.map(b => lit(b.toLong)): _*)))
+    staged
+      .withColumn("__span", when(col("__n") > 0L,
+        expr("(__s + __n - 1) DIV budget - __s DIV budget"))
+        .otherwise(lit(0L)))
+      .groupBy(col(groupCol), col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("__span")).as("n_crossings"),
+        sum(when(col("__n") > col("budget"), 1L).otherwise(0L))
+          .as("n_oversize"))
+      .withColumn("n_bins", when(col("total_tokens") > 0L,
+        expr("(total_tokens + budget - 1) DIV budget")).otherwise(lit(0L)))
+      .withColumn("padding",
+        col("n_bins") * col("budget") - col("total_tokens"))
+      .withColumn("pad_ppm", when(col("n_bins") > 0L,
+        expr("(padding * 1000000) DIV (n_bins * budget)"))
+        .otherwise(lit(0L)))
+      .select(col(groupCol), col("budget"), col("n_docs"),
+        col("total_tokens"), col("n_bins"), col("padding"),
+        col("pad_ppm"), col("n_crossings"), col("n_oversize"))
+  }
+
   /** Deterministic stratified sampling to a target per-stratum rate:
     * keep a document iff `polyhash(key) mod 1000 < permille(stratum)`.
     * Content-hash gating (not RNG) makes the sample reproducible across

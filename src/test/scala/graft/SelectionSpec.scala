@@ -103,6 +103,71 @@ class SelectionSpec extends SparkSpec {
       s"doc ${r._1}: two-level pos ${r._4} != global ${ref(r._1)}"))
   }
 
+  test("winnowing: shared run of >= w+k-1 words shares a fingerprint; short-doc edge cases") {
+    import graft.llm.Dedup
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 words
+    val d = docs(
+      (1L, s"one two $shared three four five six seven", "en"),
+      (2L, s"eight nine ten $shared eleven twelve", "en"),
+      (3L, "aa bb", "en"),              // < k words → no fingerprints
+      (4L, "aa bb cc dd", "en"))        // k..k+w-2 words → exactly 1
+    val fps = Dedup.winnowingFingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "MOSS guarantee: a shared w+k-1 window must share a fingerprint")
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).size == 1)
+  }
+
+  test("winnowing pairs: hot-fingerprint guard drops boilerplate-only pairs") {
+    import graft.llm.Dedup
+    // 6 docs all share one boilerplate sentence; only 1 and 2 also share
+    // unique content. With the cap below 6 the boilerplate fp can't pair.
+    val boiler = "all rights reserved contact the publisher for details"
+    val uniq = "quantum flux capacitor resonance cascade theory"
+    val d = docs((1L to 6L).map { i =>
+      val extra = if (i <= 2) uniq else s"filler${i} " * 8
+      (i, s"$boiler $extra", "en")
+    }: _*)
+    val pairs = Dedup.winnowingPairs(d, "doc_id", "text", k = 3, w = 2,
+        minShared = 1, maxDocsPerFp = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "unique shared content must pair")
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"boilerplate-only pairs must be suppressed by the fp cap: $pairs")
+  }
+
+  test("packing efficiency: hand-computed bins/waste/crossings") {
+    val d = Seq(
+      (1L, "a b c", "g"), (2L, "a b c d e", "g"), (3L, "a b", "g"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.llm.Shaping.packingEfficiency(d, "doc_id", "text",
+      "lang", Seq(4)).collect().head
+    // starts 0,3,8; T=10; bins=3; padding=2; crossings: doc2 spans 1
+    // boundary (3..7 crosses 4), doc3 (8..9) none; oversize: doc2 (5>4)
+    assert(r.getAs[Long]("n_docs") == 3 &&
+      r.getAs[Long]("total_tokens") == 10 &&
+      r.getAs[Long]("n_bins") == 3 && r.getAs[Long]("padding") == 2 &&
+      r.getAs[Long]("n_crossings") == 1 &&
+      r.getAs[Long]("n_oversize") == 1 &&
+      r.getAs[Long]("pad_ppm") == 166666)
+  }
+
+  test("tokenizer fertility: exact ratios on a hand corpus") {
+    val d = Seq((1L, "ab cd-ef", "en"), (2L, "x1y", "en"))
+      .toDF("doc_id", "text", "lang")
+    // words: ["ab","cd","ef"] + ["x1y"] = 4 (normalize strips '-')
+    // subwords: ab|cd|-|ef (4) + x|1|y (3) = 7; chars: 8 + 3 = 11
+    val r = graft.llm.Curation.tokenizerFertility(d, "text", "lang")
+      .collect().head
+    assert(r.getAs[Long]("n_words") == 4 &&
+      r.getAs[Long]("n_subwords") == 7 &&
+      r.getAs[Long]("n_chars") == 11)
+    assert(math.abs(r.getAs[Double]("fertility") - 1.75) < 1e-9)
+  }
+
   test("contrastive: positive excludes self and respects thresholds; negatives bounded by k") {
     val dim = 4
     def v(xs: Double*) = xs.map(_.toFloat).toArray
