@@ -3282,6 +3282,44 @@ object LlmQueries {
             END AS chars_per_subword
         FROM documents GROUP BY lang"""))
 
+  /** Leakage-safe sharding composite: the proven LSH→CC cluster chain
+    * routed through rendezvous on the cluster representative — every
+    * near-dup family lands in one shard. Pins the COMPOSITION (the
+    * q237 discipline) plus the singleton fallback.
+    */
+  private val l114 = Spec("q249_leakage_safe_shards",
+    (s, d) => {
+      val corpus = nearDupCorpus(s, d)
+      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+        shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+        maxBucket = 1000)
+      val clusters = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      graft.llm.Selection.leakageSafeShards(corpus, "doc_id",
+        clusters, "doc", "cluster", k = 8)
+    },
+    Some(s"""WITH RECURSIVE $lshCtes,
+        cand AS (SELECT doc_a, doc_b FROM pairs
+          WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT s FROM edges),
+        reach(s, d) AS (SELECT s, s FROM nodes
+          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        cl AS (SELECT s AS doc, min(d) AS cluster FROM reach GROUP BY s),
+        wr AS (SELECT c.doc_id, coalesce(cl.cluster, c.doc_id) AS rep
+          FROM corpus c LEFT JOIN cl ON cl.doc = c.doc_id),
+        p AS (SELECT doc_id, rep,
+          unnest([{'s': s, 'h': (${phSql(
+            "CAST(rep AS VARCHAR) || '#' || CAST(s AS VARCHAR)")}
+            * 2654435761) % 1000000007}
+            for s in range(0, 8)]) AS u
+          FROM wr),
+        e AS (SELECT doc_id, rep, u.s AS s, u.h AS h FROM p),
+        r AS (SELECT doc_id, rep, s, row_number() OVER (
+          PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM e)
+        SELECT doc_id, rep, CAST(s AS INT) AS shard FROM r
+        WHERE rn = 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3291,5 +3329,5 @@ object LlmQueries {
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
-    l113)
+    l113, l114)
 }

@@ -218,6 +218,33 @@ object Selection {
       .select(col(idCol), col("n_tokens"), col("bucket"), col("pos"))
   }
 
+  /** Leakage-safe sharding: route every document to a shard by the
+    * rendezvous hash of its DUPLICATE-CLUSTER REPRESENTATIVE (its own
+    * id when unclustered), so all members of a near-dup cluster land
+    * in the SAME shard — the property that lets per-shard workers
+    * finish dedup locally, and that keeps a later shard-level
+    * train/eval split from placing a document's near-copy across the
+    * boundary. `clusters` is the `(doc, cluster)` output of
+    * [[Dedup.duplicateClusters]]. Output `(id, rep, shard)`.
+    *
+    * Scale: one id-keyed left join of the cluster map (pairs-grain,
+    * ≪ corpus) onto the id projection, then the map-side rendezvous
+    * scoring — no other shuffle; same-cluster co-location is exact by
+    * construction (same rep → same hash → same shard).
+    */
+  def leakageSafeShards(docs: DataFrame, idCol: String,
+      clusters: DataFrame, clusterIdCol: String, clusterCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one shard")
+    val reps = clusters.select(col(clusterIdCol).as(idCol),
+      col(clusterCol).as("__cl"))
+    val withRep = docs.select(col(idCol))
+      .join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("__cl"), col(idCol)))
+    Shaping.rendezvousAssign(withRep, "rep", k)
+      .select(col(idCol), col("rep"), col("shard"))
+  }
+
   /** Contrastive pair mining over an embedding corpus: for each query,
     * its best POSITIVE (most similar non-self neighbor with cosine ≥
     * `posThr`) and the top-`k` HARD NEGATIVES (most similar neighbors

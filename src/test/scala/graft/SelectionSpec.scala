@@ -168,6 +168,25 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fertility") - 1.75) < 1e-9)
   }
 
+  test("leakage-safe shards: cluster members co-locate; singletons follow their own hash") {
+    val d = docs((1L to 40L).map(i => (i, s"text $i", "en")): _*)
+    val clusters = Seq((3L, 3L), (7L, 3L), (21L, 3L), (10L, 10L),
+      (11L, 10L)).toDF("doc", "cluster")
+    val out = graft.llm.Selection.leakageSafeShards(d, "doc_id",
+        clusters, "doc", "cluster", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(out.size == 40)
+    assert(Set(out(3L), out(7L), out(21L)).size == 1,
+      "cluster {3,7,21} must land in one shard")
+    assert(out(10L) == out(11L))
+    // singleton: rep is its own id, matching a direct rendezvous assign
+    val solo = graft.llm.Shaping.rendezvousAssign(
+      d.filter(col("doc_id") === 5).select(col("doc_id")), "doc_id", 8)
+      .collect().head.getInt(1)
+    assert(out(5L) == (5L, solo))
+  }
+
   test("contrastive: positive excludes self and respects thresholds; negatives bounded by k") {
     val dim = 4
     def v(xs: Double*) = xs.map(_.toFloat).toArray
