@@ -49,10 +49,11 @@ object Selection {
     * IEEE sum whose order does not depend on partitioning.
     */
   private def orderedSum(df: DataFrame, grpCols: Seq[String],
-      ordCol: String, valCol: String, outCol: String): DataFrame =
+      ordCol: String, valCol: String, outCol: String,
+      extraAggs: Seq[Column] = Nil): DataFrame =
     df.groupBy(grpCols.map(col): _*)
       .agg(array_sort(collect_list(struct(col(ordCol).as("o"),
-        col(valCol).as("v")))).as("__cs"))
+        col(valCol).as("v")))).as("__cs"), extraAggs: _*)
       .withColumn(outCol, aggregate(col("__cs"), lit(0.0d),
         (acc, x) => acc + x.getField("v")))
       .drop("__cs")
@@ -72,7 +73,12 @@ object Selection {
     * the model, which broadcasts; the corpus sees one tokenize-explode
     * pass collapsed to (doc, bucket) grain with map-side combine, one
     * broadcast join, one doc-grain fold. Counts in DECIMAL(38,0) — the
-    * token-instance totals of a 100 TB corpus pass 2⁶³.
+    * token-instance totals of a 100 TB corpus pass 2⁶³. The (doc,
+    * bucket) frame is EAGERLY materialized (`localCheckpoint`): it has
+    * three readers (raw model, target model, scoring), and storing the
+    * ≤ 64-rows-per-doc counts once is strictly cheaper than
+    * re-tokenizing the corpus per reader — the single-pass audit rule
+    * applied to a corpus-grain (not dimension-grain) frame.
     */
   def dsirImportanceWeights(docs: DataFrame, idCol: String,
       textCol: String, targetPred: Column,
@@ -94,9 +100,10 @@ object Selection {
           (col("__rt") + nBuckets).cast("double")), 6).as("__lr"))
     val contrib = pd.join(broadcast(model), Seq("__b"))
       .withColumn("__c", col("__n").cast("double") * col("__lr"))
-    val scored = orderedSum(contrib, Seq(idCol), "__b", "__c", "__s")
-      .join(pd.groupBy(col(idCol)).agg(sum(col("__n")).as("__nt")),
-        Seq(idCol))
+    // token total rides the SAME doc-grain aggregate as the fold — a
+    // separate count + id-keyed join would shuffle the corpus twice
+    val scored = orderedSum(contrib, Seq(idCol), "__b", "__c", "__s",
+      extraAggs = Seq(sum(col("__n")).as("__nt")))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
