@@ -3320,6 +3320,33 @@ object LlmQueries {
         SELECT doc_id, rep, CAST(s AS INT) AS shard FROM r
         WHERE rn = 1"""))
 
+  /** JL sign projection 64→16 over the embedding corpus, pos-exploded
+    * to the scalar gate shape. The ±1 matrix literal is generated from
+    * the SAME `jlSigns` call the operator uses, so the oracle mirrors
+    * the derivation by construction.
+    */
+  private val l115 = Spec("q250_jl_project",
+    (s, d) => Similarity.jlProject(T(s, d, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("jl")))
+      .withColumnRenamed("col", "jval")
+      .withColumn("jval", round(col("jval"), 6)),
+    Some {
+      val m = Similarity.jlSigns(64, 16)
+      val scale = 1.0 / math.sqrt(16.0)
+      val terms = m.indices.map { j =>
+        val signs = m(j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"""{'p': $j, 'v': round(list_reduce(list_prepend(
+            CAST(0 AS DOUBLE),
+            list_transform(list_zip(embedding, $signs),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b) * $scale, 6)}"""
+      }.mkString("[", ",", "]")
+      s"""SELECT vec_id, CAST(u.p AS INT) AS pos, u.v AS jval
+          FROM (SELECT vec_id, unnest($terms) AS u FROM embeddings)"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3329,5 +3356,5 @@ object LlmQueries {
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
-    l113, l114)
+    l113, l114, l115)
 }

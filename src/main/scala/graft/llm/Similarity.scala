@@ -268,6 +268,49 @@ object Similarity {
     * codegen or dedupe). Zero vectors pass through unchanged (no NaN/Inf
     * divergence between engines).
     */
+  /** ±1 sign matrix for [[jlProject]], derived from the engine hash
+    * (`parity of polyhash("jl:i#j")`) — deterministic, seedless, and
+    * reproducible in plain SQL, which is what lets the projection be
+    * oracle-checked as literal values while the DERIVATION stays
+    * spec-pinned. Row `j` holds the input-dimension signs of output
+    * coordinate `j`.
+    */
+  def jlSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val h = graft.functions.PolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"jl:$i#$j"))
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss sign projection: `out_j = (Σ_i v_i·s_ij) /
+    * √outDim` with the hash-derived ±1 matrix of [[jlSigns]] — the
+    * standard dimensionality crush applied BEFORE expensive pairwise
+    * work (a 64→16 projection cuts every downstream dot product and
+    * shuffle byte count 4× while preserving pairwise geometry to the JL
+    * distortion bound). Deterministic: the matrix is seedless and the
+    * per-coordinate fold runs left-to-right from an explicit 0.0, so
+    * the projection is bitwise engine-stable.
+    *
+    * Scale: pure map-side work — outDim folds of length inDim per row,
+    * no shuffle, no state; the sign matrix is a plan literal
+    * (outDim×inDim doubles, KBs).
+    */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, outCol: String = "jl"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      "need 1 <= outDim <= inDim")
+    val m = jlSigns(inDim, outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map { j =>
+      aggregate(
+        zip_with(col(vecCol), lit(m(j)), (x, s) => x.cast("double") * s),
+        lit(0.0d), (acc, x) => acc + x) * scale
+    }: _*)
+    vecs.select(col(idCol), proj.as(outCol))
+  }
+
   def normalizeFromNorm(vec: Column, nrm: Column): Column =
     transform(vec, x =>
       when(nrm > 0, x.cast("double") / nrm).otherwise(x.cast("double")))

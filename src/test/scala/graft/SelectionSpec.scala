@@ -187,6 +187,29 @@ class SelectionSpec extends SparkSpec {
     assert(out(5L) == (5L, solo))
   }
 
+  test("jl projection: hash-parity sign derivation; basis vectors map to sign columns") {
+    import graft.llm.Similarity
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = Similarity.jlSigns(8, 4)
+    for (j <- 0 until 4; i <- 0 until 8) {
+      val h = graft.functions.PolyHash.hash(
+        UTF8String.fromString(s"jl:$i#$j"))
+      assert(m(j)(i) == (if ((h & 1L) == 1L) 1.0 else -1.0))
+    }
+    // e_i projects to (s_{i,0..3}) / sqrt(4) exactly
+    val basis = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(k => if (k == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(basis, "vec_id", "embedding", 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (i <- 0 until 8; j <- 0 until 4)
+      assert(got(i.toLong)(j) == m(j)(i) / 2.0,
+        s"e_$i coord $j must be sign/√outDim")
+    // geometry sanity: projected self-dot of a unit basis vector is
+    // exactly 1 (4 coords of (±1/2)²)
+    got.values.foreach(v => assert(v.map(x => x * x).sum == 1.0))
+  }
+
   test("contrastive: positive excludes self and respects thresholds; negatives bounded by k") {
     val dim = 4
     def v(xs: Double*) = xs.map(_.toFloat).toArray
