@@ -72,8 +72,11 @@ object Selection {
     * Scale: two bucket-grain aggregates (≤ `nBuckets` rows each) build
     * the model, which broadcasts; the corpus sees one tokenize-explode
     * pass collapsed to (doc, bucket) grain with map-side combine, one
-    * broadcast join, one doc-grain fold. Counts in DECIMAL(38,0) — the
-    * token-instance totals of a 100 TB corpus pass 2⁶³. The (doc,
+    * broadcast join, one doc-grain fold. Count totals follow the
+    * repo-wide DECIMAL(38,0) discipline — not because raw totals
+    * approach 2⁶³ (a 100 TB corpus is ~10¹³–10¹⁴ tokens), but so any
+    * derived PRODUCT of two count frames stays out of the ANSI
+    * long-overflow class without per-site analysis. The (doc,
     * bucket) frame is EAGERLY materialized (`localCheckpoint`): it has
     * three readers (raw model, target model, scoring), and storing the
     * ≤ 64-rows-per-doc counts once is strictly cheaper than
@@ -207,11 +210,15 @@ object Selection {
   def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
       bucketWidth: Int = 32): DataFrame = {
     require(bucketWidth >= 1, "bucket width must be positive")
+    // two readers (counts aggregate + final join) — materialize the
+    // ~32-bytes/doc frame once rather than re-tokenizing the corpus
+    // per reader (the single-pass audit rule)
     val staged = docs.select(col(idCol),
         Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
       .withColumn("__h", polyhash(concat(lit("cur:"),
         col(idCol).cast("string"))))
+      .localCheckpoint(true)
     val counts = staged.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__c"))
     val offs = counts.withColumn("__off", coalesce(
@@ -261,13 +268,17 @@ object Selection {
     * cos)` with role ∈ {'pos','neg'}, rank 1-based within role, cosine
     * rounded 6 dp, ties toward the smaller neighbor id.
     *
-    * Scale: one scored pass (queries broadcast against the corpus, the
-    * [[Similarity.bruteForceTopK]] discipline — the corpus is never
-    * shuffled); both role windows key on query_id, so the exchange
-    * carries |queries|×|corpus| scored rows collapsed by the rank
-    * filters' `WindowGroupLimit` pushdown. For corpus-× -corpus mining
-    * swap the broadcast side for the LSH-bucketed candidates path
-    * (`Similarity.annTopK`) — same output contract.
+    * Scale: ONE scored pass (queries broadcast against the corpus, the
+    * [[Similarity.bruteForceTopK]] discipline — the corpus is scanned
+    * once and every cosine is evaluated once). The two roles are
+    * DISJOINT (`posThr > negCeil`), so each candidate row is tagged
+    * with its role map-side and ranked by a single window keyed on
+    * (query_id, role); rows in the dead band `[negCeil, posThr)` — the
+    * bulk of a typical corpus — never reach the exchange at all, and
+    * the `rank <= k` filter's `WindowGroupLimit` pushdown truncates
+    * what does. For corpus-×-corpus mining swap the broadcast side for
+    * the LSH-bucketed candidates path (`Similarity.annTopK`) — same
+    * output contract.
     */
   def contrastiveMine(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
@@ -276,24 +287,21 @@ object Selection {
       "need k >= 1 and a positive threshold above the negative ceiling")
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"),
+    val role = when(col("neighbor_id") =!= col("query_id") &&
+        col("__cos") >= posThr, "pos")
+      .when(col("__cos") < negCeil, "neg")
+    val tagged = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv"))
       .join(q)
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("__qv"), col("__cv")).as("__cos"))
-    val w = Window.partitionBy(col("query_id"))
+      .withColumn("role", role)
+      .filter(col("role").isNotNull)
+    val w = Window.partitionBy(col("query_id"), col("role"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    val pos = scored
-      .filter(col("neighbor_id") =!= col("query_id") &&
-        col("__cos") >= posThr)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .withColumn("role", lit("pos"))
-    val neg = scored.filter(col("__cos") < negCeil)
-      .withColumn("rank", row_number().over(w))
+    tagged.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .withColumn("role", lit("neg"))
-    pos.unionByName(neg)
+      .filter(col("role") === "neg" || col("rank") === 1)
       .select(col("query_id"), col("role"), col("rank"),
         col("neighbor_id"), round(col("__cos"), 6).as("cos"))
   }

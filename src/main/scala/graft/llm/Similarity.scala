@@ -268,6 +268,12 @@ object Similarity {
     * codegen or dedupe). Zero vectors pass through unchanged (no NaN/Inf
     * divergence between engines).
     */
+  def normalizeFromNorm(vec: Column, nrm: Column): Column =
+    transform(vec, x =>
+      when(nrm > 0, x.cast("double") / nrm).otherwise(x.cast("double")))
+
+  def normalize(vec: Column): Column = normalizeFromNorm(vec, norm(vec))
+
   /** ±1 sign matrix for [[jlProject]], derived from the engine hash
     * (`parity of polyhash("jl:i#j")`) — deterministic, seedless, and
     * reproducible in plain SQL, which is what lets the projection be
@@ -310,12 +316,6 @@ object Similarity {
     }: _*)
     vecs.select(col(idCol), proj.as(outCol))
   }
-
-  def normalizeFromNorm(vec: Column, nrm: Column): Column =
-    transform(vec, x =>
-      when(nrm > 0, x.cast("double") / nrm).otherwise(x.cast("double")))
-
-  def normalize(vec: Column): Column = normalizeFromNorm(vec, norm(vec))
 
   /** Per-vector |max| — the symmetric int8 quantization scale basis. */
   def absMax(vec: Column): Column =

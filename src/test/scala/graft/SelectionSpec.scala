@@ -60,7 +60,7 @@ class SelectionSpec extends SparkSpec {
       (3L, "cat bird dog dog", "en"), (4L, "hund katze vogel hund", "de"),
       (5L, "katze hund vogel vogel", "de"),
       (6L, "vogel katze katze hund", "de"),
-      // held out (doc_id % 3 == 0 is TRAIN here; pred = the others)
+      // held out (train = doc_id <= 6 below; these three are scored)
       (10L, "cat dog bird", "en"), (11L, "hund katze vogel", "de"),
       (13L, "...", "de")) // zero tokens, held out
     val out = Selection.nbTrainScore(d, "doc_id", "text", "lang",
@@ -76,9 +76,14 @@ class SelectionSpec extends SparkSpec {
     val d = docs(
       (1L, "aa aa bb", "x1"), (2L, "aa bb bb", "x1"),
       (3L, "cc cc dd", "x2"), (4L, "cc dd dd", "x2"),
-      (9L, "zz zz zz", "x1")) // zz unseen; symmetric likelihoods
-    // symmetric IF the unseen token's bucket is unseen for both labels
-    // and both labels have equal totals — holds by construction
+      (9L, "zz zz zz", "x1")) // zz unseen in training
+    // the tie needs zz's bucket to hold EQUAL training counts for both
+    // labels. That is not guaranteed by "unseen token" alone (buckets
+    // collide): under the current polyhash, zz lands with bb (count 3
+    // for x1) and dd (count 3 for x2) — equal, and label totals and
+    // priors are mirrored, so the scores tie exactly. The hash is
+    // fixed, so this is deterministic; re-derive the collision pattern
+    // if the tokens or nBuckets change.
     val out = Selection.nbTrainScore(d, "doc_id", "text", "lang",
       col("doc_id") <= 4, nBuckets = 64).collect()
     assert(out.length == 1 && out.head.getString(2) == "x1")
