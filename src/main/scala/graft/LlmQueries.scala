@@ -3347,6 +3347,53 @@ object LlmQueries {
           FROM (SELECT vec_id, unnest($terms) AS u FROM embeddings)"""
     })
 
+  /** Shared HLL register CTE chain over events.user_id (p=8 → m=256,
+    * quotient width 22): ends at `fullr` = the full 256-row register
+    * axis. ONE copy for q251 (register face) and q252 (estimate face).
+    */
+  private val hllCtes: String =
+    s"""h AS (SELECT (${phSql("CAST(user_id AS VARCHAR)")}
+            * 2654435761) % 1000000007 AS h
+          FROM events WHERE user_id IS NOT NULL),
+        rh AS (SELECT h % 256 AS bucket, CASE WHEN h // 256 = 0 THEN 23
+          ELSE 23 - length(bin(h // 256)) END AS rho FROM h),
+        regs AS (SELECT bucket, max(rho) AS register FROM rh
+          GROUP BY bucket),
+        grid AS (SELECT unnest(range(256)) AS bucket),
+        fullr AS (SELECT CAST(g.bucket AS INT) AS bucket,
+          CAST(coalesce(register, 0) AS INT) AS register
+          FROM grid g LEFT JOIN regs ON regs.bucket = g.bucket)"""
+
+  /** HyperLogLog register table (p=8) over the event users — the
+    * mergeable bounded-state distinct sketch; engine-exact integers.
+    */
+  private val l116 = Spec("q251_hll_registers",
+    (s, d) => graft.engine.Sketches.hllRegisters(
+      Queries.T(s, d, "events").select(col("user_id")), "user_id", p = 8),
+    Some(s"""WITH $hllCtes SELECT bucket, register FROM fullr"""))
+
+  /** HLL estimate with the small-range correction — the one-row face. */
+  private val l117 = Spec("q252_hll_estimate",
+    (s, d) => graft.engine.Sketches.hllEstimate(
+      Queries.T(s, d, "events").select(col("user_id")), "user_id", p = 8),
+    Some {
+      val alpha = "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) " +
+        "+ CAST(1.079 AS DOUBLE) / 256)"
+      s"""WITH $hllCtes,
+          st AS (SELECT sum(power(CAST(2 AS DOUBLE), -register)) AS s2,
+            sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS nz
+            FROM fullr),
+          er AS (SELECT round($alpha * 256 * 256 / s2, 6) AS raw_est,
+            nz, s2 FROM st)
+          SELECT CAST(256 AS INT) AS m, CAST(nz AS BIGINT) AS n_zero,
+            raw_est,
+            round(CASE WHEN raw_est <= 2.5 * 256 AND nz > 0
+              THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)
+                / CAST(nz AS DOUBLE))
+              ELSE $alpha * 256 * 256 / s2 END, 6) AS est
+          FROM er"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3356,5 +3403,5 @@ object LlmQueries {
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
-    l113, l114, l115)
+    l113, l114, l115, l116, l117)
 }

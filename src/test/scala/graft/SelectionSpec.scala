@@ -215,6 +215,28 @@ class SelectionSpec extends SparkSpec {
     got.values.foreach(v => assert(v.map(x => x * x).sum == 1.0))
   }
 
+  test("hll: union registers = elementwise max; estimates track truth in both regimes") {
+    import graft.engine.Sketches
+    def ids(r: Range) = r.map(i => Tuple1(s"user$i")).toDF("v")
+    val a = ids(1 to 800); val b = ids(500 to 1500)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "v", p = 8).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val ra = regs(a); val rb = regs(b); val ru = regs(a.union(b))
+    (0 until 256).foreach(j => assert(ru(j) == math.max(ra(j), rb(j)),
+      s"bucket $j: union register must be elementwise max"))
+    // large regime (n >> m): estimate within 3σ of truth (σ = 1.04/√m
+    // ≈ 6.5% at p = 8; this fixed corpus sits at ~12%, inside 2σ)
+    val big = Sketches.hllEstimate(a.union(b), "v", p = 8)
+      .collect().head.getAs[Double]("est")
+    assert(math.abs(big - 1500) / 1500.0 < 0.20, s"est $big vs 1500")
+    // small regime: the linear-counting correction engages and tracks
+    val small = Sketches.hllEstimate(ids(1 to 20), "v", p = 8)
+      .collect().head
+    assert(small.getAs[Long]("n_zero") > 0)
+    assert(math.abs(small.getAs[Double]("est") - 20) / 20.0 < 0.15)
+  }
+
   test("contrastive: positive excludes self and respects thresholds; negatives bounded by k") {
     val dim = 4
     def v(xs: Double*) = xs.map(_.toFloat).toArray
