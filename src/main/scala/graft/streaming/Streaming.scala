@@ -405,6 +405,65 @@ object Streaming {
     * than a fabricated number. State never expires (a cardinality
     * counter is cumulative); group-key cardinality bounds memory.
     */
+  final case class HllUpdate(group: String, n_zero: Long, est: Double)
+
+  /** Streaming HyperLogLog — the continuous face of
+    * [[graft.engine.Sketches.hllRegisters]]/`hllEstimate`: per group
+    * the state is the `m = 2^p` byte registers (FIXED size however many
+    * values stream through), each batch folds its values in with max
+    * and emits the refreshed `(n_zero, est)`. Hash, mix, rank math, the
+    * exact dyadic indicator sum, and HALF_UP 6-dp rounding all mirror
+    * the batch face bit-for-bit, so after any stream prefix the
+    * emission equals `hllEstimate` over the same rows (spec-pinned).
+    * Cross-group (or cross-shard) rollup is elementwise max of the
+    * register state — the merge the batch spec pins. State never
+    * expires; group-key cardinality bounds memory.
+    */
+  def hllStream(values: Dataset[KeyedValue],
+      p: Int = 8): Dataset[HllUpdate] = {
+    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
+    val m = 1 << p
+    val w = 30 - p
+    implicit val outEnc = Encoders.product[HllUpdate]
+    implicit val stEnc = Encoders.BINARY
+    implicit val keyEnc = Encoders.STRING
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Byte], HllUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedValue],
+            state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { r =>
+            if (r.v != null) {
+              val h = (graft.functions.PolyHash.hashString(r.v) *
+                2654435761L) % 1000000007L
+              val b = (h % m).toInt
+              val q = h / m
+              val rho = if (q == 0L) w + 1
+                else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(q))
+              if (rho > (regs(b) & 0xff)) regs(b) = rho.toByte
+            }
+          }
+          state.update(regs)
+          var s = 0.0; var nz = 0L
+          regs.foreach { r0 =>
+            val reg = r0 & 0xff
+            s += math.pow(2.0, -reg)
+            if (reg == 0) nz += 1
+          }
+          def r6(x: Double): Double = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val alpha = 0.7213 / (1.0 + 1.079 / m)
+          // the batch face branches on the ROUNDED raw estimate —
+          // mirror it exactly or a knife-edge value flips the branch
+          val raw6 = r6(alpha * m * m / s)
+          val est6 = if (raw6 <= 2.5 * m && nz > 0)
+            r6(m.toDouble * math.log(m.toDouble / nz))
+          else raw6
+          Iterator(HllUpdate(group, nz, est6))
+      }
+  }
+
   def distinctSketchStream(values: Dataset[KeyedValue],
       m: Int): Dataset[SketchUpdate] = {
     require(m >= 2 && m % 8 == 0, "bucket count must be a positive multiple of 8")

@@ -386,6 +386,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllStream: per-batch emissions bit-identical to batch hllEstimate " +
+      "on every prefix; duplicates absorbed; state is m bytes per group") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.hllStream(mem.toDS(), p = 8)
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("append").start()
+    try {
+      val b1 = (1 to 300).map(i => Streaming.KeyedValue("g", s"user$i"))
+      val b2 = (250 to 600).map(i => Streaming.KeyedValue("g", s"user$i"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = sp.sql("SELECT n_zero, est FROM hllstream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def ref(vs: Seq[String]) = {
+        val row = graft.engine.Sketches.hllEstimate(
+          vs.map(Tuple1(_)).toDF("v"), "v", p = 8).collect().head
+        (row.getAs[Long]("n_zero"), row.getAs[Double]("est"))
+      }
+      assert(got == Seq(ref(b1.map(_.v)), ref((b1 ++ b2).map(_.v))),
+        "stream emissions must equal the batch face on each prefix")
+    } finally q.stop()
+  }
+
   test("cmsStream: per-batch estimates bit-identical to the batch " +
       "cmsTopK est over the same prefix; state is d*w longs") {
     val sp = spark
