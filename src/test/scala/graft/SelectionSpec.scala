@@ -126,6 +126,33 @@ class SelectionSpec extends SparkSpec {
     assert(byDoc(4L).size == 1)
   }
 
+  test("winnowing property: ANY shared run of w+k-1 words yields a shared fingerprint (randomized)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.llm.Dedup
+    val k = 3; val w = 4
+    val word = Gen.oneOf((0 until 40).map(i => s"w$i"))
+    val run = Gen.listOfN(w + k - 1, word) // the shared window
+    val pad = Gen.listOf(word)
+    // docs = pad ++ run ++ pad, independently padded on each side
+    val gen = Gen.zip(run, pad, pad, pad, pad)
+    val prop = forAll(gen) { case (r, a1, a2, b1, b2) =>
+      val d = Seq(
+        (1L, (a1 ++ r ++ a2).mkString(" "), "en"),
+        (2L, (b1 ++ r ++ b2).mkString(" "), "en")).toDF(
+        "doc_id", "text", "lang")
+      val byDoc = Dedup.winnowingFingerprints(d, "doc_id", "text", k, w)
+        .collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (byDoc.getOrElse(1L, Set.empty[Long]) &
+        byDoc.getOrElse(2L, Set.empty[Long])).nonEmpty
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("winnowing pairs: hot-fingerprint guard drops boilerplate-only pairs") {
     import graft.llm.Dedup
     // 6 docs all share one boilerplate sentence; only 1 and 2 also share
