@@ -623,23 +623,22 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "need positive gram and window widths")
-    // every array is staged behind its own projection boundary so later
-    // references are ATTRIBUTES: an inline `hs` inside the window lambda
-    // would re-hash the whole document per window (O(len²) per doc —
-    // measured 8× on the corpus pass), and CollapseProject keeps the
-    // stages apart because the aliases are referenced more than once
-    val hs = docs
-      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // fully native chain: gram_hashes (ordered scan, zero per-gram
+    // allocation) → winnow_mins (monotonic deque, O(n) total) — both
+    // codegen'd. The first cut here was a composable HOF chain whose
+    // inline gram-hash expression inside the window lambda re-hashed
+    // the whole document per window (O(len²) per doc, 8× on the sf0.1
+    // corpus pass); staging arrays as attributes fixed the asymptotics,
+    // and the native pair removes the remaining O(n·w) interpreted
+    // slice/array_min work per window. Equivalence to the staged HOF
+    // chain is property-tested in SelectionSpec.
+    docs
       .select(col(idCol),
-        transform(Text.ngrams(col("__toks"), k), g => polyhash(g))
+        graft.functions.ShingleHashes.gramHashes(col(textCol), k)
           .as("__hs"))
-    val mins = hs.select(col(idCol),
-      when(size(col("__hs")) >= w,
-          transform(sequence(lit(0), size(col("__hs")) - w),
-            i => array_min(slice(col("__hs"), i + 1, lit(w)))))
-        .when(size(col("__hs")) >= 1, array(array_min(col("__hs"))))
-        .otherwise(array().cast("array<bigint>")).as("__mins"))
-    mins.select(col(idCol), explode(array_distinct(col("__mins"))).as("fp"))
+      .select(col(idCol),
+        graft.functions.WinnowMins.winnowMins(col("__hs"), w).as("__mins"))
+      .select(col(idCol), explode(array_distinct(col("__mins"))).as("fp"))
   }
 
   /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the

@@ -153,6 +153,47 @@ class SelectionSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("native winnow pair == composable HOF chain (randomized, incl. short/empty/dup arrays)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import graft.functions.{ShingleHashes, WinnowMins}
+    import graft.llm.Text
+    import graft.functions.PolyHash.polyhash
+    val w = 4
+    // winnow_mins vs the array_min(slice(...)) reference on long arrays
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 1000L)) // dups likely
+    val p1 = forAll(Gen.listOfN(16, arrGen)) { arrs =>
+      val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "hs")
+      val hof = when(size(col("hs")) >= w,
+          transform(sequence(lit(0), size(col("hs")) - w),
+            i => array_min(slice(col("hs"), i + 1, lit(w)))))
+        .when(size(col("hs")) >= 1, array(array_min(col("hs"))))
+        .otherwise(array().cast("array<bigint>"))
+      df.select(col("id"), WinnowMins.winnowMins(col("hs"), w).as("a"),
+          hof.as("b"))
+        .collect().forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }
+    // gram_hashes (ordered) vs transform(ngrams(tokens), polyhash)
+    val word = Gen.oneOf((0 until 30).map(i => s"tok$i") :+ "Ümläut-x")
+    val docGen = Gen.listOf(word).map(_.mkString(" "))
+    val p2 = forAll(Gen.listOfN(16, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      df.select(col("id"),
+          ShingleHashes.gramHashes(col("text"), 3).as("a"),
+          coalesce(transform(Text.ngrams(Text.tokens(col("text")), 3),
+            g => polyhash(g)), array().cast("array<bigint>")).as("b"))
+        .collect().forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }
+    Seq(p1, p2).foreach { p =>
+      val res = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default
+          .withMinSuccessfulTests(15), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("winnowing pairs: hot-fingerprint guard drops boilerplate-only pairs") {
     import graft.llm.Dedup
     // 6 docs all share one boilerplate sentence; only 1 and 2 also share
