@@ -65,6 +65,20 @@ object GraftExtensions {
         require(args.size == 2, "dot(a, b)")
         DotProduct(args.head, args(1))
       }),
+    ("gram_hashes",
+      info("gram_hashes",
+        "gram_hashes(str, width) - ordered word-gram polyhash list (dups kept)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "gram_hashes(str, width)")
+        GramHashes(args.head, intLit(args(1), "gram width"))
+      }),
+    ("winnow_mins",
+      info("winnow_mins",
+        "winnow_mins(hashes, w) - sliding-window minima (winnowing selection)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "winnow_mins(hashes, w)")
+        WinnowMins(args.head, intLit(args(1), "winnow window"))
+      }),
     ("simhash",
       info("simhash", "simhash(hashes, bits) - majority-bit fingerprint"),
       (args: Seq[Expression]) => {

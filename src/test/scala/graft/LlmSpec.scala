@@ -255,6 +255,10 @@ class LlmSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 3)
     assert(r.getAs[Int]("sw") == 3)
     assert(r.getAs[Double]("d") == 11.0)
+    // winnowing pair: 5 grams of width 2, window 4 → 2 minima (≤ 2 distinct)
+    val rw = spark.sql(
+      """SELECT winnow_mins(gram_hashes('a b c d e f', 2), 4) AS wm""").head
+    assert(rw.getSeq[Long](0).length == 2)
     // non-literal width is a clear error, not a silent misread
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a', length('xy'))").head
