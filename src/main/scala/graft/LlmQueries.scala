@@ -3394,6 +3394,211 @@ object LlmQueries {
           FROM er"""
     })
 
+  // ---- continuation wave: moments / KMV sketches, bigram LM, SemDeDup --
+
+  /** Shared moments-sketch CTE over lineitem quantity by returnflag —
+    * ONE copy for q253 (state face) and q254 (quantile face). */
+  private val momentsCte: String =
+    """v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+          FROM lineitem WHERE l_quantity IS NOT NULL),
+        sk AS (SELECT l_returnflag, count(*) AS n,
+          CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+          CAST(sum(x*x) AS DECIMAL(38,0)) AS s2,
+          CAST(sum(x*x*x) AS DECIMAL(38,0)) AS s3,
+          CAST(sum(x*x*x*x) AS DECIMAL(38,0)) AS s4,
+          CAST(min(x) AS BIGINT) AS vmin, CAST(max(x) AS BIGINT) AS vmax
+          FROM v GROUP BY l_returnflag)"""
+
+  /** Moments sketch state: exact integer power sums per group — the
+    * mergeable quantile-sketch state (one row per returnflag). The gate
+    * face casts the DECIMAL(38,0) sums through DOUBLE (exact at gate
+    * magnitudes, ≤ 2⁵³; the comparator reads DuckDB decimals as float64)
+    * — in-engine consumers ([[graft.engine.Sketches.momentsQuantiles]])
+    * take the exact decimal state directly. */
+  private val l118 = Spec("q253_moments_sketch",
+    (s, d) => {
+      val sk = graft.engine.Sketches.momentsSketch(
+        T(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity")
+      sk.select(col("l_returnflag"), col("n"),
+        col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
+        col("s3").cast("double").as("s3"), col("s4").cast("double").as("s4"),
+        col("vmin"), col("vmax"))
+    },
+    Some(s"""WITH $momentsCte
+        SELECT l_returnflag, n, CAST(s1 AS DOUBLE) AS s1,
+          CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+          CAST(s4 AS DOUBLE) AS s4, vmin, vmax FROM sk"""))
+
+  /** Cornish-Fisher quantile estimates off the moments sketch — formulas
+    * interpolated from the SAME [[graft.engine.Sketches.momentsDerivedSql]]
+    * fragments Spark parses, so IEEE association is shared by
+    * construction. */
+  private val l119 = Spec("q254_moments_quantiles",
+    (s, d) => graft.engine.Sketches.momentsQuantiles(
+      graft.engine.Sketches.momentsSketch(
+        T(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity"),
+      Seq("l_returnflag")),
+    Some {
+      val zRows = graft.engine.Sketches.quantileZ.map { case (nm, z) =>
+        s"('$nm', CAST($z AS DOUBLE))"
+      }.mkString(", ")
+      val steps = graft.engine.Sketches.momentsDerivedSql
+      val ctes = steps.zipWithIndex.map { case ((name, formula), i) =>
+        s"c${i + 1} AS (SELECT *, $formula AS $name FROM c$i)"
+      }.mkString(",\n        ")
+      s"""WITH $momentsCte,
+          zz AS (SELECT * FROM (VALUES $zRows) AS t(q, z)),
+          c0 AS (SELECT sk.*, zz.q, zz.z FROM sk CROSS JOIN zz),
+          $ctes
+          SELECT l_returnflag, q, q_est FROM c${steps.size}"""
+    })
+
+  /** Grouped HLL: distinct users per event type from per-group register
+    * state (p=6, m=64) — no per-group register grid materialized. */
+  private val l120 = Spec("q255_hll_grouped",
+    (s, d) => graft.engine.Sketches.hllGroupedEstimate(
+      Queries.T(s, d, "events"), Seq("event_type"), "user_id", p = 6),
+    Some {
+      val alpha = "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) " +
+        "+ CAST(1.079 AS DOUBLE) / 64)"
+      s"""WITH h AS (SELECT event_type,
+            (${phSql("CAST(user_id AS VARCHAR)")} * 2654435761)
+              % 1000000007 AS h
+            FROM events WHERE user_id IS NOT NULL),
+          rh AS (SELECT event_type, h % 64 AS bucket,
+            CASE WHEN h // 64 = 0 THEN 25
+              ELSE 25 - length(bin(h // 64)) END AS rho FROM h),
+          regs AS (SELECT event_type, bucket, max(rho) AS r FROM rh
+            GROUP BY event_type, bucket),
+          st AS (SELECT event_type, count(*) AS occ,
+            sum(power(CAST(2 AS DOUBLE), -r)) AS so FROM regs
+            GROUP BY event_type),
+          er AS (SELECT event_type, 64 - occ AS n_zero,
+            so + CAST(64 - occ AS DOUBLE) AS s2 FROM st),
+          er2 AS (SELECT event_type, n_zero, s2,
+            round($alpha * 64 * 64 / s2, 6) AS raw_est FROM er)
+          SELECT event_type, CAST(64 AS INT) AS m,
+            CAST(n_zero AS BIGINT) AS n_zero, raw_est,
+            round(CASE WHEN raw_est <= 2.5 * 64 AND n_zero > 0
+              THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+                / CAST(n_zero AS DOUBLE))
+              ELSE $alpha * 64 * 64 / s2 END, 6) AS est
+          FROM er2"""
+    })
+
+  /** Shared KMV sketch CTE chain over distinct token hashes per source
+    * (k=64) — ONE copy for q256 (distinct face) and q257 (pair face). */
+  private val kmvCtes: String =
+    s"""t AS (SELECT source, $wordsSql AS words FROM documents),
+        ex AS (SELECT source, unnest(words) AS w FROM t),
+        dh AS (SELECT DISTINCT source,
+          (${phSql("w")} * 2654435761) % 1000000007 AS h FROM ex),
+        rr AS (SELECT source, h, row_number() OVER (PARTITION BY source
+          ORDER BY h) AS pos FROM dh),
+        sk AS (SELECT source, h, pos FROM rr WHERE pos <= 64)"""
+
+  /** KMV distinct-token estimate per source — the theta-sketch distinct
+    * face; unsaturated sketches report their exact size. */
+  private val l121 = Spec("q256_kmv_distinct",
+    (s, d) => graft.engine.Sketches.kmvDistinct(
+      T(s, d, "documents").select(col("source"),
+        explode(Text.tokens(col("text"))).as("w")),
+      Seq("source"), "w", k = 64),
+    Some(s"""WITH $kmvCtes,
+        st AS (SELECT source, CAST(count(*) AS INT) AS n_kept,
+          max(h) AS kth_min FROM sk GROUP BY source)
+        SELECT source, n_kept, kth_min,
+          round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE) * 1000000007
+              / CAST(kth_min AS DOUBLE) END, 6) AS est_distinct
+        FROM st"""))
+
+  /** Pairwise source vocabulary overlap from KMV sketches — the
+    * theta-sketch intersection estimate, sketch-grain only. */
+  private val l122 = Spec("q257_kmv_source_overlap",
+    (s, d) => graft.engine.Sketches.kmvPairSimilarity(
+      T(s, d, "documents").select(col("source"),
+        explode(Text.tokens(col("text"))).as("w")),
+      "source", "w", k = 64),
+    Some(s"""WITH $kmvCtes,
+        gs AS (SELECT DISTINCT source FROM sk),
+        pr AS (SELECT a.source AS ga, b.source AS gb FROM gs a JOIN gs b
+          ON a.source < b.source),
+        u0 AS (SELECT pr.ga, pr.gb, sk.h, 1 AS ia, 0 AS ib FROM pr
+            JOIN sk ON sk.source = pr.ga
+          UNION ALL SELECT pr.ga, pr.gb, sk.h, 0, 1 FROM pr
+            JOIN sk ON sk.source = pr.gb),
+        u AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM u0
+          GROUP BY ga, gb, h),
+        ru AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+          ORDER BY h) AS pos FROM u),
+        uk AS (SELECT * FROM ru WHERE pos <= 64),
+        agg AS (SELECT ga, gb, CAST(count(*) AS INT) AS n_union,
+          CAST(sum(ia*ib) AS INT) AS n_common FROM uk GROUP BY ga, gb)
+        SELECT ga, gb, n_union, n_common,
+          round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+            AS jaccard_est
+        FROM agg"""))
+
+  /** Bigram-LM fluency score (add-k smoothing, k=0.5) — the CCNet-style
+    * perplexity quality filter one order above q91. */
+  private val l123 = Spec("q258_bigram_logprob",
+    (s, d) => graft.llm.Curation.bigramLogProbScore(
+      T(s, d, "documents"), "doc_id", "text", addK = 0.5),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        bgl AS (SELECT doc_id, [{'p': words[i+1], 'w': words[i+2]}
+          for i in range(greatest(len(words)-1, 0))] AS bgs FROM t),
+        bx AS (SELECT doc_id, unnest(bgs) AS u FROM bgl),
+        ex2 AS (SELECT doc_id, u.p AS p, u.w AS w FROM bx),
+        ex1 AS (SELECT doc_id, unnest(words) AS w FROM t),
+        c1 AS (SELECT w, count(*) AS c1 FROM ex1 GROUP BY w),
+        c2 AS (SELECT p, w, count(*) AS c2 FROM ex2 GROUP BY p, w),
+        vv AS (SELECT count(*) AS v FROM c1),
+        sc AS (SELECT e.doc_id, count(*) AS n_bigrams,
+          avg(ln((CAST(c2.c2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(c1.c1 AS DOUBLE) + CAST(0.5 AS DOUBLE) * v))) AS lp
+          FROM ex2 e JOIN c2 ON c2.p = e.p AND c2.w = e.w
+          JOIN c1 ON c1.w = e.p CROSS JOIN vv GROUP BY e.doc_id)
+        SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS INT)
+            AS n_bigrams,
+          round(sc.lp, 6) AS mean_logp, round(exp(-sc.lp), 6) AS ppl
+        FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id"""))
+
+  /** SemDeDup over the injection fixture: 16 seed centroids (vec_id
+    * 0..15), within-cluster keep-the-outlier pruning at cos ≥ 0.7 —
+    * non-empty dropped set at every gate SF (exact copies share their
+    * original's cluster and score cos 1). */
+  private val l124 = Spec("q259_semdedup",
+    (s, d) => {
+      val corpus = nearDupEmb(s, d)
+      val cents = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      Similarity.semDedup(corpus, "vec_id", "embedding", cents, "cid",
+        minCos = 0.7, maxCluster = 1000)
+    },
+    Some(s"""WITH corpus AS ($nearDupEmbSql),
+        cen AS (SELECT vec_id AS cid, embedding AS centroid FROM corpus
+          WHERE vec_id < 16),
+        scored AS (SELECT c.vec_id, cen.cid,
+          round(${cosSql("c.embedding", "cen.centroid")}, 6) AS cos
+          FROM corpus c CROSS JOIN cen),
+        asg AS (SELECT vec_id, cid, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS cr FROM scored),
+        a1 AS (SELECT vec_id, cid AS cluster, cos FROM asg WHERE cr = 1),
+        rk AS (SELECT vec_id, cluster, CAST(row_number() OVER (
+          PARTITION BY cluster ORDER BY cos ASC, vec_id) AS INT) AS rnk
+          FROM a1),
+        vecs AS (SELECT rk.vec_id, rk.cluster, rk.rnk, c.embedding
+          FROM rk JOIN corpus c ON c.vec_id = rk.vec_id
+          WHERE rk.rnk <= 1000),
+        drp AS (SELECT DISTINCT b.vec_id FROM vecs a JOIN vecs b
+          ON a.cluster = b.cluster AND a.rnk < b.rnk
+          WHERE round(${cosSql("a.embedding", "b.embedding")}, 6)
+            >= CAST(0.7 AS DOUBLE))
+        SELECT rk.vec_id, rk.cluster, rk.rnk,
+          (drp.vec_id IS NULL) AS kept
+        FROM rk LEFT JOIN drp ON drp.vec_id = rk.vec_id"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3403,5 +3608,6 @@ object LlmQueries {
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
-    l113, l114, l115, l116, l117)
+    l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
+    l124)
 }

@@ -225,4 +225,232 @@ object Sketches {
           .otherwise(alpha * m * m / col("__s")), 6))
       .select(lit(m).as("m"), col("n_zero"), col("raw_est"), col("est"))
   }
+
+  /** Grouped HyperLogLog estimate — one distinct-cardinality estimate per
+    * group from per-group register state, WITHOUT materializing the full
+    * `m`-row register axis per group: an occupied bucket always has rank
+    * ρ ≥ 1 (the quotient's bitlength is ≤ W, so `ρ = W + 1 − bitlength`
+    * never hits 0), so the indicator sum over the full axis decomposes as
+    * `Σ_occupied 2^(−ρ) + (m − occupied)·2⁰` and `n_zero = m − occupied`
+    * — two scalars per group, no grid join. The dyadic-sum exactness
+    * argument of [[hllEstimate]] applies unchanged, and the per-group
+    * state is still the mergeable register table (union = elementwise
+    * max, absorbed by the max-aggregate).
+    *
+    * Output: `(groupCols…, m, n_zero, raw_est, est)` — groups with no
+    * non-null values are absent (GROUP BY convention).
+    *
+    * Scale: one map-side pass to (group, bucket, ρ) with partial max,
+    * then a ≤ `m`-rows-per-group aggregate — per-group distinct counts
+    * over a 100 TB table cost an `m·|groups|`-row shuffle, the entire
+    * point of running the sketch instead of COUNT DISTINCT per group.
+    */
+  def hllGroupedEstimate(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "need 4 <= p <= 16")
+    val m = 1 << p
+    val w = 30 - p
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        pmod(graft.functions.PolyHash.polyhash(
+            col(valueCol).cast("string")) * lit(2654435761L),
+          lit(1000000007L)).as("__h"): _*)
+      .select(groupCols.map(col) :+ pmod(col("__h"), lit(m.toLong))
+        .as("__bucket") :+ expr(s"__h DIV $m").as("__q"): _*)
+      .select(groupCols.map(col) :+ col("__bucket") :+
+        (when(col("__q") === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("__q"))))).as("__rho"): _*)
+      .groupBy((groupCols :+ "__bucket").map(col): _*)
+      .agg(max(col("__rho")).as("__r"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__occ"),
+        sum(pow(lit(2.0), -col("__r"))).as("__so"))
+      .withColumn("n_zero", (lit(m.toLong) - col("__occ")))
+      .withColumn("__s", col("__so") + col("n_zero").cast("double"))
+      .withColumn("raw_est", round(alpha * m * m / col("__s"), 6))
+      .withColumn("est", round(
+        when(col("raw_est") <= 2.5 * m && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            col("n_zero").cast("double")))
+          .otherwise(alpha * m * m / col("__s")), 6))
+      .select(groupCols.map(col) ++ Seq(lit(m).as("m"), col("n_zero"),
+        col("raw_est"), col("est")): _*)
+  }
+
+  // ---- moments sketch (Gan et al., "Moment-Based Quantile Sketches for
+  // Efficient High-Cardinality Aggregation Queries", VLDB 2018) ----
+
+  /** Shared engine/oracle formula fragments for [[momentsQuantiles]] —
+    * ONE copy parsed by BOTH Spark (`expr`) and DuckDB, so the IEEE
+    * association order is identical by construction (the repo's shared-
+    * fragment rule: a drifted copy would silently red only its gate).
+    */
+  val momentsDerivedSql: Seq[(String, String)] = Seq(
+    "m1" -> "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "m2" -> "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "m3" -> "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "sigma" -> "sqrt(greatest(m2 - m1 * m1, CAST(0 AS DOUBLE)))",
+    "skew" -> ("CASE WHEN sigma > 0 THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)" +
+      " / (sigma * sigma * sigma) ELSE CAST(0 AS DOUBLE) END"),
+    "w" -> "z + (z * z - CAST(1 AS DOUBLE)) / CAST(6 AS DOUBLE) * skew",
+    "q_est" -> ("round(greatest(CAST(vmin AS DOUBLE), least(CAST(vmax AS DOUBLE)," +
+      " m1 + sigma * w)), 6)"))
+
+  /** Standard-normal quantiles for the default probe set (Cornish-Fisher
+    * `z_p` constants; full-precision doubles shared with the oracle). */
+  val quantileZ: Seq[(String, Double)] = Seq(
+    "p25" -> -0.6744897501960817, "p50" -> 0.0,
+    "p75" -> 0.6744897501960817, "p90" -> 1.2815515655446004)
+
+  /** Moments sketch: per-group power sums `(n, Σx, Σx², Σx³, Σx⁴, min,
+    * max)` over an INTEGER-VALUED column — the classic mergeable quantile
+    * sketch state (Gan et al., VLDB 2018): constant size per group, union
+    * of two sketches = elementwise sum (plus min/max), and quantiles are
+    * recovered downstream ([[momentsQuantiles]]) without touching the
+    * data again. Values are cast to DECIMAL(9,0) and every power sum
+    * accumulates in DECIMAL(38,0), so the state is EXACT INTEGERS —
+    * order-invariant under any partitioning, unlike a double sum whose
+    * low bits depend on reduction order (the repo's float-determinism
+    * discipline applied to sketch state).
+    *
+    * Output: `(groupCols…, n, s1, s2, s3, s4, vmin, vmax)`.
+    *
+    * Scale: ONE map-side-combined aggregate; per-group state is 7
+    * numbers. This is the cheapest possible quantile-support sketch — a
+    * 100 TB column collapses to |groups| rows in a single pass, vs the
+    * value-grain shuffle an exact percentile needs.
+    */
+  def momentsSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(9, 0))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ v.as("__x"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast(d38).as("s1"),
+        sum(col("__x") * col("__x")).cast(d38).as("s2"),
+        sum(col("__x") * col("__x") * col("__x")).cast(d38).as("s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).cast(d38)
+          .as("s4"),
+        min(col("__x")).cast("bigint").as("vmin"),
+        max(col("__x")).cast("bigint").as("vmax"))
+  }
+
+  /** Quantile estimates from a [[momentsSketch]] frame via the
+    * Cornish-Fisher expansion: for each probe `p`, `q̂ = μ + σ·(z_p +
+    * (z_p² − 1)/6 · γ)` clamped to the sketch's [min, max], where μ/σ/γ
+    * derive from the exact integer moments. Every float op parses from
+    * [[momentsDerivedSql]] on both engines, so association order — and
+    * thus the 6-dp-rounded estimate — is bitwise shared. A zero-variance
+    * group degenerates to `q̂ = μ` for every probe (skew forced to 0).
+    *
+    * Output: one row per (group, probe): `(groupCols…, q, q_est)`.
+    *
+    * Scale: pure arithmetic on the |groups|-row sketch frame; the probe
+    * explode is a literal ≤ |probes| fan-out. Nothing rescans the data.
+    */
+  def momentsQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      probes: Seq[(String, Double)] = quantileZ): DataFrame = {
+    val probeRows = array(probes.map { case (nm, z) =>
+      struct(lit(nm).as("q"), lit(z).as("z"))
+    }: _*)
+    val derived = momentsDerivedSql.foldLeft(
+      sketch.withColumn("__p", explode(probeRows))
+        .withColumn("q", col("__p.q")).withColumn("z", col("__p.z"))) {
+      case (acc, (name, formula)) => acc.withColumn(name, expr(formula))
+    }
+    derived.select(groupCols.map(col) ++ Seq(col("q"), col("q_est")): _*)
+  }
+
+  // ---- KMV / theta sketch (Bar-Yossef et al., "Counting Distinct
+  // Elements in a Data Stream", RANDOM 2002; Beyer et al., SIGMOD 2007) --
+
+  private def kmvHash(c: Column): Column =
+    pmod(graft.functions.PolyHash.polyhash(c.cast("string"))
+      * lit(2654435761L), lit(1000000007L))
+
+  /** K-minimum-values sketch: per group, the `k` smallest DISTINCT mixed
+    * hash values of `valueCol` — the theta-sketch family's state. The
+    * sketch is mergeable (union = k smallest of the concatenation) and
+    * engine-exact: integer hashes under the shared Knuth-mixed polyhash
+    * (the [[hllRegisters]] mix — uniformity is load-bearing for the
+    * estimator), deterministic ascending ranks. Hash collisions merge
+    * values (both engines identically).
+    *
+    * Output: `(groupCols…, pos (1-based ascending), h)`, ≤ k rows/group.
+    *
+    * Scale: the value grain collapses to (group, h) DISTINCT with
+    * map-side partials, then a per-group window bounded by the group's
+    * distinct count; downstream consumers only ever see ≤ k·|groups|
+    * rows. For very hot groups, pre-aggregation per partition (top-k per
+    * partition, then re-top-k) is the AQE-friendly refinement; at the
+    * gate's group counts the single window is the right plan.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("h"): _*)
+      .distinct()
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(groupCols.map(col): _*).orderBy(col("h")))
+        .cast("int"))
+      .filter(col("pos") <= k)
+      .select(groupCols.map(col) ++ Seq(col("pos"), col("h")): _*)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: with a full sketch the
+    * k-th minimum hash `h_k` estimates `n̂ = (k−1)·P / h_k` (P = the hash
+    * modulus); an unsaturated sketch (fewer than `k` distinct hashes) IS
+    * the exact distinct set, so the estimate is its size. Output
+    * `(groupCols…, n_kept, kth_min, est_distinct)`.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame =
+    kmvSketch(df, groupCols, valueCol, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_min"))
+      .withColumn("est_distinct", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(expr(s"CAST(${k - 1} AS DOUBLE) * 1000000007" +
+            " / CAST(kth_min AS DOUBLE)")), 6))
+
+  /** Pairwise set-similarity estimate between groups from their
+    * [[kmvSketch]]es (the theta-sketch intersection trick, Beyer et al.
+    * SIGMOD 2007): for each group pair (a < b), take the `k` smallest
+    * hashes of the UNION of the two sketches; the fraction of those also
+    * present in BOTH sketches estimates the Jaccard similarity. All-
+    * integer until the final ratio. Output: `(ga, gb, n_union, n_common,
+    * jaccard_est)` for every group pair.
+    *
+    * Scale: runs entirely on the ≤ k·|groups|-row sketch — |groups|²/2
+    * pairs × ≤ 2k rows, INDEPENDENT of corpus size. That is the point:
+    * pairwise source overlap on a 100 TB corpus costs one sketch pass
+    * plus sketch-grain joins (the sketch frame broadcasts).
+    */
+  def kmvPairSimilarity(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val sk = kmvSketch(df, Seq(groupCol), valueCol, k)
+      .select(col(groupCol).as("g"), col("h")).localCheckpoint(true)
+    val gs = sk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .join(gs.select(col("g").as("gb")), col("ga") < col("gb"))
+    val ua = pairs.join(broadcast(sk), col("ga") === col("g"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val ub = pairs.join(broadcast(sk), col("gb") === col("g"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    ua.unionByName(ub)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .filter(col("pos") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).cast("int").as("n_union"),
+        sum(col("ia") * col("ib")).cast("int").as("n_common"))
+      .withColumn("jaccard_est", round(
+        expr("CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)"), 6))
+  }
 }

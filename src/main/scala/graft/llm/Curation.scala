@@ -213,6 +213,60 @@ object Curation {
         round(col("lp"), 6).as("mean_logp")) // NULL for token-less docs
   }
 
+  /** Bigram language-model fluency score (the CCNet/KenLM-style quality
+    * filter, one order up from [[unigramLogProbScore]]): train bigram and
+    * unigram counts on the corpus itself, then score each document by the
+    * mean log conditional probability of its bigrams under add-k
+    * smoothing, `p(w_i|w_{i−1}) = (c₂(w_{i−1}w_i) + k) / (c₁(w_{i−1}) +
+    * k·V)` with `V` = distinct unigram count. The context count `c₁` is
+    * the token's FULL occurrence count (not just its prefix-position
+    * count) — a documented modeling choice both engines mirror. Boilerplate
+    * and templated text score high (its bigrams dominate the counts);
+    * garbled text scores low — the standard perplexity-filter signal.
+    * `ppl = e^(−mean_lp)` is emitted from the UNROUNDED mean. Documents
+    * with fewer than two tokens carry `n_bigrams = 0` and null scores.
+    *
+    * Scale: two count aggregates at bigram/unigram grain (map-side
+    * combined — grain is vocabulary-sized, not corpus-sized), one scalar
+    * V, then one join of the exploded corpus against the count frames.
+    * At web-corpus vocabulary sizes the count frames exceed broadcast
+    * range, so the joins are plain shuffle-hash on the gram key — the
+    * corpus side arrives already collapsed to (doc, gram) grain. Scoring
+    * never rescans text: the tokenize-explode pass is shared via one
+    * staged frame with three readers, eagerly materialized (the
+    * dsirImportanceWeights discipline).
+    */
+  def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+    // (doc, prev, cur) bigram grain + (doc, w) unigram grain, one pass
+    val grams = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (x, y) => struct(x.as("p"), y.as("w")))).as("bg"))
+      .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
+      .localCheckpoint(true) // 2 readers: the c2 model and the scoring join
+    val uni = toks.select(col(idCol), explode(col("toks")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = grams.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+    val vocabSize = c1.agg(count(lit(1)).as("v"))
+    val scored = grams
+      .join(c2, Seq("p", "w"))
+      .join(c1.withColumnRenamed("w", "p"), Seq("p"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(expr(s"ln((CAST(c2 AS DOUBLE) + CAST($addK AS DOUBLE))" +
+          s" / (CAST(c1 AS DOUBLE) + CAST($addK AS DOUBLE) * v))")).as("lp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast("int").as("n_bigrams"),
+        round(col("lp"), 6).as("mean_logp"),
+        round(exp(-col("lp")), 6).as("ppl"))
+  }
+
   /** Per-group quality quantile assignment: bucket each document into one
     * of `n` equal-frequency tiers of its group's quality distribution
     * (ntile over quality within language/source) — the knob behind

@@ -524,6 +524,55 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * corpus, then inside each cluster drop every item that is
+    * cosine-near (≥ `minCos`) an earlier-ranked item — one survivor per
+    * semantic-duplicate family, pairwise work confined to clusters. The
+    * within-cluster rank orders by ROUNDED centroid-cosine ASCENDING
+    * then id (the paper's keep-the-outlier default: among near-dups the
+    * family member farthest from the centroid survives; the rounded
+    * cosine keeps ranks engine-stable). `centroids` is a prefit
+    * `(centroidIdCol, centroid)` frame ([[groupCentroids]] /
+    * [[firstVectors]] seeds / [[kMeansRounds]] output all qualify).
+    *
+    * Only the first `maxCluster` ranks of a cluster enter the pairwise
+    * stage — the [[cosineNearDups]] hot-bucket discipline: a degenerate
+    * mega-cluster cannot go quadratic; its tail rows are KEPT
+    * unchallenged (recall loss, never blow-up — the documented trade).
+    *
+    * Output: one row per input vector, `(idCol, cluster, rnk, kept)`.
+    *
+    * Scale: assignment is a broadcast-centroid scan + per-id window;
+    * the pairwise stage shuffles once on cluster id and is per-cluster
+    * quadratic bounded by `maxCluster²` — with k ∝ corpus/1000 clusters
+    * (the paper's regime) expected cluster sizes stay in the hundreds.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, minCos: Double,
+      maxCluster: Int = 1000): DataFrame = {
+    val ranked = nearestCentroid(corpus, idCol, vecCol, centroids,
+        centroidIdCol)
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("assigned"))
+        .orderBy(col("cos").asc, col(idCol))).cast("int"))
+      .select(col(idCol), col("assigned").as("cluster"), col("rnk"))
+    val vecs = ranked.filter(col("rnk") <= maxCluster)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val lhs = vecs.select(col("cluster"), col("rnk").as("ra"),
+      col(vecCol).as("va"))
+    val rhs = vecs.select(col("cluster"), col(idCol).as("idb"),
+      col("rnk").as("rb"), col(vecCol).as("vb"))
+    val dropped = lhs.join(rhs, Seq("cluster"))
+      .filter(col("ra") < col("rb"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= minCos)
+      .select(col("idb").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    ranked.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("rnk"),
+        col("__drop").isNull.as("kept"))
+  }
+
   /** Retrieval-quality instrumentation: per-query recall@k of an
     * approximate neighbor set against exact ground truth — the number a
     * user tunes `nprobe` / anchor count by. Both inputs are

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Sketches
+import graft.llm.{Curation, Similarity}
+
+/** Continuation-wave operators: moments sketch + Cornish-Fisher
+  * quantiles, grouped HLL, KMV/theta sketches, bigram-LM scoring,
+  * SemDeDup. Each test pins the operator against a driver-side
+  * re-derivation or an algebraic invariant (mergeability, exact-path
+  * agreement) — the properties the oracle hash can't see.
+  */
+class SketchWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mix(s: String): Long = {
+    val ph = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    ph * 2654435761L % 1000000007L
+  }
+
+  test("momentsSketch: power sums match a driver-side reference and " +
+      "merge by elementwise sum") {
+    val a = Seq(("g", 1), ("g", 2), ("g", 3), ("h", 10)).toDF("grp", "x")
+    val b = Seq(("g", 4), ("h", 20)).toDF("grp", "x")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Sketches.momentsSketch(df, Seq("grp"), "x").collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getDecimal(2).longValue,
+          r.getDecimal(3).longValue, r.getDecimal(4).longValue,
+          r.getDecimal(5).longValue, r.getLong(6), r.getLong(7)))
+      }.toMap
+    val sa = sums(a)
+    assert(sa("g") == ((3L, 6L, 14L, 36L, 98L, 1L, 3L)))
+    assert(sa("h") == ((1L, 10L, 100L, 1000L, 10000L, 10L, 10L)))
+    // mergeability: sketch(a ∪ b) = elementwise sum (+ min/max)
+    val sb = sums(b); val su = sums(a.union(b))
+    Seq("g", "h").foreach { g =>
+      val (na, s1a, s2a, s3a, s4a, mna, mxa) = sa(g)
+      val (nb, s1b, s2b, s3b, s4b, mnb, mxb) = sb(g)
+      assert(su(g) == ((na + nb, s1a + s1b, s2a + s2b, s3a + s3b,
+        s4a + s4b, math.min(mna, mnb), math.max(mxa, mxb))))
+    }
+  }
+
+  test("momentsQuantiles: zero-variance group degenerates to the mean; " +
+      "estimates clamp to [min,max] and order with the probes") {
+    val flat = Seq.fill(5)(("c", 7)).toDF("grp", "x")
+    val qs = Sketches.momentsQuantiles(
+      Sketches.momentsSketch(flat, Seq("grp"), "x"), Seq("grp"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(qs.size == 4 && qs.values.forall(_ == 7.0))
+    // a right-skewed sample: quantile estimates are monotone in p and
+    // stay inside the observed range
+    val skewed = ((1 to 20).map(i => ("s", 1)) ++ Seq(("s", 50)))
+      .toDF("grp", "x")
+    val sq = Sketches.momentsQuantiles(
+      Sketches.momentsSketch(skewed, Seq("grp"), "x"), Seq("grp"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(sq("p25") <= sq("p50") && sq("p50") <= sq("p75") &&
+      sq("p75") <= sq("p90"))
+    sq.values.foreach(v => assert(v >= 1.0 && v <= 50.0))
+  }
+
+  test("hllGroupedEstimate: each group's row equals the ungrouped " +
+      "hllEstimate of that group's slice") {
+    val df = (1 to 600).map(i => (s"t${i % 3}", s"u${i % 257}"))
+      .toDF("grp", "v")
+    val grouped = Sketches.hllGroupedEstimate(df, Seq("grp"), "v", p = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    Seq("t0", "t1", "t2").foreach { g =>
+      val single = Sketches.hllEstimate(
+        df.filter(col("grp") === g).select(col("v")), "v", p = 6)
+        .collect().head
+      assert(grouped(g) == ((single.getInt(0), single.getLong(1),
+        single.getDouble(2), single.getDouble(3))),
+        s"group $g must match its ungrouped slice")
+    }
+  }
+
+  test("kmvSketch/kmvDistinct: k smallest mixed hashes, exact when " +
+      "unsaturated, estimate tracks truth when saturated") {
+    val vals = (1 to 500).map(i => ("g", s"v$i")) ++
+      (1 to 10).map(i => ("h", s"v$i"))
+    val df = vals.toDF("grp", "v")
+    val sk = Sketches.kmvSketch(df, Seq("grp"), "v", k = 32)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val wantG = (1 to 500).map(i => mix(s"v$i")).distinct.sorted.take(32)
+    assert(sk.filter(_._1 == "g").sortBy(_._2).map(_._3).toSeq == wantG)
+    assert(sk.filter(_._1 == "h").map(_._3).sorted.toSeq ==
+      (1 to 10).map(i => mix(s"v$i")).distinct.sorted)
+    val est = Sketches.kmvDistinct(df, Seq("grp"), "v", k = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(3)))).toMap
+    assert(est("h") == ((10, 10.0)), "unsaturated sketch is exact")
+    val (nk, eg) = est("g")
+    assert(nk == 32 && math.abs(eg - 500) / 500.0 < 0.5,
+      s"saturated estimate $eg must track 500 within KMV error at k=32")
+  }
+
+  test("kmvPairSimilarity: identical sets → 1, disjoint sets → 0, " +
+      "partial overlap lands in between") {
+    val df = ((1 to 100).map(i => ("a", s"v$i")) ++
+      (1 to 100).map(i => ("b", s"v$i")) ++
+      (101 to 200).map(i => ("c", s"v$i")) ++
+      (51 to 150).map(i => ("d", s"v$i"))).toDF("grp", "v")
+    val out = Sketches.kmvPairSimilarity(df, "grp", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(4)).toMap
+    assert(out(("a", "b")) == 1.0)
+    assert(out(("a", "c")) == 0.0)
+    assert(out(("a", "d")) > 0.0 && out(("a", "d")) < 1.0)
+    assert(out.size == 6)
+  }
+
+  test("bigramLogProbScore: short docs score null, repeated-bigram docs " +
+      "outscore novel-bigram docs, values match a hand model") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d"), (3L, "e"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Curation.bigramLogProbScore(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getInt(1) == 0 && out(3L).isNullAt(2) &&
+      out(3L).isNullAt(3), "1-token doc: no bigrams, null scores")
+    // vocab = {a,b,c,d,e}, V=5; c1(a)=4, c2(a,b)=4 → p(b|a)=(4.5)/(6.5)
+    // c1(b)=4, c2(b,a)=2 → p(a|b)=2.5/6.5 ; doc1 = [ab,ba,ab,ba,ab]
+    val pab = math.log(4.5 / 6.5); val pba = math.log(2.5 / 6.5)
+    val want1 = (3 * pab + 2 * pba) / 5.0
+    assert(math.abs(out(1L).getDouble(2) -
+      math.rint(want1 * 1e6) / 1e6) < 1e-9)
+    assert(out(4L).getInt(1) == 1 &&
+      out(4L).getDouble(2) > out(2L).getDouble(2),
+      "the corpus-dominant bigram must outscore the rare one")
+    // ppl = e^(−mean) of the unrounded mean
+    assert(math.abs(out(1L).getDouble(3) -
+      math.rint(math.exp(-want1) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("semDedup: exact duplicates collapse to one survivor per family, " +
+      "singletons all survive, every input row is emitted") {
+    def v(xs: Double*) = xs.toArray
+    // two orthogonal families: {1,2 dup}, {3}, plus centroid seeds 10,20
+    val corpus = Seq(
+      (10L, v(1, 0, 0, 0)), (20L, v(0, 1, 0, 0)), // seeds = centroids
+      // dup family at cos 0.8 from its seed (below the 0.95 threshold,
+      // so the seed itself is not a family member)
+      (1L, v(0.8, 0.6, 0, 0)), (2L, v(0.8, 0.6, 0, 0)), // exact dups
+      (3L, v(0.6, 0.8, 0, 0))).toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding", cents,
+      "cid", minCos = 0.95, maxCluster = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.size == 5, "one output row per input vector")
+    val fam = Seq(1L, 2L).map(id => out(id))
+    assert(fam.map(_._1).distinct.size == 1, "dups share a cluster")
+    assert(fam.count(_._2) == 1, "exactly one family member survives")
+    assert(out(3L)._2 && out(10L)._2 && out(20L)._2,
+      "non-duplicated vectors all survive")
+  }
+}
