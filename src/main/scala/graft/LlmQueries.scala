@@ -3599,6 +3599,55 @@ object LlmQueries {
           (drp.vec_id IS NULL) AS kept
         FROM rk LEFT JOIN drp ON drp.vec_id = rk.vec_id"""))
 
+  /** IVF-PQ retrieval: sign-LSH coarse cells (the 4 pinned q62 planes)
+    * + PQ ADC scoring confined to the query's own cell — the compressed
+    * inverted-file ANN composition end-to-end. */
+  private val l125 = Spec("q260_ivfpq_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cb = pqLabelCodebooks(s, d)
+      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+      Similarity.ivfPqTopK(emb, cb, emb.filter(col("vec_id") < 4),
+        "vec_id", "vec_id", "embedding", k = 5, anchors)
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH ex AS (SELECT label, unnest([{'i': i, 'v': embedding[i+1]}
+            for i in range(len(embedding))], recursive := true)
+          FROM embeddings),
+        cm AS (SELECT CAST(i // 32 AS INT) AS s, label AS code, i,
+          round(avg(CAST(v AS DOUBLE)), 6) AS cv FROM ex GROUP BY 1, 2, 3),
+        cent AS (SELECT s, code, list(cv ORDER BY i) AS centroid
+          FROM cm GROUP BY 1, 2),
+        sc AS (SELECT e.vec_id, c.s, c.code,
+          round(2 * ${dot2("e.embedding[c.s*32+1 : c.s*32+32]",
+            "c.centroid")} - ${dot2("c.centroid", "c.centroid")}, 6) AS sim
+          FROM embeddings e CROSS JOIN cent c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY sim DESC, code) AS rk FROM sc),
+        codes AS (SELECT vec_id, s, code FROM r WHERE rk = 1),
+        bkt AS (SELECT $bucket AS bucket, v.vec_id FROM embeddings v),
+        qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+          v.embedding FROM embeddings v WHERE v.vec_id < 4),
+        lut AS (SELECT qb.query_id, qb.bucket, c.s, c.code,
+          round(${dot2("qb.embedding[c.s*32+1 : c.s*32+32]", "c.centroid")},
+            6) AS psim
+          FROM qb CROSS JOIN cent c),
+        a AS (SELECT lut.query_id, codes.vec_id, round(sum(psim), 6) AS adc
+          FROM codes JOIN bkt ON bkt.vec_id = codes.vec_id
+          JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+            AND lut.bucket = bkt.bucket
+          GROUP BY 1, 2),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, vec_id) AS rank FROM a)
+        SELECT query_id, vec_id, adc, CAST(rank AS INT) AS rank
+        FROM rr WHERE rank <= 5"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3609,5 +3658,5 @@ object LlmQueries {
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
-    l124)
+    l124, l125)
 }

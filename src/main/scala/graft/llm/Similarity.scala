@@ -262,6 +262,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ retrieval — the full billion-scale ANN composition: a
+    * deterministic sign-LSH coarse quantizer partitions the corpus into
+    * cells ([[lshBuckets]] — PRNG-free, so the index is closed-form
+    * reproducible), PQ codes compress each cell's residents
+    * ([[pqEncode]]), and a query scores ONLY its own cell's codes via
+    * the ADC lookup table ([[pqAdcTopK]]'s scoring face). This is the
+    * IVFADC layout of Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search" (TPAMI 2011), with an LSH coarse stage in place of
+    * the k-means one so both engines derive identical cells.
+    *
+    * Output: `(query_id, idCol, adc, rank)`, rank ≤ k per query.
+    *
+    * Scale: the corpus is stored once as (cell, codes) — the compressed
+    * inverted file; queries broadcast as an (query × m·k·cell) LUT so
+    * the file is NEVER shuffled, and each query touches only its cell's
+    * fraction (~1/2^planes) of the codes. Recall follows the cell
+    * granularity; pair with [[recallAtK]] and a float rerank shortlist
+    * exactly as with [[pqAdcTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, vecCol: String, k: Int,
+      anchors: Seq[Seq[Double]]): DataFrame = {
+    val cells = lshBuckets(corpus, vecCol, anchors)
+      .select(col("bucket"), col(idCol))
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks)
+      .join(cells, Seq(idCol))
+    val qcells = lshBuckets(queries, vecCol, anchors)
+      .select(col("bucket"), col(queryIdCol).as("query_id"), col(vecCol))
+    val sub = slice(col(vecCol), col("s") * size(col("centroid")) + 1,
+      size(col("centroid")))
+    val lut = qcells.join(broadcast(codebooks))
+      .select(col("query_id"), col("bucket"), col("s"), col("code"),
+        round(dot(sub, col("centroid")), 6).as("psim"))
+    coded.join(broadcast(lut), Seq("bucket", "s", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("psim")), 6).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** Unit-normalize a vector given its precomputed norm (stage the norm
     * behind a projection boundary — embedding it in the transform lambda
     * would re-evaluate the dot-product fold per ELEMENT, HOF lambdas don't

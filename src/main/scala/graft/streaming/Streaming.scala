@@ -407,6 +407,50 @@ object Streaming {
     */
   final case class HllUpdate(group: String, n_zero: Long, est: Double)
 
+  final case class KeyedNum(group: String, x: Long)
+  final case class MomentsState(n: Long, s1: Long, s2: Long, s3: Long,
+    s4: Long, vmin: Long, vmax: Long)
+  final case class MomentsUpdate(group: String, n: Long, s1: Long,
+    s2: Long, s3: Long, s4: Long, vmin: Long, vmax: Long)
+
+  /** Streaming moments sketch — the continuous face of
+    * [[graft.engine.Sketches.momentsSketch]]: per group the state is
+    * the seven power-sum integers (FIXED size however many values
+    * stream through); each batch folds its values in with exact long
+    * arithmetic and emits the refreshed cumulative sketch, so after any
+    * stream prefix the emission equals the batch sketch over the same
+    * rows (spec-pinned, including the union-merge algebra: merging two
+    * groups' states is elementwise sum + min/max). Quantiles come from
+    * [[graft.engine.Sketches.momentsQuantiles]] applied to the
+    * emission downstream — the sketch/estimator split is the whole
+    * point of the moments design. Long sums bound the streaming face to
+    * |x| ≤ ~55k over 2⁶³ mass (vs the batch face's DECIMAL 38) —
+    * ample for metric-grade streams; state never expires, group-key
+    * cardinality bounds memory.
+    */
+  def momentsStream(values: Dataset[KeyedNum]): Dataset[MomentsUpdate] = {
+    implicit val outEnc = Encoders.product[MomentsUpdate]
+    implicit val stEnc = Encoders.product[MomentsState]
+    implicit val keyEnc = Encoders.STRING
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[MomentsState, MomentsUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedNum],
+            state: GroupState[MomentsState]) =>
+          var st = state.getOption.getOrElse(
+            MomentsState(0L, 0L, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { r =>
+            val x = r.x
+            st = MomentsState(st.n + 1, st.s1 + x, st.s2 + x * x,
+              st.s3 + x * x * x, st.s4 + x * x * x * x,
+              math.min(st.vmin, x), math.max(st.vmax, x))
+          }
+          state.update(st)
+          Iterator(MomentsUpdate(group, st.n, st.s1, st.s2, st.s3, st.s4,
+            st.vmin, st.vmax))
+      }
+  }
+
   /** Streaming HyperLogLog — the continuous face of
     * [[graft.engine.Sketches.hllRegisters]]/`hllEstimate`: per group
     * the state is the `m = 2^p` byte registers (FIXED size however many

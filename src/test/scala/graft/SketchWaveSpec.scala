@@ -135,6 +135,37 @@ class SketchWaveSpec extends SparkSpec {
       math.rint(math.exp(-want1) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("ivfPqTopK: every neighbor shares the query's LSH cell, and " +
+      "scores agree with pqAdcTopK restricted to that cell") {
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, "embedding", "label", m = 2,
+      dim = 64)
+    val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.ivfPqTopK(emb, cb, queries, "vec_id", "vec_id",
+      "embedding", k = 5, anchors)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def cells(df: DataFrame) = Similarity.lshBuckets(df, "embedding",
+        anchors).select(col("vec_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cell = cells(emb)
+    got.foreach { case (q, n, _) =>
+      assert(cell(n) == cell(q), s"neighbor $n outside query $q's cell") }
+    // per query, the ADC scores equal pqAdcTopK over ONLY its cell
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val inCell = emb.filter(col("vec_id").isInCollection(
+        cell.filter(_._2 == cell(q)).keys.toSeq))
+      val want = Similarity.pqAdcTopK(
+        Similarity.pqEncode(inCell, "vec_id", "embedding", cb), cb,
+        queries.filter(col("vec_id") === q), "vec_id", "vec_id",
+        "embedding", k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.map(r => (r._2, r._3)).toSet == want,
+        s"query $q: IVF-PQ must equal cell-restricted ADC")
+    }
+  }
+
   test("semDedup: exact duplicates collapse to one survivor per family, " +
       "singletons all survive, every input row is emitted") {
     def v(xs: Double*) = xs.toArray

@@ -414,6 +414,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("momentsStream: per-batch emissions equal the batch momentsSketch " +
+      "on every prefix; state is seven longs per group") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.KeyedNum]
+    val q = Streaming.momentsStream(mem.toDS())
+      .writeStream.format("memory").queryName("momstream")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(1L, 2L, 3L, 3L).map(Streaming.KeyedNum("g", _))
+      val b2 = Seq(10L, -4L).map(Streaming.KeyedNum("g", _))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT n, s1, s2, s3, s4, vmin, vmax FROM momstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      def ref(vs: Seq[Streaming.KeyedNum]) = {
+        val row = graft.engine.Sketches.momentsSketch(
+          vs.map(v => ("g", v.x)).toDF("grp", "x"), Seq("grp"), "x")
+          .collect().head
+        (row.getLong(1), row.getDecimal(2).longValue,
+          row.getDecimal(3).longValue, row.getDecimal(4).longValue,
+          row.getDecimal(5).longValue, row.getLong(6), row.getLong(7))
+      }
+      assert(got == Seq(ref(b1), ref(b1 ++ b2)),
+        "stream emissions must equal the batch sketch on each prefix")
+    } finally q.stop()
+  }
+
   test("cmsStream: per-batch estimates bit-identical to the batch " +
       "cmsTopK est over the same prefix; state is d*w longs") {
     val sp = spark
