@@ -654,6 +654,59 @@ object Streaming {
     * spec-pinned). State never expires: a frequency sketch is
     * cumulative; group-key cardinality bounds memory.
     */
+  final case class KmvUpdate(group: String, n_kept: Int, kth_min: Long,
+    est_distinct: Double)
+
+  /** Streaming KMV/theta sketch — the continuous face of
+    * [[graft.engine.Sketches.kmvSketch]]/`kmvDistinct`: per group the
+    * state is the ≤ k smallest distinct mixed hashes (≤ 8k bytes,
+    * FIXED however many values stream through); each batch folds its
+    * hashes in and emits the refreshed `(n_kept, kth_min,
+    * est_distinct)`. Hash, mix, the saturated `(k−1)·P/h_k` estimator,
+    * the unsaturated exact path, and HALF_UP 6-dp rounding mirror the
+    * batch face bit-for-bit (spec-pinned on every prefix). Cross-shard
+    * rollup = k smallest of the concatenated states — the merge the
+    * batch spec pins. State never expires; group-key cardinality
+    * bounds memory.
+    */
+  def kmvStream(values: Dataset[KeyedValue],
+      k: Int = 64): Dataset[KmvUpdate] = {
+    require(k >= 2, "need k >= 2")
+    implicit val outEnc = Encoders.product[KmvUpdate]
+    implicit val stEnc = Encoders.BINARY
+    implicit val keyEnc = Encoders.STRING
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Byte], KmvUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedValue],
+            state: GroupState[Array[Byte]]) =>
+          val prev = state.getOption.map { bytes =>
+            val arr = new Array[Long](bytes.length / 8)
+            java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(arr)
+            arr.toSeq
+          }.getOrElse(Seq.empty[Long])
+          val hs = scala.collection.mutable.SortedSet[Long](prev: _*)
+          rows.foreach { r =>
+            if (r.v != null) {
+              hs += graft.functions.PolyHash.hashString(r.v) *
+                2654435761L % 1000000007L
+              if (hs.size > k) hs -= hs.last
+            }
+          }
+          val kept = hs.toArray
+          val bytes = new Array[Byte](kept.length * 8)
+          java.nio.ByteBuffer.wrap(bytes).asLongBuffer().put(kept)
+          state.update(bytes)
+          def r6(x: Double): Double = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val est =
+            if (kept.length < k) kept.length.toDouble
+            else (k - 1).toDouble * 1000000007L / kept.last.toDouble
+          Iterator(KmvUpdate(group, kept.length,
+            if (kept.isEmpty) 0L else kept.last, r6(est)))
+      }
+  }
+
   def cmsStream(points: Dataset[CmsPoint], d: Int,
       w: Int): Dataset[CmsEstimate] = {
     require(d >= 1 && w >= 2, "need d >= 1, w >= 2")

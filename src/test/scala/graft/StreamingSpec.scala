@@ -447,6 +447,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvStream: per-batch emissions equal the batch kmvDistinct on " +
+      "every prefix; duplicates absorbed; state is <= k hashes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.kmvStream(mem.toDS(), k = 16)
+      .writeStream.format("memory").queryName("kmvstream")
+      .outputMode("append").start()
+    try {
+      val b1 = (1 to 10).map(i => Streaming.KeyedValue("g", s"v$i"))
+      val b2 = (5 to 200).map(i => Streaming.KeyedValue("g", s"v$i"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT n_kept, kth_min, est_distinct FROM kmvstream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      def ref(vs: Seq[String]) = {
+        val row = graft.engine.Sketches.kmvDistinct(
+          vs.map(v => ("g", v)).toDF("grp", "v"), Seq("grp"), "v", k = 16)
+          .collect().head
+        (row.getInt(1), row.getLong(2), row.getDouble(3))
+      }
+      assert(got == Seq(ref(b1.map(_.v)), ref((b1 ++ b2).map(_.v))),
+        "stream emissions must equal the batch face on each prefix")
+    } finally q.stop()
+  }
+
   test("cmsStream: per-batch estimates bit-identical to the batch " +
       "cmsTopK est over the same prefix; state is d*w longs") {
     val sp = spark
