@@ -3648,6 +3648,99 @@ object LlmQueries {
         FROM rr WHERE rank <= 5"""
     })
 
+  /** Probe-sampled silhouette per label cluster — clustering-quality
+    * report over the embedding space (64 probes, corpus never
+    * pairwise-exploded). */
+  private val l126 = Spec("q261_silhouette",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.silhouetteSampled(emb,
+        emb.filter(col("vec_id") < 64), "vec_id", "embedding", "label")
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+          FROM embeddings WHERE vec_id < 64),
+        s AS (SELECT p.qid, p.ql, c.label AS nl,
+          round(${cosSql("p.qv", "c.embedding")}, 6) AS cos
+          FROM p CROSS JOIN embeddings c WHERE c.vec_id != p.qid),
+        m AS (SELECT qid, ql, nl, avg(CAST(1.0 AS DOUBLE) - cos) AS d
+          FROM s GROUP BY qid, ql, nl),
+        ab AS (SELECT qid, ql, max(CASE WHEN nl = ql THEN d END) AS a,
+          min(CASE WHEN nl <> ql THEN d END) AS b FROM m GROUP BY qid, ql),
+        f AS (SELECT qid, ql, ${graft.llm.Eval.silhouetteSql} AS s FROM ab
+          WHERE a IS NOT NULL AND b IS NOT NULL)
+        SELECT ql AS label, CAST(count(*) AS INT) AS n_probes,
+          round(avg(s), 6) AS mean_sil FROM f GROUP BY ql"""))
+
+  /** nDCG@10 with same-label relevance — graded retrieval quality for
+    * the exact cosine scan (8 queries, self excluded). */
+  private val l127 = Spec("q262_ndcg_at_k",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.ndcgAtK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+          label AS ql FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nid) AS rank FROM s),
+        top AS (SELECT * FROM r WHERE rank <= 10),
+        d AS (SELECT query_id, sum(${graft.llm.Eval.dcgTermSql}) AS dcg
+          FROM top GROUP BY query_id),
+        lc AS (SELECT label AS ql, count(*) AS nlab FROM embeddings
+          GROUP BY label),
+        tr AS (SELECT q.query_id, lc.nlab - 1 AS n_rel FROM q
+          JOIN lc USING (ql)),
+        ii AS (SELECT query_id, unnest(range(least(n_rel, 10))) AS i
+          FROM tr WHERE n_rel > 0),
+        ic AS (SELECT query_id, sum(${graft.llm.Eval.idcgTermSql}) AS idcg
+          FROM ii GROUP BY query_id)
+        SELECT tr.query_id, CAST(n_rel AS INT) AS n_rel,
+          round(coalesce(d.dcg, CAST(0 AS DOUBLE)), 6) AS dcg,
+          round(ic.idcg, 6) AS idcg,
+          round(coalesce(d.dcg, CAST(0 AS DOUBLE)) / ic.idcg, 6) AS ndcg
+        FROM tr LEFT JOIN d USING (query_id)
+        LEFT JOIN ic USING (query_id)"""))
+
+  /** k-NN reliability diagram + ECE contributions (128 queries, k=10;
+    * vote-count bins are exact rationals — integer-exact to the final
+    * ratios). */
+  private val l128 = Spec("q263_knn_calibration",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.knnCalibration(emb, emb.filter(col("vec_id") < 128),
+        "vec_id", "embedding", "label", "vec_id", k = 10)
+    },
+    Some {
+      val acc = graft.llm.Eval.accSql
+      val conf = graft.llm.Eval.confSql
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+            label AS true_label FROM embeddings WHERE vec_id < 128),
+          s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+            ${cosSql("q.qv", "c.embedding")} AS cos
+            FROM q CROSS JOIN embeddings c),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+          v AS (SELECT query_id, label, count(*) AS n_votes FROM r
+            WHERE rank <= 10 GROUP BY query_id, label),
+          w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, label) AS vr FROM v),
+          pr AS (SELECT w.query_id, w.label AS pred_label, w.n_votes,
+            q.true_label FROM w JOIN q USING (query_id) WHERE vr = 1),
+          nn AS (SELECT count(*) AS nq FROM pr),
+          b AS (SELECT n_votes AS bin, 10 AS kk, count(*) AS n,
+            sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+              AS n_correct FROM pr GROUP BY n_votes)
+          SELECT CAST(bin AS INT) AS bin, CAST(n AS INT) AS n,
+            round($conf, 6) AS conf, round($acc, 6) AS acc,
+            round(abs(($acc) - ($conf)), 6) AS abs_gap,
+            round(CAST(n AS DOUBLE) / CAST(nq AS DOUBLE)
+              * abs(($acc) - ($conf)), 6) AS contrib
+          FROM b CROSS JOIN nn"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3658,5 +3751,5 @@ object LlmQueries {
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
-    l124, l125)
+    l124, l125, l126, l127, l128)
 }

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators — the quality-measurement faces a training-data
+  * pipeline runs AGAINST its own artifacts: clustering quality
+  * (silhouette), retrieval quality (nDCG@k, complementing
+  * [[Similarity.recallAtK]]), and classifier calibration (per-bin
+  * reliability + ECE contributions). All three are probe-sampled or
+  * candidate-grain: the corpus is scanned, never pairwise-exploded.
+  */
+object Eval {
+
+  /** Shared engine/oracle formula fragments (ONE copy parsed by both
+    * Spark `expr` and DuckDB — the repo's shared-fragment rule). */
+  val silhouetteSql: String =
+    "CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) " +
+      "ELSE CAST(0 AS DOUBLE) END"
+  val dcgTermSql: String =
+    "CASE WHEN nl = ql THEN CAST(1 AS DOUBLE) " +
+      "/ (ln(CAST(rank + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) " +
+      "ELSE CAST(0 AS DOUBLE) END"
+  val idcgTermSql: String =
+    "CAST(1 AS DOUBLE) / (ln(CAST(i + 2 AS DOUBLE)) " +
+      "/ ln(CAST(2 AS DOUBLE)))"
+  val accSql: String = "CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)"
+  val confSql: String = "CAST(bin AS DOUBLE) / CAST(kk AS DOUBLE)"
+
+  /** Probe-sampled silhouette score per label cluster (Rousseeuw, JCAM
+    * 1987): for each probe, `a` = mean cosine distance (1 − cos) to its
+    * own cluster's OTHER members, `b` = the nearest other cluster's mean
+    * distance, `s = (b − a)/max(a, b)` (0 for the degenerate both-zero
+    * case). Probes whose cluster has no other member, or that see no
+    * other cluster, are skipped (the standard |C| > 1 proviso). Output:
+    * `(label, n_probes, mean_sil)` — the per-cluster cohesion report a
+    * user reads before trusting k-means/PQ cell assignments.
+    *
+    * Scale: probes broadcast ([[Similarity.bruteForceTopK]] posture —
+    * the corpus is scanned ONCE and never shuffled); per-probe state
+    * collapses to |labels| means before the tiny a/b reduction. Probe
+    * count buys estimator precision, not asymptotics.
+    */
+  def silhouetteSampled(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .join(p)
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("ql"), col("nl"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val means = scored.groupBy(col("qid"), col("ql"), col("nl"))
+      .agg(avg(lit(1.0) - col("cos")).as("d"))
+    val ab = means.groupBy(col("qid"), col("ql"))
+      .agg(max(when(col("nl") === col("ql"), col("d"))).as("a"),
+        min(when(col("nl") =!= col("ql"), col("d"))).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .withColumn("s", expr(silhouetteSql))
+    ab.groupBy(col("ql").as("label"))
+      .agg(count(lit(1)).cast("int").as("n_probes"),
+        round(avg(col("s")), 6).as("mean_sil"))
+  }
+
+  /** nDCG@k retrieval quality (Järvelin & Kekäläinen, TOIS 2002) with
+    * binary same-label relevance: each query retrieves its cosine top-k
+    * (self excluded), DCG discounts hits by 1/log₂(rank+1), and the
+    * ideal DCG normalizes by the best achievable ordering given the
+    * query's total relevant count. Output: `(query_id, n_rel, dcg,
+    * idcg, ndcg)` — the graded companion to [[Similarity.recallAtK]]
+    * (recall counts hits; nDCG also charges for WHERE they ranked).
+    *
+    * Scale: queries broadcast, corpus scanned once, ranks reduced by a
+    * |queries|-keyed window — the bruteForceTopK cost envelope; the
+    * relevant-count join is label-grain. Swap the scorer for
+    * [[Similarity.annTopK]]/[[Similarity.ivfPqTopK]] output to grade an
+    * ANN index instead of the exact scan.
+    */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val top = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .join(q)
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("ql"), col("nid"), col("nl"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+    val dcg = top.groupBy(col("query_id"))
+      .agg(sum(expr(dcgTermSql)).as("dcg"))
+    val labelCounts = corpus.groupBy(col(labelCol).as("ql"))
+      .agg(count(lit(1)).as("nlab"))
+    val nRel = q.join(broadcast(labelCounts), Seq("ql"))
+      .select(col("query_id"), (col("nlab") - 1).as("n_rel"))
+    val idcg = nRel.filter(col("n_rel") > 0)
+      .select(col("query_id"),
+        explode(sequence(lit(0L), least(col("n_rel"), lit(k.toLong)) - 1))
+          .as("i"))
+      .groupBy(col("query_id"))
+      .agg(sum(expr(idcgTermSql)).as("idcg"))
+    nRel.join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel").cast("int").as("n_rel"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** k-NN classifier reliability diagram + ECE contributions: bin each
+    * prediction by its vote count (confidence = votes/k — exact
+    * rationals, so bins are integers end-to-end), and report per bin
+    * the population, confidence, accuracy, |gap|, and the
+    * population-weighted ECE contribution (Guo et al., "On Calibration
+    * of Modern Neural Networks", ICML 2017 — the binned-ECE recipe;
+    * Σ contrib = ECE). Output: one row per occupied bin.
+    *
+    * Scale: rides [[Similarity.knnClassify]] (queries broadcast, corpus
+    * never shuffled); everything downstream is |queries|-grain counts —
+    * integer-exact until the final per-bin ratios.
+    */
+  def knnCalibration(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val preds = Similarity.knnClassify(corpus, queries, idCol, vecCol,
+      labelCol, queryIdCol, k)
+    val truth = queries.select(col(queryIdCol).as("query_id"),
+      col(labelCol).as("true_label"))
+    val joined = preds.join(truth, Seq("query_id"))
+    val total = joined.agg(count(lit(1)).as("nq"))
+    joined.groupBy(col("n_votes").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(total))
+      .withColumn("kk", lit(k))
+      .select(col("bin").cast("int").as("bin"), col("n").cast("int").as("n"),
+        round(expr(confSql), 6).as("conf"),
+        round(expr(accSql), 6).as("acc"),
+        round(abs(expr(accSql) - expr(confSql)), 6).as("abs_gap"),
+        round(expr("CAST(n AS DOUBLE) / CAST(nq AS DOUBLE)")
+          * abs(expr(accSql) - expr(confSql)), 6).as("contrib"))
+  }
+}
