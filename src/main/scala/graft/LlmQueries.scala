@@ -197,6 +197,26 @@ object LlmQueries {
          substr(text, 1, CAST(greatest(length(text) - 15, 20) AS INT))
        FROM documents WHERE doc_id % 17 = 0"""
 
+  /** Session-memoized LSH candidate pairs over [[nearDupCorpus]] (the
+    * one parameterization every dedup-chain query uses: 3-shingles,
+    * k=16, 4 bands, est ≥ 0.25, maxBucket 1000) — q57/q69/q81/q139/q249
+    * all start here; without the memo each re-tokenizes, re-signs and
+    * re-buckets the corpus. Values (and gate hashes) unchanged — the
+    * nearDupEmb fixture discipline. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    fixtureMemo.getOrElseUpdate((s, d, "nearDupPairs"),
+      Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
+        maxBucket = 1000).localCheckpoint(true))
+
+  /** Session-memoized connected components over [[nearDupPairs]] —
+    * the iterative pointer-jumping pass is the expensive half of the
+    * q69/q81/q139/q249 chain; ONE materialization serves all four. */
+  private def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    fixtureMemo.getOrElseUpdate((s, d, "nearDupClusters"),
+      Dedup.duplicateClusters(nearDupPairs(s, d), "doc_a", "doc_b")
+        .localCheckpoint(true))
+
   /** Exact dedup over the dup-injected corpus. */
   private val l6 = Spec("q55_dedup_exact",
     (s, d) => Dedup.exact(dupCorpus(s, d), "doc_id", "text"),
@@ -252,9 +272,7 @@ object LlmQueries {
     * (k=16, 4 bands × 4 rows, est-Jaccard ≥ 0.25).
     */
   private val l8 = Spec("q57_dedup_lsh_pairs",
-    (s, d) => Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id", "text",
-      shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
-      maxBucket = 1000),
+    (s, d) => nearDupPairs(s, d),
     Some(s"""WITH $lshCtes
         SELECT doc_a, doc_b, est_jaccard FROM pairs
         WHERE est_jaccard >= CAST(0.25 AS DOUBLE)"""))
@@ -264,12 +282,7 @@ object LlmQueries {
     * closure, cluster = min reachable id.
     */
   private val l18 = Spec("q69_dedup_clusters",
-    (s, d) => {
-      val pairs = Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id",
-        "text", shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
-        maxBucket = 1000)
-      Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
-    },
+    (s, d) => nearDupClusters(s, d),
     Some(s"""WITH RECURSIVE $lshCtes,
         cand AS (SELECT doc_a, doc_b FROM pairs
           WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
@@ -791,15 +804,9 @@ object LlmQueries {
     * operation a training pipeline actually ships.
     */
   private val l26 = Spec("q81_dedup_prune_corpus",
-    (s, d) => {
-      val corpus = nearDupCorpus(s, d)
-      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
-        shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
-        maxBucket = 1000)
-      val clusters = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
-      Dedup.pruneDuplicates(corpus, "doc_id", clusters)
-        .select(col("doc_id"))
-    },
+    (s, d) => Dedup.pruneDuplicates(nearDupCorpus(s, d), "doc_id",
+        nearDupClusters(s, d))
+      .select(col("doc_id")),
     Some(s"""WITH RECURSIVE $lshCtes,
         cand AS (SELECT doc_a, doc_b FROM pairs
           WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
@@ -1657,14 +1664,9 @@ object LlmQueries {
     * by (how much mass sits in big boilerplate clusters vs pairs).
     */
   private val l58 = Spec("q139_cluster_sizes",
-    (s, d) => {
-      val pairs = Dedup.minhashCandidates(nearDupCorpus(s, d), "doc_id",
-        "text", shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
-        maxBucket = 1000)
-      Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-        .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
-    },
+    (s, d) => nearDupClusters(s, d)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters")),
     Some(s"""WITH RECURSIVE $lshCtes,
         cand AS (SELECT doc_a, doc_b FROM pairs
           WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
@@ -3288,15 +3290,8 @@ object LlmQueries {
     * q237 discipline) plus the singleton fallback.
     */
   private val l114 = Spec("q249_leakage_safe_shards",
-    (s, d) => {
-      val corpus = nearDupCorpus(s, d)
-      val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
-        shingleWidth = 3, k = 16, bands = 4, minEstJaccard = 0.25,
-        maxBucket = 1000)
-      val clusters = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
-      graft.llm.Selection.leakageSafeShards(corpus, "doc_id",
-        clusters, "doc", "cluster", k = 8)
-    },
+    (s, d) => graft.llm.Selection.leakageSafeShards(nearDupCorpus(s, d),
+      "doc_id", nearDupClusters(s, d), "doc", "cluster", k = 8),
     Some(s"""WITH RECURSIVE $lshCtes,
         cand AS (SELECT doc_a, doc_b FROM pairs
           WHERE est_jaccard >= CAST(0.25 AS DOUBLE)),
