@@ -3736,6 +3736,103 @@ object LlmQueries {
           FROM b CROSS JOIN nn"""
     })
 
+  /** RBO@10 (p=0.9) of the sign-LSH ANN ranking against the exact
+    * cosine ranking — top-weighted index agreement, no labels needed.
+    * Weight table generated ONCE ([[graft.llm.Eval.rboWeights]]) and
+    * shared verbatim with the SQL. */
+  private val l129 = Spec("q264_rbo_ann_vs_exact",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").between(100, 107))
+      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+      graft.llm.Eval.rankBiasedOverlap(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", 10),
+        Similarity.annTopK(emb, queries, "vec_id", "embedding", "vec_id",
+          10, anchors),
+        "query_id", "neighbor_id", "rank", p = 0.9, k = 10)
+    },
+    Some {
+      val w = graft.llm.Eval.rboWeights(0.9, 10)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+      val oneMinusP = (1.0 - 0.9).toString
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+          bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qv", "c.embedding")} AS cos
+            FROM q CROSS JOIN embeddings c),
+          br AS (SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ra
+            FROM bs),
+          bt AS (SELECT query_id, neighbor_id, ra FROM br WHERE ra <= 10),
+          cb AS (SELECT $bucket AS bucket, v.vec_id AS neighbor_id,
+            v.embedding AS cvec FROM embeddings v),
+          qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+            v.embedding AS qvec FROM embeddings v
+            WHERE v.vec_id BETWEEN 100 AND 107),
+          sa AS (SELECT qb.query_id, cb.neighbor_id,
+            ${cosSql("qb.qvec", "cb.cvec")} AS cos
+            FROM cb JOIN qb ON cb.bucket = qb.bucket),
+          ar AS (SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rb
+            FROM sa),
+          at2 AS (SELECT query_id, neighbor_id, rb FROM ar WHERE rb <= 10),
+          m AS (SELECT bt.query_id,
+            ($w)[CAST(greatest(bt.ra, at2.rb) AS INT)] AS w
+            FROM bt JOIN at2 USING (query_id, neighbor_id)),
+          g AS (SELECT query_id, CAST(count(*) AS INT) AS n_common,
+            sum(w) AS sw FROM m GROUP BY query_id)
+          SELECT qq.query_id, coalesce(g.n_common, 0) AS n_common,
+            round(CAST($oneMinusP AS DOUBLE)
+              * coalesce(g.sw, CAST(0 AS DOUBLE)), 6) AS rbo
+          FROM (SELECT DISTINCT query_id FROM q) qq
+          LEFT JOIN g USING (query_id)"""
+    })
+
+  /** Embedding-space decontamination: corpus vectors cosine-near any
+    * "eval" probe (vec_id < 32), candidates confined to shared LSH
+    * buckets — the semantic dual of the q87 n-gram decontamination.
+    * SIX pinned anchor planes (not q62's four): 64 buckets keep the
+    * hot-bucket cap disengaged through the sf1 decade step (16 buckets
+    * saturate at ~20k vectors and the guard would empty the report);
+    * production sizing is autoAnchors' log(N) planes as ever. */
+  private val l130 = Spec("q265_semantic_decontaminate",
+    (s, d) => {
+      val corpus = nearDupEmb(s, d)
+      val probes = T(s, d, "embeddings").filter(col("vec_id") < 32)
+        .select(col("vec_id").as("eval_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val anchors = Similarity.firstVectors(corpus, "vec_id", "embedding", 6)
+      Similarity.crossCosineMatches(corpus, probes, "vec_id", "eval_id",
+        "embedding", anchors, minCos = 0.8, maxBucket = 1000)
+    },
+    Some {
+      val bucket = (0 until 6).map { j =>
+        val anchor = s"(SELECT embedding FROM corpus WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH corpus AS ($nearDupEmbSql),
+          b0 AS (SELECT $bucket AS bucket, v.vec_id AS id,
+            v.embedding AS vec FROM corpus v),
+          cb AS (SELECT bucket, id, vec FROM (SELECT *,
+            count(*) OVER (PARTITION BY bucket) AS bucket_n FROM b0)
+            WHERE bucket_n <= 1000),
+          pb AS (SELECT $bucket AS bucket, v.vec_id AS eval_id,
+            CAST(v.embedding AS DOUBLE[]) AS pvec FROM embeddings v
+            WHERE v.vec_id < 32),
+          p AS (SELECT cb.id AS vec_id, pb.eval_id,
+            round(${cosSql("cb.vec", "pb.pvec")}, 6) AS cos
+            FROM cb JOIN pb ON cb.bucket = pb.bucket)
+          SELECT vec_id, eval_id, cos FROM p
+          WHERE cos >= CAST(0.8 AS DOUBLE)"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3746,5 +3843,5 @@ object LlmQueries {
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
-    l124, l125, l126, l127, l128)
+    l124, l125, l126, l127, l128, l129, l130)
 }

@@ -113,6 +113,57 @@ object Eval {
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Truncated rank-biased-overlap weights: `W(m) = Σ_{d=m..k} p^(d−1)/d`
+    * — a matched pair first seen at depth `m = max(rank_a, rank_b)`
+    * contributes exactly this to `Σ_d p^(d−1)·|A_d ∩ B_d|/d`. Computed
+    * once driver-side and shared VERBATIM with the oracle as a literal
+    * table (the jlSigns hash-parity discipline), so both engines sum
+    * identical doubles. */
+  def rboWeights(p: Double, k: Int): Seq[Double] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => terms.drop(m - 1).sum)
+  }
+
+  /** Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel,
+    * "A Similarity Measure for Indefinite Rankings", TOIS 2010) between
+    * two per-query rankings — the top-weighted agreement measure for
+    * grading an ANN index against the exact scan: unlike recall@k it
+    * charges MORE for disagreement near rank 1 (geometric weights p^d),
+    * and unlike nDCG it needs no relevance labels. Inputs are two
+    * `(queryIdCol, idCol, rankCol)` frames with ranks 1..k
+    * ([[Similarity.bruteForceTopK]] / `annTopK` / `ivfPqTopK` output
+    * shape). `rbo = (1−p)·Σ_matched W(max(ra, rb))` via [[rboWeights]].
+    * Queries present in `a` but with no overlap report 0.
+    *
+    * Output: `(query_id, n_common, rbo)`.
+    *
+    * Scale: candidate-list grain throughout — the join keys on (query,
+    * neighbor) over queries×k rows; the heavy corpus scans happened
+    * upstream in whatever produced the rankings.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryIdCol: String,
+      idCol: String, rankCol: String, p: Double, k: Int): DataFrame = {
+    require(p > 0 && p < 1 && k >= 1, "need 0 < p < 1, k >= 1")
+    val w = rboWeights(p, k)
+    val wArr = array(w.map(lit(_)): _*)
+    val matched = a.select(col(queryIdCol).as("query_id"), col(idCol),
+        col(rankCol).as("__ra"))
+      .join(b.select(col(queryIdCol).as("query_id"), col(idCol),
+        col(rankCol).as("__rb")), Seq("query_id", idCol))
+      .filter(col("__ra") <= k && col("__rb") <= k)
+      .select(col("query_id"),
+        element_at(wArr, greatest(col("__ra"), col("__rb")).cast("int"))
+          .as("__w"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_common"),
+        sum(col("__w")).as("__sw"))
+    a.select(col(queryIdCol).as("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0)).as("n_common"),
+        round(lit(1.0 - p) * coalesce(col("__sw"), lit(0.0)), 6).as("rbo"))
+  }
+
   /** k-NN classifier reliability diagram + ECE contributions: bin each
     * prediction by its vote count (confidence = votes/k — exact
     * rationals, so bins are integers end-to-end), and report per bin

@@ -566,6 +566,42 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Cross-corpus cosine matches — the semantic-decontamination face:
+    * flag every corpus vector whose cosine to ANY probe (e.g. an eval
+    * benchmark's embeddings) clears `minCos`, candidate generation
+    * confined to shared sign-LSH buckets. The embedding-space dual of
+    * the n-gram [[Curation]] decontamination: paraphrased eval leakage
+    * has no 8-gram overlap but lands in the same cosine neighborhood.
+    * Same hot-bucket guard as [[cosineNearDups]]; recall follows the
+    * bucket granularity (an exact-threshold sweep would need
+    * multi-probe — see [[annMultiProbeTopK]]'s flip pattern).
+    *
+    * Output: `(idCol, probe_id, cos)` — one row per flagged (corpus,
+    * probe) pair above the threshold.
+    *
+    * Scale: both sides bucket map-side; the join shuffles on bucket
+    * with the probe side benchmark-sized (MBs vs a TB corpus), so each
+    * corpus partition meets only its buckets' probes. Per-bucket work
+    * is |corpus_bucket| × |probe_bucket| — probe-side cardinality
+    * bounds it, not corpus².
+    */
+  def crossCosineMatches(corpus: DataFrame, probes: DataFrame,
+      idCol: String, probeIdCol: String, vecCol: String,
+      anchors: Seq[Seq[Double]], minCos: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val cb = Dedup.pruneHotBuckets(
+      lshBuckets(corpus, vecCol, anchors)
+        .select(col("bucket"), col(idCol), col(vecCol).as("__cv")),
+      Seq("bucket"), maxBucket)
+    val pb = lshBuckets(probes, vecCol, anchors)
+      .select(col("bucket"), col(probeIdCol).as("probe_id"),
+        col(vecCol).as("__pv"))
+    cb.join(pb, Seq("bucket"))
+      .select(col(idCol), col("probe_id").as(probeIdCol),
+        round(cosine(col("__cv"), col("__pv")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): cluster the
     * corpus, then inside each cluster drop every item that is

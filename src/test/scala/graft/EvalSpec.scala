@@ -47,6 +47,50 @@ class EvalSpec extends SparkSpec {
     assert(r6.getInt(1) == 0 && r6.isNullAt(3) && r6.isNullAt(4))
   }
 
+  test("rankBiasedOverlap: identical rankings score 1 - p^k, disjoint " +
+      "rankings score 0, and a top-1 swap costs more than a tail swap") {
+    val p = 0.9; val k = 5
+    def ranking(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (1L, id, i + 1) }
+      .toDF("query_id", "neighbor_id", "rank")
+    def rbo(a: Seq[Long], b: Seq[Long]): Double =
+      Eval.rankBiasedOverlap(ranking(a), ranking(b), "query_id",
+        "neighbor_id", "rank", p, k).collect().head.getDouble(2)
+    val base = Seq(1L, 2L, 3L, 4L, 5L)
+    val same = rbo(base, base)
+    val wantSame = math.rint((1 - p) * Eval.rboWeights(p, k).sum * 1e6) / 1e6
+    assert(same == wantSame && math.abs(same - (1 - math.pow(p, k))) < 1e-6,
+      "identical rankings must score the full truncated mass 1 - p^k")
+    assert(rbo(base, Seq(6L, 7L, 8L, 9L, 10L)) == 0.0)
+    // swapping ranks 1↔2 hurts more than swapping 4↔5: top-weighted
+    val headSwap = rbo(base, Seq(2L, 1L, 3L, 4L, 5L))
+    val tailSwap = rbo(base, Seq(1L, 2L, 3L, 5L, 4L))
+    assert(headSwap < tailSwap && tailSwap < same)
+  }
+
+  test("crossCosineMatches: duplicated probes flag their corpus twins, " +
+      "orthogonal probes flag nothing, hot buckets are dropped whole") {
+    // corpus 1 and 2 share probe 10's sign bucket (x > 0, y <= 0);
+    // corpus 3 lives alone in the +y bucket
+    val corpus = Seq((1L, v(1, 0, 0)), (2L, v(0.9, -0.1, 0)),
+      (3L, v(0, 1, 0))).toDF("vec_id", "embedding")
+    val probes = Seq((10L, v(1, 0, 0)), (11L, v(0, 0, 1)))
+      .toDF("eval_id", "embedding")
+    val anchors = Seq(Seq(1.0, 0, 0), Seq(0.0, 1, 0))
+    val out = llm.Similarity.crossCosineMatches(corpus, probes, "vec_id",
+      "eval_id", "embedding", anchors, minCos = 0.95, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // probe 10 duplicates corpus 1 (cos 1) and near-matches 2 (0.9939);
+    // probe 11's all-zero-sign bucket holds no corpus vectors → no hits
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 10L), (2L, 10L)))
+    assert(out.find(_._1 == 1L).get._3 == 1.0)
+    // cap = 1: corpus bucket of {1, 2} exceeds it → dropped whole
+    val capped = llm.Similarity.crossCosineMatches(corpus, probes,
+      "vec_id", "eval_id", "embedding", anchors, minCos = 0.95,
+      maxBucket = 1).collect()
+    assert(capped.isEmpty, "saturated buckets must drop, not explode")
+  }
+
   test("knnCalibration: pure clusters land in the full-confidence bin " +
       "with zero gap; a mislabeled point dents that bin's accuracy by " +
       "exactly 1/n") {
