@@ -135,6 +135,47 @@ class SketchWaveSpec extends SparkSpec {
       math.rint(math.exp(-want1) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("momentsSketch property: random integer corpora match the " +
+      "driver-side reference under any partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    val rowGen = Gen.zip(Gen.oneOf("g", "h", "i"), Gen.chooseNum(-999, 999))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val want = rows.groupBy(_._1).view.mapValues { vs =>
+        val xs = vs.map(_._2.toLong)
+        (xs.size.toLong, xs.sum, xs.map(x => x * x).sum,
+          xs.map(x => x * x * x).sum, xs.map(x => x * x * x * x).sum,
+          xs.min, xs.max)
+      }.toMap
+      val got = (n: Int) => Sketches.momentsSketch(
+        rows.toDF("grp", "x").repartition(n), Seq("grp"), "x")
+        .collect().map { r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).longValue,
+            r.getDecimal(3).longValue, r.getDecimal(4).longValue,
+            r.getDecimal(5).longValue, r.getLong(6), r.getLong(7)))
+        }.toMap
+      Prop(got(1) == want && got(7) == want)
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"moments sketch diverged: ${res.status}")
+  }
+
+  test("kmvSketch property: random string multisets yield exactly the " +
+      "k smallest distinct mixed hashes") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    val rowGen = Gen.chooseNum(0, 400).map(i => s"v$i")
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { vs =>
+      val want = vs.distinct.map(mix).distinct.sorted.take(16)
+      val got = Sketches.kmvSketch(vs.map(("g", _)).toDF("grp", "v"),
+        Seq("grp"), "v", k = 16)
+        .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      Prop(got == want)
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"kmv sketch diverged: ${res.status}")
+  }
+
   test("ivfPqTopK: every neighbor shares the query's LSH cell, and " +
       "scores agree with pqAdcTopK restricted to that cell") {
     import org.apache.spark.sql.DataFrame
