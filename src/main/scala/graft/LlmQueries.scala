@@ -3833,6 +3833,158 @@ object LlmQueries {
           WHERE cos >= CAST(0.8 AS DOUBLE)"""
     })
 
+  // ---- sketch/discovery wave: log-histogram quantiles, AMS F2,
+  // cross-column inclusion ----
+
+  /** Shared log-bucket histogram CTE over lineitem extendedprice by
+    * returnflag (s = 8 sub-buckets per octave) — ONE copy for q266
+    * (state face) and q267 (quantile face). */
+  private val logHistCte: String =
+    """v AS (SELECT l_returnflag, CAST(trunc(l_extendedprice) AS BIGINT)
+            AS x
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        b0 AS (SELECT l_returnflag, x,
+          CASE WHEN x < 1 THEN -1
+            ELSE CAST(length(bin(x)) - 1 AS INT) END AS e FROM v),
+        b1 AS (SELECT l_returnflag, x, e,
+          CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) << e END AS pw FROM b0),
+        b2 AS (SELECT l_returnflag, e,
+          CASE WHEN e < 0 THEN 0
+            ELSE CAST(((x - pw) * 8) // pw AS INT) END AS sub, pw
+          FROM b1),
+        sk AS (SELECT l_returnflag, e, sub, pw,
+          CAST(count(*) AS BIGINT) AS cnt FROM b2
+          GROUP BY l_returnflag, e, sub, pw)"""
+
+  /** Log-bucket (DDSketch-style, γ = 2^⅛) histogram state: integer-
+    * exact bucket lattice, mergeable counts — the relative-error
+    * quantile sketch face. */
+  private val l131 = Spec("q266_loghist_sketch",
+    (s, d) => graft.engine.Sketches.logHistogramSketch(
+      T(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice", s = 8),
+    Some(s"""WITH $logHistCte
+        SELECT l_returnflag, e, sub, pw, cnt FROM sk"""))
+
+  /** Quantile estimates off the log-histogram: exact-integer rank
+    * targeting, bucket-midpoint read via the ONE shared
+    * [[graft.engine.Sketches.logHistMidpointSql]] fragment. */
+  private val l132 = Spec("q267_loghist_quantiles",
+    (s, d) => graft.engine.Sketches.logHistogramQuantiles(
+      graft.engine.Sketches.logHistogramSketch(
+        T(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice", s = 8),
+      Seq("l_returnflag"), s = 8),
+    Some {
+      val probes = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
+        "p90" -> 900, "p99" -> 990)
+      val zRows = probes.map { case (nm, num) => s"('$nm', $num)" }
+        .mkString(", ")
+      s"""WITH $logHistCte,
+          cu AS (SELECT l_returnflag, e, sub, pw, cnt,
+            sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY e, sub)
+              AS cum,
+            sum(cnt) OVER (PARTITION BY l_returnflag) AS n FROM sk),
+          zz AS (SELECT * FROM (VALUES $zRows) AS t(q, num)),
+          j AS (SELECT cu.*, zz.q, zz.num,
+            (zz.num * cu.n + 999) // 1000 AS r
+            FROM cu CROSS JOIN zz),
+          hit AS (SELECT l_returnflag, q, e, sub, pw, row_number() OVER (
+            PARTITION BY l_returnflag, q ORDER BY e, sub) AS pick
+            FROM j WHERE cum >= r)
+          SELECT l_returnflag, q,
+            ${graft.engine.Sketches.logHistMidpointSql(8)} AS q_est
+          FROM hit WHERE pick = 1"""
+    })
+
+  /** AMS tug-of-war F₂ estimate on lineitem part keys — the join-size
+    * (self-join row count) pricing sketch; 5 groups × 16 integer
+    * estimators, median-of-means, exact F₂ alongside as calibration. */
+  private val l133 = Spec("q268_ams_f2",
+    (s, d) => graft.engine.Sketches.amsF2(
+      T(s, d, "lineitem"), "l_partkey", d = 5, g = 16),
+    Some(s"""WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS n FROM lineitem
+          WHERE l_partkey IS NOT NULL GROUP BY 1),
+        ex AS (SELECT jj.j, c.key, c.n FROM c
+          CROSS JOIN (SELECT unnest(range(0, 80)) AS j) jj),
+        xs AS (SELECT j, key, n,
+          (${phSql("key")} * 2654435761) % 1000000007 AS x FROM ex),
+        xp AS (SELECT j, key, n, x, (x * x) % 1000000007 AS x2,
+          ((x * x) % 1000000007 * x) % 1000000007 AS x3 FROM xs),
+        sg AS (SELECT j, key, n,
+          (((${phSql("'a0#' || CAST(j AS VARCHAR)")}
+              * 2654435761) % 1000000007
+            + ((${phSql("'a1#' || CAST(j AS VARCHAR)")}
+              * 2654435761) % 1000000007 * x) % 1000000007
+            + ((${phSql("'a2#' || CAST(j AS VARCHAR)")}
+              * 2654435761) % 1000000007 * x2) % 1000000007
+            + ((${phSql("'a3#' || CAST(j AS VARCHAR)")}
+              * 2654435761) % 1000000007 * x3) % 1000000007)
+            % 1000000007) % 2 * 2 - 1 AS s FROM xp),
+        z AS (SELECT j, CAST(sum(s * n) AS BIGINT) AS z FROM sg
+          GROUP BY j),
+        gm AS (SELECT j // 16 AS grp,
+          CAST(sum(z * z) AS BIGINT) // 16 AS gm FROM z GROUP BY 1),
+        md AS (SELECT gm AS f2_est, row_number() OVER (
+          ORDER BY gm, grp) AS rk FROM gm),
+        xx AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM c)
+        SELECT CAST(5 AS INT) AS d, CAST(16 AS INT) AS g,
+          f2_est, f2_exact,
+          ((f2_est - f2_exact) * 1000000) // f2_exact AS err_ppm
+        FROM md CROSS JOIN xx WHERE rk = 3"""))
+
+  /** Cross-column KMV inclusion coefficients over the star schema's key
+    * columns — sketch-grain join-key discovery; the three true FK→PK
+    * edges should surface with containment ≈ 1. */
+  private val l134 = Spec("q269_kmv_inclusion",
+    (s, d) => graft.engine.Sketches.kmvInclusion(Seq(
+      ("customer.c_custkey", T(s, d, "customer"), "c_custkey"),
+      ("orders.o_custkey", T(s, d, "orders"), "o_custkey"),
+      ("orders.o_orderkey", T(s, d, "orders"), "o_orderkey"),
+      ("lineitem.l_orderkey", T(s, d, "lineitem"), "l_orderkey"),
+      ("lineitem.l_partkey", T(s, d, "lineitem"), "l_partkey"),
+      ("part.p_partkey", T(s, d, "part"), "p_partkey")), k = 128),
+    Some {
+      val srcs = Seq(
+        "customer.c_custkey" -> ("customer", "c_custkey"),
+        "orders.o_custkey" -> ("orders", "o_custkey"),
+        "orders.o_orderkey" -> ("orders", "o_orderkey"),
+        "lineitem.l_orderkey" -> ("lineitem", "l_orderkey"),
+        "lineitem.l_partkey" -> ("lineitem", "l_partkey"),
+        "part.p_partkey" -> ("part", "p_partkey"))
+      val union = srcs.map { case (nm, (t, c)) =>
+        s"SELECT '$nm' AS colname, CAST($c AS VARCHAR) AS v FROM $t " +
+          s"WHERE $c IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH u AS ($union),
+          dh AS (SELECT DISTINCT colname,
+            (${phSql("v")} * 2654435761) % 1000000007 AS h FROM u),
+          rr AS (SELECT colname, h, row_number() OVER (
+            PARTITION BY colname ORDER BY h) AS pos FROM dh),
+          sk AS (SELECT colname, h FROM rr WHERE pos <= 128),
+          th AS (SELECT colname, count(*) AS nk, max(h) AS kth FROM sk
+            GROUP BY colname),
+          t2 AS (SELECT colname, CASE WHEN nk < 128
+            THEN CAST(1000000007 AS BIGINT) ELSE kth END AS theta
+            FROM th),
+          pr AS (SELECT a.colname AS col_a, b.colname AS col_b,
+            least(a.theta, b.theta) AS theta FROM t2 a JOIN t2 b
+            ON a.colname <> b.colname),
+          ain AS (SELECT pr.col_a, pr.col_b, sk.h FROM pr
+            JOIN sk ON sk.colname = pr.col_a WHERE sk.h < pr.theta),
+          cm AS (SELECT ain.col_a, ain.col_b,
+            CAST(count(*) AS BIGINT) AS n_common FROM ain
+            JOIN sk b ON b.colname = ain.col_b AND b.h = ain.h
+            GROUP BY ain.col_a, ain.col_b),
+          na AS (SELECT col_a, col_b, CAST(count(*) AS BIGINT) AS n_a
+            FROM ain GROUP BY col_a, col_b)
+          SELECT na.col_a, na.col_b, na.n_a,
+            coalesce(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+            round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+              / CAST(na.n_a AS DOUBLE), 6) AS containment_est
+          FROM na LEFT JOIN cm USING (col_a, col_b)"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3843,5 +3995,5 @@ object LlmQueries {
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
-    l124, l125, l126, l127, l128, l129, l130)
+    l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134)
 }

