@@ -3985,6 +3985,176 @@ object LlmQueries {
           FROM na LEFT JOIN cm USING (col_a, col_b)"""
     })
 
+  /** k-anonymity / l-diversity audit of the customer table under the
+    * (nation, segment) quasi-identifier — the pre-release linkage-attack
+    * report. */
+  private val l135 = Spec("q270_k_anonymity",
+    (s, d) => graft.llm.Curation.kAnonymityAudit(
+      T(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      "c_acctbal", k = 10),
+    Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+          FROM customer GROUP BY 1, 2)
+        SELECT CAST(10 AS INT) AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_classes, min(n) AS k_min,
+          CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_classes_below,
+          CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+            AS n_rows_at_risk,
+          (CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+            * 1000000) // CAST(sum(n) AS BIGINT) AS risk_ppm,
+          min(l) AS l_min
+        FROM cls"""))
+
+  /** Seedless Poisson-bootstrap CI for mean account balance per market
+    * segment — hash-derived Poisson(1) resample weights, exact-DECIMAL
+    * means, percentile pick over 40 resamples. */
+  private val l136 = Spec("q271_bootstrap_ci",
+    (s, d) => graft.engine.Relational.bootstrapMeanCI(
+      T(s, d, "customer").withColumn("rid",
+        col("c_custkey").cast("string")),
+      Seq("c_mktsegment"), "c_acctbal", "rid", b = 40),
+    Some {
+      val cdf = graft.engine.Relational.poissonCdfPpm
+      val wCase = cdf.zipWithIndex
+        .map { case (t, i) => s"WHEN u < $t THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${cdf.size} END")
+      s"""WITH v AS (SELECT c_mktsegment,
+            CAST(c_acctbal AS DECIMAL(38,6)) AS x,
+            CAST(c_custkey AS VARCHAR) AS rid FROM customer
+            WHERE c_acctbal IS NOT NULL),
+          ex AS (SELECT c_mktsegment, x, rid, jj.r FROM v
+            CROSS JOIN (SELECT unnest(range(0, 40)) AS r) jj),
+          uu AS (SELECT c_mktsegment, x, r,
+            (${phSql("CAST(r AS VARCHAR) || '#' || rid")}
+              * 2654435761) % 1000000007 % 1000000 AS u FROM ex),
+          ww AS (SELECT c_mktsegment, x, r, $wCase AS w FROM uu),
+          ms AS (SELECT c_mktsegment, r, CAST(sum(w) AS BIGINT) AS sw,
+            CAST(sum(w * x) AS DECIMAL(38,6)) AS swx FROM ww
+            GROUP BY 1, 2),
+          m2 AS (SELECT c_mktsegment, r,
+            CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM ms
+            WHERE sw > 0),
+          rk AS (SELECT c_mktsegment, r, m,
+            row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY m, r) AS rk,
+            count(*) OVER (PARTITION BY c_mktsegment) AS bu FROM m2),
+          ci AS (SELECT c_mktsegment,
+            round(max(CASE WHEN rk = (25 * bu + 999) // 1000 THEN m END),
+              6) AS ci_lo,
+            round(max(CASE WHEN rk = (975 * bu + 999) // 1000 THEN m END),
+              6) AS ci_hi,
+            CAST(max(bu) AS INT) AS b_used FROM rk GROUP BY 1),
+          pt AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+            round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
+                AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+              6) AS mean
+            FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1)
+          SELECT pt.c_mktsegment, pt.n, pt.mean, ci.ci_lo, ci.ci_hi,
+            ci.b_used
+          FROM pt LEFT JOIN ci USING (c_mktsegment)"""
+    })
+
+  /** HITS hubs/authorities (2 synchronous rounds, max-normalized ppm
+    * integers) over the supplier→part shipment graph. */
+  private val l137 = Spec("q272_hits",
+    (s, d) => graft.engine.Graph.hitsPpm(
+      T(s, d, "lineitem").select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+      "src", "dst", iters = 2),
+    Some {
+      def normCte(rawCte: String, outCol: String): String =
+        s"""(SELECT n.id, CAST(CASE WHEN mx IS NULL OR mx = 0 THEN 0
+            ELSE (coalesce(raw, CAST(0 AS BIGINT)) * 1000000) // mx END
+            AS BIGINT) AS $outCol
+          FROM nodes n LEFT JOIN $rawCte USING (id)
+          CROSS JOIN (SELECT max(raw) AS mx FROM $rawCte))"""
+      s"""WITH e AS (SELECT DISTINCT
+            's' || CAST(l_suppkey AS VARCHAR) AS src,
+            'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+          a1r AS (SELECT dst AS id, CAST(sum(hub) AS BIGINT) AS raw
+            FROM e JOIN h0 ON h0.id = e.src GROUP BY 1),
+          a1 AS ${normCte("a1r", "auth")},
+          h1r AS (SELECT src AS id, CAST(sum(auth) AS BIGINT) AS raw
+            FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+          h1 AS ${normCte("h1r", "hub")},
+          a2r AS (SELECT dst AS id, CAST(sum(hub) AS BIGINT) AS raw
+            FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+          a2 AS ${normCte("a2r", "auth")},
+          h2r AS (SELECT src AS id, CAST(sum(auth) AS BIGINT) AS raw
+            FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+          h2 AS ${normCte("h2r", "hub")}
+          SELECT h2.id, h2.hub, a2.auth FROM h2 JOIN a2 USING (id)"""
+    })
+
+  /** MMR diversified rerank (λ = 0.7, top-12 candidates → 4 picks) for
+    * 8 query vectors — the retrieval-diversification pass. */
+  private val l138 = Spec("q273_mmr_rerank",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.mmrRerank(emb,
+        emb.filter(col("vec_id").between(200, 207)),
+        "vec_id", "embedding", "vec_id", n = 12, m = 4, lambdaPct = 70)
+    },
+    Some {
+      val rounds = (2 to 4).map { r =>
+        val selU = (1 until r).map(i =>
+          s"SELECT query_id, neighbor_id FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"""su$r AS ($selU),
+          ms$r AS (SELECT p.query_id, p.ca AS neighbor_id,
+            max(p.sim) AS msim FROM ps p JOIN su$r s
+            ON s.query_id = p.query_id AND s.neighbor_id = p.cb
+            GROUP BY 1, 2),
+          sc$r AS (SELECT c.query_id, c.neighbor_id,
+            CAST(0.7 AS DOUBLE) * c.cos - CAST(0.3 AS DOUBLE)
+              * coalesce(m.msim, CAST(0 AS DOUBLE)) AS score
+            FROM cv c LEFT JOIN ms$r m ON m.query_id = c.query_id
+              AND m.neighbor_id = c.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM su$r s
+              WHERE s.query_id = c.query_id
+                AND s.neighbor_id = c.neighbor_id)),
+          sel$r AS (SELECT query_id, neighbor_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rk FROM sc$r)
+            WHERE rk = 1)"""
+      }.mkString(",\n          ")
+      val out = (1 to 4).map(r =>
+        s"SELECT query_id, CAST($r AS INT) AS pick, neighbor_id, " +
+          s"round(score, 6) AS score FROM sel$r")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id BETWEEN 200 AND 207),
+          sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qv", "c.embedding")} AS cos
+            FROM q CROSS JOIN embeddings c),
+          rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank FROM sc),
+          ct AS (SELECT query_id, neighbor_id, cos FROM rr
+            WHERE rank <= 12),
+          cv AS (SELECT ct.query_id, ct.neighbor_id, ct.cos,
+            e.embedding AS v FROM ct JOIN embeddings e
+            ON e.vec_id = ct.neighbor_id),
+          ps AS (SELECT a.query_id, a.neighbor_id AS ca,
+            b.neighbor_id AS cb, ${cosSql("a.v", "b.v")} AS sim
+            FROM cv a JOIN cv b ON a.query_id = b.query_id
+              AND a.neighbor_id <> b.neighbor_id),
+          sel1 AS (SELECT query_id, neighbor_id, score FROM (
+            SELECT query_id, neighbor_id,
+              CAST(0.7 AS DOUBLE) * cos - CAST(0.3 AS DOUBLE)
+                * CAST(0 AS DOUBLE) AS score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY CAST(0.7 AS DOUBLE) * cos - CAST(0.3 AS DOUBLE)
+                  * CAST(0 AS DOUBLE) DESC, neighbor_id) AS rk FROM cv)
+            WHERE rk = 1),
+          $rounds
+          $out"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -3995,5 +4165,6 @@ object LlmQueries {
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, l101,
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
-    l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134)
+    l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
+    l135, l136, l137, l138)
 }

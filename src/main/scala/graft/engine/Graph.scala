@@ -353,4 +353,60 @@ object Graph {
     e.unpersist(false)
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999), `iters` synchronous
+    * rounds, scores as MAX-normalized ppm integers: per round
+    * `auth_raw(v) = Σ_{u→v} hub(u)` then `auth = (auth_raw · 10⁶) DIV
+    * max(auth_raw)` (best authority = 1,000,000), and symmetrically
+    * `hub_raw(u) = Σ_{u→v} auth(v)`. Kleinberg's convergence is
+    * invariant to the per-round scaling choice, and max-normalization
+    * keeps every value an exact integer — no L2 norm, no float drift,
+    * so the rank table is oracle-checkable. Scores start at 10⁶;
+    * nodes with no in-edges (resp. out-edges) hold authority (resp.
+    * hub) 0.
+    *
+    * Scale shape: identical to [[pageRankPpm]] — the distinct edge list
+    * and node frame are persisted pre-partitioned on their join keys
+    * once, each round is one src-keyed join + one dst-keyed aggregate
+    * per direction, the max is a one-row broadcast, and the result is
+    * eagerly checkpointed so both caches release before returning.
+    *
+    * Output: `(id, hub, auth)` for every node.
+    */
+  def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).persist()
+    def maxNorm(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"), when(col("__mx").isNull || col("__mx") === 0L,
+            lit(0L))
+          .otherwise(expr(s"(coalesce($c, CAST(0 AS BIGINT)) * 1000000)" +
+            " DIV __mx")).as(c))
+    }
+    var hub = nodes.withColumn("hub", lit(1000000L))
+    var auth = nodes.withColumn("auth", lit(1000000L))
+    for (_ <- 1 to iters) {
+      auth = maxNorm(e
+        .join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
+        "auth")
+      hub = maxNorm(e
+        .join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+        "hub")
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("hub"), col("auth"))
+      .localCheckpoint(true)
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
+  }
 }

@@ -1261,4 +1261,87 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(rhs)).as("n_distinct_rhs"))
       .filter(col("n_distinct_rhs") > 1)
+
+  /** Cumulative Poisson(1) CDF × 10⁶, rounded to integer thresholds —
+    * the ONE table both engines use to turn a ppm-uniform hash draw into
+    * a deterministic Poisson(1) resample weight (values beyond 5 are
+    * folded into the top bucket; P(X ≥ 6) ≈ 0.06 %). */
+  val poissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean (the
+    * resampling trick behind scalable bootstraps — Kleiner et al.'s BLB
+    * line of work, JRSS-B 2014; counts ~ Poisson(1) approximate
+    * multinomial resampling without any global coordination): each of
+    * `b` resamples weighs every row by a DETERMINISTIC hash-derived
+    * Poisson(1) count (`u = mixed-hash("r#id") mod 10⁶` inverted
+    * through [[poissonCdfPpm]]), the resample mean is an exact-DECIMAL
+    * weighted mean, and the CI is the percentile pick over the `b`
+    * resample means — `lo = ⌈0.025·m⌉`-th, `hi = ⌈0.975·m⌉`-th of the
+    * `m ≤ b` non-degenerate resamples (a resample whose total weight is
+    * zero — possible only for tiny groups — is dropped). Seedless and
+    * engine-exact: every weight is an integer table lookup, every sum
+    * is DECIMAL, the only floats are the final divisions, so two
+    * engines agree bit-for-bit — a `rand()`-based bootstrap could never
+    * pass an oracle gate.
+    *
+    * Output: one row per group:
+    * `(groupCols…, n, mean, ci_lo, ci_hi, b_used)`.
+    *
+    * Scale: ONE scan with a literal `b`-way fan-out, map-side combined
+    * to (group × resample) grain — state is 2·b accumulators per group,
+    * no data-grain shuffle, no driver round-trip. This is how you put
+    * an error bar on a 100 TB aggregate for ~b× the cost of computing
+    * it once.
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, b: Int = 40): DataFrame = {
+    require(b >= 4, "need b >= 4 resamples")
+    val thresholds = poissonCdfPpm
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val u = pmod(graft.functions.PolyHash.polyhash(
+        concat(col("__r").cast("string"), lit("#"),
+          col(idCol).cast("string"))) * lit(2654435761L),
+      lit(1000000007L)) % lit(1000000L)
+    val w = thresholds.zipWithIndex.foldRight(
+      lit(thresholds.size): Column) { case ((t, i), alt) =>
+      when(u < t, lit(i)).otherwise(alt)
+    }
+    val means = df
+      .filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast(dec).as("__x"), col(idCol).cast("string")
+          .as(idCol)): _*)
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w.cast("long"))
+      .groupBy(groupCols.map(col) :+ col("__r"): _*)
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__x")).cast(dec).as("__swx"))
+      .filter(col("__sw") > 0L)
+      .withColumn("__m", expr("CAST(__swx AS DOUBLE) / CAST(__sw AS DOUBLE)"))
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = means
+      .withColumn("__rk", row_number().over(gw.orderBy(col("__m"),
+        col("__r"))))
+      .withColumn("__bu", count(lit(1)).over(gw))
+      .withColumn("__lo", expr("(25 * __bu + 999) DIV 1000"))
+      .withColumn("__hi", expr("(975 * __bu + 999) DIV 1000"))
+    val ci = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(max(when(col("__rk") === col("__lo"), col("__m"))), 6)
+          .as("ci_lo"),
+        round(max(when(col("__rk") === col("__hi"), col("__m"))), 6)
+          .as("ci_hi"),
+        max(col("__bu")).cast("int").as("b_used"))
+    val point = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(dec)).cast(dec).as("__sx"))
+      .withColumn("mean",
+        round(expr("CAST(__sx AS DOUBLE) / CAST(n AS DOUBLE)"), 6))
+      .drop("__sx")
+    point.join(ci, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"), col("b_used")): _*)
+  }
 }

@@ -797,4 +797,43 @@ object Curation {
       .filter(col("df_ppm") >= minDfPpm)
       .select(col("term"), col("df"), col("df_ppm"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002; Machanavajjhala
+    * et al., ICDE 2006): group rows into equivalence classes on the
+    * quasi-identifier columns and report, in ONE row, how re-identifiable
+    * the table is — `k_min` (the smallest class: the table IS k-anonymous
+    * exactly for k ≤ k_min), how many classes and rows fall below the
+    * requested `k`, the at-risk row share in ppm, and `l_min` (the
+    * smallest number of distinct sensitive values in any class: the
+    * table's l-diversity). The audit a curation pipeline runs BEFORE
+    * releasing user-derived training data — flags linkage-attack surface
+    * without materializing anything at row grain.
+    *
+    * Engine-exact: class sizes, distinct counts and the ppm ratio are all
+    * integers.
+    *
+    * Scale: one groupBy on the QI columns (map-side combined; per-class
+    * state is two counters + the distinct-sensitive set, bounded by the
+    * sensitive domain) and a one-row final aggregate. A 100 TB table
+    * costs one class-grain shuffle — the class frame is the small side
+    * by construction or the table wasn't anonymizable anyway.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__n")).as("k_min"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_classes_below"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("__l")).as("l_min"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_classes"),
+        col("k_min"), col("n_classes_below"), col("n_rows_at_risk"),
+        expr("(n_rows_at_risk * 1000000) DIV n_rows").as("risk_ppm"),
+        col("l_min"))
+  }
 }

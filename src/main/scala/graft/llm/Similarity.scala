@@ -732,4 +732,89 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): per query, fetch the exact top-`n` candidates, then
+    * greedily select `m` of them, each round maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy, the standard diversification pass between
+    * retrieval and a RAG context window (near-duplicate passages add
+    * tokens, not information). Round 1 reduces to pure relevance (the
+    * max over an empty selected set is 0 under the same formula).
+    * Ties break on (score DESC, neighbor_id) — with both factors built
+    * from the engine's shared-association cosines the scores are
+    * bit-deterministic, so the greedy trace is oracle-checkable.
+    *
+    * Output: `(query_id, pick ∈ 1..m, neighbor_id, score)` — `score`
+    * is the MMR objective value at selection time, 6 dp.
+    *
+    * Scale: the corpus is touched ONLY by [[bruteForceTopK]] (queries
+    * broadcast, corpus never shuffled); everything after — the n²
+    * candidate-pair cosines and the m greedy rounds — runs on
+    * |queries|·n-grain frames, eagerly checkpointed once so the
+    * m-round loop replans against a table, not an n²-join lineage.
+    * The greedy loop is inherently sequential in m (each pick
+    * conditions the next) but every round is one small join + one
+    * |queries|-keyed window — m·O(|queries|·n) total.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, n: Int, m: Int,
+      lambdaPct: Int): DataFrame = {
+    require(n >= m && m >= 1, "need n >= m >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct is a percent")
+    val lam = lit(lambdaPct.toDouble / 100.0)
+    val oneMinusLam = lit((100 - lambdaPct).toDouble / 100.0)
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol,
+      queryIdCol, n).localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__v"))
+    val candV = cand.join(vecs, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__v"))
+      .localCheckpoint(true)
+    val pairSim = candV.select(col("query_id"),
+        col("neighbor_id").as("ca"), col("__v").as("__va"))
+      .join(candV.select(col("query_id"), col("neighbor_id").as("cb"),
+        col("__v").as("__vb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+      .localCheckpoint(true)
+    val rel = candV.select(col("query_id"), col("neighbor_id"),
+      col("cos"))
+    var picks = Vector.empty[DataFrame]
+    for (r <- 1 to m) {
+      val selectedIds = picks.reduceOption(_ unionByName _) match {
+        case None => null
+        case Some(sel) => sel.select(col("query_id"),
+          col("neighbor_id"))
+      }
+      val remaining = if (selectedIds == null) rel
+        else rel.join(selectedIds, Seq("query_id", "neighbor_id"),
+          "left_anti")
+      val withMaxSim = if (selectedIds == null)
+        remaining.withColumn("__ms", lit(0.0))
+      else {
+        val ms = pairSim
+          .join(selectedIds.select(col("query_id"),
+            col("neighbor_id").as("cb")), Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+          .agg(max(col("sim")).as("__ms"))
+        remaining.join(ms, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("__ms", coalesce(col("__ms"), lit(0.0)))
+      }
+      val pick = withMaxSim
+        .withColumn("score", lam * col("cos") - oneMinusLam * col("__ms"))
+        .withColumn("__rk", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), lit(r).as("pick"), col("neighbor_id"),
+          col("score"))
+        .localCheckpoint(true)
+      picks = picks :+ pick
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("query_id"), col("pick"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
 }
