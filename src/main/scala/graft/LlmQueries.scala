@@ -4155,6 +4155,174 @@ object LlmQueries {
           $out"""
     })
 
+  /** ROUGE-3 between consecutive-id document pairs — clipped n-gram
+    * multiset overlap, the paired-text eval one level finer than q87's
+    * boolean contamination flag. */
+  private val l139 = Spec("q274_rouge_n",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("a_id"))
+        .filter(col("a_id") % 37 === 0)
+        .join(docs.select(col("doc_id").as("b_id")),
+          col("b_id") === col("a_id") + 1)
+      graft.llm.Eval.rougeN(docs, pairs, "doc_id", "text",
+        "a_id", "b_id", n = 3)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, [array_to_string(words[i+1:i+3], ' ')
+          for i in range(CASE WHEN len(words) >= 3
+            THEN len(words) - 2 ELSE 0 END)] AS grams FROM t),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 37 = 0),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM ex GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c
+          GROUP BY 1),
+        ov AS (SELECT pr.a_id, pr.b_id,
+          CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS n_overlap
+          FROM pr JOIN c ca ON ca.doc_id = pr.a_id
+          JOIN c cb ON cb.doc_id = pr.b_id AND cb.gram = ca.gram
+          GROUP BY 1, 2),
+        f AS (SELECT pr.a_id, pr.b_id,
+          coalesce(ta.tot, CAST(0 AS BIGINT)) AS n_a,
+          coalesce(tb.tot, CAST(0 AS BIGINT)) AS n_b,
+          coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+          FROM pr LEFT JOIN tot ta ON ta.doc_id = pr.a_id
+          LEFT JOIN tot tb ON tb.doc_id = pr.b_id
+          LEFT JOIN ov ON ov.a_id = pr.a_id AND ov.b_id = pr.b_id)
+        SELECT a_id, b_id, n_a, n_b, n_overlap,
+          round(CASE WHEN n_a > 0 THEN CAST(n_overlap AS DOUBLE)
+            / CAST(n_a AS DOUBLE) END, 6) AS p,
+          round(CASE WHEN n_b > 0 THEN CAST(n_overlap AS DOUBLE)
+            / CAST(n_b AS DOUBLE) END, 6) AS r,
+          round(CASE WHEN n_a > 0 AND n_b > 0 AND n_overlap > 0 THEN
+            2 * (CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE))
+              * (CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / (CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE))
+            WHEN n_a > 0 AND n_b > 0 THEN CAST(0 AS DOUBLE) END, 6)
+            AS f1
+        FROM f"""))
+
+  /** Welch's unequal-variance t-test: returned vs non-returned line
+    * quantity per linestatus — exact sufficient stats, shared derived
+    * formulas. */
+  private val l140 = Spec("q275_welch_ttest",
+    (s, d) => graft.engine.Relational.welchTTest(
+      T(s, d, "lineitem"), Seq("l_linestatus"), "l_quantity",
+      col("l_returnflag") === "R"),
+    Some {
+      val steps = graft.engine.Relational.welchDerivedSql
+      val ctes = steps.zipWithIndex.map { case ((name, formula), i) =>
+        s"c${i + 1} AS (SELECT *, $formula AS $name FROM c$i)"
+      }.mkString(",\n          ")
+      s"""WITH v AS (SELECT l_linestatus,
+            CAST(l_quantity AS DECIMAL(18,6)) AS x,
+            l_returnflag = 'R' AS f FROM lineitem
+            WHERE l_quantity IS NOT NULL),
+          a AS (SELECT l_linestatus,
+            CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb,
+            CAST(sum(CASE WHEN f THEN x ELSE 0 END) AS DECIMAL(38,12))
+              AS sa,
+            CAST(sum(CASE WHEN NOT f THEN x ELSE 0 END)
+              AS DECIMAL(38,12)) AS sb,
+            CAST(sum(CASE WHEN f THEN x * x ELSE 0 END)
+              AS DECIMAL(38,12)) AS ssa,
+            CAST(sum(CASE WHEN NOT f THEN x * x ELSE 0 END)
+              AS DECIMAL(38,12)) AS ssb
+            FROM v GROUP BY 1),
+          c0 AS (SELECT * FROM a WHERE na >= 2 AND nb >= 2),
+          $ctes
+          SELECT l_linestatus, na, nb, round(m1, 6) AS mean_a,
+            round(m2, 6) AS mean_b, round(t_stat, 6) AS t_stat,
+            round(df_welch, 6) AS df_welch FROM c${steps.size}
+          UNION ALL
+          SELECT l_linestatus, na, nb, CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE) FROM a WHERE na < 2 OR nb < 2"""
+    })
+
+  /** Kaplan–Meier survival per market segment: customer "lifetime" in
+    * years between first and last order, event = any finalized order —
+    * exact counts, left-folded rounded-factor products. */
+  private val l141 = Spec("q276_kaplan_meier",
+    (s, d) => {
+      val subj = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("datediff(max(o_orderdate), min(o_orderdate)) DIV 365")
+            .cast("int").as("step"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("event"))
+        .join(T(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")), col("c_custkey") === col("o_custkey"))
+      graft.engine.Relational.kaplanMeier(subj, Seq("c_mktsegment"),
+        "step", "event")
+    },
+    Some("""WITH s0 AS (SELECT o_custkey,
+          date_diff('day', min(o_orderdate), max(o_orderdate)) // 365
+            AS step,
+          max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS event
+          FROM orders GROUP BY 1),
+        su AS (SELECT c.c_mktsegment, CAST(s0.step AS INT) AS step,
+          s0.event FROM s0 JOIN customer c ON c.c_custkey = s0.o_custkey),
+        ps AS (SELECT c_mktsegment, step, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(event) AS BIGINT) AS d FROM su GROUP BY 1, 2),
+        rc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_mktsegment
+          ORDER BY step DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW) AS BIGINT) AS n_risk FROM ps),
+        st AS (SELECT c_mktsegment, step, n_risk, d,
+          round(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+            AS factor FROM rc WHERE d > 0),
+        ar AS (SELECT c_mktsegment, list(factor ORDER BY step) AS fs
+          FROM st GROUP BY 1),
+        ix AS (SELECT c_mktsegment, step, n_risk, d, factor,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY step)
+            AS i FROM st)
+        SELECT ix.c_mktsegment, ix.step, ix.n_risk, ix.d, ix.factor,
+          round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            ar.fs[1:ix.i]), (a, b) -> a * b), 6) AS survival
+        FROM ix JOIN ar USING (c_mktsegment)"""))
+
+  /** One-way ANOVA F across return flags on extended price — exact
+    * per-group stats, group-name-ordered term fold. */
+  private val l142 = Spec("q277_anova_f",
+    (s, d) => graft.engine.Relational.anovaF(
+      T(s, d, "lineitem"), "l_returnflag", "l_extendedprice"),
+    Some("""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS gg,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(38,12)) AS s,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+            * CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(38,12)) AS ss
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+          GROUP BY 1),
+        tm AS (SELECT gg, n, s, ss, CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          / CAST(n AS DOUBLE) AS term FROM g),
+        ag AS (SELECT CAST(count(*) AS INT) AS k,
+          CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(s) AS DECIMAL(38,12)) AS stot,
+          CAST(sum(ss) AS DECIMAL(38,12)) AS sstot,
+          list(term ORDER BY gg) AS terms FROM tm),
+        tt AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          terms), (a, b) -> a + b) AS t FROM ag)
+        SELECT k, n,
+          round(t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+            / CAST(n AS DOUBLE), 6) AS ssb,
+          round(CAST(sstot AS DOUBLE) - t, 6) AS ssw,
+          round(CASE WHEN k > 1 AND n > k
+            AND (CAST(sstot AS DOUBLE) - t) > 0 THEN
+            ((t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((CAST(sstot AS DOUBLE) - t) / CAST(n - k AS DOUBLE))
+            END, 6) AS f_stat
+        FROM tt"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4166,5 +4334,5 @@ object LlmQueries {
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
-    l135, l136, l137, l138)
+    l135, l136, l137, l138, l139, l140, l141, l142)
 }

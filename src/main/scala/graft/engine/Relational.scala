@@ -1344,4 +1344,178 @@ object Relational {
       .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
         col("ci_lo"), col("ci_hi"), col("b_used")): _*)
   }
+
+  /** Shared engine/oracle formula fragments for [[welchTTest]] — ONE
+    * copy parsed by both Spark `expr` and DuckDB so IEEE association
+    * order is identical by construction. Inputs: exact sufficient
+    * stats `(na, sa, ssa, nb, sb, ssb)`. */
+  val welchDerivedSql: Seq[(String, String)] = Seq(
+    "m1" -> "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)",
+    "m2" -> "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)",
+    "v1" -> ("(CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)" +
+      " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)"),
+    "v2" -> ("(CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)" +
+      " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)"),
+    "se2" -> "v1 / CAST(na AS DOUBLE) + v2 / CAST(nb AS DOUBLE)",
+    "t_stat" -> ("CASE WHEN se2 > 0 THEN (m1 - m2) / sqrt(se2) " +
+      "ELSE CAST(0 AS DOUBLE) END"),
+    "df_welch" -> ("CASE WHEN se2 > 0 THEN se2 * se2 / " +
+      "((v1 / CAST(na AS DOUBLE)) * (v1 / CAST(na AS DOUBLE)) " +
+      "/ CAST(na - 1 AS DOUBLE) " +
+      "+ (v2 / CAST(nb AS DOUBLE)) * (v2 / CAST(nb AS DOUBLE)) " +
+      "/ CAST(nb - 1 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"))
+
+  /** Welch's unequal-variance two-sample t-test per group (Welch,
+    * Biometrika 1947) — the A/B-comparison / drift-confirmation test
+    * run where variances can't be assumed equal. `flag` partitions each
+    * group's rows into sample A (true) and B (false); sufficient stats
+    * `(n, Σx, Σx²)` accumulate EXACT (DECIMAL(38,12)) in one map-side-
+    * combined pass, and every float op downstream parses from the ONE
+    * [[welchDerivedSql]] fragment list on both engines, so `t` and the
+    * Welch–Satterthwaite `df` are bit-shared. Groups where either
+    * sample has < 2 rows emit nulls (no variance estimate).
+    *
+    * Output: `(groupCols…, na, nb, mean_a, mean_b, t_stat, df_welch)`.
+    *
+    * Scale: ONE aggregate at group grain — 6 numbers of state per
+    * group; a 100 TB A/B comparison costs exactly one scan.
+    */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      flag: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val x = col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 6))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(x.as("__x"),
+        flag.cast("boolean").as("__f")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("__f"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("__f"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("__f"), col("__x")).otherwise(lit(0))).cast(dec)
+          .as("sa"),
+        sum(when(!col("__f"), col("__x")).otherwise(lit(0))).cast(dec)
+          .as("sb"),
+        sum(when(col("__f"), col("__x") * col("__x")).otherwise(lit(0)))
+          .cast(dec).as("ssa"),
+        sum(when(!col("__f"), col("__x") * col("__x")).otherwise(lit(0)))
+          .cast(dec).as("ssb"))
+    val ok = welchDerivedSql.foldLeft(
+      agg.filter(col("na") >= 2 && col("nb") >= 2)) {
+      case (acc, (name, formula)) => acc.withColumn(name, expr(formula))
+    }.select(groupCols.map(col) ++ Seq(col("na"), col("nb"),
+      round(col("m1"), 6).as("mean_a"), round(col("m2"), 6).as("mean_b"),
+      round(col("t_stat"), 6).as("t_stat"),
+      round(col("df_welch"), 6).as("df_welch")): _*)
+    val degenerate = agg.filter(col("na") < 2 || col("nb") < 2)
+      .select(groupCols.map(col) ++ Seq(col("na"), col("nb"),
+        lit(null).cast("double").as("mean_a"),
+        lit(null).cast("double").as("mean_b"),
+        lit(null).cast("double").as("t_stat"),
+        lit(null).cast("double").as("df_welch")): _*)
+    ok.unionByName(degenerate)
+  }
+
+  /** Kaplan–Meier survival curve per group (Kaplan & Meier, JASA
+    * 1958) over a pre-bucketed integer time axis: input is one row per
+    * SUBJECT `(group…, step, event)` — `step` the (coarse) time bucket
+    * where the subject's observation ends, `event` 1 if it ended in the
+    * event, 0 if censored. For each step with ≥ 1 event the curve
+    * reports the risk set `n_risk = |{subjects with step' ≥ step}|`,
+    * the event count `d`, the step factor `(n_risk − d)/n_risk` and the
+    * running survival estimate `Ŝ(t) = Π_{t' ≤ t} factor(t')`.
+    *
+    * Determinism: counts are exact integers; each factor is a 6 dp-
+    * rounded double (identical bits on both engines), and the product
+    * folds LEFT-TO-RIGHT over the step-sorted factor array seeded with
+    * 1.0 — the association order is part of the contract, mirrored by
+    * the oracle's `list_reduce(list_prepend(1.0, …))`. No ln/exp
+    * round-trip (libm's last-ulp would diverge across engines).
+    *
+    * Output: `(groupCols…, step, n_risk, d, factor, survival)`.
+    *
+    * Scale: subjects collapse to (group, step) grain in one aggregate;
+    * the reverse-cumulative risk set is one window over the ≤ |steps|
+    * rows per group, and the product fold runs on a per-group array of
+    * the same bounded length. The time axis must be pre-bucketed
+    * coarse (weeks/months/years) — that bound, not the subject count,
+    * is the only cardinality anywhere past the first aggregate.
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], stepCol: String,
+      eventCol: String): DataFrame = {
+    val perStep = df
+      .filter(col(stepCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(stepCol).cast("int")
+        .as("step"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(col(eventCol).cast("long")).as("d"))
+    val wDesc = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("step").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = perStep
+      .withColumn("n_risk", sum(col("__c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("factor", round(
+        expr("CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)"), 6))
+    steps
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("step"), col("n_risk"),
+        col("d"), col("factor")))).as("__arr"))
+      .select(groupCols.map(col) ++ Seq(col("__arr"),
+        posexplode(col("__arr")).as(Seq("__i", "__s"))): _*)
+      .withColumn("survival", round(expr(
+        "aggregate(slice(transform(__arr, s -> s.factor), 1, __i + 1), " +
+          "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"), 6))
+      .select(groupCols.map(col) ++ Seq(col("__s.step").as("step"),
+        col("__s.n_risk").as("n_risk"), col("__s.d").as("d"),
+        col("__s.factor").as("factor"), col("survival")): _*)
+  }
+
+  /** One-way ANOVA F statistic (Fisher, 1925) across the groups of
+    * `groupCol`: between-group vs within-group variance ratio, the
+    * k-sample generalization of the two-sample t — "did ANY source
+    * drift" before pairwise tests say which. Sufficient stats per group
+    * `(n_g, Σx, Σx²)` are exact DECIMAL; the only order-sensitive float
+    * reduction — `T = Σ_g s_g²/n_g` — folds LEFT-TO-RIGHT over the
+    * group-name-sorted term array (the [[kaplanMeier]] discipline:
+    * association order is part of the contract, no float `sum()`
+    * whose order the planner owns). Then `SSB = T − S²/N`,
+    * `SSW = ΣΣx² − T`, `F = (SSB/(k−1)) / (SSW/(N−k))`.
+    *
+    * Output: ONE row `(k, n, ssb, ssw, f_stat)`, 6 dp.
+    *
+    * Scale: one group-grain aggregate (3 numbers per group) + a fold
+    * over the k-element term array. One scan, any N.
+    */
+  def anovaF(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val x = col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 6))
+    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).cast(dec).as("__s"),
+        sum(col("__x") * col("__x")).cast(dec).as("__ss"))
+      .withColumn("__term", expr("CAST(__s AS DOUBLE) " +
+        "* CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE)"))
+    g.agg(count(lit(1)).cast("int").as("k"),
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast(dec).as("__stot"),
+        sum(col("__ss")).cast(dec).as("__sstot"),
+        sort_array(collect_list(struct(col("__g"), col("__term"))))
+          .as("__terms"))
+      .withColumn("__t", expr(
+        "aggregate(transform(__terms, s -> s.__term), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("ssb", round(expr("__t - CAST(__stot AS DOUBLE) " +
+        "* CAST(__stot AS DOUBLE) / CAST(n AS DOUBLE)"), 6))
+      .withColumn("ssw", round(expr("CAST(__sstot AS DOUBLE) - __t"), 6))
+      .withColumn("f_stat", round(expr("CASE WHEN k > 1 AND n > k " +
+        "AND (CAST(__sstot AS DOUBLE) - __t) > 0 THEN " +
+        "((__t - CAST(__stot AS DOUBLE) * CAST(__stot AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) " +
+        "/ ((CAST(__sstot AS DOUBLE) - __t) / CAST(n - k AS DOUBLE)) " +
+        "END"), 6))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
+  }
 }

@@ -198,4 +198,67 @@ object Eval {
         round(expr("CAST(n AS DOUBLE) / CAST(nq AS DOUBLE)")
           * abs(expr(accSql) - expr(confSql)), 6).as("contrib"))
   }
+
+  /** ROUGE-N between document pairs (Lin, "ROUGE: A Package for
+    * Automatic Evaluation of Summaries", ACL WAS 2004): clipped n-gram
+    * multiset overlap — per pair, `overlap = Σ_gram min(count_a,
+    * count_b)`, precision `overlap / |A|`, recall `overlap / |B|` (B is
+    * the reference side), F1 their harmonic mean. THE paired-text
+    * quality metric: dedup QA (how much of a near-dup pair actually
+    * overlaps), summary/rewrite evaluation, contamination forensics one
+    * level finer than q87's boolean.
+    *
+    * Integer counts end-to-end; the three ratios are the only floats,
+    * 6 dp. A side with fewer than `n` tokens has zero n-grams → its
+    * ratio is null (0/0), and f1 is null unless both sides are
+    * non-empty (p + r > 0 guards the division).
+    *
+    * Output: `(a_id, b_id, n_a, n_b, n_overlap, p, r, f1)`.
+    *
+    * Scale: gram counts collapse each doc to (doc, gram) grain in one
+    * map-side-combined aggregate; each pair side is fetched by an
+    * id-keyed join (pair-grain shuffles, never corpus×corpus), and the
+    * clipped sum joins the two sides on (pair, gram) — the heaviest
+    * frame is Σ pair gram-vocabulary, linear in pair count.
+    */
+  def rougeN(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, aCol: String, bCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))
+          .as("gram"))
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = grams.groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__tot"))
+    val p = pairs.select(col(aCol).as("a_id"), col(bCol).as("b_id"))
+    val withA = p.join(grams.withColumnRenamed("__id", "a_id")
+        .withColumnRenamed("__c", "__ca"), Seq("a_id"))
+    val clipped = withA.join(grams
+        .select(col("__id").as("b_id"), col("gram"),
+          col("__c").as("__cb")), Seq("b_id", "gram"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("n_overlap"))
+    p.join(totals.select(col("__id").as("a_id"),
+        col("__tot").as("n_a")), Seq("a_id"), "left")
+      .join(totals.select(col("__id").as("b_id"),
+        col("__tot").as("n_b")), Seq("b_id"), "left")
+      .join(clipped, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("p", round(expr("CASE WHEN n_a > 0 THEN " +
+        "CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE) END"), 6))
+      .withColumn("r", round(expr("CASE WHEN n_b > 0 THEN " +
+        "CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE) END"), 6))
+      .withColumn("f1", round(expr("CASE WHEN n_a > 0 AND n_b > 0 " +
+        "AND n_overlap > 0 THEN " +
+        "2 * (CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE)) " +
+        "* (CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE)) " +
+        "/ (CAST(n_overlap AS DOUBLE) / CAST(n_a AS DOUBLE) " +
+        "+ CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE)) " +
+        "WHEN n_a > 0 AND n_b > 0 THEN CAST(0 AS DOUBLE) END"), 6))
+  }
 }

@@ -98,4 +98,85 @@ class AuditWaveSpec extends SparkSpec {
       .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
     assert(rel(2) == 2L)
   }
+
+  test("rougeN: clipped multiset overlap, and a reference shorter than " +
+      "n yields null recall") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"),
+      (3L, "x y x y x y"), (4L, "x y"),
+      (5L, "hello")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L))
+      .toDF("a_id", "b_id")
+    val out = graft.llm.Eval.rougeN(docs, pairs, "doc_id", "text",
+      "a_id", "b_id", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Double])))).toMap
+    // bigrams of 1: {a b, b c, c d, d e}; of 2: {a b, b c, c d, d x}
+    assert(out((1L, 2L)) == ((4L, 4L, 3L,
+      Some(0.75), Some(0.75), Some(0.75))))
+    // doc 3 bigrams: [x y, y x, x y, y x, x y]; doc 4: [x y]
+    // clipped overlap = min(3, 1) = 1
+    assert(out((3L, 4L)) == ((5L, 1L, 1L,
+      Some(0.2), Some(1.0), Some(math.rint(2 * 0.2 * 1.0 / 1.2 * 1e6)
+        / 1e6))))
+    // doc 5 has a single token -> zero bigrams -> null r and f1
+    val (na, nb, no, p, r, f1) = out((1L, 5L))
+    assert(nb == 0L && no == 0L && r.isEmpty && f1.isEmpty)
+    assert(na == 4L && p == Some(0.0))
+  }
+
+  test("welchTTest: hand samples match the driver-side Welch formulas; " +
+      "a sample below two rows yields nulls") {
+    val rows = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false), ("g", 6.0, false),
+      ("g", 8.0, false),
+      ("h", 1.0, true), ("h", 2.0, false), ("h", 3.0, false))
+    val out = Relational.welchTTest(rows.toDF("grp", "x", "f"),
+      Seq("grp"), "x", col("f")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // A = [1,2,3]: m1=2, v1=1; B = [2,4,6,8]: m2=5, v2=20/3
+    val v1 = 1.0; val v2 = 20.0 / 3.0
+    val se2 = v1 / 3 + v2 / 4
+    val t = (2.0 - 5.0) / math.sqrt(se2)
+    val dfW = se2 * se2 / ((v1 / 3) * (v1 / 3) / 2 +
+      (v2 / 4) * (v2 / 4) / 3)
+    assert(g.getLong(1) == 3 && g.getLong(2) == 4)
+    assert(math.abs(g.getDouble(5) - t) < 1e-5, "t statistic")
+    assert(math.abs(g.getDouble(6) - dfW) < 1e-5, "Welch df")
+    val h = out("h")
+    assert(h.isNullAt(5) && h.isNullAt(6), "degenerate sample -> nulls")
+  }
+
+  test("kaplanMeier: the classic hand trace — risk sets, censoring, " +
+      "and the left-folded survival product") {
+    val subj = Seq(("g", 1, 1), ("g", 1, 0), ("g", 2, 1), ("g", 3, 0),
+      ("g", 3, 1)).toDF("grp", "step", "event")
+    val out = Relational.kaplanMeier(subj, Seq("grp"), "step", "event")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1) == ((5L, 1L, 0.8, 0.8)))
+    assert(out(2) == ((3L, 1L, 0.666667, 0.533334)),
+      "survival folds the ROUNDED factors in step order")
+    assert(out(3) == ((2L, 1L, 0.5, 0.266667)))
+  }
+
+  test("anovaF: separated groups give the textbook F; identical groups " +
+      "give ssw 0 and a null F") {
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
+      .toDF("grp", "x")
+    val r = Relational.anovaF(df, "grp", "x").collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 6)
+    assert(math.abs(r.getDouble(2) - 13.5) < 1e-9, "SSB")
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9, "SSW")
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-9, "F = (13.5/1)/(4/4)")
+    val c = Seq(("a", 2), ("a", 2), ("b", 2), ("b", 2)).toDF("grp", "x")
+    val rc = Relational.anovaF(c, "grp", "x").collect().head
+    assert(rc.getDouble(3) == 0.0 && rc.isNullAt(4),
+      "zero within-variance -> F undefined")
+  }
 }
