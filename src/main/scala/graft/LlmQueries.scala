@@ -4323,6 +4323,77 @@ object LlmQueries {
             END, 6) AS f_stat
         FROM tt"""))
 
+  /** CMS inner-product join-size estimate for lineitem ⋈ orders on the
+    * order key — the two-table companion of q268's self-join pricing. */
+  private val l143 = Spec("q278_cms_join_size",
+    (s, d) => graft.engine.Sketches.cmsJoinSize(
+      T(s, d, "lineitem"), "l_orderkey", T(s, d, "orders"), "o_orderkey",
+      d = 4, w = 256),
+    Some(s"""WITH ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS n FROM lineitem
+          WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS n FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        ta AS (SELECT jj.r AS row,
+          ${phSql("CAST(jj.r AS VARCHAR) || '#' || key")} % 256
+            AS bucket,
+          CAST(sum(n) AS BIGINT) AS cta FROM ca
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS r) jj GROUP BY 1, 2),
+        tb AS (SELECT jj.r AS row,
+          ${phSql("CAST(jj.r AS VARCHAR) || '#' || key")} % 256
+            AS bucket,
+          CAST(sum(n) AS BIGINT) AS ctb FROM cb
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS r) jj GROUP BY 1, 2),
+        ip AS (SELECT ta.row, CAST(sum(cta * ctb) AS BIGINT) AS ip
+          FROM ta JOIN tb ON tb.row = ta.row AND tb.bucket = ta.bucket
+          GROUP BY 1),
+        es AS (SELECT min(ip) AS est FROM ip),
+        xx AS (SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT)
+          AS exact FROM ca JOIN cb USING (key))
+        SELECT CAST(4 AS INT) AS d, CAST(256 AS INT) AS w, est, exact,
+          CASE WHEN exact > 0 THEN ((est - exact) * 1000000) // exact
+            END AS err_ppm
+        FROM es CROSS JOIN xx"""))
+
+  /** Neyman-optimal allocation of a 1000-row sampling budget across
+    * return flags by n_h·σ_h, largest-remainder integer seats. */
+  private val l144 = Spec("q279_neyman_allocation",
+    (s, d) => graft.llm.Selection.neymanAllocation(
+      T(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+      budget = 1000L),
+    Some("""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(38,12)) AS s,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+            * CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(38,12)) AS ss
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+          GROUP BY 1),
+        sg AS (SELECT stratum, n, sqrt(greatest(CAST(0 AS DOUBLE),
+          CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS sigma FROM g),
+        ww AS (SELECT stratum, n, sigma, CAST(n AS DOUBLE) * sigma AS w
+          FROM sg),
+        tt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          (SELECT list(w ORDER BY stratum) FROM ww)), (a, b) -> a + b)
+          AS tw, (SELECT CAST(sum(n) AS BIGINT) FROM ww) AS tn),
+        sh AS (SELECT ww.*, CASE WHEN tt.tw > 0 THEN
+          CAST(1000 AS DOUBLE) * ww.w / tt.tw
+          ELSE CAST(1000 AS DOUBLE) * CAST(ww.n AS DOUBLE)
+            / CAST(tt.tn AS DOUBLE) END
+          AS share FROM ww CROSS JOIN tt),
+        b AS (SELECT *, CAST(floor(share) AS BIGINT) AS base,
+          share - floor(share) AS rem FROM sh),
+        d2 AS (SELECT *, 1000 - sum(base) OVER () AS deficit,
+          row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+        SELECT stratum, n, round(sigma, 6) AS sigma,
+          base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
+        FROM d2"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4334,5 +4405,5 @@ object LlmQueries {
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
-    l135, l136, l137, l138, l139, l140, l141, l142)
+    l135, l136, l137, l138, l139, l140, l141, l142, l143, l144)
 }

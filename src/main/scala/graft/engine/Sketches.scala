@@ -632,6 +632,66 @@ object Sketches {
     out
   }
 
+  /** Equi-join cardinality estimate from count-min inner products
+    * (Alon/Gibbons/Matias/Szegedy, PODS 1999 for the inner-product
+    * view; Cormode & Muthukrishnan, J.Alg 2005 for the CM form):
+    * sketch BOTH join sides into `d × w` bucket-count tables under the
+    * shared salted hash (`row#key`, the [[cmsTopK]] convention), and
+    * estimate `|A ⋈ B| = Σ_k f_A(k)·f_B(k)` as the MIN over the `d`
+    * rows of `Σ_b ctA[r,b]·ctB[r,b]` — a one-sided overestimate
+    * (collisions only add mass), exact when no row has a cross-key
+    * collision. The exact join size is emitted alongside (the
+    * [[cmsTopK]] calibration convention). This is the two-table
+    * companion of [[amsF2]]: price a fact⋈fact join from two
+    * `d·w`-integer sketches BEFORE running it — at 100 TB the
+    * difference between planning a join and discovering a key blow-up
+    * in production.
+    *
+    * Engine-exact: bucket totals and products are integers under the
+    * shared hash; no float anywhere.
+    *
+    * Output: ONE row `(d, w, est, exact, err_ppm)`.
+    *
+    * Scale: each side collapses to key grain in one map-side-combined
+    * aggregate; the sketch tables are ≤ d·w rows REGARDLESS of input,
+    * the inner product joins them on (row, bucket), and the exact term
+    * joins the two key-grain frames on the key — the only shuffle
+    * proportional to data is the two key-grain collapses.
+    */
+  def cmsJoinSize(dfA: DataFrame, keyA: String, dfB: DataFrame,
+      keyB: String, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1, w >= 2")
+    def keyCounts(df: DataFrame, k: String): DataFrame =
+      df.filter(col(k).isNotNull)
+        .groupBy(col(k).cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+    def table(counts: DataFrame): DataFrame = counts
+      .select(col("key"), col("n"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket", pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit("#"), col("key"))),
+        lit(w)))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("n")).as("ct"))
+    val ca = keyCounts(dfA, keyA).persist()
+    val cb = keyCounts(dfB, keyB).persist()
+    val est = table(ca).withColumnRenamed("ct", "cta")
+      .join(table(cb).withColumnRenamed("ct", "ctb"),
+        Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cta") * col("ctb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val exact = ca.join(cb.withColumnRenamed("n", "nb"), Seq("key"))
+      .agg(coalesce(sum(col("n") * col("nb")), lit(0L)).as("exact"))
+    val out = est.crossJoin(exact)
+      .select(lit(d).as("d"), lit(w).as("w"), col("est"), col("exact"),
+        expr("CASE WHEN exact > 0 THEN ((est - exact) * 1000000) " +
+          "DIV exact END").as("err_ppm"))
+      .localCheckpoint(true)
+    ca.unpersist(false)
+    cb.unpersist(false)
+    out
+  }
+
   /** Cross-column inclusion coefficients from KMV/theta sketches —
     * join-key discovery over a lake (Zhu et al., "LSH Ensemble:
     * Internet-Scale Domain Search", VLDB 2016 frames the problem;

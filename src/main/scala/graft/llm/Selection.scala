@@ -305,4 +305,66 @@ object Selection {
       .select(col("query_id"), col("role"), col("rank"),
         col("neighbor_id"), round(col("__cos"), 6).as("cos"))
   }
+
+  /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934):
+    * split a sampling `budget` across strata proportionally to
+    * `n_h · σ_h` — the allocation that minimizes the variance of the
+    * stratified mean estimator, i.e. how a pipeline decides WHERE to
+    * spend its eval/annotation budget over sources before drawing the
+    * sample (the drawing itself is [[stratifiedSample]]'s job).
+    * σ_h is the population standard deviation from exact DECIMAL
+    * sufficient stats; the weight total folds LEFT-TO-RIGHT over the
+    * stratum-name-sorted weight array (the shared-association
+    * discipline — no float `sum()` whose order the planner owns), and
+    * integer seats are dealt by LARGEST REMAINDER (floor share, then
+    * +1 to the largest fractional remainders, ties to the lexicographic
+    * smaller stratum) so allocations sum EXACTLY to `budget`.
+    *
+    * Output: `(stratum, n, sigma, alloc)`; Σ alloc = budget.
+    *
+    * Scale: one group-grain aggregate (3 numbers per stratum), then
+    * pure stratum-grain arithmetic — |strata| rows with one global
+    * window over them. One scan, any N.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "need budget >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val x = col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 6))
+    val g = df.filter(col(valueCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"), x.as("__x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).cast(dec).as("__s"),
+        sum(col("__x") * col("__x")).cast(dec).as("__ss"))
+      .withColumn("__sigma", expr("sqrt(greatest(CAST(0 AS DOUBLE), " +
+        "CAST(__ss AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "- (CAST(__s AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* (CAST(__s AS DOUBLE) / CAST(n AS DOUBLE))))"))
+      .withColumn("__w", expr("CAST(n AS DOUBLE) * __sigma"))
+    // all-sigma-zero degenerates Neyman to PROPORTIONAL allocation
+    // (equal variances make any split optimal; n-proportional is the
+    // canonical choice and keeps the seat-dealing total-correct)
+    val tot = g.agg(sort_array(collect_list(struct(col("stratum"),
+        col("__w")))).as("__arr"), sum(col("n")).as("__ntot"))
+      .select(expr("aggregate(transform(__arr, s -> s.__w), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("__wtot"),
+        col("__ntot"))
+    val shared = g.crossJoin(broadcast(tot))
+      .withColumn("__share", expr(s"CASE WHEN __wtot > 0 THEN " +
+        s"CAST($budget AS DOUBLE) * __w / __wtot " +
+        s"ELSE CAST($budget AS DOUBLE) * CAST(n AS DOUBLE) " +
+        s"/ CAST(__ntot AS DOUBLE) END"))
+      .withColumn("__base", expr("CAST(floor(__share) AS BIGINT)"))
+      .withColumn("__rem", expr("__share - floor(__share)"))
+    val wAll = Window.partitionBy(lit(1))
+    shared
+      .withColumn("__deficit", lit(budget) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("__rem").desc, col("stratum"))))
+      .withColumn("alloc", col("__base") +
+        when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n"), round(col("__sigma"), 6)
+        .as("sigma"), col("alloc"))
+  }
 }

@@ -799,4 +799,116 @@ object Streaming {
           out.iterator
       }
   }
+
+  final case class LogHistUpdate(group: String, e: Int, sub: Int,
+    pw: Long, cnt: Long)
+
+  /** Streaming log-bucket histogram — the continuous face of
+    * [[graft.engine.Sketches.logHistogramSketch]]: per group the state
+    * is the bucket→count map (≤ s·64 + 1 entries, FIXED however many
+    * values stream through); each batch folds its values in with the
+    * same exact-integer bucket mapping (`e` from bit length, `sub` from
+    * one multiply-divide, sentinel (−1, 0) for non-positives) and emits
+    * the group's refreshed full lattice, so after any stream prefix the
+    * emission equals the batch sketch over the same rows (spec-pinned).
+    * Cross-shard rollup = per-bucket count sum — the batch merge
+    * algebra. Quantile reads go through
+    * [[graft.engine.Sketches.logHistogramQuantiles]] downstream; state
+    * never expires (a histogram is cumulative), group-key cardinality
+    * bounds memory.
+    */
+  def logHistStream(values: Dataset[KeyedNum],
+      s: Int = 8): Dataset[LogHistUpdate] = {
+    require(s >= 1 && s <= 4096, "need 1 <= s <= 4096")
+    implicit val outEnc = Encoders.product[LogHistUpdate]
+    implicit val stEnc = Encoders.kryo[Map[Int, Long]]
+    implicit val keyEnc = Encoders.STRING
+    val sub = s
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[Int, Long], LogHistUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedNum],
+            state: GroupState[Map[Int, Long]]) =>
+          var st = state.getOption.getOrElse(Map.empty[Int, Long])
+          rows.foreach { r =>
+            val key =
+              if (r.x < 1L) -1
+              else {
+                val e = 63 - java.lang.Long.numberOfLeadingZeros(r.x)
+                val pw = 1L << e
+                e * sub + (((r.x - pw) * sub) / pw).toInt
+              }
+            st = st.updated(key, st.getOrElse(key, 0L) + 1L)
+          }
+          state.update(st)
+          st.toSeq.sortBy(_._1).iterator.map { case (key, cnt) =>
+            if (key < 0) LogHistUpdate(group, -1, 0, 0L, cnt)
+            else LogHistUpdate(group, key / sub, key % sub,
+              1L << (key / sub), cnt)
+          }
+      }
+  }
+
+  final case class AmsUpdate(group: String, f2_est: Long)
+
+  /** Streaming AMS F₂ monitor — the continuous face of
+    * [[graft.engine.Sketches.amsF2]]: per group the state is the `d·g`
+    * tug-of-war counters (FIXED however many keys stream through —
+    * this sketch exists BECAUSE exact F₂ needs unbounded per-key
+    * state); each occurrence adds its 4-wise sign (the same degree-3
+    * polynomial in the mixed key hash, all long arithmetic) to every
+    * estimator, and each batch emits the refreshed median-of-means
+    * estimate. After any stream prefix the emission equals the batch
+    * face's `f2_est` over the same rows (spec-pinned; the batch
+    * report's exact-F₂ column is deliberately absent here — that
+    * column is the unbounded half). Self-join pricing that updates
+    * per micro-batch, in `d·g` longs per group.
+    */
+  def amsStream(values: Dataset[KeyedValue], d: Int = 5,
+      g: Int = 16): Dataset[AmsUpdate] = {
+    require(d >= 1 && d % 2 == 1 && g >= 1, "need odd d >= 1, g >= 1")
+    implicit val outEnc = Encoders.product[AmsUpdate]
+    implicit val stEnc = Encoders.kryo[Array[Long]]
+    implicit val keyEnc = Encoders.STRING
+    val P = 1000000007L
+    val K = 2654435761L
+    val nEst = d * g
+    val coefs = Array.tabulate(nEst, 4) { (j, i) =>
+      graft.functions.PolyHash.hashString(s"a$i#$j") * K % P
+    }
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Long], AmsUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedValue],
+            state: GroupState[Array[Long]]) =>
+          val z = state.getOption.getOrElse(new Array[Long](nEst))
+          rows.foreach { r =>
+            if (r.v != null) {
+              val x = graft.functions.PolyHash.hashString(r.v) * K % P
+              val x2 = x * x % P
+              val x3 = x2 * x % P
+              var j = 0
+              while (j < nEst) {
+                val c = coefs(j)
+                val poly = (c(0) + c(1) * x % P + c(2) * x2 % P +
+                  c(3) * x3 % P) % P
+                z(j) += poly % 2L * 2L - 1L
+                j += 1
+              }
+            }
+          }
+          state.update(z)
+          val means = Array.tabulate(d) { grp =>
+            var acc = 0L
+            var j = grp * g
+            while (j < (grp + 1) * g) { acc += z(j) * z(j); j += 1 }
+            acc / g
+          }
+          // median of group means, ties toward the lower group index —
+          // the batch face's (gm, grp) ordering
+          val est = means.zipWithIndex.sortBy(p => (p._1, p._2))
+            .apply((d - 1) / 2)._1
+          Iterator(AmsUpdate(group, est))
+      }
+  }
 }

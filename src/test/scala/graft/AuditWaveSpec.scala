@@ -179,4 +179,51 @@ class AuditWaveSpec extends SparkSpec {
     assert(rc.getDouble(3) == 0.0 && rc.isNullAt(4),
       "zero within-variance -> F undefined")
   }
+
+  test("cmsJoinSize: exact F(A,B) is the true join size; the sketch " +
+      "estimate is a one-sided overestimate, exact at low load") {
+    import graft.engine.Sketches
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3"))
+      .map(Tuple1(_)).toDF("ka")
+    val b = (Seq.fill(4)("k1") ++ Seq("k2") ++ Seq.fill(5)("zz"))
+      .map(Tuple1(_)).toDF("kb")
+    val r = Sketches.cmsJoinSize(a, "ka", b, "kb", d = 4, w = 1024)
+      .collect().head
+    // exact = 3*4 (k1) + 2*1 (k2) + 0 (k3/zz) = 14
+    assert(r.getLong(3) == 14L, "exact join size")
+    assert(r.getLong(2) >= r.getLong(3), "CMS never underestimates")
+    assert(r.getLong(2) == 14L,
+      "4 keys in 1024 buckets x 4 rows: some row is collision-free")
+    // disjoint key sets -> exact 0, err_ppm null (guarded division)
+    val dA = Seq("x1", "x2").map(Tuple1(_)).toDF("ka")
+    val dB = Seq("y1", "y2").map(Tuple1(_)).toDF("kb")
+    val rd = Sketches.cmsJoinSize(dA, "ka", dB, "kb", d = 4, w = 1024)
+      .collect().head
+    assert(rd.getLong(3) == 0L && rd.isNullAt(4))
+  }
+
+  test("neymanAllocation: allocations follow n_h*sigma_h with largest-" +
+      "remainder seats and always sum to the budget") {
+    import graft.llm.Selection
+    // exact shares: weights 2 (a: sd 1) vs 6 (b: sd 3), budget 4 -> 1/3
+    val ex = Seq(("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 6.0))
+      .toDF("st", "x")
+    val got = Selection.neymanAllocation(ex, "st", "x", budget = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 3L))
+    // remainders: weights 1/2/4 over budget 10 -> bases 1/2/5,
+    // remainders .428/.857/.714 -> the two seats go to b then c
+    val lr = Seq(("a", 0.0), ("a", 1.0), ("b", 0.0), ("b", 2.0),
+      ("c", 0.0), ("c", 4.0)).toDF("st", "x")
+    val got2 = Selection.neymanAllocation(lr, "st", "x", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got2 == Map("a" -> 1L, "b" -> 3L, "c" -> 6L))
+    assert(got2.values.sum == 10L, "seats sum exactly to the budget")
+    // all-constant strata: zero weights everywhere still deals the
+    // full budget (deterministically, to the name-ordered strata)
+    val const = Seq(("a", 5.0), ("b", 5.0)).toDF("st", "x")
+    val got3 = Selection.neymanAllocation(const, "st", "x", budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got3.values.sum == 3L && got3("a") >= got3("b"))
+  }
 }

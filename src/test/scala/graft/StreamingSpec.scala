@@ -640,4 +640,69 @@ class StreamingSpec extends SparkSpec {
     assert(want.filter(_._1 == 1L).exists(_._7))
     assert(!want.filter(_._1 == 2L).exists(x => x._7 || x._8))
   }
+
+  test("logHistStream: each batch re-emits the full lattice equal to " +
+      "the batch logHistogramSketch on the prefix; sentinel included") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.KeyedNum]
+    val q = Streaming.logHistStream(mem.toDS(), s = 8)
+      .writeStream.format("memory").queryName("lhstream")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(1L, 3L, 7L, 8L, 100L, -2L)
+      val b2 = Seq(3L, 1024L, 0L)
+      def ref(vs: Seq[Long]) = graft.engine.Sketches.logHistogramSketch(
+        vs.map(("g", _)).toDF("grp", "x"), Seq("grp"), "x", s = 8)
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      mem.addData(b1.map(Streaming.KeyedNum("g", _)): _*)
+      q.processAllAvailable()
+      val got1 = sp.sql("SELECT e, sub, pw, cnt FROM lhstream").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got1 == ref(b1))
+      mem.addData(b2.map(Streaming.KeyedNum("g", _)): _*)
+      q.processAllAvailable()
+      val gotAll = sp.sql("SELECT e, sub, pw, cnt FROM lhstream")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      // batch 2 re-emits the cumulative lattice; subtract batch 1's rows
+      val got2 = gotAll.groupBy(identity).map { case (k, vs) =>
+        k -> vs.size
+      }
+      val want2 = (ref(b1) ++ ref(b1 ++ b2)).groupBy(identity)
+        .map { case (k, vs) => k -> vs.size }
+      assert(got2 == want2,
+        "cumulative emissions across both batches match both prefixes")
+    } finally q.stop()
+  }
+
+  test("amsStream: per-batch f2_est equals the batch amsF2 estimate " +
+      "over the same prefix; state is d*g longs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.amsStream(mem.toDS(), d = 5, g = 8)
+      .writeStream.format("memory").queryName("amsstream")
+      .outputMode("append").start()
+    try {
+      val b1 = (1 to 60).map(i => s"k${i % 20}") // 20 keys, 3x each
+      val b2 = (1 to 30).map(i => s"k${i % 30}") // widens the key set
+      def ref(vs: Seq[String]) = graft.engine.Sketches.amsF2(
+        vs.map(Tuple1(_)).toDF("key"), "key", d = 5, g = 8)
+        .collect().head.getLong(2)
+      mem.addData(b1.map(Streaming.KeyedValue("g", _)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(Streaming.KeyedValue("g", _)): _*)
+      q.processAllAvailable()
+      val got = sp.sql("SELECT f2_est FROM amsstream").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got == Seq(ref(b1), ref(b1 ++ b2)),
+        "stream emissions must equal the batch estimate on each prefix")
+    } finally q.stop()
+  }
 }
