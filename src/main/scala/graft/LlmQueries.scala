@@ -4394,6 +4394,171 @@ object LlmQueries {
           base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
         FROM d2"""))
 
+  /** 5% two-sided trimmed mean of extended price per return flag — the
+    * drop-the-tails robust-location companion of winsorize. */
+  private val l145 = Spec("q280_trimmed_mean",
+    (s, d) => graft.engine.Relational.trimmedMean(
+      T(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+      trimPct = 5),
+    Some("""WITH v AS (SELECT l_returnflag,
+          CAST(l_extendedprice AS DECIMAL(18,6)) AS x FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
+        r AS (SELECT l_returnflag, x, row_number() OVER (
+          PARTITION BY l_returnflag ORDER BY x) AS rk,
+          count(*) OVER (PARTITION BY l_returnflag) AS n FROM v),
+        k AS (SELECT *, (n * 5) // 100 AS k FROM r),
+        a AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+          CAST(max(k) * 2 AS BIGINT) AS n_trimmed,
+          CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN x END)
+            AS DECIMAL(38,6)) AS s,
+          CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept
+          FROM k GROUP BY 1)
+        SELECT l_returnflag, n, n_trimmed,
+          round(CASE WHEN kept > 0 THEN CAST(s AS DOUBLE)
+            / CAST(kept AS DOUBLE) END, 6) AS trimmed_mean
+        FROM a"""))
+
+  /** Shared co-purchase subgraph CTE (the q167/q173 graph, parts % 3)
+    * — ONE copy for q281 (modularity) and q282 (assortativity). */
+  private val coPurchaseCte: String =
+    """li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_partkey % 3 = 0),
+        e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+          JOIN li b ON a.o = b.o AND a.p < b.p)"""
+
+  private def coPurchase(s: SparkSession, d: String): DataFrame = {
+    val li = T(s, d, "lineitem").filter(col("l_partkey") % 3 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+    li.select(col("o"), col("l_partkey").as("pa"))
+      .join(li.select(col("o"), col("l_partkey").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+  }
+
+  /** Per-community modularity contributions of the `p mod 4` partition
+    * over the co-purchase graph — the partition-quality score for any
+    * community assignment. */
+  private val l146 = Spec("q281_modularity",
+    (s, d) => {
+      val edges = coPurchase(s, d)
+      val asg = edges.select(col("pa").as("node"))
+        .unionByName(edges.select(col("pb").as("node"))).distinct()
+        .withColumn("community", col("node") % 4)
+      graft.engine.Graph.modularity(edges, "pa", "pb", asg, "node",
+        "community")
+    },
+    Some(s"""WITH $coPurchaseCte,
+        asg AS (SELECT DISTINCT p AS node, p % 4 AS community FROM li),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY 1),
+        bc AS (SELECT a.community, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(deg) AS BIGINT) AS deg_sum FROM deg
+          JOIN asg a ON a.node = deg.node GROUP BY 1),
+        ei AS (SELECT au.community, CAST(count(*) AS BIGINT) AS e_in
+          FROM e0 JOIN asg au ON au.node = e0.u
+          JOIN asg av ON av.node = e0.v
+          WHERE au.community = av.community GROUP BY 1)
+        SELECT bc.community, bc.n_nodes,
+          CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in, bc.deg_sum,
+          round(CAST(coalesce(ei.e_in, 0) AS DOUBLE)
+            / CAST(mm.m AS DOUBLE)
+            - (CAST(deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+            * (CAST(deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)), 6)
+            AS q_contrib
+        FROM bc LEFT JOIN ei USING (community) CROSS JOIN mm"""))
+
+  /** Degree assortativity of the co-purchase graph — hub-meets-hub vs
+    * hub-meets-leaf in one exact-integer Pearson. */
+  private val l147 = Spec("q282_assortativity",
+    (s, d) => graft.engine.Graph.degreeAssortativity(
+      coPurchase(s, d), "pa", "pb"),
+    Some(s"""WITH $coPurchaseCte,
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY 1),
+        pr AS (SELECT e0.u, e0.v, du.deg AS du, dv.deg AS dv FROM e0
+          JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(du + dv) AS BIGINT) AS sx,
+          CAST(sum(du * dv * 2) AS BIGINT) AS sxy,
+          CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx FROM pr),
+        n2 AS (SELECT *, m * 2 AS n FROM ag)
+        SELECT m, round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS r
+        FROM n2"""))
+
+  /** Bucketed quantile normalization of event values onto the pooled
+    * distribution — the cross-source drift-correction transform. */
+  private val l148 = Spec("q283_quantile_normalize",
+    (s, d) => graft.engine.Relational.quantileNormalize(
+      T(s, d, "events"), "event_type", "event_id", "value",
+      nBuckets = 100),
+    Some("""WITH v AS (SELECT event_type AS source, event_id AS id,
+          CAST(value AS DOUBLE) AS value FROM events
+          WHERE value IS NOT NULL),
+        p AS (SELECT value, ntile(100) OVER (ORDER BY value) AS b
+          FROM v),
+        pooled AS (SELECT b, max(value) AS norm_value FROM p GROUP BY 1),
+        r AS (SELECT source, id, value, row_number() OVER (
+          PARTITION BY source ORDER BY value, id) AS r,
+          count(*) OVER (PARTITION BY source) AS n FROM v),
+        k AS (SELECT source, id, value,
+          CAST((r * 100 + n - 1) // n AS INT) AS bucket FROM r)
+        SELECT k.source, k.id, k.value, k.bucket, pooled.norm_value
+        FROM k JOIN pooled ON pooled.b = k.bucket"""))
+
+  /** Two-feature OLS (price ~ quantity + discount) per return flag via
+    * exact sufficient stats + Cramer's rule, shared formulas. */
+  private val l149 = Spec("q284_ols2",
+    (s, d) => graft.engine.Relational.ols2(
+      T(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+      "l_quantity", "l_discount"),
+    Some {
+      val steps = graft.engine.Relational.ols2DerivedSql
+      val ctes = steps.zipWithIndex.map { case ((name, formula), i) =>
+        s"c${i + 1} AS (SELECT *, $formula AS $name FROM c$i)"
+      }.mkString(",\n          ")
+      s"""WITH c0 AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS s1,
+            CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS s2,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS sy,
+            CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12))
+              AS s11,
+            CAST(sum(CAST(l_discount AS DECIMAL(19,6))
+              * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12))
+              AS s22,
+            CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12))
+              AS s12,
+            CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS s1y,
+            CAST(sum(CAST(l_discount AS DECIMAL(19,6))
+              * CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS s2y,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+              * CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS syy
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            GROUP BY 1),
+          $ctes
+          SELECT l_returnflag, n, round(b1, 6) AS b1,
+            round(b2, 6) AS b2, round(icept, 6) AS intercept,
+            round(r2, 6) AS r2 FROM c${steps.size}"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4405,5 +4570,6 @@ object LlmQueries {
     l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, l112,
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
-    l135, l136, l137, l138, l139, l140, l141, l142, l143, l144)
+    l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
+    l145, l146, l147, l148, l149)
 }

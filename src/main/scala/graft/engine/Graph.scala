@@ -354,6 +354,105 @@ object Graph {
     out
   }
 
+  /** Per-community modularity contributions (Newman & Girvan, PRE
+    * 2004) over the UNDIRECTED graph for a given node→community
+    * assignment: for community `c`, `e_c` = edges with both endpoints
+    * in `c`, `deg_c` = Σ degree over its nodes, and the contribution
+    * `q_c = e_c/m − (deg_c/(2m))²`; modularity Q = Σ q_c. The
+    * clustering-quality score for label-propagation / CC partitions —
+    * the graph dual of the silhouette report.
+    *
+    * `e_c`, `deg_c`, `m` are exact integers; `q_c` is the only float
+    * (two divisions of exact integers, shared association, 6 dp).
+    *
+    * Output: `(community, n_nodes, e_in, deg_sum, q_contrib)` — one
+    * row per community that owns ≥ 1 node with an incident edge.
+    *
+    * Scale: degree is one edge-grain aggregate; `e_c` is the edge list
+    * joined twice against the (node, community) map on its endpoint
+    * keys — two hash joins at edge grain, then everything collapses to
+    * community grain. No pairwise-anything.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String,
+      communityCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val m = e.agg(count(lit(1)).as("__m"))
+    val asg = assign.select(col(nodeCol).as("__node"),
+      col(communityCol).as("community"))
+    val deg = e.select(col("u").as("__node"))
+      .unionByName(e.select(col("v").as("__node")))
+      .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
+    val byComm = deg.join(asg, Seq("__node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("deg_sum"))
+    val eIn = e
+      .join(asg.select(col("__node").as("u"),
+        col("community").as("__cu")), Seq("u"))
+      .join(asg.select(col("__node").as("v"),
+        col("community").as("__cv")), Seq("v"))
+      .filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val out = byComm.join(eIn, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib", round(expr(
+        "CAST(e_in AS DOUBLE) / CAST(__m AS DOUBLE) " +
+          "- (CAST(deg_sum AS DOUBLE) / CAST(2 * __m AS DOUBLE)) " +
+          "* (CAST(deg_sum AS DOUBLE) / CAST(2 * __m AS DOUBLE))"), 6))
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("deg_sum"), col("q_contrib"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the UNDIRECTED edge list with both
+    * orientations counted — positive on hub-meets-hub graphs (social),
+    * negative on hub-meets-leaf (infrastructure, star-schema
+    * co-occurrence). Sufficient stats `(n = 2m, Σx, Σy, Σxy, Σx²)` are
+    * exact integers (symmetry makes the y-moments equal the
+    * x-moments); `r` is the one shared-association float expression,
+    * 6 dp, null on a degree-regular graph (zero variance).
+    *
+    * Output: ONE row `(m, r)`.
+    *
+    * Scale: one degree aggregate + one edge-grain join against the
+    * degree map per endpoint, collapsed to a single row. Edge-linear.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val deg = e.select(col("u").as("__node"))
+      .unionByName(e.select(col("v").as("__node")))
+      .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
+    val pairs = e
+      .join(deg.select(col("__node").as("u"), col("__deg").as("__du")),
+        Seq("u"))
+      .join(deg.select(col("__node").as("v"), col("__deg").as("__dv")),
+        Seq("v"))
+    val out = pairs
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__du") + col("__dv")).as("sx"),
+        sum(col("__du") * col("__dv") * 2L).as("sxy"),
+        sum(col("__du") * col("__du") + col("__dv") * col("__dv"))
+          .as("sxx"))
+      .withColumn("n", col("__m") * 2L)
+      .withColumn("r", round(expr(
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN " +
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"), 6))
+      .select(col("__m").as("m"), col("r"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999), `iters` synchronous
     * rounds, scores as MAX-normalized ppm integers: per round
     * `auth_raw(v) = Σ_{u→v} hub(u)` then `auth = (auth_raw · 10⁶) DIV

@@ -1470,6 +1470,161 @@ object Relational {
         col("__s.factor").as("factor"), col("survival")): _*)
   }
 
+  /** Trimmed mean per group: drop the `trimPct`% smallest and largest
+    * VALUES by rank (`k = (n · trimPct) DIV 100` from each end) and
+    * take the exact-DECIMAL mean of the rest — the robust-location
+    * companion of `winsorize` (which CLAMPS the tails instead of
+    * dropping them). Tie order inside the rank window cannot change
+    * the result: cutting the k lowest ranks always cuts the k smallest
+    * values as a multiset. Groups that trim to nothing emit a null
+    * mean.
+    *
+    * Output: `(groupCols…, n, n_trimmed, trimmed_mean)`.
+    *
+    * Scale: one value-ordered window per group (the exact-percentile
+    * cost class — a group-keyed sort, no global order), then one
+    * aggregate. Counts and sums exact; the single division is the
+    * only float.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, "need 0 <= trimPct < 50")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__x"))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .as("__x"): _*)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .withColumn("__k", expr(s"(__n * $trimPct) DIV 100"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        (max(col("__k")) * 2).as("n_trimmed"),
+        sum(when(col("__rk") > col("__k")
+          && col("__rk") <= col("__n") - col("__k"), col("__x")))
+          .cast(dec).as("__s"),
+        sum(when(col("__rk") > col("__k")
+          && col("__rk") <= col("__n") - col("__k"), 1L)
+          .otherwise(0L)).as("__kept"))
+      .withColumn("trimmed_mean", round(expr("CASE WHEN __kept > 0 THEN " +
+        "CAST(__s AS DOUBLE) / CAST(__kept AS DOUBLE) END"), 6))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("n_trimmed"),
+        col("trimmed_mean")): _*)
+  }
+
+  /** Bucketed quantile normalization across sources: each row's value
+    * is replaced by the POOLED distribution's value at the same
+    * quantile position — the cross-source drift-correction transform
+    * (microarray heritage; for corpus features it puts every source's
+    * quality/length scores on one comparable scale). Discretized to
+    * `nBuckets` equi-depth buckets: a row at per-source rank `r` of
+    * `n_s` maps to pooled bucket `⌈r·B/n_s⌉` and takes that pooled
+    * bucket's MAX value as its normalized value. Bucket boundaries are
+    * tie-stable (equal values straddling a boundary contribute the
+    * same max either way); per-source ranks break ties on `idCol`.
+    *
+    * Output: `(source, id, value, bucket, norm_value)`.
+    *
+    * Scale: one global `ntile` window (the equi-depth total-order cost
+    * class, accepted for report-grade outputs) + one per-source rank
+    * window + a broadcast join against the B-row boundary table.
+    */
+  def quantileNormalize(df: DataFrame, sourceCol: String, idCol: String,
+      valueCol: String, nBuckets: Int = 100): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("value"))
+    val pooled = v
+      .withColumn("__b", ntile(nBuckets).over(Window.orderBy(col("value"))))
+      .groupBy(col("__b")).agg(max(col("value")).as("norm_value"))
+    val ranked = v
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(col("source")).orderBy(col("value"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(Window
+        .partitionBy(col("source"))))
+      .withColumn("bucket", expr(
+        s"CAST((__r * $nBuckets + __n - 1) DIV __n AS INT)"))
+    ranked.join(broadcast(pooled), col("bucket") === col("__b"))
+      .select(col("source"), col("id"), col("value"), col("bucket"),
+        col("norm_value"))
+  }
+
+  /** Shared engine/oracle formula fragments for [[ols2]] — ONE copy
+    * parsed by both engines. Inputs: exact sufficient stats
+    * `(n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy)`. */
+  val ols2DerivedSql: Seq[(String, String)] = Seq(
+    "m1" -> "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "m2" -> "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "my" -> "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c11" -> ("CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+      "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "c22" -> ("CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) " +
+      "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "c12" -> ("CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+      "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "c1y" -> ("CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "c2y" -> ("CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) " +
+      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "cyy" -> ("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) " +
+      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    "det" -> "c11 * c22 - c12 * c12",
+    "b1" -> ("CASE WHEN det > 0 THEN (c1y * c22 - c2y * c12) / det " +
+      "ELSE CAST(NULL AS DOUBLE) END"),
+    "b2" -> ("CASE WHEN det > 0 THEN (c2y * c11 - c1y * c12) / det " +
+      "ELSE CAST(NULL AS DOUBLE) END"),
+    "icept" -> "my - b1 * m1 - b2 * m2",
+    "r2" -> ("CASE WHEN det > 0 AND cyy > 0 THEN " +
+      "(b1 * c1y + b2 * c2y) / cyy ELSE CAST(NULL AS DOUBLE) END"))
+
+  /** Two-feature OLS per group via the centered normal equations
+    * (Cramer's rule on the 2×2 covariance system) — the multivariate
+    * step past the per-group simple regression: sufficient stats
+    * `(n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²)` accumulate
+    * EXACT (DECIMAL) in one map-side-combined pass; every float op
+    * downstream parses from the ONE [[ols2DerivedSql]] fragment list on
+    * both engines. A singular design (collinear features, `det ≤ 0`)
+    * emits null coefficients rather than an explosion.
+    *
+    * Output: `(groupCols…, n, b1, b2, intercept, r2)`, 6 dp.
+    *
+    * Scale: one aggregate at group grain — ten numbers of state per
+    * group; a 100 TB regression costs one scan, the same contract as
+    * [[welchTTest]].
+    */
+  def ols2(df: DataFrame, groupCols: Seq[String], yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def d18(c: String) = col(c)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val agg = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(groupCols.map(col) ++ Seq(d18(yCol).as("__y"),
+        d18(x1Col).as("__x1"), d18(x2Col).as("__x2")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1")).cast(dec).as("s1"),
+        sum(col("__x2")).cast(dec).as("s2"),
+        sum(col("__y")).cast(dec).as("sy"),
+        sum(col("__x1") * col("__x1")).cast(dec).as("s11"),
+        sum(col("__x2") * col("__x2")).cast(dec).as("s22"),
+        sum(col("__x1") * col("__x2")).cast(dec).as("s12"),
+        sum(col("__x1") * col("__y")).cast(dec).as("s1y"),
+        sum(col("__x2") * col("__y")).cast(dec).as("s2y"),
+        sum(col("__y") * col("__y")).cast(dec).as("syy"))
+    ols2DerivedSql.foldLeft(agg) {
+      case (acc, (name, formula)) => acc.withColumn(name, expr(formula))
+    }.select(groupCols.map(col) ++ Seq(col("n"),
+      round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+      round(col("icept"), 6).as("intercept"),
+      round(col("r2"), 6).as("r2")): _*)
+  }
+
   /** One-way ANOVA F statistic (Fisher, 1925) across the groups of
     * `groupCol`: between-group vs within-group variance ratio, the
     * k-sample generalization of the two-sample t — "did ANY source

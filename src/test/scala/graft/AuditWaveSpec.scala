@@ -226,4 +226,84 @@ class AuditWaveSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got3.values.sum == 3L && got3("a") >= got3("b"))
   }
+
+  test("trimmedMean: rank cuts drop the k smallest/largest values; " +
+      "ties across the cut cannot change the kept multiset") {
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val r = Relational.trimmedMean(df, Seq("grp"), "x", trimPct = 10)
+      .collect().head
+    assert(r.getLong(1) == 10 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 5.5, "mean of 2..9")
+    val ties = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 9.0))
+      .toDF("grp", "x")
+    val rt = Relational.trimmedMean(ties, Seq("grp"), "x", trimPct = 25)
+      .collect().head
+    assert(rt.getDouble(3) == 1.0, "kept {1,1} regardless of tie order")
+  }
+
+  test("modularity: two triangles joined by a bridge, communities = " +
+      "triangles -> the textbook contributions") {
+    val e = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+      .toDF("u", "v")
+    val asg = Seq(("a1", "A"), ("a2", "A"), ("a3", "A"),
+      ("b1", "B"), ("b2", "B"), ("b3", "B")).toDF("node", "comm")
+    val out = graft.engine.Graph.modularity(e, "u", "v", asg, "node",
+      "comm").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // m = 7; each community: e_in = 3, deg_sum = 2+2+3 = 7
+    // q_c = 3/7 - (7/14)^2 = 0.428571... - 0.25 = 0.178571
+    assert(out("A") == ((3L, 3L, 7L, 0.178571)))
+    assert(out("B") == ((3L, 3L, 7L, 0.178571)))
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative " +
+      "(r = -1); a cycle is degree-regular (null r)") {
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("u", "v")
+    val rs = graft.engine.Graph.degreeAssortativity(star, "u", "v")
+      .collect().head
+    assert(rs.getLong(0) == 3 && rs.getDouble(1) == -1.0)
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("u", "v")
+    val rc = graft.engine.Graph.degreeAssortativity(cycle, "u", "v")
+      .collect().head
+    assert(rc.getLong(0) == 3 && rc.isNullAt(1),
+      "zero degree variance -> undefined correlation")
+  }
+
+  test("quantileNormalize: shifted sources land on the pooled scale " +
+      "at matching quantile positions") {
+    val df = ((1 to 4).map(i => ("a", i.toLong, i.toDouble)) ++
+      (101 to 104).map(i => ("b", i.toLong, i.toDouble)))
+      .toDF("src", "id", "x")
+    val out = Relational.quantileNormalize(df, "src", "id", "x",
+      nBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getDouble(4)))).toMap
+    // pooled ntile(4) buckets of [1,2,3,4,101,102,103,104]:
+    // maxes 2, 4, 102, 104; each source's rank r of 4 -> bucket r
+    assert(out(("a", 1L)) == ((1, 2.0)))
+    assert(out(("a", 4L)) == ((4, 104.0)),
+      "source a's top value maps to the pooled top bucket")
+    assert(out(("b", 101L)) == ((1, 2.0)),
+      "source b's bottom value maps to the pooled bottom bucket")
+    assert(out(("b", 104L)) == ((4, 104.0)))
+  }
+
+  test("ols2: recovers an exact plane (r2 = 1); collinear features " +
+      "yield null coefficients") {
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+      (2.0, 1.0), (1.0, 2.0))
+      .map { case (x1, x2) => ("g", 2.0 + 3.0 * x1 - x2, x1, x2) }
+    val r = Relational.ols2(pts.toDF("grp", "y", "x1", "x2"),
+      Seq("grp"), "y", "x1", "x2").collect().head
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == -1.0)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.0)
+    val colinear = Seq(1.0, 2.0, 3.0, 4.0)
+      .map(x => ("g", 2.0 * x, x, x))
+    val rc = Relational.ols2(colinear.toDF("grp", "y", "x1", "x2"),
+      Seq("grp"), "y", "x1", "x2").collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3),
+      "singular design -> null coefficients, not an explosion")
+  }
 }
