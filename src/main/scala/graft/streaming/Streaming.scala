@@ -849,6 +849,77 @@ object Streaming {
       }
   }
 
+  final case class AbPoint(group: String, x: Double, flag: Boolean)
+  final case class WelchState(na: Long, nb: Long, sa: Long, sb: Long,
+    ssa: Long, ssb: Long)
+  final case class WelchUpdate(group: String, na: Long, nb: Long,
+    mean_a: Option[Double], mean_b: Option[Double],
+    t_stat: Option[Double], df_welch: Option[Double])
+
+  /** Streaming Welch A/B monitor — the continuous face of
+    * [[graft.engine.Relational.welchTTest]]: per group the state is the
+    * six sufficient-stat accumulators (FIXED size however many points
+    * stream through), kept as exact micro-unit (1e-6-scaled) longs —
+    * the same lattice the batch face's DECIMAL(18,6) cast quantizes
+    * to — so after any stream prefix the emitted `t`/`df` equal the
+    * batch operator over the same rows (spec-pinned; the float
+    * formulas are evaluated in the [[graft.engine.Relational.welchDerivedSql]]
+    * association order). Emits nulls until both arms have ≥ 2 points.
+    * The always-on A/B significance readout, in 6 longs per group;
+    * micro-unit squares bound |x| to ~3e3 over 2⁶³ mass — metric-grade
+    * streams.
+    */
+  def welchStream(points: Dataset[AbPoint]): Dataset[WelchUpdate] = {
+    implicit val outEnc = Encoders.product[WelchUpdate]
+    implicit val stEnc = Encoders.product[WelchState]
+    implicit val keyEnc = Encoders.STRING
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState[WelchState, WelchUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[AbPoint],
+            state: GroupState[WelchState]) =>
+          var st = state.getOption.getOrElse(
+            WelchState(0L, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { r =>
+            // quantize exactly like the batch DECIMAL(18,6) cast
+            val xi = BigDecimal(r.x)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(1000000L)).toLongExact
+            if (r.flag)
+              st = st.copy(na = st.na + 1, sa = st.sa + xi,
+                ssa = st.ssa + xi * xi)
+            else
+              st = st.copy(nb = st.nb + 1, sb = st.sb + xi,
+                ssb = st.ssb + xi * xi)
+          }
+          state.update(st)
+          def r6(x: Double): Double = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val out =
+            if (st.na >= 2 && st.nb >= 2) {
+              // evaluate welchDerivedSql's association order exactly;
+              // scaled-BigDecimal -> double is the same correctly-
+              // rounded conversion as Spark's Decimal.toDouble
+              val sa = BigDecimal(st.sa, 6).doubleValue
+              val sb = BigDecimal(st.sb, 6).doubleValue
+              val ssa = BigDecimal(st.ssa, 12).doubleValue
+              val ssb = BigDecimal(st.ssb, 12).doubleValue
+              val m1 = sa / st.na; val m2 = sb / st.nb
+              val v1 = (ssa - sa * sa / st.na) / (st.na - 1)
+              val v2 = (ssb - sb * sb / st.nb) / (st.nb - 1)
+              val se2 = v1 / st.na + v2 / st.nb
+              val t = if (se2 > 0) (m1 - m2) / math.sqrt(se2) else 0.0
+              val dfW = if (se2 > 0) se2 * se2 /
+                ((v1 / st.na) * (v1 / st.na) / (st.na - 1) +
+                  (v2 / st.nb) * (v2 / st.nb) / (st.nb - 1)) else 0.0
+              WelchUpdate(group, st.na, st.nb, Some(r6(m1)), Some(r6(m2)),
+                Some(r6(t)), Some(r6(dfW)))
+            } else WelchUpdate(group, st.na, st.nb, None, None, None,
+              None)
+          Iterator(out)
+      }
+  }
+
   final case class AmsUpdate(group: String, f2_est: Long)
 
   /** Streaming AMS F₂ monitor — the continuous face of

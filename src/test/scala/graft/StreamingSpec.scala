@@ -680,6 +680,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("welchStream: per-batch t/df equal the batch welchTTest on " +
+      "every prefix; nulls until both arms have two points") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Streaming.AbPoint]
+    val q = Streaming.welchStream(mem.toDS())
+      .writeStream.format("memory").queryName("welchstream")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq((1.25, true), (2.5, true), (4.0, false))
+      val b2 = Seq((3.75, true), (6.0, false), (8.125, false),
+        (2.0, false))
+      def ref(vs: Seq[(Double, Boolean)]) = {
+        val row = graft.engine.Relational.welchTTest(
+          vs.map(v => ("g", v._1, v._2)).toDF("grp", "x", "f"),
+          Seq("grp"), "x", col("f")).collect().head
+        (row.getLong(1), row.getLong(2),
+          if (row.isNullAt(5)) None else Some(row.getDouble(5)),
+          if (row.isNullAt(6)) None else Some(row.getDouble(6)))
+      }
+      mem.addData(b1.map(p => Streaming.AbPoint("g", p._1, p._2)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(p => Streaming.AbPoint("g", p._1, p._2)): _*)
+      q.processAllAvailable()
+      val got = sp.sql(
+        "SELECT na, nb, t_stat, df_welch FROM welchstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      assert(got == Seq(ref(b1), ref(b1 ++ b2)),
+        "stream emissions must equal the batch test on each prefix")
+      assert(got.head._3.isEmpty, "one-point arm -> no t yet")
+      assert(got(1)._3.isDefined)
+    } finally q.stop()
+  }
+
   test("amsStream: per-batch f2_est equals the batch amsF2 estimate " +
       "over the same prefix; state is d*g longs") {
     val sp = spark
