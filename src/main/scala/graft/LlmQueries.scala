@@ -4034,7 +4034,8 @@ object LlmQueries {
             CAST(sum(w * x) AS DECIMAL(38,6)) AS swx FROM ww
             GROUP BY 1, 2),
           m2 AS (SELECT c_mktsegment, r,
-            CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM ms
+            ${graft.engine.Relational.decToDoubleSql("swx", 6)}
+              / CAST(sw AS DOUBLE) AS m FROM ms
             WHERE sw > 0),
           rk AS (SELECT c_mktsegment, r, m,
             row_number() OVER (PARTITION BY c_mktsegment
@@ -4046,11 +4047,13 @@ object LlmQueries {
             round(max(CASE WHEN rk = (975 * bu + 999) // 1000 THEN m END),
               6) AS ci_hi,
             CAST(max(bu) AS INT) AS b_used FROM rk GROUP BY 1),
-          pt AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-            round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
-                AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE),
-              6) AS mean
-            FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1)
+          pt0 AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
+              AS DECIMAL(38,6)) AS sx
+            FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+          pt AS (SELECT c_mktsegment, n,
+            round(${graft.engine.Relational.decToDoubleSql("sx", 6)}
+              / CAST(n AS DOUBLE), 6) AS mean FROM pt0)
           SELECT pt.c_mktsegment, pt.n, pt.mean, ci.ci_lo, ci.ci_hi,
             ci.b_used
           FROM pt LEFT JOIN ci USING (c_mktsegment)"""
@@ -4292,7 +4295,9 @@ object LlmQueries {
   private val l142 = Spec("q277_anova_f",
     (s, d) => graft.engine.Relational.anovaF(
       T(s, d, "lineitem"), "l_returnflag", "l_extendedprice"),
-    Some("""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS gg,
+    Some {
+      def cv(c: String) = graft.engine.Relational.decToDoubleSql(c, 12)
+      s"""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS gg,
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
             AS DECIMAL(38,12)) AS s,
@@ -4302,7 +4307,7 @@ object LlmQueries {
           FROM lineitem
           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
           GROUP BY 1),
-        tm AS (SELECT gg, n, s, ss, CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        tm AS (SELECT gg, n, s, ss, ${cv("s")} * ${cv("s")}
           / CAST(n AS DOUBLE) AS term FROM g),
         ag AS (SELECT CAST(count(*) AS INT) AS k,
           CAST(sum(n) AS BIGINT) AS n,
@@ -4312,16 +4317,17 @@ object LlmQueries {
         tt AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           terms), (a, b) -> a + b) AS t FROM ag)
         SELECT k, n,
-          round(t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+          round(t - ${cv("stot")} * ${cv("stot")}
             / CAST(n AS DOUBLE), 6) AS ssb,
-          round(CAST(sstot AS DOUBLE) - t, 6) AS ssw,
+          round(${cv("sstot")} - t, 6) AS ssw,
           round(CASE WHEN k > 1 AND n > k
-            AND (CAST(sstot AS DOUBLE) - t) > 0 THEN
-            ((t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+            AND (${cv("sstot")} - t) > 0 THEN
+            ((t - ${cv("stot")} * ${cv("stot")}
               / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-            / ((CAST(sstot AS DOUBLE) - t) / CAST(n - k AS DOUBLE))
+            / ((${cv("sstot")} - t) / CAST(n - k AS DOUBLE))
             END, 6) AS f_stat
-        FROM tt"""))
+        FROM tt"""
+    })
 
   /** CMS inner-product join-size estimate for lineitem ⋈ orders on the
     * order key — the two-table companion of q268's self-join pricing. */
@@ -4362,7 +4368,10 @@ object LlmQueries {
     (s, d) => graft.llm.Selection.neymanAllocation(
       T(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
       budget = 1000L),
-    Some("""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
+    Some {
+      val cs = graft.engine.Relational.decToDoubleSql("s", 12)
+      val css = graft.engine.Relational.decToDoubleSql("ss", 12)
+      s"""WITH g AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
             AS DECIMAL(38,12)) AS s,
@@ -4373,9 +4382,9 @@ object LlmQueries {
           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
           GROUP BY 1),
         sg AS (SELECT stratum, n, sqrt(greatest(CAST(0 AS DOUBLE),
-          CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
-          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS sigma FROM g),
+          $css / CAST(n AS DOUBLE)
+          - ($cs / CAST(n AS DOUBLE))
+          * ($cs / CAST(n AS DOUBLE)))) AS sigma FROM g),
         ww AS (SELECT stratum, n, sigma, CAST(n AS DOUBLE) * sigma AS w
           FROM sg),
         tt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -4392,7 +4401,8 @@ object LlmQueries {
           row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
         SELECT stratum, n, round(sigma, 6) AS sigma,
           base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
-        FROM d2"""))
+        FROM d2"""
+    })
 
   /** 5% two-sided trimmed mean of extended price per return flag — the
     * drop-the-tails robust-location companion of winsorize. */
@@ -4400,7 +4410,7 @@ object LlmQueries {
     (s, d) => graft.engine.Relational.trimmedMean(
       T(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
       trimPct = 5),
-    Some("""WITH v AS (SELECT l_returnflag,
+    Some(s"""WITH v AS (SELECT l_returnflag,
           CAST(l_extendedprice AS DECIMAL(18,6)) AS x FROM lineitem
           WHERE l_extendedprice IS NOT NULL),
         r AS (SELECT l_returnflag, x, row_number() OVER (
@@ -4415,7 +4425,8 @@ object LlmQueries {
             AS BIGINT) AS kept
           FROM k GROUP BY 1)
         SELECT l_returnflag, n, n_trimmed,
-          round(CASE WHEN kept > 0 THEN CAST(s AS DOUBLE)
+          round(CASE WHEN kept > 0 THEN
+            ${graft.engine.Relational.decToDoubleSql("s", 6)}
             / CAST(kept AS DOUBLE) END, 6) AS trimmed_mean
         FROM a"""))
 
@@ -4559,6 +4570,131 @@ object LlmQueries {
             round(r2, 6) AS r2 FROM c${steps.size}"""
     })
 
+  /** Split-conformal 90%-coverage calibration quantile of event values
+    * per event type — exact-rank pick, null when the guarantee needs
+    * the infinite quantile. */
+  private val l150 = Spec("q285_conformal_quantile",
+    (s, d) => graft.llm.Eval.conformalQuantile(
+      T(s, d, "events"), Seq("event_type"), "value", alphaPct = 10),
+    Some("""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS s
+          FROM events WHERE value IS NOT NULL),
+        r AS (SELECT event_type, s, row_number() OVER (
+          PARTITION BY event_type ORDER BY s) AS rk,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+        t AS (SELECT *, ((n + 1) * 90 + 99) // 100 AS target FROM r)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          CAST(max(target) AS BIGINT) AS rank,
+          round(max(CASE WHEN rk = target THEN s END), 6) AS q_hat
+        FROM t GROUP BY 1"""))
+
+  /** Benjamini–Hochberg step-up at FDR 20% over the error-event
+    * pseudo-p column — the multiple-testing closure of the test
+    * family. */
+  private val l151 = Spec("q286_bh_fdr",
+    (s, d) => graft.engine.Relational.bhFdr(
+      T(s, d, "events").filter(col("event_type") === "error")
+        .withColumn("p", col("value") - floor(col("value"))),
+      "event_id", "p", alphaPct = 20),
+    Some("""WITH t AS (SELECT event_id AS id,
+          CAST(value AS DOUBLE) - floor(CAST(value AS DOUBLE)) AS p
+          FROM events WHERE event_type = 'error' AND value IS NOT NULL),
+        r AS (SELECT id, p, CAST(row_number() OVER (ORDER BY p, id)
+          AS INT) AS rank, count(*) OVER () AS m FROM t),
+        c AS (SELECT *, CAST(rank AS DOUBLE) * CAST(20 AS DOUBLE)
+          / (CAST(100 AS DOUBLE) * CAST(m AS DOUBLE)) AS crit FROM r),
+        k AS (SELECT *, max(CASE WHEN p <= crit THEN rank ELSE 0 END)
+          OVER () AS kstar FROM c)
+        SELECT id, p, rank, round(crit, 6) AS crit,
+          rank <= kstar AS discovery FROM k"""))
+
+  /** Seedless negative-edge samples (k = 3 of 8 draws) over the
+    * co-purchase graph — the contrastive-training counterpart of the
+    * link-prediction Jaccard. */
+  private val l152 = Spec("q287_negative_edges",
+    (s, d) => graft.engine.Graph.negativeEdgeSamples(
+      coPurchase(s, d), "pa", "pb", k = 3, oversample = 8),
+    Some(s"""WITH $coPurchaseCte,
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)),
+        ix AS (SELECT node AS id, row_number() OVER (ORDER BY node) - 1
+          AS idx FROM nodes),
+        nv AS (SELECT count(*) AS n FROM ix),
+        dr AS (SELECT ix.id AS u, jj.j,
+          (${phSql("CAST(ix.id AS VARCHAR) || '#' || CAST(jj.j AS VARCHAR)")}
+            * 2654435761) % 1000000007 % nv.n AS cidx
+          FROM ix CROSS JOIN nv
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+        cd AS (SELECT dr.u, dr.j, i2.id AS neg_id FROM dr
+          JOIN ix i2 ON i2.idx = dr.cidx),
+        uk AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v
+          FROM e0),
+        fl AS (SELECT cd.* FROM cd WHERE cd.neg_id <> cd.u
+          AND NOT EXISTS (SELECT 1 FROM uk
+            WHERE uk.u = cd.u AND uk.v = cd.neg_id)),
+        dd AS (SELECT u, neg_id, min(j) AS j FROM fl GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY u ORDER BY j)
+          AS rk FROM dd)
+        SELECT u, CAST(j AS INT) AS j, neg_id FROM rk WHERE rk <= 3"""))
+
+  /** Stratified 5-fold assignment of documents by language in
+    * content-hash order — the reproducible cross-validation split. */
+  private val l153 = Spec("q288_kfold_assign",
+    (s, d) => graft.llm.Selection.kfoldAssign(
+      T(s, d, "documents"), "lang", "doc_id", k = 5),
+    Some(s"""WITH t AS (SELECT doc_id AS id, CAST(lang AS VARCHAR)
+          AS stratum,
+          (${phSql("CAST(doc_id AS VARCHAR)")} * 2654435761)
+            % 1000000007 AS h
+          FROM documents)
+        SELECT id, stratum, CAST((row_number() OVER (
+          PARTITION BY stratum ORDER BY h, id) - 1) % 5 AS INT) AS fold
+        FROM t"""))
+
+  /** Column-profile diff between the even- and odd-orderkey halves of
+    * orders — the between-snapshot drift smoke report. */
+  private val l154 = Spec("q289_profile_diff",
+    (s, d) => graft.engine.Relational.profileDiff(
+      T(s, d, "orders").filter(col("o_orderkey") % 2 === 0),
+      T(s, d, "orders").filter(col("o_orderkey") % 2 === 1),
+      Seq("o_totalprice", "o_custkey")),
+    Some {
+      def cv(c: String) = graft.engine.Relational.decToDoubleSql(c, 12)
+      def sideCte(pred: String, sfx: String): String =
+        s"""st$sfx AS (
+            SELECT 'o_totalprice' AS colname,
+              CAST(o_totalprice AS DECIMAL(18,6)) AS x FROM orders
+              WHERE $pred
+            UNION ALL SELECT 'o_custkey',
+              CAST(o_custkey AS DECIMAL(18,6)) FROM orders
+              WHERE $pred),
+          ag$sfx AS (SELECT colname, CAST(count(*) AS BIGINT) AS n_$sfx,
+            CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS nulls_$sfx,
+            CAST(sum(x) AS DECIMAL(38,12)) AS s_$sfx,
+            CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DECIMAL(38,12))
+              AS ss_$sfx,
+            CAST(count(x) AS BIGINT) AS nv_$sfx
+            FROM st$sfx GROUP BY colname),
+          f$sfx AS (SELECT colname, n_$sfx,
+            (nulls_$sfx * 1000000) // n_$sfx AS null_ppm_$sfx,
+            round(CASE WHEN nv_$sfx > 0 THEN ${cv(s"s_$sfx")}
+              / CAST(nv_$sfx AS DOUBLE) END, 6) AS mean_$sfx,
+            round(CASE WHEN nv_$sfx > 0 THEN
+              sqrt(greatest(CAST(0 AS DOUBLE),
+                ${cv(s"ss_$sfx")} / CAST(nv_$sfx AS DOUBLE)
+                - (${cv(s"s_$sfx")} / CAST(nv_$sfx AS DOUBLE))
+                * (${cv(s"s_$sfx")} / CAST(nv_$sfx AS DOUBLE))))
+              END, 6) AS std_$sfx
+            FROM ag$sfx)"""
+      s"""WITH ${sideCte("o_orderkey % 2 = 0", "a")},
+          ${sideCte("o_orderkey % 2 = 1", "b")}
+          SELECT fa.colname, fa.n_a, fb.n_b, fa.null_ppm_a,
+            fb.null_ppm_b, fa.mean_a, fb.mean_b,
+            round(fb.mean_b - fa.mean_a, 6) AS mean_delta,
+            fa.std_a, fb.std_b
+          FROM fa JOIN fb USING (colname)"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4571,5 +4707,5 @@ object LlmQueries {
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
-    l145, l146, l147, l148, l149)
+    l145, l146, l147, l148, l149, l150, l151, l152, l153, l154)
 }

@@ -453,6 +453,66 @@ object Graph {
     out
   }
 
+  /** Deterministic negative-edge sampling for link-prediction /
+    * contrastive graph training: for every node `u`, draw `oversample`
+    * hash-indexed candidates from the node set (`cand_idx =
+    * mixed-hash("u#j") mod |V|` against the id-ordered node index),
+    * drop real neighbors and self, and keep the first `k` by draw
+    * index — seedless, so resuming a failed job regenerates the SAME
+    * negatives (the property `rand()`-based samplers can't give a
+    * 100 TB run). Candidates lost to the neighbor filter are NOT
+    * redrawn (oversample is the redraw budget) — nodes adjacent to
+    * most of V can emit < k rows, by contract.
+    *
+    * Output: `(u, j, neg_id)` — ≤ k rows per node, `j` the draw index
+    * that survived.
+    *
+    * Scale: the node index is one id-ordered window over the NODE
+    * table (node grain, not edge grain); draws are a literal
+    * `oversample`-way fan-out joined back by index, and the neighbor
+    * filter is a left-anti join on the (u, cand) edge key. All joins
+    * are key-equi; nothing is pairwise.
+    */
+  def negativeEdgeSamples(edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, oversample: Int): DataFrame = {
+    require(oversample >= k && k >= 1, "need oversample >= k >= 1")
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+    val indexed = nodes
+      .withColumn("__idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
+      .persist()
+    val nV = indexed.agg(count(lit(1)).as("__n"))
+    val draws = indexed.select(col("id").as("u"))
+      .crossJoin(broadcast(nV))
+      .select(col("u"), col("__n"),
+        explode(sequence(lit(0), lit(oversample - 1))).as("j"))
+      .withColumn("__idx", pmod(graft.functions.PolyHash.polyhash(
+          concat(col("u").cast("string"), lit("#"),
+            col("j").cast("string"))) * lit(2654435761L),
+        lit(1000000007L)) % col("__n"))
+      .join(indexed.select(col("__idx"), col("id").as("neg_id")),
+        Seq("__idx"))
+    val undirectedKeys = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val out = draws
+      .filter(col("neg_id") =!= col("u"))
+      .join(undirectedKeys.withColumnRenamed("v", "neg_id"),
+        Seq("u", "neg_id"), "left_anti")
+      // hash collisions can re-draw the same negative: keep its first j
+      .groupBy(col("u"), col("neg_id")).agg(min(col("j")).as("j"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+          .orderBy(col("j"))))
+      .filter(col("__rk") <= k)
+      .select(col("u"), col("j"), col("neg_id"))
+      .localCheckpoint(true)
+    indexed.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999), `iters` synchronous
     * rounds, scores as MAX-normalized ppm integers: per round
     * `auth_raw(v) = Σ_{u→v} hub(u)` then `auth = (auth_raw · 10⁶) DIV

@@ -1318,7 +1318,8 @@ object Relational {
       .agg(sum(col("__w")).as("__sw"),
         sum(col("__w") * col("__x")).cast(dec).as("__swx"))
       .filter(col("__sw") > 0L)
-      .withColumn("__m", expr("CAST(__swx AS DOUBLE) / CAST(__sw AS DOUBLE)"))
+      .withColumn("__m", expr(
+        s"${decToDoubleSql("__swx", 6)} / CAST(__sw AS DOUBLE)"))
     val gw = Window.partitionBy(groupCols.map(col): _*)
     val ranked = means
       .withColumn("__rk", row_number().over(gw.orderBy(col("__m"),
@@ -1338,23 +1339,48 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(dec)).cast(dec).as("__sx"))
       .withColumn("mean",
-        round(expr("CAST(__sx AS DOUBLE) / CAST(n AS DOUBLE)"), 6))
+        round(expr(s"${decToDoubleSql("__sx", 6)} / CAST(n AS DOUBLE)"), 6))
       .drop("__sx")
     point.join(ci, groupCols, "left")
       .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
         col("ci_lo"), col("ci_hi"), col("b_used")): _*)
   }
 
+  /** Engine-identical decimal→double conversion fragment. A direct
+    * `CAST(dec AS DOUBLE)` DIVERGES across engines once the scaled
+    * unscaled value passes 2⁵³: Spark converts the exact rational with
+    * one correct rounding, DuckDB double-rounds through
+    * `double(int128) / double(10^scale)` — measured 1 ulp apart on a
+    * scale-12 sum at 1e10 magnitude, which catastrophic cancellation
+    * (SSB = T − S²/N) amplified to a visible 0.25 at sf0.1. This
+    * fragment makes BOTH engines take the same two well-defined
+    * roundings: the integer floor converts exactly (int→double is
+    * correctly rounded everywhere), the fractional part is an exact
+    * integer below 2⁵³ divided by the scale. Works for negatives
+    * (floor keeps the fraction in [0,1)).
+    */
+  def decToDoubleSql(c: String, scaleZeros: Int): String = {
+    require(scaleZeros >= 1 && scaleZeros <= 18, "scaleZeros in 1..18")
+    val p = "1" + "0" * scaleZeros
+    s"(CAST(floor($c) AS DOUBLE) + CAST(($c - floor($c)) * $p " +
+      s"AS DECIMAL(38,0)) / CAST($p AS DOUBLE))"
+  }
+
   /** Shared engine/oracle formula fragments for [[welchTTest]] — ONE
     * copy parsed by both Spark `expr` and DuckDB so IEEE association
     * order is identical by construction. Inputs: exact sufficient
-    * stats `(na, sa, ssa, nb, sb, ssb)`. */
-  val welchDerivedSql: Seq[(String, String)] = Seq(
-    "m1" -> "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)",
-    "m2" -> "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)",
-    "v1" -> ("(CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)" +
+    * stats `(na, sa, ssa, nb, sb, ssb)`; decimal state converts
+    * through [[decToDoubleSql]] (scale 12). */
+  val welchDerivedSql: Seq[(String, String)] = {
+    val sa = decToDoubleSql("sa", 12); val sb = decToDoubleSql("sb", 12)
+    val ssa = decToDoubleSql("ssa", 12)
+    val ssb = decToDoubleSql("ssb", 12)
+    Seq(
+    "m1" -> s"$sa / CAST(na AS DOUBLE)",
+    "m2" -> s"$sb / CAST(nb AS DOUBLE)",
+    "v1" -> (s"($ssa - $sa * $sa" +
       " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)"),
-    "v2" -> ("(CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)" +
+    "v2" -> (s"($ssb - $sb * $sb" +
       " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)"),
     "se2" -> "v1 / CAST(na AS DOUBLE) + v2 / CAST(nb AS DOUBLE)",
     "t_stat" -> ("CASE WHEN se2 > 0 THEN (m1 - m2) / sqrt(se2) " +
@@ -1364,6 +1390,7 @@ object Relational {
       "/ CAST(na - 1 AS DOUBLE) " +
       "+ (v2 / CAST(nb AS DOUBLE)) * (v2 / CAST(nb AS DOUBLE)) " +
       "/ CAST(nb - 1 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"))
+  }
 
   /** Welch's unequal-variance two-sample t-test per group (Welch,
     * Biometrika 1947) — the A/B-comparison / drift-confirmation test
@@ -1470,6 +1497,94 @@ object Relational {
         col("__s.factor").as("factor"), col("survival")): _*)
   }
 
+  /** Benjamini–Hochberg FDR control (JRSS-B 1995) over a p-value
+    * column: rank the `m` p-values ascending, find the largest rank
+    * `k*` with `p_(i) ≤ i·α/m`, and flag ranks `≤ k*` as discoveries —
+    * the multiple-testing step that belongs after any per-group test
+    * family (Welch / KS / Mann-Whitney / ANOVA across thousands of
+    * segments): without it, α·m of the "drifted" segments are noise by
+    * construction. Ranks and `k*` are exact integers; the criterion
+    * compare is one float multiply-divide per row (identical on both
+    * engines), ties on `p` break by `idCol`.
+    *
+    * Output: `(id, p, rank, crit, discovery)` with `crit = rank·α/m`.
+    *
+    * Scale: one global rank window over the TEST table — m rows, one
+    * per hypothesis, not data grain; the step-up max is a second
+    * window over the same m rows.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 100, "need 1 <= alphaPct < 100")
+    val ranked = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("p"),
+        col("id"))).cast("int"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("crit", expr(s"CAST(rank AS DOUBLE) " +
+        s"* CAST($alphaPct AS DOUBLE) / (CAST(100 AS DOUBLE) " +
+        s"* CAST(__m AS DOUBLE))"))
+    ranked
+      .withColumn("__kstar", max(when(col("p") <= col("crit"),
+        col("rank")).otherwise(0)).over(Window.partitionBy(lit(1))))
+      .withColumn("discovery", col("rank") <= col("__kstar"))
+      .select(col("id"), col("p"), col("rank"), round(col("crit"), 6)
+        .as("crit"), col("discovery"))
+  }
+
+  /** Column-profile diff between two table snapshots: for each named
+    * numeric column, the row count, null share (ppm) and exact-stat
+    * mean/std on BOTH sides plus the mean delta — the schema-drift
+    * smoke report a pipeline runs between ingests before anything
+    * downstream trusts the new snapshot. Counts and sums are exact
+    * (DECIMAL); mean/std parse from one shared formula per engine.
+    *
+    * Output: one row per column:
+    * `(colname, n_a, n_b, null_ppm_a, null_ppm_b, mean_a, mean_b,
+    * mean_delta, std_a, std_b)`.
+    *
+    * Scale: each side is ONE scan producing |cols| stat rows (the
+    * mergeable-partial-profile posture); the diff joins two
+    * |cols|-row frames.
+    */
+  def profileDiff(dfA: DataFrame, dfB: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      val stacked = cols.map { c =>
+        df.select(lit(c).as("colname"),
+          col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .as("__x"))
+      }.reduce(_ unionByName _)
+      stacked.groupBy(col("colname"))
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          sum(when(col("__x").isNull, 1L).otherwise(0L)).as("__nulls"),
+          sum(col("__x")).cast(dec).as("__s"),
+          sum(col("__x") * col("__x")).cast(dec).as("__ss"),
+          count(col("__x")).as("__nv"))
+        .withColumn(s"null_ppm_$suffix",
+          expr(s"(__nulls * 1000000) DIV n_$suffix"))
+        .withColumn(s"mean_$suffix", round(expr("CASE WHEN __nv > 0 " +
+          s"THEN ${decToDoubleSql("__s", 12)} / CAST(__nv AS DOUBLE) " +
+          "END"), 6))
+        .withColumn(s"std_$suffix", round(expr("CASE WHEN __nv > 0 " +
+          "THEN sqrt(greatest(CAST(0 AS DOUBLE), " +
+          s"${decToDoubleSql("__ss", 12)} / CAST(__nv AS DOUBLE) " +
+          s"- (${decToDoubleSql("__s", 12)} / CAST(__nv AS DOUBLE)) " +
+          s"* (${decToDoubleSql("__s", 12)} / CAST(__nv AS DOUBLE)))) " +
+          "END"), 6))
+        .select(col("colname"), col(s"n_$suffix"),
+          col(s"null_ppm_$suffix"), col(s"mean_$suffix"),
+          col(s"std_$suffix"))
+    }
+    side(dfA, "a").join(side(dfB, "b"), Seq("colname"))
+      .withColumn("mean_delta", round(col("mean_b") - col("mean_a"), 6))
+      .select(col("colname"), col("n_a"), col("n_b"), col("null_ppm_a"),
+        col("null_ppm_b"), col("mean_a"), col("mean_b"),
+        col("mean_delta"), col("std_a"), col("std_b"))
+  }
+
   /** Trimmed mean per group: drop the `trimPct`% smallest and largest
     * VALUES by rank (`k = (n · trimPct) DIV 100` from each end) and
     * take the exact-DECIMAL mean of the rest — the robust-location
@@ -1510,7 +1625,7 @@ object Relational {
           && col("__rk") <= col("__n") - col("__k"), 1L)
           .otherwise(0L)).as("__kept"))
       .withColumn("trimmed_mean", round(expr("CASE WHEN __kept > 0 THEN " +
-        "CAST(__s AS DOUBLE) / CAST(__kept AS DOUBLE) END"), 6))
+        s"${decToDoubleSql("__s", 6)} / CAST(__kept AS DOUBLE) END"), 6))
       .select(groupCols.map(col) ++ Seq(col("n"), col("n_trimmed"),
         col("trimmed_mean")): _*)
   }
@@ -1556,22 +1671,25 @@ object Relational {
   /** Shared engine/oracle formula fragments for [[ols2]] — ONE copy
     * parsed by both engines. Inputs: exact sufficient stats
     * `(n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy)`. */
-  val ols2DerivedSql: Seq[(String, String)] = Seq(
-    "m1" -> "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
-    "m2" -> "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)",
-    "my" -> "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
-    "c11" -> ("CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
-      "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"),
-    "c22" -> ("CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) " +
-      "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"),
-    "c12" -> ("CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
-      "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"),
-    "c1y" -> ("CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) " +
-      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
-    "c2y" -> ("CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) " +
-      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
-    "cyy" -> ("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) " +
-      "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+  val ols2DerivedSql: Seq[(String, String)] = {
+    val s1 = decToDoubleSql("s1", 12); val s2 = decToDoubleSql("s2", 12)
+    val sy = decToDoubleSql("sy", 12)
+    val s11 = decToDoubleSql("s11", 12)
+    val s22 = decToDoubleSql("s22", 12)
+    val s12 = decToDoubleSql("s12", 12)
+    val s1y = decToDoubleSql("s1y", 12)
+    val s2y = decToDoubleSql("s2y", 12)
+    val syy = decToDoubleSql("syy", 12)
+    Seq(
+    "m1" -> s"$s1 / CAST(n AS DOUBLE)",
+    "m2" -> s"$s2 / CAST(n AS DOUBLE)",
+    "my" -> s"$sy / CAST(n AS DOUBLE)",
+    "c11" -> s"$s11 - $s1 * $s1 / CAST(n AS DOUBLE)",
+    "c22" -> s"$s22 - $s2 * $s2 / CAST(n AS DOUBLE)",
+    "c12" -> s"$s12 - $s1 * $s2 / CAST(n AS DOUBLE)",
+    "c1y" -> s"$s1y - $s1 * $sy / CAST(n AS DOUBLE)",
+    "c2y" -> s"$s2y - $s2 * $sy / CAST(n AS DOUBLE)",
+    "cyy" -> s"$syy - $sy * $sy / CAST(n AS DOUBLE)",
     "det" -> "c11 * c22 - c12 * c12",
     "b1" -> ("CASE WHEN det > 0 THEN (c1y * c22 - c2y * c12) / det " +
       "ELSE CAST(NULL AS DOUBLE) END"),
@@ -1580,6 +1698,7 @@ object Relational {
     "icept" -> "my - b1 * m1 - b2 * m2",
     "r2" -> ("CASE WHEN det > 0 AND cyy > 0 THEN " +
       "(b1 * c1y + b2 * c2y) / cyy ELSE CAST(NULL AS DOUBLE) END"))
+  }
 
   /** Two-feature OLS per group via the centered normal equations
     * (Cramer's rule on the 2×2 covariance system) — the multivariate
@@ -1651,8 +1770,8 @@ object Relational {
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).cast(dec).as("__s"),
         sum(col("__x") * col("__x")).cast(dec).as("__ss"))
-      .withColumn("__term", expr("CAST(__s AS DOUBLE) " +
-        "* CAST(__s AS DOUBLE) / CAST(__n AS DOUBLE)"))
+      .withColumn("__term", expr(s"${decToDoubleSql("__s", 12)} " +
+        s"* ${decToDoubleSql("__s", 12)} / CAST(__n AS DOUBLE)"))
     g.agg(count(lit(1)).cast("int").as("k"),
         sum(col("__n")).as("n"),
         sum(col("__s")).cast(dec).as("__stot"),
@@ -1662,15 +1781,17 @@ object Relational {
       .withColumn("__t", expr(
         "aggregate(transform(__terms, s -> s.__term), " +
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("ssb", round(expr("__t - CAST(__stot AS DOUBLE) " +
-        "* CAST(__stot AS DOUBLE) / CAST(n AS DOUBLE)"), 6))
-      .withColumn("ssw", round(expr("CAST(__sstot AS DOUBLE) - __t"), 6))
-      .withColumn("f_stat", round(expr("CASE WHEN k > 1 AND n > k " +
-        "AND (CAST(__sstot AS DOUBLE) - __t) > 0 THEN " +
-        "((__t - CAST(__stot AS DOUBLE) * CAST(__stot AS DOUBLE) " +
-        "/ CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) " +
-        "/ ((CAST(__sstot AS DOUBLE) - __t) / CAST(n - k AS DOUBLE)) " +
-        "END"), 6))
+      .withColumn("ssb", round(expr(s"__t - ${decToDoubleSql("__stot", 12)} " +
+        s"* ${decToDoubleSql("__stot", 12)} / CAST(n AS DOUBLE)"), 6))
+      .withColumn("ssw", round(expr(
+        s"${decToDoubleSql("__sstot", 12)} - __t"), 6))
+      .withColumn("f_stat", round(expr(s"CASE WHEN k > 1 AND n > k " +
+        s"AND (${decToDoubleSql("__sstot", 12)} - __t) > 0 THEN " +
+        s"((__t - ${decToDoubleSql("__stot", 12)} " +
+        s"* ${decToDoubleSql("__stot", 12)} " +
+        s"/ CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) " +
+        s"/ ((${decToDoubleSql("__sstot", 12)} - __t) " +
+        s"/ CAST(n - k AS DOUBLE)) END"), 6))
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
   }
 }

@@ -199,6 +199,44 @@ object Eval {
           * abs(expr(accSql) - expr(confSql)), 6).as("contrib"))
   }
 
+  /** Split-conformal calibration quantile (Vovk et al., "Algorithmic
+    * Learning in a Random World", 2005; the split-conformal recipe of
+    * Papadopoulos et al., ECML 2002): per group, the
+    * `⌈(n+1)(1−α)⌉`-th smallest nonconformity score — the threshold
+    * that makes "predict everything with score ≤ q̂" a marginal
+    * (1−α)-coverage rule on exchangeable data. THE distribution-free
+    * way to turn any model's scores into calibrated prediction sets;
+    * a pipeline computes it per source/segment on the calibration
+    * split. The rank is exact integer arithmetic
+    * (`((n+1)·(100−α) + 99) DIV 100`); a rank beyond `n` (tiny groups
+    * at small α) means the guarantee needs the infinite quantile —
+    * emitted as a null `q_hat` rather than a fabricated number.
+    *
+    * Output: `(groupCols…, n, rank, q_hat)`.
+    *
+    * Scale: one value-ordered window per group (exact-percentile cost
+    * class) — the calibration split is small by design, so this runs
+    * anywhere.
+    */
+  def conformalQuantile(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 100, "need 1 <= alphaPct < 100")
+    val keep = 100 - alphaPct
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s"))
+    df.filter(col(scoreCol).isNotNull)
+      .select(groupCols.map(col) :+ col(scoreCol).cast("double")
+        .as("__s"): _*)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .withColumn("__target", expr(s"((__n + 1) * $keep + 99) DIV 100"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__target")).as("rank"),
+        round(max(when(col("__rk") === col("__target"), col("__s"))), 6)
+          .as("q_hat"))
+  }
+
   /** ROUGE-N between document pairs (Lin, "ROUGE: A Package for
     * Automatic Evaluation of Summaries", ACL WAS 2004): clipped n-gram
     * multiset overlap — per pair, `overlap = Σ_gram min(count_a,

@@ -306,6 +306,32 @@ object Selection {
         col("neighbor_id"), round(col("__cos"), 6).as("cos"))
   }
 
+  /** Stratified k-fold assignment: every row gets a fold in `0..k-1`,
+    * dealt round-robin within its stratum in CONTENT-HASH order
+    * (`fold = (hash-rank − 1) mod k`) — per-stratum fold sizes differ
+    * by at most one, so label/source balance survives the split, and
+    * the assignment is seedless: rerunning on the same data (any
+    * partitioning, any row order) deals identical folds, which is what
+    * makes a 100 TB cross-validation split reproducible without a
+    * materialized assignment table.
+    *
+    * Output: `(id, stratum, fold)` — one row per input row.
+    *
+    * Scale: one hash-ordered window per stratum (group-keyed sort, no
+    * global order), nothing else.
+    */
+  def kfoldAssign(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    df.select(col(idCol).as("id"),
+        col(stratumCol).cast("string").as("stratum"))
+      .withColumn("__h", pmod(polyhash(col("id").cast("string"))
+        * lit(2654435761L), lit(1000000007L)))
+      .withColumn("fold", expr(s"CAST((row_number() OVER (" +
+        s"PARTITION BY stratum ORDER BY __h, id) - 1) % $k AS INT)"))
+      .select(col("id"), col("stratum"), col("fold"))
+  }
+
   /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934):
     * split a sampling `budget` across strata proportionally to
     * `n_h · σ_h` — the allocation that minimizes the variance of the
@@ -337,10 +363,14 @@ object Selection {
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n"), sum(col("__x")).cast(dec).as("__s"),
         sum(col("__x") * col("__x")).cast(dec).as("__ss"))
-      .withColumn("__sigma", expr("sqrt(greatest(CAST(0 AS DOUBLE), " +
-        "CAST(__ss AS DOUBLE) / CAST(n AS DOUBLE) " +
-        "- (CAST(__s AS DOUBLE) / CAST(n AS DOUBLE)) " +
-        "* (CAST(__s AS DOUBLE) / CAST(n AS DOUBLE))))"))
+      .withColumn("__sigma", expr {
+        val cs = graft.engine.Relational.decToDoubleSql("__s", 12)
+        val css = graft.engine.Relational.decToDoubleSql("__ss", 12)
+        s"sqrt(greatest(CAST(0 AS DOUBLE), " +
+          s"$css / CAST(n AS DOUBLE) " +
+          s"- ($cs / CAST(n AS DOUBLE)) " +
+          s"* ($cs / CAST(n AS DOUBLE))))"
+      })
       .withColumn("__w", expr("CAST(n AS DOUBLE) * __sigma"))
     // all-sigma-zero degenerates Neyman to PROPORTIONAL allocation
     // (equal variances make any split optimal; n-proportional is the

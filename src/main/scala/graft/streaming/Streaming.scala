@@ -897,13 +897,18 @@ object Streaming {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           val out =
             if (st.na >= 2 && st.nb >= 2) {
-              // evaluate welchDerivedSql's association order exactly;
-              // scaled-BigDecimal -> double is the same correctly-
-              // rounded conversion as Spark's Decimal.toDouble
-              val sa = BigDecimal(st.sa, 6).doubleValue
-              val sb = BigDecimal(st.sb, 6).doubleValue
-              val ssa = BigDecimal(st.ssa, 12).doubleValue
-              val ssb = BigDecimal(st.ssb, 12).doubleValue
+              // evaluate welchDerivedSql's association order exactly,
+              // including its floor-split decimal->double conversion
+              // (Relational.decToDoubleSql): integer floor + exact
+              // sub-2^53 fraction, each singly rounded
+              def conv(v: Long, scale: Long): Double =
+                Math.floorDiv(v, scale).toDouble +
+                  (Math.floorMod(v, scale) * (1000000000000L / scale))
+                    .toDouble / 1e12
+              val sa = conv(st.sa, 1000000L)
+              val sb = conv(st.sb, 1000000L)
+              val ssa = conv(st.ssa, 1000000000000L)
+              val ssb = conv(st.ssb, 1000000000000L)
               val m1 = sa / st.na; val m2 = sb / st.nb
               val v1 = (ssa - sa * sa / st.na) / (st.na - 1)
               val v2 = (ssb - sb * sb / st.nb) / (st.nb - 1)

@@ -306,4 +306,90 @@ class AuditWaveSpec extends SparkSpec {
     assert(rc.isNullAt(2) && rc.isNullAt(3),
       "singular design -> null coefficients, not an explosion")
   }
+
+  test("conformalQuantile: the (n+1)(1-alpha) rank pick, null when the " +
+      "guarantee needs the infinite quantile") {
+    import graft.llm.Eval
+    val df = (1 to 19).map(i => ("g", i.toDouble)).toDF("grp", "s")
+    val r = Eval.conformalQuantile(df, Seq("grp"), "s", alphaPct = 10)
+      .collect().head
+    // ceil(20 * 0.9) = 18 -> the 18th smallest of 1..19
+    assert(r.getLong(1) == 19 && r.getLong(2) == 18)
+    assert(r.getDouble(3) == 18.0)
+    val tiny = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "s")
+    val rt = Eval.conformalQuantile(tiny, Seq("grp"), "s", alphaPct = 10)
+      .collect().head
+    assert(rt.getLong(2) == 3 && rt.isNullAt(3),
+      "rank beyond n -> infinite quantile -> null")
+  }
+
+  test("bhFdr: the textbook step-up — discoveries up to the largest " +
+      "rank whose p clears its criterion, including worse ranks below") {
+    // m = 5, alpha = 25%: crits 0.05 0.10 0.15 0.20 0.25
+    // ps: 0.01 0.04 0.16 0.18 0.9 -> ranks 3 (0.16>0.15) fails but
+    // rank 4 (0.18 <= 0.20) passes -> kstar = 4, discoveries 1..4
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.16), ("d", 0.18),
+      ("e", 0.9)).toDF("id", "p")
+    val out = Relational.bhFdr(df, "id", "p", alphaPct = 25)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(out == Map("a" -> true, "b" -> true, "c" -> true,
+      "d" -> true, "e" -> false),
+      "step-up rescues rank 3 via rank 4's pass")
+  }
+
+  test("negativeEdgeSamples: no sampled pair is a real edge or a self " +
+      "loop, draws are deterministic, at most k per node") {
+    import graft.engine.Graph
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "a")).toDF("u", "v")
+    val out = Graph.negativeEdgeSamples(e, "u", "v", k = 2,
+      oversample = 6).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val edges = Set(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "a")).flatMap { case (x, y) => Set((x, y), (y, x)) }
+    out.foreach { case (u, _, neg) =>
+      assert(u != neg, "no self loops")
+      assert(!edges.contains((u, neg)), s"($u,$neg) is a real edge")
+    }
+    assert(out.groupBy(_._1).values.forall(_.length <= 2), "<= k rows")
+    val out2 = Graph.negativeEdgeSamples(e, "u", "v", k = 2,
+      oversample = 6).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.sorted.toSeq == out2.sorted.toSeq, "seedless rerun")
+  }
+
+  test("kfoldAssign: per-stratum fold sizes differ by at most one and " +
+      "the deal is partition-invariant") {
+    import graft.llm.Selection
+    val df = ((1 to 23).map(i => (i.toLong, "x")) ++
+      (100 to 104).map(i => (i.toLong, "y"))).toDF("id", "st")
+    val out = Selection.kfoldAssign(df, "st", "id", k = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    val sizes = out.groupBy(identity).view.mapValues(_.size).toMap
+    val xs = (0 until 5).map(f => sizes.getOrElse(("x", f), 0))
+    assert(xs.max - xs.min <= 1, s"x strata balanced: $xs")
+    assert(xs.sum == 23)
+    val ys = (0 until 5).map(f => sizes.getOrElse(("y", f), 0))
+    assert(ys.max - ys.min <= 1 && ys.sum == 5)
+    val again = Selection.kfoldAssign(df.repartition(7), "st", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val first = Selection.kfoldAssign(df, "st", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(again == first, "hash-order deal survives repartitioning")
+  }
+
+  test("profileDiff: exact counts/null shares and a hand mean/std " +
+      "delta") {
+    val a = Seq(Some(1.0), Some(2.0), Some(3.0), None)
+      .map(Tuple1(_)).toDF("x")
+    val b = Seq(Some(5.0), Some(7.0)).map(Tuple1(_)).toDF("x")
+    val r = Relational.profileDiff(a, b, Seq("x")).collect().head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 250000L && r.getLong(4) == 0L)
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 6.0)
+    assert(r.getDouble(7) == 4.0, "mean delta")
+    // population std: a over {1,2,3} -> sqrt(2/3); b over {5,7} -> 1
+    assert(math.abs(r.getDouble(8) - math.sqrt(2.0 / 3.0)) < 1e-6)
+    assert(r.getDouble(9) == 1.0)
+  }
 }
