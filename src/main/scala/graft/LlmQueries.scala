@@ -4695,6 +4695,124 @@ object LlmQueries {
           FROM fa JOIN fb USING (colname)"""
     })
 
+  /** Jaro–Winkler blocked name linkage over part names — the native
+    * codegen [[graft.functions.JaroWinkler]] expression vs DuckDB's
+    * built-in; candidates blocked on (last word, first char) so the
+    * pair space is block-bounded, threshold applied on the 6dp-rounded
+    * score so the predicate is engine-identical. */
+  private val l155 = Spec("q290_jw_linkage",
+    (s, d) => {
+      val p = T(s, d, "part").select(col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("__blk"))
+        .distinct()
+      val a = p.select(col("p_name").as("name_a"), col("__blk"))
+      val b = p.select(col("p_name").as("name_b"), col("__blk"))
+      a.join(b, Seq("__blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw", round(graft.functions.JaroWinkler
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.5)
+        .select(col("name_a"), col("name_b"), col("jw"))
+    },
+    Some("""WITH p AS (SELECT DISTINCT p_name,
+          string_split(p_name, ' ')[-1] AS blk FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+          round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+          >= CAST(0.5 AS DOUBLE)"""))
+
+  /** Linear multi-touch attribution: purchases split 1e6 ppm of credit
+    * across the user's clicks/views in the prior 24 h, remainder to the
+    * latest touch. */
+  private val l156 = Spec("q291_attribution",
+    (s, d) => graft.engine.Windows.multiTouchAttribution(
+      T(s, d, "events"), "user_id", "event_id", "ts", "event_type",
+      convType = "purchase", touchTypes = Seq("click", "view"),
+      windowSec = 86400L),
+    Some("""WITH cv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+          FROM events WHERE event_type = 'purchase'),
+        tc AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+          FROM events WHERE event_type IN ('click', 'view')),
+        j AS (SELECT cv.user_id, cv.conv_id, cv.conv_ts, tc.touch_id,
+          tc.touch_ts FROM cv JOIN tc USING (user_id)
+          WHERE tc.touch_ts < cv.conv_ts
+            AND tc.touch_ts >= cv.conv_ts - INTERVAL 86400 SECOND),
+        n AS (SELECT *, CAST(count(*) OVER (PARTITION BY user_id,
+            conv_id) AS INT) AS n_touches,
+          row_number() OVER (PARTITION BY user_id, conv_id
+            ORDER BY touch_ts DESC, touch_id DESC) AS lst FROM j)
+        SELECT user_id, conv_id, conv_ts, touch_id, touch_ts, n_touches,
+          CAST(1000000 // n_touches + CASE WHEN lst = 1
+            THEN 1000000 % n_touches ELSE 0 END AS BIGINT) AS weight_ppm
+        FROM n"""))
+
+  /** Peak concurrent 30-minute event sessions per event type — the
+    * sweep-line capacity gauge. */
+  private val l157 = Spec("q292_max_concurrency",
+    (s, d) => graft.engine.Windows.maxConcurrency(
+      T(s, d, "events").select(col("event_type"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 1800 SECOND")).as("e"))
+        .filter(col("s").isNotNull),
+      Seq("event_type"), "s", "e"),
+    Some("""WITH iv AS (SELECT event_type, ts AS s,
+          ts + INTERVAL 1800 SECOND AS e FROM events
+          WHERE ts IS NOT NULL),
+        pt AS (SELECT event_type, s AS ts, 1 AS d FROM iv
+          UNION ALL SELECT event_type, e, -1 FROM iv),
+        rn AS (SELECT event_type, ts, d, CAST(sum(d) OVER (
+          PARTITION BY event_type ORDER BY ts, d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS run FROM pt),
+        pk AS (SELECT event_type, ts, run,
+          max(run) OVER (PARTITION BY event_type) AS peak FROM rn)
+        SELECT event_type, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+          max(run) AS peak,
+          min(CASE WHEN run = peak THEN ts END) AS peak_ts
+        FROM pk GROUP BY 1"""))
+
+  /** Intra-list diversity + catalog coverage of the exact top-5
+    * retrieval lists — the metric MMR moves, as a report. */
+  private val l158 = Spec("q293_reco_diversity",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val lists = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "vec_id", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      graft.llm.Eval.intraListDiversity(lists, "query_id",
+        "neighbor_id", emb, "vec_id", "embedding")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c),
+        rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rank FROM sc),
+        ct AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 5),
+        wv AS (SELECT ct.query_id, ct.neighbor_id, e.embedding AS v
+          FROM ct JOIN embeddings e ON e.vec_id = ct.neighbor_id),
+        pr AS (SELECT a.query_id, a.neighbor_id AS pa,
+          b.neighbor_id AS pb,
+          CAST(1.0 AS DOUBLE) - ${cosSql("a.v", "b.v")} AS dd
+          FROM wv a JOIN wv b ON a.query_id = b.query_id
+            AND a.neighbor_id < b.neighbor_id),
+        pq AS (SELECT query_id, list(dd ORDER BY pa, pb) AS ds FROM pr
+          GROUP BY 1),
+        sm AS (SELECT query_id, list_reduce(list_prepend(
+          CAST(0.0 AS DOUBLE), ds), (a, b) -> a + b) AS sd,
+          len(ds) AS np FROM pq),
+        cnt AS (SELECT query_id, CAST(count(DISTINCT neighbor_id)
+          AS INT) AS n_items FROM ct GROUP BY 1),
+        cov AS (SELECT (CAST(count(DISTINCT neighbor_id) AS BIGINT)
+          * 1000000) // (SELECT count(DISTINCT vec_id) FROM embeddings)
+          AS coverage_ppm FROM ct)
+        SELECT cnt.query_id, cnt.n_items,
+          round(CASE WHEN np > 0 THEN sd / CAST(np AS DOUBLE) END, 6)
+            AS ild,
+          cov.coverage_ppm
+        FROM cnt LEFT JOIN sm USING (query_id) CROSS JOIN cov"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4707,5 +4825,6 @@ object LlmQueries {
     l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, l123,
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
-    l145, l146, l147, l148, l149, l150, l151, l152, l153, l154)
+    l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
+    l156, l157, l158)
 }

@@ -934,4 +934,86 @@ object Windows {
     base.unpersist(false)
     out
   }
+
+  /** Linear multi-touch attribution: every conversion event splits one
+    * unit of credit (as exact ppm integers) equally across the user's
+    * touch events in the `windowSec` seconds strictly before it —
+    * `weight = 10⁶ DIV n` per touch, with the division remainder
+    * assigned to the LATEST touch (tie → larger touch id) so each
+    * conversion's weights sum to exactly 1,000,000. The marketing /
+    * funnel credit model between first-touch and last-touch (both of
+    * which are the existing as-of join).
+    *
+    * Output: one row per (conversion, touch):
+    * `(user_id, conv_id, conv_ts, touch_id, touch_ts, n_touches,
+    * weight_ppm)`. Conversions with no in-window touch emit nothing
+    * (no credit to assign).
+    *
+    * Scale: one user-keyed equi-join with a range post-filter (the
+    * batch interval-join shape — never a cross product), then a
+    * per-conversion count/rank window whose key cardinality is the
+    * conversion count. All integers.
+    */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      idCol: String, tsCol: String, typeCol: String,
+      convType: String, touchTypes: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0 && touchTypes.nonEmpty,
+      "need a positive window and touch types")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ts"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
+    val w = Window.partitionBy(col("user_id"), col("conv_id"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w).cast("int"))
+      .withColumn("__last", row_number().over(w.orderBy(
+        col("touch_ts").desc, col("touch_id").desc)))
+      .withColumn("weight_ppm", expr("1000000 DIV n_touches") +
+        when(col("__last") === 1, expr("1000000 % n_touches"))
+          .otherwise(0L))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"), col("n_touches"),
+        col("weight_ppm"))
+  }
+
+  /** Peak concurrency per key over an interval table: the classic
+    * sweep — `+1` at each start, `−1` at each end, running sum in
+    * `(ts, delta)` order (ends sort before starts at the same instant,
+    * so touching intervals do NOT overlap), peak = max running sum,
+    * with the EARLIEST instant attaining it. Capacity sizing /
+    * concurrent-sessions gauge; the max-overlap dual of the
+    * gaps-and-islands union coverage.
+    *
+    * Output: one row per key: `(key…, n_intervals, peak, peak_ts)`.
+    *
+    * Scale: one key-partitioned ordered window over 2×intervals rows,
+    * then one aggregate. Exact integers throughout.
+    */
+  def maxConcurrency(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val base = df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val pts = base
+      .select(keyCols.map(col) ++ Seq(col(startCol).as("__ts"),
+        lit(1).as("__d")): _*)
+      .unionByName(base.select(keyCols.map(col) ++
+        Seq(col(endCol).as("__ts"), lit(-1).as("__d")): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("__run", sum(col("__d")).over(w))
+      .withColumn("__peak", max(col("__run")).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+      .groupBy(keyCols.map(col): _*)
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("__run")).as("peak"),
+        min(when(col("__run") === col("__peak"), col("__ts")))
+          .as("peak_ts"))
+  }
 }

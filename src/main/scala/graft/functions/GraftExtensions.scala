@@ -209,6 +209,13 @@ object GraftExtensions {
             ShiftLeft(BitwiseAnd(ShiftRightUnsigned(y, Literal(k)),
               Literal(1L)), Literal(2 * k + 1)))
         }.reduce[Expression]((l, r) => BitwiseOr(l, r))
+      }),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (native codegen)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler(a, b)")
+        JaroWinkler(args.head, args(1))
       }))
 
   /** Register into an already-running session (tests, REPL): the SQL

@@ -237,6 +237,60 @@ object Eval {
           .as("q_hat"))
   }
 
+  /** Recommendation-list diversity report (Ziegler et al., WWW 2005
+    * frame the intra-list metric): per query list, the mean pairwise
+    * cosine DISTANCE (1 − cos) over its item pairs — high ILD = the
+    * list isn't k near-duplicates, the metric [[Similarity.mmrRerank]]
+    * moves — plus the global catalog coverage (distinct recommended
+    * items over catalog size, ppm) repeated per row. The pair-distance
+    * mean folds LEFT-TO-RIGHT over the (a, b)-sorted pair array — the
+    * repo's shared-association discipline — so the float is
+    * engine-stable.
+    *
+    * Input: `lists` with (queryCol, itemCol); `items` with (idCol,
+    * vecCol) — the catalog.
+    *
+    * Output: `(query_id, n_items, ild, coverage_ppm)`.
+    *
+    * Scale: pair work is |lists|·k² (list-grain, never catalog-grain);
+    * coverage is one distinct count joined as a one-row broadcast.
+    */
+  def intraListDiversity(lists: DataFrame, queryCol: String,
+      itemCol: String, items: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val l = lists.select(col(queryCol).as("query_id"),
+      col(itemCol).as("item_id"))
+    val withVec = l.join(items.select(col(idCol).as("item_id"),
+      col(vecCol).as("__v")), Seq("item_id"))
+    val pairs = withVec.select(col("query_id"),
+        col("item_id").as("__a"), col("__v").as("__va"))
+      .join(withVec.select(col("query_id"), col("item_id").as("__b"),
+        col("__v").as("__vb")), Seq("query_id"))
+      .filter(col("__a") < col("__b"))
+      .select(col("query_id"), col("__a"), col("__b"),
+        (lit(1.0) - Similarity.cosine(col("__va"), col("__vb")))
+          .as("__d"))
+    val perQuery = pairs
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("__a"), col("__b"),
+        col("__d")))).as("__arr"))
+      .withColumn("__sum", expr("aggregate(transform(__arr, " +
+        "s -> s.__d), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("__np", size(col("__arr")))
+    val counts = l.groupBy(col("query_id"))
+      .agg(countDistinct(col("item_id")).cast("int").as("n_items"))
+    val coverage = l.agg(countDistinct(col("item_id")).as("__rec"))
+      .crossJoin(broadcast(
+        items.agg(countDistinct(col(idCol)).as("__cat"))))
+      .select(expr("(__rec * 1000000) DIV __cat").as("coverage_ppm"))
+    counts.join(perQuery, Seq("query_id"), "left")
+      .crossJoin(broadcast(coverage))
+      .withColumn("ild", round(expr("CASE WHEN __np > 0 THEN " +
+        "__sum / CAST(__np AS DOUBLE) END"), 6))
+      .select(col("query_id"), col("n_items"), col("ild"),
+        col("coverage_ppm"))
+  }
+
   /** ROUGE-N between document pairs (Lin, "ROUGE: A Package for
     * Automatic Evaluation of Summaries", ACL WAS 2004): clipped n-gram
     * multiset overlap — per pair, `overlap = Σ_gram min(count_a,

@@ -378,6 +378,74 @@ class AuditWaveSpec extends SparkSpec {
     assert(again == first, "hash-order deal survives repartitioning")
   }
 
+  test("jaroWinkler: matches DuckDB's built-in on the probe set — " +
+      "prefix boost, 0.7 threshold, floored transpositions, empties") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111), // prefix-3 boost
+      ("dwayne", "duane", 0.8400000000000001), // prefix-1 boost
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abcdef", "bcadef", 0.9444444444444445), // odd k -> t = k DIV 2
+      ("abcdef", "abzzzz", 0.5555555555555555), // below 0.7: no boost
+      ("", "", 0.0), ("", "a", 0.0), ("a", "a", 1.0),
+      ("CRAPO", "RAPOC", 0.8666666666666667))
+    val got = cases.zipWithIndex
+      .map { case ((a, b, _), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b, want), i) =>
+      assert(math.abs(got(i) - want) < 1e-12, s"jw($a, $b)")
+    }
+  }
+
+  test("multiTouchAttribution: equal ppm split with the remainder on " +
+      "the latest touch; out-of-window touches excluded") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, t(40), "click"), (1L, 11L, t(80), "view"),
+      (1L, 12L, t(90), "click"), (1L, 13L, t(100), "purchase"),
+      (1L, 14L, t(100), "click"), // not strictly before -> excluded
+      (2L, 20L, t(5), "click"), (2L, 21L, t(500), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.engine.Windows.multiTouchAttribution(ev, "user_id",
+      "event_id", "ts", "event_type", "purchase",
+      Seq("click", "view"), windowSec = 100L)
+      .collect().map(r => r.getLong(3) -> r.getLong(6)).toMap
+    assert(out == Map(10L -> 333333L, 11L -> 333333L, 12L -> 333334L),
+      "remainder ppm lands on the latest touch; same-instant and " +
+        "out-of-window touches excluded (user 2's touch is 495s prior)")
+  }
+
+  test("maxConcurrency: sweep peak with ends-before-starts at shared " +
+      "instants (touching intervals do not overlap)") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val iv = Seq(("g", t(0), t(10)), ("g", t(5), t(15)),
+      ("g", t(10), t(20))).toDF("k", "s", "e")
+    val r = graft.engine.Windows.maxConcurrency(iv, Seq("k"), "s", "e")
+      .collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getTimestamp(3) == t(5),
+      "peak of 2 is first attained at t=5; the touch at t=10 is not 3")
+  }
+
+  test("intraListDiversity: duplicate items drag ILD down; coverage " +
+      "counts distinct recommended over the catalog") {
+    import graft.llm.Eval
+    val items = Seq((1L, v(1, 0)), (2L, v(1, 0)), (3L, v(0, 1)),
+      (4L, v(0.5, 0.5))).toDF("id", "vec")
+    val lists = Seq((100L, 1L), (100L, 2L), (100L, 3L))
+      .toDF("q", "item")
+    val r = Eval.intraListDiversity(lists, "q", "item", items, "id",
+      "vec").collect().head
+    assert(r.getInt(1) == 3)
+    // pairs: (1,2) d=0, (1,3) d=1, (2,3) d=1 -> ild = 2/3
+    assert(math.abs(r.getDouble(2) - 2.0 / 3.0) < 1e-6)
+    assert(r.getLong(3) == 750000L, "3 of 4 catalog items recommended")
+  }
+
   test("profileDiff: exact counts/null shares and a hand mean/std " +
       "delta") {
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None)
