@@ -540,7 +540,12 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
-    def maxNorm(raw: DataFrame, c: String): DataFrame = {
+    // each round's raw frame has TWO readers (the max scalar and the
+    // node join) and sits on an iters-deep lineage — materialize it
+    // eagerly or every normalization recomputes the whole history
+    // (measured 25 s -> ~5 s at sf0.1 for the 2-round gate graph)
+    def maxNorm(raw0: DataFrame, c: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col(c)).as("__mx"))
       nodes.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(mx))
