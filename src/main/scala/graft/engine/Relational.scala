@@ -1426,6 +1426,9 @@ object Relational {
           .cast(dec).as("ssa"),
         sum(when(!col("__f"), col("__x") * col("__x")).otherwise(lit(0)))
           .cast(dec).as("ssb"))
+      // group-grain frame with TWO readers (ok + degenerate branches):
+      // materialize once or the input is scanned per branch
+      .localCheckpoint(true)
     val ok = welchDerivedSql.foldLeft(
       agg.filter(col("na") >= 2 && col("nb") >= 2)) {
       case (acc, (name, formula)) => acc.withColumn(name, expr(formula))
