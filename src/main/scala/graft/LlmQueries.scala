@@ -4813,6 +4813,144 @@ object LlmQueries {
           cov.coverage_ppm
         FROM cnt LEFT JOIN sm USING (query_id) CROSS JOIN cov"""))
 
+  /** Single changepoint in the daily order-revenue series per priority
+    * — O(T) segmented-regression scan on exact prefix stats. */
+  private val l159 = Spec("q294_changepoint",
+    (s, d) => {
+      val daily = T(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("t"))
+        .agg(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("y"))
+      graft.engine.Windows.changepoint(daily, Seq("o_orderpriority"),
+        "t", "y")
+    },
+    Some {
+      val sseL = graft.engine.Windows.sseSql("l")
+      val sseR = graft.engine.Windows.sseSql("r")
+      val sseA = graft.engine.Windows.sseSql("a")
+      s"""WITH daily AS (SELECT o_orderpriority,
+            date_diff('day', DATE '1995-01-01', o_orderdate) AS t,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+              AS DECIMAL(18,6)) AS y
+            FROM orders GROUP BY 1, 2),
+          v AS (SELECT o_orderpriority, CAST(t AS DECIMAL(18,6)) AS tt,
+            y,
+            CAST(CAST(t AS DECIMAL(19,6)) * CAST(t AS DECIMAL(18,6))
+              AS DECIMAL(38,12)) AS ptt,
+            CAST(CAST(t AS DECIMAL(19,6)) * y AS DECIMAL(38,12)) AS pty,
+            CAST(CAST(y AS DECIMAL(19,6)) * y AS DECIMAL(38,12)) AS pyy
+            FROM daily),
+          pre AS (SELECT o_orderpriority, tt,
+            row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY tt) AS nl,
+            CAST(sum(tt) OVER wpre AS DECIMAL(38,12)) AS stl,
+            CAST(sum(y) OVER wpre AS DECIMAL(38,12)) AS syl,
+            CAST(sum(ptt) OVER wpre AS DECIMAL(38,12)) AS sttl,
+            CAST(sum(pty) OVER wpre AS DECIMAL(38,12)) AS styl,
+            CAST(sum(pyy) OVER wpre AS DECIMAL(38,12)) AS syyl,
+            count(*) OVER wall AS na,
+            CAST(sum(tt) OVER wall AS DECIMAL(38,12)) AS sta,
+            CAST(sum(y) OVER wall AS DECIMAL(38,12)) AS sya,
+            CAST(sum(ptt) OVER wall AS DECIMAL(38,12)) AS stta,
+            CAST(sum(pty) OVER wall AS DECIMAL(38,12)) AS stya,
+            CAST(sum(pyy) OVER wall AS DECIMAL(38,12)) AS syya
+            FROM v WINDOW
+              wpre AS (PARTITION BY o_orderpriority ORDER BY tt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wall AS (PARTITION BY o_orderpriority)),
+          cand AS (SELECT *, na - nl AS nr,
+            CAST(sta - stl AS DECIMAL(38,12)) AS str,
+            CAST(sya - syl AS DECIMAL(38,12)) AS syr,
+            CAST(stta - sttl AS DECIMAL(38,12)) AS sttr,
+            CAST(stya - styl AS DECIMAL(38,12)) AS styr,
+            CAST(syya - syyl AS DECIMAL(38,12)) AS syyr
+            FROM pre WHERE nl >= 2 AND na - nl >= 2),
+          sc AS (SELECT o_orderpriority, tt, na,
+            round(sqrt(greatest(CAST(0 AS DOUBLE),
+              ($sseL + $sseR) / CAST(na AS DOUBLE))), 6) AS rmse,
+            round(sqrt(greatest(CAST(0 AS DOUBLE),
+              $sseA / CAST(na AS DOUBLE))), 6) AS rmse1 FROM cand),
+          rk AS (SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority ORDER BY rmse, tt) AS rk
+            FROM sc)
+          SELECT o_orderpriority, CAST(na AS BIGINT) AS n,
+            CAST(tt AS DOUBLE) AS split_t, rmse AS rmse_split,
+            rmse1 AS rmse_single, round(rmse1 - rmse, 6) AS gain
+          FROM rk WHERE rk = 1"""
+    })
+
+  /** Referential-integrity audit over three declared edges — the exact
+    * enforcement face of q269's sketch discovery (the third edge is
+    * deliberately bogus and mostly orphaned). */
+  private val l160 = Spec("q295_ri_audit",
+    (s, d) => graft.engine.Relational.riAudit(Seq(
+      ("orders.o_custkey->customer.c_custkey",
+        T(s, d, "orders"), "o_custkey", T(s, d, "customer"), "c_custkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        T(s, d, "lineitem"), "l_partkey", T(s, d, "part"), "p_partkey"),
+      ("lineitem.l_suppkey->nation.n_nationkey",
+        T(s, d, "lineitem"), "l_suppkey", T(s, d, "nation"),
+        "n_nationkey"))),
+    Some {
+      def edge(nm: String, ct: String, fk: String, pt: String,
+          pk: String): String =
+        s"""SELECT '$nm' AS edge,
+            (SELECT CAST(count(*) AS BIGINT) FROM $ct
+              WHERE $fk IS NOT NULL) AS n_child,
+            (SELECT CAST(count(*) AS BIGINT) FROM $ct
+              WHERE $fk IS NOT NULL AND $fk NOT IN (
+                SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan"""
+      val rows = Seq(
+        edge("orders.o_custkey->customer.c_custkey", "orders",
+          "o_custkey", "customer", "c_custkey"),
+        edge("lineitem.l_partkey->part.p_partkey", "lineitem",
+          "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->nation.n_nationkey", "lineitem",
+          "l_suppkey", "nation", "n_nationkey")).mkString(
+        " UNION ALL ")
+      s"""WITH e AS ($rows)
+          SELECT edge, n_child, n_orphan,
+            CASE WHEN n_child > 0 THEN (n_orphan * 1000000) // n_child
+              ELSE 0 END AS orphan_ppm
+          FROM e"""
+    })
+
+  /** Funnel dwell-time report for view→click→purchase — exact-rank
+    * latency percentiles per step pair. */
+  private val l161 = Spec("q296_funnel_latency",
+    (s, d) => graft.engine.Windows.funnelStepLatency(T(s, d, "events"),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT s1.user_id, t1,
+          min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+          FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+            AND e.event_type = 'click'
+          GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, t1, t2,
+          min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+          FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+            AND e.event_type = 'purchase'
+          GROUP BY 1, 2, 3),
+        dl AS (SELECT CAST(2 AS INT) AS step, 'view' AS from_type,
+            'click' AS to_type,
+            (epoch_us(t2) - epoch_us(t1)) // 1000000 AS d
+            FROM s3 WHERE t2 IS NOT NULL
+          UNION ALL SELECT CAST(3 AS INT), 'click', 'purchase',
+            (epoch_us(t3) - epoch_us(t2)) // 1000000
+            FROM s3 WHERE t3 IS NOT NULL),
+        rn AS (SELECT *, row_number() OVER (PARTITION BY step
+            ORDER BY d) AS rk,
+          count(*) OVER (PARTITION BY step) AS n FROM dl)
+        SELECT step, from_type, to_type, CAST(max(n) AS BIGINT) AS n,
+          min(d) AS min_s,
+          max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS med_s,
+          max(CASE WHEN rk = (n * 90 + 99) // 100 THEN d END) AS p90_s,
+          max(d) AS max_s
+        FROM rn GROUP BY 1, 2, 3"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4826,5 +4964,5 @@ object LlmQueries {
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
-    l156, l157, l158)
+    l156, l157, l158, l159, l160, l161)
 }

@@ -1588,6 +1588,40 @@ object Relational {
         col("mean_delta"), col("std_a"), col("std_b"))
   }
 
+  /** Referential-integrity audit over declared FK→PK edges: for each
+    * edge, the non-null child-key row count, the ORPHAN rows (child
+    * keys absent from the parent), and the orphan share in ppm — the
+    * exact face of [[graft.engine.Sketches.kmvInclusion]]'s sketch
+    * discovery: discovery proposes edges, this audit enforces them per
+    * ingest. All integers.
+    *
+    * Output: one row per edge: `(edge, n_child, n_orphan, orphan_ppm)`.
+    *
+    * Scale: per edge, one left-anti hash join of the child against the
+    * DISTINCT parent keys (dimension-sized build side) and two counts.
+    * Child rows are scanned once per edge; at 100 TB you run the edges
+    * that share a child table in one pass — this report is the
+    * per-edge contract.
+    */
+  def riAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "need at least one edge")
+    edges.map { case (name, child, fk, parent, pk) =>
+      val c = child.filter(col(fk).isNotNull)
+        .select(col(fk).as("__k"))
+      val p = parent.filter(col(pk).isNotNull)
+        .select(col(pk).as("__k")).distinct()
+      val orphans = c.join(p, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphan"),
+          expr("CASE WHEN n_child > 0 THEN " +
+            "(n_orphan * 1000000) DIV n_child ELSE 0 END")
+            .as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Trimmed mean per group: drop the `trimPct`% smallest and largest
     * VALUES by rank (`k = (n · trimPct) DIV 100` from each end) and
     * take the exact-DECIMAL mean of the rest — the robust-location

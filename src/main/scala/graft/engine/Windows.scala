@@ -935,6 +935,146 @@ object Windows {
     out
   }
 
+  /** Funnel step-latency report: for each adjacent step pair of the
+    * greedy-earliest funnel ([[funnelSteps]]' semantics), the exact
+    * microsecond latency distribution over the keys that reached the
+    * later step — n, min, lower median, nearest-rank p90, max, all
+    * exact-integer rank picks (the percentile discipline of the exact
+    * percentile summary, applied to funnel dwell times). The question
+    * after "how many convert" is always "how long do they take".
+    *
+    * Output: one row per step pair:
+    * `(step, from_type, to_type, n, min_s, med_s, p90_s, max_s)` —
+    * seconds as integers (microsecond diff DIV 10⁶).
+    *
+    * Scale: rides [[funnelSteps]] (key-grain); the latency table is
+    * (converted keys × step pairs) rows with one rank window per pair.
+    */
+  def funnelStepLatency(events: DataFrame, keyCol: String,
+      timeCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two steps")
+    val f = funnelSteps(events, keyCol, timeCol, typeCol, steps)
+    val deltas = (2 to steps.size).map { i =>
+      f.filter(col(s"t$i").isNotNull)
+        .select(lit(i).as("step"), lit(steps(i - 2)).as("from_type"),
+          lit(steps(i - 1)).as("to_type"),
+          expr(s"(unix_micros(t$i) - unix_micros(t${i - 1})) " +
+            "DIV 1000000").as("__d"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("step"))
+    deltas
+      .withColumn("__rk", row_number().over(w.orderBy(col("__d"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .groupBy(col("step"), col("from_type"), col("to_type"))
+      .agg(max(col("__n")).as("n"), min(col("__d")).as("min_s"),
+        max(when(col("__rk") === expr("(__n + 1) DIV 2"), col("__d")))
+          .as("med_s"),
+        max(when(col("__rk") === expr("(__n * 90 + 99) DIV 100"),
+          col("__d"))).as("p90_s"),
+        max(col("__d")).as("max_s"))
+  }
+
+  /** Shared SSE-of-a-segment fragment for [[changepoint]]: the
+    * closed-form least-squares residual of a segment from its exact
+    * sufficient-stat columns `(n$s, st$s, sy$s, stt$s, sty$s, syy$s)` —
+    * `SSE = Syy − Sy²/n − (Sty − St·Sy/n)² / (Stt − St²/n)`, falling
+    * back to the mean-only residual when the segment has no t-variance.
+    * Decimal stats convert through the floor-split
+    * [[graft.engine.Relational.decToDoubleSql]] fragment; ONE copy
+    * parsed by both engines. */
+  def sseSql(s: String): String = {
+    def cv(c: String) = Relational.decToDoubleSql(c + s, 12)
+    val n = s"CAST(n$s AS DOUBLE)"
+    val varT = s"(${cv("stt")} - ${cv("st")} * ${cv("st")} / $n)"
+    val covTy = s"(${cv("sty")} - ${cv("st")} * ${cv("sy")} / $n)"
+    val sseMean = s"(${cv("syy")} - ${cv("sy")} * ${cv("sy")} / $n)"
+    s"(CASE WHEN $varT > 0 THEN $sseMean - $covTy * $covTy / $varT " +
+      s"ELSE $sseMean END)"
+  }
+
+  /** Single-changepoint detection by segmented regression (the
+    * binary-segmentation step of Scott & Knott 1974 / the CUSUM-of-
+    * squares family): per group, scan every split position of the
+    * t-ordered series and pick the one minimizing
+    * `SSE(left fit) + SSE(right fit)` for two independent linear fits —
+    * where did the trend break. Sufficient stats
+    * `(n, Σt, Σy, Σt², Σty, Σy²)` accumulate EXACT (DECIMAL) as prefix
+    * sums in one ordered window; each candidate split's SSE is the
+    * closed-form [[sseSql]] on (prefix, total−prefix) — O(T) candidates
+    * for O(T) total work, not O(T²). The argmin compares 6dp-rounded
+    * SSEs (ties → earlier split). Both segments must hold ≥ 2 points.
+    *
+    * `tCol` must be unique per group (pre-aggregate to your time grain
+    * first — that is also what makes the scan deterministic).
+    *
+    * Output: one row per group with ≥ 4 points:
+    * `(groupCols…, n, split_t, rmse_split, rmse_single, gain)` —
+    * `split_t` is the LAST t of the left segment; the fit quality is
+    * reported as RMSE (√(SSE/n)), not raw SSE: SSE magnitudes blow
+    * past 2⁵³/10⁶, where `round(x, 6)` itself stops being
+    * cross-engine-stable (Spark rounds through BigDecimal, DuckDB
+    * through ×10⁶/÷10⁶ — an ulp apart out there), while the √
+    * compresses the report into the range where 6 dp rounding is a
+    * real quantization. `gain` = rmse_single − rmse_split.
+    *
+    * Scale: one group-keyed ordered window (prefix sums), group-grain
+    * totals, one argmin window. A 100 TB daily series costs its time
+    * grain, not its row count — pre-aggregation does the heavy lifting.
+    */
+  def changepoint(df: DataFrame, groupCols: Seq[String], tCol: String,
+      yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def d18(c: Column) = c.cast(
+      org.apache.spark.sql.types.DecimalType(18, 6))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val pre = df
+      .filter(col(tCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(d18(col(tCol)).as("__t"),
+        d18(col(yCol)).as("__y")): _*)
+      .withColumn("__i", row_number().over(Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("__t"))))
+      .withColumn("nl", col("__i").cast("long"))
+      .withColumn("stl", sum(col("__t")).over(w).cast(dec))
+      .withColumn("syl", sum(col("__y")).over(w).cast(dec))
+      .withColumn("sttl", sum(col("__t") * col("__t")).over(w).cast(dec))
+      .withColumn("styl", sum(col("__t") * col("__y")).over(w).cast(dec))
+      .withColumn("syyl", sum(col("__y") * col("__y")).over(w).cast(dec))
+      .withColumn("na", count(lit(1)).over(wAll))
+      .withColumn("sta", sum(col("__t")).over(wAll).cast(dec))
+      .withColumn("sya", sum(col("__y")).over(wAll).cast(dec))
+      .withColumn("stta", sum(col("__t") * col("__t")).over(wAll)
+        .cast(dec))
+      .withColumn("stya", sum(col("__t") * col("__y")).over(wAll)
+        .cast(dec))
+      .withColumn("syya", sum(col("__y") * col("__y")).over(wAll)
+        .cast(dec))
+    val cand = pre
+      .withColumn("nr", col("na") - col("nl"))
+      .withColumn("str", (col("sta") - col("stl")).cast(dec))
+      .withColumn("syr", (col("sya") - col("syl")).cast(dec))
+      .withColumn("sttr", (col("stta") - col("sttl")).cast(dec))
+      .withColumn("styr", (col("stya") - col("styl")).cast(dec))
+      .withColumn("syyr", (col("syya") - col("syyl")).cast(dec))
+      .filter(col("nl") >= 2 && col("nr") >= 2)
+      .withColumn("__rmse", round(expr("sqrt(greatest(" +
+        s"CAST(0 AS DOUBLE), (${sseSql("l")} + ${sseSql("r")}) " +
+        "/ CAST(na AS DOUBLE)))"), 6))
+      .withColumn("__rmse1", round(expr("sqrt(greatest(" +
+        s"CAST(0 AS DOUBLE), ${sseSql("a")} / CAST(na AS DOUBLE)))"), 6))
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("__rmse"), col("__t"))))
+      .filter(col("__rk") === 1)
+    cand.select(groupCols.map(col) ++ Seq(col("na").as("n"),
+      col("__t").cast("double").as("split_t"),
+      col("__rmse").as("rmse_split"), col("__rmse1").as("rmse_single"),
+      round(col("__rmse1") - col("__rmse"), 6).as("gain")): _*)
+  }
+
   /** Linear multi-touch attribution: every conversion event splits one
     * unit of credit (as exact ppm integers) equally across the user's
     * touch events in the `windowSec` seconds strictly before it —

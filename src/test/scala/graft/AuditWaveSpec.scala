@@ -446,6 +446,57 @@ class AuditWaveSpec extends SparkSpec {
     assert(r.getLong(3) == 750000L, "3 of 4 catalog items recommended")
   }
 
+  test("changepoint: a clean kink is found exactly — zero split RMSE, " +
+      "positive gain, split at the last left point") {
+    val pts = (0 until 10).map(t => ("g", t, t.toDouble)) ++
+      (10 until 20).map(t => ("g", t, 10.0 + 5.0 * (t - 10)))
+    val r = graft.engine.Windows.changepoint(pts.toDF("grp", "t", "y"),
+      Seq("grp"), "t", "y").collect().head
+    assert(r.getLong(1) == 20)
+    assert(r.getDouble(2) == 9.0, "split after the last pre-kink point")
+    assert(r.getDouble(3) == 0.0, "both segments fit exactly")
+    assert(r.getDouble(4) > 0 && r.getDouble(5) == r.getDouble(4),
+      "gain is the whole single-fit RMSE")
+    // a perfectly linear series: no split beats the single fit by much
+    val lin = (0 until 20).map(t => ("g", t, 3.0 * t + 1))
+    val rl = graft.engine.Windows.changepoint(lin.toDF("grp", "t", "y"),
+      Seq("grp"), "t", "y").collect().head
+    assert(rl.getDouble(5) == 0.0, "linear data -> zero gain")
+  }
+
+  test("riAudit: orphan counts and ppm per declared edge") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(99L), None)
+      .map(Tuple1(_)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("pk")
+    val r = Relational.riAudit(Seq(("e1", child, "fk", parent, "pk")))
+      .collect().head
+    assert(r.getString(0) == "e1")
+    assert(r.getLong(1) == 4, "null FKs excluded from the child count")
+    assert(r.getLong(2) == 1, "the 99 is the one orphan")
+    assert(r.getLong(3) == 250000L)
+  }
+
+  test("funnelStepLatency: exact-rank dwell percentiles per step pair") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // three users converting view->click with deltas 10, 20, 90
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(10), "click"),
+      (2L, t(0), "view"), (2L, t(20), "click"),
+      (3L, t(0), "view"), (3L, t(90), "click"),
+      (4L, t(0), "view")) // never clicks
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.engine.Windows.funnelStepLatency(ev, "user_id", "ts",
+      "event_type", Seq("view", "click"))
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getString(1) == "view" &&
+      r.getString(2) == "click")
+    assert(r.getLong(3) == 3)
+    assert(r.getLong(4) == 10 && r.getLong(5) == 20 &&
+      r.getLong(6) == 90 && r.getLong(7) == 90,
+      "min/lower-median/p90/max over {10,20,90}")
+  }
+
   test("profileDiff: exact counts/null shares and a hand mean/std " +
       "delta") {
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None)

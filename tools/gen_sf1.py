@@ -51,7 +51,7 @@ copies = f"(SELECT unnest(range({N})) AS k)"
 
 con.execute(f"""COPY (
   SELECT o_orderkey + k * {okey_span} AS o_orderkey,
-    o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet' CROSS JOIN {copies}
 ) TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
 
