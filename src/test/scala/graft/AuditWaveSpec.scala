@@ -399,6 +399,39 @@ class AuditWaveSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler plan carries the native expression and the stats " +
+      "family is partition-invariant") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    // plan pin: parquet-backed input so ConvertToLocalRelation can't
+    // pre-evaluate the projection away
+    val docs = Queries.T(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_name"))
+    val plan = docs.select(jaroWinkler(col("p_name"), col("p_name")))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("jaro_winkler"), s"native expr missing:\n$plan")
+    // partition invariance: exact-decimal state makes outputs
+    // independent of physical layout for the whole stats family
+    val rnd = new scala.util.Random(17)
+    val data = (1 to 500).map(i =>
+      (s"g${i % 3}", rnd.nextInt(1000).toDouble, i % 2 == 0, s"id$i"))
+      .toDF("grp", "x", "f", "rid")
+    def fp(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq(1, 13).map(n => data.repartition(n)) match {
+      case Seq(a, b) =>
+        assert(fp(Relational.welchTTest(a, Seq("grp"), "x", col("f"))) ==
+          fp(Relational.welchTTest(b, Seq("grp"), "x", col("f"))))
+        assert(fp(Relational.anovaF(a, "grp", "x")) ==
+          fp(Relational.anovaF(b, "grp", "x")))
+        assert(fp(Relational.trimmedMean(a, Seq("grp"), "x", 5)) ==
+          fp(Relational.trimmedMean(b, Seq("grp"), "x", 5)))
+        assert(fp(Relational.ols2(a.withColumn("y",
+            col("x") * 2 + 1), Seq("grp"), "y", "x", "x")) ==
+          fp(Relational.ols2(b.withColumn("y", col("x") * 2 + 1),
+            Seq("grp"), "y", "x", "x")))
+    }
+  }
+
   test("multiTouchAttribution: equal ppm split with the remainder on " +
       "the latest touch; out-of-window touches excluded") {
     import java.sql.Timestamp
