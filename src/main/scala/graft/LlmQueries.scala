@@ -4951,6 +4951,97 @@ object LlmQueries {
           max(d) AS max_s
         FROM rn GROUP BY 1, 2, 3"""))
 
+  /** A-ES fixed-size weighted sample: top-20 docs per language by the
+    * ln(u)/w key — exactly-k weighted sampling without replacement. */
+  private val l162 = Spec("q297_weighted_topk_sample",
+    (s, d) => graft.llm.Shaping.weightedSampleTopK(
+      T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "doc_id", (col("n_chars") % 100 + 1).cast("double") / 100.0,
+      k = 20, groupCols = Seq("lang")),
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(n_chars % 100 + 1 AS DOUBLE) / 100 AS weight,
+          ((${phSql("CAST(doc_id AS VARCHAR) || ':s1'")}
+            * 2654435761) % 1000000007 + 1)
+            / CAST(1000000008 AS DOUBLE) AS u
+          FROM documents),
+        kk AS (SELECT doc_id, lang, weight,
+          round(ln(u) / weight, 6) AS skey FROM t WHERE weight > 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY skey DESC, doc_id) AS rank FROM kk)
+        SELECT lang, doc_id, weight, skey, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 20"""))
+
+  /** Banded-LSH S-curve table for r ∈ {2,4,8} × b ∈ {4,8,16} — the
+    * threshold-design chart, engine-exact via unrolled powers. */
+  private val l163 = Spec("q298_lsh_tuning_curve",
+    (s, d) => graft.llm.Dedup.lshTuningCurve(s, Seq(2, 4, 8),
+      Seq(4, 8, 16), stepPct = 5),
+    Some {
+      val rows = for (r <- Seq(2, 4, 8); b <- Seq(4, 8, 16)) yield {
+        val p = s"1 - ${graft.llm.Dedup.powUnrollSql(
+          s"(1 - ${graft.llm.Dedup.powUnrollSql("s", r)})", b)}"
+        val grid = (1 until 20)
+          .map(i => f"(${i * 5 / 100.0}%.2f)").mkString(", ")
+        s"""SELECT CAST($r AS INT) AS r, CAST($b AS INT) AS b,
+            s, round($p, 6) AS p_candidate
+          FROM (SELECT CAST(s AS DOUBLE) AS s
+            FROM (VALUES $grid) AS g0(s)) g"""
+      }
+      rows.mkString(" UNION ALL ")
+    })
+
+  /** Trailing-20-row rolling correlation of quantity vs discount along
+    * ship time (thinned part subset) — windowed co-movement drift. */
+  private val l164 = Spec("q299_rolling_corr",
+    (s, d) => graft.engine.Windows.rollingCorr(
+      T(s, d, "lineitem").filter(col("l_partkey") % 25 === 0)
+        .select(col("l_returnflag"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount")),
+      Seq("l_returnflag"),
+      Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+      "l_quantity", "l_discount", n = 20),
+    Some {
+      def cv(c: String) = graft.engine.Relational.decToDoubleSql(c, 12)
+      val nn = "CAST(20 AS DOUBLE)"
+      val num = s"($nn * ${cv("sxy")} - ${cv("sx")} * ${cv("sy")})"
+      val vx = s"($nn * ${cv("sxx")} - ${cv("sx")} * ${cv("sx")})"
+      val vy = s"($nn * ${cv("syy")} - ${cv("sy")} * ${cv("sy")})"
+      s"""WITH v AS (SELECT l_returnflag, l_shipdate, l_orderkey,
+            l_linenumber,
+            CAST(l_quantity AS DECIMAL(18,6)) AS x,
+            CAST(l_discount AS DECIMAL(18,6)) AS y,
+            CAST(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(38,12))
+              AS pxx,
+            CAST(CAST(l_discount AS DECIMAL(19,6))
+              * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(38,12))
+              AS pyy,
+            CAST(CAST(l_quantity AS DECIMAL(19,6))
+              * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(38,12))
+              AS pxy
+            FROM lineitem
+            WHERE l_partkey % 25 = 0 AND l_quantity IS NOT NULL
+              AND l_discount IS NOT NULL),
+          ww AS (SELECT l_returnflag, l_shipdate, l_orderkey,
+            l_linenumber, x, y,
+            count(*) OVER wr AS cnt,
+            CAST(sum(x) OVER wr AS DECIMAL(38,12)) AS sx,
+            CAST(sum(y) OVER wr AS DECIMAL(38,12)) AS sy,
+            CAST(sum(pxx) OVER wr AS DECIMAL(38,12)) AS sxx,
+            CAST(sum(pyy) OVER wr AS DECIMAL(38,12)) AS syy,
+            CAST(sum(pxy) OVER wr AS DECIMAL(38,12)) AS sxy
+            FROM v WINDOW wr AS (PARTITION BY l_returnflag
+              ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+            CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+            round(CASE WHEN cnt = 20 AND $vx > 0 AND $vy > 0 THEN
+              $num / sqrt($vx * $vy) END, 6) AS corr
+          FROM ww"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -4964,5 +5055,5 @@ object LlmQueries {
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
-    l156, l157, l158, l159, l160, l161)
+    l156, l157, l158, l159, l160, l161, l162, l163, l164)
 }

@@ -935,6 +935,53 @@ object Windows {
     out
   }
 
+  /** Rolling Pearson correlation over a trailing `n`-row window per
+    * group: exact DECIMAL sufficient stats accumulate in ONE ordered
+    * window pass and the correlation is the closed form on them (all
+    * conversions floor-split via
+    * [[graft.engine.Relational.decToDoubleSql]]) — co-movement drift
+    * between two metrics as a continuously-updated series, the
+    * windowed face of the one-scan Pearson matrix. Rows are ordered by
+    * `orderCols`, which must be a TOTAL order within each group (ties
+    * would make the window contents engine-dependent); only rows with
+    * a full window emit a correlation (`corr` null on the warm-up
+    * prefix and on zero-variance windows).
+    *
+    * Output: input group/order columns + `(x, y, corr)`.
+    *
+    * Scale: one group-keyed sort, one frame-bounded window — state per
+    * row is five running sums; no second pass, no self-join.
+    */
+  def rollingCorr(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], xCol: String, yCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "need window n >= 2")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def d18(c: String) = col(c)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    def cv(c: String) = Relational.decToDoubleSql(c, 12)
+    val nn = s"CAST($n AS DOUBLE)"
+    val num = s"($nn * ${cv("__sxy")} - ${cv("__sx")} * ${cv("__sy")})"
+    val vx = s"($nn * ${cv("__sxx")} - ${cv("__sx")} * ${cv("__sx")})"
+    val vy = s"($nn * ${cv("__syy")} - ${cv("__sy")} * ${cv("__sy")})"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__x", d18(xCol)).withColumn("__y", d18(yCol))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w).cast(dec))
+      .withColumn("__sy", sum(col("__y")).over(w).cast(dec))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w).cast(dec))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w).cast(dec))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w).cast(dec))
+      .withColumn("corr", round(expr(s"CASE WHEN __cnt = $n " +
+        s"AND $vx > 0 AND $vy > 0 THEN $num / sqrt($vx * $vy) END"), 6))
+      .select(groupCols.map(col) ++ orderCols.map(col) ++
+        Seq(col(xCol).cast("double").as("x"),
+          col(yCol).cast("double").as("y"), col("corr")): _*)
+  }
+
   /** Funnel step-latency report: for each adjacent step pair of the
     * greedy-earliest funnel ([[funnelSteps]]' semantics), the exact
     * microsecond latency distribution over the keys that reached the

@@ -667,4 +667,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Unrolled-product power fragment: `x` multiplied `n` times,
+    * left-to-right — the libm-free `x^n` both engines evaluate with
+    * identical IEEE association (a `pow()` call would be platform
+    * territory). ONE copy used by the engine expr and the oracle SQL. */
+  def powUnrollSql(x: String, n: Int): String = {
+    require(n >= 1 && n <= 64, "unroll 1..64")
+    Seq.fill(n)(x).mkString("(", " * ", ")")
+  }
+
+  /** Banded-LSH S-curve tuning table: for each (rows-per-band r, bands
+    * b) configuration, the candidate probability `P(pair | Jaccard s) =
+    * 1 − (1 − s^r)^b` over the `s` grid — the design chart a user reads
+    * BEFORE picking r·b for [[minhashCandidates]]: where the curve's
+    * cliff sits is the dedup threshold the configuration actually
+    * enforces. All powers are unrolled products ([[powUnrollSql]]), so
+    * the table is engine-exact; the grid `s` values are exact 2-dp
+    * literals.
+    *
+    * Output: `(r, b, s, p_candidate)` — |rs|·|bs|·(100/stepPct − 1)
+    * rows, 6 dp.
+    *
+    * Scale: a literal table — no data touched; it exists so the
+    * threshold choice is itself a queryable, versioned artifact.
+    */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      rs: Seq[Int], bs: Seq[Int], stepPct: Int = 5): DataFrame = {
+    require(stepPct >= 1 && stepPct < 100 && 100 % stepPct == 0,
+      "stepPct must divide 100")
+    import spark.implicits._
+    val frames = for (r <- rs; b <- bs) yield {
+      val p = s"1 - ${powUnrollSql(s"(1 - ${powUnrollSql("s", r)})", b)}"
+      (1 until 100 / stepPct)
+        .map(i => (r, b, f"${i * stepPct / 100.0}%.2f"))
+        .toDF("r", "b", "__s")
+        .withColumn("s", col("__s").cast("double"))
+        .withColumn("p_candidate", round(expr(p), 6))
+        .select(col("r"), col("b"), col("s"), col("p_candidate"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

@@ -222,6 +222,44 @@ object Shaping {
       lit(1000000L)) < floor(weight * 1000000.0))
   }
 
+  /** Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, IPL 2006, the A-ES scheme): each row draws the seedless
+    * uniform `u = (mix(polyhash(id:salt)) + 1) / (P + 1)` and ranks by
+    * `key = ln(u) / w` — the top `k` per group ARE a weighted sample
+    * without replacement (each row's inclusion probability tracks its
+    * weight share). The fixed-SIZE counterpart of [[weightedSample]]'s
+    * Bernoulli thinning: one pass, one per-group top-k, deterministic
+    * under retries/repartitioning/engines — the "pick exactly k docs
+    * per language, proportional to quality" primitive. Keys are
+    * 6 dp-rounded before ranking (ties → smaller id) so the boundary
+    * is engine-stable; rows with non-positive weight are excluded
+    * (zero weight = never sampled).
+    *
+    * Output: `(groupCols…, id, weight, skey, rank)`, ≤ k rows/group.
+    *
+    * Scale: one map-side key computation + one group-keyed top-k
+    * window (the WindowGroupLimit partial-top-k shape) — no shuffle
+    * beyond the group key, no RNG state.
+    */
+  def weightedSampleTopK(docs: DataFrame, idCol: String, weight: Column,
+      k: Int, groupCols: Seq[String] = Nil,
+      salt: String = "s1"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val u = (pmod(polyhash(concat(col(idCol).cast("string"),
+      lit(":" + salt))) * lit(2654435761L), lit(Dedup.P)) + 1)
+      .cast("double") / lit(1000000008.0)
+    val ranked = docs
+      .withColumn("weight", weight.cast("double"))
+      .filter(col("weight") > 0)
+      .withColumn("skey", round(log(u) / col("weight"), 6))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("skey").desc, col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+    ranked.select(groupCols.map(col) ++ Seq(col(idCol), col("weight"),
+      col("skey"), col("rank")): _*)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each row goes
     * to the shard `s ∈ [0, k)` maximizing `polyhash(id # s)` (ties —
     * possible, the hash range is finite — break to the HIGHER shard, a

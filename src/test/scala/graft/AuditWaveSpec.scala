@@ -530,6 +530,62 @@ class AuditWaveSpec extends SparkSpec {
       "min/lower-median/p90/max over {10,20,90}")
   }
 
+  test("weightedSampleTopK: matches a driver-side A-ES model, excludes " +
+      "non-positive weights, and is partition-invariant") {
+    import graft.llm.Shaping
+    val rows = (1 to 60).map(i => (i.toLong, "g",
+      if (i <= 5) 50.0 else if (i <= 10) 0.0 else 0.5))
+    val df = rows.toDF("id", "grp", "w")
+    def model: Seq[Long] = {
+      def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) %
+        1000000007L)
+      rows.filter(_._3 > 0).map { case (id, _, w) =>
+        val u = (ph(s"$id:s1") * 2654435761L % 1000000007L + 1)
+          .toDouble / 1000000008.0
+        val key = BigDecimal(math.log(u) / w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }.sortBy { case (id, k) => (-k, id) }.take(8).map(_._1)
+    }
+    val got = Shaping.weightedSampleTopK(df, "id", col("w"), k = 8,
+      groupCols = Seq("grp"))
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got == model, "operator matches the A-ES reference model")
+    assert(!got.exists(id => id > 5 && id <= 10),
+      "zero-weight rows can never be sampled")
+    val again = Shaping.weightedSampleTopK(df.repartition(7), "id",
+      col("w"), 8, Seq("grp"))
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(again == got)
+  }
+
+  test("lshTuningCurve: golden point and monotonicity in s") {
+    import graft.llm.Dedup
+    val t = Dedup.lshTuningCurve(spark, Seq(2), Seq(4), stepPct = 5)
+      .collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    // r=2, b=4, s=0.5: 1 - (1 - 0.25)^4 = 0.68359375
+    assert(t(0.5) == 0.683594)
+    val sorted = t.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted, "candidate probability rises with s")
+    assert(t(0.05) < 0.01 && t(0.95) > 0.99,
+      "the S-curve pins both tails")
+  }
+
+  test("rollingCorr: full windows of exact co-movement give +/-1; the " +
+      "warm-up prefix is null") {
+    val up = (1 to 30).map(i => ("g", i, i.toDouble, 2.0 * i + 3))
+    val r1 = graft.engine.Windows.rollingCorr(
+      up.toDF("grp", "t", "x", "y"), Seq("grp"), Seq("t"), "x", "y",
+      n = 10).orderBy(col("t")).collect()
+    assert((0 until 9).forall(r1(_).isNullAt(4)), "warm-up nulls")
+    assert((9 until 30).forall(r1(_).getDouble(4) == 1.0))
+    val down = (1 to 15).map(i => ("g", i, i.toDouble, -3.0 * i))
+    val r2 = graft.engine.Windows.rollingCorr(
+      down.toDF("grp", "t", "x", "y"), Seq("grp"), Seq("t"), "x", "y",
+      n = 10).orderBy(col("t")).collect()
+    assert(r2.last.getDouble(4) == -1.0)
+  }
+
   test("profileDiff: exact counts/null shares and a hand mean/std " +
       "delta") {
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None)
