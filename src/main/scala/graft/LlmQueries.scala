@@ -5042,6 +5042,20 @@ object LlmQueries {
           FROM ww"""
     })
 
+  /** Exact mode of line quantity per (returnflag, linestatus) — the
+    * categorical-summary companion of the group-median imputer. */
+  private val l165 = Spec("q300_group_mode",
+    (s, d) => graft.engine.Relational.modePerGroup(
+      T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+      "l_quantity"),
+    Some("""WITH c AS (SELECT l_returnflag, l_linestatus,
+          l_quantity AS mode_value, CAST(count(*) AS BIGINT) AS n_mode
+          FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2, 3),
+        r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag,
+          l_linestatus ORDER BY n_mode DESC, mode_value) AS rk FROM c)
+        SELECT l_returnflag, l_linestatus, mode_value, n_mode FROM r
+        WHERE rk = 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5055,5 +5069,5 @@ object LlmQueries {
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
-    l156, l157, l158, l159, l160, l161, l162, l163, l164)
+    l156, l157, l158, l159, l160, l161, l162, l163, l164, l165)
 }

@@ -1588,6 +1588,27 @@ object Relational {
         col("mean_delta"), col("std_a"), col("std_b"))
   }
 
+  /** Exact mode per group: the most frequent value of `valueCol`, ties
+    * to the smallest value — the categorical imputation/summary
+    * companion of the group-median imputer. Output
+    * `(groupCols…, mode_value, n_mode)`.
+    *
+    * Scale: one (group, value)-grain count with map-side combine, one
+    * group-keyed top-1 window over the distinct-value frame (the
+    * WindowGroupLimit partial top-k shape). Nulls excluded.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol).as("mode_value"): _*)
+      .agg(count(lit(1)).as("n_mode"))
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("n_mode").desc, col("mode_value"))))
+      .filter(col("__rk") === 1)
+      .select(groupCols.map(col) ++ Seq(col("mode_value"),
+        col("n_mode")): _*)
+
   /** Referential-integrity audit over declared FK→PK edges: for each
     * edge, the non-null child-key row count, the ORPHAN rows (child
     * keys absent from the parent), and the orphan share in ppm — the

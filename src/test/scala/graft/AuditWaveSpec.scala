@@ -586,6 +586,16 @@ class AuditWaveSpec extends SparkSpec {
     assert(r2.last.getDouble(4) == -1.0)
   }
 
+  test("modePerGroup: most frequent value wins, ties to the smaller") {
+    val df = Seq(("g", 3), ("g", 3), ("g", 1), ("g", 1), ("g", 2),
+      ("h", 9)).toDF("grp", "x")
+    val out = Relational.modePerGroup(df, Seq("grp"), "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out("g") == ((1, 2L)), "tie between 1 and 3 -> smaller value")
+    assert(out("h") == ((9, 1L)))
+  }
+
   test("profileDiff: exact counts/null shares and a hand mean/std " +
       "delta") {
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None)
