@@ -4982,7 +4982,8 @@ object LlmQueries {
         val p = s"1 - ${graft.llm.Dedup.powUnrollSql(
           s"(1 - ${graft.llm.Dedup.powUnrollSql("s", r)})", b)}"
         val grid = (1 until 20)
-          .map(i => f"(${i * 5 / 100.0}%.2f)").mkString(", ")
+          .map(i => "(" + String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(i * 5 / 100.0)) + ")").mkString(", ")
         s"""SELECT CAST($r AS INT) AS r, CAST($b AS INT) AS b,
             s, round($p, 6) AS p_candidate
           FROM (SELECT CAST(s AS DOUBLE) AS s

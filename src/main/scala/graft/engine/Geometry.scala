@@ -99,7 +99,9 @@ object Geometry {
     * `main.py:214-221`).
     */
   def regionId(i: Int, b: Bbox): String =
-    f"r${i}%d_${b.s}%.1fto${b.n}%.1f_${b.w}%.1fto${b.e}%.1f"
+    String.format(java.util.Locale.ROOT, "r%d_%.1fto%.1f_%.1fto%.1f",
+      Int.box(i), Double.box(b.s), Double.box(b.n), Double.box(b.w),
+      Double.box(b.e))
 
   /** OP-SRC-4 — GeoJSON FeatureCollection scan (`main.py:405-441`): read
     * multiline JSON, explode `features[]`, pull `properties[idField]`

@@ -622,11 +622,17 @@ object Sketches {
         .expressions.Window.orderBy(col("gm"), col("__grp"))))
       .filter(col("__rk") === (d + 1) / 2)
       .select(col("gm").as("f2_est"))
-    val exact = counts.agg(sum(col("n") * col("n")).as("f2_exact"))
+    val exact = counts.agg(
+      coalesce(sum(col("n") * col("n")), lit(0L)).as("f2_exact"))
+    // err_ppm through DOUBLE: a BIGINT (est - exact) * 1000000 wraps
+    // silently once F2 passes ~9.2e12 — well inside the 100 TB regime.
+    // The double ratio stays a faithful ppm readout at any magnitude.
     val out = z.crossJoin(exact)
       .select(lit(d).as("d"), lit(g).as("g"), col("f2_est"),
         col("f2_exact"),
-        expr("((f2_est - f2_exact) * 1000000) DIV f2_exact").as("err_ppm"))
+        expr("CASE WHEN f2_exact > 0 THEN round(CAST(f2_est - f2_exact " +
+          "AS DOUBLE) * 1000000.0 / CAST(f2_exact AS DOUBLE), 6) END")
+          .as("err_ppm"))
       .localCheckpoint(true)
     counts.unpersist(false)
     out

@@ -700,7 +700,8 @@ object Dedup {
     val frames = for (r <- rs; b <- bs) yield {
       val p = s"1 - ${powUnrollSql(s"(1 - ${powUnrollSql("s", r)})", b)}"
       (1 until 100 / stepPct)
-        .map(i => (r, b, f"${i * stepPct / 100.0}%.2f"))
+        .map(i => (r, b, String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(i * stepPct / 100.0))))
         .toDF("r", "b", "__s")
         .withColumn("s", col("__s").cast("double"))
         .withColumn("p_candidate", round(expr(p), 6))
