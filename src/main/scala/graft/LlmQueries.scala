@@ -3930,7 +3930,9 @@ object LlmQueries {
         xx AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM c)
         SELECT CAST(5 AS INT) AS d, CAST(16 AS INT) AS g,
           f2_est, f2_exact,
-          ((f2_est - f2_exact) * 1000000) // f2_exact AS err_ppm
+          CASE WHEN f2_exact > 0 THEN round(
+            CAST(f2_est - f2_exact AS DOUBLE) * 1000000.0
+              / CAST(f2_exact AS DOUBLE), 6) END AS err_ppm
         FROM md CROSS JOIN xx WHERE rk = 3"""))
 
   /** Cross-column KMV inclusion coefficients over the star schema's key
@@ -4351,15 +4353,19 @@ object LlmQueries {
             AS bucket,
           CAST(sum(n) AS BIGINT) AS ctb FROM cb
           CROSS JOIN (SELECT unnest(range(0, 4)) AS r) jj GROUP BY 1, 2),
-        ip AS (SELECT ta.row, CAST(sum(cta * ctb) AS BIGINT) AS ip
+        ipj AS (SELECT ta.row, CAST(sum(cta * ctb) AS BIGINT) AS ip
           FROM ta JOIN tb ON tb.row = ta.row AND tb.bucket = ta.bucket
           GROUP BY 1),
+        rr AS (SELECT unnest(range(0, 4)) AS row),
+        ip AS (SELECT rr.row, CAST(coalesce(ipj.ip, 0) AS BIGINT) AS ip
+          FROM rr LEFT JOIN ipj ON ipj.row = rr.row),
         es AS (SELECT min(ip) AS est FROM ip),
         xx AS (SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT)
           AS exact FROM ca JOIN cb USING (key))
         SELECT CAST(4 AS INT) AS d, CAST(256 AS INT) AS w, est, exact,
-          CASE WHEN exact > 0 THEN ((est - exact) * 1000000) // exact
-            END AS err_ppm
+          CASE WHEN exact > 0 THEN round(
+            CAST(est - exact AS DOUBLE) * 1000000.0
+              / CAST(exact AS DOUBLE), 6) END AS err_ppm
         FROM es CROSS JOIN xx"""))
 
   /** Neyman-optimal allocation of a 1000-row sampling budget across

@@ -578,9 +578,10 @@ object Sketches {
     * (the [[cmsTopK]] calibration convention), so the report doubles
     * as an estimator-quality check at this `(d, g)`.
     *
-    * Engine-exact: counts, signs, `z_j`, squares, the `DIV g` group
-    * mean and the median pick are all integers under the shared hash —
-    * no float anywhere.
+    * Engine-exact estimator internals: counts, signs, `z_j`, squares,
+    * the `DIV g` group mean and the median pick are all integers under
+    * the shared hash. Only the final `err_ppm` readout is a rounded
+    * DOUBLE ratio (a BIGINT ppm would wrap past F₂ ≈ 9.2e12).
     *
     * Output: ONE row `(d, g, f2_est, f2_exact, err_ppm)` where
     * `err_ppm` is the signed estimate error in ppm of the exact value.
@@ -622,6 +623,8 @@ object Sketches {
         .expressions.Window.orderBy(col("gm"), col("__grp"))))
       .filter(col("__rk") === (d + 1) / 2)
       .select(col("gm").as("f2_est"))
+    // Purely defensive coalesce: when counts is empty, z is empty too,
+    // so the crossJoin below yields zero rows either way.
     val exact = counts.agg(
       coalesce(sum(col("n") * col("n")), lit(0L)).as("f2_exact"))
     // err_ppm through DOUBLE: a BIGINT (est - exact) * 1000000 wraps
@@ -653,8 +656,9 @@ object Sketches {
     * difference between planning a join and discovering a key blow-up
     * in production.
     *
-    * Engine-exact: bucket totals and products are integers under the
-    * shared hash; no float anywhere.
+    * Engine-exact estimator internals: bucket totals and products are
+    * integers under the shared hash. Only the final `err_ppm` readout
+    * is a rounded DOUBLE ratio (BIGINT ppm wraps past ~9.2e12).
     *
     * Output: ONE row `(d, w, est, exact, err_ppm)`.
     *
@@ -681,17 +685,28 @@ object Sketches {
       .agg(sum(col("n")).as("ct"))
     val ca = keyCounts(dfA, keyA).persist()
     val cb = keyCounts(dfB, keyB).persist()
-    val est = table(ca).withColumnRenamed("ct", "cta")
+    val ipRows = table(ca).withColumnRenamed("ct", "cta")
       .join(table(cb).withColumnRenamed("ct", "ctb"),
         Seq("row", "bucket"))
       .groupBy(col("row")).agg(sum(col("cta") * col("ctb")).as("ip"))
-      .agg(min(col("ip")).as("est"))
+    // Left-join from the full d-row axis: a hash row whose bucket sets
+    // share nothing has inner product 0 (and must drive est to 0, e.g.
+    // when one side is empty) — the bare inner join would drop it and
+    // min(ip) would silently range over fewer than d rows.
+    val rowAxis = dfA.sparkSession.range(d)
+      .select(col("id").cast("int").as("row"))
+    val est = rowAxis.join(ipRows, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est"))
     val exact = ca.join(cb.withColumnRenamed("n", "nb"), Seq("key"))
       .agg(coalesce(sum(col("n") * col("nb")), lit(0L)).as("exact"))
+    // err_ppm through DOUBLE: BIGINT (est - exact) * 1000000 wraps
+    // silently once the join size passes ~9.2e12 — well inside the
+    // 100 TB regime (same rationale as [[amsF2]]).
     val out = est.crossJoin(exact)
       .select(lit(d).as("d"), lit(w).as("w"), col("est"), col("exact"),
-        expr("CASE WHEN exact > 0 THEN ((est - exact) * 1000000) " +
-          "DIV exact END").as("err_ppm"))
+        expr("CASE WHEN exact > 0 THEN round(CAST(est - exact " +
+          "AS DOUBLE) * 1000000.0 / CAST(exact AS DOUBLE), 6) END")
+          .as("err_ppm"))
       .localCheckpoint(true)
     ca.unpersist(false)
     cb.unpersist(false)

@@ -202,6 +202,18 @@ class AuditWaveSpec extends SparkSpec {
     assert(rd.getLong(3) == 0L && rd.isNullAt(4))
   }
 
+  test("cmsJoinSize: an empty side yields est=0 / exact=0 (rows with " +
+      "no shared buckets contribute ip=0, not a dropped row)") {
+    import graft.engine.Sketches
+    val a = Seq("k1", "k1", "k2").map(Tuple1(_)).toDF("ka")
+    val e = spark.emptyDataset[String].toDF("kb")
+    val r = Sketches.cmsJoinSize(a, "ka", e, "kb", d = 4, w = 256)
+      .collect().head
+    assert(r.getLong(2) == 0L, "est must be 0 on an empty side, " +
+      "not NULL from a min over zero surviving rows")
+    assert(r.getLong(3) == 0L && r.isNullAt(4))
+  }
+
   test("neymanAllocation: allocations follow n_h*sigma_h with largest-" +
       "remainder seats and always sum to the budget") {
     import graft.llm.Selection
