@@ -4444,14 +4444,11 @@ object LlmQueries {
         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
           JOIN li b ON a.o = b.o AND a.p < b.p)"""
 
-  private def coPurchase(s: SparkSession, d: String): DataFrame = {
-    val li = T(s, d, "lineitem").filter(col("l_partkey") % 3 === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey"))
-    li.select(col("o"), col("l_partkey").as("pa"))
-      .join(li.select(col("o"), col("l_partkey").as("pb")), "o")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-  }
+  /** Delegates to the session-memoized canonical builder in [[Queries]]
+    * — one within-order pair self-join serves q281/q282/q287 AND the
+    * Queries-side graph family (q171/q172/q216/...). */
+  private def coPurchase(s: SparkSession, d: String): DataFrame =
+    Queries.coPurchaseEdges(s, d, modFilter = true)
 
   /** Per-community modularity contributions of the `p mod 4` partition
     * over the co-purchase graph — the partition-quality score for any

@@ -2026,14 +2026,8 @@ object Queries {
     * ranks) over the supplier→customer shipment graph.
     */
   private val misc9 = Spec("q162_pagerank",
-    (s, d) => {
-      val e = T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-      Graph.pageRankPpm(e, "src", "dst", iters = 3)
-    },
+    (s, d) => Graph.pageRankPpm(shipmentEdges(s, d), "src", "dst",
+      iters = 3),
     Some("""WITH e AS (SELECT DISTINCT
           's' || CAST(l_suppkey AS VARCHAR) AS src,
           'c' || CAST(o_custkey AS VARCHAR) AS dst
@@ -2097,21 +2091,50 @@ object Queries {
           CAST(rank AS INT) AS rank FROM r CROSS JOIN t
         WHERE rank <= 10"""))
 
+  /** Session memo for shared graph fixtures (the LlmQueries.fixtureMemo
+    * discipline): one materialization per (session, sfDir) serves every
+    * consumer in the registry. */
+  private val graphMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   /** The co-purchase part graph: parts appearing on the same order are
     * linked. `% 3` keeps the demo subgraph a fixed ninth of the pair
     * volume; the operators themselves take any edge list.
+    *
+    * Session-memoized CANONICAL (pa < pb, distinct) edge list — the
+    * within-order pair self-join is the expensive half of seven graph
+    * queries (q171/q172/q216/q217/q218-family here, q281/q282/q287 in
+    * LlmQueries), and every consumer routes the frame through
+    * [[graft.engine.Graph.undirected]] (a distinct), so handing them the
+    * already-distinct checkpoint leaves values and gate hashes unchanged.
     */
-  private def coPurchaseEdges(s: SparkSession, d: String,
-      modFilter: Boolean): DataFrame = {
-    val li = (if (modFilter)
-        T(s, d, "lineitem").filter(col("l_partkey") % 3 === 0)
-      else T(s, d, "lineitem"))
-      .select(col("l_orderkey").as("o"), col("l_partkey"))
-    li.select(col("o"), col("l_partkey").as("pa"))
-      .join(li.select(col("o"), col("l_partkey").as("pb")), "o")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-  }
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String,
+      modFilter: Boolean): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, s"coPurchase$modFilter"), {
+      val li = (if (modFilter)
+          T(s, d, "lineitem").filter(col("l_partkey") % 3 === 0)
+        else T(s, d, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+      li.select(col("o"), col("l_partkey").as("pa"))
+        .join(li.select(col("o"), col("l_partkey").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+        .distinct().localCheckpoint(true)
+    })
+
+  /** Session-memoized supplier→customer shipment edges (distinct): the
+    * lineitem⋈orders derivation behind q162 (PageRank) and q173 (BFS).
+    * PageRank distincts its input internally and BFS min-hop labels are
+    * duplicate-edge-insensitive, so the distinct here changes nothing
+    * observable — it only lets ONE join serve both iterative queries. */
+  private def shipmentEdges(s: SparkSession, d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "shipmentEdges"),
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct().localCheckpoint(true))
 
   /** OP-MISC-11 — per-node triangle counts over the co-purchase part
     * graph (degree-oriented enumeration; the oracle enumerates the same
@@ -2151,13 +2174,9 @@ object Queries {
     */
   private val misc13 = Spec("q173_bfs_hops",
     (s, d) => {
-      val ed = T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-      // both directions in ONE pass over the join (a two-branch union
-      // would execute the lineitem⋈orders join once per branch)
+      val ed = shipmentEdges(s, d)
+      // both directions in ONE pass over the memoized frame (a two-branch
+      // union would read the checkpoint once per branch)
       val e = ed.select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
