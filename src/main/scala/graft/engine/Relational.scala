@@ -768,54 +768,79 @@ object Relational {
         max(col(valCol)).as("hi"))
   }
 
-  /** Per-split ECDF support grid shared by [[ksReport]] and
-    * [[mannWhitneyReport]]: for every split and every value observed in
-    * ANY split, the split's count at that value (`__t`, 0 where absent)
-    * and its running total up to and including it (`__cum`) — i.e. the
-    * un-normalized ECDF evaluated on the union support, which is where
-    * two-sample statistics must be read (the sup of `|F₁−F₂|` and the
-    * combined ranks both live at the other sample's points too).
+  /** Sparse paired ECDF shared by [[ksReport]] and
+    * [[mannWhitneyReport]]: for every non-reference split `s` and every
+    * value observed in `s` OR in the reference split, the counts of both
+    * samples at that value (`__t` for `s`, `__tr` for the reference; 0
+    * where absent) and both running totals up to and including it
+    * (`__cum`, `__cumr`) — the un-normalized two-sample ECDFs read on
+    * the MERGED support of the pair, which is exactly where two-sample
+    * statistics live (between merged support points both step functions
+    * are constant, so the sup of `|F₁−F₂|` and the combined rank blocks
+    * are unchanged by dropping the rest of the axis).
+    *
+    * This replaces the former dense (every split × every value observed
+    * in ANY split) grid: per pair the frame now carries
+    * `|support(s)| + |support(ref)|` rows instead of the full union
+    * axis, which at high value cardinality with many splits was the
+    * registry's single most expensive plan (q193, VERDICT r8/r9).
     *
     * Scale: counts collapse to (split, value) grain first (one hash
-    * aggregate), the grid is that value set crossed with the tiny split
-    * list (broadcast), and the prefix sum is the two-level range trick —
-    * a window inside each fixed-width value bucket plus broadcast
-    * per-bucket offsets — so no unpartitioned window ever sees the full
-    * value axis. The grid frame is persisted across its two readers
-    * (bucket totals + main pass) per the single-pass audit rule; all
-    * counts accumulate in DECIMAL(38,0).
+    * aggregate); the reference support is replicated only across the
+    * (tiny, broadcast) non-reference split list; the prefix sums are the
+    * two-level range trick — one window inside each fixed-width value
+    * bucket (both measures share the window spec → a single pass) plus
+    * broadcast per-bucket offsets — so no unpartitioned window ever sees
+    * a full value axis. Counts and running totals are plain BIGINT (a
+    * cum is a row count, safe to 9.2e18 rows); only the consumers' cross
+    * PRODUCTS (`cum·N`, the tie cubes) can overflow, and they cast to
+    * DECIMAL(38,0) at the multiply — keeping the hot window pass out of
+    * decimal arithmetic. A missing reference split yields an all-zero
+    * `__tr` column; callers guard on `Σ __tr > 0` to keep the "missing
+    * reference → empty report, never a silent zero" contract.
     */
-  private[engine] def ecdfGrid(df: DataFrame, splitCol: String,
-      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+  private[engine] def ecdfPaired(df: DataFrame, splitCol: String,
+      refValue: String, valCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need a positive bucketed range")
-    val d38 = "decimal(38,0)"
     val width = (hi - lo) / nBuckets
+    val zero = lit(0L)
     val c = df.filter(col(splitCol).isNotNull && col(valCol).isNotNull)
       .select(col(splitCol).cast("string").as("__s"),
         col(valCol).cast("long").as("__v"))
-      .groupBy("__s", "__v").agg(count(lit(1)).cast(d38).as("__t"))
+      .groupBy("__s", "__v").agg(count(lit(1)).as("__t"))
       .persist()
-    val splits = c.select("__s").distinct()
-    val grid = c.select("__v").distinct().crossJoin(broadcast(splits))
+    val curSplits = c.filter(col("__s") =!= refValue)
+      .select("__s").distinct()
+    val refC = c.filter(col("__s") === refValue)
+      .select(col("__v"), col("__t").as("__tr"))
+    val merged = c.filter(col("__s") =!= refValue)
+      .select(col("__s"), col("__v"), col("__t"), zero.as("__tr"))
+      .unionByName(refC.crossJoin(broadcast(curSplits))
+        .select(col("__s"), col("__v"), zero.as("__t"), col("__tr")))
+      .groupBy("__s", "__v")
+      .agg(sum(col("__t")).as("__t"), sum(col("__tr")).as("__tr"))
     val bucket = least(greatest(
         floor((col("__v").cast("double") - lo) / width), lit(0)),
       lit(nBuckets - 1)).cast("int")
-    val full = grid.join(c, Seq("__s", "__v"), "left")
-      .withColumn("__t", coalesce(col("__t"), lit(0).cast(d38)))
+    val wLocal = Window.partitionBy("__s", "__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val full = merged
       .withColumn("__b", bucket)
-      .withColumn("__local", sum(col("__t")).over(
-        Window.partitionBy("__s", "__b").orderBy("__v")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__local", sum(col("__t")).over(wLocal))
+      .withColumn("__localr", sum(col("__tr")).over(wLocal))
       .persist()
-    val off = full.groupBy("__s", "__b").agg(sum(col("__t")).as("__bt"))
-      .withColumn("__off", coalesce(sum(col("__bt")).over(
-        Window.partitionBy("__s").orderBy("__b")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0).cast(d38)))
-      .select("__s", "__b", "__off")
+    val wOff = Window.partitionBy("__s").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = full.groupBy("__s", "__b")
+      .agg(sum(col("__t")).as("__bt"), sum(col("__tr")).as("__btr"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), zero))
+      .withColumn("__offr", coalesce(sum(col("__btr")).over(wOff), zero))
+      .select("__s", "__b", "__off", "__offr")
     val out = full.join(broadcast(off), Seq("__s", "__b"))
       .withColumn("__cum", col("__off") + col("__local"))
-      .select("__s", "__v", "__t", "__cum")
+      .withColumn("__cumr", col("__offr") + col("__localr"))
+      .select("__s", "__v", "__t", "__tr", "__cum", "__cumr")
       .localCheckpoint(true)
     full.unpersist(false); c.unpersist(false)
     out
@@ -838,17 +863,16 @@ object Relational {
     */
   def ksReport(df: DataFrame, splitCol: String, refValue: String,
       valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
-    val e = ecdfGrid(df, splitCol, valCol, lo, hi, nBuckets)
+    val e = ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets)
     val d38 = "decimal(38,0)"
-    val tot = e.groupBy("__s").agg(sum(col("__t")).cast(d38).as("__n"))
-    val refN = tot.filter(col("__s") === refValue)
-      .select(col("__n").as("__nr"))
-    val ref = e.filter(col("__s") === refValue)
-      .select(col("__v"), col("__cum").as("__cumr"))
-    e.filter(col("__s") =!= refValue)
-      .join(ref, Seq("__v"))
-      .join(broadcast(tot), Seq("__s"))
-      .crossJoin(broadcast(refN))
+    // per-split totals off the paired frame itself; __nr > 0 keeps the
+    // missing-reference → empty-report contract (an absent reference
+    // split leaves __tr all-zero, never a silent D = sup|F| report)
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    e.join(broadcast(tot), Seq("__s"))
       .groupBy(col("__s").as("split"))
       .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
         max(abs(col("__cumr") * col("__n") - col("__cum") * col("__nr")))
@@ -879,32 +903,39 @@ object Relational {
     */
   def mannWhitneyReport(df: DataFrame, splitCol: String, refValue: String,
       valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
-    val e = ecdfGrid(df, splitCol, valCol, lo, hi, nBuckets)
-    val ref = e.filter(col("__s") === refValue)
-      .select(col("__v"), col("__t").as("__tr"), col("__cum").as("__cumr"))
+    val e = ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets)
+    val d38 = "decimal(38,0)"
     val cb = (col("__cum") - col("__t")) + (col("__cumr") - col("__tr"))
     val tAll = col("__t") + col("__tr")
-    e.filter(col("__s") =!= refValue)
-      .join(ref, Seq("__v"))
-      .withColumn("__cb", cb).withColumn("__ta", tAll)
+    // the paired frame's counts/cums are BIGINT; every cross product
+    // below routes through DECIMAL(38,0) at the multiply (rank terms are
+    // ~N², tie terms ~t³ — past 2⁶³ at 10⁹-row splits)
+    e.withColumn("__cb", cb).withColumn("__ta", tAll)
       .groupBy(col("__s").as("split"))
       .agg(sum(col("__tr")).as("__nr"), sum(col("__t")).as("__nc"),
-        sum(col("__t") * (col("__cb") * 2 + col("__ta") + 1)).as("__r2"),
-        sum(col("__ta") * col("__ta") * col("__ta") - col("__ta"))
-          .as("__tie"))
-      .withColumn("__u2", col("__r2") - col("__nc") * (col("__nc") + 1))
+        sum(col("__t").cast(d38) * (col("__cb").cast(d38) * 2
+          + col("__ta") + 1)).as("__r2"),
+        sum(col("__ta").cast(d38) * col("__ta") * col("__ta")
+          - col("__ta")).as("__tie"))
+      // missing reference → empty report (the __tr column is all-zero),
+      // matching the former inner-join-on-reference behavior
+      .filter(col("__nr") > 0)
+      .withColumn("__u2",
+        col("__r2") - col("__nc").cast(d38) * (col("__nc") + 1))
       .withColumn("__nn", col("__nr") + col("__nc"))
       .withColumn("__var3",
-        (col("__nn") + 1) * col("__nn") * (col("__nn") - 1) - col("__tie"))
+        (col("__nn").cast(d38) + 1) * col("__nn") * (col("__nn") - 1)
+          - col("__tie"))
       .select(col("split"), col("__nr").cast("long").as("n_ref"),
         col("__nc").cast("long").as("n_cur"),
         col("__u2").cast("long").as("u2"),
         when(col("__nr") > 0 && col("__nc") > 0 && col("__var3") > 0,
-          round((col("__u2") - col("__nr") * col("__nc")).cast("double") /
+          round((col("__u2") - col("__nr").cast(d38) * col("__nc"))
+              .cast("double") /
             sqrt(col("__nr").cast("double") * col("__nc").cast("double") *
               (col("__var3").cast("double") /
-                (col("__nn") * col("__nn") * 3 - col("__nn") * 3)
-                  .cast("double"))), 6))
+                (col("__nn").cast(d38) * col("__nn") * 3
+                  - col("__nn") * 3).cast("double"))), 6))
           .as("z"))
   }
 
