@@ -45,12 +45,17 @@ object Bench {
           .mode("overwrite").save()
         catch { case _: Throwable => () }
     }
+    // Optional subset filter for scale spot-checks (comma-separated
+    // name prefixes); the driver sets nothing, so its runs stay full.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toVector
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (pass <- 1 to runs) {
       val p0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (name, fn) =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         // noop write materializes EVERY column (count() would let Spark
         // prune value columns and flatter column-heavy queries); a crashed

@@ -320,6 +320,16 @@ object Sketches {
     * numbers. This is the cheapest possible quantile-support sketch — a
     * 100 TB column collapses to |groups| rows in a single pass, vs the
     * value-grain shuffle an exact percentile needs.
+    *
+    * Magnitude contract (the batch twin of [[graft.streaming.Streaming
+    * .momentsStream]]'s documented `|x| ≤ ~55k` long-sum bound): inputs
+    * are clamped to DECIMAL(9,0), so the binding term is the s4 sum —
+    * per-group it must satisfy `n · |x|⁴ < 10³⁸`. At the 10⁹ input cap
+    * that is only ~100 rows; at |x| ≤ 10⁶ it holds past 10¹⁴ rows, and
+    * at |x| ≤ 10⁷ past 10¹⁰. Past the bound a non-ANSI session returns
+    * NULL power sums SILENTLY (ANSI mode raises); callers with
+    * wide-magnitude columns should pre-scale to ≤10⁷ units before
+    * sketching. The gate column (events.amount cents) sits at ≤10⁶.
     */
   def momentsSketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
