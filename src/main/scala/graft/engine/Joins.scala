@@ -374,8 +374,10 @@ object Joins {
     val r = right.columns.foldLeft(right) { (d, c) =>
       if (c == keyCol) d else d.withColumnRenamed(c, s"$prefix$c")
     }
-    val lt = unix_micros(left(leftTs))
-    val rt = unix_micros(r(s"$prefix$rightTs"))
+    // explicit LTZ cast: ANSI refuses the implicit NTZ coercion the
+    // driver's parquet schemas otherwise need (AnsiFixtureSpec)
+    val lt = unix_micros(left(leftTs).cast("timestamp"))
+    val rt = unix_micros(r(s"$prefix$rightTs").cast("timestamp"))
     left.join(r,
       left(keyCol) === r(keyCol) &&
         rt >= lt + lit(lowerMs * 1000L) && rt <= lt + lit(upperMs * 1000L))

@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
 /** OP-WIN-1 sliding feature windows and OP-AGG-3 spatial coarsening. */
 object Windows {
 
+  /** `unix_micros` behind an explicit LTZ cast: the driver's parquet reads
+    * back TIMESTAMP_NTZ under Spark 4's default inference, and ANSI mode
+    * refuses the implicit NTZ→TIMESTAMP coercion non-ANSI applies
+    * (AnsiFixtureSpec). Session TZ is UTC, so the cast is value-exact on
+    * both timestamp families.
+    */
+  private def uMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** OP-WIN-1 — trailing `n`-step sliding window per spatial key
     * (`inference/carboninference/core.py:73-117`): for every row with ≥ n−1
     * predecessors in its partition, the ordered trailing slice of each
@@ -88,10 +96,10 @@ object Windows {
       scale: Int = 100): DataFrame = {
     val byTime = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((timeCol +: tiebreakCols).map(col): _*)
-    val t = unix_micros(col(timeCol))
+    val t = uMicros(col(timeCol))
     df.select(keyCols.map(col) :+
         round(col(valueCol) * scale).cast("long").as("__vs") :+
-        (unix_micros(lead(col(timeCol), 1).over(byTime)) - t)
+        (uMicros(lead(col(timeCol), 1).over(byTime)) - t)
           .as("__dt"): _*)
       .filter(col("__dt").isNotNull)
       .groupBy(keyCols.map(col): _*)
@@ -214,14 +222,14 @@ object Windows {
     val byTimeDesc = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("ts").desc)
     val obs = when(col("v_mean").isNotNull,
-      struct(unix_micros(col("ts")).as("t"),
+      struct(uMicros(col("ts")).as("t"),
         round(col("v_mean") * 1e6).as("v6")))
     // growing frames only — see [[interpolateLinear]]'s O(n²) note
     val prev = last(obs, ignoreNulls = true)
       .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
     val nxt = last(obs, ignoreNulls = true)
       .over(byTimeDesc.rowsBetween(Window.unboundedPreceding, -1))
-    val t = unix_micros(col("ts"))
+    val t = uMicros(col("ts"))
     val blend6 = round(col("__p.v6") + (col("__n.v6") - col("__p.v6")) *
       (t - col("__p.t")).cast("double") /
       (col("__n.t") - col("__p.t")).cast("double"))
@@ -293,7 +301,7 @@ object Windows {
       .agg(min(col(timeCol)).as("session_start"),
         max(col(timeCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        (unix_micros(max(col(timeCol))) - unix_micros(min(col(timeCol))))
+        (uMicros(max(col(timeCol))) - uMicros(min(col(timeCol))))
           .as("duration_us"))
 
   /** Ordered funnel: for each key, the FIRST time each step completes
@@ -327,7 +335,7 @@ object Windows {
     val last = s"t${steps.size}"
     chained.withColumn("completed",
       when(col(last).isNotNull &&
-        unix_micros(col(last)) - unix_micros(col("t1")) <= windowMs * 1000L,
+        uMicros(col(last)) - uMicros(col("t1")) <= windowMs * 1000L,
         1).otherwise(0))
   }
 
@@ -365,13 +373,13 @@ object Windows {
     // and value can never come from different rows; the struct is null
     // exactly when the value is, which is what ignoreNulls skips.
     val obs = when(col(valueCol).isNotNull,
-      struct(unix_micros(col(timeCol)).as("t"), col(valueCol).as("v")))
+      struct(uMicros(col(timeCol)).as("t"), col(valueCol).as("v")))
     val prev = last(obs, ignoreNulls = true)
       .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
     // next-after in forward order == last-before in exact reverse order
     val nxt = last(obs, ignoreNulls = true)
       .over(byTimeDesc.rowsBetween(Window.unboundedPreceding, -1))
-    val t = unix_micros(col(timeCol))
+    val t = uMicros(col(timeCol))
     val blend = col("__p.v") + (col("__n.v") - col("__p.v")) *
       (t - col("__p.t")).cast("double") /
       (col("__n.t") - col("__p.t")).cast("double")
@@ -637,18 +645,19 @@ object Windows {
     * (not `lag(end)`) is what makes an interval that ends inside an
     * earlier, longer one stay in that island. Two window passes sharing
     * one sort order + two aggregates; all arithmetic integer µs, so the
-    * result is engine-exact. Rows with a null endpoint or `end < start`
-    * are rejected loudly rather than silently skewing coverage.
+    * result is engine-exact. A null endpoint is missing data — the row is
+    * DROPPED, matching how every SQL aggregate treats null input — while
+    * `end < start` is a logic error and still rejected loudly.
     */
-  def intervalCoverage(df: DataFrame, keyCols: Seq[String],
+  def intervalCoverage(df0: DataFrame, keyCols: Seq[String],
       startCol: String, endCol: String,
       tiebreakCols: Seq[String]): DataFrame = {
-    val bad = df.filter(col(startCol).isNull || col(endCol).isNull ||
-      col(endCol) < col(startCol)).limit(1).count()
+    val df = df0.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val bad = df.filter(col(endCol) < col(startCol)).limit(1).count()
     require(bad == 0,
-      s"null or inverted [$startCol, $endCol] interval in input")
-    val s = unix_micros(col(startCol))
-    val e = unix_micros(col(endCol))
+      s"inverted [$startCol, $endCol] interval in input")
+    val s = uMicros(col(startCol))
+    val e = uMicros(col(endCol))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(startCol).asc +: col(endCol).asc +:
         tiebreakCols.map(col(_).asc)): _*)
@@ -718,7 +727,7 @@ object Windows {
       .orderBy(m.asc, col(custCol).asc)).cast("int")
     per.crossJoin(broadcast(mx))
       .withColumn("recency_days",
-        ((unix_micros(col("__mx")) - unix_micros(col("__last")))
+        ((uMicros(col("__mx")) - uMicros(col("__last")))
           / lit(86400000000L)).cast("long"))
       .withColumn("r_score", sc(col("__last")))
       .withColumn("f_score", sc(col("frequency")))
@@ -743,7 +752,7 @@ object Windows {
       timeCol: String, tiebreakCol: String, typeCol: String,
       convType: String, lookbackUs: Long): DataFrame = {
     require(lookbackUs > 1L, "lookback must exceed one microsecond")
-    val us = unix_micros(col(timeCol))
+    val us = uMicros(col(timeCol))
     val key = concat(lpad(us.cast("string"), 20, "0"), lit("#"),
       lpad(col(tiebreakCol).cast("string"), 12, "0"), lit("#"),
       col(typeCol))
@@ -774,7 +783,7 @@ object Windows {
   def retentionCohorts(df: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
-    val wk = (unix_micros(col(timeCol)) / weekUs).cast("bigint")
+    val wk = (uMicros(col(timeCol)) / weekUs).cast("bigint")
     val active = df.select(col(keyCol), wk.as("week")).distinct()
     val cohort = active.groupBy(col(keyCol))
       .agg(min(col("week")).as("cohort_week"))
@@ -1006,7 +1015,7 @@ object Windows {
       f.filter(col(s"t$i").isNotNull)
         .select(lit(i).as("step"), lit(steps(i - 2)).as("from_type"),
           lit(steps(i - 1)).as("to_type"),
-          expr(s"(unix_micros(t$i) - unix_micros(t${i - 1})) " +
+          expr(s"(unix_micros(cast(t$i as timestamp)) - unix_micros(cast(t${i - 1} as timestamp))) " +
             "DIV 1000000").as("__d"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("step"))

@@ -28,8 +28,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** NULL (not NaN/error) when either vector has zero norm: real corpora
+    * carry occasional zero/degenerate embeddings, and ANSI sessions turn
+    * the unguarded double ÷0 into a runtime error (AnsiFixtureSpec).
+    * Clean-data outputs are unchanged — the guard only fires at norm 0.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den > 0, dot(a, b) / den)
+  }
 
   /** Exact top-k by cosine for each query vector. `queries` must be
     * dimension-sized (it is broadcast against the full corpus); the heavy
@@ -495,9 +502,12 @@ object Similarity {
       initMode: String = "k-means||")
       : org.apache.spark.ml.clustering.KMeansModel = {
     val fv = array_to_vector(col(vecCol).cast("array<double>"))
+    // null/empty vectors are un-trainable (MLlib NPEs on a null feature
+    // row); real corpora carry them, so drop here rather than upstream
+    val clean = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val trainSet =
-      if (trainFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
+      if (trainFraction >= 1.0) clean
+      else clean.sample(withReplacement = false, trainFraction, seed = 42L)
     // initMode "random" skips the k-means|| init's extra data passes —
     // seeded either way, so runs reproduce; centroid QUALITY only matters
     // for nprobe < nCells recall, never for full-probe correctness
@@ -519,7 +529,11 @@ object Similarity {
     val model = prefit.getOrElse(
       fitQuantizer(corpus, vecCol, nCells, trainFraction, maxIter, initMode))
     val centers = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val assigned = model.transform(corpus.withColumn("__fv", fv))
+    // mirror fitQuantizer's validity filter: a null/empty vector can't be
+    // cell-assigned (and could never be returned as a neighbor anyway)
+    val searchable =
+      corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val assigned = model.transform(searchable.withColumn("__fv", fv))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     // per query: the nprobe nearest centroids by euclidean distance —
     // centers are nCells literals (dimension-sized), pure expression work
