@@ -467,8 +467,9 @@ object Graph {
     * Output: `(u, j, neg_id)` — ≤ k rows per node, `j` the draw index
     * that survived.
     *
-    * Scale: the node index is one id-ordered window over the NODE
-    * table (node grain, not edge grain); draws are a literal
+    * Scale: the node index is an id-ordered distributed two-level rank
+    * over the NODE table (node grain, not edge grain, and no
+    * single-partition window); draws are a literal
     * `oversample`-way fan-out joined back by index, and the neighbor
     * filter is a left-anti join on the (u, cand) edge key. All joins
     * are key-equi; nothing is pairwise.
@@ -479,9 +480,12 @@ object Graph {
     val e = undirected(edges, srcCol, dstCol).persist()
     val nodes = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
-    val indexed = nodes
-      .withColumn("__idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
+    // id-ordered node index via the distributed two-level rank — the
+    // former corpus-grain Window.orderBy(id) was the one
+    // single-partition sort in the graph family (round 10).
+    val indexed = graft.engine.Relational
+      .globalRank(nodes, Seq(col("id")), "__rk1")
+      .withColumn("__idx", col("__rk1") - 1).drop("__rk1")
       .persist()
     val nV = indexed.agg(count(lit(1)).as("__n"))
     val draws = indexed.select(col("id").as("u"))

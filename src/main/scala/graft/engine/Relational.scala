@@ -10,6 +10,79 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Distributed global rank: adds `rankCol` = 1-based position of each
+    * row under `order`, with NO single-partition window. Two-level range
+    * trick generalized to arbitrary sortable keys: range-repartition on
+    * the order columns (Spark's RangePartitioner keeps equal keys in one
+    * partition, so ties never straddle a boundary), rank locally inside
+    * each range partition, then add broadcast per-partition row-count
+    * offsets. Exact — identical ranks to `row_number() OVER (ORDER BY
+    * order)` whenever `order` is a total order; on ties the permutation
+    * within the tie block is arbitrary either way. Cost: one range
+    * exchange + one partition-local sort + one tiny offset frame —
+    * the shape that replaces every corpus-grain `Window.orderBy` (the
+    * single-partition sort Spark itself warns about, and the first
+    * thing that dies at 1000 executors).
+    *
+    * The ranged frame is EAGERLY pinned (localCheckpoint) before its
+    * two readers: the local-rank window and the offset aggregate must
+    * see the SAME partition boundaries, but each branch re-plans the
+    * exchange under AQE, and differently-coalesced upstreams make the
+    * range sampler draw different boundaries per branch — then
+    * `spark_partition_id()` names different ranges in the two branches
+    * and every offset is misattributed (caught at sf0.1 by the q287
+    * gate; invisible at smaller SFs where both branches coalesce
+    * identically).
+    */
+  private[graft] def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String): DataFrame = {
+    val nPart = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val part = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = part.withColumn("__gr_local", row_number().over(
+      Window.partitionBy(col("__gr_pid")).orderBy(order: _*)))
+    val off = part.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_n"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_n")).over(
+        Window.orderBy(col("__gr_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    local.join(broadcast(off), Seq("__gr_pid"))
+      .withColumn(rankCol, (col("__gr_off") + col("__gr_local")))
+      .drop("__gr_pid", "__gr_local", "__gr_off")
+  }
+
+  /** Weighted companion to [[globalRank]]: adds `cumCol` = INCLUSIVE
+    * running sum of `weight` in `order`, again with no single-partition
+    * window — local prefix sums inside range partitions plus broadcast
+    * per-partition totals. Exact for any total order on `order`; with
+    * ties the inclusive cum at the LAST row of a tie block (the only
+    * position rank-selection ever reads) is tie-permutation-invariant.
+    */
+  private[graft] def globalCumSum(df: DataFrame, order: Seq[Column],
+      weight: Column, cumCol: String): DataFrame = {
+    val nPart = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // Eager pin before the two readers — same branch-consistent
+    // partition-boundary requirement as globalRank (see there).
+    val part = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__gc_w", weight.cast("long"))
+      .withColumn("__gc_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = part.withColumn("__gc_local", sum(col("__gc_w")).over(
+      Window.partitionBy(col("__gc_pid")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val off = part.groupBy(col("__gc_pid"))
+      .agg(sum(col("__gc_w")).as("__gc_n"))
+      .withColumn("__gc_off", coalesce(sum(col("__gc_n")).over(
+        Window.orderBy(col("__gc_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gc_pid"), col("__gc_off"))
+    local.join(broadcast(off), Seq("__gc_pid"))
+      .withColumn(cumCol, col("__gc_off") + col("__gc_local"))
+      .drop("__gc_pid", "__gc_local", "__gc_off", "__gc_w")
+  }
+
   /** OP-PRJ-1 — bulk column rename applied only to columns that exist
     * (`dataset.py:237-244`: the reference filters the rename map to present
     * columns before applying).
@@ -1543,24 +1616,29 @@ object Relational {
     *
     * Output: `(id, p, rank, crit, discovery)` with `crit = rank·α/m`.
     *
-    * Scale: one global rank window over the TEST table — m rows, one
-    * per hypothesis, not data grain; the step-up max is a second
-    * window over the same m rows.
+    * Scale: the TEST table is m rows, one per hypothesis, not data
+    * grain — but m itself is unbounded (a segment family at 100 TB can
+    * run millions of tests), so since round 10 the rank is the
+    * distributed two-level [[globalRank]] and both scalars (`m`, the
+    * step-up `k*`) are one-row aggregates broadcast back; no
+    * single-partition window anywhere.
     */
   def bhFdr(df: DataFrame, idCol: String, pCol: String,
       alphaPct: Int): DataFrame = {
     require(alphaPct >= 1 && alphaPct < 100, "need 1 <= alphaPct < 100")
-    val ranked = df.filter(col(pCol).isNotNull)
+    val base = df.filter(col(pCol).isNotNull)
       .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("p"),
-        col("id"))).cast("int"))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val mRow = base.agg(count(lit(1)).as("__m"))
+    val ranked = globalRank(base, Seq(col("p"), col("id")), "__gr")
+      .withColumn("rank", col("__gr").cast("int")).drop("__gr")
+      .crossJoin(broadcast(mRow))
       .withColumn("crit", expr(s"CAST(rank AS DOUBLE) " +
         s"* CAST($alphaPct AS DOUBLE) / (CAST(100 AS DOUBLE) " +
         s"* CAST(__m AS DOUBLE))"))
+    val kstar = ranked.agg(coalesce(max(when(col("p") <= col("crit"),
+      col("rank"))), lit(0)).as("__kstar"))
     ranked
-      .withColumn("__kstar", max(when(col("p") <= col("crit"),
-        col("rank")).otherwise(0)).over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(kstar))
       .withColumn("discovery", col("rank") <= col("__kstar"))
       .select(col("id"), col("p"), col("rank"), round(col("crit"), 6)
         .as("crit"), col("discovery"))
@@ -1732,9 +1810,24 @@ object Relational {
     *
     * Output: `(source, id, value, bucket, norm_value)`.
     *
-    * Scale: one global `ntile` window (the equi-depth total-order cost
-    * class, accepted for report-grade outputs) + one per-source rank
-    * window + a broadcast join against the B-row boundary table.
+    * Scale: the pooled boundary table is computed WITHOUT the global
+    * `ntile` window it is defined by (round 10; a single-partition sort
+    * of the whole corpus is the first casualty at 1000 executors).
+    * `ntile(B)`'s bucket `i` holds rows at global ranks
+    * `(r_{i-1}, r_i]` with `r_i = i·⌊N/B⌋ + min(i, N mod B)`, so
+    * `groupBy(bucket).max(value)` is exactly "the value at global rank
+    * `r_i`" — and the r-th smallest value is tie-stable (equal values
+    * are interchangeable under any tie permutation, the property the
+    * contract above already leaned on). So: collapse to VALUE grain
+    * with counts (one hash aggregate), take a distributed inclusive
+    * cum-count ([[globalCumSum]] — range partitions + broadcast
+    * offsets, no single-partition window), and pick each boundary rank
+    * with a B-row broadcast range join (the audited dimension-BNLJ
+    * class). Value-identical to the ntile form at every N, B, tie
+    * pattern — including N < B, where ntile emits only N non-empty
+    * buckets and the `__sz > 0` filter drops exactly the empty ones.
+    * Remaining windows: one per-source rank (partitioned) and the
+    * P-row offset pass inside globalCumSum.
     */
   def quantileNormalize(df: DataFrame, sourceCol: String, idCol: String,
       valueCol: String, nBuckets: Int = 100): DataFrame = {
@@ -1742,9 +1835,21 @@ object Relational {
     val v = df.filter(col(valueCol).isNotNull)
       .select(col(sourceCol).as("source"), col(idCol).as("id"),
         col(valueCol).cast("double").as("value"))
-    val pooled = v
-      .withColumn("__b", ntile(nBuckets).over(Window.orderBy(col("value"))))
-      .groupBy(col("__b")).agg(max(col("value")).as("norm_value"))
+    val vc = v.groupBy(col("value")).agg(count(lit(1)).as("__c"))
+    val cumd = globalCumSum(vc, Seq(col("value")), col("__c"), "__cum")
+    val nRow = v.agg(count(lit(1)).as("__N"))
+    val ranks = df.sparkSession.range(1, nBuckets + 1).toDF("__i")
+      .crossJoin(broadcast(nRow))
+      .select(col("__i").cast("int").as("__b"),
+        (col("__i") * expr(s"__N DIV $nBuckets")
+          + least(col("__i"), expr(s"__N % $nBuckets"))).as("__r"),
+        (expr(s"__N DIV $nBuckets")
+          + when(col("__i") <= expr(s"__N % $nBuckets"), lit(1L))
+            .otherwise(lit(0L))).as("__sz"))
+      .filter(col("__sz") > 0)
+    val pooled = cumd.join(broadcast(ranks),
+        col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
+      .select(col("__b"), col("value").as("norm_value"))
     val ranked = v
       .withColumn("__r", row_number().over(Window
         .partitionBy(col("source")).orderBy(col("value"), col("id"))))
