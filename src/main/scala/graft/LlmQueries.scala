@@ -5060,6 +5060,105 @@ object LlmQueries {
         SELECT l_returnflag, l_linestatus, mode_value, n_mode FROM r
         WHERE rk = 1"""))
 
+  /** Corpus-trained bigram-LM fluency score per document (add-one
+    * smoothing, integer micro-nats) — the statistical quality filter. */
+  private val l166 = Spec("q301_bigram_lm",
+    (s, d) => graft.llm.Lexical.bigramLmScore(
+      T(s, d, "documents"), "doc_id", "text"),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        u AS (SELECT unnest(words) AS w FROM t),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+        vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+        g AS (SELECT doc_id, unnest([array_to_string(words[i+1:i+2], ' ')
+          for i in range(CASE WHEN len(words) >= 2 THEN len(words)-1
+          ELSE 0 END)]) AS gram FROM t),
+        dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2),
+        c2 AS (SELECT gram, CAST(sum(cnt) AS BIGINT) AS c2
+          FROM dg GROUP BY 1),
+        m AS (SELECT c2.gram, CAST(round((ln(CAST(c1.c1 + vv.v AS DOUBLE))
+            - ln(CAST(c2.c2 + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS nll
+          FROM c2 CROSS JOIN vv
+          JOIN c1 ON string_split(c2.gram, ' ')[1] = c1.w)
+        SELECT dg.doc_id, CAST(sum(dg.cnt) AS BIGINT) AS n_bigrams,
+          CAST(sum(dg.cnt * m.nll) AS BIGINT) AS nll_micro_sum,
+          CAST(sum(dg.cnt * m.nll) // sum(dg.cnt) AS BIGINT)
+            AS nll_micro_avg
+        FROM dg JOIN m USING (gram) GROUP BY 1"""))
+
+  /** Exact duplicated 8-token-window density per document (ppm) — the
+    * exact-substring memorization-risk score. */
+  private val l167 = Spec("q302_dup_windows",
+    (s, d) => graft.llm.Dedup.dupWindowPpm(
+      T(s, d, "documents"), "doc_id", "text", n = 8),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT doc_id, unnest([array_to_string(words[i+1:i+8], ' ')
+          for i in range(CASE WHEN len(words) >= 8 THEN len(words)-7
+          ELSE 0 END)]) AS gram FROM t),
+        dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2),
+        dp AS (SELECT gram, count(*) AS ndocs FROM dg GROUP BY 1)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_win,
+          CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+            AS n_dup,
+          CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS dup_ppm
+        FROM dg JOIN dp USING (gram) GROUP BY 1"""))
+
+  /** Exact Gini concentration of character mass across documents —
+    * the corpus-balance audit, on the distributed global rank. */
+  private val l168 = Spec("q303_gini_chars",
+    (s, d) => graft.engine.Relational.giniReport(
+      T(s, d, "documents"), "n_chars", "doc_id"),
+    Some("""WITH v AS (SELECT doc_id AS gid, CAST(n_chars AS BIGINT) AS x
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, gid)
+          AS HUGEINT) AS rk FROM v)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(coalesce(sum(x), 0) AS BIGINT) AS total,
+          CAST(CASE WHEN count(*) > 0 AND coalesce(sum(x), 0) > 0 THEN
+            sum(rk * x) * 2000000 // (CAST(count(*) AS HUGEINT) * sum(x))
+            - (CAST(count(*) AS HUGEINT) + 1) * 1000000 // count(*)
+          END AS BIGINT) AS gini_ppm
+        FROM r"""))
+
+  /** Pointwise mutual information of (lang, source) cells in integer
+    * micro-nats — the mix-design association audit. */
+  private val l169 = Spec("q304_pmi_lang_source",
+    (s, d) => graft.engine.Relational.pmiTable(
+      T(s, d, "documents"), "lang", "source"),
+    Some("""WITH v AS (SELECT lang, source FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL),
+        c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2),
+        ra AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ra
+          FROM c GROUP BY 1),
+        cb AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb
+          FROM c GROUP BY 1),
+        nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+        SELECT c.lang, c.source, c.n,
+          CAST(round((ln(CAST(c.n AS DOUBLE)) + ln(CAST(nn.nt AS DOUBLE))
+            - ln(CAST(ra.ra AS DOUBLE)) - ln(CAST(cb.cb AS DOUBLE)))
+            * 1000000) AS BIGINT) AS pmi_micro
+        FROM c JOIN ra USING (lang) JOIN cb USING (source)
+          CROSS JOIN nn"""))
+
+  /** k-anonymity audit over generalized event quasi-identifiers
+    * (user bucket × type × day), k = 5 — the privacy suppression
+    * worklist. */
+  private val l170 = Spec("q305_kanon_audit",
+    (s, d) => graft.engine.Relational.kAnonymityViolations(
+      T(s, d, "events").select(
+        expr("user_id DIV 10").as("user_bucket"), col("event_type"),
+        // day as a TRUNCATED TIMESTAMP, not DATE: a date32 parquet dump
+        // lands as python-object cells in the driver's pandas
+        // comparator and schema-fails against DuckDB's datetime64
+        date_trunc("day", col("ts")).as("day")),
+      Seq("user_bucket", "event_type", "day"), k = 5),
+    Some("""SELECT user_id // 10 AS user_bucket, event_type,
+          date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3 HAVING count(*) < 5"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5073,5 +5172,6 @@ object LlmQueries {
     l124, l125, l126, l127, l128, l129, l130, l131, l132, l133, l134,
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
-    l156, l157, l158, l159, l160, l161, l162, l163, l164, l165)
+    l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
+    l166, l167, l168, l169, l170)
 }

@@ -1988,4 +1988,94 @@ object Relational {
         s"/ CAST(n - k AS DOUBLE)) END"), 6))
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
   }
+
+  /** Exact Gini concentration index of a non-negative measure, in ppm —
+    * the corpus-balance audit ("how concentrated is token/byte mass
+    * across documents/sources"): 0 = perfectly uniform, →10⁶ = one row
+    * holds everything. Uses the rank formula
+    * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over ascending x, computed as
+    * two integral floor divisions in ppm (operands positive, so floor =
+    * truncate on both engines); `Σ i·xᵢ` is tie-permutation-invariant
+    * (equal x swap ranks without changing the sum), so the result is
+    * deterministic under any tiebreak.
+    *
+    * Output: one row `(n_rows, total, gini_ppm)`; `gini_ppm` null on an
+    * empty or zero-mass input.
+    *
+    * Scale: the global rank is the distributed two-level [[globalRank]]
+    * (range exchange + broadcast offsets — no single-partition window);
+    * the rank-weighted sum accumulates in DECIMAL(38,0), exact to
+    * `Σ i·xᵢ < 10³²` (10¹² rows of 10¹⁴ total mass — past the 100 TB
+    * point by orders).
+    */
+  def giniReport(df: DataFrame, valueCol: String,
+      idCol: String): DataFrame = {
+    val v = df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(idCol).as("__gid"), col(valueCol).cast("long").as("__x"))
+    globalRank(v, Seq(col("__x"), col("__gid")), "__rk")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__x")), lit(0L)).cast("long").as("total"),
+        sum(col("__rk").cast("decimal(38,0)") * col("__x")).as("__s"))
+      .withColumn("gini_ppm", when(col("n_rows") > 0 && col("total") > 0,
+        expr("""__s * 2000000 DIV (CAST(n_rows AS DECIMAL(38,0)) * total)
+          - (CAST(n_rows AS DECIMAL(38,0)) + 1) * 1000000 DIV n_rows"""))
+        .cast("long"))
+      .select(col("n_rows"), col("total"), col("gini_ppm"))
+  }
+
+  /** Pointwise mutual information between two categorical columns, one
+    * row per observed cell: `pmi = ln(n·N / (rₐ·c_b))` in INTEGER
+    * micro-nats (the four-ln sum form — both engines run the identical
+    * libm calls, the magnitude-bounded-round discipline). The
+    * association audit behind mix design: which (lang, source) /
+    * (domain, label) cells are over- or under-represented vs
+    * independence.
+    *
+    * Output: `(a, b, n, pmi_micro)` at cell grain (original column
+    * names preserved).
+    *
+    * Scale: ONE corpus aggregate to cell grain; both marginals and N
+    * are rollups of the persisted cell frame (the corpus is scanned
+    * once, shuffled once). Marginals ride broadcasts — cell/marginal
+    * tables are category-grain (dimension-sized by contract; this op
+    * is for categorical axes, not open-domain keys).
+    */
+  def pmiTable(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val ra = cells.groupBy(col("__a")).agg(sum(col("n")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("n")).as("__cb"))
+    val nRow = cells.agg(sum(col("n")).as("__N"))
+    cells.join(broadcast(ra), Seq("__a")).join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("pmi_micro", round((log(col("n")) + log(col("__N"))
+        - log(col("__ra")) - log(col("__cb"))) * lit(1000000d))
+        .cast("long"))
+      .select(col("__a").as(aCol), col("__b").as(bCol), col("n"),
+        col("pmi_micro"))
+  }
+
+  /** k-anonymity violation worklist: every quasi-identifier combination
+    * observed in FEWER than k rows (a group of size < k re-identifies
+    * its members; the release gate suppresses or generalizes exactly
+    * these groups). The per-group enforcement face of
+    * [[graft.llm.Curation.kAnonymityAudit]]'s one-row summary — the
+    * same split as riAudit (worklist) vs the sketch inclusion report.
+    * Caller passes already-generalized quasi columns (bucketed ids,
+    * truncated dates).
+    *
+    * Output: the violating quasi-identifier groups with their counts.
+    *
+    * Scale: one hash aggregate at quasi-group grain (map-side
+    * combined), one filter — the output is the violation list, which at
+    * 100 TB is exactly the small tail the audit exists to find.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "k-anonymity needs k >= 2")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

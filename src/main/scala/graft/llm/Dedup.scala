@@ -709,4 +709,46 @@ object Dedup {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Exact duplicated-window density per document: the fraction (ppm)
+    * of a document's n-token windows (ALL of them, stride 1 — not the
+    * winnowed sample) that also appear verbatim in at least one OTHER
+    * document. This is the exact-substring memorization-risk face of
+    * the dedup family: winnowing samples windows for cheap pairwise
+    * fingerprinting, while this op answers the per-document question
+    * "how much of this text is copied somewhere else in the corpus"
+    * with zero false positives (windows join on the gram STRING, no
+    * hash — the contract is exact) — the per-doc signal an exact
+    * substring-dedup pass thresholds on.
+    *
+    * Output: `(id, n_win, n_dup, dup_ppm)` — one row per document with
+    * ≥ n tokens; `dup_ppm = n_dup·10⁶ DIV n_win` (non-negative, floor =
+    * truncate on both engines).
+    *
+    * Scale: window occurrences collapse to (doc, gram, cnt) grain in
+    * one hash aggregate (map-side combined) before anything shuffles;
+    * the cross-doc table is a gram-grain count over THAT frame (a row
+    * per gram per doc, so `count(*)` IS the distinct-doc count — no
+    * count-distinct shuffle), and the scoring join is key-equi with
+    * fan-out 1. Boilerplate grams shared by millions of docs are the
+    * AQE skew-join class; nothing is pairwise — doc×doc never appears.
+    */
+  def dupWindowPpm(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "window width must be positive")
+    val dg = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))
+          .as("gram"))
+      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    val perGram = dg.groupBy(col("gram")).agg(count(lit(1)).as("__ndocs"))
+    dg.join(perGram, Seq("gram"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__cnt")).cast("long").as("n_win"),
+        sum(when(col("__ndocs") >= 2, col("__cnt")).otherwise(0L))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_win"))
+      .select(col("__id").as(idCol), col("n_win"), col("n_dup"),
+        col("dup_ppm"))
+  }
 }

@@ -411,4 +411,64 @@ object Lexical {
       .crossJoin(broadcast(pts.select(count(lit(1)).as("n_points"))))
       .select(col("n_points"), col("n_pairs"), col("slope").as("beta"))
   }
+
+  /** Corpus-trained add-one-smoothed bigram language-model score per
+    * document — the classic statistical fluency/quality proxy (a KenLM-
+    * style n-gram LM filter without the external model): the corpus is
+    * its own training set, and a document whose bigrams are rare under
+    * the corpus model (high per-bigram negative log-likelihood) is
+    * boilerplate, keyboard-mash, or wrong-language text the per-doc
+    * heuristics miss. `P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)` with V the
+    * corpus vocabulary size; each position contributes
+    * `round((ln(c(w₁)+V) − ln(c(w₁w₂)+1))·10⁶)` INTEGER micro-nats
+    * (the two-ln difference form, never `ln` of the ratio — both
+    * engines evaluate the identical libm calls, the zipfFit
+    * discipline), summed exactly per document.
+    *
+    * Output: `(id, n_bigrams, nll_micro_sum, nll_micro_avg)` — one row
+    * per document with ≥ 2 tokens; avg is integral `DIV` (operands
+    * non-negative by construction: `c(w₁w₂) ≤ c(w₁)` and `V ≥ 1`, so
+    * every per-position term is ≥ 0 and floor = truncate on both
+    * engines).
+    *
+    * Scale: the model is DERIVED, not joined at token grain — the
+    * (doc, bigram, cnt) frame is aggregated once and persisted for its
+    * two readers (corpus bigram totals roll up from it; per-doc scores
+    * join it), so the corpus token stream is never shuffled raw. The
+    * unigram/bigram model tables are Heaps-sublinear in corpus size;
+    * the scoring join is key-equi on the bigram string with fan-out 1
+    * (popular-bigram skew is the AQE skew-join class). The
+    * unigram-count join runs at MODEL grain (bigram × vocab, both
+    * Heaps-sublinear — never broadcast: a 100 TB vocabulary is not
+    * dimension-sized); only the one-row V frame rides a broadcast. Two
+    * corpus scans total (unigram explode + bigram explode — cheaper at
+    * 100 TB than materializing per-doc token arrays for reuse).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = docs.select(explode(Text.tokens(col(textCol))).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+      .persist()
+    val vRow = uni.agg(count(lit(1)).as("__V"))
+    val dg = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), 2))
+          .as("gram"))
+      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    val model = dg.groupBy(col("gram")).agg(sum(col("__cnt")).as("__c2"))
+      .withColumn("__w1", substring_index(col("gram"), " ", 1))
+      .join(uni, Seq("__w1"))
+      .crossJoin(broadcast(vRow))
+      .withColumn("__nll", round((log(col("__c1") + col("__V"))
+        - log(col("__c2") + lit(1L))) * lit(1000000d)).cast("long"))
+      .select(col("gram"), col("__nll"))
+    dg.join(model, Seq("gram"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__cnt")).cast("long").as("n_bigrams"),
+        sum((col("__cnt") * col("__nll")).cast("decimal(38,0)"))
+          .cast("long").as("nll_micro_sum"))
+      .withColumn("nll_micro_avg", expr("nll_micro_sum DIV n_bigrams"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("nll_micro_sum"), col("nll_micro_avg"))
+  }
 }
