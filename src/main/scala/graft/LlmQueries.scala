@@ -5122,26 +5122,38 @@ object LlmQueries {
           END AS BIGINT) AS gini_ppm
         FROM r"""))
 
-  /** Pointwise mutual information of (lang, source) cells in integer
-    * micro-nats — the mix-design association audit. */
-  private val l169 = Spec("q304_pmi_lang_source",
-    (s, d) => graft.engine.Relational.pmiTable(
-      T(s, d, "documents"), "lang", "source"),
-    Some("""WITH v AS (SELECT lang, source FROM documents
-          WHERE lang IS NOT NULL AND source IS NOT NULL),
-        c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-          FROM v GROUP BY 1, 2),
-        ra AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ra
-          FROM c GROUP BY 1),
-        cb AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb
-          FROM c GROUP BY 1),
-        nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
-        SELECT c.lang, c.source, c.n,
-          CAST(round((ln(CAST(c.n AS DOUBLE)) + ln(CAST(nn.nt AS DOUBLE))
-            - ln(CAST(ra.ra AS DOUBLE)) - ln(CAST(cb.cb AS DOUBLE)))
-            * 1000000) AS BIGINT) AS pmi_micro
-        FROM c JOIN ra USING (lang) JOIN cb USING (source)
-          CROSS JOIN nn"""))
+  /** Exact tie-aware Spearman rank correlation of quantity vs extended
+    * price — the monotone-association audit on the distributed
+    * average-rank construction (quantity's 50-value domain is the
+    * heavy-tie stress). */
+  private val l169 = Spec("q304_spearman",
+    (s, d) => graft.engine.Relational.spearmanCorr(
+      T(s, d, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some(s"""WITH v AS (SELECT l_quantity AS x, l_extendedprice AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+        rx AS (SELECT x, CAST(2 * sum(c) OVER (ORDER BY x) - c + 1
+          AS BIGINT) AS r2x FROM cx),
+        cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+        ry AS (SELECT y, CAST(2 * sum(c) OVER (ORDER BY y) - c + 1
+          AS BIGINT) AS r2y FROM cy),
+        j AS (SELECT r2x, r2y FROM v
+          JOIN rx USING (x) JOIN ry USING (y)),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+          CAST(sum(CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+          CAST(sum(CAST(r2x AS DECIMAL(38,0))
+            * CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+          CAST(sum(CAST(r2x AS DECIMAL(38,0))
+            * CAST(r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+          CAST(sum(CAST(r2y AS DECIMAL(38,0))
+            * CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+          FROM j)
+        SELECT n, ${graft.engine.Relational.spearmanRhoSql} AS rho
+        FROM st"""))
 
   /** k-anonymity audit over generalized event quasi-identifiers
     * (user bucket × type × day), k = 5 — the privacy suppression

@@ -1989,10 +1989,12 @@ object Relational {
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
   }
 
-  /** Exact Gini concentration index of a non-negative measure, in ppm —
-    * the corpus-balance audit ("how concentrated is token/byte mass
-    * across documents/sources"): 0 = perfectly uniform, →10⁶ = one row
-    * holds everything. Uses the rank formula
+  /** Exact CORPUS-GRAIN Gini concentration index of a non-negative
+    * measure, in ppm — the global face of the per-group [[giniIndex]]
+    * (whose partitioned rank window cannot run with an empty partition
+    * spec at scale; this one exists precisely for the
+    * whole-corpus/whole-source axis): 0 = perfectly uniform, →10⁶ = one
+    * row holds everything. Uses the rank formula
     * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over ascending x, computed as
     * two integral floor divisions in ppm (operands positive, so floor =
     * truncate on both engines); `Σ i·xᵢ` is tie-permutation-invariant
@@ -2023,38 +2025,65 @@ object Relational {
       .select(col("n_rows"), col("total"), col("gini_ppm"))
   }
 
-  /** Pointwise mutual information between two categorical columns, one
-    * row per observed cell: `pmi = ln(n·N / (rₐ·c_b))` in INTEGER
-    * micro-nats (the four-ln sum form — both engines run the identical
-    * libm calls, the magnitude-bounded-round discipline). The
-    * association audit behind mix design: which (lang, source) /
-    * (domain, label) cells are over- or under-represented vs
-    * independence.
+  /** Exact tie-aware Spearman rank correlation between two numeric
+    * columns — the monotone-association audit (Pearson sees only linear
+    * relationships; data-quality drift is usually monotone-but-curved).
+    * Standard fractional (average) ranks under ties, carried as the
+    * INTEGER `2·rank_avg = 2·cum − c + 1` (cum = inclusive cumulative
+    * count at the row's value, c = the value's tie count — doubling
+    * clears the ½, and the scale factor cancels in the correlation), so
+    * every rank is exact; the sufficient statistics accumulate in
+    * DECIMAL(38,0) and combine in DOUBLE with the discriminants kept
+    * separate under their square roots (the [[correlationMatrix]]
+    * discipline).
     *
-    * Output: `(a, b, n, pmi_micro)` at cell grain (original column
-    * names preserved).
+    * Output: one row `(n, rho)`; rho null when either margin is
+    * constant (zero rank variance).
     *
-    * Scale: ONE corpus aggregate to cell grain; both marginals and N
-    * are rollups of the persisted cell frame (the corpus is scanned
-    * once, shuffled once). Marginals ride broadcasts — cell/marginal
-    * tables are category-grain (dimension-sized by contract; this op
-    * is for categorical axes, not open-domain keys).
+    * Scale: ranks come from value-grain count frames through
+    * [[globalCumSum]] (range exchange + broadcast offsets — no
+    * single-partition window, no corpus-grain sort), joined back to
+    * rows on the value key (fan-out 1; heavy-tie values are the AQE
+    * skew-join class). Everything else is one aggregate.
     */
-  def pmiTable(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
-      .agg(count(lit(1)).as("n"))
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
       .persist()
-    val ra = cells.groupBy(col("__a")).agg(sum(col("n")).as("__ra"))
-    val cb = cells.groupBy(col("__b")).agg(sum(col("n")).as("__cb"))
-    val nRow = cells.agg(sum(col("n")).as("__N"))
-    cells.join(broadcast(ra), Seq("__a")).join(broadcast(cb), Seq("__b"))
-      .crossJoin(broadcast(nRow))
-      .withColumn("pmi_micro", round((log(col("n")) + log(col("__N"))
-        - log(col("__ra")) - log(col("__cb"))) * lit(1000000d))
-        .cast("long"))
-      .select(col("__a").as(aCol), col("__b").as(bCol), col("n"),
-        col("pmi_micro"))
+    def ranks(c: String): DataFrame = {
+      val counts = v.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      globalCumSum(counts, Seq(col(c)), col("__c"), "__cum")
+        .select(col(c), (col("__cum") * 2 - col("__c") + 1).as(s"__r$c"))
+    }
+    val rr = v.join(ranks("__x"), Seq("__x")).join(ranks("__y"), Seq("__y"))
+    val stats = rr.agg(count(lit(1)).as("n"),
+      sum(col("__r__x").cast(d38)).as("sx"),
+      sum(col("__r__y").cast(d38)).as("sy"),
+      // cast BEFORE multiply: 2·rank products pass 2⁶³ past ~2.3e9 rows
+      sum(col("__r__x").cast(d38) * col("__r__y").cast(d38)).as("sxy"),
+      sum(col("__r__x").cast(d38) * col("__r__x").cast(d38)).as("sxx"),
+      sum(col("__r__y").cast(d38) * col("__r__y").cast(d38)).as("syy"))
+    stats.select(col("n"), expr(spearmanRhoSql).as("rho"))
+  }
+
+  /** Shared engine/oracle rho fragment over the exact Spearman
+    * sufficient statistics `(n, sx, sy, sxy, sxx, syy)` — ONE copy
+    * parsed by both Spark `expr` and DuckDB so the IEEE association
+    * order is identical by construction (the [[welchDerivedSql]]
+    * discipline). Scale-0 decimal → double is a single
+    * correctly-rounded conversion on both engines while the sums stay
+    * below 2⁶⁴ (Σ(2·rank)² < 2⁶⁴ up to ~10⁶·⁷ rows per call — the
+    * documented bit-parity bound; beyond it both engines remain
+    * internally exact, only cross-engine ulp identity is unproven).
+    */
+  val spearmanRhoSql: String = {
+    def cv(c: String) = s"CAST($c AS DOUBLE)"
+    val dx = s"(CAST(n AS DOUBLE) * ${cv("sxx")} - ${cv("sx")} * ${cv("sx")})"
+    val dy = s"(CAST(n AS DOUBLE) * ${cv("syy")} - ${cv("sy")} * ${cv("sy")})"
+    s"""round(CASE WHEN n > 0 AND $dx > 0 AND $dy > 0 THEN
+      (CAST(n AS DOUBLE) * ${cv("sxy")} - ${cv("sx")} * ${cv("sy")})
+      / (sqrt($dx) * sqrt($dy)) END, 6)"""
   }
 
   /** k-anonymity violation worklist: every quasi-identifier combination

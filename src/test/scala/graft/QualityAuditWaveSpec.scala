@@ -85,23 +85,43 @@ class QualityAuditWaveSpec extends SparkSpec {
     assert(g1 == g2)
   }
 
-  test("pmiTable: hand 2x2 cells in exact micro-nats") {
-    val df = Seq(("a1", "b1"), ("a1", "b1"), ("a1", "b2"), ("a2", "b1"))
+  test("spearmanCorr: exact monotone/reverse/tie behavior and the " +
+      "constant-margin null") {
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 99.0))
       .toDF("x", "y")
-    val r = Relational.pmiTable(df, "x", "y").collect()
-      .map(v => (v.getString(0), v.getString(1)) -> v).toMap
-    assert(r.size == 3)
-    // N=4, ra(a1)=3, ra(a2)=1, cb(b1)=3, cb(b2)=1
-    assert(r(("a1", "b1")).getLong(2) == 2)
-    assert(r(("a1", "b1")).getLong(3) ==
-      micro(math.log(2) + math.log(4) - math.log(3) - math.log(3)))
-    assert(r(("a2", "b1")).getLong(3) ==
-      micro(math.log(1) + math.log(4) - math.log(1) - math.log(3)))
-    // perfectly independent uniform 2x2 -> pmi 0 everywhere
-    val ind = Seq(("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"))
-      .toDF("x", "y")
-    assert(Relational.pmiTable(ind, "x", "y").collect()
-      .forall(_.getLong(3) == 0L))
+    val rm = Relational.spearmanCorr(mono, "x", "y").collect().head
+    assert(rm.getLong(0) == 4 && rm.getDouble(1) == 1.0,
+      "any strictly monotone map -> rho exactly 1")
+    val rev = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Relational.spearmanCorr(rev, "x", "y").collect().head
+      .getDouble(1) == -1.0)
+    // tie-averaged ranks: x=(1,1,2), y=(3,5,4); avg rank x = (1.5,1.5,3)
+    // 2r: x=(3,3,6), y=(2,6,4); hand rho = -(1/2)/(1*sqrt(...)):
+    // n=3 sx=12 sy=12 sxy=(3*2+3*6+6*4)=48 sxx=54 syy=56
+    // num=3*48-144=0 -> rho = 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("x", "y")
+    assert(Relational.spearmanCorr(tied, "x", "y").collect().head
+      .getDouble(1) == 0.0)
+    // constant x margin: zero rank variance -> null
+    val const = Seq((7.0, 1.0), (7.0, 2.0)).toDF("x", "y")
+    assert(Relational.spearmanCorr(const, "x", "y").collect().head
+      .isNullAt(1))
+    // empty input: n = 0, rho null
+    val e = Seq.empty[(Double, Double)].toDF("x", "y")
+    val re = Relational.spearmanCorr(e, "x", "y").collect().head
+    assert(re.getLong(0) == 0 && re.isNullAt(1))
+  }
+
+  test("spearmanCorr: partition-invariant (rank construction is " +
+      "distribution-proof)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(10).toDouble, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("x", "y")
+    val a = Relational.spearmanCorr(df, "x", "y").collect().head
+    val b = Relational.spearmanCorr(df.repartition(17), "x", "y")
+      .collect().head
+    assert(a.getDouble(1) == b.getDouble(1))
   }
 
   test("kAnonymityViolations: only the under-k groups surface") {
