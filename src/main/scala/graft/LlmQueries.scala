@@ -5086,24 +5086,35 @@ object LlmQueries {
             AS nll_micro_avg
         FROM dg JOIN m USING (gram) GROUP BY 1"""))
 
-  /** Exact duplicated 8-token-window density per document (ppm) — the
-    * exact-substring memorization-risk score. */
+  /** Exact duplicated 8-token-window density + longest contiguous
+    * duplicated span per document — the ExactSubstr memorization-risk
+    * structure (exact-string verify face of q123's hashed report). */
   private val l167 = Spec("q302_dup_windows",
-    (s, d) => graft.llm.Dedup.dupWindowPpm(
+    (s, d) => graft.llm.Dedup.dupSpanReport(
       T(s, d, "documents"), "doc_id", "text", n = 8),
     Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
-        g AS (SELECT doc_id, unnest([array_to_string(words[i+1:i+8], ' ')
+        g AS (SELECT doc_id, unnest([{'p': i,
+          'w': array_to_string(words[i+1:i+8], ' ')}
           for i in range(CASE WHEN len(words) >= 8 THEN len(words)-7
-          ELSE 0 END)]) AS gram FROM t),
-        dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
-          FROM g GROUP BY 1, 2),
-        dp AS (SELECT gram, count(*) AS ndocs FROM dg GROUP BY 1)
-        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_win,
-          CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
-            AS n_dup,
-          CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) * 1000000
-            // sum(cnt) AS BIGINT) AS dup_ppm
-        FROM dg JOIN dp USING (gram) GROUP BY 1"""))
+          ELSE 0 END)]) AS u FROM t),
+        gp AS (SELECT doc_id, u.p AS pos, u.w AS gram FROM g),
+        nd AS (SELECT gram FROM gp GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT doc_id, pos FROM gp JOIN nd USING (gram)),
+        isl AS (SELECT doc_id, pos - row_number()
+          OVER (PARTITION BY doc_id ORDER BY pos) AS isle FROM dup),
+        runs AS (SELECT doc_id, isle, CAST(count(*) AS BIGINT) AS rl
+          FROM isl GROUP BY 1, 2),
+        sp AS (SELECT doc_id, CAST(sum(rl) AS BIGINT) AS ndup,
+          CAST(max(rl) AS BIGINT) AS mr FROM runs GROUP BY 1),
+        nw AS (SELECT doc_id, CAST(len(words) - 7 AS BIGINT) AS n_win
+          FROM t WHERE len(words) >= 8)
+        SELECT nw.doc_id, nw.n_win,
+          CAST(coalesce(sp.ndup, 0) AS BIGINT) AS n_dup,
+          CAST(coalesce(sp.ndup, 0) * 1000000 // nw.n_win AS BIGINT)
+            AS dup_ppm,
+          CAST(coalesce(sp.mr + 7, 0) AS BIGINT) AS max_span_tokens
+        FROM nw LEFT JOIN sp USING (doc_id)"""))
 
   /** Exact Gini concentration of character mass across documents —
     * the corpus-balance audit, on the distributed global rank. */

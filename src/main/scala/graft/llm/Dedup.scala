@@ -710,45 +710,59 @@ object Dedup {
     frames.reduce(_ unionByName _)
   }
 
-  /** Exact duplicated-window density per document: the fraction (ppm)
-    * of a document's n-token windows (ALL of them, stride 1 — not the
-    * winnowed sample) that also appear verbatim in at least one OTHER
-    * document. This is the exact-substring memorization-risk face of
-    * the dedup family: winnowing samples windows for cheap pairwise
-    * fingerprinting, while this op answers the per-document question
-    * "how much of this text is copied somewhere else in the corpus"
-    * with zero false positives (windows join on the gram STRING, no
-    * hash — the contract is exact) — the per-doc signal an exact
-    * substring-dedup pass thresholds on.
+  /** Exact duplicated-SPAN structure per document: over ALL stride-1
+    * n-token windows, the density (ppm) of windows that also appear
+    * verbatim in at least one OTHER document, AND the length in tokens
+    * of the longest CONTIGUOUS duplicated run — the Lee et al. 2022
+    * ExactSubstr span metric ("this doc contains a 600-token verbatim
+    * block" reads very differently from "0.1% of its windows repeat").
+    * Windows join on the gram STRING — zero false positives is the
+    * contract; this is the exact verify + span-structure face of
+    * [[graft.llm.Curation.repeatedSpans]]'s hashed counting report
+    * (which adds first-position and hash-keyed cheapness, but no run
+    * structure).
     *
-    * Output: `(id, n_win, n_dup, dup_ppm)` — one row per document with
-    * ≥ n tokens; `dup_ppm = n_dup·10⁶ DIV n_win` (non-negative, floor =
+    * Output: `(id, n_win, n_dup, dup_ppm, max_span_tokens)` — one row
+    * per document with ≥ n tokens; a run of k consecutive duplicated
+    * windows spans `k + n − 1` tokens; `max_span_tokens` 0 when
+    * nothing repeats. `dup_ppm` operands are non-negative (floor =
     * truncate on both engines).
     *
-    * Scale: window occurrences collapse to (doc, gram, cnt) grain in
-    * one hash aggregate (map-side combined) before anything shuffles;
-    * the cross-doc table is a gram-grain count over THAT frame (a row
-    * per gram per doc, so `count(*)` IS the distinct-doc count — no
-    * count-distinct shuffle), and the scoring join is key-equi with
-    * fan-out 1. Boilerplate grams shared by millions of docs are the
-    * AQE skew-join class; nothing is pairwise — doc×doc never appears.
+    * Scale: the positional stream is narrow (id, pos, gram) and is
+    * scanned twice rather than persisted (corpus-position grain does
+    * not cache at 100 TB — the bigramLmScore trade, documented there);
+    * the duplicated-gram list is a gram-grain two-phase count-distinct,
+    * the membership join is a left-semi on the gram key, and the
+    * gaps-and-islands window is PARTITIONED per doc (`pos −
+    * row_number`) — never corpus-grain. `n_win` derives from the
+    * counting tokenizer scan, no window materialization. Boilerplate
+    * grams are the AQE skew-join class; nothing is pairwise.
     */
-  def dupWindowPpm(docs: DataFrame, idCol: String, textCol: String,
+  def dupSpanReport(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, "window width must be positive")
-    val dg = docs.select(col(idCol).as("__id"),
-        explode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))
-          .as("gram"))
-      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("__cnt"))
-      .persist()
-    val perGram = dg.groupBy(col("gram")).agg(count(lit(1)).as("__ndocs"))
-    dg.join(perGram, Seq("gram"))
+    val wins = docs.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))
+        .as(Seq("__pos", "gram")))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gram"))
+    val runs = wins.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("__isle", col("__pos") - row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__pos"))))
+      .groupBy(col("__id"), col("__isle")).agg(count(lit(1)).as("__rl"))
       .groupBy(col("__id"))
-      .agg(sum(col("__cnt")).cast("long").as("n_win"),
-        sum(when(col("__ndocs") >= 2, col("__cnt")).otherwise(0L))
-          .cast("long").as("n_dup"))
-      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_win"))
-      .select(col("__id").as(idCol), col("n_win"), col("n_dup"),
-        col("dup_ppm"))
+      .agg(sum(col("__rl")).as("__ndup"), max(col("__rl")).as("__mr"))
+    val nw = docs.select(col(idCol).as("__id"),
+        (graft.llm.Text.tokenCount(col(textCol)).cast("long")
+          - (n - 1)).as("n_win"))
+      .filter(col("n_win") >= 1)
+    nw.join(runs, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_win"),
+        coalesce(col("__ndup"), lit(0L)).cast("long").as("n_dup"),
+        expr("coalesce(__ndup, 0) * 1000000 DIV n_win").as("dup_ppm"),
+        coalesce(col("__mr") + (n - 1), lit(0L)).cast("long")
+          .as("max_span_tokens"))
   }
 }

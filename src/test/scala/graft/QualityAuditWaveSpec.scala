@@ -43,20 +43,23 @@ class QualityAuditWaveSpec extends SparkSpec {
     assert(out.head.getLong(2) == 3 * nll)
   }
 
-  test("dupWindowPpm: cross-doc window is a dup, intra-doc repeat is " +
-      "not") {
+  test("dupSpanReport: cross-doc dup detection, span arithmetic, and " +
+      "the intra-doc-only exclusion") {
     val docs = Seq((1L, "x y z"), (2L, "x y q"), (3L, "z"),
-      (4L, "p p p")).toDF("doc_id", "text")
-    val r = Dedup.dupWindowPpm(docs, "doc_id", "text", n = 2)
+      (4L, "p p p"), (5L, "a b c d e"), (6L, "a b c d f"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanReport(docs, "doc_id", "text", n = 2)
       .collect().map(x => x.getLong(0) -> x).toMap
     // doc3: 1 token < n -> no row
     assert(!r.contains(3L))
-    // "x y" appears in docs 1 and 2 -> dup; "y z","y q" unique
+    // "x y" shared by docs 1+2 -> one 1-window run = 2-token span
     assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 1)
-    assert(r(1L).getLong(3) == 500000L)
-    assert(r(2L).getLong(2) == 1)
-    // doc4: "p p" twice but only in ONE doc -> not dup
-    assert(r(4L).getLong(1) == 2 && r(4L).getLong(2) == 0)
+    assert(r(1L).getLong(3) == 500000L && r(1L).getLong(4) == 2)
+    // doc4: "p p" twice but only in ONE doc -> nothing duplicated
+    assert(r(4L).getLong(2) == 0 && r(4L).getLong(4) == 0)
+    // docs 5+6 share windows at pos 0,1,2 -> run of 3 = 4-token span
+    assert(r(5L).getLong(1) == 4 && r(5L).getLong(2) == 3)
+    assert(r(5L).getLong(4) == 4 && r(6L).getLong(4) == 4)
   }
 
   test("giniReport: hand values, uniform zero, and empty-input guard") {
