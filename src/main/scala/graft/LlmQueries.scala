@@ -5182,6 +5182,196 @@ object LlmQueries {
           date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2, 3 HAVING count(*) < 5"""))
 
+  /** 1-D Wasserstein (earth-mover) drift of each order-key-third's
+    * price-cents ECDF against the first — same splits as the KS (q193)
+    * and PSI (q187) reports, completing the drift triple: PSI reads a
+    * fixed histogram, KS the sup gap, W₁ the area (how FAR mass
+    * moved). */
+  private val l171 = Spec("q306_wasserstein",
+    (s, d) => graft.engine.Relational.wassersteinReport(
+      T(s, d, "lineitem").select(
+        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
+          .as("split"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "split", "s0", "cents", lo = 0d, hi = 11000000d, nBuckets = 64),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s, cur.v,
+          cur.cum - cur.t AS excc, r.cum - r.t AS excr,
+          lag(cur.v) OVER (PARTITION BY cur.s ORDER BY cur.v) AS vp,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          sum(CASE WHEN vp IS NULL THEN 0
+            ELSE abs(excr * nc - excc * nr) * (v - vp) END) AS wnum
+          FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur,
+          CAST((wnum * 1000000) // (nr * nc) AS BIGINT) AS w1_micro,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(wnum AS DOUBLE)
+              / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS w1 FROM a"""))
+
+  /** Two-group log-rank test on the q276 Kaplan-Meier cohort:
+    * BUILDING-segment customers against the rest — micro-unit integer
+    * floor terms, one floating z. */
+  private val l172 = Spec("q307_logrank",
+    (s, d) => {
+      val subj = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("datediff(max(o_orderdate), min(o_orderdate)) DIV 365")
+            .cast("int").as("step"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("event"))
+        .join(T(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")), col("c_custkey") === col("o_custkey"))
+      graft.engine.Relational.logRank(subj, "c_mktsegment", "BUILDING",
+        "step", "event")
+    },
+    Some("""WITH s0 AS (SELECT o_custkey,
+          date_diff('day', min(o_orderdate), max(o_orderdate)) // 365
+            AS step,
+          max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS event
+          FROM orders GROUP BY 1),
+        su AS (SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
+            ELSE 0 END AS g1, CAST(s0.step AS BIGINT) AS step, s0.event
+          FROM s0 JOIN customer c ON c.c_custkey = s0.o_custkey),
+        ps AS (SELECT step, CAST(count(*) AS HUGEINT) AS c,
+          CAST(sum(g1) AS HUGEINT) AS c1,
+          CAST(sum(event) AS HUGEINT) AS d,
+          CAST(sum(g1 * event) AS HUGEINT) AS d1 FROM su GROUP BY 1),
+        r AS (SELECT *, sum(c) OVER (ORDER BY step DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+          sum(c1) OVER (ORDER BY step DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_risk
+          FROM ps),
+        t AS (SELECT *, (d * n1_risk * 1000000) // n_risk AS e1m,
+          (d * n1_risk * (n_risk - n1_risk) * (n_risk - d) * 1000000)
+            // (n_risk * n_risk *
+              (CASE WHEN n_risk > 1 THEN n_risk - 1 ELSE 1 END)) AS vm
+          FROM r)
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c) - sum(c1) AS BIGINT) AS n2,
+          CAST(sum(d1) AS BIGINT) AS o1,
+          CAST(sum(d) - sum(d1) AS BIGINT) AS o2,
+          CAST(sum(e1m) AS BIGINT) AS e1_micro,
+          CAST(sum(vm) AS BIGINT) AS v_micro,
+          CASE WHEN sum(vm) > 0 THEN
+            round(CAST(sum(d1) * 1000000 - sum(e1m) AS DOUBLE)
+              / (sqrt(CAST(sum(vm) AS DOUBLE)) * 1000), 6)
+          END AS z FROM t"""))
+
+  /** MRR@20 with same-label relevance (64 probes, self excluded) —
+    * the first-hit companion to q262's whole-list nDCG; all-integer
+    * output. */
+  private val l173 = Spec("q308_mrr",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.mrrAtK(emb, emb.filter(col("vec_id") < 64),
+        "vec_id", "embedding", "label", "vec_id", k = 20)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+          label AS ql FROM embeddings WHERE vec_id < 64),
+        s AS (SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nid) AS rank FROM s),
+        f AS (SELECT query_id, min(rank) AS first_rank FROM r
+          WHERE rank <= 20 AND nl = ql GROUP BY 1)
+        SELECT q.query_id, CAST(f.first_rank AS INT) AS first_rank,
+          CAST(coalesce(1000000 // f.first_rank, 0) AS BIGINT)
+            AS rr_micro
+        FROM q LEFT JOIN f USING (query_id)"""))
+
+  /** l-diversity violation worklist at the RAW user × day quasi grain
+    * (the pre-generalization audit that discovers WHAT to bucket;
+    * q305's k-anonymity face checks the already-generalized release),
+    * sensitive attribute = event_type, l = 3. */
+  private val l174 = Spec("q309_l_diversity",
+    (s, d) => graft.engine.Relational.lDiversityViolations(
+      T(s, d, "events").select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("event_type")),
+      Seq("user_id", "day"), "event_type", l = 3),
+    Some("""WITH cells AS (SELECT user_id,
+          date_trunc('day', ts) AS day, event_type,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3)
+        SELECT user_id, day, CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS l_distinct,
+          CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm
+        FROM cells GROUP BY 1, 2 HAVING count(*) < 3"""))
+
+  /** Pairwise BLEU-2 with brevity penalty over adjacent-doc pairs —
+    * the clipped-precision mirror of q274's ROUGE recall, shared float
+    * composition. */
+  private val l175 = Spec("q310_bleu",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 23 === 0)
+        .join(docs.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      graft.llm.Eval.bleuCorpus(docs, pairs, "doc_id", "text",
+        "cand_id", "ref_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        pr AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 23 = 0),
+        g1 AS (SELECT doc_id, unnest(words) AS gram FROM t),
+        g2 AS (SELECT doc_id, unnest([array_to_string(words[i+1:i+2], ' ')
+          for i in range(CASE WHEN len(words) >= 2 THEN len(words) - 1
+          ELSE 0 END)]) AS gram FROM t),
+        c1 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g1 GROUP BY 1, 2),
+        c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g2 GROUP BY 1, 2),
+        t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c1
+          GROUP BY 1),
+        t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c2
+          GROUP BY 1),
+        ov1 AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(sum(least(a.c, b.c)) AS BIGINT) AS num
+          FROM pr JOIN c1 a ON a.doc_id = pr.cand_id
+          JOIN c1 b ON b.doc_id = pr.ref_id AND b.gram = a.gram
+          GROUP BY 1, 2),
+        ov2 AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(sum(least(a.c, b.c)) AS BIGINT) AS num
+          FROM pr JOIN c2 a ON a.doc_id = pr.cand_id
+          JOIN c2 b ON b.doc_id = pr.ref_id AND b.gram = a.gram
+          GROUP BY 1, 2),
+        f AS (SELECT pr.cand_id, pr.ref_id,
+          coalesce(ta.tot, 0) AS c_len, coalesce(rl.tot, 0) AS r_len,
+          coalesce(ov1.num, 0) AS p1_num, coalesce(ta.tot, 0) AS p1_den,
+          coalesce(ov2.num, 0) AS p2_num, coalesce(tb.tot, 0) AS p2_den
+          FROM pr LEFT JOIN t1 ta ON ta.doc_id = pr.cand_id
+          LEFT JOIN t2 tb ON tb.doc_id = pr.cand_id
+          LEFT JOIN t1 rl ON rl.doc_id = pr.ref_id
+          LEFT JOIN ov1 USING (cand_id, ref_id)
+          LEFT JOIN ov2 USING (cand_id, ref_id))
+        SELECT cand_id, ref_id, CAST(c_len AS BIGINT) AS c_len,
+          CAST(r_len AS BIGINT) AS r_len,
+          CAST(p1_num AS BIGINT) AS p1_num,
+          CAST(p1_den AS BIGINT) AS p1_den,
+          CAST(p2_num AS BIGINT) AS p2_num,
+          CAST(p2_den AS BIGINT) AS p2_den,
+          ${graft.llm.Eval.bleu2Sql} AS bleu FROM f"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5196,5 +5386,5 @@ object LlmQueries {
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
-    l166, l167, l168, l169, l170)
+    l166, l167, l168, l169, l170, l171, l172, l173, l174, l175)
 }

@@ -1012,6 +1012,73 @@ object Relational {
           .as("z"))
   }
 
+  /** Two-sample 1-D Wasserstein (earth-mover) drift report of every
+    * split against `refValue`: `W₁ = ∫ |F_ref − F_cur| dx`, the
+    * area between the two ECDFs — the drift statistic that, unlike
+    * [[ksReport]]'s sup-norm, weighs HOW FAR mass moved (a 1-cent
+    * shift of every price and a 10-dollar shift of 0.1% of prices have
+    * the same KS but very different W₁; t-closeness-style audits read
+    * exactly this). Shares [[ecdfPaired]] with KS/Mann-Whitney.
+    *
+    * Exactness: the ECDF is a right-continuous step function, so the
+    * integral is `Σ_v |F_r(v⁻) − F_c(v⁻)| · (v − v_prev)` over the
+    * merged sparse value axis — and the EXCLUSIVE cums `cum − t` ARE
+    * the previous row's inclusive cums, so every segment height is the
+    * integer `|excr·N_c − excc·N_r|` in DECIMAL(38,0). Only `v_prev`
+    * needs order context: a lag inside each fixed-width value bucket
+    * plus broadcast previous-non-empty-bucket maxima — the same
+    * two-level trick as the prefix sums, no unpartitioned window. The
+    * global minimum value has no predecessor AND zero exclusive cums,
+    * so its segment is exactly 0 either way. `w1_micro = (Σ·10⁶) DIV
+    * (N_r·N_c)` is integral floor division of non-negative operands
+    * (floor = truncate on both engines); `w1` is the one floating
+    * ratio, rounded 6 dp. Numerator bound: Σ ≤ N_r·N_c·(hi−lo), inside
+    * DECIMAL(38,0) past 10⁹-row splits on 10¹²-wide integer axes.
+    * Output per non-reference split: `(split, n_ref, n_cur, w1_micro,
+    * w1)` in the `valCol` units; a missing reference split yields an
+    * empty report, never a silent zero.
+    */
+  def wassersteinReport(df: DataFrame, splitCol: String, refValue: String,
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val e = ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets)
+    val d38 = "decimal(38,0)"
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+        floor((col("__v").cast("double") - lo) / width), lit(0)),
+      lit(nBuckets - 1)).cast("int")
+    val wLag = Window.partitionBy("__s", "__b").orderBy("__v")
+    val b = e.withColumn("__b", bucket)
+      .withColumn("__pl", lag(col("__v"), 1).over(wLag))
+    // previous non-empty bucket's max value: ≤ nBuckets rows per split
+    val wPrev = Window.partitionBy("__s").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pb = b.groupBy(col("__s"), col("__b"))
+      .agg(max(col("__v")).as("__bm"))
+      .withColumn("__pb", max(col("__bm")).over(wPrev))
+      .select(col("__s"), col("__b"), col("__pb"))
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    b.join(broadcast(pb), Seq("__s", "__b"))
+      .withColumn("__vp", coalesce(col("__pl"), col("__pb")))
+      .join(broadcast(tot), Seq("__s"))
+      .withColumn("__seg", when(col("__vp").isNotNull,
+        abs((col("__cumr") - col("__tr")).cast(d38) * col("__n")
+          - (col("__cum") - col("__t")).cast(d38) * col("__nr"))
+          * (col("__v") - col("__vp"))).otherwise(lit(0).cast(d38)))
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        sum(col("__seg")).as("__wnum"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        expr("(__wnum * 1000000) DIV (__nr2 * __nc2)").as("w1_micro"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round(col("__wnum").cast("double") /
+            (col("__nr2").cast("double") * col("__nc2").cast("double")),
+            6)).as("w1"))
+  }
+
   def keySkewReport(df: DataFrame, keys: Seq[String],
       topK: Int): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))
@@ -1604,6 +1671,66 @@ object Relational {
         col("__s.factor").as("factor"), col("survival")): _*)
   }
 
+  /** Two-group log-rank test (Mantel–Haenszel) — the significance
+    * companion to [[kaplanMeier]]: two survival curves can LOOK apart
+    * while the at-risk tail is too thin to support the claim; this is
+    * the test that says so. Group 1 is `groupCol == oneValue`, group 2
+    * is everything else. At each distinct event step `j` with `d_j`
+    * events out of `n_j` at risk (`n1_j` of them in group 1):
+    * `E1_j = d_j·n1_j/n_j` and `V_j = d_j·(n1_j/n_j)·(n2_j/n_j)·
+    * (n_j−d_j)/(n_j−1)`; `Z = (O1 − ΣE1_j)/√(ΣV_j) ~ N(0,1)` under the
+    * null of equal hazards.
+    *
+    * Exactness: per-step terms are INTEGER floor divisions in
+    * micro-events — `e1_micro = (d·n1·10⁶) DIV n` and `v_micro =
+    * (d·n1·(n−n1)·(n−d)·10⁶) DIV (n²·(n−1))` — products routed through
+    * DECIMAL(38,0) (the v numerator is ~N⁴·10⁶: exact past 10⁷
+    * subjects, the momentsSketch-s4 magnitude class, documented not
+    * guarded), then plain integer sums; both engines floor identically
+    * on non-negative operands, so everything up to the final `z` ratio
+    * hashes engine-stable. At-risk counts are REVERSE cumulative sums
+    * of the step-grain count frame via [[globalCumSum]] on the negated
+    * step — never a corpus-grain window; a one-subject tail step
+    * (`n = 1`) has a zero variance numerator, so the `n−1` guard never
+    * divides by zero on a contributing row.
+    *
+    * Output ONE row: `(n1, n2, o1, o2, e1_micro, v_micro, z)` with `z`
+    * null when no step has variance (e.g. a single-group input).
+    */
+  def logRank(df: DataFrame, groupCol: String, oneValue: String,
+      stepCol: String, eventCol: String): DataFrame = {
+    val one = col(groupCol).cast("string") === oneValue
+    val ps = df.filter(col(stepCol).isNotNull)
+      .groupBy(col(stepCol).cast("long").as("step"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(one, 1L).otherwise(0L)).as("__c1"),
+        sum(col(eventCol).cast("long")).as("d"),
+        sum(when(one, col(eventCol).cast("long")).otherwise(0L))
+          .as("d1"))
+    val rAll = globalCumSum(ps, Seq(col("step") * -1), col("__c"),
+      "n_risk")
+    val r1 = globalCumSum(ps.select(col("step"), col("__c1")),
+        Seq(col("step") * -1), col("__c1"), "n1_risk")
+      .select(col("step"), col("n1_risk"))
+    rAll.join(r1, Seq("step"))
+      .withColumn("__e1m", expr(
+        "(CAST(d AS DECIMAL(38,0)) * n1_risk * 1000000) DIV n_risk"))
+      .withColumn("__vm", expr(
+        "(CAST(d AS DECIMAL(38,0)) * n1_risk * (n_risk - n1_risk)" +
+          " * (n_risk - d) * 1000000) DIV" +
+          " (CAST(n_risk AS DECIMAL(38,0)) * n_risk" +
+          " * (CASE WHEN n_risk > 1 THEN n_risk - 1 ELSE 1 END))"))
+      .agg(sum(col("__c1")).cast("long").as("n1"),
+        (sum(col("__c")) - sum(col("__c1"))).cast("long").as("n2"),
+        sum(col("d1")).cast("long").as("o1"),
+        (sum(col("d")) - sum(col("d1"))).cast("long").as("o2"),
+        sum(col("__e1m")).cast("long").as("e1_micro"),
+        sum(col("__vm")).cast("long").as("v_micro"))
+      .withColumn("z", when(col("v_micro") > 0, round(
+        (col("o1") * 1000000L - col("e1_micro")).cast("double") /
+          (sqrt(col("v_micro").cast("double")) * 1000.0), 6)))
+  }
+
   /** Benjamini–Hochberg FDR control (JRSS-B 1995) over a p-value
     * column: rank the `m` p-values ascending, find the largest rank
     * `k*` with `p_(i) ≤ i·α/m`, and flag ranks `≤ k*` as discoveries —
@@ -2106,5 +2233,36 @@ object Relational {
     require(k >= 2, "k-anonymity needs k >= 2")
     df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
+  }
+
+  /** l-diversity violation worklist — the attribute-disclosure
+    * companion to [[kAnonymityViolations]]: a quasi-group can satisfy
+    * k-anonymity and still leak its members' sensitive value when
+    * (almost) every row in the group shares it. Flags every group
+    * whose sensitive attribute takes FEWER than `l` distinct values,
+    * with the dominant value's share as the homogeneity severity.
+    *
+    * Output per violating group: the quasi columns plus `(n,
+    * l_distinct, top_share_ppm)` — `top_share_ppm = (max_count·10⁶)
+    * DIV n`, integral floor of non-negative operands.
+    *
+    * Scale: two hash aggregates — (quasi, sensitive) cell grain (the
+    * map-side-combined collapse; `count(*)` over it IS the distinct
+    * count, no count-distinct shuffle), then quasi grain — and a
+    * filter; like the k-anonymity face, the output is the small
+    * suppression worklist the audit exists to find.
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, "l-diversity needs l >= 2")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        max(col("__c")).cast("long").as("__top"))
+      .filter(col("l_distinct") < l)
+      .withColumn("top_share_ppm", expr("(__top * 1000000) DIV n"))
+      .drop("__top")
   }
 }

@@ -353,4 +353,113 @@ object Eval {
         "+ CAST(n_overlap AS DOUBLE) / CAST(n_b AS DOUBLE)) " +
         "WHEN n_a > 0 AND n_b > 0 THEN CAST(0 AS DOUBLE) END"), 6))
   }
+
+  /** Shared engine/oracle BLEU-2 composition over the six integer
+    * sufficient statistics (ONE copy parsed by both engines). */
+  val bleu2Sql: String =
+    "CASE WHEN c_len = 0 THEN NULL " +
+      "WHEN p1_num = 0 OR p2_num = 0 OR p2_den = 0 " +
+      "THEN CAST(0 AS DOUBLE) ELSE round(" +
+      "(CASE WHEN c_len >= r_len THEN CAST(1 AS DOUBLE) " +
+      "ELSE exp(CAST(1 AS DOUBLE) " +
+      "- CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END) " +
+      "* exp((ln(CAST(p1_num AS DOUBLE) / CAST(p1_den AS DOUBLE)) " +
+      "+ ln(CAST(p2_num AS DOUBLE) / CAST(p2_den AS DOUBLE))) " +
+      "/ CAST(2 AS DOUBLE)), 6) END"
+
+  /** Mean-reciprocal-rank report of the exact cosine scan: for every
+    * probe query, the rank of the FIRST same-label neighbor inside the
+    * top `k` (self excluded) and its reciprocal in micro-units — the
+    * first-hit retrieval metric ([[ndcgAtK]] grades the whole list;
+    * MRR grades only how fast the first relevant result appears, the
+    * number a "find one good example" retrieval loop actually feels).
+    *
+    * Output per query: `(query_id, first_rank, rr_micro)` with
+    * `rr_micro = 10⁶ DIV first_rank` and `(null, 0)` on a top-k miss —
+    * ALL-INTEGER output (ranks from the shared tie-broken ordering;
+    * the corpus mean is `avg(rr_micro)` downstream), so the report
+    * hashes engine-stable with no floating step at all.
+    *
+    * Scale: probes broadcast against the corpus ([[ndcgAtK]] posture);
+    * the `rank ≤ k` filter sits directly over the per-query window so
+    * the group-limit rule prunes to k per partition before the
+    * exchange; nothing pairwise beyond the probe×corpus scan.
+    */
+  def mrrAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val firstRel = corpus.select(col(idCol).as("nid"),
+        col(vecCol).as("cv"), col(labelCol).as("nl"))
+      .join(q)
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("ql"), col("nid"), col("nl"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k && col("nl") === col("ql"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("first_rank"))
+    q.select(col("query_id"))
+      .join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("first_rank").cast("int").as("first_rank"),
+        coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_micro"))
+  }
+
+  /** Pairwise BLEU-2 (Papineni et al., ACL 2002) over candidate /
+    * reference text pairs: modified (clipped) unigram and bigram
+    * precisions with the brevity penalty — the n-gram PRECISION eval
+    * (how much of the candidate is in the reference) where [[rougeN]]
+    * is its recall-side mirror on the same clipped-overlap counts.
+    *
+    * Output per pair: `(cand_id, ref_id, c_len, r_len, p1_num, p1_den,
+    * p2_num, p2_den, bleu)` — six exact integer sufficient statistics
+    * (clip = Σ min(count_cand, count_ref) at gram grain) plus ONE
+    * float composition `BP·exp((ln p₁ + ln p₂)/2)` shared verbatim
+    * with the oracle ([[bleu2Sql]]), rounded 6 dp; an empty candidate
+    * is null, a zero clipped count is an exact 0.
+    *
+    * Scale: gram counts collapse to (doc, gram, cnt) grain map-side,
+    * pairs semi-drive the joins (only paired docs' grams move), the
+    * clip join is key-equi at (doc, gram) — the [[rougeN]] plan shape,
+    * nothing pairwise beyond the declared pair list.
+    */
+  def bleuCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, candCol: String, refCol: String): DataFrame = {
+    val p = pairs.select(col(candCol).as("cand_id"),
+      col(refCol).as("ref_id"))
+    def gramCounts(n: Int) = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col(textCol), n))
+          .as("gram"))
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+    def stats(n: Int): DataFrame = {
+      val g = gramCounts(n)
+      val tot = g.groupBy(col("__id")).agg(sum(col("__c")).as("__tot"))
+      val ov = p.join(g.select(col("__id").as("cand_id"), col("gram"),
+          col("__c").as("__ca")), Seq("cand_id"))
+        .join(g.select(col("__id").as("ref_id"), col("gram"),
+          col("__c").as("__cb")), Seq("ref_id", "gram"))
+        .groupBy(col("cand_id"), col("ref_id"))
+        .agg(sum(least(col("__ca"), col("__cb"))).as(s"p${n}_num"))
+      p.join(tot.select(col("__id").as("cand_id"),
+          col("__tot").as(s"p${n}_den")), Seq("cand_id"), "left")
+        .join(ov, Seq("cand_id", "ref_id"), "left")
+        .select(col("cand_id"), col("ref_id"),
+          coalesce(col(s"p${n}_den"), lit(0L)).as(s"p${n}_den"),
+          coalesce(col(s"p${n}_num"), lit(0L)).as(s"p${n}_num"))
+    }
+    val refLen = docs.select(col(idCol).as("ref_id"),
+      graft.llm.Text.tokenCount(col(textCol)).cast("long").as("r_len"))
+    stats(1).join(stats(2), Seq("cand_id", "ref_id"))
+      .join(refLen, Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        col("p1_den").as("c_len"), coalesce(col("r_len"), lit(0L))
+          .as("r_len"),
+        col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"))
+      .withColumn("bleu", expr(bleu2Sql))
+  }
 }
