@@ -5188,12 +5188,9 @@ object LlmQueries {
     * fixed histogram, KS the sup gap, W₁ the area (how FAR mass
     * moved). */
   private val l171 = Spec("q306_wasserstein",
-    (s, d) => graft.engine.Relational.wassersteinReport(
-      T(s, d, "lineitem").select(
-        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
-          .as("split"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents")),
-      "split", "s0", "cents", lo = 0d, hi = 11000000d, nBuckets = 64),
+    (s, d) => graft.engine.Relational.wassersteinReportFromPaired(
+      Queries.pricePairedEcdf(s, d),
+      lo = 0d, hi = 11000000d, nBuckets = 64),
     Some("""WITH e AS (SELECT
           's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
           CAST(round(l_extendedprice * 100) AS BIGINT) AS v
@@ -5372,6 +5369,94 @@ object LlmQueries {
           CAST(p2_den AS BIGINT) AS p2_den,
           ${graft.llm.Eval.bleu2Sql} AS bleu FROM f"""))
 
+  /** t-closeness violation worklist (TVD > 0.3) over user-bucket × day
+    * quasi-groups, sensitive = event_type — the distributional third
+    * of the privacy triple (q305 k-anon counts rows, q309 l-diversity
+    * counts values, this measures the distribution gap). */
+  private val l176 = Spec("q311_t_closeness",
+    (s, d) => graft.engine.Relational.tClosenessViolations(
+      T(s, d, "events").select(
+        expr("user_id DIV 10").as("user_bucket"),
+        date_trunc("day", col("ts")).as("day"), col("event_type")),
+      Seq("user_bucket", "day"), "event_type", maxTvdPpm = 300000L),
+    Some("""WITH cells AS (SELECT user_id // 10 AS user_bucket,
+          date_trunc('day', ts) AS day, event_type,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3),
+        gl AS (SELECT event_type, sum(c) AS gc FROM cells GROUP BY 1),
+        tot AS (SELECT sum(gc) AS nn FROM gl),
+        gn AS (SELECT user_bucket, day, sum(c) AS gsz FROM cells
+          GROUP BY 1, 2),
+        s AS (SELECT cells.user_bucket, cells.day,
+          max(gn.gsz) AS gsz,
+          sum(abs(CAST(c AS HUGEINT) * nn - CAST(gc AS HUGEINT)
+            * gn.gsz)) AS np,
+          sum(gc) AS pg, max(nn) AS n2
+          FROM cells JOIN gn USING (user_bucket, day)
+          JOIN gl USING (event_type) CROSS JOIN tot GROUP BY 1, 2)
+        SELECT user_bucket, day, CAST(gsz AS BIGINT) AS n,
+          CAST(((np + (n2 - pg) * gsz) * 1000000)
+            // (2 * gsz * n2) AS BIGINT) AS tvd_ppm
+        FROM s
+        WHERE ((np + (n2 - pg) * gsz) * 1000000)
+          // (2 * gsz * n2) > 300000"""))
+
+  /** Contingency-table independence audit: event_type × day-of-week —
+    * chi-square in micro-units (empty cells via the Σo²/e − N
+    * identity) + Cramér's V. The day-of-week encodings differ between
+    * engines (Spark 1-7, DuckDB 0-6) but the statistic only reads the
+    * row partition, which is identical. */
+  private val l177 = Spec("q312_contingency",
+    (s, d) => graft.engine.Relational.contingencyAudit(
+      T(s, d, "events").select(col("event_type"),
+        dayofweek(col("ts")).as("dow")), "event_type", "dow"),
+    Some("""WITH cells AS (SELECT event_type AS a, dayofweek(ts) AS b,
+          CAST(count(*) AS HUGEINT) AS o FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        cb AS (SELECT b, sum(o) AS cc FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS nn, count(DISTINCT a) AS rl,
+          count(DISTINCT b) AS cl FROM cells),
+        t AS (SELECT (o * o * nn * 1000000) // (r * cc) AS tm,
+          nn, rl, cl FROM cells JOIN ra USING (a) JOIN cb USING (b)
+          CROSS JOIN tot)
+        SELECT CAST(max(nn) AS BIGINT) AS n,
+          CAST(max(rl) AS BIGINT) AS r_levels,
+          CAST(max(cl) AS BIGINT) AS c_levels,
+          CAST((max(rl) - 1) * (max(cl) - 1) AS BIGINT) AS dof,
+          CAST(greatest(sum(tm) - max(nn) * 1000000, 0) AS BIGINT)
+            AS chi2_micro,
+          CASE WHEN (max(rl) - 1) * (max(cl) - 1) > 0
+              AND max(nn) > 0 THEN
+            round(sqrt(CAST(greatest(sum(tm) - max(nn) * 1000000, 0)
+                AS DOUBLE) / 1000000.0
+              / (CAST(max(nn) AS DOUBLE)
+                * CAST(least(max(rl) - 1, max(cl) - 1) AS DOUBLE))), 6)
+          END AS cramers_v FROM t"""))
+
+  /** Kish effective sample size + design effect of the value-weighted
+    * event stream per event_type — how much statistical power a
+    * weighted mix actually retains (the audit behind the q119/q297
+    * weighted samplers and q200 mix weights). */
+  private val l178 = Spec("q313_ess",
+    (s, d) => graft.engine.Relational.effectiveSampleSize(
+      T(s, d, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("w")),
+      Seq("event_type"), "w"),
+    Some("""WITH w AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS w FROM events
+          WHERE value IS NOT NULL AND round(value * 100) >= 0),
+        s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(w) AS HUGEINT) AS sw,
+          sum(CAST(w AS HUGEINT) * w) AS sw2 FROM w GROUP BY 1)
+        SELECT event_type, n, CAST(sw AS BIGINT) AS sum_w,
+          CASE WHEN sw2 > 0 THEN
+            round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6)
+          END AS ess,
+          CASE WHEN sw > 0 THEN
+            CAST((n * sw2 * 1000000) // (sw * sw) AS BIGINT)
+          END AS deff_ppm FROM s"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5386,5 +5471,6 @@ object LlmQueries {
     l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
-    l166, l167, l168, l169, l170, l171, l172, l173, l174, l175)
+    l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
+    l176, l177, l178)
 }

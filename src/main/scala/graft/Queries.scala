@@ -2108,6 +2108,20 @@ object Queries {
     * [[graft.engine.Graph.undirected]] (a distinct), so handing them the
     * already-distinct checkpoint leaves values and gate hashes unchanged.
     */
+  /** Session-memoized paired price-cents ECDF frame (split = order-key
+    * third, reference s0): the expensive shared half of the KS (q193)
+    * and Wasserstein (q306) drift reports — one `ecdfPaired`
+    * materialization serves both (already localCheckpoint'd by the
+    * builder, so the memo only prevents the rebuild). */
+  private[graft] def pricePairedEcdf(s: SparkSession, d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "pricePairedEcdf"),
+      graft.engine.Relational.ecdfPaired(
+        T(s, d, "lineitem").select(
+          concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
+            .as("split"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "split", "s0", "cents", lo = 0d, hi = 11000000d, nBuckets = 64))
+
   private[graft] def coPurchaseEdges(s: SparkSession, d: String,
       modFilter: Boolean): DataFrame =
     graphMemo.getOrElseUpdate((s, d, s"coPurchase$modFilter"), {
@@ -2533,12 +2547,7 @@ object Queries {
     * binning-free statistic).
     */
   private val agg24 = Spec("q193_ks_drift",
-    (s, d) => Relational.ksReport(
-      T(s, d, "lineitem").select(
-        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
-          .as("split"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents")),
-      "split", "s0", "cents", lo = 0d, hi = 11000000d, nBuckets = 64),
+    (s, d) => Relational.ksReportFromPaired(pricePairedEcdf(s, d)),
     Some("""WITH e AS (SELECT
           's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
           CAST(round(l_extendedprice * 100) AS BIGINT) AS v

@@ -872,7 +872,7 @@ object Relational {
     * `__tr` column; callers guard on `Σ __tr > 0` to keep the "missing
     * reference → empty report, never a silent zero" contract.
     */
-  private[engine] def ecdfPaired(df: DataFrame, splitCol: String,
+  private[graft] def ecdfPaired(df: DataFrame, splitCol: String,
       refValue: String, valCol: String, lo: Double, hi: Double,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need a positive bucketed range")
@@ -935,8 +935,16 @@ object Relational {
     * silent zero.
     */
   def ksReport(df: DataFrame, splitCol: String, refValue: String,
-      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
-    val e = ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets)
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    ksReportFromPaired(
+      ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets))
+
+  /** [[ksReport]] over an already-built [[ecdfPaired]] frame — the
+    * session-memoization face: KS and Wasserstein on the SAME (input,
+    * split, value) config share one paired-ECDF materialization (the
+    * coPurchaseEdges discipline; the paired frame is the expensive
+    * half of both reports). */
+  private[graft] def ksReportFromPaired(e: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
     // per-split totals off the paired frame itself; __nr > 0 keeps the
     // missing-reference → empty-report contract (an absent reference
@@ -1039,8 +1047,17 @@ object Relational {
     * empty report, never a silent zero.
     */
   def wassersteinReport(df: DataFrame, splitCol: String, refValue: String,
-      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
-    val e = ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets)
+      valCol: String, lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    wassersteinReportFromPaired(
+      ecdfPaired(df, splitCol, refValue, valCol, lo, hi, nBuckets),
+      lo, hi, nBuckets)
+
+  /** [[wassersteinReport]] over an already-built [[ecdfPaired]] frame
+    * (see [[ksReportFromPaired]]); `lo`/`hi`/`nBuckets` must be the
+    * frame's own build parameters — they re-derive the same internal
+    * bucket axis for the two-level lag. */
+  private[graft] def wassersteinReportFromPaired(e: DataFrame,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     val d38 = "decimal(38,0)"
     val width = (hi - lo) / nBuckets
     val bucket = least(greatest(
@@ -2264,5 +2281,151 @@ object Relational {
       .filter(col("l_distinct") < l)
       .withColumn("top_share_ppm", expr("(__top * 1000000) DIV n"))
       .drop("__top")
+  }
+
+  /** t-closeness violation worklist — the distributional third of the
+    * privacy triple ([[kAnonymityViolations]] counts rows,
+    * [[lDiversityViolations]] counts values; this one measures how far
+    * a group's sensitive-value DISTRIBUTION sits from the corpus
+    * distribution, the leak the other two can't see: a group can be
+    * large and diverse yet still reveal "90% churned here"). Distance
+    * is total variation `TVD = ½·Σ_v |p_g(v) − p(v)|` — the standard
+    * t-closeness ground metric for categorical sensitive attributes —
+    * flagged when `tvd_ppm > maxTvdPpm`.
+    *
+    * Exactness: with group cell counts `c`, group size `n`, global
+    * value counts `gc`, corpus size `N`: present values contribute
+    * `|c·N − gc·n|` and the values ABSENT from the group contribute
+    * `(N − Σ_present gc)·n` in one closed form (no densification —
+    * a group never materializes rows for values it doesn't have), so
+    * `tvd_ppm = (Σ·10⁶) DIV (2·n·N)` is all-integer with products in
+    * DECIMAL(38,0) (bound ~N²·|V|: exact past 10⁹ rows).
+    *
+    * Scale: cell-grain aggregate, the global value marginal rolls up
+    * FROM the cell frame (no second scan) and is broadcast (sensitive
+    * attributes are bounded-cardinality by construction — an audit
+    * over a high-cardinality column is a different query), one
+    * group-total join at quasi grain.
+    */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, maxTvdPpm: Long): DataFrame = {
+    require(maxTvdPpm >= 0, "threshold must be non-negative")
+    val d38 = "decimal(38,0)"
+    val cells = df
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).as("__gc"))
+    val tot = glob.agg(sum(col("__gc")).as("__N"))
+    val gn = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__gn"))
+    cells.join(gn, quasiCols)
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__gn")).cast("long").as("n"),
+        sum(abs(col("__c").cast(d38) * col("__N")
+          - col("__gc").cast(d38) * col("__gn"))).as("__np"),
+        sum(col("__gc")).as("__pg"),
+        max(col("__N")).as("__N2"))
+      .withColumn("tvd_ppm", expr(
+        "((__np + CAST(__N2 - __pg AS DECIMAL(38,0)) * n) * 1000000)" +
+          " DIV (CAST(2 AS DECIMAL(38,0)) * n * __N2)"))
+      .filter(col("tvd_ppm") > maxTvdPpm)
+      .drop("__np", "__pg", "__N2")
+  }
+
+  /** Full contingency-table independence audit between two categorical
+    * columns: Pearson chi-square with degrees of freedom and Cramér's V
+    * — the table-level companion to the per-term chi2 ranking
+    * ([[graft.llm.Lexical]] q158 scores terms; this one answers "are
+    * these two columns associated AT ALL, and how strongly" in one
+    * row). Uses the algebraic identity `χ² = Σ_cells o²·N/(r·c) − N`:
+    * EMPTY cells (an observed-cell frame never materializes them)
+    * contribute exactly 0 to the o² sum, so the identity covers the
+    * full r×c table from present cells only — no densification.
+    * `chi2_micro = max(Σ_present ((o²·N·10⁶) DIV (r·c)) − N·10⁶, 0)`:
+    * per-cell integer floor in micro-units (established micro-term
+    * discipline; the Σ's total floor deficit < #cells micro-units, so
+    * the subtraction is clamped at the exact-χ² lower bound 0),
+    * products through DECIMAL(38,0) (o²·N ~ N³: exact past 10¹⁰ rows).
+    * `cramers_v = √(chi2/(N·min(r−1, c−1)))`, the one floating step.
+    *
+    * Output ONE row: `(n, r_levels, c_levels, dof, chi2_micro,
+    * cramers_v)`; a single-level axis has dof 0 and null V.
+    *
+    * Scale: one cell-grain aggregate; both marginals roll up from the
+    * cell frame and broadcast (categorical levels are bounded by
+    * construction — the audit's contract, as in [[tClosenessViolations]]).
+    */
+  def contingencyAudit(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cc"))
+    val tot = cells.agg(sum(col("__o")).as("__N"),
+      countDistinct(col("__a")).as("__rl"),
+      countDistinct(col("__b")).as("__cl"))
+    cells.join(broadcast(ra), Seq("__a"))
+      .join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", expr(
+        "(CAST(__o AS DECIMAL(38,0)) * __o * __N * 1000000)" +
+          " DIV (CAST(__r AS DECIMAL(38,0)) * __cc)"))
+      .groupBy()
+      .agg(max(col("__N")).cast("long").as("n"),
+        max(col("__rl")).cast("long").as("r_levels"),
+        max(col("__cl")).cast("long").as("c_levels"),
+        sum(col("__t")).cast("long").as("__s"))
+      .withColumn("chi2_micro",
+        greatest(col("__s") - col("n") * 1000000L, lit(0L)))
+      .withColumn("dof",
+        (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("cramers_v", when(col("dof") > 0 && col("n") > 0,
+        round(sqrt(col("chi2_micro").cast("double") / 1e6 /
+          (col("n").cast("double") *
+            least(col("r_levels") - 1, col("c_levels") - 1)
+              .cast("double"))), 6)))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        col("chi2_micro"), col("cramers_v"))
+  }
+
+  /** Effective sample size and design effect of a weighted sample, per
+    * group: `ESS = (Σw)²/Σw²` (Kish) and `deff_ppm = (n·Σw²·10⁶) DIV
+    * (Σw)²` — the number that says how much statistical power a
+    * weighted mix ([[graft.llm.Shaping]]'s samplers, DSIR importance
+    * weights, mix resampling) ACTUALLY retains: uniform weights give
+    * ESS = n, one dominant weight collapses it toward 1. Weights are
+    * taken as non-negative integers (caller scales, e.g. cents or
+    * micro-weights); zero-weight rows count in `n` but carry no mass;
+    * an all-zero group has null ESS.
+    *
+    * Exactness: `Σw` and `Σw²` accumulate in DECIMAL(38,0) (exact,
+    * order-proof); `ess` is the one floating division, rounded 6 dp;
+    * `deff_ppm` is integral floor of non-negative operands. Bound:
+    * Σw² ≤ n·w_max² — inside DECIMAL(38,0) past 10⁹ rows of 10¹²
+    * weights.
+    *
+    * Scale: ONE map-side-combined aggregate at group grain.
+    */
+  def effectiveSampleSize(df: DataFrame, groupCols: Seq[String],
+      weightCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(weightCol).cast(d38)).as("__sw"),
+        sum(col(weightCol).cast(d38) * col(weightCol)).as("__sw2"))
+      .withColumn("sum_w", col("__sw").cast("long"))
+      .withColumn("ess", when(col("__sw2") > 0,
+        round((col("__sw") * col("__sw")).cast("double") /
+          col("__sw2").cast("double"), 6)))
+      .withColumn("deff_ppm", when(col("__sw") > 0, expr(
+        "(CAST(n AS DECIMAL(38,0)) * __sw2 * 1000000)" +
+          " DIV (__sw * __sw)")))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("sum_w"),
+        col("ess"), col("deff_ppm"))): _*)
   }
 }

@@ -116,4 +116,55 @@ class StatsPrivacyEvalWaveSpec extends SparkSpec {
     assert(r(5L).getDouble(8) == 0.0)
     assert(r(7L).getLong(2) == 0 && r(7L).isNullAt(8))
   }
+
+  test("tClosenessViolations: hand TVD with absent-value mass, strict " +
+      "threshold") {
+    // global: A x3, B x1 (N=4); g1={A,A} and g2={A,B} both have
+    // TVD = 0.25 exactly (g1 misses B entirely — the absent-mass term)
+    val df = Seq(("g1", "A"), ("g1", "A"), ("g2", "A"), ("g2", "B"))
+      .toDF("q", "sv")
+    val r = Relational.tClosenessViolations(df, Seq("q"), "sv",
+        maxTvdPpm = 200000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("g1", "g2"))
+    assert(r("g1").getLong(1) == 2 && r("g1").getLong(2) == 250000L)
+    assert(r("g2").getLong(2) == 250000L)
+    // threshold is strict: at exactly 250000 nothing surfaces
+    assert(Relational.tClosenessViolations(df, Seq("q"), "sv",
+      250000L).count() == 0)
+  }
+
+  test("contingencyAudit: perfect 2x2 association has chi2 = N and " +
+      "V = 1; empty cells are covered by the o^2/e identity") {
+    val df = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val r = Relational.contingencyAudit(df, "x", "y").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 1)            // dof
+    assert(r.getLong(4) == 4000000L)     // chi2 = N = 4
+    assert(r.getDouble(5) == 1.0)        // Cramér's V
+    // independence: 2x2 uniform -> chi2 exactly 0, V = 0
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val ri = Relational.contingencyAudit(ind, "x", "y").collect().head
+    assert(ri.getLong(4) == 0L && ri.getDouble(5) == 0.0)
+    // single-level column: dof 0, null V
+    val one = Seq(("a1", "b1"), ("a1", "b2")).toDF("x", "y")
+    val ro = Relational.contingencyAudit(one, "x", "y").collect().head
+    assert(ro.getLong(3) == 0 && ro.isNullAt(5))
+  }
+
+  test("effectiveSampleSize: uniform weights keep ESS = n, skewed " +
+      "weights shrink it, all-zero mass is null") {
+    val df = Seq(("u", 1L), ("u", 1L), ("s", 3L), ("s", 1L),
+      ("z", 0L), ("z", 0L)).toDF("g", "w")
+    val r = Relational.effectiveSampleSize(df, Seq("g"), "w")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("u").getLong(1) == 2 && r("u").getDouble(3) == 2.0)
+    assert(r("u").getLong(4) == 1000000L)
+    assert(r("s").getLong(2) == 4 && r("s").getDouble(3) == 1.6)
+    assert(r("s").getLong(4) == 1250000L)
+    assert(r("z").getLong(1) == 2 && r("z").isNullAt(3)
+      && r("z").isNullAt(4))
+  }
 }
