@@ -5457,6 +5457,166 @@ object LlmQueries {
             CAST((n * sw2 * 1000000) // (sw * sw) AS BIGINT)
           END AS deff_ppm FROM s"""))
 
+  /** Cramér–von Mises drift of each order-key-third's price-cents ECDF
+    * against the first — the L² member of the drift family on the SAME
+    * memoized paired-ECDF frame as KS (q193) and W₁ (q306): PSI reads a
+    * fixed histogram, KS the sup gap, W₁ the area, CvM the mean SQUARED
+    * gap under the pooled measure (many small departures). */
+  private val l179 = Spec("q314_cvm_drift",
+    (s, d) => graft.engine.Relational.cvmReportFromPaired(
+      Queries.pricePairedEcdf(s, d)),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s, cur.t + r.t AS ta,
+          r.cum * tc.n - cur.cum * tr.n AS d,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          sum(ta * d * d) AS num FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur,
+          CAST((num * 1000000)
+            // ((nr + nc) * (nr + nc) * nr * nc) AS BIGINT) AS cvm_micro,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(num AS DOUBLE)
+              / (CAST(nr + nc AS DOUBLE) * CAST(nr + nc AS DOUBLE)
+                * CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS cvm FROM a"""))
+
+  /** Two-sample Anderson–Darling drift on the same paired frame — the
+    * tail-weighted member of the drift family (the 1/(H·(1−H)) weight
+    * diverges at the tails, catching new extreme prices that KS/CvM
+    * down-weight); per-value terms are micro-unit integer floors, the
+    * q307 log-rank discipline. */
+  private val l180 = Spec("q315_anderson_darling",
+    (s, d) => graft.engine.Relational.andersonDarlingFromPaired(
+      Queries.pricePairedEcdf(s, d)),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s, cur.t + r.t AS ta,
+          cur.cum + r.cum AS bp, tc.n + tr.n AS nn,
+          r.cum * tc.n - cur.cum * tr.n AS d,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          sum(CASE WHEN bp < nn THEN
+            (ta * d * d * 1000000) // (bp * (nn - bp))
+            ELSE 0 END) AS num FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur,
+          CAST(num // (nr * nc) AS BIGINT) AS ad_micro,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(num AS DOUBLE) / 1000000.0
+              / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS ad FROM a"""))
+
+  /** 1-D energy-distance drift (Székely–Rizzo; closed ECDF-integral
+    * form 2·∫(F_r−F_c)²dx) on the same paired frame — W₁'s area with
+    * the gap squared; the 1-D exact baseline for kernel two-sample
+    * tests over embedding columns. */
+  private val l181 = Spec("q316_energy_distance",
+    (s, d) => graft.engine.Relational.energyDistanceFromPaired(
+      Queries.pricePairedEcdf(s, d),
+      lo = 0d, hi = 11000000d, nBuckets = 64),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s, cur.v,
+          (r.cum - r.t) * tc.n - (cur.cum - cur.t) * tr.n AS dx,
+          lag(cur.v) OVER (PARTITION BY cur.s ORDER BY cur.v) AS vp,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          sum(CASE WHEN vp IS NULL THEN 0
+            ELSE dx * dx * (v - vp) END) AS num FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur,
+          CAST((num * 2000000) // (nr * nr * nc * nc) AS BIGINT)
+            AS energy_micro,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(num AS DOUBLE) * 2
+              / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+                * CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS energy FROM a"""))
+
+  /** Kuiper drift statistic on the same paired frame —
+    * V = sup(F_r−F_c) + sup(F_c−F_r), KS's rotation-invariant signed
+    * companion for cyclic axes; both sups are maxima of the shared
+    * integer gap, no clamp needed (the pooled maximum has gap 0). */
+  private val l182 = Spec("q317_kuiper",
+    (s, d) => graft.engine.Relational.kuiperReportFromPaired(
+      Queries.pricePairedEcdf(s, d)),
+    Some("""WITH e AS (SELECT
+          's' || CAST(l_orderkey % 3 AS VARCHAR) AS s,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT s, v, CAST(count(*) AS HUGEINT) AS t FROM e
+          GROUP BY 1, 2),
+        f0 AS (SELECT sp.s, g.v, coalesce(c.t, 0) AS t
+          FROM (SELECT DISTINCT v FROM c) g
+          CROSS JOIN (SELECT DISTINCT s FROM c) sp
+          LEFT JOIN c ON c.s = sp.s AND c.v = g.v),
+        f AS (SELECT s, v, t,
+          sum(t) OVER (PARTITION BY s ORDER BY v) AS cum FROM f0),
+        tot AS (SELECT s, sum(t) AS n FROM c GROUP BY 1),
+        j AS (SELECT cur.s,
+          r.cum * tc.n - cur.cum * tr.n AS d,
+          tc.n AS nc, tr.n AS nr
+          FROM f cur JOIN f r ON r.s = 's0' AND r.v = cur.v
+          JOIN tot tc ON tc.s = cur.s
+          JOIN tot tr ON tr.s = 's0'
+          WHERE cur.s <> 's0'),
+        a AS (SELECT s, max(nr) AS nr, max(nc) AS nc,
+          max(d) AS dp, max(-d) AS dm FROM j GROUP BY 1)
+        SELECT s AS split, CAST(nr AS BIGINT) AS n_ref,
+          CAST(nc AS BIGINT) AS n_cur,
+          CAST(dp + dm AS BIGINT) AS v_num,
+          CASE WHEN nr > 0 AND nc > 0 THEN
+            round(CAST(dp + dm AS DOUBLE)
+              / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+          END AS kuiper FROM a"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5472,5 +5632,5 @@ object LlmQueries {
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
-    l176, l177, l178)
+    l176, l177, l178, l179, l180, l181, l182)
 }

@@ -1096,6 +1096,190 @@ object Relational {
             6)).as("w1"))
   }
 
+  /** Two-sample Cramér–von Mises drift report over an already-built
+    * [[ecdfPaired]] frame — the L²-norm member of the drift family:
+    * where KS reads the sup gap and W₁ the area, CvM reads the MEAN
+    * SQUARED gap under the pooled empirical measure,
+    * `T = (n_r·n_c/N²)·Σ_v t_all(v)·(F_r(v) − F_c(v))²` — sensitive to
+    * many small departures across the whole range that a single-point
+    * sup misses. Exactness: with inclusive cums, each gap is the
+    * integer `d = cum_r·n_c − cum_c·n_r` over the common denominator
+    * `n_r·n_c`, so the sufficient statistic is `Σ t_all·d²` in
+    * DECIMAL(38,0) and `T = Σ/(N²·n_r·n_c)`. Magnitude bound:
+    * `Σ ≤ N·(n_r·n_c)²` — inside 38 digits to ~10⁹-row splits (the
+    * momentsSketch-s4 class, documented not guarded). `cvm_micro` is a
+    * floor division of non-negative integers; `cvm` is the one float,
+    * rounded 6 dp. Output per non-reference split: `(split, n_ref,
+    * n_cur, cvm_micro, cvm)`; a missing reference split yields an
+    * empty report. Scale: one hash aggregate over the paired frame —
+    * no window, no join beyond the broadcast totals.
+    */
+  private[graft] def cvmReportFromPaired(e: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    val d = col("__cumr").cast(d38) * col("__n") -
+      col("__cum").cast(d38) * col("__nr")
+    e.join(broadcast(tot), Seq("__s"))
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        sum((col("__t") + col("__tr")).cast(d38) * d * d).as("__num"))
+      .withColumn("__nn", col("__nr2") + col("__nc2"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        expr("(__num * 1000000) DIV (__nn * __nn * __nr2 * __nc2)")
+          .cast("long").as("cvm_micro"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round(col("__num").cast("double") /
+            (col("__nn").cast("double") * col("__nn").cast("double") *
+              col("__nr2").cast("double") * col("__nc2").cast("double")),
+            6)).as("cvm"))
+  }
+
+  /** Two-sample Anderson–Darling drift report over an already-built
+    * [[ecdfPaired]] frame (Pettitt 1976 two-sample form of
+    * Scholz–Stephens, ties kept): CvM's squared ECDF gap re-weighted by
+    * `1/(H·(1−H))` under the pooled ECDF `H` — the weight diverges at
+    * the tails, making AD the drift statistic that catches TAIL
+    * departures (new extreme prices, truncation) that both KS and CvM
+    * down-weight. For two samples the per-sample Scholz–Stephens terms
+    * collapse (M₁+M₂ = B, n₁+n₂ = N) to
+    * `A² = (1/(n_r·n_c))·Σ_{v: B<N} t_all·d² / (B·(N−B))` with the SAME
+    * integer gap `d = cum_r·n_c − cum_c·n_r` as KS/CvM and pooled cum
+    * `B = cum_c + cum_r`; the pooled maximum (`B = N`) is excluded by
+    * the standard convention (its term is 0/0; `d` is identically 0
+    * there). Engine-stable float discipline: each term is floored to
+    * an INTEGER micro-unit (`(t_all·d²·10⁶) DIV (B·(N−B))`, the q307
+    * log-rank discipline — a float per-term sum would be
+    * aggregation-order-dependent) and summed in DECIMAL(38,0);
+    * `ad_micro` floors the final ratio, `ad` is the one float. Output
+    * per non-reference split: `(split, n_ref, n_cur, ad_micro, ad)`.
+    * Scale: one hash aggregate over the paired frame.
+    */
+  private[graft] def andersonDarlingFromPaired(e: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    e.join(broadcast(tot), Seq("__s"))
+      .withColumn("__nn", col("__n") + col("__nr"))
+      .withColumn("__bp", col("__cum").cast(d38) + col("__cumr"))
+      .withColumn("__d", col("__cumr").cast(d38) * col("__n")
+        - col("__cum").cast(d38) * col("__nr"))
+      .withColumn("__term", when(col("__bp") < col("__nn"),
+        expr("((__t + __tr) * __d * __d * 1000000) " +
+          "DIV (__bp * (__nn - __bp))")).otherwise(lit(0).cast(d38)))
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        sum(col("__term")).as("__num"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        expr("(__num) DIV (__nr2 * __nc2)").cast("long").as("ad_micro"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round(col("__num").cast("double") / 1e6 /
+            (col("__nr2").cast("double") * col("__nc2").cast("double")),
+            6)).as("ad"))
+  }
+
+  /** Two-sample 1-D energy-distance drift report over an already-built
+    * [[ecdfPaired]] frame (Székely & Rizzo 2004; in one dimension the
+    * pairwise-distance form collapses to the closed ECDF integral
+    * `D² = 2·∫(F_r − F_c)² dx`): W₁'s area integral with the gap
+    * SQUARED — the drift statistic whose square root is a true metric
+    * between distributions and the 1-D exact baseline for the kernel
+    * two-sample tests used on embedding columns. Exactness: identical
+    * segment machinery to [[wassersteinReportFromPaired]] (exclusive
+    * cums are the previous row's inclusive cums; the two-level
+    * lag-in-bucket + broadcast previous-bucket-maxima trick — no
+    * unpartitioned window), with segment mass
+    * `(v − v_prev)·d_exc²` where `d_exc = exc_r·n_c − exc_c·n_r` in
+    * DECIMAL(38,0). `energy_micro = (2·Σ·10⁶) DIV (n_r²·n_c²)`;
+    * magnitude bound `Σ ≤ (hi−lo)·(n_r·n_c)²` — inside 38 digits for
+    * 10⁹-row splits on 10⁶-wide axes (documented, not guarded).
+    * `lo`/`hi`/`nBuckets` must be the frame's own build parameters.
+    * Output per non-reference split: `(split, n_ref, n_cur,
+    * energy_micro, energy)` in `valCol` units.
+    */
+  private[graft] def energyDistanceFromPaired(e: DataFrame,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+        floor((col("__v").cast("double") - lo) / width), lit(0)),
+      lit(nBuckets - 1)).cast("int")
+    val wLag = Window.partitionBy("__s", "__b").orderBy("__v")
+    val b = e.withColumn("__b", bucket)
+      .withColumn("__pl", lag(col("__v"), 1).over(wLag))
+    val wPrev = Window.partitionBy("__s").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pb = b.groupBy(col("__s"), col("__b"))
+      .agg(max(col("__v")).as("__bm"))
+      .withColumn("__pb", max(col("__bm")).over(wPrev))
+      .select(col("__s"), col("__b"), col("__pb"))
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    val dExc = (col("__cumr") - col("__tr")).cast(d38) * col("__n") -
+      (col("__cum") - col("__t")).cast(d38) * col("__nr")
+    b.join(broadcast(pb), Seq("__s", "__b"))
+      .withColumn("__vp", coalesce(col("__pl"), col("__pb")))
+      .join(broadcast(tot), Seq("__s"))
+      .withColumn("__seg", when(col("__vp").isNotNull,
+        dExc * dExc * (col("__v") - col("__vp")))
+        .otherwise(lit(0).cast(d38)))
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        sum(col("__seg")).as("__num"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        expr("(__num * 2000000) DIV (__nr2 * __nr2 * __nc2 * __nc2)")
+          .cast("long").as("energy_micro"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round(col("__num").cast("double") * 2 /
+            (col("__nr2").cast("double") * col("__nr2").cast("double") *
+              col("__nc2").cast("double") * col("__nc2").cast("double")),
+            6)).as("energy"))
+  }
+
+  /** Two-sample Kuiper drift report over an already-built
+    * [[ecdfPaired]] frame: `V = sup(F_r − F_c) + sup(F_c − F_r)` — the
+    * SIGNED-sup companion of KS that weighs departures in both
+    * directions equally wherever they occur, the standard test for
+    * cyclic axes (hour-of-day, day-of-year) where KS's single sup is
+    * origin-dependent but V is rotation-invariant. Exact: both sups
+    * are maxima of the signed integer gap `d = cum_r·n_c − cum_c·n_r`
+    * (and `−d`) over the merged support; the pair's pooled maximum has
+    * `d = 0`, so both maxima are naturally ≥ 0 with no clamp. Output
+    * per non-reference split: `(split, n_ref, n_cur, v_num, kuiper)`
+    * with `v_num = max(d) + max(−d)` integral and `kuiper =
+    * v_num/(n_r·n_c)` the one rounded float. One hash aggregate.
+    */
+  private[graft] def kuiperReportFromPaired(e: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tot = e.groupBy("__s")
+      .agg(sum(col("__t")).cast(d38).as("__n"),
+        sum(col("__tr")).cast(d38).as("__nr"))
+      .filter(col("__nr") > 0)
+    val d = col("__cumr").cast(d38) * col("__n") -
+      col("__cum").cast(d38) * col("__nr")
+    e.join(broadcast(tot), Seq("__s"))
+      .withColumn("__d", d)
+      .groupBy(col("__s").as("split"))
+      .agg(max(col("__nr")).as("__nr2"), max(col("__n")).as("__nc2"),
+        max(col("__d")).as("__dp"), max(-col("__d")).as("__dm"))
+      .select(col("split"), col("__nr2").cast("long").as("n_ref"),
+        col("__nc2").cast("long").as("n_cur"),
+        (col("__dp") + col("__dm")).cast("long").as("v_num"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          round((col("__dp") + col("__dm")).cast("double") /
+            (col("__nr2").cast("double") * col("__nc2").cast("double")),
+            6)).as("kuiper"))
+  }
+
   def keySkewReport(df: DataFrame, keys: Seq[String],
       topK: Int): DataFrame = {
     val total = df.select(count(lit(1)).as("__n"))
