@@ -5617,6 +5617,133 @@ object LlmQueries {
               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
           END AS kuiper FROM a"""))
 
+  /** Average precision (exact PR step-curve area) of event value as a
+    * ranking score for the user_id%5 label, per event type — the
+    * imbalanced-label ranking metric; ROC-AUC is deliberately absent
+    * (it is q194's Mann–Whitney U up to normalization). */
+  private val l183 = Spec("q318_average_precision",
+    (s, d) => graft.llm.Eval.averagePrecision(
+      T(s, d, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("score"),
+          when(col("user_id") % 5 === 0, 1).otherwise(0).as("lab")),
+      Seq("event_type"), "score", "lab"),
+    Some("""WITH e AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS score,
+          CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS lab
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        c AS (SELECT event_type, score,
+          CAST(sum(lab) AS HUGEINT) AS pos,
+          CAST(count(*) AS HUGEINT) AS al FROM e GROUP BY 1, 2),
+        f AS (SELECT event_type, pos, al,
+          sum(pos) OVER (PARTITION BY event_type ORDER BY score DESC)
+            AS cumpos,
+          sum(al) OVER (PARTITION BY event_type ORDER BY score DESC)
+            AS cumall FROM c),
+        t AS (SELECT event_type, pos, al,
+          (pos * cumpos * 1000000) // cumall AS term FROM f),
+        a AS (SELECT event_type, sum(pos) AS npos,
+          sum(al - pos) AS nneg, sum(term) AS s FROM t GROUP BY 1)
+        SELECT event_type, CAST(npos AS BIGINT) AS n_pos,
+          CAST(nneg AS BIGINT) AS n_neg,
+          CASE WHEN npos > 0 THEN CAST(s // npos AS BIGINT)
+            END AS ap_micro,
+          CASE WHEN npos > 0 THEN round(CAST(s AS DOUBLE) / 1000000.0
+            / CAST(npos AS DOUBLE), 6) END AS ap FROM a"""))
+
+  /** Kendall tau of the ANN top-10 against the exact top-10 per probe
+    * query (the q264 RBO fixture) — pair-concordance ranker agreement
+    * on the shared items, where RBO reads top-weighted overlap. */
+  private val l184 = Spec("q319_kendall_tau",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").between(100, 107))
+      val anchors = Similarity.firstVectors(emb, "vec_id", "embedding", 4)
+      graft.llm.Eval.kendallTauLists(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", 10),
+        Similarity.annTopK(emb, queries, "vec_id", "embedding", "vec_id",
+          10, anchors),
+        "query_id", "neighbor_id", "rank")
+    },
+    Some {
+      val bucket = (0 until 4).map { j =>
+        val anchor = s"(SELECT embedding FROM embeddings WHERE vec_id = $j)"
+        s"(CASE WHEN ${dot2("v.embedding", anchor)} > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+          bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qv", "c.embedding")} AS cos
+            FROM q CROSS JOIN embeddings c),
+          br AS (SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ra
+            FROM bs),
+          bt AS (SELECT query_id, neighbor_id, ra FROM br WHERE ra <= 10),
+          cb AS (SELECT $bucket AS bucket, v.vec_id AS neighbor_id,
+            v.embedding AS cvec FROM embeddings v),
+          qb AS (SELECT $bucket AS bucket, v.vec_id AS query_id,
+            v.embedding AS qvec FROM embeddings v
+            WHERE v.vec_id BETWEEN 100 AND 107),
+          sa AS (SELECT qb.query_id, cb.neighbor_id,
+            ${cosSql("qb.qvec", "cb.cvec")} AS cos
+            FROM cb JOIN qb ON cb.bucket = qb.bucket),
+          ar AS (SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rb
+            FROM sa),
+          at2 AS (SELECT query_id, neighbor_id, rb FROM ar WHERE rb <= 10),
+          m AS (SELECT bt.query_id, bt.neighbor_id, bt.ra, at2.rb
+            FROM bt JOIN at2 USING (query_id, neighbor_id)),
+          p AS (SELECT m1.query_id,
+            sum(CASE WHEN (m1.ra - m2.ra) * (m1.rb - m2.rb) > 0
+              THEN 1 ELSE 0 END) AS c,
+            sum(CASE WHEN (m1.ra - m2.ra) * (m1.rb - m2.rb) < 0
+              THEN 1 ELSE 0 END) AS d
+            FROM m m1 JOIN m m2 ON m1.query_id = m2.query_id
+              AND m1.neighbor_id < m2.neighbor_id
+            GROUP BY 1),
+          g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n
+            FROM m GROUP BY 1)
+          SELECT qq.query_id,
+            CAST(coalesce(g.n, 0) AS INT) AS n_common,
+            CAST(coalesce(p.c, 0) AS BIGINT) AS concordant,
+            CAST(coalesce(p.d, 0) AS BIGINT) AS discordant,
+            CASE WHEN g.n >= 2 THEN
+              round(CAST((coalesce(p.c, 0) - coalesce(p.d, 0)) * 2
+                  AS DOUBLE) / CAST(g.n * (g.n - 1) AS DOUBLE), 6)
+            END AS tau
+          FROM (SELECT DISTINCT query_id FROM q) qq
+          LEFT JOIN g USING (query_id)
+          LEFT JOIN p USING (query_id)"""
+    })
+
+  /** Banded Damerau–Levenshtein linkage over last-token-blocked part
+    * names (the q290 Jaro–Winkler fixture) — the native
+    * damerau_levenshtein expression pinned against DuckDB's built-in,
+    * adjacent-swap typos at distance ≤ 3. */
+  private val l185 = Spec("q320_dl_linkage",
+    (s, d) => {
+      val p = T(s, d, "part").select(col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("__blk"))
+        .distinct()
+      val a = p.select(col("p_name").as("name_a"), col("__blk"))
+      val b = p.select(col("p_name").as("name_b"), col("__blk"))
+      a.join(b, Seq("__blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dl", graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("name_a"), col("name_b")))
+        .filter(col("dl") <= 3)
+        .select(col("name_a"), col("name_b"), col("dl"))
+    },
+    Some("""WITH p AS (SELECT DISTINCT p_name,
+          string_split(p_name, ' ')[-1] AS blk FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+          CAST(damerau_levenshtein(a.p_name, b.p_name) AS INT) AS dl
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5632,5 +5759,5 @@ object LlmQueries {
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
-    l176, l177, l178, l179, l180, l181, l182)
+    l176, l177, l178, l179, l180, l181, l182, l183, l184, l185)
 }

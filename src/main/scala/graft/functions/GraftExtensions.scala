@@ -216,6 +216,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "jaro_winkler(a, b)")
         JaroWinkler(args.head, args(1))
+      }),
+    ("damerau_levenshtein",
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein " +
+          "edit distance (native codegen)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "damerau_levenshtein(a, b)")
+        DamerauLevenshtein(args.head, args(1))
       }))
 
   /** Register into an already-running session (tests, REPL): the SQL

@@ -108,3 +108,98 @@ object JaroWinkler {
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 }
+
+/** `damerau_levenshtein(a, b)` — the TRUE (unrestricted) Damerau–
+  * Levenshtein edit distance (Damerau, CACM 1964; the alphabet-indexed
+  * DP of Lowrance & Wagner, JACM 1975): insert/delete/substitute plus
+  * transposition of adjacent characters, where a transposed pair may be
+  * further edited between its halves — `CA → ABC` is 2 (swap + insert),
+  * not the 3 the restricted OSA variant reports. Matches DuckDB's
+  * built-in `damerau_levenshtein` (probed: the CA/ABC=2 discriminator,
+  * plus ab/ba=1, abcdef/abcfed=2, kitten/sitting=3). The edit-distance
+  * complement of [[JaroWinkler]] for identifier-ish linkage where
+  * adjacent-swap typos are the dominant error class.
+  *
+  * Non-ASCII caveat as [[JaroWinkler]]: JVM UTF-16 units vs DuckDB
+  * UTF-8 handling — identical on ASCII, the identifier domain.
+  *
+  * O(|a|·|b|) time and space per row (the transposition lookback needs
+  * the full matrix); inside whole-stage codegen via the static
+  * `compute`.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (STRING, STRING), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DamerauLevenshtein.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DamerauLevenshtein = copy(newLeft, newRight)
+}
+
+object DamerauLevenshtein {
+
+  def compute(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // d is 1-indexed on an extra sentinel row/col (d(0)(*) = d(*)(0) =
+    // inf) so the transposition lookback d(k-1)(l-1) never branches.
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val kBox = da.get(b.charAt(j - 1))
+        val k = if (kBox == null) 0 else kBox.intValue()
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
+          else 1
+        var m = d(i)(j) + cost                      // substitute / match
+        val ins = d(i + 1)(j) + 1                   // insert
+        if (ins < m) m = ins
+        val del = d(i)(j + 1) + 1                   // delete
+        if (del < m) m = del
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transpose
+        if (tr < m) m = tr
+        d(i + 1)(j + 1) = m
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    Bridge.column(DamerauLevenshtein(
+      Bridge.expression(a), Bridge.expression(b)))
+}

@@ -462,4 +462,112 @@ object Eval {
         col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"))
       .withColumn("bleu", expr(bleu2Sql))
   }
+
+  /** Average precision (the exact area under the precision–recall
+    * step curve, the `average_precision_score` convention: AP =
+    * Σ_thresholds ΔR·P) of a score column against a binary label, per
+    * group — THE threshold-free ranking metric for imbalanced labels,
+    * where ROC-AUC (≡ the q194 Mann–Whitney U up to normalization —
+    * deliberately not duplicated) saturates. Tie-aware by
+    * construction: rows collapse to (group, score) grain FIRST, so a
+    * tie block contributes one threshold with the block-end precision,
+    * exactly the step-integration convention.
+    *
+    * Engine-stable arithmetic: per threshold, `ΔR·P = (tp_s/n_pos)·
+    * (cumPos_s/cumAll_s)`; each term is micro-floored as
+    * `(tp_s·cumPos_s·10⁶) DIV cumAll_s` (the q307 per-term discipline
+    * — denominators vary per term, so an exact rational sum does not
+    * exist) and summed in DECIMAL(38,0); `ap_micro = Σ DIV n_pos`,
+    * `ap` the one rounded float. A group with no positives emits null
+    * AP (no curve to integrate), never a silent zero.
+    *
+    * Output per group: `(groupCols…, n_pos, n_neg, ap_micro, ap)`.
+    *
+    * Scale: one map-side-combined collapse to (group, score) grain,
+    * then one prefix-sum window per group over the SCORE LATTICE —
+    * bounded by the value domain (cents-grain here), not the row
+    * count, the [[graft.engine.Relational.equiDepthBins]] cost class;
+    * at an unbounded score domain, route through the ecdfPaired
+    * two-level bucket trick instead.
+    */
+  def averagePrecision(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val c = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__score"): _*)
+      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__all"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.withColumn("__cumPos", sum(col("__pos")).over(w))
+      .withColumn("__cumAll", sum(col("__all")).over(w))
+      .withColumn("__term", expr(
+        s"(CAST(__pos AS $d38) * __cumPos * 1000000) DIV __cumAll"))
+      .groupBy(g: _*)
+      .agg(sum(col("__pos")).as("__npos"),
+        sum(col("__all") - col("__pos")).as("__nneg"),
+        sum(col("__term").cast(d38)).as("__s"))
+      .select(g ++ Seq(col("__npos").cast("long").as("n_pos"),
+        col("__nneg").cast("long").as("n_neg"),
+        when(col("__npos") > 0, expr("__s DIV __npos")).cast("long")
+          .as("ap_micro"),
+        when(col("__npos") > 0,
+          round(col("__s").cast("double") / 1e6 /
+            col("__npos").cast("double"), 6)).as("ap")): _*)
+  }
+
+  /** Kendall rank-correlation of two top-k rankings per query
+    * (Kendall, Biometrika 1938), on the items COMMON to both lists —
+    * the pair-concordance view of ranker agreement where [[
+    * rankBiasedOverlap]] is the top-weighted overlap view: RBO sees
+    * WHAT both rankers surfaced, tau sees whether they ORDER the
+    * shared items the same way. Ranks inside a top-k list are strict
+    * (row_number), so tau-a = tau-b = `(C − D) / (n(n−1)/2)`;
+    * concordant/discordant are exact integer pair counts and `tau` is
+    * the one rounded float; a query with fewer than 2 common items
+    * has no pairs — null tau, never a fabricated 1.
+    *
+    * Output per query: `(query_id, n_common, concordant, discordant,
+    * tau)` — every query in `a` appears (left join), zero-common
+    * queries carry n_common = 0.
+    *
+    * Scale: the common-item frame is (query, ≤k) grain; the pair
+    * explosion is a key-equi self-join on query_id — ≤ k²/2 rows per
+    * query by construction, never corpus-pairwise.
+    */
+  def kendallTauLists(a: DataFrame, b: DataFrame, queryIdCol: String,
+      idCol: String, rankCol: String): DataFrame = {
+    val aa = a.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).as("__ra"))
+    val bb = b.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("__id"), col(rankCol).as("__rb"))
+    val m = aa.join(bb, Seq("query_id", "__id"))
+    val x = m.select(col("query_id"), col("__id").as("__i1"),
+      col("__ra").as("__ra1"), col("__rb").as("__rb1"))
+    val y = m.select(col("query_id"), col("__id").as("__i2"),
+      col("__ra").as("__ra2"), col("__rb").as("__rb2"))
+    val sgn = (col("__ra1") - col("__ra2")) *
+      (col("__rb1") - col("__rb2"))
+    val perQ = x.join(y, Seq("query_id"))
+      .filter(col("__i1") < col("__i2"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(sgn > 0, 1L).otherwise(0L)).as("__c"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("__d"))
+    val nC = m.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"))
+    a.select(col(queryIdCol).as("query_id")).distinct()
+      .join(nC, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__n"), lit(0L)).cast("int").as("n_common"),
+        coalesce(col("__c"), lit(0L)).cast("long").as("concordant"),
+        coalesce(col("__d"), lit(0L)).cast("long").as("discordant"),
+        when(col("__n") >= 2, round(
+          (coalesce(col("__c"), lit(0L)) - coalesce(col("__d"), lit(0L)))
+            .cast("double") * 2 /
+            (col("__n") * (col("__n") - 1)).cast("double"), 6))
+          .as("tau"))
+  }
 }
