@@ -545,32 +545,43 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
     // each round's raw frame has TWO readers (the max scalar and the
-    // node join) and sits on an iters-deep lineage — materialize it
-    // eagerly or every normalization recomputes the whole history
-    // (measured 25 s -> ~5 s at sf0.1 for the 2-round gate graph)
-    def maxNorm(raw0: DataFrame, c: String): DataFrame = {
+    // next-round join) and sits on an iters-deep lineage — materialize
+    // it eagerly or every normalization recomputes the whole history
+    // (measured 25 s -> ~5 s at sf0.1 for the 2-round gate graph).
+    // Intermediate frames carry only ACTIVE nodes: an absent node is a
+    // 0 in the next round's inner-join sums either way, zeros never
+    // move the (non-negative) max, and the final expansion fills the
+    // zeros — so the all-nodes left-join runs ONCE per output column,
+    // not once per round (round-10 rewrite; values are bit-identical).
+    def normRaw(raw0: DataFrame, c: String): DataFrame = {
       val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col(c)).as("__mx"))
-      nodes.join(raw, Seq("id"), "left")
-        .crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("id"), when(col("__mx").isNull || col("__mx") === 0L,
             lit(0L))
-          .otherwise(expr(s"(coalesce($c, CAST(0 AS BIGINT)) * 1000000)" +
-            " DIV __mx")).as(c))
+          .otherwise(expr(s"($c * 1000000) DIV __mx")).as(c))
     }
-    var hub = nodes.withColumn("hub", lit(1000000L))
-    var auth = nodes.withColumn("auth", lit(1000000L))
-    for (_ <- 1 to iters) {
-      auth = maxNorm(e
-        .join(hub.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
-        "auth")
-      hub = maxNorm(e
+    def expand(frame: DataFrame, c: String): DataFrame =
+      nodes.join(frame, Seq("id"), "left")
+        .select(col("id"), coalesce(col(c), lit(0L)).as(c))
+    var hub: DataFrame = null
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      // round 1: every hub is the SAME constant, so the raw auth is
+      // hub0·indegree and the constant cancels exactly in the floored
+      // max-ratio ((k·x·10⁶) DIV (k·max) = (x·10⁶) DIV max) — the
+      // normalized round-1 auth IS the normalized indegree, no join
+      val rawAuth = if (i == 1)
+        e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("auth"))
+      else e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
+      auth = normRaw(rawAuth, "auth")
+      hub = normRaw(e
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
         "hub")
     }
-    val out = hub.join(auth, Seq("id"))
+    val out = expand(hub, "hub").join(expand(auth, "auth"), Seq("id"))
       .select(col("id"), col("hub"), col("auth"))
       .localCheckpoint(true)
     nodes.unpersist(false)
