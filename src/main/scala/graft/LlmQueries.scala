@@ -5744,6 +5744,93 @@ object LlmQueries {
         FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
         WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3"""))
 
+  /** Wilson 95 % score interval on each source's long-document rate —
+    * the proportion CI that stays honest at small n and k ∈ {0, n},
+    * for "is this source's pass-rate really different" reports. */
+  private val l186 = Spec("q321_wilson_rate",
+    (s, d) => graft.engine.Relational.wilsonRateReport(
+      T(s, d, "documents").filter(col("n_chars").isNotNull)
+        .select(col("source"),
+          when(col("n_chars") >= 500, 1).otherwise(0).as("ok")),
+      Seq("source"), "ok"),
+    Some {
+      val lo = graft.engine.Relational.wilsonLoSql
+      val hi = graft.engine.Relational.wilsonHiSql
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+          SELECT source, n, k,
+            round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+            round(greatest($lo, 0.0), 6) AS lo,
+            round(least($hi, 1.0), 6) AS hi
+          FROM c"""
+    })
+
+  /** Delete-one-linenumber jackknife SE of revenue-per-unit (the
+    * ratio Σ price-cents / Σ quantity) — design-honest uncertainty
+    * for a ratio metric where both totals are random. */
+  private val l187 = Spec("q322_jackknife_ratio",
+    (s, d) => graft.engine.Relational.jackknifeRatio(
+      T(s, d, "lineitem").select(col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x")),
+      "l_linenumber", "y", "x"),
+    Some {
+      val se = graft.engine.Relational.jackknifeSeSql
+      s"""WITH r AS (SELECT CAST(l_linenumber AS VARCHAR) AS g,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+            CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL),
+          gg AS (SELECT g, CAST(sum(y) AS HUGEINT) AS yg,
+            CAST(sum(x) AS HUGEINT) AS xg FROM r GROUP BY 1),
+          t AS (SELECT sum(yg) AS yy, sum(xg) AS xx,
+            CAST(count(*) AS HUGEINT) AS gcnt FROM gg),
+          l AS (SELECT gg.g, t.yy, t.xx, t.gcnt,
+            CASE WHEN t.xx - gg.xg > 0 THEN
+              ((t.yy - gg.yg) * 1000000) // (t.xx - gg.xg) END AS lr
+            FROM gg CROSS JOIN t),
+          a AS (SELECT max(gcnt) AS gn, max(yy) AS yy, max(xx) AS xx,
+            count(lr) AS gok, sum(lr) AS sr, sum(lr * lr) AS sr2
+            FROM l)
+          SELECT CAST(gn AS INT) AS n_groups, CAST(yy AS BIGINT) AS y_sum,
+            CAST(xx AS BIGINT) AS x_sum,
+            CASE WHEN xx > 0 THEN CAST((yy * 1000000) // xx AS BIGINT)
+              END AS theta_micro,
+            CASE WHEN gok = gn AND gn >= 2 THEN $se END AS se_jack
+          FROM a"""
+    })
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * from two partial detectors (clicked-users vs viewed-users), with
+    * the exact population alongside as the independence calibration. */
+  private val l188 = Spec("q323_capture_recapture",
+    (s, d) => graft.engine.Relational.captureRecapture(
+      T(s, d, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("fa"),
+          max(when(col("event_type") === "view", 1).otherwise(0))
+            .as("fb")),
+      "fa", "fb"),
+    Some("""WITH u AS (SELECT user_id,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fa,
+          max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fb
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        a AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+          CAST(sum(fb) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS m,
+          CAST(count(*) AS BIGINT) AS n_exact FROM u)
+        SELECT n_a, n_b, m,
+          CAST(((n_a + 1) * (n_b + 1)) // (m + 1) - 1 AS BIGINT)
+            AS n_hat, n_exact,
+          CASE WHEN n_exact > 0 THEN round(
+            CAST(((n_a + 1) * (n_b + 1)) // (m + 1) - 1 - n_exact
+              AS DOUBLE) * 1000000.0 / CAST(n_exact AS DOUBLE), 6)
+          END AS err_ppm FROM a"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5759,5 +5846,6 @@ object LlmQueries {
     l145, l146, l147, l148, l149, l150, l151, l152, l153, l154, l155,
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
-    l176, l177, l178, l179, l180, l181, l182, l183, l184, l185)
+    l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
+    l186, l187, l188)
 }

@@ -2612,4 +2612,139 @@ object Relational {
       .select((groupCols.map(col) ++ Seq(col("n"), col("sum_w"),
         col("ess"), col("deff_ppm"))): _*)
   }
+
+  /** Shared engine/oracle Wilson-bound fragments (Wilson, JASA 1927),
+    * z = 1.96 written as the PRODUCT `1.96 * 1.96` so both engines
+    * fold the same IEEE double (the literal 3.8416 is a different
+    * bit pattern). Inputs are the exact integer cell counts `k`, `n`.
+    */
+  private def wilsonSql(sign: String): String = {
+    val ph = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val zz = "(1.96 * 1.96)"
+    val nD = "CAST(n AS DOUBLE)"
+    s"(($ph + $zz / (2.0 * $nD)) $sign 1.96 * sqrt(" +
+      s"$ph * (1.0 - $ph) / $nD + $zz / (4.0 * $nD * $nD)))" +
+      s" / (1.0 + $zz / $nD)"
+  }
+  val wilsonLoSql: String = wilsonSql("-")
+  val wilsonHiSql: String = wilsonSql("+")
+
+  /** Wilson 95 % score interval for a per-group binary rate — the
+    * proportion CI that stays inside [0, 1] and behaves at k = 0 /
+    * k = n where the Wald interval collapses; the ops-report face for
+    * "what fraction of this source passes the filter", with honest
+    * uncertainty at small n (a 3/3 source is NOT a proven 100 %).
+    * Exact integer cells (`n`, `k`); the three floats are ONE shared
+    * formula fragment ([[wilsonLoSql]]/[[wilsonHiSql]]) parsed
+    * verbatim by both engines, rounded 6 dp; an empty group cannot
+    * occur (group keys come from rows), so `n ≥ 1` always.
+    *
+    * Output per group: `(groupCols…, n, k, rate, lo, hi)`.
+    *
+    * Scale: ONE map-side-combined aggregate at group grain.
+    */
+  def wilsonRateReport(df: DataFrame, groupCols: Seq[String],
+      successCol: String): DataFrame =
+    df.filter(col(successCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol) =!= 0, 1L).otherwise(0L)).as("k"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("k"),
+        round(expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          .as("rate"),
+        round(greatest(expr(wilsonLoSql), lit(0d)), 6).as("lo"),
+        round(least(expr(wilsonHiSql), lit(1d)), 6).as("hi"))): _*)
+
+  /** Delete-one-group jackknife standard error of a ratio estimator
+    * `θ = ΣY / ΣX` (Quenouille 1956; Tukey 1958) — the
+    * design-honest uncertainty for ratio metrics (revenue per unit,
+    * tokens per doc) where the naive per-row variance ignores that
+    * BOTH totals are random: drop each group g, recompute the ratio
+    * on the remainder, and read the spread. Engine-stable arithmetic:
+    * `Y`, `X`, and every leave-one-out pair are exact integer sums;
+    * each LOO ratio is micro-floored (`((Y−Y_g)·10⁶) DIV (X−X_g)`,
+    * the q307 per-term discipline — non-negative by the metric's
+    * contract, keeping DIV-vs-// floor semantics aligned) and the
+    * variance reads the exact integer identity
+    * `G²·Σ(r−r̄)² = G·Σr² − (Σr)²` off `Σr, Σr²` in DECIMAL(38,0) —
+    * multiplied through by `G` so NO intermediate division exists
+    * (Spark's decimal quotient and DuckDB's int-/-to-double disagree
+    * in low bits); the one float is the final
+    * `se = √((G−1)·(G·Σr² − (Σr)²)) / G / 10⁶` via the shared
+    * [[jackknifeSeSql]] fragment. A group with `X − X_g ≤ 0` (one
+    * group carries everything) yields a null SE rather than a
+    * division blow-up.
+    *
+    * Output ONE row: `(n_groups, y_sum, x_sum, theta_micro, se_jack)`.
+    *
+    * Scale: one group-grain aggregate, one G-row broadcast total.
+    */
+  def jackknifeRatio(df: DataFrame, groupCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(yCol).cast(d38)).as("__yg"),
+        sum(col(xCol).cast(d38)).as("__xg"))
+    val tot = g.agg(sum(col("__yg")).as("__y"), sum(col("__xg")).as("__x"),
+      count(lit(1)).as("__gn"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("__r", when(col("__x") - col("__xg") > 0,
+        expr("((__y - __yg) * 1000000) DIV (__x - __xg)")))
+      .agg(max(col("__gn")).cast(d38).as("gn"),
+        max(col("__y")).as("__y2"), max(col("__x")).as("__x2"),
+        count(col("__r")).as("__gok"),
+        sum(col("__r").cast(d38)).as("sr"),
+        sum(col("__r").cast(d38) * col("__r")).as("sr2"))
+      .select(col("gn").cast("int").as("n_groups"),
+        col("__y2").cast("long").as("y_sum"),
+        col("__x2").cast("long").as("x_sum"),
+        when(col("__x2") > 0, expr("(__y2 * 1000000) DIV __x2"))
+          .cast("long").as("theta_micro"),
+        when(col("__gok") === col("gn").cast("long") && col("gn") >= 2,
+          expr(jackknifeSeSql)).as("se_jack"))
+  }
+
+  /** Shared engine/oracle jackknife-SE fragment over the exact integer
+    * sufficient statistics `(gn, sr, sr2)` — see [[jackknifeRatio]]. */
+  val jackknifeSeSql: String =
+    "round(sqrt(CAST((gn * sr2 - sr * sr) * (gn - 1) AS DOUBLE))" +
+      " / CAST(gn AS DOUBLE) / 1000000.0, 6)"
+
+  /** Chapman capture–recapture population estimate (Chapman 1951; the
+    * bias-corrected Lincoln–Petersen index) from two overlapping
+    * "detector" samples: `N̂ = (n_A+1)(n_B+1)/(m+1) − 1` where `m` is
+    * the overlap — the audit that estimates how big a population
+    * REALLY is from two independent partial views (how many
+    * near-duplicates exist when each dedup pass catches only some;
+    * how many active users when each channel sees a subset). The
+    * exact population over the observation window is emitted
+    * alongside with an `err_ppm` readout (the cmsTopK calibration
+    * convention), so the report doubles as an independence check —
+    * positively correlated detectors bias N̂ low. The estimate is a
+    * floor division of positive counts; `err_ppm` is SIGNED, so it
+    * routes through DOUBLE (the q268 lesson: Spark's DIV truncates
+    * toward zero where DuckDB's // floors — they disagree exactly on
+    * the negative values this readout routinely takes).
+    *
+    * Input: one row per entity with two 0/1 detector flags. Output
+    * ONE row: `(n_a, n_b, m, n_hat, n_exact, err_ppm)`.
+    *
+    * Scale: ONE map-side-combined aggregate over the entity frame.
+    */
+  def captureRecapture(df: DataFrame, flagACol: String,
+      flagBCol: String): DataFrame =
+    df.agg(
+        sum(when(col(flagACol) =!= 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(flagBCol) =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(flagACol) =!= 0 && col(flagBCol) =!= 0, 1L)
+          .otherwise(0L)).as("m"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("n_hat",
+        expr("((n_a + 1) * (n_b + 1)) DIV (m + 1) - 1"))
+      .select(col("n_a"), col("n_b"), col("m"), col("n_hat"),
+        col("n_exact"),
+        when(col("n_exact") > 0, round(expr(
+          "CAST(n_hat - n_exact AS DOUBLE) * 1000000.0" +
+            " / CAST(n_exact AS DOUBLE)"), 6)).as("err_ppm"))
 }
