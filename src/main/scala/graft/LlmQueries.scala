@@ -5831,6 +5831,115 @@ object LlmQueries {
               AS DOUBLE) * 1000000.0 / CAST(n_exact AS DOUBLE), 6)
           END AS err_ppm FROM a"""))
 
+  /** Median-of-means robust mean of event value cents over 15 hashed
+    * buckets — the amsF2 group layer surfaced as a first-class robust
+    * estimator, plain mean alongside for the outlier-gap readout. */
+  private val l189 = Spec("q324_median_of_means",
+    (s, d) => graft.engine.Relational.medianOfMeans(
+      T(s, d, "events").select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      "event_id", "cents", g = 15),
+    Some(s"""WITH e AS (SELECT CAST(event_id AS VARCHAR) AS key,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        b AS (SELECT ((${phSql("key")} * 2654435761) % 1000000007) % 15
+            AS bkt, CAST(sum(v) AS HUGEINT) AS s,
+          CAST(count(*) AS HUGEINT) AS n FROM e GROUP BY 1),
+        m AS (SELECT bkt, s, n, (s * 1000000) // n AS bm FROM b),
+        t AS (SELECT sum(s) AS ts, sum(n) AS tn, count(*) AS gn FROM m),
+        r AS (SELECT bm, row_number() OVER (ORDER BY bm, bkt) AS rk
+          FROM m)
+        SELECT CAST(15 AS INT) AS g, CAST(t.tn AS BIGINT) AS n,
+          CAST((t.ts * 1000000) // t.tn AS BIGINT) AS mean_micro,
+          CAST(r.bm AS BIGINT) AS mom_micro
+        FROM r CROSS JOIN t WHERE rk = (gn + 1) // 2"""))
+
+  /** Mantel–Haenszel common odds ratio of odd-user exposure on
+    * high-value outcome, stratified by event type — the Simpson's-
+    * paradox-aware association audit (q312's chi-square tests the
+    * whole table; MH estimates the per-stratum-adjusted effect). */
+  private val l190 = Spec("q325_mantel_haenszel",
+    (s, d) => graft.engine.Relational.mantelHaenszel(
+      T(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2).cast("int").as("ex"),
+          when(col("value") >= 100, 1).otherwise(0).as("oc")),
+      "event_type", "ex", "oc"),
+    Some("""WITH e AS (SELECT event_type,
+          CAST(user_id % 2 AS INT) AS ex,
+          CASE WHEN value >= 100 THEN 1 ELSE 0 END AS oc
+          FROM events WHERE user_id IS NOT NULL
+            AND value IS NOT NULL),
+        c AS (SELECT event_type,
+          CAST(sum(CASE WHEN ex = 1 AND oc = 1 THEN 1 ELSE 0 END)
+            AS HUGEINT) AS a,
+          CAST(sum(CASE WHEN ex = 1 AND oc = 0 THEN 1 ELSE 0 END)
+            AS HUGEINT) AS b,
+          CAST(sum(CASE WHEN ex = 0 AND oc = 1 THEN 1 ELSE 0 END)
+            AS HUGEINT) AS cc,
+          CAST(sum(CASE WHEN ex = 0 AND oc = 0 THEN 1 ELSE 0 END)
+            AS HUGEINT) AS dd
+          FROM e GROUP BY 1),
+        m AS (SELECT (a * dd * 1000000) // (a + b + cc + dd) AS num,
+          (b * cc * 1000000) // (a + b + cc + dd) AS den FROM c),
+        g AS (SELECT count(*) AS k, sum(num) AS sn, sum(den) AS sd
+          FROM m)
+        SELECT CAST(k AS INT) AS n_strata,
+          CAST(sn AS BIGINT) AS num_micro,
+          CAST(sd AS BIGINT) AS den_micro,
+          CASE WHEN sd > 0 THEN CAST((sn * 1000000) // sd AS BIGINT)
+            END AS or_micro,
+          CASE WHEN sd > 0 THEN round(CAST(sn AS DOUBLE)
+            / CAST(sd AS DOUBLE), 6) END AS mh_or FROM g"""))
+
+  /** CUPED variance-reduced lift of odd-user "treatment" on
+    * second-half-of-month spend, pre-period (first-half) spend as the
+    * covariate — the modern experimentation-platform default. */
+  private val l191 = Spec("q326_cuped",
+    (s, d) => graft.engine.Relational.cupedEffect(
+      T(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) < 15,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("x"),
+          sum(when(dayofmonth(col("ts")) >= 15,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+        .withColumn("t", (col("user_id") % 2).cast("int")),
+      "t", "x", "y"),
+    Some {
+      val th = graft.engine.Relational.cupedThetaSql
+      val rw = graft.engine.Relational.cupedRawSql
+      val ad = graft.engine.Relational.cupedAdjSql
+      val ok = "nt > 0 AND nc > 0 AND" +
+        " (nt + nc) * sxx - (sxt + sxc) * (sxt + sxc) > 0"
+      s"""WITH u AS (SELECT user_id,
+            CAST(sum(CASE WHEN date_part('day', ts) < 15 THEN
+              CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS HUGEINT) AS x,
+            CAST(sum(CASE WHEN date_part('day', ts) >= 15 THEN
+              CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS HUGEINT) AS y,
+            CAST(user_id % 2 AS INT) AS t
+            FROM events WHERE user_id IS NOT NULL
+              AND value IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+          s AS (SELECT CAST(sum(t) AS HUGEINT) AS nt,
+            CAST(sum(1 - t) AS HUGEINT) AS nc,
+            sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS sxt,
+            sum(CASE WHEN t = 0 THEN x ELSE 0 END) AS sxc,
+            sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS syt,
+            sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS syc,
+            sum(x * y) AS sxy, sum(x * x) AS sxx FROM u)
+          SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+            CAST(syt AS BIGINT) AS sy_t, CAST(syc AS BIGINT) AS sy_c,
+            CASE WHEN $ok THEN $th END AS theta,
+            CASE WHEN $ok THEN $rw END AS raw_effect,
+            CASE WHEN $ok THEN $ad END AS adj_effect FROM s"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5847,5 +5956,5 @@ object LlmQueries {
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
-    l186, l187, l188)
+    l186, l187, l188, l189, l190, l191)
 }

@@ -2711,6 +2711,165 @@ object Relational {
     "round(sqrt(CAST((gn * sr2 - sr * sr) * (gn - 1) AS DOUBLE))" +
       " / CAST(gn AS DOUBLE) / 1000000.0, 6)"
 
+  /** Median-of-means robust mean (Nemirovsky & Yudin 1983; the
+    * estimator inside [[Sketches.amsF2]]'s group layer, surfaced as a
+    * first-class report): hash rows into `g` fixed buckets, average
+    * each bucket, take the median — one adversarial bucket moves the
+    * estimate by at most one bucket's worth, where the plain mean
+    * follows a single huge outlier anywhere. Deterministic buckets
+    * (the engine polyhash·Knuth mix on the id column — seedless,
+    * partition-invariant); `g` ODD so the median is ONE bucket mean.
+    * Engine-exact: bucket sums and counts are integers, each bucket
+    * mean is micro-floored (`(Σ·10⁶) DIV n`), the median is a
+    * row_number pick over the g-row frame (config-grain window), and
+    * the plain mean is emitted alongside for the outlier-gap readout.
+    * Output ONE row: `(g, n, mean_micro, mom_micro)`.
+    *
+    * Scale: ONE map-side-combined aggregate to g buckets; everything
+    * after runs on g rows.
+    */
+  def medianOfMeans(df: DataFrame, idCol: String, valCol: String,
+      g: Int = 15): DataFrame = {
+    require(g >= 1 && g % 2 == 1, "need odd g >= 1")
+    val d38 = "decimal(38,0)"
+    val b = df.filter(col(idCol).isNotNull && col(valCol).isNotNull)
+      .select(pmod(graft.functions.PolyHash.polyhash(
+          col(idCol).cast("string")) * lit(2654435761L),
+        lit(1000000007L)).mod(g).as("__b"),
+        col(valCol).cast(d38).as("__v"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__bm", expr("(__s * 1000000) DIV __n"))
+    val tot = b.agg(sum(col("__s")).as("__ts"), sum(col("__n")).as("__tn"),
+      count(lit(1)).as("__gn"))
+    b.withColumn("__rk", row_number().over(
+        Window.orderBy(col("__bm"), col("__b"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("__rk") === expr("(__gn + 1) DIV 2"))
+      .select(lit(g).as("g"), col("__tn").cast("long").as("n"),
+        expr("(__ts * 1000000) DIV __tn").cast("long").as("mean_micro"),
+        col("__bm").cast("long").as("mom_micro"))
+  }
+
+  /** Mantel–Haenszel common odds ratio across stratified 2×2 tables
+    * (Mantel & Haenszel, JNCI 1959) — the Simpson's-paradox-aware
+    * exposure→outcome effect estimate: per stratum `s` with cells
+    * `(a, b, c, d)` (exposed-positive, exposed-negative, unexposed-
+    * positive, unexposed-negative), `OR_MH = Σ a·d/n / Σ b·c/n` —
+    * strata weight by size, a confounder that differs across strata
+    * can no longer manufacture the association. Per-stratum terms are
+    * micro-floored integers (`(a·d·10⁶) DIV n`, the q307 discipline);
+    * the ratio's floor (`or_micro`) and one rounded float (`mh_or`)
+    * read off the two integer sums; a zero denominator (no b·c mass
+    * anywhere) yields nulls, never a division blow-up. Output ONE
+    * row: `(n_strata, num_micro, den_micro, or_micro, mh_or)`.
+    *
+    * Scale: ONE map-side-combined aggregate to stratum grain, then a
+    * strata-count-sized reduce.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposedCol: String, outcomeCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cell = df.filter(col(exposedCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(when(col(exposedCol) =!= 0 && col(outcomeCol) =!= 0, 1L)
+          .otherwise(0L)).as("__a"),
+        sum(when(col(exposedCol) =!= 0 && col(outcomeCol) === 0, 1L)
+          .otherwise(0L)).as("__bq"),
+        sum(when(col(exposedCol) === 0 && col(outcomeCol) =!= 0, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col(exposedCol) === 0 && col(outcomeCol) === 0, 1L)
+          .otherwise(0L)).as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__bq") + col("__c") + col("__d"))
+      .withColumn("__num", expr(
+        s"(CAST(__a AS $d38) * __d * 1000000) DIV __n"))
+      .withColumn("__den", expr(
+        s"(CAST(__bq AS $d38) * __c * 1000000) DIV __n"))
+    cell.agg(count(lit(1)).as("__k"),
+        sum(col("__num")).as("__sn"), sum(col("__den")).as("__sd"))
+      .select(col("__k").cast("int").as("n_strata"),
+        col("__sn").cast("long").as("num_micro"),
+        col("__sd").cast("long").as("den_micro"),
+        when(col("__sd") > 0, expr("(__sn * 1000000) DIV __sd"))
+          .cast("long").as("or_micro"),
+        when(col("__sd") > 0, round(col("__sn").cast("double") /
+          col("__sd").cast("double"), 6)).as("mh_or"))
+  }
+
+  /** Shared engine/oracle CUPED fragments over the exact integer
+    * sufficient statistics `(nt, nc, sxt, sxc, syt, syc, sxy, sxx)`
+    * — see [[cupedEffect]]. θ is the pooled OLS slope written with NO
+    * intermediate division (`(N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²)`);
+    * three scalar fragments (not one struct — DuckDB has no
+    * named_struct) parsed verbatim by both engines. */
+  private val cupedThetaExpr: String = {
+    val n = "CAST(nt + nc AS DOUBLE)"
+    val sx = "CAST(sxt + sxc AS DOUBLE)"
+    val sy = "CAST(syt + syc AS DOUBLE)"
+    s"(($n * CAST(sxy AS DOUBLE) - $sx * $sy) / " +
+      s"($n * CAST(sxx AS DOUBLE) - $sx * $sx))"
+  }
+  private val cupedRawExpr: String =
+    "(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)" +
+      " - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))"
+  private val cupedDxExpr: String =
+    "(CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)" +
+      " - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE))"
+  val cupedThetaSql: String = s"round($cupedThetaExpr, 6)"
+  val cupedRawSql: String = s"round($cupedRawExpr, 6)"
+  val cupedAdjSql: String =
+    s"round($cupedRawExpr - $cupedThetaExpr * $cupedDxExpr, 6)"
+
+  /** CUPED variance-reduced treatment effect (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013): the A/B lift on metric `Y` after regressing
+    * out the pre-period covariate `X` — `Δ_adj = Δ_Y − θ·Δ_X` with
+    * `θ` the pooled OLS slope of Y on X, the one-line trick that cuts
+    * experiment variance by the X–Y correlation squared and is the
+    * default in every modern experimentation platform. Input is one
+    * row per UNIT (user) with its treatment flag, pre-period X and
+    * post-period Y (integer units — cents); all sufficient statistics
+    * are exact DECIMAL(38,0) sums and θ is composed with NO
+    * intermediate division; the three floats (θ, raw, adjusted) are
+    * shared fragments ([[cupedThetaSql]]/[[cupedRawSql]]/
+    * [[cupedAdjSql]]) parsed by both engines. A
+    * degenerate X (zero pooled variance) or an empty arm yields null
+    * effects. Output ONE row: `(n_t, n_c, sy_t, sy_c, theta,
+    * raw_effect, adj_effect)`.
+    *
+    * Scale: ONE map-side-combined aggregate over the unit frame
+    * (the unit collapse itself is the caller's upstream groupBy).
+    */
+  def cupedEffect(units: DataFrame, treatCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val t = when(col(treatCol) =!= 0, 1L).otherwise(0L)
+    units.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(sum(t).as("nt"), sum(lit(1L) - t).as("nc"),
+        sum(when(t === 1L, col(xCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("sxt"),
+        sum(when(t === 0L, col(xCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("sxc"),
+        sum(when(t === 1L, col(yCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("syt"),
+        sum(when(t === 0L, col(yCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("syc"),
+        sum(col(xCol).cast(d38) * col(yCol)).as("sxy"),
+        sum(col(xCol).cast(d38) * col(xCol)).as("sxx"))
+      .withColumn("__ok", col("nt") > 0 && col("nc") > 0 &&
+        (col("nt") + col("nc")) * col("sxx") -
+          (col("sxt") + col("sxc")) * (col("sxt") + col("sxc")) > 0)
+      .select(col("nt").cast("long").as("n_t"),
+        col("nc").cast("long").as("n_c"),
+        col("syt").cast("long").as("sy_t"),
+        col("syc").cast("long").as("sy_c"),
+        when(col("__ok"), expr(cupedThetaSql)).as("theta"),
+        when(col("__ok"), expr(cupedRawSql)).as("raw_effect"),
+        when(col("__ok"), expr(cupedAdjSql)).as("adj_effect"))
+  }
+
   /** Chapman capture–recapture population estimate (Chapman 1951; the
     * bias-corrected Lincoln–Petersen index) from two overlapping
     * "detector" samples: `N̂ = (n_A+1)(n_B+1)/(m+1) − 1` where `m` is
