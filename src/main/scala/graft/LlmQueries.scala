@@ -5940,6 +5940,137 @@ object LlmQueries {
             CASE WHEN $ok THEN $ad END AS adj_effect FROM s"""
     })
 
+  /** Best decision-stump split of the user%5 label on event value
+    * cents — the q318 ranking fixture read as a CART one-level
+    * learner: the threshold maximizing the micro-floored weighted-
+    * Gini criterion, parent impurity alongside. */
+  private val l192 = Spec("q327_best_split",
+    (s, d) => graft.engine.Relational.bestSplitStump(
+      T(s, d, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("score"),
+          when(col("user_id") % 5 === 0, 1).otherwise(0).as("lab")),
+      "score", "lab"),
+    Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+          CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS lab
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        c AS (SELECT v, CAST(sum(lab) AS HUGEINT) AS p,
+          CAST(count(*) AS HUGEINT) AS a FROM e GROUP BY 1),
+        t AS (SELECT CAST(sum(p) AS HUGEINT) AS tp,
+          CAST(sum(a) AS HUGEINT) AS tn FROM c),
+        f AS (SELECT v, sum(p) OVER (ORDER BY v) AS cp,
+          sum(a) OVER (ORDER BY v) AS ca FROM c),
+        s AS (SELECT f.v, tp, tn,
+          ((cp * cp + (ca - cp) * (ca - cp)) * 1000000) // ca
+            + (((tp - cp) * (tp - cp)
+              + ((tn - ca) - (tp - cp)) * ((tn - ca) - (tp - cp)))
+              * 1000000) // (tn - ca) AS crit
+          FROM f CROSS JOIN t WHERE ca < tn),
+        r AS (SELECT v, tp, tn, crit,
+          row_number() OVER (ORDER BY crit DESC, v) AS rk FROM s)
+        SELECT CAST(tn AS BIGINT) AS n, CAST(tp AS BIGINT) AS n_pos,
+          CAST(((tp * tp + (tn - tp) * (tn - tp)) * 1000000) // tn
+            AS BIGINT) AS parent_micro,
+          v AS threshold, CAST(crit AS BIGINT) AS crit_micro,
+          CAST(crit - ((tp * tp + (tn - tp) * (tn - tp)) * 1000000)
+            // tn AS BIGINT) AS gain_micro
+        FROM r WHERE rk = 1"""))
+
+  /** Standardized-mean-difference balance audit of return-flag-R
+    * lineitems against the rest over three covariates — the
+    * |SMD| < 0.1 pre-analysis table for any observational split. */
+  private val l193 = Spec("q328_smd_balance",
+    (s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      val t = when(col("l_returnflag") === "R", 1).otherwise(0).as("t")
+      graft.engine.Relational.smdBalance(
+        li.select(lit("qty").as("cov"), t,
+            expr("CAST(round(l_quantity) AS BIGINT)").as("v"))
+          .unionByName(li.select(lit("price_cents").as("cov"), t,
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("v")))
+          .unionByName(li.select(lit("discount_bp").as("cov"), t,
+            expr("CAST(round(l_discount * 10000) AS BIGINT)").as("v"))),
+        "cov", "t", "v")
+    },
+    Some {
+      val smd = graft.engine.Relational.smdSql
+      s"""WITH base AS (SELECT
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+            CAST(round(l_quantity) AS BIGINT) AS qty,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+            CAST(round(l_discount * 10000) AS BIGINT) AS db
+            FROM lineitem WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL),
+          lf AS (SELECT 'qty' AS cov, t, qty AS v FROM base
+            UNION ALL SELECT 'price_cents', t, pc FROM base
+            UNION ALL SELECT 'discount_bp', t, db FROM base),
+          a AS (SELECT cov, CAST(sum(t) AS HUGEINT) AS nt,
+            CAST(sum(1 - t) AS HUGEINT) AS nc,
+            CAST(sum(CASE WHEN t = 1 THEN v ELSE 0 END) AS HUGEINT)
+              AS st,
+            CAST(sum(CASE WHEN t = 0 THEN v ELSE 0 END) AS HUGEINT)
+              AS sc,
+            sum(CASE WHEN t = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS sst,
+            sum(CASE WHEN t = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS ssc
+            FROM lf GROUP BY 1)
+          SELECT cov, CAST(nt AS BIGINT) AS n_t,
+            CAST(nc AS BIGINT) AS n_c,
+            CASE WHEN nt >= 2 AND nc >= 2 AND
+              (nt * sst - st * st) * nc + (nc * ssc - sc * sc) * nt > 0
+            THEN $smd END AS smd FROM a"""
+    })
+
+  /** First-order partial correlation of quantity and price with
+    * discount regressed out — the confounder check behind the q201
+    * correlation matrix. */
+  private val l194 = Spec("q329_partial_corr",
+    (s, d) => graft.engine.Relational.partialCorrelation(
+      T(s, d, "lineitem").select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("z")),
+      "x", "y", "z"),
+    Some {
+      val rxy = graft.engine.Relational.pearsonSql(
+        "n", "sx", "sy", "sxy", "sxx", "syy")
+      val rxz = graft.engine.Relational.pearsonSql(
+        "n", "sx", "sz", "sxz", "sxx", "szz")
+      val ryz = graft.engine.Relational.pearsonSql(
+        "n", "sy", "sz", "syz", "syy", "szz")
+      s"""WITH e AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+            CAST(round(l_discount * 10000) AS BIGINT) AS z
+            FROM lineitem WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL),
+          a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(z) AS HUGEINT) AS sz,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * z) AS sxz,
+            sum(CAST(y AS HUGEINT) * z) AS syz,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy,
+            sum(CAST(z AS HUGEINT) * z) AS szz FROM e),
+          ok AS (SELECT *, (n * sxx - sx * sx > 0)
+            AND (n * syy - sy * sy > 0)
+            AND (n * szz - sz * sz > 0) AS okv FROM a)
+          SELECT CAST(n AS BIGINT) AS n,
+            CASE WHEN okv THEN round($rxy, 6) END AS r_xy,
+            CASE WHEN okv THEN round($rxz, 6) END AS r_xz,
+            CASE WHEN okv THEN round($ryz, 6) END AS r_yz,
+            CASE WHEN okv AND (1.0 - $rxz * $rxz)
+                * (1.0 - $ryz * $ryz) > 0
+              THEN round(($rxy - $rxz * $ryz) / sqrt((1.0 - $rxz * $rxz)
+                * (1.0 - $ryz * $ryz)), 6)
+            END AS r_xy_z FROM ok"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -5956,5 +6087,5 @@ object LlmQueries {
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
-    l186, l187, l188, l189, l190, l191)
+    l186, l187, l188, l189, l190, l191, l192, l193, l194)
 }

@@ -2823,6 +2823,168 @@ object Relational {
   val cupedAdjSql: String =
     s"round($cupedRawExpr - $cupedThetaExpr * $cupedDxExpr, 6)"
 
+  /** Best decision-stump split of a binary label on a numeric feature
+    * (CART's one-level special case, Breiman et al. 1984): for every
+    * candidate threshold `t` on the feature's value lattice (split =
+    * `v ≤ t` left), the weighted-Gini criterion, maximized. Uses the
+    * decomposition `N·(G_parent − G_split) = [(posL²+negL²)/nL +
+    * (posR²+negR²)/nR] − (pos²+neg²)/N` — so MAXIMIZING
+    * `crit = (posL²+negL²)/nL + (posR²+negR²)/nR` finds the best
+    * split; each of the two ratios is micro-floored (the q307
+    * discipline; the floored crit IS the statistic, documented) and
+    * `gain_micro = crit − parent` is a pure integer SUBTRACTION (no
+    * signed floor-division anywhere). The global max value is not a
+    * candidate (its right side is empty); ties break toward the
+    * smallest threshold, deterministic on both engines. Output ONE
+    * row: `(n, n_pos, parent_micro, threshold, crit_micro,
+    * gain_micro)`; an empty input yields an empty report.
+    *
+    * Scale: collapse to (value) grain first, one prefix-sum window
+    * over the bounded score lattice (the [[equiDepthBins]] cost
+    * class — at an unbounded domain route through the ecdfPaired
+    * two-level trick), one lattice-grain argmax.
+    */
+  def bestSplitStump(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val c = df.filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(featureCol).cast("long").as("__v"))
+      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__a"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = c.agg(sum(col("__p")).cast(d38).as("__tp"),
+      sum(col("__a")).cast(d38).as("__tn"))
+    val scored = c
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__ca") < col("__tn"))
+      .withColumn("__crit", expr(
+        s"((CAST(__cp AS $d38) * __cp + CAST(__ca - __cp AS $d38)" +
+          s" * (__ca - __cp)) * 1000000) DIV __ca" +
+          s" + ((CAST(__tp - __cp AS $d38) * (__tp - __cp)" +
+          s" + CAST((__tn - __ca) - (__tp - __cp) AS $d38)" +
+          s" * ((__tn - __ca) - (__tp - __cp))) * 1000000)" +
+          s" DIV (__tn - __ca)"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__crit").desc, col("__v"))))
+      .filter(col("__rk") === 1)
+      .withColumn("__parent", expr(
+        s"((__tp * __tp + (__tn - __tp) * (__tn - __tp)) * 1000000)" +
+          " DIV __tn"))
+      .select(col("__tn").cast("long").as("n"),
+        col("__tp").cast("long").as("n_pos"),
+        col("__parent").cast("long").as("parent_micro"),
+        col("__v").as("threshold"),
+        col("__crit").cast("long").as("crit_micro"),
+        (col("__crit") - col("__parent")).cast("long").as("gain_micro"))
+  }
+
+  /** Shared engine/oracle standardized-mean-difference fragment over
+    * the exact integer sufficient statistics `(nt, nc, st, sc, sst,
+    * ssc)` — see [[smdBalance]]. Sample (n−1) variances, composed
+    * with no intermediate integer division. */
+  val smdSql: String = {
+    val mt = "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val mc = "(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))"
+    val vt = "(CAST(nt * sst - st * st AS DOUBLE)" +
+      " / CAST(nt * (nt - 1) AS DOUBLE))"
+    val vc = "(CAST(nc * ssc - sc * sc AS DOUBLE)" +
+      " / CAST(nc * (nc - 1) AS DOUBLE))"
+    s"round(($mt - $mc) / sqrt(($vt + $vc) / 2.0), 6)"
+  }
+
+  /** Covariate-balance audit via standardized mean differences
+    * (Rosenbaum & Rubin 1985's balance diagnostic; |SMD| < 0.1 is the
+    * conventional "balanced" bar): per covariate, the treated-vs-
+    * control mean gap in pooled-SD units — THE pre-analysis table for
+    * any observational comparison or weighted sample, read BEFORE
+    * trusting an effect estimate. Input is long-form `(covariate,
+    * treat, value)` (callers unpivot); all sufficient statistics are
+    * exact DECIMAL(38,0) sums per covariate and the one float is the
+    * shared [[smdSql]] fragment; an arm with n < 2 or zero pooled
+    * variance yields a null SMD for that covariate. Output per
+    * covariate: `(cov, n_t, n_c, smd)`.
+    *
+    * Scale: ONE map-side-combined aggregate at covariate grain.
+    */
+  def smdBalance(df: DataFrame, covCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val t = when(col(treatCol) =!= 0, 1L).otherwise(0L)
+    df.filter(col(valCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(covCol).as("cov"))
+      .agg(sum(t).cast(d38).as("nt"), sum(lit(1L) - t).cast(d38).as("nc"),
+        sum(when(t === 1L, col(valCol).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("st"),
+        sum(when(t === 0L, col(valCol).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("sc"),
+        sum(when(t === 1L, col(valCol).cast(d38) * col(valCol))
+          .otherwise(lit(0).cast(d38))).as("sst"),
+        sum(when(t === 0L, col(valCol).cast(d38) * col(valCol))
+          .otherwise(lit(0).cast(d38))).as("ssc"))
+      .select(col("cov"), col("nt").cast("long").as("n_t"),
+        col("nc").cast("long").as("n_c"),
+        when(col("nt") >= 2 && col("nc") >= 2 &&
+          (col("nt") * col("sst") - col("st") * col("st")) * col("nc") +
+            (col("nc") * col("ssc") - col("sc") * col("sc")) * col("nt")
+            > 0,
+          expr(smdSql)).as("smd"))
+  }
+
+  /** Shared engine/oracle Pearson-r fragment over exact integer sums
+    * `(n, sa, sb, sab, saa, sbb)` with column names substituted — see
+    * [[partialCorrelation]]. */
+  def pearsonSql(n: String, sa: String, sb: String, sab: String,
+      saa: String, sbb: String): String =
+    s"(CAST($n * $sab - $sa * $sb AS DOUBLE) / " +
+      s"sqrt(CAST($n * $saa - $sa * $sa AS DOUBLE) * " +
+      s"CAST($n * $sbb - $sb * $sb AS DOUBLE)))"
+
+  /** First-order partial correlation `r_xy·z` (Yule 1907): the x–y
+    * Pearson correlation with the z channel regressed out of both —
+    * `(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))` — the confounder
+    * check that answers "is x–y real, or do both just follow z".
+    * All three pairwise correlations compose from ONE pass of exact
+    * DECIMAL(38,0) sums via the shared [[pearsonSql]] fragment (no
+    * intermediate integer division); degenerate marginals (zero
+    * variance anywhere, or |r_·z| = 1) yield nulls. Output ONE row:
+    * `(n, r_xy, r_xz, r_yz, r_xy_z)`.
+    *
+    * Scale: ONE map-side-combined aggregate.
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def s2(a: String, b: String) =
+      sum(col(a).cast(d38) * col(b)).as(s"s_${a}_$b")
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).as("y"), col(zCol).as("z"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("z").cast(d38)).as("sz"),
+        s2("x", "y"), s2("x", "z"), s2("y", "z"),
+        s2("x", "x"), s2("y", "y"), s2("z", "z"))
+    val rxy = pearsonSql("n", "sx", "sy", "s_x_y", "s_x_x", "s_y_y")
+    val rxz = pearsonSql("n", "sx", "sz", "s_x_z", "s_x_x", "s_z_z")
+    val ryz = pearsonSql("n", "sy", "sz", "s_y_z", "s_y_y", "s_z_z")
+    val okVar = (col("n") * col("s_x_x") - col("sx") * col("sx")) > 0 &&
+      (col("n") * col("s_y_y") - col("sy") * col("sy")) > 0 &&
+      (col("n") * col("s_z_z") - col("sz") * col("sz")) > 0
+    agg.select(col("n").cast("long").as("n"),
+        when(okVar, expr(s"round($rxy, 6)")).as("r_xy"),
+        when(okVar, expr(s"round($rxz, 6)")).as("r_xz"),
+        when(okVar, expr(s"round($ryz, 6)")).as("r_yz"),
+        when(okVar && expr(s"(1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)")
+            > 0,
+          expr(s"round(($rxy - $rxz * $ryz) / " +
+            s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)), 6)"))
+          .as("r_xy_z"))
+  }
+
   /** CUPED variance-reduced treatment effect (Deng, Xu, Kohavi &
     * Walker, WSDM 2013): the A/B lift on metric `Y` after regressing
     * out the pre-period covariate `X` — `Δ_adj = Δ_Y − θ·Δ_X` with
