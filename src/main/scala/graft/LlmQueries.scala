@@ -6071,6 +6071,132 @@ object LlmQueries {
             END AS r_xy_z FROM ok"""
     })
 
+  /** HBOS top-20 outliers over three lineitem features — the
+    * histogram-based detector whose ranking is the exact INTEGER bin-
+    * count product (float scores tie nondeterministically; the
+    * product never does), score emitted alongside. */
+  private val l195 = Spec("q330_hbos_outliers",
+    (s, d) => graft.engine.Relational.hbosOutliers(
+      T(s, d, "lineitem")
+        .filter(col("l_quantity").isNotNull &&
+          col("l_extendedprice").isNotNull &&
+          col("l_discount").isNotNull)
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("lid"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("f0"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("f1"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("f2")),
+      "lid", Seq(("f0", 0d, 64d, 16), ("f1", 0d, 11000000d, 16),
+        ("f2", 0d, 1100d, 16)), k = 20),
+    Some("""WITH base AS (SELECT
+          l_orderkey * 10 + l_linenumber AS id,
+          CAST(round(l_quantity) AS BIGINT) AS f0,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS f1,
+          CAST(round(l_discount * 10000) AS BIGINT) AS f2
+          FROM lineitem WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+            AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+        b AS (SELECT id,
+          CAST(least(greatest(floor(CAST(f0 AS DOUBLE) / 4.0), 0), 15)
+            AS INT) AS b0,
+          CAST(least(greatest(floor(CAST(f1 AS DOUBLE) / 687500.0), 0),
+            15) AS INT) AS b1,
+          CAST(least(greatest(floor(CAST(f2 AS DOUBLE) / 68.75), 0),
+            15) AS INT) AS b2 FROM base),
+        h0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS c_0 FROM b
+          GROUP BY 1),
+        h1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c_1 FROM b
+          GROUP BY 1),
+        h2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c_2 FROM b
+          GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
+        j AS (SELECT b.id, h0.c_0, h1.c_1, h2.c_2 FROM b
+          JOIN h0 USING (b0) JOIN h1 USING (b1) JOIN h2 USING (b2)),
+        r AS (SELECT id, c_0, c_1, c_2, row_number() OVER (
+          ORDER BY CAST(c_0 AS HUGEINT) * c_1 * c_2, id) AS rk FROM j)
+        SELECT id AS lid, c_0, c_1, c_2,
+          round(-ln(CAST(c_0 AS DOUBLE) / t.n)
+            - ln(CAST(c_1 AS DOUBLE) / t.n)
+            - ln(CAST(c_2 AS DOUBLE) / t.n), 6) AS score
+        FROM r CROSS JOIN t WHERE rk <= 20"""))
+
+  /** Nelson–Aalen cumulative hazard on the q276 Kaplan–Meier cohort —
+    * the additive (and here ALL-INTEGER) survival face: micro-floored
+    * per-step hazards, integer prefix sum. */
+  private val l196 = Spec("q331_nelson_aalen",
+    (s, d) => {
+      val subj = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("datediff(max(o_orderdate), min(o_orderdate)) DIV 365")
+            .cast("int").as("step"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("event"))
+        .join(T(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")), col("c_custkey") === col("o_custkey"))
+      graft.engine.Relational.nelsonAalen(subj, Seq("c_mktsegment"),
+        "step", "event")
+    },
+    Some("""WITH s0 AS (SELECT o_custkey,
+          date_diff('day', min(o_orderdate), max(o_orderdate)) // 365
+            AS step,
+          max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS event
+          FROM orders GROUP BY 1),
+        su AS (SELECT c.c_mktsegment, CAST(s0.step AS INT) AS step,
+          s0.event FROM s0 JOIN customer c ON c.c_custkey = s0.o_custkey),
+        ps AS (SELECT c_mktsegment, step, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(event) AS BIGINT) AS d FROM su GROUP BY 1, 2),
+        rc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_mktsegment
+          ORDER BY step DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW) AS BIGINT) AS n_risk FROM ps),
+        st AS (SELECT c_mktsegment, step, n_risk, d,
+          (d * 1000000) // n_risk AS h_micro FROM rc WHERE d > 0)
+        SELECT c_mktsegment, step, n_risk, d, h_micro,
+          CAST(sum(h_micro) OVER (PARTITION BY c_mktsegment
+            ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS BIGINT) AS h_cum_micro FROM st"""))
+
+  /** Difference-in-differences of odd-user "treatment" on event value
+    * across the month halves — the parallel-trends estimator; the
+    * q326 CUPED fixture read as a 2×2 natural experiment. */
+  private val l197 = Spec("q332_did",
+    (s, d) => graft.engine.Relational.didEffect(
+      T(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .select((col("user_id") % 2).cast("int").as("tr"),
+          when(dayofmonth(col("ts")) >= 15, 1).otherwise(0).as("po"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v")),
+      "tr", "po", "v"),
+    Some {
+      val did = graft.engine.Relational.didSql
+      val se = graft.engine.Relational.didSeSql
+      val z = graft.engine.Relational.didZSql
+      val seRaw = graft.engine.Relational.didSeRawExpr
+      def cellAgg(ti: Int, pi: Int): String =
+        s"CAST(sum(CASE WHEN tr = $ti AND po = $pi THEN 1 ELSE 0 END)" +
+          s" AS HUGEINT) AS n$ti$pi," +
+          s" sum(CASE WHEN tr = $ti AND po = $pi THEN CAST(v AS HUGEINT)" +
+          s" ELSE 0 END) AS s$ti$pi," +
+          s" sum(CASE WHEN tr = $ti AND po = $pi THEN CAST(v AS HUGEINT)" +
+          s" * v ELSE 0 END) AS ss$ti$pi"
+      val ok = "n11 >= 2 AND n10 >= 2 AND n01 >= 2 AND n00 >= 2"
+      s"""WITH e AS (SELECT CAST(user_id % 2 AS INT) AS tr,
+            CASE WHEN date_part('day', ts) >= 15 THEN 1 ELSE 0 END
+              AS po,
+            CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE user_id IS NOT NULL
+              AND value IS NOT NULL AND ts IS NOT NULL),
+          a AS (SELECT ${cellAgg(1, 1)}, ${cellAgg(1, 0)},
+            ${cellAgg(0, 1)}, ${cellAgg(0, 0)} FROM e)
+          SELECT CAST(n11 AS BIGINT) AS n_11,
+            CAST(n10 AS BIGINT) AS n_10,
+            CAST(n01 AS BIGINT) AS n_01,
+            CAST(n00 AS BIGINT) AS n_00,
+            CASE WHEN $ok THEN $did END AS did,
+            CASE WHEN $ok THEN $se END AS se,
+            CASE WHEN $ok AND $seRaw > 0 THEN $z END AS z FROM a"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6087,5 +6213,6 @@ object LlmQueries {
     l156, l157, l158, l159, l160, l161, l162, l163, l164, l165,
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
-    l186, l187, l188, l189, l190, l191, l192, l193, l194)
+    l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
+    l196, l197)
 }

@@ -1872,6 +1872,170 @@ object Relational {
         col("__s.factor").as("factor"), col("survival")): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) — the
+    * additive companion of [[kaplanMeier]]: `H(t) = Σ_{steps ≤ t}
+    * d_j/n_j`, the estimator whose INCREMENTS are the per-step
+    * hazards (KM's product form reads survival; NA reads risk
+    * accumulation directly, and `exp(−H)` is the Fleming–Harrington
+    * survival alternative). ALL-INTEGER: per-step hazards are
+    * micro-floored (`(d·10⁶) DIV n_risk`, the q307 discipline) and
+    * the cumulative column is a plain integer prefix sum — the one
+    * survival face with no floating step at all. At-risk counts are
+    * the same reverse step-cumsum as KM; steps with `d = 0`
+    * contribute nothing and are dropped from the report.
+    *
+    * Output per (group, event step): `(groupCols…, step, n_risk, d,
+    * h_micro, h_cum_micro)`.
+    *
+    * Scale: one group+step-grain aggregate, two windows over the
+    * per-group STEP axis (bounded by the step domain, the
+    * [[kaplanMeier]] posture).
+    */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[String], stepCol: String,
+      eventCol: String): DataFrame = {
+    val perStep = df
+      .filter(col(stepCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(stepCol).cast("int")
+        .as("step"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(col(eventCol).cast("long")).as("d"))
+    val wDesc = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("step").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perStep
+      .withColumn("n_risk", sum(col("__c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("h_micro", expr("(d * 1000000) DIV n_risk"))
+      .withColumn("h_cum_micro", sum(col("h_micro")).over(wAsc))
+      .select(groupCols.map(col) ++ Seq(col("step"), col("n_risk"),
+        col("d"), col("h_micro"), col("h_cum_micro")): _*)
+  }
+
+  /** HBOS top-k outliers (Goldstein & Dengel, KI 2012): per numeric
+    * feature, a fixed-width histogram; a row's outlier score is
+    * `Σ_f −ln(count_f(bin_f(x))/N)` — rows whose feature values sit
+    * in jointly thin bins float to the top. The deterministic,
+    * training-free outlier detector that actually runs at 100 TB:
+    * each histogram is one map-side aggregate to ≤ `bins` rows,
+    * scoring is `|features|` BROADCAST joins, and ranking needs no
+    * float — the score is monotone in the INTEGER count product
+    * `Π count_f`, so top-k reads `ORDER BY (product, id)` exactly on
+    * both engines (float scores tie-break nondeterministically; the
+    * product never does). Values outside `[lo, hi)` clamp to the edge
+    * bins. Output: k rows `(id, c_1…c_F, score)` with the per-feature
+    * bin counts as exact integers and the one rounded float score.
+    */
+  def hbosOutliers(df: DataFrame, idCol: String,
+      features: Seq[(String, Double, Double, Int)],
+      k: Int): DataFrame = {
+    require(features.nonEmpty && k >= 1, "need features and k >= 1")
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(idCol).isNotNull &&
+        features.map { case (c, _, _, _) => col(c).isNotNull }
+          .reduce(_ && _))
+      .persist()
+    val binned = features.zipWithIndex.foldLeft(
+        base.select((col(idCol).as("id") +:
+          features.map { case (c, _, _, _) => col(c) }): _*)) {
+      case (acc, ((c, lo, hi, nb), i)) =>
+        val width = (hi - lo) / nb
+        acc.withColumn(s"__b$i", least(greatest(
+          floor((col(c).cast("double") - lo) / width), lit(0)),
+          lit(nb - 1)).cast("int"))
+    }
+    val scored = features.zipWithIndex.foldLeft(binned) {
+      case (acc, ((_, _, _, _), i)) =>
+        val hist = binned.groupBy(col(s"__b$i"))
+          .agg(count(lit(1)).as(s"c_$i"))
+        acc.join(broadcast(hist), Seq(s"__b$i"))
+    }
+    val crit = features.indices
+      .map(i => col(s"c_$i").cast(d38))
+      .reduce(_ * _)
+    val tot = base.agg(count(lit(1)).cast("double").as("__n"))
+    val score = features.indices
+      .map(i => -log(col(s"c_$i").cast("double") / col("__n")))
+      .reduce(_ + _)
+    val out = scored.crossJoin(broadcast(tot))
+      .withColumn("__crit", crit)
+      .orderBy(col("__crit"), col("id"))
+      .limit(k)
+      .select((col("id").as(idCol) +:
+        features.indices.map(i => col(s"c_$i"))) :+
+        round(score, 6).as("score"): _*)
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /** Shared engine/oracle difference-in-differences fragments over the
+    * exact integer cell statistics `(n11, s11, ss11, n10, s10, ss10,
+    * n01, s01, ss01, n00, s00, ss00)` (first index = treated, second
+    * = post) — see [[didEffect]]. */
+  private def didMean(c: String): String =
+    s"(CAST(s$c AS DOUBLE) / CAST(n$c AS DOUBLE))"
+  private def didVarTerm(c: String): String =
+    s"(CAST(n$c * ss$c - s$c * s$c AS DOUBLE)" +
+      s" / CAST(n$c * n$c * (n$c - 1) AS DOUBLE))"
+  private val didRawExpr: String = s"((${didMean("11")}" +
+    s" - ${didMean("10")}) - (${didMean("01")} - ${didMean("00")}))"
+  val didSeRawExpr: String = s"sqrt(${didVarTerm("11")}" +
+    s" + ${didVarTerm("10")} + ${didVarTerm("01")}" +
+    s" + ${didVarTerm("00")})"
+  val didSql: String = s"round($didRawExpr, 6)"
+  val didSeSql: String = s"round($didSeRawExpr, 6)"
+  val didZSql: String = s"round($didRawExpr / $didSeRawExpr, 6)"
+
+  /** Difference-in-differences (Card & Krueger, AER 1994 canonical
+    * form): the treated group's pre→post change minus the control
+    * group's — the parallel-trends estimator that nets out shared
+    * time shocks a raw post-period comparison absorbs. Input is one
+    * row per observation with treated and post 0/1 flags; all twelve
+    * cell statistics (n, Σ, Σ² per 2×2 cell) are exact DECIMAL(38,0)
+    * sums in ONE pass; `did` and its unpooled SE (per-cell sample
+    * variances over cell n — OBSERVATION-grain, callers with
+    * within-unit correlation should pre-collapse to unit grain, the
+    * q326 posture) are shared fragments ([[didSql]]/[[didSeSql]]).
+    * Any cell with n < 2 yields null effect columns. Output ONE row:
+    * `(n_11, n_10, n_01, n_00, did, se, z)`.
+    *
+    * Scale: ONE map-side-combined aggregate.
+    */
+  def didEffect(df: DataFrame, treatCol: String, postCol: String,
+      valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val t = when(col(treatCol) =!= 0, 1).otherwise(0)
+    val p = when(col(postCol) =!= 0, 1).otherwise(0)
+    def cell(ti: Int, pi: Int, what: String) = {
+      val in = t === ti && p === pi
+      what match {
+        case "n" => sum(when(in, 1L).otherwise(0L)).cast(d38)
+          .as(s"n$ti$pi")
+        case "s" => sum(when(in, col(valCol).cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"s$ti$pi")
+        case _ => sum(when(in, col(valCol).cast(d38) * col(valCol))
+          .otherwise(lit(0).cast(d38))).as(s"ss$ti$pi")
+      }
+    }
+    val cells = for (ti <- Seq(1, 0); pi <- Seq(1, 0);
+      w <- Seq("n", "s", "ss")) yield cell(ti, pi, w)
+    val ok = Seq((1, 1), (1, 0), (0, 1), (0, 0))
+      .map { case (ti, pi) => col(s"n$ti$pi") >= 2 }.reduce(_ && _)
+    df.filter(col(valCol).isNotNull && col(treatCol).isNotNull &&
+        col(postCol).isNotNull)
+      .agg(cells.head, cells.tail: _*)
+      .select(col("n11").cast("long").as("n_11"),
+        col("n10").cast("long").as("n_10"),
+        col("n01").cast("long").as("n_01"),
+        col("n00").cast("long").as("n_00"),
+        when(ok, expr(didSql)).as("did"),
+        when(ok, expr(didSeSql)).as("se"),
+        when(ok && expr(didSeRawExpr) > 0, expr(didZSql)).as("z"))
+  }
+
   /** Two-group log-rank test (Mantel–Haenszel) — the significance
     * companion to [[kaplanMeier]]: two survival curves can LOOK apart
     * while the at-risk tail is too thin to support the claim; this is
