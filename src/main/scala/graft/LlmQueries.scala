@@ -6197,6 +6197,90 @@ object LlmQueries {
             CASE WHEN $ok AND $seRaw > 0 THEN $z END AS z FROM a"""
     })
 
+  /** Pseudo-diameter of the quarter-supplier shipment graph by the
+    * double-BFS sweep (hop-capped at 3) — the standard diameter
+    * lower bound at two BFS costs. */
+  private val l198 = Spec("q333_pseudo_diameter",
+    (s, d) => {
+      val ed = T(s, d, "lineitem")
+        .filter(col("l_suppkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string"))
+            .as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      val both = ed.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      graft.engine.Graph.pseudoDiameter(both, "src", "dst", maxHops = 3)
+    },
+    Some {
+      // one BFS sweep: 3 unrolled frontier/relax levels from seed CTE.
+      // Each level references its predecessor TWICE (frontier filter +
+      // relax union); DuckDB inlines plain CTEs per reference, so the
+      // expansion doubles per level (2^8 across both sweeps) — the
+      // MATERIALIZED keyword pins each level to one evaluation
+      // (measured: >300 s inlined, 0.1 s materialized at sf0.001).
+      def sweep(seed: String, pfx: String): String =
+        (1 to 3).map { i =>
+          val prev = if (i == 1) seed else s"${pfx}d${i - 1}"
+          s"""${pfx}f$i AS (SELECT e.dst AS id, $i AS hop FROM $prev
+              JOIN e ON e.src = $prev.id WHERE $prev.hop = ${i - 1}),
+            ${pfx}d$i AS MATERIALIZED (SELECT id, min(hop) AS hop FROM
+              (SELECT * FROM $prev UNION ALL SELECT * FROM ${pfx}f$i)
+              GROUP BY 1)"""
+        }.mkString(",\n")
+      s"""WITH ed AS (SELECT DISTINCT
+            's' || CAST(l_suppkey AS VARCHAR) AS src,
+            'c' || CAST(o_custkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey % 10 = 0),
+          e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+          a0 AS (SELECT min(id) AS id FROM
+            (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+          d0 AS (SELECT id, 0 AS hop FROM a0),
+          ${sweep("d0", "")},
+          m1 AS (SELECT max(hop) AS mx FROM d3),
+          far1 AS (SELECT min(id) AS id, max(hop) AS ecc FROM d3
+            CROSS JOIN m1 WHERE hop = mx),
+          n1 AS (SELECT count(*) AS n FROM d3),
+          g0 AS (SELECT id, 0 AS hop FROM far1),
+          ${sweep("g0", "g")},
+          m2 AS (SELECT max(hop) AS mx FROM gd3),
+          far2 AS (SELECT min(id) AS id, max(hop) AS ecc FROM gd3
+            CROSS JOIN m2 WHERE hop = mx),
+          n2 AS (SELECT count(*) AS n FROM gd3)
+          SELECT a0.id AS anchor0, CAST(far1.ecc AS INT) AS ecc1,
+            CAST(n1.n AS BIGINT) AS n_reached1, far1.id AS anchor1,
+            CAST(far2.ecc AS INT) AS ecc2,
+            CAST(n2.n AS BIGINT) AS n_reached2
+          FROM a0 CROSS JOIN far1 CROSS JOIN n1
+          CROSS JOIN far2 CROSS JOIN n2"""
+    })
+
+  /** Matryoshka energy-retention curve over the embedding corpus at
+    * prefix dims 8/16/32/64 — how much cosine signal survives index
+    * truncation; per-vector ratios micro-floored before the mean. */
+  private val l199 = Spec("q334_mrl_energy",
+    (s, d) => graft.llm.Similarity.mrlEnergyCurve(
+      T(s, d, "embeddings"), "embedding", Seq(8, 16, 32, 64)),
+    Some(s"""WITH e AS (SELECT embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+        x AS (SELECT kk.k, ${dot2("v", "v")} AS f,
+          ${dot2("v[1:kk.k]", "v[1:kk.k]")} AS p
+          FROM e CROSS JOIN
+            (SELECT unnest([8, 16, 32, 64]) AS k) kk),
+        y AS (SELECT k, CAST(floor(1000000.0 * p / f) AS BIGINT) AS em
+          FROM x WHERE f > 0),
+        a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(em) AS HUGEINT) AS s FROM y GROUP BY 1)
+        SELECT CAST(k AS INT) AS dim, n,
+          CAST(s // n AS BIGINT) AS energy_micro,
+          round(sqrt(CAST(s // n AS DOUBLE) / 1000000.0), 6) AS rms_cos
+        FROM a"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6214,5 +6298,5 @@ object LlmQueries {
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
-    l196, l197)
+    l196, l197, l198, l199)
 }

@@ -536,6 +536,78 @@ object Graph {
     *
     * Output: `(id, hub, auth)` for every node.
     */
+  /** Pseudo-diameter by the double-BFS sweep (the standard
+    * lower-bound heuristic, e.g. Magnien/Latapy/Habib 2009): BFS from
+    * a deterministic anchor (the lexicographically smallest node),
+    * jump to the farthest reached node (ties → smallest id), BFS
+    * again — the second eccentricity is a diameter lower bound that
+    * is exact on trees and within a small factor in practice, at TWO
+    * BFS costs instead of all-pairs. Both sweeps are hop-capped at
+    * `maxHops` (a sweep that still has frontier at the cap reports
+    * the capped value — deterministic, documented; raise the cap to
+    * chase the true bound). Input edges must already carry both
+    * directions for an undirected reading (the [[bfsHops]] / q173
+    * convention). Output ONE row: `(anchor0, ecc1, n_reached1,
+    * anchor1, ecc2, n_reached2)`.
+    *
+    * Scale: 2·maxHops frontier joins on the persisted edge frame —
+    * the [[bfsHops]] cost model twice, with the edge
+    * distinct/repartition/persist paid ONCE.
+    */
+  def pseudoDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().repartition(col("src")).persist()
+    def sweep(seed: DataFrame): DataFrame = {
+      var dist = seed.withColumn("hop", lit(0)).persist()
+      val rounds = scala.collection.mutable.Buffer(dist)
+      for (i <- 1 to maxHops) {
+        val next = dist.filter(col("hop") === i - 1)
+          .withColumnRenamed("id", "src")
+          .join(e, "src")
+          .select(col("dst").as("id"), lit(i).as("hop"))
+        dist = dist.unionByName(next)
+          .groupBy("id").agg(min(col("hop")).as("hop")).persist()
+        rounds += dist
+      }
+      val out = dist.localCheckpoint(true)
+      rounds.foreach(_.unpersist(false))
+      out
+    }
+    // farthest node, ties to the smallest id: one agg of (hop, id)
+    // pairs via max_by on the (hop, negated-lexico) struct is not
+    // string-safe — use max(hop) then min(id) at that hop instead
+    def far(dist: DataFrame): DataFrame = {
+      val mx = dist.agg(max(col("hop")).as("__mx"))
+      dist.crossJoin(broadcast(mx)).filter(col("hop") === col("__mx"))
+        .agg(min(col("id")).as("id"), max(col("hop")).as("ecc"))
+    }
+    val a0 = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .agg(min(col("id")).as("id"))
+    val d1 = sweep(a0.select("id"))
+    val f1 = far(d1).localCheckpoint(true)
+    val n1 = d1.agg(count(lit(1)).as("n_reached1"))
+    val d2 = sweep(f1.select("id"))
+    val f2 = far(d2)
+    val n2 = d2.agg(count(lit(1)).as("n_reached2"))
+    val out = a0.select(col("id").as("anchor0"))
+      .crossJoin(f1.select(col("id").as("anchor1"),
+        col("ecc").as("ecc1")))
+      .crossJoin(broadcast(n1))
+      .crossJoin(f2.select(col("ecc").as("ecc2")))
+      .crossJoin(broadcast(n2))
+      .select(col("anchor0"), col("ecc1").cast("int").as("ecc1"),
+        col("n_reached1").cast("long").as("n_reached1"),
+        col("anchor1"), col("ecc2").cast("int").as("ecc2"),
+        col("n_reached2").cast("long").as("n_reached2"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")

@@ -28,6 +28,43 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Matryoshka energy-retention curve (the readout behind MRL-style
+    * truncatable embeddings, Kusupati et al., NeurIPS 2022): for each
+    * prefix length `k`, the corpus mean of `‖v[1..k]‖²/‖v‖²` — which
+    * for a vector against its own zero-padded truncation IS the
+    * squared cosine, so `rms_cos = √(mean)` reads "how much of the
+    * similarity signal survives truncating the index to k dims", the
+    * table that decides how small the ANN index can go. Per-vector
+    * ratios are computed with the same sequential-fold [[dot]] both
+    * engines share, then MICRO-FLOORED before the corpus mean (a raw
+    * float mean is aggregation-order-dependent; the q307 discipline);
+    * zero-norm vectors are excluded. Output per prefix dim:
+    * `(dim, n, energy_micro, rms_cos)`.
+    *
+    * Scale: ONE pass — each row expands to `|dims|` literal rows and
+    * collapses map-side; no joins, no window.
+    */
+  def mrlEnergyCurve(df: DataFrame, vecCol: String,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "need positive dims")
+    val full = dot(col("__v"), col("__v"))
+    val pref = dot(expr("slice(__v, 1, dim)"), expr("slice(__v, 1, dim)"))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"),
+        explode(lit(dims.toArray)).as("dim"))
+      .withColumn("__f", full)
+      .filter(col("__f") > 0)
+      .withColumn("__em",
+        floor(lit(1000000d) * pref / col("__f")).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__em")).as("__s"))
+      .select(col("dim").cast("int").as("dim"),
+        col("n").cast("long").as("n"),
+        expr("(__s) DIV n").cast("long").as("energy_micro"),
+        round(sqrt(expr("CAST(__s DIV n AS DOUBLE)") / 1e6), 6)
+          .as("rms_cos"))
+  }
+
   /** NULL (not NaN/error) when either vector has zero norm: real corpora
     * carry occasional zero/degenerate embeddings, and ANSI sessions turn
     * the unguarded double ÷0 into a runtime error (AnsiFixtureSpec).
