@@ -6281,6 +6281,36 @@ object LlmQueries {
           round(sqrt(CAST(s // n AS DOUBLE) / 1000000.0), 6) AS rms_cos
         FROM a"""))
 
+  /** Windowed binned-KS drift monitor (streaming face, here driven
+    * batch for the oracle): per day, max CDF gap in ppm against a
+    * fixed uniform reference over [0, 350) — completing the streaming
+    * drift pair with q190's windowed PSI. */
+  private val l200 = Spec("q335_stream_ks_windowed",
+    (s, d) => graft.streaming.Streaming.ksWindowed(
+      T(s, d, "events"), "ts", "value", "1 day",
+      refCumPpm = Seq(200000L, 400000L, 600000L, 800000L, 1000000L),
+      lo = 0d, hi = 350d),
+    Some("""WITH b AS (SELECT date_trunc('day', ts) AS w_start,
+          CAST(least(greatest(floor((value - 0.0) / 70.0), 0.0), 4.0)
+            AS INT) AS bin
+          FROM events WHERE value IS NOT NULL),
+        a AS (SELECT w_start,
+          count(*) FILTER (bin = 0) AS c0,
+          count(*) FILTER (bin = 1) AS c1,
+          count(*) FILTER (bin = 2) AS c2,
+          count(*) FILTER (bin = 3) AS c3,
+          count(*) FILTER (bin = 4) AS c4,
+          CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        g AS (SELECT w_start, n, greatest(
+            abs((c0 * 1000000) // n - 200000),
+            abs(((c0 + c1) * 1000000) // n - 400000),
+            abs(((c0 + c1 + c2) * 1000000) // n - 600000),
+            abs(((c0 + c1 + c2 + c3) * 1000000) // n - 800000),
+            abs(((c0 + c1 + c2 + c3 + c4) * 1000000) // n - 1000000))
+            AS d_ppm FROM a)
+        SELECT w_start, n, CAST(d_ppm AS BIGINT) AS d_ppm,
+          round(CAST(d_ppm AS DOUBLE) / 1000000.0, 6) AS ks FROM g"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6298,5 +6328,5 @@ object LlmQueries {
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
-    l196, l197, l198, l199)
+    l196, l197, l198, l199, l200)
 }

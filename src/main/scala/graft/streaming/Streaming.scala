@@ -389,6 +389,55 @@ object Streaming {
         col("psi"))
   }
 
+  /** Windowed KS drift monitor — the streaming companion of
+    * [[psiWindowed]] and the fixed-grid face of
+    * [[graft.engine.Relational.ksReport]]: per event-time window, the
+    * max absolute gap between the window's empirical CDF and a FIXED
+    * reference CDF, both read at `nBins` fixed grid edges
+    * (`refCumPpm(b)` = the reference's exact-ppm cumulative mass at
+    * bin `b`'s upper edge; the last entry is 10⁶ by construction).
+    * Grid resolution is the monitor's contract — this is the
+    * binned-KS ops face, not the exact merged-support statistic (the
+    * batch `ksReport` is that); at nBins grid cells the gap
+    * understates true KS by at most the cell's reference mass.
+    * ALL-INTEGER: per-bin counters are conditional aggregates in ONE
+    * `groupBy(window)` (Append-mode legal), cumulative counts are a
+    * fixed fold over bin index, current CDF ppm is exact floor
+    * division, and `d_ppm = max_b |cum_ppm_b − refCumPpm(b)|` — no
+    * float anywhere (`ks` is the one rounded readout). On a batch
+    * frame the watermark is a no-op and the result is
+    * oracle-checkable SQL; on a stream, state per window is
+    * `nBins + 1` longs.
+    */
+  def ksWindowed(events: DataFrame, tsCol: String, valCol: String,
+      windowLen: String, refCumPpm: Seq[Long], lo: Double, hi: Double,
+      watermark: Option[String] = None): DataFrame = {
+    val nBins = refCumPpm.size
+    require(nBins > 0 && hi > lo, "need bins and lo < hi")
+    require(refCumPpm.forall(p => p >= 0 && p <= 1000000L) &&
+      refCumPpm == refCumPpm.sorted && refCumPpm.last == 1000000L,
+      "reference is a cumulative ppm CDF ending at 1e6")
+    val binW = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valCol) - lo) / binW), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    val counters = (0 until nBins).map(b =>
+      count_if(col("__bin") === b).as(s"__c$b"))
+    val agg = src.filter(col(valCol).isNotNull).withColumn("__bin", bin)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val n = (0 until nBins).map(b => col(s"__c$b")).reduce(_ + _)
+    val gaps = refCumPpm.zipWithIndex.map { case (ref, b) =>
+      abs(expr(s"((${(0 to b).map(i => s"__c$i").mkString(" + ")})" +
+        s" * 1000000) DIV __n") - lit(ref))
+    }
+    agg.withColumn("__n", n)
+      .withColumn("d_ppm", gaps.reduce(greatest(_, _)))
+      .withColumn("ks", round(col("d_ppm").cast("double") / 1e6, 6))
+      .select(col("window.start").as("w_start"), col("__n").as("n"),
+        col("d_ppm"), col("ks"))
+  }
+
   final case class KeyedValue(group: String, v: String)
   final case class SketchUpdate(group: String, occupied: Int,
       est_distinct: Option[Long])

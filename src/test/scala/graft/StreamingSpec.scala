@@ -354,6 +354,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ksWindowed: streaming windows agree with the batch face; " +
+      "a window matching the reference CDF scores zero") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // uniform 2-bin reference: cum ppm (500000, 1000000) on [0, 10)
+    val ref = Seq(500000L, 1000000L)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = Streaming.ksWindowed(df, "ts", "value", "1 hour", ref,
+        lo = 0d, hi = 10d, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("kswin")
+      .outputMode("complete").start()
+    try {
+      val t = (h: Int, m: Int) =>
+        Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // hour 10: 2 low + 2 high = the reference -> d_ppm 0
+      // hour 11: 3 low + 1 high -> cum ppm 750000 at the low edge
+      mem.addData((t(10, 0), 1.0), (t(10, 10), 2.0), (t(10, 20), 7.0),
+        (t(10, 30), 8.0), (t(11, 0), 1.0), (t(11, 10), 2.0),
+        (t(11, 20), 3.0), (t(11, 30), 9.0))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM kswin ORDER BY w_start").collect()
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("d_ppm"),
+          r.getAs[Double]("ks")))
+      assert(rows.length == 2)
+      assert(rows(0) == ((4L, 0L, 0.0)))
+      assert(rows(1) == ((4L, 250000L, 0.25)))
+      // batch face on the same rows gives the identical gap
+      val batch = Seq((t(11, 0), 1.0), (t(11, 10), 2.0),
+        (t(11, 20), 3.0), (t(11, 30), 9.0)).toDF("ts", "value")
+      val b = Streaming.ksWindowed(batch, "ts", "value", "1 hour", ref,
+        lo = 0d, hi = 10d).collect()
+      assert(b.head.getLong(2) == 250000L)
+    } finally q.stop()
+  }
+
   test("distinctSketchStream: per-batch refresh, cumulative state, " +
       "bit-identical to the batch sketch on the same prefix") {
     val sp = spark
