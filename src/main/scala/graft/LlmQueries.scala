@@ -6311,6 +6311,102 @@ object LlmQueries {
         SELECT w_start, n, CAST(d_ppm AS BIGINT) AS d_ppm,
           round(CAST(d_ppm AS DOUBLE) / 1000000.0, 6) AS ks FROM g"""))
 
+  /** Wald IV estimate of purchase take-up's effect on total spend,
+    * instrumented by the odd-user nudge — the encouragement-design
+    * LATE; integer cross-product weak-instrument guard. */
+  private val l201 = Spec("q336_iv_wald",
+    (s, d) => graft.engine.Relational.ivWaldEffect(
+      T(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("dk"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+        .withColumn("z", (col("user_id") % 2).cast("int")),
+      "z", "dk", "y"),
+    Some {
+      val itt = graft.engine.Relational.ivIttSql
+      val fs = graft.engine.Relational.ivFsSql
+      val wald = graft.engine.Relational.ivWaldSql
+      s"""WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS z,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+              AS y
+            FROM events WHERE user_id IS NOT NULL
+              AND value IS NOT NULL GROUP BY 1),
+          a AS (SELECT CAST(sum(z) AS HUGEINT) AS nt,
+            CAST(sum(1 - z) AS HUGEINT) AS nc,
+            CAST(sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS HUGEINT)
+              AS sdt,
+            CAST(sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS HUGEINT)
+              AS sdc,
+            sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS syt,
+            sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS syc FROM u)
+          SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+            CAST(sdt AS BIGINT) AS d_t, CAST(sdc AS BIGINT) AS d_c,
+            CASE WHEN nt > 0 AND nc > 0 THEN $itt END AS itt,
+            CASE WHEN nt > 0 AND nc > 0 THEN $fs END AS first_stage,
+            CASE WHEN nt > 0 AND nc > 0 AND sdt * nc <> sdc * nt
+              THEN $wald END AS wald FROM a"""
+    })
+
+  /** Restricted mean survival time to the 5-year horizon per market
+    * segment — the area under the q276 Kaplan–Meier curve, in exact
+    * integer micro-years. */
+  private val l202 = Spec("q337_rmst",
+    (s, d) => {
+      val subj = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("datediff(max(o_orderdate), min(o_orderdate)) DIV 365")
+            .cast("int").as("step"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("event"))
+        .join(T(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")), col("c_custkey") === col("o_custkey"))
+      graft.engine.Relational.rmst(
+        graft.engine.Relational.kaplanMeier(subj, Seq("c_mktsegment"),
+          "step", "event"),
+        Seq("c_mktsegment"), tau = 5)
+    },
+    Some("""WITH s0 AS (SELECT o_custkey,
+          date_diff('day', min(o_orderdate), max(o_orderdate)) // 365
+            AS step,
+          max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS event
+          FROM orders GROUP BY 1),
+        su AS (SELECT c.c_mktsegment, CAST(s0.step AS INT) AS step,
+          s0.event FROM s0 JOIN customer c ON c.c_custkey = s0.o_custkey),
+        ps AS (SELECT c_mktsegment, step, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(event) AS BIGINT) AS d FROM su GROUP BY 1, 2),
+        rc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_mktsegment
+          ORDER BY step DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW) AS BIGINT) AS n_risk FROM ps),
+        st AS (SELECT c_mktsegment, step, n_risk, d,
+          round(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+            AS factor FROM rc WHERE d > 0),
+        ar AS (SELECT c_mktsegment, list(factor ORDER BY step) AS fs
+          FROM st GROUP BY 1),
+        ix AS (SELECT c_mktsegment, step,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY step)
+            AS i FROM st),
+        km AS (SELECT ix.c_mktsegment, ix.step,
+          round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            ar.fs[1:ix.i]), (a, b) -> a * b), 6) AS survival
+          FROM ix JOIN ar USING (c_mktsegment)),
+        r AS (SELECT c_mktsegment, step,
+          CAST(round(survival * 1000000) AS BIGINT) AS smic,
+          coalesce(lead(step) OVER (PARTITION BY c_mktsegment
+            ORDER BY step), 5) AS nxt FROM km),
+        seg AS (SELECT c_mktsegment, step,
+          CASE WHEN step < 5 THEN smic * (least(nxt, 5) - step)
+            ELSE 0 END AS sg FROM r),
+        a AS (SELECT c_mktsegment, min(step) AS t1, sum(sg) AS s
+          FROM seg GROUP BY 1)
+        SELECT c_mktsegment, CAST(5 AS INT) AS tau,
+          CAST(least(t1, 5) * 1000000 + s AS BIGINT) AS rmst_micro,
+          round(CAST(least(t1, 5) * 1000000 + s AS DOUBLE)
+            / 1000000.0, 6) AS rmst FROM a"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6328,5 +6424,5 @@ object LlmQueries {
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
-    l196, l197, l198, l199, l200)
+    l196, l197, l198, l199, l200, l201, l202)
 }

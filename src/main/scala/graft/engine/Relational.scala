@@ -2036,6 +2036,100 @@ object Relational {
         when(ok && expr(didSeRawExpr) > 0, expr(didZSql)).as("z"))
   }
 
+  /** Restricted mean survival time (Irwin 1949; the modern
+    * presentation in Royston & Parmar, Stat Med 2013): the area under
+    * the [[kaplanMeier]] curve up to horizon `tau` — "expected
+    * event-free time within the first τ periods", the survival
+    * summary that stays meaningful when curves cross or the hazard is
+    * non-proportional (where a single hazard ratio misleads). Input
+    * IS the kaplanMeier output frame; since each `survival` value is
+    * a 6 dp-rounded double, `round(S·10⁶)` recovers an exact integer
+    * and the whole step integral is INTEGER micro-arithmetic:
+    * `rmst_micro = min(t₁,τ)·10⁶ + Σ_{tᵢ<τ} S_i·10⁶·(min(tᵢ₊₁,τ) −
+    * tᵢ)` — no float sum anywhere (`rmst` is the one rounded
+    * readout). A group whose first event is past τ reports the full
+    * τ·10⁶. Output per group: `(groupCols…, tau, rmst_micro, rmst)`.
+    *
+    * Scale: one lead window + one aggregate over the per-group EVENT
+    * STEP axis (≤ |steps| rows per group, the kaplanMeier posture).
+    */
+  def rmst(km: DataFrame, groupCols: Seq[String], tau: Int): DataFrame = {
+    require(tau >= 1, "need a positive horizon")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("step"))
+    km.withColumn("__next",
+        coalesce(lead(col("step"), 1).over(w), lit(tau)))
+      .withColumn("__smic",
+        expr("CAST(round(survival * 1000000) AS BIGINT)"))
+      .withColumn("__seg", when(col("step") < tau,
+        col("__smic") * (least(col("__next"), lit(tau)) - col("step")))
+        .otherwise(lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("step")).as("__t1"), sum(col("__seg")).as("__s"))
+      .select(groupCols.map(col) ++ Seq(lit(tau).as("tau"),
+        (least(col("__t1"), lit(tau)).cast("long") * 1000000L +
+          col("__s")).as("rmst_micro"),
+        round((least(col("__t1"), lit(tau)).cast("long") * 1000000L +
+          col("__s")).cast("double") / 1e6, 6).as("rmst")): _*)
+  }
+
+  /** Shared engine/oracle Wald-IV fragments over the exact integer
+    * arm statistics `(nt, nc, syt, syc, sdt, sdc)` — see
+    * [[ivWaldEffect]]. */
+  private val ivIttExpr: String =
+    "(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)" +
+      " - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))"
+  private val ivFsExpr: String =
+    "(CAST(sdt AS DOUBLE) / CAST(nt AS DOUBLE)" +
+      " - CAST(sdc AS DOUBLE) / CAST(nc AS DOUBLE))"
+  val ivIttSql: String = s"round($ivIttExpr, 6)"
+  val ivFsSql: String = s"round($ivFsExpr, 6)"
+  val ivWaldSql: String = s"round($ivIttExpr / $ivFsExpr, 6)"
+
+  /** Wald instrumental-variable estimate (Wald 1940; the
+    * encouragement-design LATE of Imbens & Angrist 1994): with a
+    * random instrument `Z` (the nudge), endogenous take-up `D` and
+    * outcome `Y`, `λ = (Ȳ₁−Ȳ₀)/(D̄₁−D̄₀)` — the intent-to-treat
+    * effect rescaled by the first stage, consistent for the
+    * compliers' effect when the nudge moves take-up but only affects
+    * Y through it. THE estimator for feature-nudge experiments where
+    * exposure can't be forced. Input is one row per UNIT with the
+    * instrument flag, 0/1 take-up and the outcome (integer units);
+    * all six arm statistics are one exact DECIMAL(38,0) pass; the
+    * weak-instrument guard is the INTEGER cross-product test
+    * `sdt·nc ≠ sdc·nt` (no float-residue zero check); itt /
+    * first_stage / wald are shared fragments. Output ONE row:
+    * `(n_t, n_c, d_t, d_c, itt, first_stage, wald)`.
+    *
+    * Scale: ONE map-side-combined aggregate over the unit frame.
+    */
+  def ivWaldEffect(units: DataFrame, instrCol: String, takeupCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val z = when(col(instrCol) =!= 0, 1L).otherwise(0L)
+    units.filter(col(yCol).isNotNull && col(takeupCol).isNotNull)
+      .agg(sum(z).cast(d38).as("nt"),
+        sum(lit(1L) - z).cast(d38).as("nc"),
+        sum(when(z === 1L && col(takeupCol) =!= 0, 1L).otherwise(0L))
+          .cast(d38).as("sdt"),
+        sum(when(z === 0L && col(takeupCol) =!= 0, 1L).otherwise(0L))
+          .cast(d38).as("sdc"),
+        sum(when(z === 1L, col(yCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("syt"),
+        sum(when(z === 0L, col(yCol).cast(d38)).otherwise(lit(0)
+          .cast(d38))).as("syc"))
+      .withColumn("__ok", col("nt") > 0 && col("nc") > 0)
+      .withColumn("__fsok",
+        col("sdt") * col("nc") =!= col("sdc") * col("nt"))
+      .select(col("nt").cast("long").as("n_t"),
+        col("nc").cast("long").as("n_c"),
+        col("sdt").cast("long").as("d_t"),
+        col("sdc").cast("long").as("d_c"),
+        when(col("__ok"), expr(ivIttSql)).as("itt"),
+        when(col("__ok"), expr(ivFsSql)).as("first_stage"),
+        when(col("__ok") && col("__fsok"), expr(ivWaldSql)).as("wald"))
+  }
+
   /** Two-group log-rank test (Mantel–Haenszel) — the significance
     * companion to [[kaplanMeier]]: two survival curves can LOOK apart
     * while the at-risk tail is too thin to support the claim; this is
