@@ -6407,6 +6407,80 @@ object LlmQueries {
           round(CAST(least(t1, 5) * 1000000 + s AS DOUBLE)
             / 1000000.0, 6) AS rmst FROM a"""))
 
+  /** Cohort LTV curve: users by first-activity day, cumulative
+    * revenue per user at each age — the vintage-comparable growth
+    * table, exact integers end-to-end. */
+  private val l203 = Spec("q338_cohort_ltv",
+    (s, d) => graft.engine.Windows.cohortLtv(
+      T(s, d, "events").select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v")),
+      "user_id", "ts", "v")
+      // driver compare: DATE dumps as date32/object vs DuckDB's
+      // datetime64 — emit the day as TIMESTAMP (repo convention)
+      .withColumn("cohort_day", col("cohort_day").cast("timestamp")),
+    Some("""WITH b AS (SELECT user_id, ts,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+        f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM b GROUP BY 1),
+        sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+          FROM f GROUP BY 1),
+        ag AS (SELECT f.cohort_day,
+          date_diff('day', f.cohort_day, CAST(b.ts AS DATE)) AS age,
+          CAST(sum(b.v) AS BIGINT) AS revenue
+          FROM b JOIN f USING (user_id) GROUP BY 1, 2),
+        cw AS (SELECT cohort_day, age, revenue,
+          CAST(sum(revenue) OVER (PARTITION BY cohort_day ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue FROM ag)
+        SELECT CAST(cw.cohort_day AS TIMESTAMP) AS cohort_day,
+          CAST(age AS INT) AS age, sz.n_users,
+          revenue, cum_revenue,
+          CAST((cum_revenue * 1000000) // sz.n_users AS BIGINT)
+            AS ltv_micro
+        FROM cw JOIN sz USING (cohort_day)"""))
+
+  /** In-sample top-1 accuracy of the Markov next-event predictor per
+    * from-state, read off the q156 transition matrix — the baseline
+    * every sequence model must beat. */
+  private val l204 = Spec("q339_markov_accuracy",
+    (s, d) => graft.engine.Windows.markovTopAccuracy(
+      graft.engine.Windows.transitionCounts(T(s, d, "events"),
+        "user_id", "ts", "event_type", tiebreakCols = Seq("event_id"))),
+    Some("""WITH s AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_state FROM events),
+        c AS (SELECT from_state, event_type AS to_state,
+          CAST(count(*) AS BIGINT) AS n FROM s
+          WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT from_state, to_state, n, row_number() OVER (
+          PARTITION BY from_state ORDER BY n DESC, to_state) AS rk
+          FROM c),
+        t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_total
+          FROM c GROUP BY 1)
+        SELECT r.from_state, r.to_state AS pred_next, t.n_total,
+          r.n AS n_correct,
+          CAST((r.n * 1000000) // t.n_total AS BIGINT) AS acc_micro
+        FROM r JOIN t USING (from_state) WHERE rk = 1"""))
+
+  /** Erlang-C wait probability per event type (8 agents, mu = 10/hr,
+    * 720-h window) — the M/M/c staffing closed form; explicit-product
+    * powers, exact factorial literals, no libm pow. */
+  private val l205 = Spec("q340_erlang_c",
+    (s, d) => graft.engine.Relational.erlangCReport(
+      T(s, d, "events"), Seq("event_type"), c = 8, hours = 720.0,
+      mu = 10.0),
+    Some {
+      val ec = graft.engine.Relational.erlangCSql(8)
+      s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+          x AS (SELECT event_type, n,
+            CAST(n AS DOUBLE) / 720.0 / 10.0 AS a FROM g)
+          SELECT event_type, n, round(a, 6) AS offered_load,
+            round(a / 8, 6) AS rho, $ec AS erlang_c FROM x"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6424,5 +6498,5 @@ object LlmQueries {
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
-    l196, l197, l198, l199, l200, l201, l202)
+    l196, l197, l198, l199, l200, l201, l202, l203, l204, l205)
 }

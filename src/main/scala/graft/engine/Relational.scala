@@ -3243,6 +3243,53 @@ object Relational {
           .as("r_xy_z"))
   }
 
+  /** Shared engine/oracle Erlang-C composition over the double column
+    * `a` (offered load in erlangs) for `c` agents — see
+    * [[erlangCReport]]. Powers are explicit left-associated products
+    * (never libm `pow`, whose last ulp differs across engines) and
+    * factorials are exact integer literals; the whole fragment is one
+    * string parsed by both engines.
+    */
+  def erlangCSql(c: Int): String = {
+    require(c >= 1 && c <= 20, "need 1 <= c <= 20 agents")
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    def powA(k: Int): String =
+      if (k == 0) "1.0" else Seq.fill(k)("a").mkString("(", " * ", ")")
+    val s = (0 until c).map(k => s"${powA(k)} / ${fact(k)}.0")
+      .mkString("(", " + ", ")")
+    val tc = s"(${powA(c)} / ${fact(c)}.0)"
+    s"CASE WHEN a / $c.0 < 1.0 THEN round($tc / ($tc + " +
+      s"(1.0 - a / $c.0) * $s), 6) END"
+  }
+
+  /** Erlang-C staffing report (Erlang 1917): per group, the
+    * probability an arrival must WAIT in an M/M/c queue with `c`
+    * agents — the century-old closed form that still prices support
+    * desks, GPU job queues, and connection pools. Arrival rate reads
+    * the group's exact event count over the fixed observation window
+    * (`hours`), service rate `mu` is per-agent-per-hour; offered
+    * load `a = λ/μ`, utilization `ρ = a/c`, and an unstable queue
+    * (`ρ ≥ 1`) reports a null wait probability rather than a
+    * fabricated number. The float composition is ONE generated
+    * fragment ([[erlangCSql]]) — explicit products, exact factorial
+    * literals, no libm `pow`. Output per group: `(groupCols…, n,
+    * offered_load, rho, erlang_c)`.
+    *
+    * Scale: ONE map-side-combined count aggregate; everything else is
+    * per-group column arithmetic.
+    */
+  def erlangCReport(df: DataFrame, groupCols: Seq[String], c: Int,
+      hours: Double, mu: Double): DataFrame = {
+    require(hours > 0 && mu > 0, "need positive window and rate")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("a", col("n").cast("double") / hours / mu)
+      .withColumn("erlang_c", expr(erlangCSql(c)))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        round(col("a"), 6).as("offered_load"),
+        round(col("a") / c, 6).as("rho"), col("erlang_c")): _*)
+  }
+
   /** CUPED variance-reduced treatment effect (Deng, Xu, Kohavi &
     * Walker, WSDM 2013): the A/B lift on metric `Y` after regressing
     * out the pre-period covariate `X` — `Δ_adj = Δ_Y − θ·Δ_X` with

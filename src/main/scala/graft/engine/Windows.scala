@@ -169,6 +169,77 @@ object Windows {
         expr("(n * 1000000) DIV __tot").as("p_ppm"))
   }
 
+  /** Cohort LTV curve: users grouped by their FIRST-activity day, the
+    * cohort's cumulative revenue per user at each activity age — the
+    * growth table that makes acquisition vintages comparable (day-30
+    * LTV of the Jan-3 cohort vs the Jan-10 cohort) where raw revenue
+    * curves just reflect cohort size. Exact integers end-to-end:
+    * per-(cohort, age) revenue sums, an age-axis prefix sum, and the
+    * per-user readout as micro floor division; cohort size counts
+    * DISTINCT users once at cohort grain. Output per (cohort, age):
+    * `(cohort_day, age, n_users, revenue, cum_revenue, ltv_micro)` —
+    * ages only where the cohort had revenue (the curve's support).
+    *
+    * Scale: one user-grain aggregate (first day), one key-equi join
+    * back to events, one (cohort, age)-grain aggregate, one prefix
+    * sum over the bounded AGE axis per cohort.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val base = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(valCol).isNotNull)
+    val firstDay = base.groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"),
+        count(lit(1)).as("__dummy"))
+      .select(col("__u"), col("cohort_day"))
+    val sized = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val aged = base
+      .join(firstDay, base(userCol) === firstDay("__u"))
+      .withColumn("age", datediff(to_date(col(tsCol)), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(sum(col(valCol).cast("long")).as("revenue"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    aged
+      .withColumn("cum_revenue", sum(col("revenue")).over(w))
+      .join(broadcast(sized), Seq("cohort_day"))
+      .select(col("cohort_day"), col("age").cast("int").as("age"),
+        col("n_users").cast("long").as("n_users"), col("revenue"),
+        col("cum_revenue"),
+        expr("(cum_revenue * 1000000) DIV n_users").as("ltv_micro"))
+  }
+
+  /** In-sample top-1 accuracy of the Markov next-state predictor per
+    * from-state, read directly off the [[transitionCounts]] matrix:
+    * the argmax next-state (ties to the lexicographically smaller)
+    * is the prediction, and its count over the row total IS the
+    * in-sample hit rate — the one-number answer to "how predictable
+    * is the next event", the baseline every sequence model must beat.
+    * All-integer (`acc_micro` is a floor division); the IN-SAMPLE
+    * caveat is the contract — fit, not generalization (hash-split by
+    * q79 for the honest version). Output per from-state:
+    * `(from_state, pred_next, n_total, n_correct, acc_micro)`.
+    *
+    * Scale: one top-1 window + one aggregate over the vocab²-sized
+    * transition matrix.
+    */
+  def markovTopAccuracy(transitions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("from_state"))
+      .orderBy(col("n").desc, col("to_state"))
+    val top = transitions
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("from_state"), col("to_state").as("pred_next"),
+        col("n").as("n_correct"))
+    val tot = transitions.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_total"))
+    top.join(tot, Seq("from_state"))
+      .select(col("from_state"), col("pred_next"), col("n_total"),
+        col("n_correct"),
+        expr("(n_correct * 1000000) DIV n_total").as("acc_micro"))
+  }
+
   /** Exact running total per key (ledger/balance semantics): cumulative
     * sum in scaled integer units so the partial order of additions can
     * never change the result — a float cumsum re-run after a partition
