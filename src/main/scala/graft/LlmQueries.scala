@@ -6481,6 +6481,75 @@ object LlmQueries {
             round(a / 8, 6) AS rho, $ec AS erlang_c FROM x"""
     })
 
+  /** Good–Turing frequency spectrum of the document token stream
+    * (r = 1..5): frequencies-of-frequencies with Turing-adjusted
+    * counts — the held-out-mass smoothing table. */
+  private val l206 = Spec("q341_good_turing",
+    (s, d) => graft.llm.Curation.goodTuringSpectrum(
+      T(s, d, "documents"), "text", maxR = 5),
+    Some(s"""WITH t AS (SELECT $wordsSql AS words FROM documents),
+          ex AS (SELECT unnest(words) AS w FROM t),
+          v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ex
+            GROUP BY 1),
+          ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS nr FROM v
+            GROUP BY 1),
+          ax AS (SELECT unnest(range(1, 6)) AS r),
+          j AS (SELECT ax.r, coalesce(ff.nr, 0) AS nr,
+            coalesce(f2.nr, 0) AS nr1
+            FROM ax LEFT JOIN ff ON ff.r = ax.r
+            LEFT JOIN ff f2 ON f2.r = ax.r + 1)
+          SELECT CAST(r AS INT) AS r, nr AS n_r,
+            CASE WHEN nr > 0 THEN
+              CAST(((r + 1) * nr1 * 1000000) // nr AS BIGINT)
+            END AS rstar_micro FROM j"""))
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass —
+    * how many types the crawl has NOT seen yet, and the probability
+    * the next token is new. */
+  private val l207 = Spec("q342_chao1_richness",
+    (s, d) => graft.llm.Curation.chao1Richness(
+      T(s, d, "documents"), "text"),
+    Some(s"""WITH t AS (SELECT $wordsSql AS words FROM documents),
+          ex AS (SELECT unnest(words) AS w FROM t),
+          v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ex
+            GROUP BY 1),
+          a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2 FROM v)
+          SELECT n_tokens, n_types, n1, n2,
+            CAST(n_types * 1000000 + (CAST(n1 AS HUGEINT) * (n1 - 1)
+              * 1000000) // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
+            CASE WHEN n_tokens > 0 THEN
+              CAST((n1 * 1000000) // n_tokens AS BIGINT)
+            END AS p0_micro FROM a"""))
+
+  /** Vocabulary-budget coverage table: smallest top-K type prefix
+    * reaching 50/80/90/95/99 % of token mass — the tokenizer
+    * vocab-size design table, on the distributed rank machinery. */
+  private val l208 = Spec("q343_vocab_budget",
+    (s, d) => graft.llm.Curation.vocabBudget(
+      T(s, d, "documents"), "text", Seq(50, 80, 90, 95, 99)),
+    Some(s"""WITH t AS (SELECT $wordsSql AS words FROM documents),
+          ex AS (SELECT unnest(words) AS w FROM t),
+          v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ex
+            GROUP BY 1),
+          r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w)
+              AS k,
+            sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cum FROM v),
+          tt AS (SELECT sum(c) AS n FROM v),
+          p AS (SELECT unnest([50, 80, 90, 95, 99]) AS pct),
+          q AS (SELECT p.pct, min(r.k) AS k_types,
+            min(r.cum) AS cum_tokens
+            FROM r CROSS JOIN tt JOIN p ON r.cum * 100 >= p.pct * tt.n
+            GROUP BY 1)
+          SELECT CAST(pct AS INT) AS pct,
+            CAST(k_types AS BIGINT) AS k_types,
+            CAST(cum_tokens AS BIGINT) AS cum_tokens FROM q"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6498,5 +6567,6 @@ object LlmQueries {
     l166, l167, l168, l169, l170, l171, l172, l173, l174, l175,
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
-    l196, l197, l198, l199, l200, l201, l202, l203, l204, l205)
+    l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
+    l206, l207, l208)
 }

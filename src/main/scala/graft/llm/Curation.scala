@@ -836,4 +836,109 @@ object Curation {
         expr("(n_rows_at_risk * 1000000) DIV n_rows").as("risk_ppm"),
         col("l_min"))
   }
+  /** Good–Turing frequency spectrum (Good, Biometrika 1953): the
+    * frequencies-of-frequencies table `N_r = |{types seen r times}|`
+    * for `r = 1..maxR`, each with its Turing-adjusted count
+    * `r* = (r+1)·N_{r+1}/N_r` in micro units — the smoothing table
+    * behind every held-out-mass estimate a tokenizer/LM pipeline
+    * makes (how much probability belongs to UNSEEN types: the r = 1
+    * row's mass). All-integer: `N_r` are exact counts and `r*` is a
+    * micro floor division (`N_{r+1}` absent → adjusted 0, the
+    * spectrum-truncation convention, null only when `N_r = 0`).
+    * Output per r: `(r, n_r, rstar_micro)`.
+    *
+    * Scale: token counts collapse map-side to type grain, then to
+    * count-of-count grain (≤ max frequency rows); the r-axis is a
+    * literal explode.
+    */
+  def goodTuringSpectrum(docs: DataFrame, textCol: String,
+      maxR: Int): DataFrame = {
+    require(maxR >= 1, "need maxR >= 1")
+    val v = docs.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c").as("__r")).agg(count(lit(1)).as("__nr"))
+    val axis = docs.sparkSession.range(1, maxR + 1)
+      .select(col("id").as("__r"))
+    axis.join(v, Seq("__r"), "left")
+      .withColumn("__nr", coalesce(col("__nr"), lit(0L)))
+      .join(v.select((col("__r") - 1).as("__r"),
+        col("__nr").as("__nr1")), Seq("__r"), "left")
+      .withColumn("__nr1", coalesce(col("__nr1"), lit(0L)))
+      .select(col("__r").cast("int").as("r"),
+        col("__nr").as("n_r"),
+        when(col("__nr") > 0,
+          expr("((__r + 1) * __nr1 * 1000000) DIV __nr"))
+          .cast("long").as("rstar_micro"))
+  }
+
+  /** Chao1 vocabulary-richness estimate (Chao, Scand J Stat 1984;
+    * bias-corrected form) + the Good–Turing unseen mass: from the
+    * singleton and doubleton type counts,
+    * `Ŝ = S_obs + n₁(n₁−1)/(2(n₂+1))` estimates how many types the
+    * corpus has NOT yet seen (vocabulary sizing, crawl-coverage
+    * auditing), and `P₀ = n₁/N` is the probability the next token is
+    * a new type. ALL-INTEGER output: `chao1_micro = S_obs·10⁶ +
+    * (n₁(n₁−1)·10⁶) DIV (2(n₂+1))` (the bias-corrected denominator
+    * never divides by zero) and `p0_micro = (n₁·10⁶) DIV N`. Output
+    * ONE row: `(n_tokens, n_types, n1, n2, chao1_micro, p0_micro)`.
+    *
+    * Scale: one type-grain collapse, one count-of-count aggregate.
+    */
+  def chao1Richness(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    counts.agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+        expr("n_types * 1000000 + (CAST(n1 AS DECIMAL(38,0))" +
+          " * (n1 - 1) * 1000000) DIV (2 * (n2 + 1))")
+          .cast("long").as("chao1_micro"),
+        when(col("n_tokens") > 0, expr("(n1 * 1000000) DIV n_tokens"))
+          .cast("long").as("p0_micro"))
+  }
+
+  /** Vocabulary-budget coverage table: for each target percentage,
+    * the smallest top-K (by frequency, ties lexicographic) whose
+    * cumulative token mass reaches it — THE table a tokenizer design
+    * reads to pick vocab size ("32k types cover 99.2 %"). Frequency
+    * ranks and cumulative mass come from the distributed
+    * [[graft.engine.Relational.globalRank]]/`globalCumSum` machinery
+    * (no corpus-grain single-partition window); the coverage test is
+    * the exact integer cross-product `cum·100 ≥ pct·N`. Output per
+    * pct: `(pct, k_types, cum_tokens)`; a pct no prefix reaches
+    * (impossible at pct ≤ 100) would simply emit no row.
+    *
+    * Scale: type-grain collapse, one range-partitioned rank/cumsum
+    * pass, one broadcast pct-axis join, one min-aggregate.
+    */
+  def vocabBudget(docs: DataFrame, textCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts are integer percentages in [1, 100]")
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val order = Seq(col("__c").desc, col("__w").asc)
+    val ranked = graft.engine.Relational.globalRank(
+      graft.engine.Relational.globalCumSum(counts, order, col("__c"),
+        "__cum"),
+      order, "__k")
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    val pctAxis = docs.sparkSession.createDataFrame(
+      pcts.map(Tuple1(_))).toDF("pct")
+    ranked.crossJoin(broadcast(tot))
+      .join(broadcast(pctAxis),
+        col("__cum") * 100 >= col("pct") * col("__n"))
+      .groupBy(col("pct"))
+      .agg(min(col("__k")).as("k_types"),
+        min(col("__cum")).as("cum_tokens"))
+      .select(col("pct").cast("int").as("pct"),
+        col("k_types").cast("long").as("k_types"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+  }
+
 }
