@@ -6550,6 +6550,57 @@ object LlmQueries {
             CAST(k_types AS BIGINT) AS k_types,
             CAST(cum_tokens AS BIGINT) AS cum_tokens FROM q"""))
 
+  /** Embedding-isotropy concentration over the corpus — the cosine-
+    * retrieval pre-flight audit on the exact micro-quantized
+    * lattice. */
+  private val l209 = Spec("q344_embedding_isotropy",
+    (s, d) => graft.llm.Similarity.isotropyReport(
+      T(s, d, "embeddings"), "embedding"),
+    Some("""WITH e AS (SELECT embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+        x AS (SELECT unnest(v) AS xv,
+          unnest(range(1, len(v) + 1)) AS i FROM e),
+        q AS (SELECT i, CAST(round(CAST(xv AS DOUBLE) * 1000000)
+          AS BIGINT) AS qq FROM x),
+        pd AS (SELECT i, CAST(sum(qq) AS HUGEINT) AS s FROM q
+          GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS HUGEINT) AS dims,
+          sum(s * s) AS s2 FROM pd),
+        t AS (SELECT sum(CAST(qq AS HUGEINT) * qq) AS tt FROM q),
+        n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e)
+        SELECT CAST(n.n AS BIGINT) AS n, CAST(a.dims AS INT) AS dims,
+          CASE WHEN t.tt > 0 THEN
+            CAST((a.s2 * 1000000) // (n.n * t.tt) AS BIGINT)
+          END AS conc_micro,
+          CASE WHEN t.tt > 0 THEN round(CAST(a.s2 AS DOUBLE)
+            / (CAST(n.n AS DOUBLE) * CAST(t.tt AS DOUBLE)), 6)
+          END AS conc
+        FROM n CROSS JOIN a CROSS JOIN t"""))
+
+  /** k-occurrence hubness histogram of the corpus under the first-64
+    * probe queries' exact top-10 lists — the high-dimensional
+    * pathology audit behind ANN retrieval quality. */
+  private val l210 = Spec("q345_hubness",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Similarity.hubnessReport(emb,
+        emb.filter(col("vec_id") < 64), "vec_id", "embedding",
+        "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 64),
+        bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c),
+        br AS (SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ra
+          FROM bs),
+        bt AS (SELECT neighbor_id FROM br WHERE ra <= 10),
+        h AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS h
+          FROM bt GROUP BY 1)
+        SELECT h AS n_hits, CAST(count(*) AS BIGINT) AS n_points
+        FROM h GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6568,5 +6619,5 @@ object LlmQueries {
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
-    l206, l207, l208)
+    l206, l207, l208, l209, l210)
 }

@@ -80,6 +80,77 @@ object Similarity {
     * corpus side is never shuffled beyond the final per-query top-k
     * aggregation, whose key cardinality = |queries|.
     */
+  /** Embedding-isotropy concentration audit: with each vector
+    * micro-quantized to the integer lattice (`q_i = round(x_i·10⁶)` —
+    * the determinism device: per-dimension sums of 10⁶-lattice
+    * integers are exact in any aggregation order, where raw double
+    * sums are not), the report is `c = ‖Σ_v q‖² / (n·Σ_v ‖q‖²)` —
+    * Cauchy–Schwarz bounds it in [0, 1]; an isotropic (centered)
+    * corpus reads ≈ 0 and a cone-collapsed one reads toward 1. THE
+    * pre-flight audit for cosine retrieval: anisotropic embedding
+    * spaces (the common "all vectors share a dominant direction"
+    * pathology) quietly compress cosine ranges and sink ANN recall.
+    * All products route through DECIMAL(38,0). Output ONE row:
+    * `(n, dims, conc_micro, conc)`.
+    *
+    * Scale: one posexplode pass collapsing map-side to the
+    * `dims`-row per-dimension sum frame plus one scalar aggregate —
+    * nothing pairwise.
+    */
+  def isotropyReport(df: DataFrame, vecCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .withColumn("__q",
+        expr("CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)"))
+      .persist()
+    val perDim = base.groupBy(col("__i"))
+      .agg(sum(col("__q").cast(d38)).as("__s"))
+      .agg(count(lit(1)).as("dims"),
+        sum(col("__s") * col("__s")).as("__s2"))
+    val tot = base.agg(
+      sum(col("__q").cast(d38) * col("__q")).as("__t"))
+    val n = df.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("n"))
+    val out = n.crossJoin(broadcast(perDim)).crossJoin(broadcast(tot))
+      .select(col("n"), col("dims").cast("int").as("dims"),
+        when(col("__t") > 0,
+          expr("(__s2 * 1000000) DIV (n * __t)")).cast("long")
+          .as("conc_micro"),
+        when(col("__t") > 0, round(col("__s2").cast("double") /
+          (col("n").cast("double") * col("__t").cast("double")), 6))
+          .as("conc"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /** k-occurrence hubness histogram (Radovanović/Nanopoulos/
+    * Ivanović, JMLR 2010): how many corpus points appear in exactly
+    * `h` of the probe queries' top-k lists — the right-skewed,
+    * hub-heavy shape of this distribution is THE high-dimensional
+    * pathology that makes a few points dominate every neighbor list
+    * and drags retrieval quality down; audit it before trusting
+    * ANN-based dedup or RAG retrieval. Rides [[bruteForceTopK]]
+    * verbatim (self-matches included, the operator's convention — a
+    * probe contributes one uniform hit to itself, shifting the
+    * histogram by at most one bin for probe rows). Output per
+    * occurrence count: `(n_hits, n_points)` — points absent from
+    * every list are not rows (their count is `|corpus| − Σ
+    * n_points`).
+    *
+    * Scale: the probe×corpus scan is the bruteForceTopK posture;
+    * everything after is (≤ |probes|·k)-row aggregation.
+    */
+  def hubnessReport(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int): DataFrame =
+    bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("__h"))
+      .groupBy(col("__h").as("n_hits"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("n_hits").cast("long").as("n_hits"),
+        col("n_points").cast("long").as("n_points"))
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
