@@ -6601,6 +6601,59 @@ object LlmQueries {
         SELECT h AS n_hits, CAST(count(*) AS BIGINT) AS n_points
         FROM h GROUP BY 1"""))
 
+  /** Resource-Allocation link prediction over the co-purchase part
+    * graph — ranked missing edges via shared neighbors; per-term
+    * micro-floored 1/deg keeps the score engine-exact. */
+  private val l211 = Spec("q346_resource_alloc",
+    (s, d) => graft.engine.Graph.resourceAllocation(
+      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb",
+      minCommon = 2),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u,
+            b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        pr AS (SELECT x.n AS a, y.n AS b,
+            CAST(count(*) AS BIGINT) AS common,
+            CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_micro
+          FROM nb x JOIN nb y ON y.m = x.m AND x.n < y.n
+          JOIN deg dz ON dz.n = x.m
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT a, b, common, ra_micro FROM pr
+        WHERE NOT EXISTS (SELECT 1 FROM e
+          WHERE e.u = pr.a AND e.v = pr.b)"""))
+
+  /** Local clustering coefficient per node on the co-purchase graph —
+    * exact integer 2T·10⁶ DIV d(d−1); triangle-free nodes report 0. */
+  private val l212 = Spec("q347_clustering_coeff",
+    (s, d) => graft.engine.Graph.clusteringCoefficient(
+      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb"),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u,
+            b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+          FROM nb GROUP BY 1),
+        tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tn AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+          FROM tn GROUP BY 1)
+        SELECT deg.n AS node, deg.degree,
+          CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+          CAST((CAST(coalesce(tc.triangles, 0) AS HUGEINT) * 2000000)
+            // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1))
+            AS BIGINT) AS cc_micro
+        FROM deg LEFT JOIN tc ON tc.node = deg.n
+        WHERE deg.degree >= 2"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6619,5 +6672,5 @@ object LlmQueries {
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
-    l206, l207, l208, l209, l210)
+    l206, l207, l208, l209, l210, l211, l212)
 }

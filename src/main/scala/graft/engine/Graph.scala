@@ -244,6 +244,94 @@ object Graph {
     out
   }
 
+  /** Resource-Allocation link-prediction index (Zhou–Lü–Zhang 2009)
+    * over the UNDIRECTED graph: for every NON-adjacent pair `(a, b)`
+    * sharing ≥ `minCommon` neighbors, `RA(a,b) = Σ_z 1/deg(z)` over
+    * the common neighbors `z` — the who-should-be-linked companion of
+    * [[neighborJaccard]] (that one scores EXISTING structure; this one
+    * ranks the missing edges a recommender or record-linker would add).
+    * RA is the Adamic–Adar family member whose per-term weight is a
+    * pure integer ratio: each term is emitted as the micro-floored
+    * `10⁶ DIV deg(z)` and SUMMED AS INTEGERS, so the score is exact and
+    * aggregation-order-independent in any engine — an FP `Σ 1/ln deg`
+    * (classic AA) differs across engines in the last ulp of `ln` and
+    * the reduce order, the cross-engine trap this codebase avoids
+    * throughout. Per-term flooring is the documented contract (score
+    * resolution 1 micro per term).
+    *
+    * Output: `(a, b, common, ra_micro)`, `a < b`, existing edges
+    * anti-joined away.
+    *
+    * Scale: candidate pairs are generated ONLY through shared
+    * neighbors (the wedge join on `z`), never all-pairs; the wedge
+    * fan-out is Σ deg(z)², the same budget [[triangleCounts]] manages —
+    * on a skewed graph, cap hub degrees upstream (the LSH `maxBucket`
+    * convention) before calling. Three shuffles: the wedge self-join,
+    * the per-pair aggregate, the adjacency anti-join.
+    */
+  def resourceAllocation(edges: DataFrame, srcCol: String,
+      dstCol: String, minCommon: Int): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
+      .union(e.select(col("v").as("n"), col("u").as("m")))
+      .persist()
+    val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pairs = nbrs.select(col("n").as("a"), col("m"))
+      .join(nbrs.select(col("n").as("b"), col("m")), "m")
+      .filter(col("a") < col("b"))
+      // weight each wedge by its pivot's degree BEFORE the pair agg —
+      // the per-term floor makes the sum order-free
+      .join(deg.select(col("n").as("m"), col("deg").as("__dz")), "m")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000L DIV __dz")).as("ra_micro"))
+      .filter(col("common") >= minCommon)
+    val out = pairs
+      .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .localCheckpoint(true)
+    nbrs.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
+  /** Local clustering coefficient per node over the UNDIRECTED graph:
+    * `cc = 2·T / (d·(d−1))` for every node with degree ≥ 2, where `T`
+    * is the node's triangle membership count ([[triangleCounts]]) —
+    * the is-my-neighborhood-a-clique readout that separates hub-and-
+    * spoke structure (cc ≈ 0) from community structure (cc ≈ 1), the
+    * per-node refinement of the global transitivity behind
+    * [[modularity]] decisions. Emitted as the exact integer
+    * `cc_micro = (2·T·10⁶) DIV (d·(d−1))` — T and d are integers, so
+    * the ratio is engine-exact; the cross products route through
+    * DECIMAL(38,0) (T ~ d² and ×10⁶ passes 2⁶³ at hub degrees ≈ 10⁵).
+    *
+    * Output: `(node, degree, triangles, cc_micro)` for degree ≥ 2
+    * nodes; triangle-free nodes report 0, not absence.
+    *
+    * Scale: rides [[triangleCounts]]'s degree-oriented O(m^1.5) wedge
+    * budget; the only additions are the node-grain degree aggregate
+    * and one left join of the (≤ node-count) triangle frame onto it.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val d38 = "decimal(38,0)"
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e, "u", "v")
+    val out = deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("cc_micro",
+        expr(s"(CAST(triangles AS $d38) * 2000000) DIV " +
+          s"(CAST(degree AS $d38) * (degree - 1))"))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Synchronous label propagation from clamped seeds — the
     * semi-supervised companion to [[connectedComponents]] (CC spreads
     * the MIN label to everything reachable; this spreads labels by
