@@ -6654,6 +6654,88 @@ object LlmQueries {
         FROM deg LEFT JOIN tc ON tc.node = deg.n
         WHERE deg.degree >= 2"""))
 
+  /** The micro-lattice 2-D projection of the embedding corpus onto its
+    * first two dimensions — the shared point frame of the q348/q349
+    * density pair. */
+  private def embedLattice2d(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("y"))
+
+  /** Shared oracle prefix of the density pair: lattice points, eps-cells,
+    * the 3×3 candidate join, exact neighbor counts, core set —
+    * eps = 25000 micro (0.025), minPts = 4, eps² = 625000000. */
+  private val dbscanOracleBase = """WITH p AS (SELECT vec_id AS id,
+          CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+            + 2000000 AS x,
+          CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+            + 2000000 AS y
+          FROM embeddings WHERE embedding IS NOT NULL),
+        c AS (SELECT id, x, y, x // 25000 AS cx, y // 25000 AS cy FROM p),
+        off AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx)
+          CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+        pr AS (SELECT c.id AS a, c.x AS ax, c.y AS ay,
+          c.cx + off.dx AS jx, c.cy + off.dy AS jy
+          FROM c CROSS JOIN off),
+        nb AS (SELECT pr.a, q.id AS b FROM pr JOIN c q
+          ON q.cx = pr.jx AND q.cy = pr.jy AND q.id <> pr.a
+          WHERE (pr.ax - q.x) * (pr.ax - q.x)
+            + (pr.ay - q.y) * (pr.ay - q.y) <= 625000000),
+        n AS (SELECT p.id, 1 + coalesce(k.cnt, 0) AS n_eps FROM p
+          LEFT JOIN (SELECT a AS id, CAST(count(*) AS BIGINT) AS cnt
+            FROM nb GROUP BY 1) k USING (id)),
+        core AS (SELECT id FROM n WHERE n_eps >= 4)"""
+
+  /** Grid-DBSCAN density report over the embedding corpus' first two
+    * dimensions — exact integer eps-geometry, cell-bucketed candidate
+    * join (never all-pairs). */
+  private val l213 = Spec("q348_dbscan_core",
+    (s, d) => graft.llm.Density.dbscanCore(embedLattice2d(s, d),
+      "vec_id", "x", "y", epsMicro = 25000L, minPts = 4)
+      .withColumnRenamed("id", "vec_id"),
+    Some(s"""$dbscanOracleBase
+        SELECT n.id AS vec_id, CAST(n.n_eps AS BIGINT) AS n_eps,
+          CASE WHEN n.n_eps >= 4 THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM nb JOIN core ON core.id = nb.b
+              WHERE nb.a = n.id) THEN 'border'
+            ELSE 'noise' END AS role
+        FROM n"""))
+
+  /** Full DBSCAN labeling: clusters = connected components of the
+    * core-core eps-graph (min-id labels), borders attach to the
+    * smallest adjacent core, noise reports null. */
+  private val l214 = Spec("q349_dbscan_clusters",
+    (s, d) => graft.llm.Density.dbscanClusters(embedLattice2d(s, d),
+      "vec_id", "x", "y", epsMicro = 25000L, minPts = 4)
+      .withColumnRenamed("id", "vec_id"),
+    Some(s"""$dbscanOracleBase,
+        ce AS (SELECT nb.a AS u, nb.b AS v FROM nb
+          JOIN core x ON x.id = nb.a JOIN core y ON y.id = nb.b),
+        r AS (WITH RECURSIVE reach(id, lab) AS (
+            SELECT u, u FROM ce
+            UNION
+            SELECT ce.v, reach.lab FROM reach JOIN ce ON ce.u = reach.id)
+          SELECT id, lab FROM reach),
+        comp AS (SELECT id, min(lab) AS component FROM r GROUP BY 1),
+        cc AS (SELECT core.id, coalesce(comp.component, core.id)
+            AS cluster
+          FROM core LEFT JOIN comp USING (id)),
+        bc AS (SELECT nb.a AS id, arg_min(cc.cluster, cc.id) AS cluster
+          FROM nb JOIN cc ON cc.id = nb.b
+          WHERE nb.a NOT IN (SELECT id FROM core)
+          GROUP BY 1)
+        SELECT n.id AS vec_id,
+          CASE WHEN cc.id IS NOT NULL THEN 'core'
+            WHEN bc.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+          CAST(coalesce(cc.cluster, bc.cluster) AS BIGINT) AS cluster
+        FROM n LEFT JOIN cc ON cc.id = n.id
+        LEFT JOIN bc ON bc.id = n.id"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6672,5 +6754,5 @@ object LlmQueries {
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
-    l206, l207, l208, l209, l210, l211, l212)
+    l206, l207, l208, l209, l210, l211, l212, l213, l214)
 }

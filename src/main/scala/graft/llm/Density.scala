@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Grid-partitioned density clustering (DBSCAN) over 2-D integer-lattice
+  * points — the density companion to [[Similarity]]'s centroid family
+  * (k-means wants convex blobs and a chosen k; DBSCAN discovers the
+  * cluster count and marks low-density points as noise, the shape a
+  * near-duplicate manifold audit actually has).
+  *
+  * All geometry is EXACT integer arithmetic on the micro lattice
+  * (`round(x·10⁶)` coordinates, squared distances in BIGINT), so
+  * core/border/noise labels are engine-reproducible — no float epsilon
+  * at the eps boundary.
+  *
+  * Scale design (the MR-DBSCAN shape): points are bucketed into
+  * `eps`-sized grid cells; each point probes only its own and the eight
+  * adjacent cells (any two points within `eps` are at most one cell
+  * index apart), so the candidate join is a shuffle on the cell key —
+  * never all-pairs — and the exact squared-distance filter prunes the
+  * 9-cell superset. A dense cell is the natural skew hot-spot: the
+  * per-cell candidate count is O(cellCount²), the same budget the LSH
+  * bucket caps manage; AQE skew-join handles moderate imbalance and a
+  * caller facing a pathological cell caps it upstream.
+  *
+  * Coordinates are shifted by `+SHIFT` before cell assignment so the
+  * index math stays on non-negative integers (integral division
+  * truncates toward zero in both Spark and DuckDB — flooring vs
+  * truncation only agree on non-negatives). Callers supply micro
+  * coordinates with `|x| < SHIFT` (unit-normalized embedding components
+  * are within ±10⁶).
+  */
+object Density {
+
+  /** Coordinate shift making cell indices non-negative; the contract
+    * bound on caller coordinates.
+    */
+  val Shift = 2000000L
+
+  /** Unordered eps-neighbor pairs `(a, b)` (both directions emitted,
+    * self excluded) over the micro-lattice points `(idCol, xCol, yCol)`
+    * — exact `dx² + dy² ≤ epsMicro²` on BIGINT. Coincident duplicate
+    * ids each count as a neighbor (distance 0).
+    */
+  def epsNeighborPairs(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, epsMicro: Long): DataFrame = {
+    require(epsMicro > 0, "epsMicro must be positive")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val p = points.select(col(idCol).as("__id"),
+      (col(xCol) + Shift).as("__x"), (col(yCol) + Shift).as("__y"))
+    val cells = p.withColumn("__cx", expr(s"__x DIV ${epsMicro}L"))
+      .withColumn("__cy", expr(s"__y DIV ${epsMicro}L"))
+    val offsets = broadcast(
+      (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
+        .toDF("__dx", "__dy"))
+    val probe = cells.crossJoin(offsets)
+      .select(col("__id").as("a"), col("__x").as("ax"),
+        col("__y").as("ay"),
+        (col("__cx") + col("__dx")).as("__cx"),
+        (col("__cy") + col("__dy")).as("__cy"))
+    probe.join(cells.select(col("__id").as("b"), col("__x").as("bx"),
+        col("__y").as("by"), col("__cx"), col("__cy")),
+        Seq("__cx", "__cy"))
+      .filter(col("a") =!= col("b"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <=
+        lit(epsMicro) * lit(epsMicro))
+      .select(col("a"), col("b"))
+  }
+
+  /** Per-point density report: `(id, n_eps, role)` where `n_eps` counts
+    * the point itself plus its eps-neighbors, and `role` is `core`
+    * (`n_eps ≥ minPts`), `border` (non-core with a core eps-neighbor) or
+    * `noise`.
+    */
+  def dbscanCore(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
+    val nbrs = epsNeighborPairs(points, idCol, xCol, yCol, epsMicro)
+      .persist()
+    val counts = points.select(col(idCol).as("id"))
+      .join(nbrs.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("__c")), Seq("id"), "left")
+      .withColumn("n_eps", coalesce(col("__c"), lit(0L)) + 1L)
+      .select(col("id"), col("n_eps"))
+    val coreIds = counts.filter(col("n_eps") >= minPts)
+      .select(col("id").as("__core"))
+    val hasCoreNbr = nbrs
+      .join(coreIds, nbrs("b") === coreIds("__core"), "left_semi")
+      .select(col("a").as("id")).distinct()
+      .withColumn("__nearCore", lit(true))
+    val out = counts.join(hasCoreNbr, Seq("id"), "left")
+      .withColumn("role",
+        when(col("n_eps") >= minPts, lit("core"))
+          .when(col("__nearCore"), lit("border"))
+          .otherwise(lit("noise")))
+      .select(col("id"), col("n_eps"), col("role"))
+      .localCheckpoint(true)
+    nbrs.unpersist(false)
+    out
+  }
+
+  /** Full DBSCAN labeling: `(id, role, cluster)` — clusters are the
+    * connected components of the core-core eps-graph, labeled by their
+    * minimum core id ([[graft.engine.Graph.connectedComponents]]'s
+    * pointer-jumping engine); an isolated core is its own cluster;
+    * a border point joins the SMALLEST adjacent core's cluster (the
+    * deterministic stand-in for scan-order assignment, which a parallel
+    * engine cannot reproduce); noise reports a null cluster.
+    */
+  def dbscanClusters(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
+    val nbrs = epsNeighborPairs(points, idCol, xCol, yCol, epsMicro)
+      .persist()
+    val counts = points.select(col(idCol).as("id"))
+      .join(nbrs.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("__c")), Seq("id"), "left")
+      .withColumn("n_eps", coalesce(col("__c"), lit(0L)) + 1L)
+      .persist()
+    val core = counts.filter(col("n_eps") >= minPts).select(col("id"))
+      .persist()
+    val coreEdges = nbrs
+      .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+      .filter(col("a") < col("b"))
+    val comps = graft.engine.Graph.connectedComponents(
+      coreEdges, "a", "b")
+    val coreClusters = core
+      .join(comps.select(col("node").as("id"), col("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+      .persist()
+    val coreSide = coreClusters.select(col("id").as("__bid"),
+      col("cluster").as("__bc"))
+    val borderClusters = nbrs
+      .join(coreSide, nbrs("b") === coreSide("__bid"))
+      .groupBy(col("a").as("id"))
+      // smallest adjacent CORE decides, so the pick is independent of
+      // cluster-label values (min over (core id, its cluster))
+      .agg(min(struct(col("__bid"), col("__bc"))).as("__m"))
+      .select(col("id"), col("__m.__bc").as("cluster"))
+      .join(core, Seq("id"), "left_anti")
+    val out = counts
+      .join(coreClusters.select(col("id"), col("cluster").as("__cc")),
+        Seq("id"), "left")
+      .join(borderClusters.select(col("id"), col("cluster").as("__bcl")),
+        Seq("id"), "left")
+      .withColumn("role",
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")))
+      .select(col("id"), col("role"),
+        coalesce(col("__cc"), col("__bcl")).as("cluster"))
+      .localCheckpoint(true)
+    coreClusters.unpersist(false)
+    core.unpersist(false)
+    counts.unpersist(false)
+    nbrs.unpersist(false)
+    out
+  }
+}
