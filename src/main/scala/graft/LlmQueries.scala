@@ -6736,6 +6736,82 @@ object LlmQueries {
         FROM n LEFT JOIN cc ON cc.id = n.id
         LEFT JOIN bc ON bc.id = n.id"""))
 
+  /** Brown–Forsythe variance-homogeneity F across event types on the
+    * micro-lattice of `value` — median-centered absolute deviations
+    * through the q277 ANOVA machinery. */
+  private val l215 = Spec("q350_brown_forsythe",
+    (s, d) => graft.engine.Relational.brownForsytheF(
+      T(s, d, "events").select(col("event_type"),
+        expr("CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("v_micro")),
+      "event_type", "v_micro"),
+    Some {
+      def cv(c: String) = graft.engine.Relational.decToDoubleSql(c, 12)
+      s"""WITH e AS (SELECT CAST(event_type AS VARCHAR) AS g,
+          CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        bv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        cw AS (SELECT g, x,
+          sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+          sum(c) OVER (PARTITION BY g) AS tot FROM bv),
+        med AS (SELECT g, min(x) AS med FROM cw
+          WHERE cum * 2 >= tot GROUP BY 1),
+        z AS (SELECT e.g AS gg,
+          CAST(CAST(abs(e.x - med.med) AS DECIMAL(32,6)) / 1000000
+            AS DECIMAL(18,6)) AS z
+          FROM e JOIN med USING (g)),
+        gr AS (SELECT gg, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(z AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s,
+          CAST(sum(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(18,6)))
+            AS DECIMAL(38,12)) AS ss
+          FROM z GROUP BY 1),
+        tm AS (SELECT gg, n, s, ss, ${cv("s")} * ${cv("s")}
+          / CAST(n AS DOUBLE) AS term FROM gr),
+        ag AS (SELECT CAST(count(*) AS INT) AS k,
+          CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(s) AS DECIMAL(38,12)) AS stot,
+          CAST(sum(ss) AS DECIMAL(38,12)) AS sstot,
+          list(term ORDER BY gg) AS terms FROM tm),
+        tt AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          terms), (a, b) -> a + b) AS t FROM ag)
+        SELECT k, n,
+          round(t - ${cv("stot")} * ${cv("stot")}
+            / CAST(n AS DOUBLE), 6) AS ssb,
+          round(${cv("sstot")} - t, 6) AS ssw,
+          round(CASE WHEN k > 1 AND n > k
+            AND (${cv("sstot")} - t) > 0 THEN
+            ((t - ${cv("stot")} * ${cv("stot")}
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((${cv("sstot")} - t) / CAST(n - k AS DOUBLE))
+            END, 6) AS f_stat
+        FROM tt"""
+    })
+
+  /** Cochran–Armitage dose-trend z² — does the return rate trend with
+    * the line number; five integer sums in one lineitem pass. */
+  private val l216 = Spec("q351_cochran_armitage",
+    (s, d) => graft.engine.Relational.cochranArmitage(
+      T(s, d, "lineitem").select(col("l_linenumber").as("dose"),
+        (col("l_returnflag") === "R").cast("int").as("ret")),
+      "dose", "ret"),
+    Some(s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS r,
+          CAST(sum(l_linenumber) AS BIGINT) AS sum_w,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_linenumber
+            ELSE 0 END) AS BIGINT) AS sum_ws,
+          CAST(sum(l_linenumber * l_linenumber) AS BIGINT) AS sum_w2
+          FROM lineitem
+          WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+        ab AS (SELECT *, n * sum_ws - r * sum_w AS a,
+          n * sum_w2 - sum_w * sum_w AS b FROM m)
+        SELECT n, r, sum_w, sum_ws, sum_w2,
+          CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+          ${graft.engine.Relational.cochranArmitageZ2Sql} AS z2
+        FROM ab"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6754,5 +6830,5 @@ object LlmQueries {
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
-    l206, l207, l208, l209, l210, l211, l212, l213, l214)
+    l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216)
 }

@@ -2575,6 +2575,103 @@ object Relational {
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe, 1974):
+    * the [[anovaF]] statistic computed on `z = |x − med_g|`, the
+    * median-centered absolute deviations — "is the SPREAD equal across
+    * groups", the robust precondition check behind pooled-variance
+    * tests (mean-centered Levene chases heavy tails; the median variant
+    * is the recommended default). `valueCol` is an INTEGER lattice
+    * (callers micro-quantize floats first, the [[giniReport]]
+    * convention), so the group median — exact lower-median pick,
+    * `min(x) where 2·cum ≥ n_g` — and every deviation are
+    * engine-exact integers; deviations are then divided back by
+    * `scale` into ORIGINAL units (exact at 6 dp — a lattice multiple
+    * over 10⁶ is a terminating decimal) before the float F
+    * composition, which rides anovaF's sorted-fold discipline
+    * verbatim. The rescale is not cosmetic: micro-unit deviation
+    * sums-of-squares reach 10¹⁹ at modest row counts, past the
+    * magnitude where Spark's and DuckDB's DECIMAL→DOUBLE conversions
+    * agree to the last ulp.
+    *
+    * Output: ONE row `(k, n, ssb, ssw, f_stat)`, 6 dp — anovaF's
+    * contract on the deviation column.
+    *
+    * Scale: one value-grain collapse per group (the median from a
+    * per-group cumulative window at (group, value) grain — partitioned,
+    * never global), one broadcast-sized median frame joined back, then
+    * anovaF's single aggregate. Two scans of the value column total.
+    */
+  def brownForsytheF(df: DataFrame, groupCol: String,
+      valueCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__x"))
+      .persist()
+    val byVal = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__x"))
+    val med = byVal
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__tot", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col("__g")).agg(min(col("__x")).as("__med"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"),
+        expr(s"CAST(CAST(abs(__x - __med) AS DECIMAL(32,6)) / $scale" +
+          " AS DECIMAL(18,6))").as("__z"))
+    val out = anovaF(z, "__g", "__z").localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /** Shared Spark/DuckDB fragment for the Cochran–Armitage z² — the
+    * only float step, with EXPLICIT left-associated composition
+    * (`((((n·a)/r)·a)/(n−r))/b`) so both engines walk the same ulp
+    * path; everything upstream is exact integer moments.
+    */
+  val cochranArmitageZ2Sql: String =
+    """CASE WHEN r > 0 AND r < n AND b > 0 THEN
+      round(CAST(n AS DOUBLE) * CAST(a AS DOUBLE) / CAST(r AS DOUBLE)
+        * CAST(a AS DOUBLE) / CAST(n - r AS DOUBLE)
+        / CAST(b AS DOUBLE), 6) END"""
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) for a
+    * binary outcome across ORDERED dose groups — "does the success rate
+    * trend monotonically with dose", the 1-df refinement of the
+    * unordered k×2 chi² ([[q312]]'s contingency face ignores order).
+    * With per-row integer dose score `w` and success flag `s`, the
+    * statistic is `z² = N·A² / (R(N−R)·B)` where `A = N·Σws − R·Σw`
+    * and `B = N·Σw² − (Σw)²` — five integer sums from ONE pass, so A
+    * and B are engine-exact BIGINTs (A ≤ 7N² passes 2⁶³ only past
+    * N ≈ 10⁹ rows; the float fragment [[cochranArmitageZ2Sql]] is the
+    * single rounding site). Degenerate inputs (all success, no
+    * success, constant dose) report a null z².
+    *
+    * Output: ONE row `(n, r, sum_w, sum_ws, sum_w2, a, b, z2)`.
+    *
+    * Scale: one scan, eight numbers of state — the [[welchTTest]]
+    * contract; no group axis survives to the output.
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+      successCol: String): DataFrame = {
+    df.filter(col(doseCol).isNotNull && col(successCol).isNotNull)
+      .select(col(doseCol).cast("long").as("__w"),
+        col(successCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("r"),
+        sum(col("__w")).as("sum_w"),
+        sum(col("__w") * col("__s")).as("sum_ws"),
+        sum(col("__w") * col("__w")).as("sum_w2"))
+      .withColumn("a", col("n") * col("sum_ws") - col("r") * col("sum_w"))
+      .withColumn("b",
+        col("n") * col("sum_w2") - col("sum_w") * col("sum_w"))
+      .withColumn("z2", expr(cochranArmitageZ2Sql))
+      .select(col("n"), col("r"), col("sum_w"), col("sum_ws"),
+        col("sum_w2"), col("a"), col("b"), col("z2"))
+  }
+
   /** Exact CORPUS-GRAIN Gini concentration index of a non-negative
     * measure, in ppm — the global face of the per-group [[giniIndex]]
     * (whose partitioned rank window cannot run with an empty partition
