@@ -6812,6 +6812,97 @@ object LlmQueries {
           ${graft.engine.Relational.cochranArmitageZ2Sql} AS z2
         FROM ab"""))
 
+  /** Interpolated Kneser–Ney bigram table (D = 3/4, all-integer micro
+    * floors) over the document corpus — continuation-probability
+    * smoothing on the q301 bigram machinery. */
+  private val l217 = Spec("q352_kneser_ney",
+    (s, d) => graft.llm.Lexical.kneserNeyBigrams(
+      T(s, d, "documents"), "doc_id", "text", minCount = 3L),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT unnest([array_to_string(words[i+1:i+2], ' ')
+          for i in range(CASE WHEN len(words) >= 2 THEN len(words)-1
+          ELSE 0 END)]) AS gram FROM t),
+        c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_uv
+          FROM g GROUP BY 1),
+        sp AS (SELECT gram, c_uv, string_split(gram, ' ')[1] AS u,
+          string_split(gram, ' ')[-1] AS v FROM c2),
+        lf AS (SELECT u, CAST(sum(c_uv) AS BIGINT) AS c_u,
+          CAST(count(*) AS BIGINT) AS n1_fwd FROM sp GROUP BY 1),
+        rt AS (SELECT v, CAST(count(*) AS BIGINT) AS n1_back
+          FROM sp GROUP BY 1),
+        bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2)
+        SELECT sp.gram, sp.c_uv, lf.c_u, lf.n1_fwd, rt.n1_back,
+          CAST((CAST(sp.c_uv AS HUGEINT) * 4 - 3) * 250000 // lf.c_u
+            + CAST(lf.n1_fwd AS HUGEINT) * rt.n1_back * 750000
+              // (CAST(lf.c_u AS HUGEINT) * bb.b) AS BIGINT)
+            AS p_kn_micro
+        FROM sp JOIN lf USING (u) JOIN rt USING (v) CROSS JOIN bb
+        WHERE sp.c_uv >= 3"""))
+
+  /** chrF (β = 2, char 1+2-grams, exact 5m/(4r+h) integer form) on the
+    * q310 pair declaration — the character-level eval companion. */
+  private val l218 = Spec("q353_chrf",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 23 === 0)
+        .join(docs.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      graft.llm.Eval.chrFCorpus(docs, pairs, "doc_id", "text",
+        "cand_id", "ref_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+          array_to_string($wordsSql, ' ') AS nn FROM documents),
+        pr AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 23 = 0),
+        g1 AS (SELECT doc_id, unnest(CASE WHEN len(nn) >= 1 THEN
+          [nn[i+1:i+1] for i in range(len(nn))]
+          ELSE [] END) AS gram FROM t),
+        g2 AS (SELECT doc_id, unnest(CASE WHEN len(nn) >= 2 THEN
+          [nn[i+1:i+2] for i in range(len(nn) - 1)]
+          ELSE [] END) AS gram FROM t),
+        c1 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g1 GROUP BY 1, 2),
+        c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g2 GROUP BY 1, 2),
+        t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c1
+          GROUP BY 1),
+        t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c2
+          GROUP BY 1),
+        ov1 AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM pr JOIN c1 a ON a.doc_id = pr.cand_id
+          JOIN c1 b ON b.doc_id = pr.ref_id AND b.gram = a.gram
+          GROUP BY 1, 2),
+        ov2 AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM pr JOIN c2 a ON a.doc_id = pr.cand_id
+          JOIN c2 b ON b.doc_id = pr.ref_id AND b.gram = a.gram
+          GROUP BY 1, 2),
+        f AS (SELECT pr.cand_id, pr.ref_id,
+          coalesce(ov1.m, 0) AS m1, coalesce(ha.tot, 0) AS h1,
+          coalesce(ra.tot, 0) AS r1,
+          coalesce(ov2.m, 0) AS m2, coalesce(hb.tot, 0) AS h2,
+          coalesce(rb.tot, 0) AS r2
+          FROM pr LEFT JOIN t1 ha ON ha.doc_id = pr.cand_id
+          LEFT JOIN t1 ra ON ra.doc_id = pr.ref_id
+          LEFT JOIN t2 hb ON hb.doc_id = pr.cand_id
+          LEFT JOIN t2 rb ON rb.doc_id = pr.ref_id
+          LEFT JOIN ov1 USING (cand_id, ref_id)
+          LEFT JOIN ov2 USING (cand_id, ref_id)),
+        ff AS (SELECT *,
+          CASE WHEN 4 * r1 + h1 > 0 THEN m1 * 5000000 // (4 * r1 + h1)
+            END AS f1_micro,
+          CASE WHEN 4 * r2 + h2 > 0 THEN m2 * 5000000 // (4 * r2 + h2)
+            END AS f2_micro FROM f)
+        SELECT cand_id, ref_id, m1, h1, r1, m2, h2, r2,
+          CAST(f1_micro AS BIGINT) AS f1_micro,
+          CAST(f2_micro AS BIGINT) AS f2_micro,
+          CAST(CASE WHEN f1_micro IS NOT NULL AND f2_micro IS NOT NULL
+            THEN (f1_micro + f2_micro) // 2 END AS BIGINT) AS chrf_micro
+        FROM ff"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6830,5 +6921,6 @@ object LlmQueries {
     l176, l177, l178, l179, l180, l181, l182, l183, l184, l185,
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
-    l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216)
+    l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
+    l217, l218)
 }

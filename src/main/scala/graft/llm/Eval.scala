@@ -463,6 +463,73 @@ object Eval {
       .withColumn("bleu", expr(bleu2Sql))
   }
 
+  /** chrF evaluation score (Popović 2015) over declared (candidate,
+    * reference) pairs — CHARACTER n-gram F-score, the metric family
+    * that survives tokenizer mismatch and morphology-rich languages
+    * where word-level BLEU ([[bleuCorpus]]) under-credits. Computed
+    * over char 1- and 2-grams of the whitespace-normalized lowercase
+    * text (the [[Text.tokens]] normalization re-joined with single
+    * spaces) with β = 2 — and with that β the per-order F collapses to
+    * the EXACT integer rational `F_n = 5·m/(4·r + h)` (m = clipped
+    * match count, h/r = hypothesis/reference totals: multiply
+    * `5PR/(4P+R)` through by `hr/m`), so the whole metric is two micro
+    * floor divisions and their average — no float anywhere.
+    * `chrf_micro` is null when either order has an empty denominator
+    * pair (e.g. both texts shorter than 2 chars); a one-sided empty
+    * text scores 0, not null.
+    *
+    * Output: `(cand_id, ref_id, m1, h1, r1, m2, h2, r2, f1_micro,
+    * f2_micro, chrf_micro)`.
+    *
+    * Scale: the [[bleuCorpus]] plan shape verbatim — char-gram counts
+    * collapse to (doc, gram, cnt) map-side, pairs semi-drive the clip
+    * joins, nothing pairwise beyond the declared pair list. Char-gram
+    * cardinality per doc is alphabet-bounded (≤ 37² bigram types under
+    * this normalization), so the model frames are tiny.
+    */
+  def chrFCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, candCol: String, refCol: String): DataFrame = {
+    val p = pairs.select(col(candCol).as("cand_id"),
+      col(refCol).as("ref_id"))
+    val norm = docs.select(col(idCol).as("__id"),
+      array_join(graft.llm.Text.tokens(col(textCol)), " ").as("__n"))
+    def gramCounts(n: Int) = norm.select(col("__id"),
+        explode(expr(s"CASE WHEN char_length(__n) >= $n THEN " +
+          s"transform(sequence(1, char_length(__n) - ${n - 1}), " +
+          s"i -> substring(__n, i, $n)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+    def stats(n: Int): DataFrame = {
+      val g = gramCounts(n)
+      val tot = g.groupBy(col("__id")).agg(sum(col("__c")).as("__tot"))
+      val ov = p.join(g.select(col("__id").as("cand_id"), col("gram"),
+          col("__c").as("__ca")), Seq("cand_id"))
+        .join(g.select(col("__id").as("ref_id"), col("gram"),
+          col("__c").as("__cb")), Seq("ref_id", "gram"))
+        .groupBy(col("cand_id"), col("ref_id"))
+        .agg(sum(least(col("__ca"), col("__cb"))).as(s"m$n"))
+      p.join(tot.select(col("__id").as("cand_id"),
+          col("__tot").as(s"h$n")), Seq("cand_id"), "left")
+        .join(tot.select(col("__id").as("ref_id"),
+          col("__tot").as(s"r$n")), Seq("ref_id"), "left")
+        .join(ov, Seq("cand_id", "ref_id"), "left")
+        .select(col("cand_id"), col("ref_id"),
+          coalesce(col(s"m$n"), lit(0L)).as(s"m$n"),
+          coalesce(col(s"h$n"), lit(0L)).as(s"h$n"),
+          coalesce(col(s"r$n"), lit(0L)).as(s"r$n"))
+    }
+    def fMicro(n: Int) =
+      expr(s"CASE WHEN 4 * r$n + h$n > 0 THEN " +
+        s"m$n * 5000000 DIV (4 * r$n + h$n) END")
+    stats(1).join(stats(2), Seq("cand_id", "ref_id"))
+      .withColumn("f1_micro", fMicro(1))
+      .withColumn("f2_micro", fMicro(2))
+      .withColumn("chrf_micro",
+        expr("CASE WHEN f1_micro IS NOT NULL AND f2_micro IS NOT NULL " +
+          "THEN (f1_micro + f2_micro) DIV 2 END"))
+  }
+
   /** Average precision (the exact area under the precision–recall
     * step curve, the `average_precision_score` convention: AP =
     * Σ_thresholds ΔR·P) of a score column against a binary label, per

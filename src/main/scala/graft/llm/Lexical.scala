@@ -471,4 +471,61 @@ object Lexical {
       .select(col("__id").as(idCol), col("n_bigrams"),
         col("nll_micro_sum"), col("nll_micro_avg"))
   }
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1998) with the textbook discount `D = 3/4` — the smoothing
+    * that made n-gram LMs competitive, and the add-one upgrade to
+    * [[bigramLmScore]]: mass freed by discounting observed bigrams is
+    * redistributed by CONTINUATION probability (how many distinct
+    * contexts a word follows — "francisco" is frequent but follows only
+    * "san", so its unseen-context probability is tiny).
+    *
+    * `P(v|u) = max(c(uv)−D, 0)/c(u) + D·N1+(u·)/c(u) · N1+(·v)/B`, and
+    * because `D = 3/4` every term is RATIONAL with a power-of-4
+    * denominator: `term1 = (4c(uv)−3)·250000 DIV c(u)` and
+    * `term2 = 3·N1+(u·)·N1+(·v)·250000 DIV (c(u)·B)` are exact integer
+    * micro floors (cross products through DECIMAL(38,0)); `p_kn_micro`
+    * is their sum — two floors, not the floor of the sum, the
+    * documented contract. Per left context, Σ_v p_kn is within
+    * 2·(#v) micro of 10⁶ (each floor loses < 1 micro).
+    *
+    * Output: `(gram, c_uv, c_u, n1_fwd, n1_back, p_kn_micro)` for
+    * bigrams with `c(uv) ≥ minCount`.
+    *
+    * Scale: the model is three aggregates of the ONE (gram, count)
+    * collapse — left-context totals, right-continuation counts, the
+    * one-row type total — joined back at model grain (Heaps-sublinear
+    * in corpus size, like [[bigramLmScore]]'s tables); the raw token
+    * stream is exploded once and never re-shuffled.
+    */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val d38 = "decimal(38,0)"
+    val grams = docs
+      .select(explode(graft.functions.TokenNgrams.tokenNgrams(
+        col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_uv"))
+      .withColumn("__u", substring_index(col("gram"), " ", 1))
+      .withColumn("__v", substring_index(col("gram"), " ", -1))
+      .persist()
+    val left = grams.groupBy(col("__u"))
+      .agg(sum(col("c_uv")).as("c_u"), count(lit(1)).as("n1_fwd"))
+    val right = grams.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n1_back"))
+    val bRow = grams.agg(count(lit(1)).as("__B"))
+    val out = grams.filter(col("c_uv") >= minCount)
+      .join(left, Seq("__u"))
+      .join(right, Seq("__v"))
+      .crossJoin(broadcast(bRow))
+      .withColumn("p_kn_micro",
+        (expr(s"(CAST(c_uv AS $d38) * 4 - 3) * 250000 DIV c_u") +
+          expr(s"CAST(n1_fwd AS $d38) * n1_back * 750000 DIV " +
+            s"(CAST(c_u AS $d38) * __B)")).cast("long"))
+      .select(col("gram"), col("c_uv"), col("c_u"), col("n1_fwd"),
+        col("n1_back"), col("p_kn_micro"))
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
 }
