@@ -6903,6 +6903,52 @@ object LlmQueries {
             THEN (f1_micro + f2_micro) // 2 END AS BIGINT) AS chrf_micro
         FROM ff"""))
 
+  /** Personalized PageRank from the suppkey%10 seed community over the
+    * supplier→customer shipment graph — q162's integer-ppm loop with a
+    * concentrated teleport vector, on the memoized shared edge frame. */
+  private val l219 = Spec("q354_personalized_pagerank",
+    (s, d) => graft.engine.Graph.personalizedPageRankPpm(
+      Queries.shipmentEdges(s, d), "src", "dst",
+      T(s, d, "lineitem")
+        .filter(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("l_suppkey").cast("string"))
+          .as("node")).distinct(),
+      "node", iters = 3),
+    Some("""WITH e AS (SELECT DISTINCT
+          's' || CAST(l_suppkey AS VARCHAR) AS src,
+          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        sd AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS id
+          FROM lineitem WHERE l_suppkey % 10 = 0),
+        nn AS (SELECT nodes.id,
+          CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS seed
+          FROM nodes LEFT JOIN sd USING (id)),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS rank FROM nn),
+        c1 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+          GROUP BY dst),
+        r1 AS (SELECT n.id,
+          CAST(n.seed * 150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+            AS rank
+          FROM nn n LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+          GROUP BY dst),
+        r2 AS (SELECT n.id,
+          CAST(n.seed * 150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+            AS rank
+          FROM nn n LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src
+          GROUP BY dst),
+        r3 AS (SELECT n.id,
+          CAST(n.seed * 150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+            AS rank
+          FROM nn n LEFT JOIN c3 USING (id))
+        SELECT id, rank FROM r3"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6922,5 +6968,5 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218)
+    l217, l218, l219)
 }

@@ -2141,7 +2141,7 @@ object Queries {
     * PageRank distincts its input internally and BFS min-hop labels are
     * duplicate-edge-insensitive, so the distinct here changes nothing
     * observable — it only lets ONE join serve both iterative queries. */
-  private def shipmentEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def shipmentEdges(s: SparkSession, d: String): DataFrame =
     graphMemo.getOrElseUpdate((s, d, "shipmentEdges"),
       T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),

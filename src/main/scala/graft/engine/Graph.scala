@@ -79,6 +79,63 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank in exact integer ppm — [[pageRankPpm]] with
+    * the teleport vector CONCENTRATED on a seed set instead of uniform:
+    * random walks restart only at seeds, so rank measures proximity to
+    * the seed community (the "related items" / trust-propagation
+    * readout), not global centrality. Integer convention mirrors
+    * pageRankPpm: every seed starts (and teleports) with 10⁶ micro of
+    * mass, non-seeds with 0 — the unnormalized per-seed unit; divide by
+    * the seed count downstream for a distribution. Per round,
+    * `rank = isSeed·(100−damp)·10⁴ + damp·Σ_in(rank DIV outdeg) DIV
+    * 100` — all floor divisions, engine-exact, dangling-node mass
+    * dropped exactly as in the uniform variant.
+    *
+    * Output: `(id, rank)` for every node — unreachable non-seeds
+    * report 0, not absence.
+    *
+    * Scale: identical loop frames and cost to [[pageRankPpm]] (both
+    * loop invariants persisted pre-partitioned on their join keys; one
+    * inflow aggregate per round); the seed flag rides the node frame
+    * as a column, adding nothing to the per-round shuffle.
+    */
+  def personalizedPageRankPpm(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int,
+      dampPct: Int = 85): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    require(dampPct >= 0 && dampPct <= 100, "dampPct is a percentage")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val sd = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("__seed", lit(1L))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(sd, Seq("id"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(0L)))
+      .repartition(col("id")).persist()
+    val withDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).persist()
+    val base = (100L - dampPct) * 10000L
+    var rank = nodes.select(col("id"),
+      (col("__seed") * 1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val in = withDeg
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank DIV outdeg").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__s"))
+      rank = nodes.join(in, Seq("id"), "left")
+        .select(col("id"), (col("__seed") * base +
+          expr(s"($dampPct * coalesce(__s, CAST(0 AS BIGINT))) DIV 100"))
+          .as("rank"))
+    }
+    val out = rank.localCheckpoint(true)
+    withDeg.unpersist(false)
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
   /** Canonical undirected edge list: endpoints ordered `u < v`, self-loops
     * (and edges with a null endpoint — Spark's `least`/`greatest` skip
     * nulls, collapsing such an edge to a self-loop) dropped, duplicates
