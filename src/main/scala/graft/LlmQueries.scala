@@ -6949,6 +6949,44 @@ object LlmQueries {
           FROM nn n LEFT JOIN c3 USING (id))
         SELECT id, rank FROM r3"""))
 
+  /** BPE merge training, 8 rounds over the corpus word-frequency table
+    * — the iterative closure of q177's single pair statistic. The
+    * oracle unrolls the loop: one (pairs → argmax → rewrite) CTE block
+    * per round, the q162 fixed-unroll convention. */
+  private val l220 = Spec("q355_bpe_train", {
+    val rounds = 8
+    (s, d) => graft.llm.Lexical.bpeTrain(
+      T(s, d, "documents"), "text", merges = rounds)
+  }, Some {
+    val rounds = 8
+    val blocks = (1 to rounds).map { k =>
+      s"""sp$k AS (SELECT string_split(syms, ' ') AS a, f FROM v${k - 1}),
+        p$k AS (SELECT f, unnest([a[i+1] || ' ' || a[i+2]
+          for i in range(len(a) - 1)]) AS pair FROM sp$k
+          WHERE len(a) >= 2),
+        c$k AS (SELECT pair, CAST(sum(f) AS BIGINT) AS weight
+          FROM p$k GROUP BY 1),
+        b$k AS (SELECT pair, weight FROM c$k
+          ORDER BY weight DESC, pair LIMIT 1),
+        v$k AS (SELECT trim(replace(replace(
+            ' ' || replace(syms, ' ', '  ') || ' ',
+            ' ' || string_split(b.pair, ' ')[1] || '  '
+              || string_split(b.pair, ' ')[2] || ' ',
+            ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS syms,
+          f FROM v${k - 1} CROSS JOIN b$k b)"""
+    }.mkString(",\n        ")
+    val sel = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INT) AS step, pair, weight FROM b$k")
+      .mkString("\n        UNION ALL ")
+    s"""WITH words AS (SELECT unnest($wordsSql) AS w FROM documents),
+        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words
+          WHERE len(w) >= 2 GROUP BY 1),
+        v0 AS (SELECT array_to_string([w[i+1:i+1]
+          for i in range(len(w))], ' ') AS syms, f FROM wf),
+        $blocks
+        $sel"""
+  })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -6968,5 +7006,5 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218, l219)
+    l217, l218, l219, l220)
 }

@@ -528,4 +528,69 @@ object Lexical {
     grams.unpersist(false)
     out
   }
+
+  /** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016) — the
+    * iterative closure of [[bpePairStep]]'s single statistic: `merges`
+    * rounds of (count adjacent symbol pairs weighted by word frequency
+    * → merge the most frequent pair everywhere), the loop that actually
+    * builds a subword vocabulary. Deterministic end to end: the winning
+    * pair is (max weight, then lexicographically smallest), and the
+    * merge applies left-to-right non-overlapping — the greedy BPE
+    * convention — via the space-doubling rewrite (double every
+    * delimiter, replace `␣a␣␣b␣` with `␣ab␣`, collapse): after
+    * doubling, adjacent occurrences no longer share a delimiter
+    * character, so plain string `replace` merges BOTH of `a b a b`'s
+    * pairs, while overlapping `a a a` still merges only the left pair —
+    * exactly greedy BPE, with identical literal-replace semantics on
+    * both engines.
+    *
+    * Output: `(step, pair, weight)` — the ordered merge table; stops
+    * early (fewer rows) if the corpus runs out of adjacent pairs.
+    *
+    * Scale: the loop state is the WORD-FREQUENCY table (Heaps-sublinear
+    * in corpus size), built from one corpus scan and localCheckpointed
+    * per round; each round is one vocab-grain explode + aggregate. The
+    * per-round winner is a one-row collect — driver work O(merges), the
+    * timeBounds-row class.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(Text.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(expr("array_join(transform(sequence(1, char_length(__w)), " +
+        "i -> substring(__w, i, 1)), ' ')").as("__syms"), col("__f"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = vocab
+        .select(col("__f"), split(col("__syms"), " ").as("__a"))
+        .filter(size(col("__a")) >= 2)
+        .select(col("__f"), explode(expr(
+          "transform(sequence(1, size(__a) - 1), " +
+            "i -> concat(element_at(__a, i), ' ', element_at(__a, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("__f")).as("weight"))
+        .orderBy(desc("weight"), asc("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        steps += ((step, pair, best(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.withColumn("__syms", expr(
+          s"trim(replace(replace(concat(' ', replace(__syms, ' ', '  '), " +
+            s"' '), ' $a  $b ', ' $a$b '), '  ', ' '))"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    steps.toSeq.toDF("step", "pair", "weight")
+  }
 }
