@@ -6987,6 +6987,64 @@ object LlmQueries {
         $sel"""
   })
 
+  /** Holm–Bonferroni step-down on the q286 p-value worklist — the
+    * family-wise companion; same output shape so the corrections diff
+    * row-for-row. */
+  private val l221 = Spec("q356_holm_bonferroni",
+    (s, d) => graft.engine.Relational.holmBonferroni(
+      T(s, d, "events").filter(col("event_type") === "error")
+        .withColumn("p", col("value") - floor(col("value"))),
+      "event_id", "p", alphaPct = 20),
+    Some("""WITH t AS (SELECT event_id AS id,
+          CAST(value AS DOUBLE) - floor(CAST(value AS DOUBLE)) AS p
+          FROM events WHERE event_type = 'error' AND value IS NOT NULL),
+        r AS (SELECT id, p, CAST(row_number() OVER (ORDER BY p, id)
+          AS INT) AS rank, count(*) OVER () AS m FROM t),
+        c AS (SELECT *, CAST(20 AS DOUBLE) / (CAST(100 AS DOUBLE)
+          * CAST(m - rank + 1 AS DOUBLE)) AS crit FROM r),
+        k AS (SELECT *, coalesce(min(CASE WHEN p > crit THEN rank END)
+          OVER (), max(rank) OVER () + 1) AS kfail FROM c)
+        SELECT id, p, rank, round(crit, 6) AS crit,
+          rank < kfail AS discovery FROM k"""))
+
+  /** Exact integer power iteration (4 rounds) for the dominant
+    * singular direction of the embedding corpus — the spectral face of
+    * q344's isotropy number. */
+  private val l222 = Spec("q357_power_iteration",
+    (s, d) => graft.llm.Similarity.powerIteration(
+      T(s, d, "embeddings"), "vec_id", "embedding", rounds = 4)
+      .withColumn("lambda_micro",
+        expr("CAST(w_norm DIV 1000000000000 AS BIGINT)"))
+      .drop("w_norm"),
+    Some {
+      val rounds = 4
+      val iter = (1 to rounds).map { k =>
+        s"""w$k AS (SELECT a.i AS dim, sum(a.a * v.v) AS w
+          FROM a JOIN v${k - 1} v ON v.dim = a.j GROUP BY 1),
+        n$k AS (SELECT max(abs(w)) AS n FROM w$k),
+        v$k AS (SELECT dim, CASE WHEN n > 0 THEN w * 1000000 // n
+          ELSE 0 END AS v
+          FROM w$k CROSS JOIN n$k)"""
+      }.mkString(",\n        ")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+        x AS (SELECT vec_id, unnest(v) AS xv,
+          unnest(range(1, len(v) + 1)) AS i FROM e),
+        q AS (SELECT vec_id, i - 1 AS i,
+          CAST(round(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS qq
+          FROM x),
+        a AS (SELECT qa.i AS i, qb.i AS j,
+          CAST(sum(CAST(qa.qq AS HUGEINT) * qb.qq) AS HUGEINT) AS a
+          FROM q qa JOIN q qb USING (vec_id) GROUP BY 1, 2),
+        v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v
+          FROM a),
+        $iter
+        SELECT CAST(v$rounds.dim AS INT) AS dim,
+          CAST(v$rounds.v AS BIGINT) AS v_micro,
+          CAST(n$rounds.n // 1000000000000 AS BIGINT) AS lambda_micro
+        FROM v$rounds CROSS JOIN n$rounds"""
+    })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7006,5 +7064,5 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218, l219, l220)
+    l217, l218, l219, l220, l221, l222)
 }

@@ -2230,6 +2230,43 @@ object Relational {
         .as("crit"), col("discovery"))
   }
 
+  /** Holm–Bonferroni step-down multiple-testing correction (Holm 1979)
+    * — the FAMILY-WISE error-rate companion of [[bhFdr]] (BH bounds the
+    * expected false-discovery FRACTION; Holm bounds the probability of
+    * even ONE false rejection, the standard when any single false claim
+    * is costly). Walk p-values ascending with per-rank critical value
+    * `α/(m − rank + 1)`; the FIRST rank whose p exceeds its critical
+    * value stops the walk, and everything before it is a discovery —
+    * unlike BH, ranks after a failure are never rescued.
+    *
+    * Output: `(id, p, rank, crit, discovery)` — bhFdr's shape, so the
+    * two corrections diff row-for-row.
+    *
+    * Scale: identical plan to bhFdr — the distributed [[globalRank]]
+    * (no single-partition window), one-row m / first-failure frames on
+    * broadcast.
+    */
+  def holmBonferroni(df: DataFrame, idCol: String, pCol: String,
+      alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 100, "need 1 <= alphaPct < 100")
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val mRow = base.agg(count(lit(1)).as("__m"))
+    val ranked = globalRank(base, Seq(col("p"), col("id")), "__gr")
+      .withColumn("rank", col("__gr").cast("int")).drop("__gr")
+      .crossJoin(broadcast(mRow))
+      .withColumn("crit", expr(s"CAST($alphaPct AS DOUBLE) " +
+        s"/ (CAST(100 AS DOUBLE) * CAST(__m - rank + 1 AS DOUBLE))"))
+    val firstFail = ranked.agg(coalesce(min(when(col("p") > col("crit"),
+        col("rank"))), max(col("rank") + 1), lit(1))
+      .as("__kfail"))
+    ranked
+      .crossJoin(broadcast(firstFail))
+      .withColumn("discovery", col("rank") < col("__kfail"))
+      .select(col("id"), col("p"), col("rank"), round(col("crit"), 6)
+        .as("crit"), col("discovery"))
+  }
+
   /** Column-profile diff between two table snapshots: for each named
     * numeric column, the row count, null share (ppm) and exact-stat
     * mean/std on BOTH sides plus the mean delta — the schema-drift

@@ -97,6 +97,72 @@ object Similarity {
     * `dims`-row per-dimension sum frame plus one scalar aggregate —
     * nothing pairwise.
     */
+  /** Dominant singular direction of the embedding corpus by EXACT
+    * integer power iteration on the uncentered Gram matrix — the
+    * spectral readout behind [[isotropyReport]]'s single concentration
+    * number (an isotropy score near 1 says mass concentrates along ONE
+    * direction; this op says WHICH). `A = Σ q qᵀ` accumulates
+    * micro-lattice outer products exactly in DECIMAL(38,0); iteration
+    * starts from the deterministic all-ones vector and renormalizes
+    * each round to max-abs 10⁶ by integral division (truncation toward
+    * zero on both engines), so every intermediate is an exact integer
+    * and the result vector is engine-reproducible — float power
+    * iteration would diverge across engines in the last ulp within two
+    * rounds. Uncentered means TOP SINGULAR direction (the mean-offset
+    * axis dominates an uncentered corpus — exactly the common-component
+    * pathology isotropy audits look for).
+    *
+    * Output: `(dim, v_micro, w_norm)` — one row per dimension;
+    * `v_micro` the direction on the ±10⁶ lattice, `w_norm` the final
+    * round's pre-normalization max |A·v| (the eigenvalue readout, same
+    * on every row).
+    *
+    * Scale: the Gram aggregate is the only corpus-scan — d² per-row
+    * outer-product terms collapse map-side to the d×d frame (d = 32 →
+    * 1024 cells; the explode is row-local, no pairwise row join);
+    * iteration then runs entirely on d×d times d-row frames, driver
+    * work zero. Magnitude bound: `w ≤ d · Σ‖q‖² · 10⁶` stays inside
+    * DECIMAL(38,0) past 10¹² rows.
+    */
+  def powerIteration(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val d38 = "decimal(38,0)"
+    val q = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__row"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col("__row"), col("__i"),
+        expr("CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__q"))
+    val gram = q.join(q.select(col("__row"), col("__i").as("__j"),
+        col("__q").as("__qj")), Seq("__row"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum((col("__q") * col("__qj")).cast(d38)).as("__a"))
+      .localCheckpoint(true)
+    val dims = gram.select(col("__i").as("dim")).distinct()
+    var v = dims.withColumn("__v", lit(1000000L).cast(d38))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val w = gram
+        .join(v.select(col("dim").as("__j"), col("__v").as("__vj")),
+          Seq("__j"))
+        .groupBy(col("__i").as("dim"))
+        .agg(sum(col("__a") * col("__vj")).as("__w"))
+      lastNorm = w.agg(max(abs(col("__w"))).as("__n"))
+      // an exactly-orthogonal iterate (w ≡ 0) collapses to the zero
+      // vector rather than dividing by zero
+      v = w.crossJoin(broadcast(lastNorm))
+        .select(col("dim"),
+          expr("CAST(CASE WHEN __n > 0 THEN __w * 1000000 DIV __n " +
+            "ELSE 0 END AS DECIMAL(38,0))").as("__v"))
+        .localCheckpoint(true)
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("dim").cast("int").as("dim"),
+        col("__v").cast("long").as("v_micro"),
+        col("__n").cast("decimal(38,0)").as("w_norm"))
+  }
+
   def isotropyReport(df: DataFrame, vecCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val base = df.filter(col(vecCol).isNotNull)
