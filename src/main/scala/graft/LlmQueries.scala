@@ -6659,7 +6659,8 @@ object LlmQueries {
     * density pair. */
   private def embedLattice2d(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    T(s, d, "embeddings").filter(col("embedding").isNotNull)
+    T(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 2)
       .select(col("vec_id"),
         expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)" +
           " * 1000000) AS BIGINT)").as("x"),
@@ -6674,7 +6675,8 @@ object LlmQueries {
             + 2000000 AS x,
           CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
             + 2000000 AS y
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 2),
         c AS (SELECT id, x, y, x // 25000 AS cx, y // 25000 AS cy FROM p),
         off AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx)
           CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
@@ -7045,6 +7047,95 @@ object LlmQueries {
         FROM v$rounds CROSS JOIN n$rounds"""
     })
 
+  /** Burrows' Delta stylometric distance between every source pair
+    * over the corpus' top-50 words — exact ppm frequencies, one IEEE
+    * sqrt, word-ordered fold. */
+  private val l223 = Spec("q358_burrows_delta",
+    (s, d) => graft.llm.Curation.burrowsDelta(
+      T(s, d, "documents"), "text", "source", topM = 50),
+    Some(s"""WITH tk AS (SELECT CAST(source AS VARCHAR) AS s,
+          unnest($wordsSql) AS w FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL),
+        c AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+        top AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM c
+          GROUP BY 1 ORDER BY cc DESC, w LIMIT 50)),
+        tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot
+          FROM c GROUP BY 1),
+        grid AS (SELECT tot.s, top.w,
+          coalesce(c.c, 0) * 1000000 // tot.tot AS f
+          FROM tot CROSS JOIN top
+          LEFT JOIN c ON c.s = tot.s AND c.w = top.w),
+        st AS (SELECT w, CAST(count(*) AS HUGEINT) AS d,
+          CAST(sum(f) AS HUGEINT) AS sf,
+          CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff
+          FROM grid GROUP BY 1),
+        vv AS (SELECT w, d, d * sff - sf * sf AS varnum FROM st),
+        tm AS (SELECT a.s AS sa, b.s AS sb, a.w,
+          CASE WHEN vv.varnum > 0 THEN CAST(abs(a.f - b.f) AS DOUBLE)
+            * CAST(vv.d AS DOUBLE) / sqrt(CAST(vv.varnum AS DOUBLE))
+          ELSE CAST(0.0 AS DOUBLE) END AS t
+          FROM grid a JOIN grid b ON b.w = a.w AND a.s < b.s
+          JOIN vv ON vv.w = a.w),
+        ag AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS m_words,
+          list(t ORDER BY w) AS terms FROM tm GROUP BY 1, 2)
+        SELECT sa AS source_a, sb AS source_b, m_words,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+            (a, b) -> a + b) / CAST(m_words AS DOUBLE), 6) AS delta
+        FROM ag"""))
+
+  /** Top-30 PMI collocations (support ≥ 5) — the four-ln difference
+    * form on the shared bigram collapse. */
+  private val l224 = Spec("q359_pmi_collocations",
+    (s, d) => graft.llm.Lexical.pmiCollocations(
+      T(s, d, "documents"), "text", minCount = 5L, topK = 30),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+        g AS (SELECT unnest([array_to_string(words[i+1:i+2], ' ')
+          for i in range(CASE WHEN len(words) >= 2 THEN len(words)-1
+          ELSE 0 END)]) AS gram FROM t),
+        c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_uv
+          FROM g GROUP BY 1),
+        sp AS (SELECT gram, c_uv, string_split(gram, ' ')[1] AS u,
+          string_split(gram, ' ')[-1] AS v FROM c2),
+        lf AS (SELECT u, CAST(sum(c_uv) AS BIGINT) AS c_u
+          FROM sp GROUP BY 1),
+        rt AS (SELECT v, CAST(sum(c_uv) AS BIGINT) AS c_v
+          FROM sp GROUP BY 1),
+        nn AS (SELECT CAST(sum(c_uv) AS BIGINT) AS n FROM c2),
+        p AS (SELECT sp.gram, sp.c_uv, lf.c_u, rt.c_v,
+          CAST(round((ln(CAST(sp.c_uv AS DOUBLE))
+            + ln(CAST(nn.n AS DOUBLE)) - ln(CAST(lf.c_u AS DOUBLE))
+            - ln(CAST(rt.c_v AS DOUBLE))) * 1000000) AS BIGINT)
+            AS pmi_micro
+          FROM sp JOIN lf USING (u) JOIN rt USING (v) CROSS JOIN nn
+          WHERE sp.c_uv >= 5),
+        r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC,
+          gram) AS rank FROM p)
+        SELECT gram, c_uv, c_u, c_v, pmi_micro,
+          CAST(rank AS INT) AS rank FROM r WHERE rank <= 30"""))
+
+  /** Variance-to-mean dispersion of the top-50 terms' per-document
+    * counts — all-integer burstiness audit. */
+  private val l225 = Spec("q360_term_burstiness",
+    (s, d) => graft.llm.Curation.termBurstiness(
+      T(s, d, "documents"), "doc_id", "text", topM = 50),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words
+          FROM documents WHERE text IS NOT NULL),
+        tk AS (SELECT doc_id, unnest(words) AS w FROM t),
+        c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+        top AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM c
+          GROUP BY 1 ORDER BY cc DESC, w LIMIT 50)),
+        dd AS (SELECT CAST(count(*) AS HUGEINT) AS d FROM t),
+        a AS (SELECT c.w, CAST(count(*) AS BIGINT) AS df,
+          CAST(sum(c.c) AS BIGINT) AS total,
+          CAST(sum(CAST(c.c AS HUGEINT) * c.c) AS HUGEINT) AS cc2
+          FROM c JOIN top USING (w) GROUP BY 1)
+        SELECT a.w AS term, df, total,
+          CAST((dd.d * cc2 - CAST(total AS HUGEINT) * total) * 1000000
+            // (dd.d * CAST(total AS HUGEINT)) AS BIGINT) AS vmr_micro
+        FROM a CROSS JOIN dd"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7064,5 +7155,5 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218, l219, l220, l221, l222)
+    l217, l218, l219, l220, l221, l222, l223, l224, l225)
 }

@@ -851,6 +851,128 @@ object Curation {
     * count-of-count grain (≤ max frequency rows); the r-axis is a
     * literal explode.
     */
+  /** Burrows' Delta stylometric distance (Burrows 2002) between every
+    * pair of sources — mean absolute z-score gap over the corpus'
+    * top-`topM` words, THE authorship/register-attribution measure
+    * (two crawls of the same site score near 0; a machine-generated
+    * source drifts on exactly the function words Delta weights).
+    * Per-source relative frequencies are exact integer ppm
+    * (`cnt·10⁶ DIV total_s`, every (source, word) cell materialized so
+    * absences count as 0); the across-source mean CANCELS in the
+    * pairwise difference, so each term is `|f_a − f_b|·S /
+    * sqrt(S·Σf² − (Σf)²)` — the only floats are one IEEE sqrt
+    * (correctly rounded, engine-identical, unlike ln/pow) and the
+    * word-ordered left fold (the kaplanMeier discipline). A word with
+    * zero across-source variance contributes 0.
+    *
+    * Output: `(source_a, source_b, m_words, delta)`, `a < b`, 6 dp.
+    *
+    * Scale: one corpus token scan to (source, word) grain; everything
+    * after runs on the (|S| × topM) grid — sources are a dimension
+    * axis, so the grid and the |S|² pair frame are broadcast-sized by
+    * construction.
+    */
+  def burrowsDelta(docs: DataFrame, textCol: String, sourceCol: String,
+      topM: Int): DataFrame = {
+    require(topM >= 1, "topM must be positive")
+    val d38 = "decimal(38,0)"
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("__s"),
+        explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))
+      .persist()
+    val top = counts.groupBy(col("__w"))
+      .agg(sum(col("__c")).as("__cc"))
+      .orderBy(desc("__cc"), asc("__w")).limit(topM)
+      .select(col("__w"))
+    val totals = counts.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__tot"))
+    val grid = totals.select(col("__s"), col("__tot"))
+      .crossJoin(broadcast(top))
+      .join(counts, Seq("__s", "__w"), "left")
+      .withColumn("__f",
+        expr("coalesce(__c, CAST(0 AS BIGINT)) * 1000000 DIV __tot"))
+      .persist()
+    val stats = grid.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__d"),
+        sum(col("__f")).cast(d38).as("__sf"),
+        sum(col("__f").cast(d38) * col("__f")).as("__sff"))
+      .withColumn("__varnum",
+        expr(s"CAST(__d AS $d38) * __sff - __sf * __sf"))
+      .select(col("__w"), col("__d"), col("__varnum"))
+    val terms = grid.select(col("__s").as("__sa"), col("__w"),
+        col("__f").as("__fa"))
+      .join(grid.select(col("__s").as("__sb"), col("__w"),
+        col("__f").as("__fb")), Seq("__w"))
+      .filter(col("__sa") < col("__sb"))
+      .join(stats, Seq("__w"))
+      .withColumn("__t", expr("CASE WHEN __varnum > 0 THEN " +
+        "CAST(abs(__fa - __fb) AS DOUBLE) * CAST(__d AS DOUBLE) " +
+        "/ sqrt(CAST(__varnum AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END"))
+    val out = terms.groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("m_words"),
+        sort_array(collect_list(struct(col("__w"), col("__t"))))
+          .as("__terms"))
+      .withColumn("delta", round(expr(
+        "aggregate(transform(__terms, s -> s.__t), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x) / CAST(m_words AS DOUBLE)"), 6))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("m_words"), col("delta"))
+      .localCheckpoint(true)
+    grid.unpersist(false)
+    counts.unpersist(false)
+    out
+  }
+
+  /** Term burstiness: the variance-to-mean ratio (index of dispersion)
+    * of each top-`topM` term's per-document count — the classic
+    * content/function-word separator (function words spread evenly,
+    * VMR ≈ 1 − μ·(small); topical terms clump into few documents,
+    * VMR ≫ 1) and a template-contamination tell (boilerplate terms
+    * show superhuman dispersion). ALL-INTEGER: with D = corpus doc
+    * count (zero-count documents included by construction),
+    * `vmr_micro = (D·Σc² − (Σc)²)·10⁶ DIV (D·Σc)` — population
+    * variance over mean, cross products through DECIMAL(38,0).
+    *
+    * Output per term: `(term, df, total, vmr_micro)` — df = documents
+    * containing the term.
+    *
+    * Scale: one corpus scan to (doc, term) grain for the top-M terms
+    * (semi-joined before the aggregate, so only M terms' postings
+    * move); the D frame is one row on broadcast.
+    */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      topM: Int): DataFrame = {
+    require(topM >= 1, "topM must be positive")
+    val d38 = "decimal(38,0)"
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+      .persist()
+    val top = toks.groupBy(col("__w")).agg(sum(col("__c")).as("__cc"))
+      .orderBy(desc("__cc"), asc("__w")).limit(topM)
+      .select(col("__w"))
+    val dRow = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__D"))
+    val out = toks.join(broadcast(top), Seq("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("__c")).as("total"),
+        sum(col("__c").cast(d38) * col("__c")).as("__cc2"))
+      .crossJoin(broadcast(dRow))
+      .withColumn("vmr_micro", expr(
+        s"CAST((CAST(__D AS $d38) * __cc2 " +
+          s"- CAST(total AS $d38) * total) * 1000000 " +
+          s"DIV (CAST(__D AS $d38) * total) AS BIGINT)"))
+      .select(col("__w").as("term"), col("df"), col("total"),
+        col("vmr_micro"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
+
   def goodTuringSpectrum(docs: DataFrame, textCol: String,
       maxR: Int): DataFrame = {
     require(maxR >= 1, "need maxR >= 1")

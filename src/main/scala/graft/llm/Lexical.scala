@@ -529,6 +529,57 @@ object Lexical {
     out
   }
 
+  /** Top-k PMI collocations (Church & Hanks 1990) — bigrams whose
+    * observed frequency most exceeds their unigram-independence
+    * expectation, the phrase-mining readout behind tokenizer-vocab and
+    * stopword-list decisions ("new york" scores high, "of the" low
+    * despite its raw count). Over the bigram-occurrence space with
+    * left/right marginals, `pmi = ln(c_uv) + ln(N) − ln(c_u·) −
+    * ln(c_·v)` — the FOUR-ln difference form (each call takes an
+    * exactly-representable integer double; never ln of a ratio or of a
+    * product that could pass 2⁵³ — the [[bigramLmScore]] micro-nat
+    * discipline), floored support `c_uv ≥ minCount` so singleton
+    * pairings don't saturate the top of the list.
+    *
+    * Output: top-`topK` rows `(gram, c_uv, c_u, c_v, pmi_micro, rank)`
+    * ranked by (pmi desc, gram) — the deterministic tiebreak.
+    *
+    * Scale: rides the same (gram, count) collapse as
+    * [[kneserNeyBigrams]]; marginals are two aggregates of that frame,
+    * the one-row N on broadcast, and the top-k a global sort-limit of
+    * the minCount-filtered model frame (Heaps-sublinear).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need positive minCount/topK")
+    val grams = docs
+      .select(explode(graft.functions.TokenNgrams.tokenNgrams(
+        col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_uv"))
+      .withColumn("__u", substring_index(col("gram"), " ", 1))
+      .withColumn("__v", substring_index(col("gram"), " ", -1))
+      .persist()
+    val left = grams.groupBy(col("__u")).agg(sum(col("c_uv")).as("c_u"))
+    val right = grams.groupBy(col("__v")).agg(sum(col("c_uv")).as("c_v"))
+    val nRow = grams.agg(sum(col("c_uv")).as("__N"))
+    val out = grams.filter(col("c_uv") >= minCount)
+      .join(left, Seq("__u")).join(right, Seq("__v"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("pmi_micro", expr(
+        "CAST(round((ln(CAST(c_uv AS DOUBLE)) + ln(CAST(__N AS DOUBLE)) " +
+          "- ln(CAST(c_u AS DOUBLE)) - ln(CAST(c_v AS DOUBLE))) " +
+          "* 1000000) AS BIGINT)"))
+      .orderBy(desc("pmi_micro"), asc("gram")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("pmi_micro"), asc("gram"))))
+      .select(col("gram"), col("c_uv"), col("c_u"), col("c_v"),
+        col("pmi_micro"), col("rank").cast("int").as("rank"))
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
   /** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016) — the
     * iterative closure of [[bpePairStep]]'s single statistic: `merges`
     * rounds of (count adjacent symbol pairs weighted by word frequency
