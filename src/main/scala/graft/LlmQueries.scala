@@ -7136,6 +7136,72 @@ object LlmQueries {
             // (dd.d * CAST(total AS HUGEINT)) AS BIGINT) AS vmr_micro
         FROM a CROSS JOIN dd"""))
 
+  /** Shared q156-chain oracle prefix: transition ppm matrix + state
+    * alphabet. */
+  private val chainOracleBase = """s AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_state FROM events),
+        c AS (SELECT from_state, event_type AS to_state, count(*) AS n
+          FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot
+          FROM c GROUP BY 1),
+        pt AS (SELECT from_state, to_state,
+          CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+          FROM c JOIN t USING (from_state)),
+        states AS (SELECT from_state AS state FROM c
+          UNION SELECT to_state FROM c)"""
+
+  /** 5-step absorption probability toward 'purchase' over the q156
+    * empirical chain — exact integer ppm conversion funnel. */
+  private val l226 = Spec("q361_absorption_ppm", {
+    val steps = 5
+    (s, d) => graft.engine.Windows.absorptionPpm(
+      T(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("event_id"), target = "purchase", steps = steps)
+  }, Some {
+    val steps = 5
+    val rounds = (1 to steps).map { k =>
+      s"""i$k AS (SELECT pt.from_state AS state,
+          CAST(sum(pt.p_ppm * a${k - 1}.a) AS BIGINT) AS s
+          FROM pt JOIN a${k - 1} ON a${k - 1}.state = pt.to_state
+          GROUP BY 1),
+        a$k AS (SELECT st.state,
+          CASE WHEN st.state = 'purchase' THEN 1000000
+            ELSE coalesce(i$k.s, 0) // 1000000 END AS a
+          FROM states st LEFT JOIN i$k USING (state))"""
+    }.mkString(",\n        ")
+    s"""WITH $chainOracleBase,
+        a0 AS (SELECT state, CASE WHEN state = 'purchase' THEN 1000000
+          ELSE 0 END AS a FROM states),
+        $rounds
+        SELECT state, CAST(a AS BIGINT) AS conv_ppm FROM a$steps"""
+  })
+
+  /** 6-round stationary-distribution power approximation of the q156
+    * chain — exact ppm, un-renormalized floor leakage documented. */
+  private val l227 = Spec("q362_stationary_ppm", {
+    val steps = 6
+    (s, d) => graft.engine.Windows.stationaryPpm(
+      T(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("event_id"), steps = steps)
+  }, Some {
+    val steps = 6
+    val rounds = (1 to steps).map { k =>
+      s"""f$k AS (SELECT pt.to_state AS state,
+          CAST(sum(pt.p_ppm * p${k - 1}.pi) AS BIGINT) AS s
+          FROM pt JOIN p${k - 1} ON p${k - 1}.state = pt.from_state
+          GROUP BY 1),
+        p$k AS (SELECT st.state, coalesce(f$k.s, 0) // 1000000 AS pi
+          FROM states st LEFT JOIN f$k USING (state))"""
+    }.mkString(",\n        ")
+    s"""WITH $chainOracleBase,
+        nn AS (SELECT count(*) AS n FROM states),
+        p0 AS (SELECT state, 1000000 // nn.n AS pi
+          FROM states CROSS JOIN nn),
+        $rounds
+        SELECT state, CAST(pi AS BIGINT) AS pi_ppm FROM p$steps"""
+  })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7155,5 +7221,5 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218, l219, l220, l221, l222, l223, l224, l225)
+    l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227)
 }

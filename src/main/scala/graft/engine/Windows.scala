@@ -240,6 +240,96 @@ object Windows {
         expr("(n_correct * 1000000) DIV n_total").as("acc_micro"))
   }
 
+  /** k-step absorption probability toward one `target` state over the
+    * empirical [[transitionCounts]] chain — "what fraction of walks
+    * starting at each state reach purchase within k hops", the
+    * conversion-funnel readout an absorbing-Markov analysis gives that
+    * raw funnel counts (q111) cannot (multi-path, loops, detours). The
+    * recursion `a_k(s) = [s = target] ∨ Σ_t p(s,t)·a_{k−1}(t)` runs in
+    * EXACT integer ppm: transition probabilities are the q156 floor
+    * ppm, each round is one matrix-vector product with a single
+    * `DIV 10⁶` floor (one floor per round is the documented contract;
+    * the result lower-bounds the true truncated probability by < k
+    * ppm). The target row is clamped to 10⁶ every round; states with
+    * no outgoing mass stay 0; the in-sample caveat of q339 applies.
+    *
+    * Output: `(state, conv_ppm)` for every state in the chain.
+    *
+    * Scale: the chain lives at state² grain after transitionCounts'
+    * one event scan — loop frames are alphabet-sized; rounds are k
+    * joins of tiny frames (localCheckpoint per round, the pageRankPpm
+    * lineage discipline).
+    */
+  def absorptionPpm(df: DataFrame, keyCol: String, timeCol: String,
+      stateCol: String, tiebreakCols: Seq[String], target: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be positive")
+    val tr = transitionCounts(df, keyCol, timeCol, stateCol, tiebreakCols)
+      .select(col("from_state"), col("to_state"), col("p_ppm"))
+      .persist()
+    val states = tr.select(col("from_state").as("state"))
+      .union(tr.select(col("to_state").as("state"))).distinct()
+      .localCheckpoint(true)
+    var a = states.withColumn("a",
+      when(col("state") === target, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to steps) {
+      val inflow = tr
+        .join(a.select(col("state").as("to_state"), col("a")),
+          Seq("to_state"))
+        .groupBy(col("from_state").as("state"))
+        .agg(sum(col("p_ppm") * col("a")).as("__s"))
+      a = states.join(inflow, Seq("state"), "left")
+        .withColumn("a", when(col("state") === target, lit(1000000L))
+          .otherwise(expr("coalesce(__s, CAST(0 AS BIGINT)) DIV 1000000")))
+        .select(col("state"), col("a"))
+        .localCheckpoint(true)
+    }
+    a.select(col("state"), col("a").as("conv_ppm"))
+  }
+
+  /** k-round power approximation of the chain's STATIONARY distribution
+    * — where session traffic settles under the empirical
+    * [[transitionCounts]] kernel, the long-run load statement behind
+    * staffing (q340) and mix (q200) decisions. `π_k(t) =
+    * Σ_s π_{k−1}(s)·p(s,t) DIV 10⁶` in exact integer ppm from the
+    * uniform start `10⁶ DIV |S|`; floor leakage (< |S| ppm per round)
+    * is the price of engine-exactness and is NOT renormalized — the
+    * documented contract, so Σπ drifts a few ppm under 10⁶. States
+    * without outgoing mass absorb (their inflow stays put only if
+    * self-looped; the empirical chain from q156 has no explicit sink
+    * handling — in-sample semantics).
+    *
+    * Output: `(state, pi_ppm)`.
+    *
+    * Scale: identical alphabet-sized loop frames to [[absorptionPpm]].
+    */
+  def stationaryPpm(df: DataFrame, keyCol: String, timeCol: String,
+      stateCol: String, tiebreakCols: Seq[String],
+      steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be positive")
+    val tr = transitionCounts(df, keyCol, timeCol, stateCol, tiebreakCols)
+      .select(col("from_state"), col("to_state"), col("p_ppm"))
+      .persist()
+    val states = tr.select(col("from_state").as("state"))
+      .union(tr.select(col("to_state").as("state"))).distinct()
+      .localCheckpoint(true)
+    val nRow = states.agg(count(lit(1)).as("__n"))
+    var pi = states.crossJoin(broadcast(nRow))
+      .select(col("state"), expr("1000000L DIV __n").as("pi"))
+    for (_ <- 1 to steps) {
+      val flow = tr
+        .join(pi.select(col("state").as("from_state"), col("pi")),
+          Seq("from_state"))
+        .groupBy(col("to_state").as("state"))
+        .agg(sum(col("p_ppm") * col("pi")).as("__s"))
+      pi = states.join(flow, Seq("state"), "left")
+        .select(col("state"),
+          expr("coalesce(__s, CAST(0 AS BIGINT)) DIV 1000000").as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), col("pi").as("pi_ppm"))
+  }
+
   /** Exact running total per key (ledger/balance semantics): cumulative
     * sum in scaled integer units so the partial order of additions can
     * never change the result — a float cumsum re-run after a partition
