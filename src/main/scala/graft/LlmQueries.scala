@@ -7202,6 +7202,56 @@ object LlmQueries {
         SELECT state, CAST(pi AS BIGINT) AS pi_ppm FROM p$steps"""
   })
 
+  /** ROUGE-L on the q310 pair declaration — native LCS codegen
+    * expression vs a recursive-CTE DP oracle (row state carried as a
+    * list; the intra-row `left` dependency resolved by the prefix-max
+    * identity `new = running-max of max(up, diag+eq)`). Both sides
+    * truncated to 80 tokens (the quadratic-cost contract). */
+  private val l228 = Spec("q363_rouge_l",
+    (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 23 === 0)
+        .join(docs.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      graft.llm.Eval.rougeL(docs, pairs, "doc_id", "text",
+        "cand_id", "ref_id", maxTokens = 80)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ($wordsSql)[1:80] AS words
+          FROM documents),
+        pr AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+          ta.words AS wa, tb.words AS wb
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          JOIN t ta ON ta.doc_id = a.doc_id
+          JOIN t tb ON tb.doc_id = b.doc_id
+          WHERE a.doc_id % 23 = 0),
+        rec AS (WITH RECURSIVE dp(cand_id, ref_id, i, row) AS (
+            SELECT cand_id, ref_id, 0,
+              [0 for x in range(len(wb) + 1)] FROM pr
+            UNION ALL
+            SELECT dp.cand_id, dp.ref_id, dp.i + 1,
+              list_prepend(0, [list_max(b2[1:j+1])
+                for j in range(len(b2))]) FROM (
+                SELECT dp.cand_id, dp.ref_id, dp.i,
+                  [greatest(dp.row[j+2], dp.row[j+1] +
+                    CASE WHEN pr.wa[dp.i+1] = pr.wb[j+1]
+                      THEN 1 ELSE 0 END)
+                   for j in range(len(pr.wb))] AS b2
+                FROM dp JOIN pr USING (cand_id, ref_id)
+                WHERE dp.i < len(pr.wa)) dp)
+          SELECT cand_id, ref_id, i, row FROM dp),
+        fin AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(len(pr.wa) AS BIGINT) AS c_len,
+          CAST(len(pr.wb) AS BIGINT) AS r_len,
+          CAST(rec.row[-1] AS BIGINT) AS lcs
+          FROM pr JOIN rec ON rec.cand_id = pr.cand_id
+            AND rec.ref_id = pr.ref_id AND rec.i = len(pr.wa))
+        SELECT cand_id, ref_id, c_len, r_len, lcs,
+          CAST(CASE WHEN c_len + r_len > 0 THEN
+            lcs * 2000000 // (c_len + r_len) END AS BIGINT)
+            AS rouge_l_micro
+        FROM fin"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7221,5 +7271,6 @@ object LlmQueries {
     l186, l187, l188, l189, l190, l191, l192, l193, l194, l195,
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
-    l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227)
+    l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
+    l228)
 }

@@ -530,6 +530,47 @@ object Eval {
           "THEN (f1_micro + f2_micro) DIV 2 END"))
   }
 
+  /** ROUGE-L (Lin 2004) over declared (candidate, reference) pairs —
+    * longest-common-subsequence F-score, the order-sensitive companion
+    * of [[rougeN]] (n-gram recall rewards local phrase overlap; LCS
+    * rewards sentence-level structure without contiguity). β = 1, so
+    * the score is the EXACT integer rational `2·LCS·10⁶ DIV (lc+lr)` —
+    * no float anywhere. Both token sequences are truncated to
+    * `maxTokens` before the quadratic LCS (the per-pair cost bound —
+    * O(maxTokens²) via the native [[graft.functions.LcsTokens]]
+    * codegen expression). A pair with two empty (post-truncation)
+    * sides reports null; one empty side scores 0.
+    *
+    * Output: `(cand_id, ref_id, c_len, r_len, lcs, rouge_l_micro)` —
+    * lengths are post-truncation.
+    *
+    * Scale: tokenization collapses per doc (one corpus scan), pairs
+    * semi-drive the join — the [[bleuCorpus]] posture — and the LCS
+    * runs row-local inside whole-stage codegen.
+    */
+  def rougeL(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, candCol: String, refCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val p = pairs.select(col(candCol).as("cand_id"),
+      col(refCol).as("ref_id"))
+    val toks = docs.select(col(idCol).as("__id"),
+      slice(graft.llm.Text.tokens(col(textCol)), 1, maxTokens)
+        .as("__t"))
+    p.join(toks.select(col("__id").as("cand_id"), col("__t").as("__ta")),
+        Seq("cand_id"), "left")
+      .join(toks.select(col("__id").as("ref_id"), col("__t").as("__tb")),
+        Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(size(col("__ta")), lit(0)).cast("long").as("c_len"),
+        coalesce(size(col("__tb")), lit(0)).cast("long").as("r_len"),
+        coalesce(graft.functions.LcsTokens.lcsTokens(col("__ta"),
+          col("__tb")), lit(0)).cast("long").as("lcs"))
+      .withColumn("rouge_l_micro",
+        expr("CASE WHEN c_len + r_len > 0 THEN " +
+          "lcs * 2000000 DIV (c_len + r_len) END"))
+  }
+
   /** Average precision (the exact area under the precision–recall
     * step curve, the `average_precision_score` convention: AP =
     * Σ_thresholds ΔR·P) of a score column against a binary label, per
