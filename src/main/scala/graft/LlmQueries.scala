@@ -7252,6 +7252,73 @@ object LlmQueries {
             AS rouge_l_micro
         FROM fin"""))
 
+  /** Hilbert-curve layout key (order 8) on the q122 grid — the
+    * stronger-locality twin of the Z-order key; unrolled flip+swap
+    * levels, pure integer bit arithmetic. */
+  private val l229 = Spec("q364_hilbert_key", {
+    val order = 8
+    (s, d) => graft.engine.Layout.withHilbertKey(
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256)).as("gx"),
+        pmod(col("l_suppkey"), lit(256)).as("gy")),
+      "gx", "gy", order = order, outCol = "hkey")
+  }, Some {
+    val order = 8
+    val levels = (0 until order).map { k =>
+      val s = 1L << (order - 1 - k)
+      s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber, gx, gy,
+          d + ${s * s} * xor(3 * rx, ry) AS d,
+          CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+            THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+          CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+            THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy
+          FROM (SELECT *,
+            CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+            FROM h$k))"""
+    }.mkString(",\n        ")
+    s"""WITH g AS (SELECT l_orderkey, l_linenumber,
+          l_partkey % 256 AS gx, l_suppkey % 256 AS gy FROM lineitem),
+        h0 AS (SELECT l_orderkey, l_linenumber, gx, gy,
+          CAST(gx AS BIGINT) AS hx, CAST(gy AS BIGINT) AS hy,
+          CAST(0 AS BIGINT) AS d FROM g),
+        $levels
+        SELECT l_orderkey, l_linenumber, gx, gy,
+          CAST(d AS BIGINT) AS hkey FROM h$order"""
+  })
+
+  /** Skip-gram (window 2) co-occurrence PMI top-30 — the word2vec-style
+    * widened-window companion of q359's adjacent collocations. */
+  private val l230 = Spec("q365_skipgram_pmi",
+    (s, d) => graft.llm.Lexical.skipgramPmi(
+      T(s, d, "documents"), "doc_id", "text", window = 2,
+      minCount = 5L, topK = 30),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents
+          WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id, unnest(words) AS w,
+          unnest(range(len(words))) AS p FROM t),
+        pairs AS (SELECT a.w AS w1, b.w AS w2,
+          CAST(count(*) AS BIGINT) AS n_pair
+          FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+            AND b.p - a.p BETWEEN 1 AND 2
+          GROUP BY 1, 2),
+        lf AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c_w1
+          FROM pairs GROUP BY 1),
+        rt AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c_w2
+          FROM pairs GROUP BY 1),
+        nn AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM pairs),
+        p AS (SELECT pairs.w1, pairs.w2, pairs.n_pair, lf.c_w1, rt.c_w2,
+          CAST(round((ln(CAST(pairs.n_pair AS DOUBLE))
+            + ln(CAST(nn.n AS DOUBLE)) - ln(CAST(lf.c_w1 AS DOUBLE))
+            - ln(CAST(rt.c_w2 AS DOUBLE))) * 1000000) AS BIGINT)
+            AS pmi_micro
+          FROM pairs JOIN lf USING (w1) JOIN rt USING (w2) CROSS JOIN nn
+          WHERE pairs.n_pair >= 5),
+        r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC,
+          w1, w2) AS rank FROM p)
+        SELECT w1, w2, n_pair, c_w1, c_w2, pmi_micro,
+          CAST(rank AS INT) AS rank FROM r WHERE rank <= 30"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7272,5 +7339,5 @@ object LlmQueries {
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
-    l228)
+    l228, l229, l230)
 }

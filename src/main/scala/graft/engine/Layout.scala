@@ -33,6 +33,53 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert-curve index of non-negative grid coordinates — the
+    * stronger locality twin of [[zorderKey]] (Z-order's bit interleave
+    * has long diagonal jumps between quadrant boundaries; the Hilbert
+    * walk is Manhattan-adjacent at EVERY step, so range scans over the
+    * key touch tighter (x, y) tiles — the Hilbert-vs-Z tradeoff every
+    * table-layout paper measures). Standard Wikipedia xy→d algorithm
+    * (per-level quadrant code `(3·rx) XOR ry`, flip+swap rotation),
+    * unrolled `order` levels as a chain of per-level projections —
+    * column-name chaining, not one nested Column, because each level
+    * reads the previous level's x twice and y twice (a single
+    * expression tree would grow 4^order nodes; named columns keep it
+    * linear until codegen, which shares subexpressions). Pure integer
+    * bit arithmetic — engine-exact.
+    *
+    * Inputs must lie on `[0, 2^order)`; callers quantize/mod upstream
+    * (the zorderKey contract). Key range `[0, 4^order)`.
+    */
+  def withHilbertKey(df: DataFrame, xCol: String, yCol: String,
+      order: Int, outCol: String): DataFrame = {
+    require(order >= 1 && order <= 31,
+      s"order must be in [1,31], got $order")
+    var cur = df.withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn(outCol, lit(0L))
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn(outCol, col(outCol) + lit(s) * lit(s) *
+          (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+            .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__hy", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+            .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+      s >>= 1
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx")
+  }
+
   /** Cluster a frame for writing: range-partition on the Z-order key of
     * (x, y) into `numFiles` output partitions, sorted within each — the
     * "OPTIMIZE ZORDER BY" shape without a table format. Each output file

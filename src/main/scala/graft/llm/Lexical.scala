@@ -580,6 +580,60 @@ object Lexical {
     out
   }
 
+  /** Skip-gram co-occurrence PMI — [[pmiCollocations]] widened from
+    * strictly-adjacent bigrams to an ordered window of `window`
+    * positions, the word2vec-style association statistic (adjacent-only
+    * PMI finds fixed phrases; windowed PMI finds topical pairings that
+    * tolerate an intervening token). Ordered pairs `(w_i, w_j)` with
+    * `1 ≤ j − i ≤ window` collapse to (pair, count) grain; marginals
+    * and total come from that frame; the score is the same four-ln
+    * difference form.
+    *
+    * Output: top-`topK` rows `(w1, w2, n_pair, c_w1, c_w2, pmi_micro,
+    * rank)` with support `n_pair ≥ minCount`, ranked (pmi desc, pair).
+    *
+    * Scale: the position self-join is per-document and band-limited
+    * (each token meets ≤ `window` successors — fan-out `window`, never
+    * the doc length); everything downstream is model-grain.
+    */
+  def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, topK: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && topK >= 1,
+      "need positive window/minCount/topK")
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .persist()
+    val pairs = pos.select(col("__id"), col("__p").as("__i"),
+        col("__w").as("w1"))
+      .join(pos.select(col("__id"), col("__p").as("__j"),
+        col("__w").as("w2")), Seq("__id"))
+      .filter(col("__j") - col("__i") >= 1 &&
+        col("__j") - col("__i") <= window)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .persist()
+    val left = pairs.groupBy(col("w1")).agg(sum(col("n_pair")).as("c_w1"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("n_pair")).as("c_w2"))
+    val nRow = pairs.agg(sum(col("n_pair")).as("__N"))
+    val out = pairs.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("pmi_micro", expr(
+        "CAST(round((ln(CAST(n_pair AS DOUBLE)) + ln(CAST(__N AS DOUBLE)) " +
+          "- ln(CAST(c_w1 AS DOUBLE)) - ln(CAST(c_w2 AS DOUBLE))) " +
+          "* 1000000) AS BIGINT)"))
+      .orderBy(desc("pmi_micro"), asc("w1"), asc("w2")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))))
+      .select(col("w1"), col("w2"), col("n_pair"), col("c_w1"),
+        col("c_w2"), col("pmi_micro"), col("rank").cast("int").as("rank"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    pos.unpersist(false)
+    out
+  }
+
   /** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016) — the
     * iterative closure of [[bpePairStep]]'s single statistic: `merges`
     * rounds of (count adjacent symbol pairs weighted by word frequency
