@@ -7014,7 +7014,7 @@ object LlmQueries {
     * q344's isotropy number. */
   private val l222 = Spec("q357_power_iteration",
     (s, d) => graft.llm.Similarity.powerIteration(
-      T(s, d, "embeddings"), "vec_id", "embedding", rounds = 4)
+      T(s, d, "embeddings"), "embedding", rounds = 4)
       .withColumn("lambda_micro",
         expr("CAST(w_norm DIV 1000000000000 AS BIGINT)"))
       .drop("w_norm"),

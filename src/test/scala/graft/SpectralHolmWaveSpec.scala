@@ -42,7 +42,7 @@ class SpectralHolmWaveSpec extends SparkSpec {
     // two rows on dim 0, one on dim 1: A = diag(2e12, 1e12)
     val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
-    val r = graft.llm.Similarity.powerIteration(rows, "vec_id",
+    val r = graft.llm.Similarity.powerIteration(rows,
         "embedding", rounds = 4)
       .collect().map(x => x.getInt(0) ->
         ((x.getLong(1), x.getDecimal(2).longValueExact()))).toMap
@@ -56,7 +56,7 @@ class SpectralHolmWaveSpec extends SparkSpec {
       "identically; converges toward (3+sqrt(5))/2 for [[1,-1],[-1,2]]") {
     val rows = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val r = graft.llm.Similarity.powerIteration(rows, "vec_id",
+    val r = graft.llm.Similarity.powerIteration(rows,
         "embedding", rounds = 4)
       .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
     // hand-rolled: v4 = (-615384, 1000000); n4 = 2.6e18
@@ -69,7 +69,7 @@ class SpectralHolmWaveSpec extends SparkSpec {
     // null space -> w = 0 on round 1
     val rows = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(1.0f, -1.0f)))
       .toDF("vec_id", "embedding")
-    val r = graft.llm.Similarity.powerIteration(rows, "vec_id",
+    val r = graft.llm.Similarity.powerIteration(rows,
         "embedding", rounds = 2)
       .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(r.values.forall(_ == 0L))
