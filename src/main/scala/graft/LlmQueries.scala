@@ -6667,6 +6667,16 @@ object LlmQueries {
         expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE)" +
           " * 1000000) AS BIGINT)").as("y"))
 
+  /** Session-memoized eps-neighbor frame of the density pair — the
+    * 9-cell grid join is the expensive shared half of q348 and q349,
+    * so ONE checkpointed materialization serves both labelings (the
+    * coPurchaseEdges/shipmentEdges discipline). */
+  private def dbscanNbrs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    fixtureMemo.getOrElseUpdate((s, d, "dbscanNbrs"),
+      graft.llm.Density.epsNeighborPairs(embedLattice2d(s, d),
+        "vec_id", "x", "y", epsMicro = 25000L).localCheckpoint(true))
+
   /** Shared oracle prefix of the density pair: lattice points, eps-cells,
     * the 3×3 candidate join, exact neighbor counts, core set —
     * eps = 25000 micro (0.025), minPts = 4, eps² = 625000000. */
@@ -6696,8 +6706,8 @@ object LlmQueries {
     * dimensions — exact integer eps-geometry, cell-bucketed candidate
     * join (never all-pairs). */
   private val l213 = Spec("q348_dbscan_core",
-    (s, d) => graft.llm.Density.dbscanCore(embedLattice2d(s, d),
-      "vec_id", "x", "y", epsMicro = 25000L, minPts = 4)
+    (s, d) => graft.llm.Density.dbscanCoreFromPairs(embedLattice2d(s, d),
+      "vec_id", dbscanNbrs(s, d), minPts = 4)
       .withColumnRenamed("id", "vec_id"),
     Some(s"""$dbscanOracleBase
         SELECT n.id AS vec_id, CAST(n.n_eps AS BIGINT) AS n_eps,
@@ -6711,8 +6721,8 @@ object LlmQueries {
     * core-core eps-graph (min-id labels), borders attach to the
     * smallest adjacent core, noise reports null. */
   private val l214 = Spec("q349_dbscan_clusters",
-    (s, d) => graft.llm.Density.dbscanClusters(embedLattice2d(s, d),
-      "vec_id", "x", "y", epsMicro = 25000L, minPts = 4)
+    (s, d) => graft.llm.Density.dbscanClustersFromPairs(embedLattice2d(s, d),
+      "vec_id", dbscanNbrs(s, d), minPts = 4)
       .withColumnRenamed("id", "vec_id"),
     Some(s"""$dbscanOracleBase,
         ce AS (SELECT nb.a AS u, nb.b AS v FROM nb

@@ -1362,10 +1362,13 @@ object Relational {
     * marginal).
     *
     * Scale: one input scan aggregates to the `(a, b)` cell grain; the
-    * marginals and the grand total are windows OVER THAT CELL FRAME
-    * (≤ |A|·|B| rows — the partitionless total window sorts the tiny
-    * cell frame, never the input), so nothing upstream executes twice
-    * and input size only enters through the first aggregate.
+    * marginals are keyed windows OVER THAT CELL FRAME (≤ |A|·|B| rows),
+    * and the grand total is a 1-row aggregate broadcast back onto the
+    * cells (the [[keySkewReport]] idiom — no empty-partitionBy window
+    * anywhere in the plan; both branches read the same cell aggregate,
+    * whose exchange is shared via ReuseExchange as in
+    * [[graft.llm.Lexical.vocabCoverage]]), so nothing upstream executes
+    * twice and input size only enters through the first aggregate.
     */
   def pmiReport(df: DataFrame, colA: String, colB: String,
       minCount: Long = 1L): DataFrame = {
@@ -1375,11 +1378,11 @@ object Relational {
       .agg(count(lit(1)).as("n_ab"))
     val wa = Window.partitionBy(col("a"))
     val wb = Window.partitionBy(col("b"))
-    val wAll = Window.partitionBy()
+    val total = cells.select(sum(col("n_ab")).as("n_total"))
     cells
       .withColumn("n_a", sum(col("n_ab")).over(wa))
       .withColumn("n_b", sum(col("n_ab")).over(wb))
-      .withColumn("n_total", sum(col("n_ab")).over(wAll))
+      .crossJoin(broadcast(total))
       .filter(col("n_ab") >= minCount)
       .withColumn("pmi", round(log(
         (col("n_ab").cast(d38) * col("n_total").cast(d38)).cast("double") /
@@ -1959,9 +1962,13 @@ object Relational {
     val score = features.indices
       .map(i => -log(col(s"c_$i").cast("double") / col("__n")))
       .reduce(_ + _)
+    // asc_nulls_last: the DECIMAL(38,0) count product overflows to NULL
+    // (non-ANSI) only at N^F >= 1e38; NULLs sorting FIRST ascending
+    // would silently promote arbitrary rows into the top-k, so pin them
+    // last (same magnitude-bound guard class as momentsSketch/cvm).
     val out = scored.crossJoin(broadcast(tot))
       .withColumn("__crit", crit)
-      .orderBy(col("__crit"), col("id"))
+      .orderBy(col("__crit").asc_nulls_last, col("id"))
       .limit(k)
       .select((col("id").as(idCol) +:
         features.indices.map(i => col(s"c_$i"))) :+

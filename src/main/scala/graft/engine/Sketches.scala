@@ -83,10 +83,13 @@ object Sketches {
     val est = hashed.join(btot, Seq("row", "bucket"))
       .groupBy(col("key")).agg(max(col("n")).as("n"),
         min(col("btot")).as("est"))
+    // TakeOrdered-then-rank: the global cut is per-partition top-k + one
+    // k-row merge, so the rank window only ever sees k rows — never the
+    // full distinct-key frame (the vocabCoverage discipline).
     val out = est
+      .orderBy(col("est").desc, col("key").asc).limit(k)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("est").desc, col("key").asc)).cast("int"))
-      .filter(col("rank") <= k)
       .select(col("key"), col("n"), col("est"), col("rank"))
       .localCheckpoint(true)
     counts.unpersist(false)

@@ -836,21 +836,6 @@ object Curation {
         expr("(n_rows_at_risk * 1000000) DIV n_rows").as("risk_ppm"),
         col("l_min"))
   }
-  /** Good–Turing frequency spectrum (Good, Biometrika 1953): the
-    * frequencies-of-frequencies table `N_r = |{types seen r times}|`
-    * for `r = 1..maxR`, each with its Turing-adjusted count
-    * `r* = (r+1)·N_{r+1}/N_r` in micro units — the smoothing table
-    * behind every held-out-mass estimate a tokenizer/LM pipeline
-    * makes (how much probability belongs to UNSEEN types: the r = 1
-    * row's mass). All-integer: `N_r` are exact counts and `r*` is a
-    * micro floor division (`N_{r+1}` absent → adjusted 0, the
-    * spectrum-truncation convention, null only when `N_r = 0`).
-    * Output per r: `(r, n_r, rstar_micro)`.
-    *
-    * Scale: token counts collapse map-side to type grain, then to
-    * count-of-count grain (≤ max frequency rows); the r-axis is a
-    * literal explode.
-    */
   /** Burrows' Delta stylometric distance (Burrows 2002) between every
     * pair of sources — mean absolute z-score gap over the corpus'
     * top-`topM` words, THE authorship/register-attribution measure
@@ -973,6 +958,21 @@ object Curation {
     out
   }
 
+  /** Good–Turing frequency spectrum (Good, Biometrika 1953): the
+    * frequencies-of-frequencies table `N_r = |{types seen r times}|`
+    * for `r = 1..maxR`, each with its Turing-adjusted count
+    * `r* = (r+1)·N_{r+1}/N_r` in micro units — the smoothing table
+    * behind every held-out-mass estimate a tokenizer/LM pipeline
+    * makes (how much probability belongs to UNSEEN types: the r = 1
+    * row's mass). All-integer: `N_r` are exact counts and `r*` is a
+    * micro floor division (`N_{r+1}` absent → adjusted 0, the
+    * spectrum-truncation convention, null only when `N_r = 0`).
+    * Output per r: `(r, n_r, rstar_micro)`.
+    *
+    * Scale: token counts collapse map-side to type grain, then to
+    * count-of-count grain (≤ max frequency rows); the r-axis is a
+    * literal explode.
+    */
   def goodTuringSpectrum(docs: DataFrame, textCol: String,
       maxR: Int): DataFrame = {
     require(maxR >= 1, "need maxR >= 1")

@@ -422,6 +422,34 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Bounded-output production face of [[prefixFilterCandidates]]: the
+    * exact face's verified-pair output is contractually proportional to
+    * the TRUE duplicate-pair count, which a pathologically clone-dense
+    * corpus can push past any one materialization budget (a 10×-scale
+    * fixture already yields ~10⁸-grade pair volume). For the dedup
+    * decision itself ("which docs have a near-duplicate, and who is the
+    * canonical partner") a per-document cap loses nothing: keep each
+    * `doc_a`'s `maxPairsPerDoc` STRONGEST partners (jaccard desc, then
+    * doc_b — deterministic), bounding output at `n_docs · cap` rows, so
+    * the sink-side volume scales with the corpus, not with the clone
+    * density squared. The rank window is partitioned by `doc_a`, so the
+    * rank-≤-cap filter compiles to a `WindowGroupLimit` pushdown — per-
+    * partition pruning BEFORE the exchange, never a global sort. The
+    * exact face stays the oracle-gated one; this face is for the
+    * production write path.
+    */
+  def prefixFilterCandidatesCapped(docs: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int, minJaccard: Double,
+      maxPairsPerDoc: Int): DataFrame = {
+    require(maxPairsPerDoc >= 1, "maxPairsPerDoc must be positive")
+    prefixFilterCandidates(docs, idCol, textCol, shingleWidth, minJaccard)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_a"))
+          .orderBy(col("jac").desc, col("doc_b"))))
+      .filter(col("__rk") <= maxPairsPerDoc)
+      .drop("__rk")
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
     * shingle-hash-set columns — the verification stage after LSH. Native
     * one-pass expression ([[graft.functions.JaccardSets]]); identical

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * never all-pairs — and the exact squared-distance filter prunes the
   * 9-cell superset. A dense cell is the natural skew hot-spot: the
   * per-cell candidate count is O(cellCount²), the same budget the LSH
-  * bucket caps manage; AQE skew-join handles moderate imbalance and a
-  * caller facing a pathological cell caps it upstream.
+  * bucket caps manage; AQE skew-join handles moderate imbalance, and
+  * the built-in `maxCell` cap (the [[Dedup]] `maxBucket` discipline)
+  * drops points in pathologically dense cells BEFORE the 9-cell join so
+  * one degenerate cell cannot go quadratic.
   *
   * Coordinates are shifted by `+SHIFT` before cell assignment so the
   * index math stays on non-negative integers (integral division
@@ -42,16 +44,32 @@ object Density {
     * self excluded) over the micro-lattice points `(idCol, xCol, yCol)`
     * — exact `dx² + dy² ≤ epsMicro²` on BIGINT. Coincident duplicate
     * ids each count as a neighbor (distance 0).
+    *
+    * `maxCell` is the hot-cell guard (the LSH `maxBucket` class): points
+    * in a grid cell holding more than `maxCell` points are dropped from
+    * BOTH join sides before the 9-cell candidate join, bounding any one
+    * cell's pair fan-out at `maxCell²` instead of letting a degenerate
+    * cell (a coincident-embedding clump) go quadratic in its population.
+    * Default unlimited — the exact face the oracle checks.
     */
   def epsNeighborPairs(points: DataFrame, idCol: String, xCol: String,
-      yCol: String, epsMicro: Long): DataFrame = {
+      yCol: String, epsMicro: Long,
+      maxCell: Int = Int.MaxValue): DataFrame = {
     require(epsMicro > 0, "epsMicro must be positive")
+    require(maxCell >= 1, "maxCell must be positive")
     val spark = points.sparkSession
     import spark.implicits._
     val p = points.select(col(idCol).as("__id"),
       (col(xCol) + Shift).as("__x"), (col(yCol) + Shift).as("__y"))
-    val cells = p.withColumn("__cx", expr(s"__x DIV ${epsMicro}L"))
+    val binned = p.withColumn("__cx", expr(s"__x DIV ${epsMicro}L"))
       .withColumn("__cy", expr(s"__y DIV ${epsMicro}L"))
+    val cells =
+      if (maxCell == Int.MaxValue) binned
+      else binned.withColumn("__cell_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__cx"), col("__cy"))))
+        .filter(col("__cell_n") <= maxCell)
+        .drop("__cell_n")
     val offsets = broadcast(
       (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
         .toDF("__dx", "__dy"))
@@ -77,9 +95,22 @@ object Density {
     */
   def dbscanCore(points: DataFrame, idCol: String, xCol: String,
       yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
-    require(minPts >= 1, "minPts must be positive")
     val nbrs = epsNeighborPairs(points, idCol, xCol, yCol, epsMicro)
       .persist()
+    val out = dbscanCoreFromPairs(points, idCol, nbrs, minPts)
+    nbrs.unpersist(false)
+    out
+  }
+
+  /** [[dbscanCore]] over a PRE-BUILT eps-neighbor frame `(a, b)` —
+    * the session-memoization face: when several queries share one
+    * `(points, epsMicro)` geometry (the q348/q349 pair), the caller
+    * materializes [[epsNeighborPairs]] once and both labelings read
+    * that checkpoint instead of re-running the 9-cell join.
+    */
+  def dbscanCoreFromPairs(points: DataFrame, idCol: String,
+      nbrs: DataFrame, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
     val counts = points.select(col(idCol).as("id"))
       .join(nbrs.groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("__c")), Seq("id"), "left")
@@ -98,7 +129,6 @@ object Density {
           .otherwise(lit("noise")))
       .select(col("id"), col("n_eps"), col("role"))
       .localCheckpoint(true)
-    nbrs.unpersist(false)
     out
   }
 
@@ -112,9 +142,19 @@ object Density {
     */
   def dbscanClusters(points: DataFrame, idCol: String, xCol: String,
       yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
-    require(minPts >= 1, "minPts must be positive")
     val nbrs = epsNeighborPairs(points, idCol, xCol, yCol, epsMicro)
       .persist()
+    val out = dbscanClustersFromPairs(points, idCol, nbrs, minPts)
+    nbrs.unpersist(false)
+    out
+  }
+
+  /** [[dbscanClusters]] over a PRE-BUILT eps-neighbor frame — see
+    * [[dbscanCoreFromPairs]] for the memoization contract.
+    */
+  def dbscanClustersFromPairs(points: DataFrame, idCol: String,
+      nbrs: DataFrame, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
     val counts = points.select(col(idCol).as("id"))
       .join(nbrs.groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("__c")), Seq("id"), "left")
@@ -159,7 +199,6 @@ object Density {
     coreClusters.unpersist(false)
     core.unpersist(false)
     counts.unpersist(false)
-    nbrs.unpersist(false)
     out
   }
 }

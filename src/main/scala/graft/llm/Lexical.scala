@@ -592,9 +592,12 @@ object Lexical {
     * Output: top-`topK` rows `(w1, w2, n_pair, c_w1, c_w2, pmi_micro,
     * rank)` with support `n_pair ≥ minCount`, ranked (pmi desc, pair).
     *
-    * Scale: the position self-join is per-document and band-limited
-    * (each token meets ≤ `window` successors — fan-out `window`, never
-    * the doc length); everything downstream is model-grain.
+    * Scale: the position self-join is band-limited IN THE JOIN KEY —
+    * the left side explodes the literal offsets `1..window` and
+    * equi-joins on `(__id, __p + off)`, so fan-out per token is exactly
+    * `window` candidates (never the O(len²) per-document pair frame a
+    * join-on-id-then-range-filter would enumerate); everything
+    * downstream is model-grain.
     */
   def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
       window: Int, minCount: Long, topK: Int): DataFrame = {
@@ -604,12 +607,11 @@ object Lexical {
       .select(col(idCol).as("__id"),
         posexplode(Text.tokens(col(textCol))).as(Seq("__p", "__w")))
       .persist()
-    val pairs = pos.select(col("__id"), col("__p").as("__i"),
-        col("__w").as("w1"))
+    val pairs = pos.select(col("__id"), col("__p"), col("__w").as("w1"))
+      .withColumn("__j",
+        explode(sequence(col("__p") + 1, col("__p") + lit(window))))
       .join(pos.select(col("__id"), col("__p").as("__j"),
-        col("__w").as("w2")), Seq("__id"))
-      .filter(col("__j") - col("__i") >= 1 &&
-        col("__j") - col("__i") <= window)
+        col("__w").as("w2")), Seq("__id", "__j"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
       .persist()
     val left = pairs.groupBy(col("w1")).agg(sum(col("n_pair")).as("c_w1"))
@@ -656,13 +658,25 @@ object Lexical {
     * in corpus size), built from one corpus scan and localCheckpointed
     * per round; each round is one vocab-grain explode + aggregate. The
     * per-round winner is a one-row collect — driver work O(merges), the
-    * timeBounds-row class.
+    * timeBounds-row class. Each round's EAGER checkpoint releases the
+    * previous round's blocks as soon as it lands (and the last one on
+    * exit), so block-manager residency stays ONE vocab frame regardless
+    * of `merges` — round N+1 never re-reads round N−1.
     */
   def bpeTrain(docs: DataFrame, textCol: String,
       merges: Int): DataFrame = {
     require(merges >= 1, "merges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // unpersist the checkpoint RDD(s) behind an eagerly-checkpointed
+    // frame (LogicalRDD leaves) — safe once a successor checkpoint has
+    // materialized
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
     var vocab = docs
       .select(explode(Text.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) >= 2)
@@ -689,13 +703,16 @@ object Lexical {
         val pair = best(0).getString(0)
         steps += ((step, pair, best(0).getLong(1)))
         val Array(a, b) = pair.split(" ", 2)
+        val prev = vocab
         vocab = vocab.withColumn("__syms", expr(
           s"trim(replace(replace(concat(' ', replace(__syms, ' ', '  '), " +
             s"' '), ' $a  $b ', ' $a$b '), '  ', ' '))"))
           .localCheckpoint(true)
+        release(prev)
         step += 1
       }
     }
+    release(vocab)
     steps.toSeq.toDF("step", "pair", "weight")
   }
 }

@@ -314,9 +314,11 @@ object Text {
     * explode + one count aggregate (map-side combine ships one row per
     * distinct gram per task) + a rank-k cut; ties break on the gram text
     * so the result is deterministic and oracle-checkable. At 100 TB the
-    * shuffle carries distinct-gram cardinality, not corpus rows, and
-    * `WindowGroupLimit` prunes to k per partition before the final
-    * exchange.
+    * shuffle carries distinct-gram cardinality, not corpus rows, and the
+    * global cut is a TakeOrdered (per-partition top-k then one k-row
+    * merge) — the rank window runs over the already-cut k rows only
+    * (the [[graft.llm.Lexical.vocabCoverage]] discipline), so no
+    * single-partition window ever sees the full distinct-gram frame.
     */
   def topNgramsCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int, k: Int): org.apache.spark.sql.DataFrame = {
@@ -327,9 +329,9 @@ object Text {
       .select(explode(
         graft.functions.TokenNgrams.tokenNgrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occ").desc, col("gram"))))
-      .filter(col("rank") <= k)
   }
 
   /** Per-document n-gram novelty against everything EARLIER in id order:

@@ -37,4 +37,16 @@ class BpeWaveSpec extends SparkSpec {
       .as[(Int, String, Long)].collect()
     assert(r.head == ((1, "a b", 1L)))
   }
+
+  test("bpeTrain: per-round checkpoints are released — cached-RDD count " +
+      "does not grow with merges") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox"), (3L, "lazy lazy dog dog"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.llm.Lexical.bpeTrain(docs, "text", 6).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"bpeTrain leaked ${after - before} cached checkpoint RDD(s)")
+  }
 }

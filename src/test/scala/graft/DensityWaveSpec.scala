@@ -96,4 +96,23 @@ class DensityWaveSpec extends SparkSpec {
     assert(r2(30L) == (("core", 30L)))
     assert(r2(31L) == (("border", 30L)) && r2(32L) == (("border", 30L)))
   }
+  test("epsNeighborPairs maxCell: a planted dense cell is dropped from " +
+      "both join sides; sparse geometry is untouched") {
+    // 50 coincident points in one cell (the degenerate clump) plus the
+    // two-point sparse pair from the boundary test, one cell away from
+    // the clump's grid cell
+    val clump = (100L until 150L).map(i => (i, 0L, 0L))
+    val sparse = Seq((10L, 5000L, 5000L), (11L, 5300L, 5000L))
+    val df = (clump ++ sparse).toDF("id", "x", "y")
+    val capped = Density.epsNeighborPairs(df, "id", "x", "y", 300L,
+      maxCell = 10).as[(Long, Long)].collect().toSet
+    // clump cell holds 50 > 10 -> dropped entirely; sparse pair survives
+    assert(capped == Set((10L, 11L), (11L, 10L)))
+    // uncapped face still enumerates the clump's 50*49 directed pairs
+    assert(Density.epsNeighborPairs(df, "id", "x", "y", 300L)
+      .count() == 50L * 49 + 2)
+    // cap above the cell population changes nothing
+    assert(Density.epsNeighborPairs(df, "id", "x", "y", 300L,
+      maxCell = 50).count() == 50L * 49 + 2)
+  }
 }

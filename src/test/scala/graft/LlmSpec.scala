@@ -1051,6 +1051,33 @@ class LlmSpec extends SparkSpec {
     assert(got == want) // neither false positives nor false negatives
   }
 
+  test("prefixFilterCandidatesCapped: per-doc strongest partners, " +
+      "bounded at cap, subset of the exact face, WindowGroupLimit plan") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val t = 0.35
+    val exactPairs = Dedup.prefixFilterCandidates(docs, "doc_id", "text",
+      3, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped = Dedup.prefixFilterCandidatesCapped(docs, "doc_id", "text",
+      3, t, maxPairsPerDoc = 2)
+    val got = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // subset of the exact output, at most cap rows per doc_a
+    assert(got.toSet.subsetOf(exactPairs.toSet))
+    assert(got.groupBy(_._1).values.forall(_.length <= 2))
+    // per doc_a, exactly the (jac desc, doc_b) strongest survivors
+    val want = exactPairs.groupBy(_._1).values.flatMap { ps =>
+      ps.sortBy(p => (-p._3, p._2)).take(2)
+    }.toSet
+    assert(got.toSet == want)
+    // the cap compiles to a WindowGroupLimit pushdown, not a global sort
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
   test("annMultiProbeTopK: 0-flip equals annTopK; 1-flip widens candidates") {
     import spark.implicits._
     import graft.llm.Similarity
