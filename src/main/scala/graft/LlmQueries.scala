@@ -7329,6 +7329,317 @@ object LlmQueries {
         SELECT w1, w2, n_pair, c_w1, c_w2, pmi_micro,
           CAST(rank AS INT) AS rank FROM r WHERE rank <= 30"""))
 
+  /** Bounded-output face of exact PPJoin: per doc_a, the 3 strongest
+    * verified partners (jac desc, doc_b) — the production write path
+    * whose output is n_docs·cap, not clone-density². */
+  private val l231 = Spec("q366_dedup_prefix_capped",
+    (s, d) => Dedup.prefixFilterCandidatesCapped(nearDupCorpus(s, d),
+      "doc_id", "text", shingleWidth = 3, minJaccard = 0.5,
+      maxPairsPerDoc = 3),
+    Some(s"""WITH corpus AS ($nearDupCorpusSql),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        sh AS (SELECT doc_id, ${shingleSql(3)} AS hs FROM t),
+        tok AS (SELECT doc_id AS doc, unnest(hs) AS h FROM sh),
+        dfq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+        rk AS (SELECT doc, tok.h,
+          row_number() OVER (PARTITION BY doc ORDER BY df, tok.h) AS rk,
+          count(*) OVER (PARTITION BY doc) AS n
+          FROM tok JOIN dfq ON dfq.h = tok.h),
+        pfx AS (SELECT doc, h FROM rk
+          WHERE rk <= n - ceil(CAST(0.5 AS DOUBLE) * n) + 1),
+        pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc < b.doc),
+        v AS (SELECT doc_a, doc_b,
+          round(CASE WHEN len(list_distinct(sa.hs || sb.hs)) > 0 THEN
+            CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+              AS DOUBLE) / CAST(len(list_distinct(sa.hs || sb.hs))
+              AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, 6) AS jac
+          FROM pairs JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b),
+        vv AS (SELECT doc_a, doc_b, jac FROM v
+          WHERE jac >= CAST(0.5 AS DOUBLE)),
+        r AS (SELECT doc_a, doc_b, jac, row_number() OVER
+          (PARTITION BY doc_a ORDER BY jac DESC, doc_b) AS rk FROM vv)
+        SELECT doc_a, doc_b, jac FROM r WHERE rk <= 3"""))
+
+  /** Word error rate on declared pairs — native token-Levenshtein
+    * codegen expression vs a recursive-CTE DP oracle (the q363 row-state
+    * trick; the intra-row `left+1` chain resolved by the prefix-min
+    * identity `cur[j] = j + min_{k<=j}(cand[k] - k)`). Both sides
+    * truncated to 60 tokens. */
+  private val l232 = Spec("q367_wer",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 29 === 0)
+        .join(docs.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 2)
+      graft.llm.Eval.wer(docs, pairs, "doc_id", "text",
+        "cand_id", "ref_id", maxTokens = 60)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ($wordsSql)[1:60] AS words
+          FROM documents WHERE text IS NOT NULL),
+        pr AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+          ta.words AS wa, tb.words AS wb
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+          JOIN t ta ON ta.doc_id = a.doc_id
+          JOIN t tb ON tb.doc_id = b.doc_id
+          WHERE a.doc_id % 29 = 0 AND a.text IS NOT NULL
+            AND b.text IS NOT NULL),
+        rec AS (WITH RECURSIVE dp(cand_id, ref_id, i, row) AS (
+            SELECT cand_id, ref_id, 0,
+              [x for x in range(len(wb) + 1)] FROM pr
+            UNION ALL
+            SELECT cand_id, ref_id, i + 1,
+              [j + list_min(e[1:j+1]) for j in range(len(e))] FROM (
+                SELECT cand_id, ref_id, i,
+                  [c2[kk+1] - kk for kk in range(len(c2))] AS e FROM (
+                  SELECT dp.cand_id, dp.ref_id, dp.i,
+                    list_prepend(dp.i + 1,
+                      [least(dp.row[j+2] + 1, dp.row[j+1] +
+                        CASE WHEN pr.wa[dp.i+1] = pr.wb[j+1]
+                          THEN 0 ELSE 1 END)
+                       for j in range(len(pr.wb))]) AS c2
+                  FROM dp JOIN pr USING (cand_id, ref_id)
+                  WHERE dp.i < len(pr.wa)) q1) q2)
+          SELECT cand_id, ref_id, i, row FROM dp),
+        fin AS (SELECT pr.cand_id, pr.ref_id,
+          CAST(len(pr.wa) AS BIGINT) AS c_len,
+          CAST(len(pr.wb) AS BIGINT) AS r_len,
+          CAST(rec.row[-1] AS BIGINT) AS edit_dist
+          FROM pr JOIN rec ON rec.cand_id = pr.cand_id
+            AND rec.ref_id = pr.ref_id AND rec.i = len(pr.wa))
+        SELECT cand_id, ref_id, c_len, r_len, edit_dist,
+          CAST(CASE WHEN r_len > 0 THEN
+            edit_dist * 1000000 // r_len END AS BIGINT) AS wer_micro
+        FROM fin"""))
+
+  /** Dirichlet-smoothed query likelihood (mu = 2000) on the q94 query —
+    * the LM-retrieval sibling of BM25; every document scores (smoothed
+    * background for absent terms), top-20 by (score, id). */
+  private val l233 = Spec("q368_dirichlet_ql",
+    (s, d) => graft.llm.Lexical.dirichletQueryLikelihood(
+      T(s, d, "documents"), "doc_id", "text",
+      Seq("spark", "window", "merge"), mu = 2000L, k = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents
+          WHERE text IS NOT NULL),
+        lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM t),
+        ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS cc FROM lens),
+        strm AS (SELECT doc_id, unnest(words) AS term FROM t),
+        qs AS (SELECT term FROM strm
+          WHERE term IN ('merge', 'spark', 'window')),
+        cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM qs
+          GROUP BY 1),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+          FROM strm WHERE term IN ('merge', 'spark', 'window')
+          GROUP BY 1, 2),
+        pt AS (SELECT lens.doc_id, lens.dl, cf.term, cf.cf,
+          coalesce(tf.c, 0) AS c
+          FROM lens CROSS JOIN cf LEFT JOIN tf
+            ON tf.doc_id = lens.doc_id AND tf.term = cf.term),
+        sc AS (SELECT pt.doc_id, max(pt.dl) AS dl,
+          CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(sum(CASE WHEN pt.c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          CAST(sum(CAST(round((ln(CAST(pt.c AS DOUBLE)
+            * CAST(ctot.cc AS DOUBLE)
+            + CAST(2000 AS DOUBLE) * CAST(pt.cf AS DOUBLE))
+            - ln(CAST(ctot.cc AS DOUBLE))
+            - ln(CAST(pt.dl + 2000 AS DOUBLE))) * 1000000) AS BIGINT))
+            AS BIGINT) AS score_micro
+          FROM pt CROSS JOIN ctot GROUP BY 1),
+        r AS (SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+          doc_id) AS rank FROM sc)
+        SELECT doc_id, dl, n_terms, n_matched, score_micro,
+          CAST(rank AS INT) AS rank FROM r WHERE rank <= 20"""))
+
+  /** Linear CKA between the even-id and odd-id halves of the embedding
+    * corpus (row i pairs vec 2i with vec 2i+1) — exact centered
+    * Frobenius sums on the milli lattice, n² factors cancelling in the
+    * ratio; the big integer sums are emitted DIV 10⁹ (the q357 w_norm
+    * convention — DECIMAL(38,0) does not survive the gate comparator). */
+  private val l234 = Spec("q369_linear_cka",
+    (s, d) => {
+      val emb = T(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val x = emb.filter(col("vec_id") % 2 === 0)
+        .select(expr("vec_id DIV 2").as("pid"), col("embedding").as("ex"))
+      val y = emb.filter(col("vec_id") % 2 === 1)
+        .select(expr("vec_id DIV 2").as("pid"), col("embedding").as("ey"))
+      graft.llm.Similarity.linearCka(x.join(y, Seq("pid")), "ex", "ey")
+        .select(col("n"), col("d"),
+          expr("CAST(num DIV 1000000000 AS BIGINT)").as("num_g"),
+          expr("CAST(den_x DIV 1000000000 AS BIGINT)").as("den_x_g"),
+          expr("CAST(den_y DIV 1000000000 AS BIGINT)").as("den_y_g"),
+          col("cka_micro"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL),
+        px AS (SELECT x.vec_id // 2 AS pid,
+          [CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+            for v in x.embedding] AS qx,
+          [CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+            for v in y.embedding] AS qy
+          FROM e x JOIN e y ON y.vec_id = x.vec_id + 1
+          WHERE x.vec_id % 2 = 0 AND len(x.embedding) = len(y.embedding)),
+        ex AS (SELECT pid, unnest(qx) AS xi,
+          unnest(range(len(qx))) AS i FROM px),
+        ey AS (SELECT pid, unnest(qy) AS yj,
+          unnest(range(len(qy))) AS j FROM px),
+        n1 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          CAST(len(min(qx)) AS INT) AS d FROM px),
+        sums AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS sx FROM ex
+          GROUP BY 1),
+        sumy AS (SELECT j, CAST(sum(yj) AS HUGEINT) AS sy FROM ey
+          GROUP BY 1),
+        cxy AS (SELECT i, j, CAST(sum(CAST(xi AS HUGEINT) * yj)
+          AS HUGEINT) AS g FROM ex JOIN ey USING (pid) GROUP BY 1, 2),
+        cxx AS (SELECT a.i AS i, b.i AS j,
+          CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS g
+          FROM ex a JOIN ex b USING (pid) GROUP BY 1, 2),
+        cyy AS (SELECT a.j AS i, b.j AS j,
+          CAST(sum(CAST(a.yj AS HUGEINT) * b.yj) AS HUGEINT) AS g
+          FROM ey a JOIN ey b USING (pid) GROUP BY 1, 2),
+        fx AS (SELECT sum((n1.n * cxy.g - sums.sx * sumy.sy)
+            * (n1.n * cxy.g - sums.sx * sumy.sy)) AS num
+          FROM cxy JOIN sums ON sums.i = cxy.i
+          JOIN sumy ON sumy.j = cxy.j CROSS JOIN n1),
+        fxx AS (SELECT sum((n1.n * cxx.g - a.sx * b.sx)
+            * (n1.n * cxx.g - a.sx * b.sx)) AS den_x
+          FROM cxx JOIN sums a ON a.i = cxx.i
+          JOIN sums b ON b.i = cxx.j CROSS JOIN n1),
+        fyy AS (SELECT sum((n1.n * cyy.g - a.sy * b.sy)
+            * (n1.n * cyy.g - a.sy * b.sy)) AS den_y
+          FROM cyy JOIN sumy a ON a.j = cyy.i
+          JOIN sumy b ON b.j = cyy.j CROSS JOIN n1)
+        SELECT CAST(n1.n AS BIGINT) AS n, n1.d AS d,
+          CAST(fx.num // 1000000000 AS BIGINT) AS num_g,
+          CAST(fxx.den_x // 1000000000 AS BIGINT) AS den_x_g,
+          CAST(fyy.den_y // 1000000000 AS BIGINT) AS den_y_g,
+          CAST(round(CASE WHEN fxx.den_x > 0 AND fyy.den_y > 0 THEN
+            CAST(fx.num AS DOUBLE) / (sqrt(CAST(fxx.den_x AS DOUBLE))
+              * sqrt(CAST(fyy.den_y AS DOUBLE))) * 1000000 END)
+            AS BIGINT) AS cka_micro
+        FROM fx CROSS JOIN fxx CROSS JOIN fyy CROSS JOIN n1"""))
+
+  /** ECOD top-50 outliers over (value-micro, props-length) — empirical-
+    * cdf tail log-sums, parameter-free HBOS sibling; ECDFs through the
+    * distributed cumsum discipline. */
+  private val l235 = Spec("q370_ecod_outliers",
+    (s, d) => graft.engine.Relational.ecodOutliers(
+      T(s, d, "events").select(col("event_id"),
+        expr("CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("v_micro"),
+        length(col("props")).cast("long").as("p_len")),
+      "event_id", Seq("v_micro", "p_len"), k = 50),
+    Some("""WITH b AS (SELECT event_id AS id,
+          CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+            AS v_micro,
+          CAST(length(props) AS BIGINT) AS p_len FROM events
+          WHERE event_id IS NOT NULL AND value IS NOT NULL
+            AND props IS NOT NULL),
+        n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        g0 AS (SELECT v_micro AS v, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1),
+        c0 AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+          AS cum FROM g0),
+        g1 AS (SELECT p_len AS v, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1),
+        c1 AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+          AS cum FROM g1),
+        j AS (SELECT b.id, b.v_micro, b.p_len, c0.cum AS l0, c0.c AS k0,
+          c1.cum AS l1, c1.c AS k1
+          FROM b JOIN c0 ON c0.v = b.v_micro JOIN c1 ON c1.v = b.p_len),
+        s AS (SELECT id, v_micro, p_len,
+          CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(l0 AS DOUBLE)))
+            * 1000000) AS BIGINT)
+          + CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(l1 AS DOUBLE)))
+            * 1000000) AS BIGINT) AS score_left,
+          CAST(round((ln(CAST(n AS DOUBLE))
+            - ln(CAST(n - l0 + k0 AS DOUBLE))) * 1000000) AS BIGINT)
+          + CAST(round((ln(CAST(n AS DOUBLE))
+            - ln(CAST(n - l1 + k1 AS DOUBLE))) * 1000000) AS BIGINT)
+            AS score_right
+          FROM j CROSS JOIN n1),
+        r AS (SELECT id, v_micro, p_len, score_left, score_right,
+          greatest(score_left, score_right) AS ecod_micro,
+          row_number() OVER (ORDER BY greatest(score_left, score_right)
+            DESC, id) AS rank FROM s)
+        SELECT id AS event_id, v_micro, p_len, score_left, score_right,
+          ecod_micro, CAST(rank AS INT) AS rank FROM r
+        WHERE rank <= 50"""))
+
+  /** Per-edge triangle support (the k-truss statistic, one round) over
+    * the memoized co-purchase graph — degree-oriented enumeration,
+    * per-EDGE explode instead of per-node. */
+  private val l236 = Spec("q371_edge_support",
+    (s, d) => graft.engine.Graph.edgeTriangleSupport(
+      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb"),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+          FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+          JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        te AS (SELECT x AS u, y AS v FROM tri
+          UNION ALL SELECT y, z FROM tri
+          UNION ALL SELECT x, z FROM tri),
+        ts AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM te
+          GROUP BY 1, 2)
+        SELECT e.lo AS u, e.hi AS v,
+          CAST(coalesce(ts.s, 0) AS BIGINT) AS support
+        FROM e LEFT JOIN ts ON ts.u = e.lo AND ts.v = e.hi"""))
+
+  /** Crawl-fragment stitch pairs over a seam-injected corpus (every
+    * 13th doc split into two halves sharing a 4-token seam): tail-hash
+    * equi-joins head-hash, hot seams capped at 1000 per side. */
+  private val l237 = Spec("q372_stitch_pairs",
+    (s, d) => {
+      val base = T(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val sp = base.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__w"))
+        .withColumn("__n", size(col("__w")))
+        .filter(col("__n") >= 12)
+        .withColumn("__h", expr("__n DIV 2"))
+      val frags = sp.select(
+          (col("doc_id") + 200000000L).as("doc_id"),
+          array_join(expr("slice(__w, 1, __h + 4)"), " ").as("text"))
+        .unionByName(sp.select(
+          (col("doc_id") + 300000000L).as("doc_id"),
+          array_join(expr("slice(__w, __h + 1, __n - __h)"), " ")
+            .as("text")))
+      Dedup.stitchPairs(base.unionByName(frags), "doc_id", "text",
+        kTokens = 4)
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL),
+        tw AS (SELECT doc_id, $wordsSql AS words FROM base),
+        sp AS (SELECT doc_id, words, len(words) AS n, len(words) // 2 AS h
+          FROM tw WHERE doc_id % 13 = 0 AND len(words) >= 12),
+        corpus AS (SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id + 200000000,
+            array_to_string(words[1:h+4], ' ') AS text FROM sp
+          UNION ALL SELECT doc_id + 300000000,
+            array_to_string(words[h+1:n], ' ') AS text FROM sp),
+        t AS (SELECT doc_id, $wordsSql AS words FROM corpus),
+        tk AS (SELECT doc_id, words FROM t WHERE len(words) >= 4),
+        tails AS (SELECT doc_id AS doc_a,
+          ${phSql("array_to_string(words[-4:], ' ')")} AS k FROM tk),
+        heads AS (SELECT doc_id AS doc_b,
+          ${phSql("array_to_string(words[1:4], ' ')")} AS k FROM tk),
+        tc AS (SELECT doc_a, k FROM (SELECT doc_a, k,
+          count(*) OVER (PARTITION BY k) AS c FROM tails)
+          WHERE c <= 1000),
+        hc AS (SELECT doc_b, k FROM (SELECT doc_b, k,
+          count(*) OVER (PARTITION BY k) AS c FROM heads)
+          WHERE c <= 1000)
+        SELECT tc.doc_a, hc.doc_b, tc.k AS seam_hash
+        FROM tc JOIN hc ON hc.k = tc.k WHERE tc.doc_a <> hc.doc_b"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7349,5 +7660,5 @@ object LlmQueries {
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
-    l228, l229, l230)
+    l228, l229, l230, l231, l232, l233, l234, l235, l236, l237)
 }

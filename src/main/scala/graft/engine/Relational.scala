@@ -1978,6 +1978,72 @@ object Relational {
     out
   }
 
+  /** ECOD top-k outliers (Li et al., TKDE 2022): per numeric feature
+    * the EMPIRICAL cdf, per row the tail probability on each side, and
+    * the outlier score `O = max(Σ_f −ln F_f(x), Σ_f −ln(1−F̄_f(x)))`
+    * (left-/right-tail log-sums, the paper's dimension-aggregated
+    * form without the skew blend — documented simplification). The
+    * parameter-free cousin of [[hbosOutliers]]: no bin width, no
+    * histogram range — a point far into EITHER tail of any feature
+    * floats to the top.
+    *
+    * Engine-exact: tail masses are exact integer counts over the value
+    * grain (`left(v) = #{x ≤ v}` inclusive, `right(v) = #{x ≥ v}` —
+    * both ≥ 1 at an observed value, so no `ln 0`), each per-feature
+    * term is `round((ln n − ln tail)·10⁶)` micro-nats (integer `ln`
+    * args, the q307 two-ln discipline), scores are exact integer sums,
+    * and the top-k cut is TakeOrdered on (score desc, id) then a k-row
+    * rank (the vocabCoverage discipline).
+    *
+    * Output: k rows `(id, <features>, score_left, score_right,
+    * ecod_micro, rank)`.
+    *
+    * Scale: per feature ONE value-grain aggregate whose cumulative
+    * count runs through [[globalCumSum]] (range-partitioned prefix
+    * sums — never a single-partition value window), then one fan-out-1
+    * join back on the value key; F features = F such passes, no
+    * corpus² anywhere.
+    */
+  def ecodOutliers(df: DataFrame, idCol: String, features: Seq[String],
+      k: Int): DataFrame = {
+    require(features.nonEmpty && k >= 1, "need features and k >= 1")
+    val base = df.filter(col(idCol).isNotNull &&
+        features.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(idCol).as("id") +: features.map(col)): _*)
+      .persist()
+    val n1 = base.agg(count(lit(1)).as("__n"))
+    var cur = base
+    features.zipWithIndex.foreach { case (f, i) =>
+      val vg = base.groupBy(col(f).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = globalCumSum(vg, Seq(col("__v")), col("__c"), "__cum")
+      cur = cur.join(cum.select(col("__v").as(f),
+        col("__cum").as(s"__l$i"), col("__c").as(s"__k$i")), Seq(f))
+    }
+    def term(tail: String) =
+      s"CAST(round((ln(CAST(__n AS DOUBLE)) - ln(CAST($tail AS DOUBLE)))" +
+        " * 1000000) AS BIGINT)"
+    val scoreL = features.indices
+      .map(i => expr(term(s"__l$i"))).reduce(_ + _)
+    val scoreR = features.indices
+      .map(i => expr(term(s"__n - __l$i + __k$i"))).reduce(_ + _)
+    val out = cur.crossJoin(broadcast(n1))
+      .withColumn("score_left", scoreL)
+      .withColumn("score_right", scoreR)
+      .withColumn("ecod_micro",
+        greatest(col("score_left"), col("score_right")))
+      .orderBy(col("ecod_micro").desc, col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ecod_micro").desc, col("id"))).cast("int"))
+      .select((col("id").as(idCol) +: features.map(col)) ++
+        Seq(col("score_left"), col("score_right"), col("ecod_micro"),
+          col("rank")): _*)
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
   /** Shared engine/oracle difference-in-differences fragments over the
     * exact integer cell statistics `(n11, s11, ss11, n10, s10, ss10,
     * n01, s01, ss01, n00, s00, ss00)` (first index = treated, second

@@ -450,6 +450,45 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Crawl-fragment stitch detection: ordered pairs `(doc_a, doc_b)`
+    * where the LAST `kTokens` tokens of `doc_a` equal the FIRST
+    * `kTokens` tokens of `doc_b` — the boundary-overlap signal of a
+    * document split across crawl records (or paginated content), which
+    * no set-similarity dedup sees (the two halves share only the seam).
+    * Token-exact equality via the shared polyhash fold over the
+    * space-joined boundary window; docs shorter than `kTokens` have no
+    * full boundary and emit nothing; trivial self-pairs excluded.
+    *
+    * `maxKey` is the hot-boundary guard (the [[pruneHotBuckets]]
+    * class): a boilerplate opener/closer shared by thousands of docs
+    * would make the seam join quadratic in its multiplicity, so keys
+    * with more than `maxKey` members on EITHER side are dropped before
+    * the join.
+    *
+    * Output: `(doc_a, doc_b, seam_hash)`.
+    *
+    * Scale: one tokenize scan → two map-side boundary hashes → one
+    * equi-join keyed on the seam hash (fan-out bounded by `maxKey`);
+    * nothing pairwise outside a seam bucket.
+    */
+  def stitchPairs(docs: DataFrame, idCol: String, textCol: String,
+      kTokens: Int, maxKey: Int = 1000): DataFrame = {
+    require(kTokens >= 1 && maxKey >= 1, "need kTokens, maxKey >= 1")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= kTokens)
+    def keyOf(sliceExpr: Column) =
+      graft.functions.PolyHash.polyhash(array_join(sliceExpr, " "))
+    def capped(df: DataFrame) = pruneHotBuckets(df, Seq("__k"), maxKey)
+    val tails = capped(toks.select(col("__id").as("doc_a"),
+      keyOf(slice(col("__w"), -kTokens, kTokens)).as("__k")))
+    val heads = capped(toks.select(col("__id").as("doc_b"),
+      keyOf(slice(col("__w"), 1, kTokens)).as("__k")))
+    tails.join(heads, Seq("__k"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__k").as("seam_hash"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair frame carrying
     * shingle-hash-set columns — the verification stage after LSH. Native
     * one-pass expression ([[graft.functions.JaccardSets]]); identical

@@ -571,6 +571,50 @@ object Eval {
           "lcs * 2000000 DIV (c_len + r_len) END"))
   }
 
+  /** Word error rate over declared (candidate, reference) pairs — the
+    * token-level Levenshtein distance normalized by reference length
+    * (`wer = dist / r_len`, ASR/translation convention; substituting
+    * one word is ONE error however long the word, which is why Spark's
+    * character-level `levenshtein` is the wrong tool). The distance is
+    * the native [[graft.functions.EditDistTokens]] codegen expression
+    * (unit insert/delete/substitute); both sides truncate to
+    * `maxTokens` first (the [[rougeL]] quadratic-cost contract), and
+    * `wer_micro = dist·10⁶ DIV r_len` is an exact integer — null when
+    * the reference is empty (no denominator), a missing side counts as
+    * the empty sequence (all-insert/all-delete cost, never a silent
+    * null distance). WER can exceed 10⁶ (more errors than reference
+    * words) — that is the metric, not a bug.
+    *
+    * Output: `(cand_id, ref_id, c_len, r_len, edit_dist, wer_micro)`.
+    *
+    * Scale: the [[rougeL]] posture verbatim — one tokenize scan, pairs
+    * semi-drive two id-keyed joins, DP runs row-local inside
+    * whole-stage codegen.
+    */
+  def wer(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, candCol: String, refCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val p = pairs.select(col(candCol).as("cand_id"),
+      col(refCol).as("ref_id"))
+    val toks = docs.select(col(idCol).as("__id"),
+      slice(graft.llm.Text.tokens(col(textCol)), 1, maxTokens)
+        .as("__t"))
+    p.join(toks.select(col("__id").as("cand_id"), col("__t").as("__ta")),
+        Seq("cand_id"), "left")
+      .join(toks.select(col("__id").as("ref_id"), col("__t").as("__tb")),
+        Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(size(col("__ta")), lit(0)).cast("long").as("c_len"),
+        coalesce(size(col("__tb")), lit(0)).cast("long").as("r_len"),
+        graft.functions.EditDistTokens.editDistTokens(
+          coalesce(col("__ta"), expr("CAST(array() AS ARRAY<STRING>)")),
+          coalesce(col("__tb"), expr("CAST(array() AS ARRAY<STRING>)")))
+          .cast("long").as("edit_dist"))
+      .withColumn("wer_micro",
+        expr("CASE WHEN r_len > 0 THEN edit_dist * 1000000 DIV r_len END"))
+  }
+
   /** Average precision (the exact area under the precision–recall
     * step curve, the `average_precision_score` convention: AP =
     * Σ_thresholds ΔR·P) of a score column against a binary label, per

@@ -124,6 +124,74 @@ object Lexical {
       .select(col(idCol), col("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001 — the language-model scoring family BM25's probabilistic
+    * cousin belongs to): `score(d) = Σ_t ln((c(t,d) + μ·cf_t/C) /
+    * (|d| + μ))` over the query terms, with `cf_t` the corpus frequency
+    * and `C` the corpus token count. Unlike [[bm25Search]], EVERY
+    * document scores — a doc missing a term still pays the smoothed
+    * background cost, and shorter documents pay less smoothing-mass
+    * penalty — so the op scores the corpus and returns the top-`k`.
+    *
+    * Engine-stable integer form: each term contributes
+    * `round((ln(c·C + μ·cf_t) − ln(C) − ln(|d| + μ))·10⁶)` micro-nats —
+    * every `ln` argument is an exact integer product (IEEE multiply on
+    * the double conversions is correctly rounded, engine-identical),
+    * per-term micro values summed exactly. Query terms absent from the
+    * CORPUS (cf = 0) are dropped from the model (their smoothed
+    * probability is 0 for every document — no ranking information, and
+    * `ln 0` is the alternative); `n_terms` reports the modeled count.
+    *
+    * Output: top-`k` rows `(id, dl, n_matched, score_micro, rank)` by
+    * (score desc, id) — TakeOrdered then rank (the vocabCoverage
+    * discipline; scores are negative, closest-to-zero wins).
+    *
+    * Scale: cf and C are one term-filtered aggregate + one count
+    * projection (query-sized / 1-row, broadcast); the per-doc frame is
+    * corpus-grain × |query| via a row-local literal explode, left-join
+    * of the query-sized tf frame, then a map-side sum and a global
+    * TakeOrdered — no corpus-grain shuffle at all.
+    */
+  def dirichletQueryLikelihood(docs: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], mu: Long,
+      k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && mu >= 1 && k >= 1,
+      "need query terms, mu >= 1, k >= 1")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__w"))
+    val lens = toks.select(col("__id"), size(col("__w")).cast("long")
+      .as("dl"))
+    val stream = toks.select(col("__id"), explode(col("__w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val cf = stream.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ctot = lens.agg(sum(col("dl")).as("__ct"))
+    val tf = stream.groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__c"))
+    val termAxis = explode(array(queryTerms.distinct.sorted
+      .map(lit): _*)).as("term")
+    val perTerm = lens.select(col("__id"), col("dl"), termAxis)
+      .join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(ctot))
+      .join(tf, Seq("__id", "term"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__m", expr(
+        s"""CAST(round((ln(CAST(__c AS DOUBLE) * CAST(__ct AS DOUBLE)
+           + CAST($mu AS DOUBLE) * CAST(cf AS DOUBLE))
+           - ln(CAST(__ct AS DOUBLE))
+           - ln(CAST(dl + $mu AS DOUBLE))) * 1000000) AS BIGINT)"""))
+    perTerm.groupBy(col("__id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("n_matched"),
+        sum(col("__m")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("__id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("__id"))).cast("int"))
+      .select(col("__id").as(idCol), col("dl"), col("n_terms"),
+        col("n_matched"), col("score_micro"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion of two ranked runs (the standard hybrid
     * retrieval combiner: BM25 candidates ∪ ANN candidates without score
     * calibration): rrf(d) = Σ_runs 1/(k0+rank_d), absent-run documents

@@ -171,6 +171,93 @@ object Similarity {
         col("__n").cast("decimal(38,0)").as("w_norm"))
   }
 
+  /** Linear CKA (centered kernel alignment, Kornblith et al. ICML 2019)
+    * between two PAIRED embedding representations — THE
+    * representation-similarity scalar for "did re-embedding change the
+    * geometry" / "how similar are these two encoders" audits:
+    * `CKA = ‖Y_cᵀX_c‖²_F / (‖X_cᵀX_c‖_F · ‖Y_cᵀY_c‖_F)` over
+    * column-centered X, Y — each input row holds one sample's TWO
+    * representations (`xCol`, `yCol`, equal length; the caller joins
+    * them). 1 = same geometry up to rotation/scale, → 0 = unrelated.
+    *
+    * Exact centered form without materializing centered data: on the
+    * milli lattice (`round(x·10³)` — coarser than the micro ops because
+    * FOUR factors meet in one product) the op accumulates the d×d raw
+    * cross-products `Σ x_i y_j` and the d-vector column sums, then uses
+    * `n·C − s_x s_yᵀ = n²·(centered cross-gram)` — every Frobenius sum
+    * is an exact DECIMAL(38,0) integer and the n² factors cancel in the
+    * ratio, so the only floats are two correctly-rounded IEEE sqrts and
+    * one final division. Magnitude bound (documented, the momentsSketch
+    * class): entries of `n·C` reach `n²·10⁶·d̄`, so Frobenius sums stay
+    * inside 10³⁸ for n ≲ 10⁶·√(1/d) paired rows — an EVAL-GRAIN op by
+    * contract (CKA is quadratic in feature dims, computed on probe
+    * samples, not the full corpus).
+    *
+    * Output ONE row: `(n, d, num, den_x, den_y, cka_micro)` with the
+    * exact integer numerator/denominator Frobenius sums alongside the
+    * rounded score.
+    *
+    * Scale: the d² cross-product terms are generated ROW-LOCALLY by
+    * the [[powerIteration]] chained-posexplode trick and collapse
+    * map-side to three d×d cell frames; nothing corpus-sized shuffles.
+    */
+  def linearCka(pairs: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def milli(c: String) = expr(
+      s"transform($c, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
+    val staged = pairs
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        size(col(xCol)) === size(col(yCol)))
+      .select(milli(xCol).as("__x"), milli(yCol).as("__y"))
+      .persist()
+    // d×d raw cross/self-products, each via one chained posexplode
+    def gram(a: String, b: String) = staged
+      .select(col(a).as("__u"), col(b).as("__v"))
+      .select(col("__v"), posexplode(col("__u")).as(Seq("__i", "__ui")))
+      .select(col("__i"), col("__ui"),
+        posexplode(col("__v")).as(Seq("__j", "__vj")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum((col("__ui") * col("__vj")).cast(d38)).as("__g"))
+    // d-vector column sums + n in one pass
+    val sums = staged
+      .select(posexplode(col("__x")).as(Seq("__i", "__xi")),
+        col("__y"))
+      .select(col("__i"), col("__xi"),
+        expr("element_at(__y, CAST(__i + 1 AS INT))").as("__yi"))
+      .groupBy(col("__i"))
+      .agg(sum(col("__xi")).cast(d38).as("__sx"),
+        sum(col("__yi")).cast(d38).as("__sy"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val n1 = sums.select(max(col("__n")).as("__n"),
+      count(lit(1)).as("__d"))
+    def frob(g: DataFrame, leftSum: String, rightSum: String) = g
+      .join(broadcast(sums.select(col("__i"),
+        col(leftSum).as("__si"))), Seq("__i"))
+      .join(broadcast(sums.select(col("__i").as("__j"),
+        col(rightSum).as("__sj"))), Seq("__j"))
+      .crossJoin(broadcast(n1))
+      .select(expr(s"CAST(__n AS $d38) * __g - __si * __sj").as("__e"))
+      .agg(sum(expr("__e * __e")).as("__f"))
+    val out = frob(gram("__x", "__y"), "__sx", "__sy")
+      .withColumnRenamed("__f", "num")
+      .crossJoin(frob(gram("__x", "__x"), "__sx", "__sx")
+        .withColumnRenamed("__f", "den_x"))
+      .crossJoin(frob(gram("__y", "__y"), "__sy", "__sy")
+        .withColumnRenamed("__f", "den_y"))
+      .crossJoin(broadcast(n1))
+      .select(col("__n").cast("long").as("n"),
+        col("__d").cast("int").as("d"),
+        col("num"), col("den_x"), col("den_y"),
+        expr("""CAST(round(CASE WHEN den_x > 0 AND den_y > 0 THEN
+            CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE))
+              * sqrt(CAST(den_y AS DOUBLE))) * 1000000 END)
+            AS BIGINT)""").as("cka_micro"))
+      .localCheckpoint(true)
+    staged.unpersist(false)
+    out
+  }
+
   def isotropyReport(df: DataFrame, vecCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val base = df.filter(col(vecCol).isNotNull)
