@@ -7640,6 +7640,171 @@ object LlmQueries {
         SELECT tc.doc_a, hc.doc_b, tc.k AS seam_hash
         FROM tc JOIN hc ON hc.k = tc.k WHERE tc.doc_a <> hc.doc_b"""))
 
+  /** BPE apply + per-language fertility: the trained 8-merge table
+    * (q355's exact trainer) applied at vocab grain with the same
+    * greedy rewrite, weighted back by word frequency. */
+  private val l238 = Spec("q373_bpe_fertility", {
+    val rounds = 8
+    (s, d) => {
+      val merges = graft.llm.Lexical.bpeTrain(
+        T(s, d, "documents"), "text", merges = rounds)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      graft.llm.Lexical.bpeApplyFertility(
+        T(s, d, "documents"), "lang", "text", merges)
+    }
+  }, Some {
+    val rounds = 8
+    val blocks = (1 to rounds).map { k =>
+      s"""sp$k AS (SELECT string_split(syms, ' ') AS a, f FROM v${k - 1}),
+        p$k AS (SELECT f, unnest([a[i+1] || ' ' || a[i+2]
+          for i in range(len(a) - 1)]) AS pair FROM sp$k
+          WHERE len(a) >= 2),
+        c$k AS (SELECT pair, CAST(sum(f) AS BIGINT) AS weight
+          FROM p$k GROUP BY 1),
+        b$k AS (SELECT pair, weight FROM c$k
+          ORDER BY weight DESC, pair LIMIT 1),
+        v$k AS (SELECT trim(replace(replace(
+            ' ' || replace(syms, ' ', '  ') || ' ',
+            ' ' || string_split(b.pair, ' ')[1] || '  '
+              || string_split(b.pair, ' ')[2] || ' ',
+            ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS syms,
+          f FROM v${k - 1} CROSS JOIN b$k b)"""
+    }.mkString(",\n        ")
+    val apply = (1 to rounds).map { k =>
+      s"""a$k AS (SELECT grp, w, f, trim(replace(replace(
+            ' ' || replace(syms, ' ', '  ') || ' ',
+            ' ' || string_split(b.pair, ' ')[1] || '  '
+              || string_split(b.pair, ' ')[2] || ' ',
+            ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS syms
+          FROM a${k - 1} CROSS JOIN b$k b)"""
+    }.mkString(",\n        ")
+    s"""WITH words AS (SELECT unnest($wordsSql) AS w FROM documents),
+        wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words
+          WHERE len(w) >= 2 GROUP BY 1),
+        v0 AS (SELECT array_to_string([w[i+1:i+1]
+          for i in range(len(w))], ' ') AS syms, f FROM wf),
+        $blocks,
+        wfg AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS f FROM
+          (SELECT lang AS grp, unnest($wordsSql) AS w FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL)
+          GROUP BY 1, 2),
+        a0 AS (SELECT grp, w, f, array_to_string([w[i+1:i+1]
+          for i in range(len(w))], ' ') AS syms FROM wfg),
+        $apply
+        SELECT grp AS "group", CAST(sum(f) AS BIGINT) AS n_words,
+          CAST(sum(f * len(string_split(syms, ' '))) AS BIGINT)
+            AS n_subwords,
+          CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
+          CAST(sum(f * len(string_split(syms, ' '))) * 1000000
+            // sum(f) AS BIGINT) AS fertility_micro,
+          CAST(sum(f * length(w)) * 1000000
+            // sum(f * len(string_split(syms, ' '))) AS BIGINT)
+            AS chars_per_subword_micro
+        FROM a$rounds GROUP BY 1"""
+  })
+
+  /** 4-truss peel (3 rounds) of the co-purchase graph — edges on
+    * >= 2 triangles after iterative weak-edge deletion. */
+  private val l239 = Spec("q374_ktruss", {
+    val rounds = 3
+    (s, d) => graft.engine.Graph.kTruss(
+      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb",
+      k = 4, maxRounds = rounds)
+  }, Some {
+    val rounds = 3
+    val blocks = (1 to rounds).map { r =>
+      s"""tri$r AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.u = e1.v
+          JOIN e${r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+        te$r AS (SELECT x AS u, y AS v FROM tri$r
+          UNION ALL SELECT y, z FROM tri$r
+          UNION ALL SELECT x, z FROM tri$r),
+        ts$r AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM te$r
+          GROUP BY 1, 2),
+        s$r AS (SELECT e.u, e.v, CAST(coalesce(ts$r.s, 0) AS BIGINT)
+            AS support
+          FROM e${r - 1} e LEFT JOIN ts$r
+            ON ts$r.u = e.u AND ts$r.v = e.v
+          WHERE coalesce(ts$r.s, 0) >= 2),
+        e$r AS (SELECT u, v FROM s$r)"""
+    }.mkString(",\n        ")
+    s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        $blocks
+        SELECT u, v, support FROM s$rounds"""
+  })
+
+  /** k-NN label homophily (k = 10, queries = vec_id < 64): per-label
+    * same-label edge fraction of the nearest-neighbor graph. */
+  private val l240 = Spec("q375_knn_homophily",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.knnLabelHomophily(emb,
+        emb.filter(col("vec_id") < 64), "vec_id", "embedding", "label",
+        "vec_id", k = 10)
+    },
+    Some(s"""WITH c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+          FROM c WHERE vec_id < 64),
+        s AS (SELECT q.query_id, q.ql, x.vec_id AS nid, x.label AS nl,
+          ${cosSql("q.qv", "x.embedding")} AS cos
+          FROM c x CROSS JOIN q WHERE x.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nid) AS rk FROM s)
+        SELECT ql AS label,
+          CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+          CAST(count(*) AS BIGINT) AS n_edges,
+          CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_same,
+          CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS homophily_ppm
+        FROM r WHERE rk <= 10 GROUP BY 1"""))
+
+  /** Cross-split bigram-LM transfer: train add-one model on split s0
+    * (doc_id % 3 = 0), score every split — the held-in/held-out NLL
+    * gap as a drift/contamination probe. */
+  private val l241 = Spec("q376_lm_transfer",
+    (s, d) => graft.llm.Lexical.bigramLmTransfer(
+      T(s, d, "documents").withColumn("split",
+        concat(lit("s"), (col("doc_id") % 3).cast("string"))),
+      "doc_id", "text", "split", trainValue = "s0"),
+    Some(s"""WITH t AS (SELECT doc_id,
+          's' || CAST(doc_id % 3 AS VARCHAR) AS split, $wordsSql AS words
+          FROM documents WHERE text IS NOT NULL),
+        tr AS (SELECT * FROM t WHERE split = 's0'),
+        uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+          (SELECT unnest(words) AS w1 FROM tr) GROUP BY 1),
+        vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        big AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM
+          (SELECT unnest([array_to_string(words[i+1:i+2], ' ')
+            for i in range(CASE WHEN len(words) >= 2 THEN len(words)-1
+            ELSE 0 END)]) AS gram FROM tr) GROUP BY 1),
+        sg AS (SELECT split, doc_id, gram, CAST(count(*) AS BIGINT)
+            AS cnt FROM
+          (SELECT split, doc_id,
+            unnest([array_to_string(words[i+1:i+2], ' ')
+            for i in range(CASE WHEN len(words) >= 2 THEN len(words)-1
+            ELSE 0 END)]) AS gram FROM t) GROUP BY 1, 2, 3),
+        sc AS (SELECT sg.split, sg.doc_id, sg.cnt,
+          coalesce(big.c2, 0) AS c2,
+          CAST(round((ln(CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+            - ln(CAST(coalesce(big.c2, 0) + 1 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS nll
+          FROM sg LEFT JOIN big USING (gram)
+          LEFT JOIN uni ON uni.w1 = string_split(sg.gram, ' ')[1]
+          CROSS JOIN vv)
+        SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+          CAST(sum(CASE WHEN c2 = 0 THEN cnt ELSE 0 END) AS BIGINT)
+            AS n_unseen,
+          CAST(sum(cnt * nll) AS BIGINT) AS nll_micro_sum,
+          CAST(CAST(sum(cnt * nll) AS BIGINT) // sum(cnt) AS BIGINT)
+            AS nll_micro_avg
+        FROM sc GROUP BY 1"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7660,5 +7825,6 @@ object LlmQueries {
     l196, l197, l198, l199, l200, l201, l202, l203, l204, l205,
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
-    l228, l229, l230, l231, l232, l233, l234, l235, l236, l237)
+    l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
+    l238, l239, l240, l241)
 }

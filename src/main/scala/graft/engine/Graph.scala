@@ -258,6 +258,50 @@ object Graph {
     out
   }
 
+  /** k-truss peeling (Cohen 2008): iteratively delete edges whose
+    * triangle support is below `k − 2` until fixpoint (or `maxRounds`),
+    * leaving the subgraph where EVERY edge sits on ≥ k−2 triangles —
+    * the standard dense-community core that, unlike k-core, requires
+    * actual triangle density rather than raw degree. Deleting an edge
+    * can drop a neighbor edge's support below threshold, hence the
+    * peel loop; support is recomputed on the SURVIVING graph each
+    * round ([[edgeTriangleSupport]]'s oriented enumeration, O(m^1.5)
+    * per round).
+    *
+    * Output: `(u, v, support)` for the surviving edges, with support
+    * measured on the last evaluated graph (all ≥ k−2 by construction).
+    * Deterministic: peeling deletes ALL below-threshold edges per
+    * round (no tie-ordering).
+    *
+    * Scale: the loop state is one edge-grain frame, eagerly
+    * checkpointed per round (flat lineage, the pointer-jump loop
+    * discipline); the per-round early-exit count is a 1-row driver
+    * read (the timeBounds class). Rounds are bounded by `maxRounds` —
+    * real peels converge in a few rounds because each round removes
+    * every currently-weak edge at once.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "need k >= 3, maxRounds >= 1")
+    var cur = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var nEdges = cur.count()
+    var last: DataFrame = null
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged && nEdges > 0) {
+      val sup = edgeTriangleSupport(cur, "u", "v")
+      last = sup.filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
+      val kept = last.count()
+      converged = kept == nEdges
+      nEdges = kept
+      cur = last.select(col("u"), col("v"))
+      round += 1
+    }
+    if (last == null) cur.withColumn("support", lit(0L)).filter(lit(false))
+    else last
+  }
+
   /** Undirected degree histogram — `(degree, n_nodes)`: how many nodes
     * have each degree. Two aggregates (node-grain then degree-grain),
     * output is at most max-degree rows — the shape that stays tiny at any

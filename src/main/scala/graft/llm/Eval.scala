@@ -571,6 +571,53 @@ object Eval {
           "lcs * 2000000 DIV (c_len + r_len) END"))
   }
 
+  /** Label homophily of the k-NN graph — per query label, the fraction
+    * of nearest-neighbor edges landing on a SAME-label neighbor: the
+    * embedding-space cluster-coherence probe that reads the structure
+    * [[knnCalibration]] only sees through prediction accuracy (high
+    * homophily = labels form tight regions; low = the space mixes
+    * classes and any label-based selection built on it will leak).
+    * Self-edges are excluded BEFORE ranking, so every query
+    * contributes exactly `k` non-self neighbors; rows with null labels
+    * are excluded on both sides (no label, no homophily evidence).
+    *
+    * Output per label: `(label, n_queries, n_edges, n_same,
+    * homophily_ppm)` — exact integer ppm.
+    *
+    * Scale: the [[Similarity.bruteForceTopK]] posture — queries
+    * broadcast, corpus scanned once, per-query WindowGroupLimit top-k;
+    * the label join runs at the queries×k edge grain, never the
+    * corpus; output is label-grain.
+    */
+  def knnLabelHomophily(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      queryIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = broadcast(queries
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("q_label")))
+    val scored = corpus
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col(labelCol).as("n_label"))
+      .join(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("homophily_ppm", expr("(n_same * 1000000) DIV n_edges"))
+  }
+
   /** Word error rate over declared (candidate, reference) pairs — the
     * token-level Levenshtein distance normalized by reference length
     * (`wer = dist / r_len`, ASR/translation convention; substituting

@@ -783,4 +783,119 @@ object Lexical {
     release(vocab)
     steps.toSeq.toDF("step", "pair", "weight")
   }
+
+  /** Apply a trained BPE merge table ([[bpeTrain]] output, in step
+    * order) to the corpus and report per-group tokenizer statistics —
+    * the closing half of the BPE loop: train produces the merges,
+    * apply measures what they buy (`fertility` = subwords per word,
+    * the tokenizer-quality number; `chars_per_subword` = the
+    * compression the vocab achieves). Each merge applies via the same
+    * greedy left-to-right space-doubling rewrite as training — the
+    * per-word segmentation is EXACTLY what the trained tokenizer
+    * produces, not an approximation.
+    *
+    * Output per group: `(group, n_words, n_subwords, n_chars,
+    * fertility_micro, chars_per_subword_micro)` — all-integer micro
+    * floors; a group with zero words emits nothing.
+    *
+    * Scale: merges apply at VOCAB grain (distinct (group, word) —
+    * Heaps-sublinear), as `merges.length` chained codegen'd string
+    * replaces (no per-merge pass over data); per-word subword counts
+    * then weight by the word's frequency in one group-grain aggregate.
+    * Driver work is the merge list itself (O(merges), the bpeTrain
+    * collect class).
+    */
+  def bpeApplyFertility(docs: DataFrame, groupCol: String,
+      textCol: String, merges: Seq[String]): DataFrame = {
+    val wf = docs.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("group"), col("__w")).agg(count(lit(1)).as("__f"))
+    // merge pairs come from bpeTrain's normalized token alphabet; the
+    // require guards the SQL splice against anything else
+    require(merges.forall(_.matches("[a-z0-9]+ [a-z0-9]+")),
+      "merges must be bpeTrain pairs ('left right' over [a-z0-9] symbols)")
+    val spacedSql = "array_join(transform(sequence(1, char_length(__w)), " +
+      "i -> substring(__w, i, 1)), ' ')"
+    val mergedSql = merges.foldLeft(spacedSql) { (acc, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      // greedy left-to-right non-overlapping merge — the bpeTrain
+      // space-doubling rewrite, chained per merge in training order
+      s"trim(replace(replace(concat(' ', replace($acc, ' ', '  '), ' '), " +
+        s"' $a  $b ', ' $a$b '), '  ', ' '))"
+    }
+    wf.withColumn("__syms", expr(mergedSql))
+      .withColumn("__ns", size(split(col("__syms"), " ")).cast("long"))
+      .groupBy(col("group"))
+      .agg(sum(col("__f")).as("n_words"),
+        sum(col("__f") * col("__ns")).as("n_subwords"),
+        sum(col("__f") * length(col("__w"))).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("(n_subwords * 1000000) DIV n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("(n_chars * 1000000) DIV n_subwords"))
+  }
+
+  /** Cross-split bigram-LM transfer report — train [[bigramLmScore]]'s
+    * add-one model on ONE split, score EVERY split against it, and
+    * report per-split totals: the held-in/held-out NLL gap is the
+    * domain-shift / contamination probe (a "held-out" split scoring as
+    * well as held-in is either same-distribution or leaked; one
+    * scoring far worse has drifted). `P(w₂|w₁) = (c_train(w₁w₂)+1) /
+    * (c_train(w₁)+V)` with V the TRAIN vocabulary size; bigrams unseen
+    * in training take c = 0 on either count (the add-one floor —
+    * exactly how the model would score production text). Per-position
+    * micro-nats are the [[bigramLmScore]] two-ln integer form.
+    *
+    * Output per split: `(split, n_docs, n_bigrams, n_unseen,
+    * nll_micro_sum, nll_micro_avg)` — `n_unseen` counts scored
+    * positions whose bigram never occurs in training.
+    *
+    * Scale: model tables from the train split only (Heaps-sublinear);
+    * scoring is one bigram-keyed left join of the (split, gram, cnt)
+    * aggregate against the model — never a raw-token shuffle; output
+    * is split-grain.
+    */
+  def bigramLmTransfer(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainValue: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(splitCol).as("__split"),
+        col(textCol).as("__text"))
+    val train = base.filter(col("__split") === trainValue)
+    val uni = train.select(explode(Text.tokens(col("__text"))).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+      .persist()
+    val vRow = uni.agg(count(lit(1)).as("__V"))
+    val big = train.select(
+        explode(graft.functions.TokenNgrams.tokenNgrams(col("__text"), 2))
+          .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__c2"))
+    val sg = base.select(col("__split"), col("__id"),
+        explode(graft.functions.TokenNgrams.tokenNgrams(col("__text"), 2))
+          .as("gram"))
+      .groupBy(col("__split"), col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val out = sg
+      .join(big, Seq("gram"), "left")
+      .withColumn("__w1", substring_index(col("gram"), " ", 1))
+      .join(uni, Seq("__w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .withColumn("__c1", coalesce(col("__c1"), lit(0L)))
+      .withColumn("__c2", coalesce(col("__c2"), lit(0L)))
+      .withColumn("__nll", round((log(col("__c1") + col("__V"))
+        - log(col("__c2") + lit(1L))) * lit(1000000d)).cast("long"))
+      .groupBy(col("__split"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        sum(col("__cnt")).cast("long").as("n_bigrams"),
+        sum(when(col("__c2") === 0L, col("__cnt")).otherwise(0L))
+          .cast("long").as("n_unseen"),
+        sum((col("__cnt") * col("__nll")).cast("decimal(38,0)"))
+          .cast("long").as("nll_micro_sum"))
+      .withColumn("nll_micro_avg", expr("nll_micro_sum DIV n_bigrams"))
+      .select(col("__split").as(splitCol), col("n_docs"),
+        col("n_bigrams"), col("n_unseen"), col("nll_micro_sum"),
+        col("nll_micro_avg"))
+    uni.unpersist(false)
+    out
+  }
 }
