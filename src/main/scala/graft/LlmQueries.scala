@@ -7805,6 +7805,177 @@ object LlmQueries {
             AS nll_micro_avg
         FROM sc GROUP BY 1"""))
 
+  // ---- shared fragment: lang-ID of a doc under three token views ----
+  // (full tokens / first half / second half) — the perturbation-rater
+  // construction behind the q377/q378 agreement statistics: a labeler
+  // that disagrees with itself across halves of the SAME document is
+  // unstable, and the agreement coefficients quantify exactly that.
+
+  /** DuckDB CTE chain exposing `r(doc_id, cat)` for one word-slice
+    * expression over `tt(doc_id, w0, n, h)`. */
+  private def raterCteSql(tag: String, sliceExpr: String): String =
+    s"""r$tag AS (SELECT doc_id, $sliceExpr AS words FROM tt),
+        c$tag AS (SELECT doc_id, $langCountsSql FROM r$tag),
+        a$tag AS (SELECT doc_id, $langCaseSql AS cat FROM c$tag)"""
+
+  private val ttCteSql =
+    s"""t AS (SELECT doc_id, $wordsSql AS w0 FROM documents
+          WHERE text IS NOT NULL),
+        tt AS (SELECT doc_id, w0, len(w0) AS n, len(w0) // 2 AS h
+          FROM t WHERE len(w0) >= 2)"""
+
+  /** Spark-side (doc_id, rater, cat) long frame: one documents scan,
+    * three lang-IDs stacked; raters gated by minimum token counts
+    * (gate 2/2/2 = always-present → the Fleiss constant-3 shape;
+    * 2/4/8 = conditional raters → the Krippendorff missing-data
+    * shape). */
+  private def raterFrame(s: SparkSession, d: String, minFull: Int,
+      minHead: Int, minTail: Int): DataFrame = {
+    T(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__w"))
+      .withColumn("__n", size(col("__w"))).filter(col("__n") >= 2)
+      .withColumn("__h", expr("__n DIV 2"))
+      .select(col("doc_id"),
+        when(col("__n") >= minFull,
+          Text.langIdFromTokens(col("__w"))).as("c_full"),
+        when(col("__n") >= minHead, Text.langIdFromTokens(
+          slice(col("__w"), lit(1), col("__h")))).as("c_head"),
+        when(col("__n") >= minTail, Text.langIdFromTokens(
+          slice(col("__w"), col("__h") + 1, col("__n") - col("__h"))))
+          .as("c_tail"))
+      .select(col("doc_id"), expr(
+        "stack(3, 'full', c_full, 'head', c_head, 'tail', c_tail) " +
+          "AS (rater, cat)"))
+      .filter(col("cat").isNotNull)
+  }
+
+  /** Fleiss' kappa of the 3-view lang-ID panel (constant n = 3). */
+  private val l242 = Spec("q377_fleiss_kappa",
+    (s, d) => graft.llm.Eval.fleissKappa(
+      raterFrame(s, d, 2, 2, 2), "doc_id", "cat", nRaters = 3),
+    Some(s"""WITH $ttCteSql,
+        ${raterCteSql("f", "w0")},
+        ${raterCteSql("h", "w0[1:h]")},
+        ${raterCteSql("l", "w0[h+1:n]")},
+        r AS (SELECT * FROM af UNION ALL SELECT * FROM ah
+          UNION ALL SELECT * FROM al),
+        cell AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS cnt
+          FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(cnt) AS m,
+          sum(cnt * (cnt - 1)) AS s_i FROM cell GROUP BY 1),
+        kept AS (SELECT doc_id, s_i FROM pi WHERE m = 3),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(s_i), 0) AS BIGINT) AS s_sum FROM kept),
+        kc AS (SELECT cat, CAST(sum(cnt) AS BIGINT) AS cj FROM cell
+          JOIN kept USING (doc_id) GROUP BY 1),
+        cc AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS c_sq
+          FROM kc)
+        SELECT n_items, s_sum, c_sq,
+          round(CAST(s_sum AS DOUBLE)
+            / CAST(n_items * 6 AS DOUBLE), 6) AS p_bar,
+          round(CAST(c_sq AS DOUBLE)
+            / CAST(n_items * n_items * 9 AS DOUBLE), 6) AS p_e,
+          round(CAST(s_sum * n_items * 3 - c_sq * 2 AS DOUBLE)
+            / CAST(2 * (n_items * n_items * 9 - c_sq) AS DOUBLE), 6)
+            AS kappa
+        FROM g CROSS JOIN cc"""))
+
+  /** Krippendorff's alpha of the same panel under CONDITIONAL raters
+    * (head needs >= 4 tokens, tail >= 8) — items carry 1–3 ratings,
+    * the missing-data case Fleiss drops and alpha is built for. */
+  private val l243 = Spec("q378_krippendorff_alpha",
+    (s, d) => graft.llm.Eval.krippendorffAlpha(
+      raterFrame(s, d, 2, 4, 8), "doc_id", "cat"),
+    Some(s"""WITH $ttCteSql,
+        ${raterCteSql("f", "w0")},
+        ${raterCteSql("h", "w0[1:h]")},
+        ${raterCteSql("l", "w0[h+1:n]")},
+        r AS (SELECT * FROM af
+          UNION ALL SELECT ah.* FROM ah JOIN tt USING (doc_id)
+            WHERE tt.n >= 4
+          UNION ALL SELECT al.* FROM al JOIN tt USING (doc_id)
+            WHERE tt.n >= 8),
+        cell AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS cnt
+          FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(cnt) AS m,
+          sum(cnt * cnt) AS sq FROM cell GROUP BY 1),
+        pk AS (SELECT doc_id, m, (2 * (m * m - sq)) // (m - 1) AS o2
+          FROM pi WHERE m >= 2),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+          CAST(coalesce(sum(o2), 0) AS BIGINT) AS o2_sum FROM pk),
+        kc AS (SELECT cat, CAST(sum(cnt) AS BIGINT) AS nc FROM cell
+          JOIN pk USING (doc_id) GROUP BY 1),
+        cc AS (SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS ncsq
+          FROM kc)
+        SELECT n_items, n_ratings, o2_sum,
+          n_ratings * n_ratings - ncsq AS pair_sum,
+          CASE WHEN n_ratings * n_ratings - ncsq > 0 THEN
+            round(CAST((n_ratings * n_ratings - ncsq) * 2
+              - (n_ratings - 1) * o2_sum AS DOUBLE)
+              / CAST((n_ratings * n_ratings - ncsq) * 2 AS DOUBLE), 6)
+          END AS alpha
+        FROM g CROSS JOIN cc"""))
+
+  /** Multiclass MCC of predicted vs recorded language. */
+  private val l244 = Spec("q379_mcc_lang_id",
+    (s, d) => graft.llm.Eval.mccMulticlass(
+      T(s, d, "documents").filter(col("lang").isNotNull)
+        .select(col("lang"), Text.langId(col("text")).as("pred")),
+      "lang", "pred"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+          FROM documents WHERE lang IS NOT NULL),
+        c0 AS (SELECT doc_id, lang, $langCountsSql FROM t),
+        pr AS (SELECT lang AS g, $langCaseSql AS p FROM c0),
+        conf AS (SELECT g, p, CAST(count(*) AS BIGINT) AS c FROM pr
+          GROUP BY 1, 2),
+        tg AS (SELECT g AS k, sum(c) AS t FROM conf GROUP BY 1),
+        tp AS (SELECT p AS k, sum(c) AS pk FROM conf GROUP BY 1),
+        j AS (SELECT coalesce(tg.t, 0) AS t, coalesce(tp.pk, 0) AS pk
+          FROM tg FULL OUTER JOIN tp USING (k)),
+        a AS (SELECT CAST(sum(t) AS BIGINT) AS s,
+          CAST(sum(t * pk) AS BIGINT) AS pt,
+          CAST(sum(t * t) AS BIGINT) AS tsq,
+          CAST(sum(pk * pk) AS BIGINT) AS psq FROM j),
+        co AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS corr
+          FROM conf WHERE g = p)
+        SELECT s AS n, corr AS n_correct,
+          CAST(corr * 1000000 // s AS BIGINT) AS accuracy_ppm,
+          CASE WHEN s * s > psq AND s * s > tsq THEN
+            round(CAST(corr * s - pt AS DOUBLE)
+              / sqrt(CAST(s * s - psq AS DOUBLE)
+                * CAST(s * s - tsq AS DOUBLE)), 6)
+          END AS mcc
+        FROM a CROSS JOIN co"""))
+
+  /** Gwet's AC1 of the same gold/pred pair over the fixed 6-label
+    * space (5 marker languages + 'und'). */
+  private val l245 = Spec("q380_gwet_ac1",
+    (s, d) => graft.llm.Eval.gwetAc1(
+      T(s, d, "documents").filter(col("lang").isNotNull)
+        .select(col("lang"), Text.langId(col("text")).as("pred")),
+      "lang", "pred", nCategories = 6),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+          FROM documents WHERE lang IS NOT NULL),
+        c0 AS (SELECT doc_id, lang, $langCountsSql FROM t),
+        pr AS (SELECT lang AS g, $langCaseSql AS p FROM c0),
+        conf AS (SELECT g, p, CAST(count(*) AS BIGINT) AS c FROM pr
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM conf),
+        co AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS a
+          FROM conf WHERE g = p),
+        tg AS (SELECT g AS k, sum(c) AS t FROM conf GROUP BY 1),
+        tp AS (SELECT p AS k, sum(c) AS pk FROM conf GROUP BY 1),
+        w AS (SELECT coalesce(tg.t, 0) + coalesce(tp.pk, 0) AS w
+          FROM tg FULL OUTER JOIN tp USING (k)),
+        e AS (SELECT CAST(sum(w * (2 * tot.n - w)) AS BIGINT) AS e_sum
+          FROM w CROSS JOIN tot)
+        SELECT n, a AS n_agree,
+          CAST(a * 1000000 // n AS BIGINT) AS p_a_ppm, e_sum,
+          round(CAST(a * 5 * 4 * n - e_sum AS DOUBLE)
+            / CAST(n * n * 4 * 5 - e_sum AS DOUBLE), 6) AS ac1
+        FROM tot CROSS JOIN co CROSS JOIN e"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7826,5 +7997,5 @@ object LlmQueries {
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
-    l238, l239, l240, l241)
+    l238, l239, l240, l241, l242, l243, l244, l245)
 }

@@ -769,4 +769,206 @@ object Eval {
             (col("__n") * (col("__n") - 1)).cast("double"), 6))
           .as("tau"))
   }
+
+  // ---------------------------------------- inter-rater agreement family
+
+  /** Fleiss' kappa (Fleiss, Psych. Bull. 1971) over a long-format
+    * rating frame `(item, category)` — one row per individual rating —
+    * for a FIXED rater count `nRaters` per item (items with any other
+    * rating count are dropped, the constant-n requirement of the
+    * statistic). The multi-rater chance-corrected agreement behind
+    * "do my weak labelers agree" audits; the multi-rater
+    * generalization of the pairwise kappa (q208).
+    *
+    * Exact-integer core: with per-item-category counts `n_ij`,
+    * `S = Σ n_ij(n_ij−1)` and category totals `c_j`, `C = Σ c_j²`,
+    * `P̄ = S/(N·n(n−1))`, `P_e = C/(N²n²)`, and
+    * `κ = (S·N·n − C·(n−1)) / ((n−1)·(N²n² − C))` — all BIGINT until
+    * the final 6-dp division (products ≤ ~4·10¹⁵ at 15M items / 3
+    * raters, inside int64). Output: one row
+    * `(n_items, s_sum, c_sq, p_bar, p_e, kappa)`.
+    *
+    * Scale: one (item,category) count aggregate, one item-grain and
+    * one category-grain reduction, then 1-row cross joins — nothing
+    * wider than the rating frame itself is ever shuffled.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      categoryCol: String, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "fleiss kappa needs >= 2 raters")
+    val n = nRaters.toLong
+    val cell = ratings.groupBy(col(itemCol).as("__it"),
+        col(categoryCol).as("__cat"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perItem = cell.groupBy(col("__it"))
+      .agg(sum(col("__cnt")).as("__m"),
+        sum(col("__cnt") * (col("__cnt") - 1)).as("__s"))
+    val kept = perItem.filter(col("__m") === n).persist()
+    val glob = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__s")), lit(0L)).as("s_sum"))
+    val catTot = cell.join(kept.select(col("__it")), Seq("__it"))
+      .groupBy(col("__cat")).agg(sum(col("__cnt")).as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("c_sq"))
+    val out = glob.crossJoin(catTot)
+      .withColumn("p_bar", round(col("s_sum").cast("double") /
+        (col("n_items") * n * (n - 1)).cast("double"), 6))
+      .withColumn("p_e", round(col("c_sq").cast("double") /
+        (col("n_items") * col("n_items") * n * n).cast("double"), 6))
+      .withColumn("kappa", round(
+        (col("s_sum") * col("n_items") * n - col("c_sq") * (n - 1))
+          .cast("double") /
+        ((col("n_items") * col("n_items") * n * n
+          - col("c_sq")) * (n - 1)).cast("double"), 6))
+      .localCheckpoint(true)
+    kept.unpersist(false)
+    out
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2004), over a
+    * long-format `(item, category)` rating frame with a VARIABLE
+    * number of ratings per item — the missing-data-tolerant agreement
+    * coefficient ([[fleissKappa]] requires constant n and drops
+    * partial items; alpha keeps every item with ≥ 2 ratings, which is
+    * exactly the shape of conditional weak labelers).
+    *
+    * Coincidence-matrix core, ordered-pair form: per kept item with
+    * `m_u` ratings, disagreeing ordered pairs `d_u = Σ_c n_uc(m_u −
+    * n_uc)` each weighted `1/(m_u−1)`; with `n = Σ m_u` and category
+    * totals `n_c`, `α = 1 − (n−1)·Σ d_u/(m_u−1) / (n² − Σ n_c²)`.
+    * The per-item weight is carried as the integer `2·d_u DIV (m_u−1)`
+    * — EXACT for `m_u ∈ {2,3}` (the 3-rater pipelines this serves;
+    * `2·d_u` is divisible by 1 and 2), floor-rational beyond that.
+    * Output: one row `(n_items, n_ratings, o2_sum, pair_sum, alpha)`
+    * with `alpha = (2·pair_sum − (n−1)·o2_sum) / (2·pair_sum)` at 6 dp.
+    *
+    * Scale: identical posture to [[fleissKappa]] — count aggregates at
+    * (item,category) grain, two 1-row reductions, 1-row cross join.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val cell = ratings.groupBy(col(itemCol).as("__it"),
+        col(categoryCol).as("__cat"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perItem = cell.groupBy(col("__it"))
+      .agg(sum(col("__cnt")).as("__m"),
+        sum(col("__cnt") * col("__cnt")).as("__sq"))
+      .filter(col("__m") >= 2)
+      .withColumn("__d", col("__m") * col("__m") - col("__sq"))
+      .withColumn("__o2",
+        expr("(2 * __d) DIV (__m - 1)"))
+      .persist()
+    val glob = perItem.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__m")), lit(0L)).as("n_ratings"),
+      coalesce(sum(col("__o2")), lit(0L)).as("o2_sum"))
+    val catTot = cell.join(perItem.select(col("__it")), Seq("__it"))
+      .groupBy(col("__cat")).agg(sum(col("__cnt")).as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0L)).as("__ncsq"))
+    val out = glob.crossJoin(catTot)
+      .withColumn("pair_sum",
+        col("n_ratings") * col("n_ratings") - col("__ncsq"))
+      .select(col("n_items"), col("n_ratings"), col("o2_sum"),
+        col("pair_sum"),
+        when(col("pair_sum") > 0, round(
+          (col("pair_sum") * 2 - (col("n_ratings") - 1) * col("o2_sum"))
+            .cast("double") / (col("pair_sum") * 2).cast("double"), 6))
+          .as("alpha"))
+      .localCheckpoint(true)
+    perItem.unpersist(false)
+    out
+  }
+
+  /** Multiclass Matthews correlation coefficient (the R_K statistic,
+    * Gorodkin 2004) from a gold/predicted label frame — the single
+    * chance-robust scalar for imbalanced classifier audits (accuracy
+    * rewards majority-class collapse; MCC of a collapse is 0).
+    *
+    * With confusion totals: `s` rows, `c` correct, per-category gold
+    * totals `t_k` and prediction totals `p_k`:
+    * `MCC = (c·s − Σ p_k t_k) / (√(s² − Σ p_k²) · √(s² − Σ t_k²))`.
+    * Numerator terms are exact BIGINT (≤ ~10¹³ at 15M rows); each
+    * s²−Σ² factor is exact BIGINT cast to DOUBLE before the sqrt
+    * product (their product would pass 2⁶³ — the q186 `dx·dy`
+    * discipline). Output: one row
+    * `(n, n_correct, accuracy_ppm, mcc)`.
+    *
+    * Scale: one (gold,pred) count aggregate — confusion-matrix grain,
+    * ~K² rows — then category-grain arithmetic. The input is scanned
+    * once and never re-shuffled wider than K².
+    */
+  def mccMulticlass(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val conf = df.groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val tg = conf.groupBy(col("__g").as("__k"))
+      .agg(sum(col("__c")).as("__t"))
+    val tp = conf.groupBy(col("__p").as("__k"))
+      .agg(sum(col("__c")).as("__pk"))
+    val byCat = tg.join(tp, Seq("__k"), "full_outer")
+      .select(coalesce(col("__t"), lit(0L)).as("__t"),
+        coalesce(col("__pk"), lit(0L)).as("__pk"))
+      .agg(sum(col("__t")).as("__s"),
+        sum(col("__t") * col("__pk")).as("__pt"),
+        sum(col("__t") * col("__t")).as("__tsq"),
+        sum(col("__pk") * col("__pk")).as("__psq"))
+    val corr = conf.filter(col("__g") === col("__p"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__corr"))
+    val out = byCat.crossJoin(corr)
+      .select(col("__s").as("n"), col("__corr").as("n_correct"),
+        expr("__corr * 1000000L DIV __s").as("accuracy_ppm"),
+        when(col("__s") * col("__s") > col("__psq") &&
+            col("__s") * col("__s") > col("__tsq"),
+          round((col("__corr") * col("__s") - col("__pt")).cast("double")
+            / sqrt((col("__s") * col("__s") - col("__psq")).cast("double")
+              * (col("__s") * col("__s") - col("__tsq")).cast("double")),
+            6)).as("mcc"))
+      .localCheckpoint(true)
+    conf.unpersist(false)
+    out
+  }
+
+  /** Gwet's AC1 (Gwet, Br. J. Math. Stat. Psych. 2008) for two raters
+    * (gold vs predicted labels) over a FIXED label space of
+    * `nCategories` — the paradox-resistant alternative to kappa:
+    * kappa's chance term uses the raters' own marginals and collapses
+    * under prevalence skew ("high agreement, near-zero kappa"); AC1's
+    * chance term `P_e = Σ π_k(1−π_k)/(K−1)` with `π_k` the POOLED
+    * marginal `(t_k+p_k)/(2N)` does not.
+    *
+    * Fully exact-integer: with `A` agreements, `w_k = t_k + p_k`,
+    * `E = Σ w_k(2N − w_k)`:
+    * `AC1 = (4A(K−1)N − E) / (4(K−1)N² − E)`, emitted at 6 dp plus its
+    * exact integer numerator/denominator (≤ ~5·10¹² at 15M rows).
+    * Output: one row `(n, n_agree, p_a_ppm, e_sum, ac1)`.
+    *
+    * Scale: same confusion-grain posture as [[mccMulticlass]].
+    */
+  def gwetAc1(df: DataFrame, goldCol: String, predCol: String,
+      nCategories: Int): DataFrame = {
+    require(nCategories >= 2, "AC1 needs >= 2 categories")
+    val k = nCategories.toLong
+    val conf = df.groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val tg = conf.groupBy(col("__g").as("__k"))
+      .agg(sum(col("__c")).as("__t"))
+    val tp = conf.groupBy(col("__p").as("__k"))
+      .agg(sum(col("__c")).as("__pk"))
+    val tot = conf.agg(sum(col("__c")).as("__n"))
+    val corr = conf.filter(col("__g") === col("__p"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__a"))
+    val eSum = tg.join(tp, Seq("__k"), "full_outer")
+      .select((coalesce(col("__t"), lit(0L)) +
+        coalesce(col("__pk"), lit(0L))).as("__w"))
+      .crossJoin(tot)
+      .agg(sum(col("__w") * (col("__n") * 2 - col("__w"))).as("e_sum"))
+    val out = tot.crossJoin(corr).crossJoin(eSum)
+      .select(col("__n").as("n"), col("__a").as("n_agree"),
+        expr("__a * 1000000L DIV __n").as("p_a_ppm"),
+        col("e_sum"),
+        round((col("__a") * (k - 1) * 4 * col("__n") - col("e_sum"))
+          .cast("double") /
+          (col("__n") * col("__n") * 4 * (k - 1) - col("e_sum"))
+            .cast("double"), 6).as("ac1"))
+      .localCheckpoint(true)
+    conf.unpersist(false)
+    out
+  }
 }
