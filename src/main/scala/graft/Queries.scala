@@ -3028,6 +3028,109 @@ object Queries {
         FROM lb JOIN rb USING (bl, bs)
         WHERE levenshtein(l, r) <= 1"""))
 
+  /** Session-memoized sampled-landmark BFS distance frame over the
+    * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
+    * shared input of the whole sampled-centrality family — closeness
+    * (q381), harmonic (q382), and the neighborhood function (q384)
+    * are all pure aggregates of this ONE frame, so the iterative BFS
+    * cost is paid once per (session, input) like the edge memos. */
+  private[graft] def landmarkBfs(s: SparkSession, d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "landmarkBfs"), {
+      val edges = coPurchaseEdges(s, d, modFilter = true)
+      val seeds = edges.select(col("pa").as("n"))
+        .unionByName(edges.select(col("pb").as("n")))
+        .distinct().filter(col("n") % 300 === 0)
+      Graph.multiSourceBfs(edges, "pa", "pb", seeds, "n", maxHops = 4)
+    })
+
+  /** Shared DuckDB fragment: co-purchase undirected edges + landmark
+    * BFS (recursive CTE) → `m(seed, id, hop)`, `nodes(n)`. */
+  private val msBfsSql =
+    """e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        ue AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        nodes AS (SELECT DISTINCT u AS n FROM ue),
+        seeds AS (SELECT n AS s FROM nodes WHERE n % 300 = 0),
+        r AS (SELECT s AS seed, s AS id, 0 AS d FROM seeds
+          UNION
+          SELECT r.seed, ue.v AS id, r.d + 1 AS d FROM r
+          JOIN ue ON ue.u = r.id WHERE r.d < 4),
+        m AS (SELECT seed, id, CAST(min(d) AS INT) AS hop FROM r
+          GROUP BY 1, 2)"""
+
+  /** OP-MISC-26 — bounded-horizon closeness centrality of the landmark
+    * seeds (Wasserman–Faust normalization, exact integer micro). */
+  private val misc22 = Spec("q381_closeness",
+    (s, d) => {
+      val edges = coPurchaseEdges(s, d, modFilter = true)
+      val nNodes = edges.select(col("pa").as("n"))
+        .unionByName(edges.select(col("pb").as("n"))).distinct().count()
+      Graph.closenessFromBfs(landmarkBfs(s, d), nNodes)
+    },
+    Some(s"""WITH RECURSIVE $msBfsSql,
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+        agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+          CAST(sum(hop) AS BIGINT) AS sum_hops FROM m GROUP BY 1)
+        SELECT seed, n_reached, sum_hops,
+          CASE WHEN sum_hops > 0 THEN
+            CAST(CAST(n_reached - 1 AS HUGEINT) * (n_reached - 1)
+              * 1000000 // ((nn - 1) * sum_hops) AS BIGINT)
+          ELSE 0 END AS closeness_micro
+        FROM agg CROSS JOIN nn"""))
+
+  /** OP-MISC-27 — harmonic centrality of the same seeds (per-term
+    * floor 10⁶ DIV d — disconnected-safe, engine-exact). */
+  private val misc23 = Spec("q382_harmonic",
+    (s, d) => Graph.harmonicFromBfs(landmarkBfs(s, d)),
+    Some(s"""WITH RECURSIVE $msBfsSql
+        SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+          CAST(sum(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END)
+            AS BIGINT) AS harmonic_micro
+        FROM m GROUP BY 1"""))
+
+  /** OP-MISC-28 — Adamic–Adar link prediction on the co-purchase
+    * graph (per-term-rounded 10⁶/ln deg, non-adjacent pairs only). */
+  private val misc24 = Spec("q383_adamic_adar",
+    (s, d) => Graph.adamicAdar(coPurchaseEdges(s, d, modFilter = true),
+      "pa", "pb", minCommon = 2),
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u,
+            b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        nb AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        pr AS (SELECT x.n AS a, y.n AS b,
+            CAST(count(*) AS BIGINT) AS common,
+            CAST(sum(CAST(round(1000000
+              / ln(CAST(dz.deg AS DOUBLE))) AS BIGINT)) AS BIGINT)
+              AS aa_micro
+          FROM nb x JOIN nb y ON y.m = x.m AND x.n < y.n
+          JOIN deg dz ON dz.n = x.m
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT a, b, common, aa_micro FROM pr
+        WHERE NOT EXISTS (SELECT 1 FROM e
+          WHERE e.u = pr.a AND e.v = pr.b)"""))
+
+  /** OP-MISC-29 — sampled neighborhood function: hop histogram +
+    * cumulative ppm of the landmark BFS frame (the ANF readout whose
+    * 90% crossing is the effective diameter). */
+  private val misc25 = Spec("q384_hop_histogram",
+    (s, d) => Graph.hopHistogram(landmarkBfs(s, d)),
+    Some(s"""WITH RECURSIVE $msBfsSql,
+        h AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs FROM m
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM h),
+        c AS (SELECT a.hop, a.n_pairs,
+          CAST(sum(b.n_pairs) AS BIGINT) AS cum_pairs
+          FROM h a JOIN h b ON b.hop <= a.hop GROUP BY 1, 2)
+        SELECT hop, n_pairs, cum_pairs,
+          CAST(cum_pairs * 1000000 // tot AS BIGINT) AS cum_ppm
+        FROM c CROSS JOIN tot"""))
+
   val specs: Vector[Spec] = Vector(
     src1, src2, src4, snk1, snk2, snk3,
     prj1, prj23, flt1, flt2, flt3, flt4, flt5, flt5b, flt6, flt6b, flt7,
@@ -3047,7 +3150,8 @@ object Queries {
     agg21, win18, misc14, win19, win20, agg22, agg23,
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
-    win26, misc18, misc19, misc20, agg29, misc21) ++ LlmQueries.specs
+    win26, misc18, misc19, misc20, agg29, misc21,
+    misc22, misc23, misc24, misc25) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

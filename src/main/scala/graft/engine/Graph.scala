@@ -910,4 +910,135 @@ object Graph {
     e.unpersist(false)
     out
   }
+
+  /** Multi-source BFS over the UNDIRECTED graph: min-hop distance from
+    * every seed to everything within `maxHops` — ONE distance frame
+    * `(seed, id, hop)` that the whole sampled-centrality family
+    * (closeness q381 / harmonic q382 / hop histogram q384) reads, built
+    * once and shared exactly like the co-purchase edge memo: landmark
+    * BFS is the standard scale substitute for all-pairs shortest paths
+    * (ANF/HyperBall lineage), and every downstream statistic is a pure
+    * aggregate of this frame.
+    *
+    * Same round discipline as [[bfsHops]] (persist per round — the
+    * frame is read twice per level; eager checkpoint + release at the
+    * end), except the frontier carries the seed key, so each round is
+    * one src-keyed join + one (seed,id) min-aggregate — cost is
+    * O(hops · Σ_seeds reached-edges), linear in the seed count, never
+    * all-pairs.
+    */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val und = undirected(edges, srcCol, dstCol)
+    val e = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col(seedCol).as("seed"))
+      .filter(col("seed").isNotNull).distinct()
+      .withColumn("id", col("seed")).withColumn("hop", lit(0)).persist()
+    val rounds = scala.collection.mutable.Buffer(dist)
+    for (i <- 1 to maxHops) {
+      val next = dist.filter(col("hop") === i - 1)
+        .select(col("seed"), col("id").as("src"))
+        .join(e, "src")
+        .select(col("seed"), col("dst").as("id"), lit(i).as("hop"))
+      dist = dist.unionByName(next)
+        .groupBy("seed", "id").agg(min(col("hop")).as("hop")).persist()
+      rounds += dist
+    }
+    val out = dist.withColumn("hop", col("hop").cast("int"))
+      .localCheckpoint(true)
+    rounds.foreach(_.unpersist(false))
+    e.unpersist(false)
+    out
+  }
+
+  /** Bounded-horizon closeness centrality per seed from a
+    * [[multiSourceBfs]] distance frame: Wasserman–Faust normalized,
+    * `C = (r−1)² · 10⁶ DIV ((N−1) · Σd)` with `r` = nodes reached
+    * within the horizon, `N` = graph node count — the (r−1)/(N−1)
+    * factor stops a seed that only sees its tiny component from
+    * out-scoring a hub. Exact integers throughout. Output:
+    * `(seed, n_reached, sum_hops, closeness_micro)`.
+    */
+  def closenessFromBfs(bfs: DataFrame, nNodes: Long): DataFrame =
+    bfs.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hop").cast("long")).as("sum_hops"))
+      .select(col("seed"), col("n_reached"), col("sum_hops"),
+        when(col("sum_hops") > 0,
+          expr(s"(n_reached - 1) * (n_reached - 1) * 1000000L " +
+            s"DIV ((${nNodes}L - 1) * sum_hops)"))
+          .otherwise(lit(0L)).as("closeness_micro"))
+
+  /** Bounded-horizon harmonic centrality per seed from the same frame:
+    * `H = Σ_{d>0} 10⁶ DIV d` — the disconnected-safe centrality
+    * (unreached nodes contribute 0, no (r−1)/(N−1) patch needed).
+    * Per-term floor keeps the sum order-free and engine-exact. Output:
+    * `(seed, n_reached, harmonic_micro)`.
+    */
+  def harmonicFromBfs(bfs: DataFrame): DataFrame =
+    bfs.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("hop") > 0, expr("1000000L DIV hop"))
+          .otherwise(lit(0L))).as("harmonic_micro"))
+
+  /** Hop-count distribution of the sampled BFS frame: per hop, the
+    * (seed, node) pair count and the cumulative parts-per-million —
+    * the sampled neighborhood function N(h) (ANF, Palmer et al. KDD'02)
+    * whose 90% crossing is the effective-diameter readout. The
+    * cumulative is a ≤(maxHops+1)-row triangular self-join, not a
+    * global window. Output: `(hop, n_pairs, cum_pairs, cum_ppm)`.
+    */
+  def hopHistogram(bfs: DataFrame): DataFrame = {
+    val h = bfs.groupBy(col("hop")).agg(count(lit(1)).as("n_pairs"))
+    val tot = h.agg(sum(col("n_pairs")).as("__tot"))
+    val cum = h.select(col("hop").as("__h2"), col("n_pairs").as("__n2"))
+    h.join(cum, col("__h2") <= col("hop"))
+      .groupBy(col("hop"), col("n_pairs"))
+      .agg(sum(col("__n2")).as("cum_pairs"))
+      .crossJoin(tot)
+      .select(col("hop"), col("n_pairs"), col("cum_pairs"),
+        expr("cum_pairs * 1000000L DIV __tot").as("cum_ppm"))
+  }
+
+  /** Adamic–Adar link prediction over the UNDIRECTED graph: for every
+    * non-adjacent pair with ≥ `minCommon` common neighbors,
+    * `AA = Σ_z 1/ln(deg z)` — the inverse-log refinement between
+    * common-neighbor counting ([[neighborJaccard]]) and the
+    * inverse-degree [[resourceAllocation]] index. Emitted as the
+    * per-term-rounded integer sum `aa_micro = Σ round(10⁶/ln(deg z))`
+    * (a shared pivot has deg ≥ 2, so ln > 0; per-term rounding makes
+    * the sum commutative and engine-exact — the q346 discipline).
+    *
+    * Scale: identical wedge shape to [[resourceAllocation]] — the
+    * neighbor self-join fans out per-pivot-degree, weighted BEFORE the
+    * pair aggregate; no all-pairs anywhere.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val e = undirected(edges, srcCol, dstCol).persist()
+    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
+      .union(e.select(col("v").as("n"), col("u").as("m")))
+      .persist()
+    val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pairs = nbrs.select(col("n").as("a"), col("m"))
+      .join(nbrs.select(col("n").as("b"), col("m")), "m")
+      .filter(col("a") < col("b"))
+      .join(deg.select(col("n").as("m"), col("deg").as("__dz")), "m")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("CAST(round(1000000 / ln(CAST(__dz AS DOUBLE))) " +
+          "AS BIGINT)")).as("aa_micro"))
+      .filter(col("common") >= minCommon)
+    val out = pairs
+      .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .localCheckpoint(true)
+    nbrs.unpersist(false)
+    e.unpersist(false)
+    out
+  }
 }
