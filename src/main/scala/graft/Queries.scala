@@ -3028,6 +3028,150 @@ object Queries {
         FROM lb JOIN rb USING (bl, bs)
         WHERE levenshtein(l, r) <= 1"""))
 
+  // ---- time-series diagnostics wave (q385–q388): per-user event
+  // series, the q186 construction (floor(value), ordered ts,event_id)
+
+  /** OP-WIN-27 — Ljung–Box portmanteau (lags 1..3) per user series. */
+  private val win27 = Spec("q385_ljung_box",
+    (s, d) => Windows.ljungBox(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", maxLag = 3),
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        p AS (SELECT user_id, CAST(v AS HUGEINT) AS x,
+          CAST(lag(v, 1) OVER w AS HUGEINT) AS l1,
+          CAST(lag(v, 2) OVER w AS HUGEINT) AS l2,
+          CAST(lag(v, 3) OVER w AS HUGEINT) AS l3
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+          sum(x) AS s, sum(x * x) AS ss,
+          sum(x * l1) AS sxy1, sum(x * l2) AS sxy2, sum(x * l3) AS sxy3,
+          sum(CASE WHEN l1 IS NOT NULL THEN x END) AS t1,
+          sum(CASE WHEN l2 IS NOT NULL THEN x END) AS t2,
+          sum(CASE WHEN l3 IS NOT NULL THEN x END) AS t3,
+          sum(l1) AS h1, sum(l2) AS h2, sum(l3) AS h3
+          FROM p GROUP BY 1),
+        c AS (SELECT user_id, n,
+          n * n * ss - n * s * s AS c0,
+          n * n * sxy1 - n * s * (h1 + t1) + (n - 1) * s * s AS c1,
+          n * n * sxy2 - n * s * (h2 + t2) + (n - 2) * s * s AS c2,
+          n * n * sxy3 - n * s * (h3 + t3) + (n - 3) * s * s AS c3
+          FROM g)
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+          CASE WHEN n > 3 AND c0 > 0 THEN
+            round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * (
+              (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE)
+              + (CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                * (CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                / CAST(n - 2 AS DOUBLE)
+              + (CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                * (CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                / CAST(n - 3 AS DOUBLE)), 6)
+          END AS q_stat FROM c"""))
+
+  /** OP-WIN-28 — Wald–Wolfowitz runs test per user series (exact
+    * median threshold, equal-to-median dropped). */
+  private val win28 = Spec("q386_runs_test",
+    (s, d) => Windows.runsTest(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v"),
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        m AS (SELECT user_id, median(CAST(v AS DOUBLE)) AS med FROM e
+          GROUP BY 1),
+        f AS (SELECT e.user_id, e.ts, e.event_id,
+          CASE WHEN CAST(v AS DOUBLE) > med THEN 1 ELSE 0 END AS s
+          FROM e JOIN m USING (user_id)
+          WHERE CAST(v AS DOUBLE) <> med),
+        b AS (SELECT user_id, s, CASE WHEN lag(s) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)
+            IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk FROM f),
+        g AS (SELECT user_id, CAST(sum(s) AS BIGINT) AS n_above,
+          CAST(sum(1 - s) AS BIGINT) AS n_below,
+          CAST(sum(brk) AS BIGINT) AS runs FROM b GROUP BY 1)
+        SELECT user_id, n_above, n_below, runs,
+          CASE WHEN n_above > 0 AND n_below > 0
+              AND n_above + n_below > 2
+              AND CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * 2
+                > CAST(n_above + n_below AS DOUBLE) THEN
+            round((CAST(runs AS DOUBLE)
+              - (CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * 2
+                / CAST(n_above + n_below AS DOUBLE) + 1))
+              / sqrt((CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                  * 2)
+                * ((CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                  * 2) - CAST(n_above + n_below AS DOUBLE))
+                / (CAST(n_above + n_below AS DOUBLE)
+                  * CAST(n_above + n_below AS DOUBLE)
+                  * (CAST(n_above + n_below AS DOUBLE) - 1))), 6)
+          END AS z FROM g"""))
+
+  /** OP-WIN-29 — Durbin–Watson on per-user detrended residuals
+    * (all-integer identity core; one final division). */
+  private val win29 = Spec("q387_durbin_watson",
+    (s, d) => Windows.durbinWatson(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v"),
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        p AS (SELECT user_id, CAST(v AS HUGEINT) AS y,
+          CAST(row_number() OVER w AS HUGEINT) AS t,
+          CAST(count(*) OVER (PARTITION BY user_id) AS HUGEINT) AS cnt,
+          CAST(v - lag(v, 1) OVER w AS HUGEINT) AS dy
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p2 AS (SELECT user_id, y, 2 * t - cnt - 1 AS tc, dy FROM p),
+        g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+          sum(y) AS sy, sum(y * y) AS syy, sum(tc * y) AS b,
+          sum(tc * tc) AS d, sum(dy) AS sdy, sum(dy * dy) AS sdyy
+          FROM p2 GROUP BY 1),
+        c AS (SELECT user_id, n,
+          n * (d * d * sdyy - d * b * sdy * 4 + (n - 1) * b * b * 4)
+            AS num,
+          d * (d * (n * syy - sy * sy) - n * b * b) AS den FROM g)
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+          CASE WHEN n >= 3 AND den > 0 THEN
+            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+          END AS dw FROM c"""))
+
+  /** OP-WIN-30 — Lo–MacKinlay variance ratio (horizon 4, overlapping
+    * differences) per user series. */
+  private val win30 = Spec("q388_variance_ratio",
+    (s, d) => Windows.varianceRatio(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value")).cast("long").as("v")),
+      Seq("user_id"), Seq("ts", "event_id"), "v", q = 4),
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        p AS (SELECT user_id,
+          CAST(v - lag(v, 1) OVER w AS HUGEINT) AS d1,
+          CAST(v - lag(v, 4) OVER w AS HUGEINT) AS dq
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+          CAST(count(d1) AS HUGEINT) AS n1, sum(d1) AS s1,
+          sum(d1 * d1) AS ss1,
+          CAST(count(dq) AS HUGEINT) AS nq, sum(dq) AS sq,
+          sum(dq * dq) AS ssq FROM p GROUP BY 1),
+        c AS (SELECT user_id, n, n1, nq,
+          n1 * ss1 - s1 * s1 AS v1, nq * ssq - sq * sq AS vq FROM g)
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+          CASE WHEN nq > 1 AND v1 > 0 THEN
+            round(CAST(vq * n1 * n1 AS DOUBLE)
+              / CAST(v1 * nq * nq AS DOUBLE) / 4, 6)
+          END AS vr FROM c"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3151,7 +3295,8 @@ object Queries {
     misc15, strm3, agg24, agg25, win21, win22, win23,
     agg26, agg27, misc16, win24, agg28, win25, misc17,
     win26, misc18, misc19, misc20, agg29, misc21,
-    misc22, misc23, misc24, misc25) ++ LlmQueries.specs
+    misc22, misc23, misc24, misc25,
+    win27, win28, win29, win30) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

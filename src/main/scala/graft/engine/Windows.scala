@@ -1373,4 +1373,222 @@ object Windows {
         min(when(col("__run") === col("__peak"), col("__ts")))
           .as("peak_ts"))
   }
+
+  // --------------------------- time-series diagnostics (q385–q388)
+
+  /** Ljung–Box portmanteau statistic (Ljung & Box, Biometrika 1978)
+    * per group at lags `1..maxLag`: `Q = n(n+2) Σ_k ρ̂_k²/(n−k)` — the
+    * "is this series white noise" omnibus the per-lag [[autocorr]]
+    * can't answer (3 marginally-positive lags can be jointly
+    * significant).
+    *
+    * Exactness: each lag-k autocovariance is carried as the exact
+    * scaled integer `C_k = n²·Σx_t x_{t−k} − n·S·(H_k+T_k) + (n−k)·S²`
+    * (H/T = head/tail partial sums, all DECIMAL(38,0)), `C_0 = n²·ΣX²
+    * − n·S²`; the only floats are the final `ρ_k = C_k/C_0` divisions,
+    * summed in FIXED lag order — engine-exact to the 6-dp round.
+    * Integer values with |x| ≤ ~10⁴ stay inside DECIMAL(38,0) to
+    * n ≈ 10⁷ rows per group.
+    *
+    * Output: one row per group `(keys…, n_obs, q_stat)`; groups with
+    * n ≤ maxLag or zero variance emit NULL q_stat.
+    *
+    * Scale: ONE ordered window pass materializes all `maxLag` lag
+    * columns, then one group aggregate — per-group cost is O(n·maxLag)
+    * with no second shuffle; group cardinality bounds the output.
+    */
+  def ljungBox(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val lagged = (1 to maxLag).foldLeft(
+      df.filter(col(valCol).isNotNull)
+        .withColumn("__x", col(valCol).cast(d38))) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+    }
+    val aggs = Seq(count(lit(1)).cast(d38).as("__n"),
+      sum(col("__x")).as("__s"),
+      sum(col("__x") * col("__x")).as("__ss")) ++
+      (1 to maxLag).flatMap { k =>
+        Seq(sum(col("__x") * col(s"__l$k")).as(s"__sxy$k"),
+          sum(when(col(s"__l$k").isNotNull, col("__x"))).as(s"__t$k"),
+          sum(when(col(s"__l$k").isNotNull, col(s"__l$k")))
+            .as(s"__h$k"))
+      }
+    val g = lagged.groupBy(keyCols.map(col): _*).agg(aggs.head,
+      aggs.tail: _*)
+      .withColumn("__c0",
+        col("__n") * col("__n") * col("__ss")
+          - col("__n") * col("__s") * col("__s"))
+    val withC = (1 to maxLag).foldLeft(g) { (acc, k) =>
+      acc.withColumn(s"__c$k",
+        col("__n") * col("__n") * col(s"__sxy$k")
+          - col("__n") * col("__s") * (col(s"__h$k") + col(s"__t$k"))
+          + (col("__n") - k) * col("__s") * col("__s"))
+    }
+    // fixed-order lag sum: rho_1 term + rho_2 term + ... (both engines
+    // evaluate the same association order)
+    val qSum = (1 to maxLag).map { k =>
+      (col(s"__c$k").cast("double") / col("__c0").cast("double")) *
+        (col(s"__c$k").cast("double") / col("__c0").cast("double")) /
+        (col("__n") - k).cast("double")
+    }.reduce(_ + _)
+    withC.select(keyCols.map(col) :+
+      col("__n").cast("long").as("n_obs") :+
+      when(col("__n") > maxLag && col("__c0") > 0,
+        round(col("__n").cast("double") * (col("__n") + 2).cast("double")
+          * qSum, 6)).as("q_stat"): _*)
+  }
+
+  /** Wald–Wolfowitz runs test per group: observations above/below the
+    * group's exact MEDIAN (equal-to-median dropped, the standard
+    * convention), `R` = number of sign runs, and the normal
+    * approximation `z = (R − μ)/σ`, `μ = 1 + 2n₁n₂/n`,
+    * `σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1))` — the distribution-free
+    * "is the sequence random vs trending/oscillating" check that
+    * complements [[autocorr]] (which only sees LINEAR lag-1
+    * dependence). `n₁, n₂, R` are exact integers; z is the one float,
+    * built from them in one fixed expression. Output:
+    * `(keys…, n_above, n_below, runs, z)`.
+    *
+    * Scale: one exact-median aggregate (single-pass, group-grain) +
+    * an equi-join back + one ordered window pass for the run breaks.
+    * The join's build side is group-grain — broadcastable.
+    */
+  def runsTest(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String): DataFrame = {
+    val med = df.filter(col(valCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(median(col(valCol).cast("double")).as("__med"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val signed = df.filter(col(valCol).isNotNull)
+      .join(med, keyCols)
+      .filter(col(valCol).cast("double") =!= col("__med"))
+      .withColumn("__s", (col(valCol).cast("double") > col("__med"))
+        .cast("int"))
+      .withColumn("__brk",
+        when(lag(col("__s"), 1).over(w).isNull ||
+          lag(col("__s"), 1).over(w) =!= col("__s"), 1L).otherwise(0L))
+    signed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__s").cast("long")).as("n_above"),
+        sum(lit(1L) - col("__s")).as("n_below"),
+        sum(col("__brk")).as("runs"))
+      .withColumn("__n", (col("n_above") + col("n_below")).cast("double"))
+      .withColumn("__p", col("n_above").cast("double") *
+        col("n_below").cast("double") * 2d)
+      .withColumn("z",
+        when(col("n_above") > 0 && col("n_below") > 0 &&
+            col("__n") > 2 && col("__p") > col("__n"),
+          round((col("runs").cast("double") - (col("__p") / col("__n")
+            + 1d)) /
+            sqrt(col("__p") * (col("__p") - col("__n")) /
+              (col("__n") * col("__n") * (col("__n") - 1d))), 6)))
+      .select(keyCols.map(col) :+ col("n_above") :+ col("n_below") :+
+        col("runs") :+ col("z"): _*)
+  }
+
+  /** Durbin–Watson statistic per group on the residuals of the
+    * group's own OLS-on-time-index trend line: `DW = Σ(e_t −
+    * e_{t−1})²/Σe_t²` — the serial-correlation-of-residuals audit
+    * run after every [[Relational.groupRegression]]-style fit (a
+    * great R² with DW → 0 means the trend line hides an AR process).
+    *
+    * Exact-integer core via two identities: with unit time steps the
+    * residual DIFFERENCE is `Δe_t = Δy_t − b`, so the numerator never
+    * needs per-row residuals; and with the centered integer time axis
+    * `T = 2t − (n+1)`: `b = 2B/D` (`B = ΣTy`, `D = ΣT²`), so scaling
+    * both sides by `n·D²` gives the all-integer pair
+    * `num = n·(D²·ΣΔy² − 4·D·B·ΣΔy + 4(n−1)·B²)` and
+    * `den = D·(D·(n·Σy² − S²) − n·B²)` — every term DECIMAL(38,0)-exact for
+    * |y| ≤ ~10³ up to n ≈ 2·10⁴ rows per group (documented bound, the
+    * momentsSketch discipline); DW is the single final double
+    * division at 6 dp. Output: `(keys…, n_obs, dw)`; dw NULL when the
+    * residual variance is 0 or n < 3.
+    *
+    * Scale: one ordered window pass (row index + Δy lag), one group
+    * aggregate — no join-back of per-group coefficients, because the
+    * identities eliminate the residual materialization entirely.
+    */
+  def durbinWatson(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val cw = Window.partitionBy(keyCols.map(col): _*)
+    val rows = df.filter(col(valCol).isNotNull)
+      .withColumn("__y", col(valCol).cast(d38))
+      .withColumn("__t", row_number().over(w).cast(d38))
+      .withColumn("__cnt", count(lit(1)).over(cw).cast(d38))
+      .withColumn("__T", col("__t") * 2 - col("__cnt") - 1)
+      .withColumn("__dy", col("__y") - lag(col("__y"), 1).over(w))
+    val g = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__T") * col("__y")).as("__B"),
+        sum(col("__T") * col("__T")).as("__D"),
+        sum(col("__dy")).as("__sdy"),
+        sum(col("__dy") * col("__dy")).as("__sdyy"))
+    // num×n·D² = n·(D²·ΣΔy² − 4·D·B·ΣΔy + 4(n−1)·B²)
+    // den×n·D² = D·(D·(n·Σy² − S²) − n·B²)
+    g.withColumn("__num",
+        col("__n") * (col("__D") * col("__D") * col("__sdyy")
+          - col("__D") * col("__B") * col("__sdy") * 4
+          + (col("__n") - 1) * col("__B") * col("__B") * 4))
+      .withColumn("__den",
+        col("__D") * (col("__D") * (col("__n") * col("__syy")
+          - col("__sy") * col("__sy"))
+          - col("__n") * col("__B") * col("__B")))
+      .select(keyCols.map(col) :+ col("__n").cast("long").as("n_obs") :+
+        when(col("__n") >= 3 && col("__den") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"),
+            6)).as("dw"): _*)
+  }
+
+  /** Lo–MacKinlay variance ratio per group at horizon `q`:
+    * `VR(q) = Var(x_t − x_{t−q}) / (q · Var(x_t − x_{t−1}))` with
+    * overlapping differences — the random-walk diagnostic (VR ≈ 1
+    * under a random walk; < 1 mean-reverting, > 1 trending).
+    *
+    * Both variances are carried as the exact scaled integers
+    * `V_k × n_k² = n_k·Σd² − (Σd)²` over the `n_k = n − k` overlapping
+    * k-differences (DECIMAL(38,0)); the emitted
+    * `vr = (V_q·n₁²)/(q·V₁·n_q²)` is one final double division at
+    * 6 dp. Output: `(keys…, n_obs, vr)`; NULL when either variance
+    * degenerates or n ≤ q.
+    *
+    * Scale: one ordered window pass (two lag columns), one group
+    * aggregate — the [[ljungBox]] plan shape.
+    */
+  def varianceRatio(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valCol: String, q: Int): DataFrame = {
+    require(q >= 2, "horizon q must be >= 2")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val rows = df.filter(col(valCol).isNotNull)
+      .withColumn("__x", col(valCol).cast(d38))
+      .withColumn("__d1", col("__x") - lag(col("__x"), 1).over(w))
+      .withColumn("__dq", col("__x") - lag(col("__x"), q).over(w))
+    val g = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        count(col("__d1")).cast(d38).as("__n1"),
+        sum(col("__d1")).as("__s1"),
+        sum(col("__d1") * col("__d1")).as("__ss1"),
+        count(col("__dq")).cast(d38).as("__nq"),
+        sum(col("__dq")).as("__sq"),
+        sum(col("__dq") * col("__dq")).as("__ssq"))
+      .withColumn("__v1",
+        col("__n1") * col("__ss1") - col("__s1") * col("__s1"))
+      .withColumn("__vq",
+        col("__nq") * col("__ssq") - col("__sq") * col("__sq"))
+    g.select(keyCols.map(col) :+ col("__n").cast("long").as("n_obs") :+
+      when(col("__nq") > 1 && col("__v1") > 0,
+        round((col("__vq") * col("__n1") * col("__n1")).cast("double") /
+          (col("__v1") * col("__nq") * col("__nq")).cast("double") /
+          q.toDouble, 6)).as("vr"): _*)
+  }
 }
