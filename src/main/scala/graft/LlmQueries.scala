@@ -7976,6 +7976,62 @@ object LlmQueries {
             / CAST(n * n * 4 * 5 - e_sum AS DOUBLE), 6) AS ac1
         FROM tot CROSS JOIN co CROSS JOIN e"""))
 
+  /** Corpus self-BLEU (bigram modified precision vs rest-of-corpus,
+    * leave-one-out clip via the per-gram top-2 trick) — the template-
+    * saturation diversity audit, per source. */
+  private val l246 = Spec("q390_self_bleu",
+    (s, d) => graft.llm.Eval.selfBleu(
+      T(s, d, "documents"), "doc_id", "text", "source"),
+    Some(s"""WITH t AS (SELECT doc_id, source, $wordsSql AS words
+          FROM documents),
+        g AS (SELECT doc_id, unnest([array_to_string(words[i+1:i+2], ' ')
+          for i in range(CASE WHEN len(words) >= 2 THEN len(words) - 1
+          ELSE 0 END)]) AS gram FROM t),
+        gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2),
+        st AS (SELECT gram, max(c) AS m1 FROM gc GROUP BY 1),
+        s2 AS (SELECT gc.gram, st.m1,
+          CAST(sum(CASE WHEN c = m1 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+          CAST(coalesce(max(CASE WHEN c < m1 THEN c END), 0) AS BIGINT)
+            AS m2
+          FROM gc JOIN st USING (gram) GROUP BY 1, 2),
+        pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+          CAST(sum(least(c, CASE WHEN c = m1 AND k = 1 THEN m2
+            ELSE m1 END)) AS BIGINT) AS kept
+          FROM gc JOIN s2 USING (gram) GROUP BY 1),
+        pp AS (SELECT doc_id, kept * 1000000 // tot AS ppm FROM pd)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(ppm) // count(*) AS BIGINT) AS self_bleu2_ppm
+        FROM pp JOIN (SELECT doc_id, source FROM documents) dd
+          USING (doc_id)
+        GROUP BY 1"""))
+
+  /** Theil T inequality decomposition of character mass across
+    * sources — the decomposable companion to the Gini audits (q180/
+    * q303): between-source vs within-source inequality terms. */
+  private val l247 = Spec("q391_theil_decomposition",
+    (s, d) => graft.engine.Relational.theilDecomposition(
+      T(s, d, "documents"), "source", "n_chars"),
+    Some("""WITH r AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        bg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(x) AS BIGINT) AS sum_x FROM r GROUP BY 1),
+        gl AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn,
+          CAST(sum(sum_x) AS BIGINT) AS xx FROM bg),
+        inn AS (SELECT g, CAST(sum(CAST(round(CAST(x AS DOUBLE)
+            * ln(CAST(n_rows * x AS DOUBLE) / CAST(sum_x AS DOUBLE))
+            * 1000000 / CAST(sum_x AS DOUBLE)) AS BIGINT)) AS BIGINT)
+            AS theil_in_micro
+          FROM r JOIN bg USING (g) GROUP BY 1)
+        SELECT bg.g AS source, n_rows, sum_x,
+          CAST(sum_x * 1000000 // xx AS BIGINT) AS share_ppm,
+          CAST(round(CAST(sum_x AS DOUBLE) / CAST(xx AS DOUBLE)
+            * ln(CAST(nn * sum_x AS DOUBLE)
+              / CAST(n_rows * xx AS DOUBLE)) * 1000000) AS BIGINT)
+            AS between_term_micro,
+          theil_in_micro
+        FROM bg JOIN inn USING (g) CROSS JOIN gl"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -7997,5 +8053,5 @@ object LlmQueries {
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
-    l238, l239, l240, l241, l242, l243, l244, l245)
+    l238, l239, l240, l241, l242, l243, l244, l245, l246, l247)
 }

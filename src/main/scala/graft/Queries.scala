@@ -3172,6 +3172,79 @@ object Queries {
               / CAST(v1 * nq * nq AS DOUBLE) / 4, 6)
           END AS vr FROM c"""))
 
+  /** OP-JOIN-10 — skew-salted equi-join face: lineitem ⋈ orders on
+    * the order key through [[Joins.saltedEquiJoin]] (salt 8), then a
+    * priority-grain aggregate. The oracle is the PLAIN join — the
+    * point of the operator is that salting changes the shuffle key,
+    * never the result multiset. */
+  private val join10 = Spec("q389_salted_join",
+    (s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ords = T(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      Joins.saltedEquiJoin(li, ords, "okey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"),
+          sum(col("cents")).as("revenue_cents"))
+    },
+    Some("""SELECT o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1"""))
+
+  /** OP-AGG-30 — Wilcoxon signed-rank test per event type: paired
+    * consecutive per-user events (odd row → its successor), exact
+    * doubled-rank core, tie-corrected z. */
+  private val agg30 = Spec("q392_wilcoxon_signed_rank",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), floor(col("value")).cast("long").as("v"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__nx", lead(col("v"), 1).over(w))
+        .filter(col("__rn") % 2 === 1 && col("__nx").isNotNull)
+        .select(col("event_type"), (col("__nx") - col("v")).as("__diff"))
+      Relational.wilcoxonSignedRank(pairs, Seq("event_type"), "__diff")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL),
+        p0 AS (SELECT event_type, v,
+          row_number() OVER w AS rn, lead(v, 1) OVER w AS nx
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        pr AS (SELECT event_type, nx - v AS diff FROM p0
+          WHERE rn % 2 = 1 AND nx IS NOT NULL),
+        nz AS (SELECT event_type, abs(diff) AS a,
+          CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos FROM pr
+          WHERE diff <> 0),
+        ba AS (SELECT event_type, a, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(pos) AS BIGINT) AS cp FROM nz GROUP BY 1, 2),
+        rk AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+            ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum FROM ba),
+        r2 AS (SELECT event_type, c, cp, cum * 2 - c + 1 AS r2 FROM rk),
+        g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_pairs,
+          CAST(sum(cp * r2) AS BIGINT) AS w2_plus,
+          CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties
+          FROM r2 GROUP BY 1),
+        v AS (SELECT *, CAST(n_pairs AS HUGEINT) AS n,
+          CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+            * (CAST(n_pairs AS HUGEINT) * 2 + 1) * 2 - ties AS v12
+          FROM g)
+        SELECT event_type, n_pairs, w2_plus,
+          CASE WHEN v12 > 0 THEN
+            round(CAST(CAST(w2_plus AS HUGEINT) * 2
+                - n * (n + 1) AS DOUBLE) / 2
+              / sqrt(CAST(v12 AS DOUBLE) / 12), 6)
+          END AS z FROM v"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3296,7 +3369,7 @@ object Queries {
     agg26, agg27, misc16, win24, agg28, win25, misc17,
     win26, misc18, misc19, misc20, agg29, misc21,
     misc22, misc23, misc24, misc25,
-    win27, win28, win29, win30) ++ LlmQueries.specs
+    win27, win28, win29, win30, join10, agg30) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

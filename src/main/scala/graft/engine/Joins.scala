@@ -500,4 +500,31 @@ object Joins {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l"), col("r"), col("dist"))
   }
+
+  /** Skew-salted sort-merge equi-join: the manual escape hatch for the
+    * hot-key stratum AQE's skew splitter can't always save (one key
+    * carrying 10% of a 100 TB fact table lands one reducer no matter
+    * how many partitions exist). The LEFT (fact) side scatters each row
+    * to one of `salt` sub-keys by a deterministic row hash; the RIGHT
+    * (dimension-ish, or the skewed stratum of an equally-big side) is
+    * replicated `salt`× so every sub-key finds its match — the output
+    * multiset is IDENTICAL to the plain equi-join (the oracle is the
+    * plain join), only the shuffle key changes: each formerly-hot
+    * reducer becomes `salt` even ones, at the price of a `salt`×
+    * build-side replication. Use on the skewed stratum only; plain
+    * keys should keep the unsalted path.
+    *
+    * The salt hash covers ALL left columns (row identity), so equal
+    * fact rows spread uniformly even when the join key itself is the
+    * only skewed attribute.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      salt: Int): DataFrame = {
+    require(salt >= 2, "salt must be >= 2 (1 is the plain join)")
+    val lSalted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt)))
+    val rSalted = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    lSalted.join(rSalted, Seq(keyCol, "__salt")).drop("__salt")
+  }
 }

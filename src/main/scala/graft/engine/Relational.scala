@@ -3580,4 +3580,95 @@ object Relational {
         when(col("n_exact") > 0, round(expr(
           "CAST(n_hat - n_exact AS DOUBLE) * 1000000.0" +
             " / CAST(n_exact AS DOUBLE)"), 6)).as("err_ppm"))
+
+  /** Theil T inequality decomposition (Theil 1967) of a positive mass
+    * column across groups: unlike the Gini ([[giniReport]]), Theil is
+    * ADDITIVELY DECOMPOSABLE — `T = T_between + Σ_s share_s·T_s` — so
+    * the report answers the question Gini can't: WHICH source drives
+    * corpus inequality, and is it between sources (mixture skew, fix
+    * with [[graft.llm.Shaping]] reweighting) or within one (that
+    * source needs length curation).
+    *
+    * Per group: `share_ppm = 10⁶·X_s DIV X` (exact),
+    * `between_term_micro = round(10⁶·(X_s/X)·ln(N·X_s/(n_s·X)))` and
+    * the inner `theil_in_micro = Σ_i round(10⁶·x_i·ln(n_s·x_i/X_s)
+    * / X_s)` — PER-TERM rounding before the sum keeps the reduce
+    * commutative and engine-exact (the Adamic–Adar discipline); both
+    * ln terms can be legitimately negative, so they route through
+    * round-double, never DIV (the [[captureRecapture]] lesson).
+    * Output: `(group, n_rows, sum_x, share_ppm, between_term_micro,
+    * theil_in_micro)` for rows with x > 0.
+    *
+    * Scale: one group-grain aggregate, one 1-row global aggregate
+    * broadcast back, one group-grain join onto the row frame — the
+    * row frame is scanned twice and shuffled once (on the group key).
+    */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val rows = df.filter(col(valCol).isNotNull && col(valCol) > 0)
+      .select(col(groupCol).as("__g"), col(valCol).cast("long").as("__x"))
+    val byG = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("sum_x"))
+    val glob = byG.agg(sum(col("n_rows")).as("__nn"),
+      sum(col("sum_x")).as("__xx"))
+    val inner = rows.join(byG, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(expr("CAST(round(CAST(__x AS DOUBLE) " +
+        "* ln(CAST(n_rows * __x AS DOUBLE) / CAST(sum_x AS DOUBLE)) " +
+        "* 1000000 / CAST(sum_x AS DOUBLE)) AS BIGINT)"))
+        .as("theil_in_micro"))
+    byG.join(inner, Seq("__g")).crossJoin(glob)
+      .select(col("__g").as(groupCol), col("n_rows"), col("sum_x"),
+        expr("sum_x * 1000000L DIV __xx").as("share_ppm"),
+        expr("CAST(round(CAST(sum_x AS DOUBLE) / CAST(__xx AS DOUBLE) " +
+          "* ln(CAST(__nn * sum_x AS DOUBLE) " +
+          "/ CAST(n_rows * __xx AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("between_term_micro"),
+        col("theil_in_micro"))
+  }
+
+  /** Wilcoxon signed-rank test per group (Wilcoxon 1945) over a
+    * pre-built signed-difference column: the PAIRED companion to the
+    * unpaired Mann–Whitney (q194) — "did the second measurement move
+    * vs the first, per entity" with no normality assumption. Zero
+    * differences are dropped (the standard convention); ties in |d|
+    * get AVERAGE ranks, carried exactly as the DOUBLED rank
+    * `r2 = a+b` (a tie block spanning ranks a..b), so `w2_plus =
+    * Σ_{d>0} r2` is an exact integer, `E[W2] = n(n+1)/2` exact, and
+    * the tie-corrected `12·Var[W2] = 2n(n+1)(2n+1) − Σ(t³−t)` exact
+    * DECIMAL(38,0); `z = (W2 − E2)/√(V12/12)` is the single final
+    * float at 6 dp. Output: `(group…, n_pairs, w2_plus, z)`.
+    *
+    * Scale: one (group,|d|)-grain count aggregate, one group-keyed
+    * ordered window over DISTINCT |d| values (bounded by the value
+    * domain, not the row count), one group aggregate.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCols: Seq[String],
+      dCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val nz = df.filter(col(dCol).isNotNull && col(dCol) =!= 0)
+      .select(groupCols.map(col) :+ abs(col(dCol)).cast("long").as("__a")
+        :+ (col(dCol) > 0).cast("long").as("__p"): _*)
+    val byA = nz.groupBy(groupCols.map(col) :+ col("__a"): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__p")).as("__cp"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byA.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__r2", col("__cum") * 2 - col("__c") + 1)
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_pairs"),
+        sum(col("__cp") * col("__r2")).as("w2_plus"),
+        sum(col("__c").cast(d38) * col("__c") * col("__c") - col("__c"))
+          .as("__ties"))
+      .withColumn("__n", col("n_pairs").cast(d38))
+      .withColumn("__v12",
+        col("__n") * (col("__n") + 1) * (col("__n") * 2 + 1) * 2
+          - col("__ties"))
+      .select(groupCols.map(col) :+ col("n_pairs") :+ col("w2_plus") :+
+        when(col("__v12") > 0, round(
+          (col("w2_plus").cast(d38) * 2 -
+            col("__n") * (col("__n") + 1)).cast("double") / 2 /
+          sqrt(col("__v12").cast("double") / 12d), 6)).as("z"): _*)
+  }
 }

@@ -925,6 +925,60 @@ object Eval {
     out
   }
 
+  /** Corpus self-BLEU (bigram modified precision, Zhu et al. 2018's
+    * diversity metric): each document scored against EVERY OTHER
+    * document as reference — high self-BLEU = template-saturated
+    * corpus (the diversity collapse dedup thresholds miss because the
+    * near-dups sit just under the Jaccard bar). Reported per `source`.
+    *
+    * The rest-of-corpus clip count for gram g in doc d is
+    * `max_{d'≠d} c(d',g)` — computed WITHOUT a per-doc corpus pass via
+    * the top-2 trick: with `m1 = max_d c`, `k = |argmax|`, `m2` = best
+    * strictly-below-m1 count, the leave-one-out max is `m2` iff d is
+    * the UNIQUE argmax, else `m1`. Per-doc precision is the exact
+    * integer `ppm = 10⁶·Σ min(c, clip) DIV Σ c`; the source report
+    * averages doc ppms (integer DIV). Output:
+    * `(source, n_docs, self_bleu2_ppm)` over docs with ≥ 1 bigram.
+    *
+    * Scale: everything is (doc,gram)- or gram-grain — two gram-keyed
+    * aggregates and two gram-keyed joins (the decontamination shuffle
+    * shape); no doc×doc anything. Popular-gram skew is AQE-splittable
+    * because the stats side is one row per gram.
+    */
+  def selfBleu(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val gc = docs
+      .select(col(idCol).as("__id"), explode(
+        graft.functions.TokenNgrams.tokenNgrams(col(textCol), 2))
+          .as("gram"))
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val m1 = gc.groupBy(col("gram")).agg(max(col("__c")).as("__m1"))
+    val stats = gc.join(m1, Seq("gram"))
+      .groupBy(col("gram"), col("__m1"))
+      .agg(sum(when(col("__c") === col("__m1"), 1L).otherwise(0L))
+          .as("__k"),
+        coalesce(max(when(col("__c") < col("__m1"), col("__c"))), lit(0L))
+          .as("__m2"))
+    val perDoc = gc.join(stats, Seq("gram"))
+      .withColumn("__clip",
+        when(col("__c") === col("__m1") && col("__k") === 1,
+          col("__m2")).otherwise(col("__m1")))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__tot"),
+        sum(least(col("__c"), col("__clip"))).as("__kept"))
+      .withColumn("__ppm", expr("__kept * 1000000L DIV __tot"))
+    val out = perDoc
+      .join(docs.select(col(idCol).as("__id"), col(groupCol).as("source")),
+        Seq("__id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(__ppm) DIV count(1)").as("self_bleu2_ppm"))
+      .localCheckpoint(true)
+    gc.unpersist(false)
+    out
+  }
+
   /** Gwet's AC1 (Gwet, Br. J. Math. Stat. Psych. 2008) for two raters
     * (gold vs predicted labels) over a FIXED label space of
     * `nCategories` — the paradox-resistant alternative to kappa:
