@@ -43,10 +43,14 @@ class BpeWaveSpec extends SparkSpec {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox"), (3L, "lazy lazy dog dog"))
       .toDF("doc_id", "text")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Track the IDS of cached RDDs created during the call, not the
+    // global count: sibling suites release their frames with the
+    // non-blocking unpersist, so the global count can DROP concurrently
+    // and a count-equality assertion flakes (seen: "leaked -2").
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     graft.llm.Lexical.bpeTrain(docs, "text", 6).collect()
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after == before,
-      s"bpeTrain leaked ${after - before} cached checkpoint RDD(s)")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeTrain leaked cached checkpoint RDD(s): $leaked")
   }
 }
