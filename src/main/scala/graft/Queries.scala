@@ -3245,6 +3245,147 @@ object Queries {
               / sqrt(CAST(v12 AS DOUBLE) / 12), 6)
           END AS z FROM v"""))
 
+  /** OP-AGG-31 — Kruskal–Wallis H across event types (value-grain
+    * doubled ranks on the distributed cumsum; tie-corrected). */
+  private val agg31 = Spec("q393_kruskal_wallis",
+    (s, d) => Relational.kruskalWallis(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value")).cast("long")
+          .as("v")),
+      "event_type", "v"),
+    Some("""WITH r AS (SELECT event_type AS g,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        vg AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+        rk AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM vg),
+        r2 AS (SELECT v, cum * 2 - c + 1 AS r2 FROM rk),
+        gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cg FROM r
+          GROUP BY 1, 2),
+        bg AS (SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+          CAST(sum(cg * r2) AS BIGINT) AS rr FROM gv JOIN r2 USING (v)
+          GROUP BY 1),
+        tm AS (SELECT g, ng, (CAST(rr AS DOUBLE) / 2)
+          * (CAST(rr AS DOUBLE) / 2) / CAST(ng AS DOUBLE) AS term
+          FROM bg),
+        ag AS (SELECT CAST(count(*) AS INT) AS k,
+          CAST(sum(ng) AS BIGINT) AS n, list(term ORDER BY g) AS terms
+          FROM tm),
+        tt AS (SELECT k, n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          terms), (a, b) -> a + b) AS t FROM ag),
+        ti AS (SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * c * c - c),
+          0) AS HUGEINT) AS ties FROM vg)
+        SELECT k, n,
+          CASE WHEN n > 1 THEN round(t * 12 / (CAST(n AS DOUBLE)
+            * (CAST(n AS DOUBLE) + 1)) - (CAST(n AS DOUBLE) + 1) * 3, 6)
+          END AS h_stat,
+          CASE WHEN n > 1 THEN round(1 - CAST(ties AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE)), 6) END AS tie_c,
+          CASE WHEN n > 1 AND CAST(ties AS DOUBLE) < CAST(n AS DOUBLE)
+              * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE) THEN
+            round((t * 12 / (CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) + 1)) - (CAST(n AS DOUBLE) + 1) * 3)
+              / (1 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE)
+                * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))), 6)
+          END AS h_adj
+        FROM tt CROSS JOIN ti"""))
+
+  /** OP-AGG-32 — Friedman test: user blocks × event-type treatments
+    * on exact micro-mean cells, complete blocks only. */
+  private val agg32 = Spec("q394_friedman",
+    (s, d) => Relational.friedmanTest(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v")),
+      "user_id", "event_type", "v"),
+    Some("""WITH r AS (SELECT user_id AS b, event_type AS t,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IS NOT NULL),
+        cl AS (SELECT b, t, CAST(sum(v) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        ce AS (SELECT b, t, s * 1000000 // c AS m FROM cl),
+        kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM ce),
+        co AS (SELECT b FROM ce GROUP BY b
+          HAVING count(*) = (SELECT k FROM kk)),
+        ke AS (SELECT ce.* FROM ce JOIN co USING (b)),
+        mg AS (SELECT b, m, CAST(count(*) AS BIGINT) AS cm FROM ke
+          GROUP BY 1, 2),
+        rk AS (SELECT b, m, cm, sum(cm) OVER (PARTITION BY b
+          ORDER BY m) AS cum FROM mg),
+        r2 AS (SELECT b, m, cum * 2 - cm + 1 AS r2 FROM rk),
+        bt AS (SELECT t, CAST(sum(r2) AS BIGINT) AS rr,
+          CAST(count(*) AS BIGINT) AS nb FROM ke JOIN r2 USING (b, m)
+          GROUP BY 1),
+        ag AS (SELECT CAST(count(*) AS INT) AS k,
+          CAST(max(nb) AS BIGINT) AS b,
+          CAST(coalesce(sum(CAST(rr AS HUGEINT) * rr), 0) AS HUGEINT)
+            AS r2sq FROM bt)
+        SELECT k, b, CAST(r2sq AS BIGINT) AS r2_sq_sum,
+          CASE WHEN k > 1 AND b > 0 THEN
+            round(CAST(r2sq AS DOUBLE) * 3 / (CAST(b AS DOUBLE)
+              * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1))
+              - CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1) * 3, 6)
+          END AS chi2_f
+        FROM ag"""))
+
+  /** OP-AGG-33 — Cliff's delta of each user-third split vs s0 (exact
+    * value-grain dominance counts). */
+  private val agg33 = Spec("q395_cliffs_delta",
+    (s, d) => Relational.cliffsDelta(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(concat(lit("s"), (col("user_id") % 3).cast("string"))
+          .as("split"), floor(col("value")).cast("long").as("v")),
+      "split", "s0", "v"),
+    Some("""WITH r AS (SELECT 's' || CAST(user_id % 3 AS VARCHAR) AS s,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        vg AS (SELECT v, CAST(sum(CASE WHEN s = 's0' THEN 1 ELSE 0 END)
+          AS BIGINT) AS ca FROM r GROUP BY 1),
+        na AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM vg),
+        cm AS (SELECT v, ca, sum(ca) OVER (ORDER BY v) AS cuma FROM vg),
+        ot AS (SELECT s, v, CAST(count(*) AS BIGINT) AS cb FROM r
+          WHERE s <> 's0' GROUP BY 1, 2),
+        j AS (SELECT ot.s, ot.cb, cm.cuma - cm.ca AS less,
+          na.na - cm.cuma AS greater, na.na
+          FROM ot JOIN cm USING (v) CROSS JOIN na)
+        SELECT s AS split, CAST(max(na) AS BIGINT) AS n_ref,
+          CAST(sum(cb) AS BIGINT) AS n_split,
+          CAST(sum(cb * (less - greater)) AS BIGINT) AS num,
+          CASE WHEN max(na) > 0 AND sum(cb) > 0 THEN
+            round(CAST(sum(cb * (less - greater)) AS DOUBLE)
+              / (CAST(max(na) AS DOUBLE) * CAST(sum(cb) AS DOUBLE)), 6)
+          END AS delta
+        FROM j GROUP BY 1"""))
+
+  /** OP-AGG-34 — Hodges–Lehmann shift of each user-third split vs s0
+    * (value-grain difference convolution, exact lower weighted
+    * median). */
+  private val agg34 = Spec("q396_hodges_lehmann",
+    (s, d) => Relational.hodgesLehmannShift(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(concat(lit("s"), (col("user_id") % 3).cast("string"))
+          .as("split"), floor(col("value")).cast("long").as("v")),
+      "split", "s0", "v"),
+    Some("""WITH r AS (SELECT 's' || CAST(user_id % 3 AS VARCHAR) AS s,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        ra AS (SELECT v AS va, CAST(count(*) AS BIGINT) AS ca FROM r
+          WHERE s = 's0' GROUP BY 1),
+        ob AS (SELECT s, v, CAST(count(*) AS BIGINT) AS cb FROM r
+          WHERE s <> 's0' GROUP BY 1, 2),
+        df AS (SELECT s, ob.v - ra.va AS d,
+          CAST(sum(cb * ca) AS BIGINT) AS wd
+          FROM ob CROSS JOIN ra GROUP BY 1, 2),
+        cw AS (SELECT s, d, wd,
+          sum(wd) OVER (PARTITION BY s ORDER BY d) AS cum,
+          sum(wd) OVER (PARTITION BY s) AS tt FROM df)
+        SELECT s AS split, CAST(max(tt) AS BIGINT) AS n_pairs,
+          CAST(min(d) AS BIGINT) AS hl_shift
+        FROM cw WHERE cum * 2 >= tt GROUP BY 1"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3369,7 +3510,8 @@ object Queries {
     agg26, agg27, misc16, win24, agg28, win25, misc17,
     win26, misc18, misc19, misc20, agg29, misc21,
     misc22, misc23, misc24, misc25,
-    win27, win28, win29, win30, join10, agg30) ++ LlmQueries.specs
+    win27, win28, win29, win30, join10, agg30,
+    agg31, agg32, agg33, agg34) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

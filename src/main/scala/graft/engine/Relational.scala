@@ -3581,6 +3581,220 @@ object Relational {
           "CAST(n_hat - n_exact AS DOUBLE) * 1000000.0" +
             " / CAST(n_exact AS DOUBLE)"), 6)).as("err_ppm"))
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) across k groups on
+    * an integer-lattice value column — the k-sample generalization of
+    * the Mann–Whitney (q194): "do these sources/splits draw from the
+    * same distribution" without normality. Average ranks for ties,
+    * carried exactly as DOUBLED ranks at VALUE grain: the rank of
+    * value v is `r2_v = 2·cum(v) − c_v + 1` over the value-grain count
+    * frame, so ranking costs one [[globalCumSum]] over DISTINCT values
+    * (bounded by the value domain, never the row count — no global
+    * row sort anywhere). Per-group rank sums `R2_g = Σ c_{v,g}·r2_v`
+    * are exact BIGINT; the `Σ R_g²/n_g` fold rides the [[anovaF]]
+    * sorted-fold discipline (terms summed in group order, both
+    * engines); tie mass `Σ(t³−t)` is exact DECIMAL(38,0).
+    * `H = 12·T/(n(n+1)) − 3(n+1)`, tie-corrected
+    * `H' = H / (1 − Σ(t³−t)/(n³−n))`. Output: ONE row
+    * `(k, n, h_stat, tie_c, h_adj)` at 6 dp.
+    *
+    * Scale: two value-grain aggregates + the partition-local cumsum —
+    * the q303 distributed-rank posture; nothing wider than
+    * (distinct values × groups) is ever shuffled.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+    val vGrain = rows.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val ranked = globalCumSum(vGrain, Seq(col("__v")), col("__c"), "__cum")
+      .withColumn("__r2", col("__cum") * 2 - col("__c") + 1)
+    val gvGrain = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cg"))
+    val byG = gvGrain.join(ranked.select(col("__v"), col("__r2")), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("__ng"),
+        sum(col("__cg") * col("__r2")).as("__R2"))
+      // R2 <= 2n² stays double-exact below 2^53 (n <= ~6·10⁷ rows);
+      // halve FIRST, then square in double — never a >10¹⁹ decimal
+      // (the Brown–Forsythe DECIMAL→DOUBLE lesson)
+      .withColumn("__term",
+        (col("__R2").cast("double") / 2) * (col("__R2").cast("double") / 2)
+          / col("__ng").cast("double"))
+    val ties = vGrain.agg(coalesce(sum(
+      col("__c").cast(d38) * col("__c") * col("__c") - col("__c")),
+      lit(0L).cast(d38)).as("__ties"))
+    byG.agg(count(lit(1)).cast("int").as("k"),
+        sum(col("__ng")).as("n"),
+        sort_array(collect_list(struct(col("__g"), col("__term"))))
+          .as("__terms"))
+      .withColumn("__t", expr(
+        "aggregate(transform(__terms, s -> s.__term), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .crossJoin(ties)
+      .withColumn("h_stat", when(col("n") > 1, round(
+        col("__t") * 12 / (col("n").cast("double") *
+          (col("n").cast("double") + 1)) -
+          (col("n").cast("double") + 1) * 3, 6)))
+      .withColumn("tie_c", when(col("n") > 1, round(
+        lit(1d) - col("__ties").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double")), 6)))
+      .withColumn("h_adj", when(col("n") > 1 &&
+          col("__ties").cast("double") <
+            col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") - col("n").cast("double"), round(
+        (col("__t") * 12 / (col("n").cast("double") *
+          (col("n").cast("double") + 1)) -
+          (col("n").cast("double") + 1) * 3) /
+        (lit(1d) - col("__ties").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double"))), 6)))
+      .select(col("k"), col("n"), col("h_stat"), col("tie_c"),
+        col("h_adj"))
+  }
+
+  /** Friedman test (Friedman 1937) over a block × treatment design:
+    * "does the treatment ordering hold up across blocks" — the
+    * repeated-measures companion to [[kruskalWallis]] (which assumes
+    * independent groups). Cells are the exact micro-mean
+    * `S·10⁶ DIV c` of a NON-NEGATIVE integer-lattice value (the
+    * [[giniReport]] caller contract); only COMPLETE blocks (all k
+    * treatments present) enter, the standard requirement. Within-block
+    * average ranks carried as exact doubled ranks (`r2 = 2·cum − c +
+    * 1` over the block's value-grain counts — ties across treatments
+    * share the average); treatment rank sums `R2_j` and `Σ R2_j²` are
+    * exact; `χ²_F = 3·ΣR2_j²/(b·k·(k+1)) − 3·b·(k+1)` is one final
+    * double division at 6 dp. Output: ONE row
+    * `(k, b, r2_sq_sum, chi2_f)`.
+    *
+    * Scale: block×treatment-grain aggregates with block-keyed windows
+    * — block cardinality bounds every frame; no global ranking at all.
+    */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull &&
+        col(blockCol).isNotNull && col(treatmentCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .withColumn("__m", expr("__s * 1000000L DIV __c"))
+    val k1 = cells.agg(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nt"))
+      .crossJoin(k1)
+      .filter(col("__nt") === col("__k"))
+      .select(col("__b"))
+    val kept = cells.join(complete, Seq("__b"))
+    val mGrain = kept.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__cm"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = mGrain.withColumn("__cum", sum(col("__cm")).over(w))
+      .withColumn("__r2", col("__cum") * 2 - col("__cm") + 1)
+    val byT = kept.join(ranked.select(col("__b"), col("__m"), col("__r2")),
+        Seq("__b", "__m"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__bt"))
+    byT.agg(count(lit(1)).cast("int").as("k"),
+        max(col("__bt")).as("b"),
+        coalesce(sum(col("__R2").cast(d38) * col("__R2")), lit(0L).cast(d38))
+          .as("r2_sq_sum"))
+      .withColumn("chi2_f", when(col("k") > 1 && col("b") > 0, round(
+        col("r2_sq_sum").cast("double") * 3 /
+          (col("b").cast("double") * col("k").cast("double") *
+            (col("k").cast("double") + 1)) -
+          col("b").cast("double") * (col("k").cast("double") + 1) * 3, 6)))
+      .select(col("k"), col("b"), col("r2_sq_sum").cast("long")
+        .as("r2_sq_sum"), col("chi2_f"))
+  }
+
+  /** Cliff's delta ordinal effect size (Cliff 1993) of every non-ref
+    * split against the reference: `δ = [#(x_s > x_ref) − #(x_s <
+    * x_ref)] / (n_s·n_ref)` — the assumption-free companion the
+    * Mann–Whitney U's p-value needs (at 100 TB everything is
+    * "significant"; δ says whether the shift is MATERIAL: |δ| < 0.147
+    * is the conventional "negligible" bar).
+    *
+    * Exact at value grain: with the reference's cumulative counts
+    * `cumA(v)` (one [[globalCumSum]] over the union value-grain
+    * frame), the numerator is `Σ_v c_{s,v}·(lessA(v) − greaterA(v))`
+    * — exact BIGINT, never a row×row comparison. Output per split:
+    * `(split, n_ref, n_split, num, delta)` at 6 dp.
+    */
+  def cliffsDelta(df: DataFrame, splitCol: String, refValue: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(splitCol).isNotNull)
+      .select(col(splitCol).cast("string").as("__s"),
+        col(valueCol).cast("long").as("__v"))
+    val vGrain = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__s") === refValue, 1L).otherwise(0L))
+        .as("__ca"))
+    val nA = vGrain.agg(sum(col("__ca")).as("__na"))
+    val cum = globalCumSum(vGrain, Seq(col("__v")), col("__ca"), "__cumA")
+    val other = rows.filter(col("__s") =!= refValue)
+      .groupBy(col("__s"), col("__v")).agg(count(lit(1)).as("__cb"))
+    other.join(cum.select(col("__v"), col("__ca"), col("__cumA")), "__v")
+      .crossJoin(nA)
+      .withColumn("__less", col("__cumA") - col("__ca"))
+      .withColumn("__greater", col("__na") - col("__cumA"))
+      .groupBy(col("__s"))
+      .agg(max(col("__na")).as("n_ref"),
+        sum(col("__cb")).as("n_split"),
+        sum(col("__cb") * (col("__less") - col("__greater"))).as("num"))
+      .select(col("__s").as("split"), col("n_ref"), col("n_split"),
+        col("num"),
+        when(col("n_ref") > 0 && col("n_split") > 0, round(
+          col("num").cast("double") / (col("n_ref").cast("double") *
+            col("n_split").cast("double")), 6)).as("delta"))
+  }
+
+  /** Hodges–Lehmann shift estimator (Hodges & Lehmann 1963) of every
+    * non-ref split vs the reference: the MEDIAN of all n_s·n_ref
+    * pairwise differences — the robust "how far did the distribution
+    * move" in original units ([[cliffsDelta]] says whether, this says
+    * how much).
+    *
+    * Never materializes row pairs: both sides collapse to value grain,
+    * the reference grain is collected into ONE sorted array (bounded
+    * by the value DOMAIN — the corpus-total broadcast pattern, row-
+    * count-independent) and exploded against the split grains, so the
+    * difference distribution is a |V_s|×|V_ref| frame of
+    * `(d, weight = c_s·c_ref)` cells. The shift is the exact lower
+    * weighted median (`min d with 2·cum ≥ T`, the Brown–Forsythe
+    * median convention). Output per split:
+    * `(split, n_pairs, hl_shift)` — all exact integers.
+    */
+  def hodgesLehmannShift(df: DataFrame, splitCol: String, refValue: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(splitCol).isNotNull)
+      .select(col(splitCol).cast("string").as("__s"),
+        col(valueCol).cast("long").as("__v"))
+    val refArr = rows.filter(col("__s") === refValue)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__ca"))
+      .agg(sort_array(collect_list(struct(col("__v").as("va"),
+        col("__ca").as("ca")))).as("__ref"))
+    val diffs = rows.filter(col("__s") =!= refValue)
+      .groupBy(col("__s"), col("__v")).agg(count(lit(1)).as("__cb"))
+      .crossJoin(refArr)
+      .select(col("__s"), col("__v"), col("__cb"),
+        explode(col("__ref")).as("__r"))
+      .select(col("__s"), (col("__v") - col("__r.va")).as("__d"),
+        (col("__cb") * col("__r.ca")).as("__w"))
+      .groupBy(col("__s"), col("__d")).agg(sum(col("__w")).as("__wd"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__s"))
+    diffs.withColumn("__cum", sum(col("__wd")).over(w))
+      .withColumn("__T", sum(col("__wd")).over(tot))
+      .filter(col("__cum") * 2 >= col("__T"))
+      .groupBy(col("__s"))
+      .agg(max(col("__T")).as("n_pairs"), min(col("__d")).as("hl_shift"))
+      .select(col("__s").as("split"), col("n_pairs"), col("hl_shift"))
+  }
+
   /** Theil T inequality decomposition (Theil 1967) of a positive mass
     * column across groups: unlike the Gini ([[giniReport]]), Theil is
     * ADDITIVELY DECOMPOSABLE — `T = T_between + Σ_s share_s·T_s` — so
