@@ -8032,6 +8032,41 @@ object LlmQueries {
           theil_in_micro
         FROM bg JOIN inn USING (g) CROSS JOIN gl"""))
 
+  /** McNemar paired test: stopword lang-ID vs the always-'en' majority
+    * baseline on the same documents — the discordant-pair test q208's
+    * kappa can't answer ("is the heuristic BETTER than the baseline,
+    * given the pairing"). */
+  private val l248 = Spec("q399_mcnemar",
+    (s, d) => graft.engine.Relational.mcnemarTest(
+      T(s, d, "documents").filter(col("lang").isNotNull)
+        .select((Text.langId(col("text")) === col("lang"))
+          .as("a_correct"),
+          (col("lang") === "en").as("b_correct")),
+      "a_correct", "b_correct"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $wordsSql AS words
+          FROM documents WHERE lang IS NOT NULL),
+        c AS (SELECT doc_id, lang, $langCountsSql FROM t),
+        p AS (SELECT ($langCaseSql) = lang AS a,
+          lang = 'en' AS b FROM c),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_both,
+          CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a_only,
+          CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b_only,
+          CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neither FROM p)
+        SELECT n, n_both, n_a_only, n_b_only, n_neither,
+          CASE WHEN n_a_only + n_b_only > 0 THEN
+            round(CAST((n_a_only - n_b_only) * (n_a_only - n_b_only)
+              AS DOUBLE) / (n_a_only + n_b_only), 6) END AS chi2,
+          CASE WHEN n_a_only + n_b_only > 0 THEN
+            round(CAST(greatest(abs(n_a_only - n_b_only) - 1, 0)
+              * greatest(abs(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+              / (n_a_only + n_b_only), 6) END AS chi2_cc
+        FROM ag"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8053,5 +8088,5 @@ object LlmQueries {
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
-    l238, l239, l240, l241, l242, l243, l244, l245, l246, l247)
+    l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248)
 }

@@ -3386,6 +3386,107 @@ object Queries {
           CAST(min(d) AS BIGINT) AS hl_shift
         FROM cw WHERE cum * 2 >= tt GROUP BY 1"""))
 
+  /** OP-AGG-35 — ROC AUC of the cents-lattice event value as a
+    * purchase-vs-rest score (exact rank identity, pair-free). */
+  private val agg35 = Spec("q397_auc_roc",
+    (s, d) => Relational.aucRoc(
+      T(s, d, "events").filter(col("value").isNotNull &&
+        col("event_type").isNotNull)
+        .select((col("event_type") === "purchase").as("y"),
+          round(col("value") * 100).cast("long").as("v")),
+      "y", "v"),
+    Some("""WITH r AS (SELECT event_type = 'purchase' AS y,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        vg AS (SELECT v,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp
+          FROM r GROUP BY 1),
+        cm AS (SELECT v, cn, cp, sum(cn) OVER (ORDER BY v) AS cumn
+          FROM vg)
+        SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+          CAST(sum(cn) AS BIGINT) AS n_neg,
+          CAST(coalesce(sum(cp * ((cumn - cn) * 2 + cn)), 0) AS BIGINT)
+            AS num2,
+          CASE WHEN sum(cp) > 0 AND sum(cn) > 0 THEN
+            round(CAST(sum(cp * ((cumn - cn) * 2 + cn)) AS DOUBLE)
+              / (CAST(sum(cp) AS DOUBLE) * CAST(sum(cn) AS DOUBLE) * 2),
+              6) END AS auc
+        FROM cm"""))
+
+  /** OP-AGG-36 — calibration audit of the length-based "is English"
+    * score (p = min(n_chars/2000, 1)) in 10 ppm bins + ECE + Brier. */
+  private val agg36 = Spec("q398_calibration",
+    (s, d) => Relational.calibrationReport(
+      T(s, d, "documents").filter(col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+        .select(least(col("n_chars"), lit(2000L)).cast("long")
+          .multiply(500L).as("p_ppm"),
+          (col("lang") === "en").as("y")),
+      "p_ppm", "y", bins = 10),
+    Some("""WITH r AS (SELECT least(n_chars, 2000) * 500 AS p,
+          lang = 'en' AS y FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(p) AS BIGINT) AS sp,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+          CAST(sum(CAST(p - (CASE WHEN y THEN 1000000 ELSE 0 END)
+            AS HUGEINT) * (p - (CASE WHEN y THEN 1000000 ELSE 0 END)))
+            AS HUGEINT) AS sq
+          FROM r GROUP BY 1),
+        pb AS (SELECT bin, n, sp // n AS conf_ppm,
+          sy * 1000000 // n AS acc_ppm, sq FROM b),
+        pg AS (SELECT bin, n, conf_ppm, acc_ppm,
+          abs(conf_ppm - acc_ppm) AS gap_ppm, sq FROM pb),
+        g AS (SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm)
+            // sum(n) AS BIGINT) AS ece_ppm,
+          CAST(sum(sq) // (CAST(sum(n) AS HUGEINT) * 1000000)
+            AS BIGINT) AS brier_micro FROM pg)
+        SELECT bin, n, conf_ppm, acc_ppm, gap_ppm, ece_ppm, brier_micro
+        FROM pg CROSS JOIN g"""))
+
+  /** OP-AGG-37 — Page's L trend test: do event-type micro-mean ranks
+    * increase in lexicographic dose order across user blocks. */
+  private val agg37 = Spec("q400_page_trend",
+    (s, d) => Relational.pageTrendTest(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v")),
+      "user_id", "event_type", "v"),
+    Some("""WITH r AS (SELECT user_id AS b, event_type AS t,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IS NOT NULL),
+        cl AS (SELECT b, t, CAST(sum(v) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        ce AS (SELECT b, t, s * 1000000 // c AS m FROM cl),
+        kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM ce),
+        co AS (SELECT b FROM ce GROUP BY b
+          HAVING count(*) = (SELECT k FROM kk)),
+        ke AS (SELECT ce.* FROM ce JOIN co USING (b)),
+        mg AS (SELECT b, m, CAST(count(*) AS BIGINT) AS cm FROM ke
+          GROUP BY 1, 2),
+        rk AS (SELECT b, m, cm, sum(cm) OVER (PARTITION BY b
+          ORDER BY m) AS cum FROM mg),
+        r2 AS (SELECT b, m, cum * 2 - cm + 1 AS r2 FROM rk),
+        bt AS (SELECT t, CAST(sum(r2) AS BIGINT) AS rr,
+          CAST(count(*) AS BIGINT) AS nb FROM ke JOIN r2 USING (b, m)
+          GROUP BY 1),
+        oj AS (SELECT t, rr, nb,
+          CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j FROM bt),
+        ag AS (SELECT CAST(count(*) AS INT) AS k,
+          CAST(max(nb) AS BIGINT) AS b,
+          CAST(sum(j * rr) AS BIGINT) AS l2 FROM oj)
+        SELECT k, b, l2 AS l2_stat,
+          CASE WHEN k > 1 AND b > 0 THEN
+            round((CAST(l2 AS DOUBLE) / 2 - CAST(b AS DOUBLE)
+              * k * (k + 1) * (k + 1) / 4)
+              / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1)
+                * (CAST(k AS DOUBLE) * k - 1) / 144), 6)
+          END AS z
+        FROM ag"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3511,7 +3612,7 @@ object Queries {
     win26, misc18, misc19, misc20, agg29, misc21,
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
-    agg31, agg32, agg33, agg34) ++ LlmQueries.specs
+    agg31, agg32, agg33, agg34, agg35, agg36, agg37) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -3885,4 +3885,176 @@ object Relational {
             col("__n") * (col("__n") + 1)).cast("double") / 2 /
           sqrt(col("__v12").cast("double") / 12d), 6)).as("z"): _*)
   }
+
+  /** ROC AUC of an integer-lattice score against a binary label, exact
+    * via the rank identity `AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)` — the
+    * threshold-free readout a quality-classifier audit wants before
+    * anyone picks a filter cutoff. Never materializes pairs: at value
+    * grain, `num2 = Σ_v c⁺_v·(2·less⁻(v) + c⁻_v)` (doubled so ties stay
+    * integral) with `less⁻` from one [[globalCumSum]] over the negative
+    * counts; `AUC = num2 / (2·n⁺·n⁻)` is the single final double at
+    * 6 dp. `num2 ≤ 2·n⁺·n⁻` assumes `n⁺·n⁻ < 2⁶²` (geometric mean
+    * ≲ 2·10⁹ rows per class — any labeled eval set; the momentsSketch
+    * magnitude-bound convention). Output: ONE row
+    * `(n_pos, n_neg, num2, auc)`.
+    *
+    * Scale: one value-grain count aggregate, one distributed cumsum
+    * over the value DOMAIN, one 1-row reduce — row-count-independent
+    * after the first aggregate.
+    */
+  def aucRoc(df: DataFrame, posCol: String, valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(posCol).isNotNull)
+      .select(col(posCol).cast("boolean").as("__y"),
+        col(valueCol).cast("long").as("__v"))
+    val vGrain = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__y"), 0L).otherwise(1L)).as("__cn"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"))
+    val cum = globalCumSum(vGrain, Seq(col("__v")), col("__cn"), "__cumN")
+    cum.agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        coalesce(sum(col("__cp") *
+          ((col("__cumN") - col("__cn")) * 2 + col("__cn"))), lit(0L))
+          .as("num2"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("num2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * 2),
+          6)))
+  }
+
+  /** Calibration audit of a ppm-scale probability column against a
+    * binary outcome: equal-width confidence bins with per-bin
+    * confidence/accuracy gap, plus the two corpus scalars every
+    * model-quality gate reads — ECE (expected calibration error,
+    * bin-weighted |conf − acc|) and the Brier score. All exact
+    * integers: `conf_ppm = Σp DIV n`, `acc_ppm = 10⁶·Σy DIV n`,
+    * `brier_micro = Σ(p − 10⁶y)² DIV (N·10⁶)` in DECIMAL(38,0)
+    * (p ∈ [0,10⁶] so each square ≤ 10¹², safe to N ~ 10²⁵ rows),
+    * `ece_ppm = Σ_b n_b·gap_b DIV N`. Output: one row per non-empty
+    * bin `(bin, n, conf_ppm, acc_ppm, gap_ppm, ece_ppm, brier_micro)`
+    * — the two scalars repeated per row (bounded bins-row frame).
+    *
+    * Scale: one bin-grain aggregate (≤ `bins` rows) + a 1-row reduce
+    * broadcast back — single exchange over the row frame.
+    */
+  def calibrationReport(df: DataFrame, probPpmCol: String,
+      outcomeCol: String, bins: Int = 10): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(probPpmCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(probPpmCol).cast("long").as("__p"),
+        col(outcomeCol).cast("boolean").cast("long").as("__yy"))
+    val byBin = rows
+      .withColumn("__bin", least(floor(col("__p") * bins / 1000000L),
+        lit(bins - 1L)).cast("long"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("__sp"),
+        sum(col("__yy")).as("__sy"),
+        sum((col("__p") - col("__yy") * 1000000L).cast(d38) *
+          (col("__p") - col("__yy") * 1000000L)).as("__sq"))
+      .withColumn("conf_ppm", expr("__sp DIV n"))
+      .withColumn("acc_ppm", expr("__sy * 1000000L DIV n"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    val glob = byBin.agg(sum(col("n")).as("__N"),
+        sum(col("__sq")).as("__SQ"),
+        sum(col("n").cast(d38) * col("gap_ppm")).as("__G"))
+      .select(expr("CAST(__G DIV __N AS BIGINT)").as("ece_ppm"),
+        expr("CAST(__SQ DIV (CAST(__N AS DECIMAL(38,0)) * 1000000) " +
+          "AS BIGINT)").as("brier_micro"))
+    byBin.select(col("__bin").as("bin"), col("n"), col("conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"))
+      .crossJoin(glob)
+  }
+
+  /** McNemar's paired-accuracy test (McNemar 1947): given per-row
+    * correctness of two models on the SAME rows, the discordant
+    * counts `b = #(A right, B wrong)`, `c = #(A wrong, B right)` carry
+    * all the evidence — `χ² = (b−c)²/(b+c)` and the Edwards
+    * continuity-corrected `(max(|b−c|−1,0))²/(b+c)` — the right test
+    * for "is the new lang-ID better than the baseline" where the
+    * unpaired χ² would waste the pairing. Output: ONE row
+    * `(n, n_both, n_a_only, n_b_only, n_neither, chi2, chi2_cc)`;
+    * χ² at 6 dp, null when `b + c = 0`.
+    *
+    * Scale: a single 1-row aggregate over the paired frame.
+    */
+  def mcnemarTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+    rows.agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L))
+          .as("n_a_only"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L))
+          .as("n_b_only"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .withColumn("__d", col("n_a_only") - col("n_b_only"))
+      .withColumn("__s", col("n_a_only") + col("n_b_only"))
+      .withColumn("chi2", when(col("__s") > 0, round(
+        (col("__d") * col("__d")).cast("double") /
+          col("__s").cast("double"), 6)))
+      .withColumn("chi2_cc", when(col("__s") > 0, round(
+        (greatest(abs(col("__d")) - 1, lit(0L)) *
+          greatest(abs(col("__d")) - 1, lit(0L))).cast("double") /
+          col("__s").cast("double"), 6)))
+      .drop("__d", "__s")
+  }
+
+  /** Page's trend test (Page 1963) for an ORDERED alternative across
+    * a block × treatment design: where [[friedmanTest]] asks "do
+    * treatments differ at all", Page asks "do they increase in the
+    * GIVEN order" (dose, curriculum stage, model generation) — far
+    * more powerful when the order is the hypothesis. Treatments are
+    * ordered lexicographically (position j from a sort_array of the
+    * bounded treatment set — the corpus-total broadcast pattern, no
+    * global window); cells, complete-block filtering, and exact
+    * doubled within-block ranks are the [[friedmanTest]] machinery
+    * verbatim. `L2 = Σ_j j·R2_j` is exact; `z = (L2/2 − b·k(k+1)²/4)
+    * / √(b·k²(k+1)(k²−1)/144)` is the one final double at 6 dp.
+    * Output: ONE row `(k, b, l2_stat, z)`.
+    *
+    * Scale: block×treatment-grain aggregates with block-keyed windows;
+    * the treatment array is bounded by k.
+    */
+  def pageTrendTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull &&
+        col(blockCol).isNotNull && col(treatmentCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .withColumn("__m", expr("__s * 1000000L DIV __c"))
+    val k1 = cells.agg(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nt"))
+      .crossJoin(k1)
+      .filter(col("__nt") === col("__k"))
+      .select(col("__b"))
+    val kept = cells.join(complete, Seq("__b"))
+    val mGrain = kept.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__cm"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = mGrain.withColumn("__cum", sum(col("__cm")).over(w))
+      .withColumn("__r2", col("__cum") * 2 - col("__cm") + 1)
+    val byT = kept.join(ranked.select(col("__b"), col("__m"), col("__r2")),
+        Seq("__b", "__m"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__R2"), count(lit(1)).as("__bt"))
+    val order = byT.agg(sort_array(collect_list(col("__t"))).as("__ord"))
+    byT.crossJoin(order)
+      .withColumn("__j", array_position(col("__ord"), col("__t")))
+      .agg(count(lit(1)).cast("int").as("k"), max(col("__bt")).as("b"),
+        sum(col("__j") * col("__R2")).as("l2_stat"))
+      .withColumn("__kd", col("k").cast("double"))
+      .withColumn("__bd", col("b").cast("double"))
+      .withColumn("__var", col("__bd") * col("__kd") * col("__kd") *
+        (col("__kd") + 1) * (col("__kd") * col("__kd") - 1) / 144d)
+      .withColumn("z", when(col("__var") > 0, round(
+        (col("l2_stat").cast("double") / 2 -
+          col("__bd") * col("__kd") * (col("__kd") + 1) *
+            (col("__kd") + 1) / 4) / sqrt(col("__var")), 6)))
+      .select(col("k"), col("b"), col("l2_stat"), col("z"))
+  }
 }
