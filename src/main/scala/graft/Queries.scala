@@ -3487,6 +3487,194 @@ object Queries {
           END AS z
         FROM ag"""))
 
+  /** Session-memoized 40×40 quantity grid over lineitem
+    * (`gx = l_partkey % 40, gy = l_suppkey % 40, x = Σ l_quantity`):
+    * the shared cell frame of the spatial-statistics pair q401/q402. */
+  private[graft] def quantityGridCells(s: SparkSession,
+      d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "quantityGridCells"),
+      T(s, d, "lineitem")
+        .select((col("l_partkey") % 40).as("__gx"),
+          (col("l_suppkey") % 40).as("__gy"),
+          col("l_quantity").cast("long").as("__q"))
+        .groupBy(col("__gx"), col("__gy"))
+        .agg(sum(col("__q")).as("__x")).localCheckpoint(true))
+
+  /** Session-memoized DIRECTED queen-neighbor pair frame of that grid
+    * (`(center gx, gy, xi) × (neighbor xj)`, 8-bounded per cell): the
+    * offset list is exploded so the JOIN KEY itself bounds fan-out
+    * (the skipgramPmi discipline — never a filter after a wide join). */
+  private[graft] def quantityGridPairs(s: SparkSession,
+      d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "quantityGridPairs"), {
+      val cells = quantityGridCells(s, d)
+      val offs = for { dx <- -1 to 1; dy <- -1 to 1
+        if dx != 0 || dy != 0 } yield (dx, dy)
+      val withOff = cells.select(col("__gx"), col("__gy"),
+          col("__x").as("__xi"))
+        .withColumn("__o", explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+        .withColumn("__nx", col("__gx") + col("__o.dx"))
+        .withColumn("__ny", col("__gy") + col("__o.dy"))
+      withOff.join(cells.select(col("__gx").as("__nx"),
+          col("__gy").as("__ny"), col("__x").as("__xj")),
+          Seq("__nx", "__ny"))
+        .select(col("__gx"), col("__gy"), col("__xi"), col("__xj"))
+        .localCheckpoint(true)
+    })
+
+  /** Shared DuckDB fragment for the grid + queen-neighbor pairs. */
+  private val gridSql =
+    """c AS (SELECT l_partkey % 40 AS gx, l_suppkey % 40 AS gy,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1, 2),
+        p AS (SELECT a.gx, a.gy, a.x AS xi, b.x AS xj
+          FROM c a JOIN c b ON abs(a.gx - b.gx) <= 1
+            AND abs(a.gy - b.gy) <= 1
+            AND NOT (a.gx = b.gx AND a.gy = b.gy))"""
+
+  /** OP-AGG-38 — Moran's I spatial autocorrelation of part-quantity
+    * mass on the 40×40 grid (queen weights, exact-integer expansion). */
+  private val agg38 = Spec("q401_morans_i",
+    (s, d) => Relational.moransI(quantityGridCells(s, d),
+      quantityGridPairs(s, d)),
+    Some(s"""WITH $gridSql,
+        g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS s,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q FROM c),
+        pp AS (SELECT CAST(count(*) AS HUGEINT) AS w,
+          CAST(coalesce(sum(CAST(xi AS HUGEINT) * xj), 0) AS HUGEINT)
+            AS pr,
+          CAST(coalesce(sum(CAST(xi AS HUGEINT) + xj), 0) AS HUGEINT)
+            AS t FROM p)
+        SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+          CAST(s AS BIGINT) AS sum_x,
+          CASE WHEN w > 0 AND n * q - s * s <> 0 THEN
+            round(CAST(n * n * pr - n * s * t + s * s * w AS DOUBLE)
+              / (CAST(w AS DOUBLE) * CAST(n * q - s * s AS DOUBLE)), 6)
+          END AS morans_i,
+          CASE WHEN n > 1 THEN round(-1.0 / CAST(n - 1 AS DOUBLE), 6)
+          END AS e_i
+        FROM g CROSS JOIN pp"""))
+
+  /** OP-AGG-39 — Getis–Ord Gi* hotspot z-score per grid cell (star
+    * weights, integer numerator over one sqrt). */
+  private val agg39 = Spec("q402_getis_ord",
+    (s, d) => Relational.getisOrdGi(quantityGridCells(s, d),
+      quantityGridPairs(s, d)),
+    Some(s"""WITH $gridSql,
+        g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS s,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q FROM c),
+        nb AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS nn,
+          CAST(sum(xj) AS BIGINT) AS sn FROM p GROUP BY 1, 2),
+        j AS (SELECT c.gx, c.gy, c.x,
+          coalesce(nn, 0) + 1 AS w_i, c.x + coalesce(sn, 0) AS g_sum
+          FROM c LEFT JOIN nb USING (gx, gy))
+        SELECT gx, gy, x, w_i, g_sum,
+          CASE WHEN CAST(n * q - s * s AS DOUBLE)
+              * CAST(n * w_i - CAST(w_i AS HUGEINT) * w_i AS DOUBLE)
+              / (CAST(n AS DOUBLE) - 1) > 0 THEN
+            round(CAST(n * g_sum - s * w_i AS DOUBLE)
+              / sqrt(CAST(n * q - s * s AS DOUBLE)
+                * CAST(n * w_i - CAST(w_i AS HUGEINT) * w_i AS DOUBLE)
+                / (CAST(n AS DOUBLE) - 1)), 6)
+          END AS gi_z
+        FROM j CROSS JOIN g"""))
+
+  /** OP-AGG-40 — periodogram of hourly event volume at the harmonics
+    * that matter for a 30-day window (k=30 is the diurnal cycle). */
+  private val agg40 = Spec("q403_periodogram",
+    (s, d) => Relational.dftPower(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      "t", "x", ks = Seq(1, 2, 3, 7, 15, 30, 60, 90)),
+    Some("""WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+          CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1),
+        b AS (SELECT min(t) AS t0, max(t) AS t1,
+          CAST(count(*) AS BIGINT) AS nobs,
+          CAST(sum(x) AS BIGINT) AS sm FROM s),
+        e AS (SELECT k, t, x, t0, nobs, sm, t1 - t0 + 1 AS n
+          FROM s CROSS JOIN b
+          CROSS JOIN (SELECT unnest([1, 2, 3, 7, 15, 30, 60, 90]) AS k)),
+        m AS (SELECT k, nobs,
+          CAST(round(CAST(nobs * x - sm AS DOUBLE) / nobs
+            * cos(2 * pi() * k * (t - t0) / n) * 1000000) AS BIGINT)
+            AS ca,
+          CAST(round(CAST(nobs * x - sm AS DOUBLE) / nobs
+            * sin(2 * pi() * k * (t - t0) / n) * 1000000) AS BIGINT)
+            AS sa
+          FROM e)
+        SELECT k, CAST(max(nobs) AS BIGINT) AS n_obs,
+          CAST(sum(ca) AS BIGINT) AS a_micro,
+          CAST(sum(sa) AS BIGINT) AS b_micro,
+          round(CAST(CAST(sum(ca) AS HUGEINT) * sum(ca)
+            + CAST(sum(sa) AS HUGEINT) * sum(sa) AS DOUBLE) / 1e12, 6)
+            AS power
+        FROM m GROUP BY 1"""))
+
+  /** OP-AGG-41 — rescaled-range Hurst exponent of hourly event volume
+    * at dyadic block sizes 16/32/64. */
+  private val agg41 = Spec("q404_hurst_rs",
+    (s, d) => Relational.hurstRs(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      "t", "x", blockSizes = Seq(16, 32, 64)),
+    Some("""WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+          CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1),
+        t0f AS (SELECT min(t) AS t0 FROM s),
+        sz AS (SELECT t, x, bs, (t - t0) // bs AS blk
+          FROM s CROSS JOIN t0f
+          CROSS JOIN (SELECT unnest([16, 32, 64]) AS bs)),
+        bb AS (SELECT bs, blk, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(x) AS BIGINT) AS sb,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qb
+          FROM sz GROUP BY 1, 2 HAVING count(*) = bs),
+        z AS (SELECT sz.bs, sz.blk,
+          sum(x) OVER (PARTITION BY sz.bs, sz.blk ORDER BY t) * sz.bs
+            - (row_number() OVER (PARTITION BY sz.bs, sz.blk ORDER BY t))
+              * sb AS zp,
+          sb, qb FROM sz JOIN bb USING (bs, blk)),
+        pb AS (SELECT bs, blk, max(zp) AS zmax, min(zp) AS zmin,
+          max(sb) AS sb, max(qb) AS qb FROM z GROUP BY 1, 2),
+        rs AS (SELECT bs, CAST(greatest(zmax, 0) - least(zmin, 0)
+            AS DOUBLE)
+            / sqrt(CAST(qb * bs - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+            AS rsv
+          FROM pb WHERE qb * bs - CAST(sb AS HUGEINT) * sb > 0),
+        lr AS (SELECT bs, CAST(round(ln(rsv) * 1000000) AS BIGINT)
+            AS lrs FROM rs WHERE rsv > 0),
+        bysz AS (SELECT bs AS block_len,
+          CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(round(CAST(sum(lrs) AS DOUBLE) / count(*)) AS BIGINT)
+            AS mean_ln_rs_micro
+          FROM lr GROUP BY 1),
+        sl AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(ln(CAST(block_len AS DOUBLE)) ORDER BY block_len)),
+            (a, b) -> a + b) AS su,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(mean_ln_rs_micro AS DOUBLE) / 1000000
+              ORDER BY block_len)), (a, b) -> a + b) AS sv,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(ln(CAST(block_len AS DOUBLE))
+              * ln(CAST(block_len AS DOUBLE)) ORDER BY block_len)),
+            (a, b) -> a + b) AS suu,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(ln(CAST(block_len AS DOUBLE))
+              * (CAST(mean_ln_rs_micro AS DOUBLE) / 1000000)
+              ORDER BY block_len)), (a, b) -> a + b) AS suv
+          FROM bysz)
+        SELECT block_len, n_blocks, mean_ln_rs_micro,
+          CASE WHEN m * suu - su * su > 0 THEN
+            round((m * suv - su * sv) / (m * suu - su * su), 6)
+          END AS hurst
+        FROM bysz CROSS JOIN sl"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3612,7 +3800,8 @@ object Queries {
     win26, misc18, misc19, misc20, agg29, misc21,
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
-    agg31, agg32, agg33, agg34, agg35, agg36, agg37) ++ LlmQueries.specs
+    agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
+    agg40, agg41) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

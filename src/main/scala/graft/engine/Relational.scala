@@ -4057,4 +4057,207 @@ object Relational {
             (col("__kd") + 1) / 4) / sqrt(col("__var")), 6)))
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
+
+  /** Moran's I spatial autocorrelation (Moran 1950) over an integer
+    * grid-cell frame with binary 8-neighbor (queen) weights, given the
+    * DIRECTED neighbor-pair frame `(xi, xj)` from [[gridNeighborPairs]]
+    * — "is high activity spatially clumped" for a tile layout / skew
+    * audit. Entirely exact until one division: with `N, S = Σx,
+    * Q = Σx²` and pair sums `W = #pairs, P = Σ xᵢxⱼ, T = Σ(xᵢ+xⱼ)`,
+    * the mean-centered numerator expands to `numInt = N²P − NST + S²W`
+    * and the denominator to `denInt = NQ − S²` (both DECIMAL(38,0)),
+    * giving `I = numInt / (W·denInt)` — one final double at 6 dp,
+    * plus the null expectation `E[I] = −1/(N−1)`. Output: ONE row
+    * `(n_cells, w_pairs, sum_x, morans_i, e_i)`.
+    *
+    * Scale: two 1-row reduces (cell frame, pair frame) — the pair
+    * frame is 8-bounded per cell by construction.
+    */
+  def moransI(cells: DataFrame, pairs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = cells.agg(count(lit(1)).as("__N"),
+      sum(col("__x")).as("__S"),
+      sum(col("__x").cast(d38) * col("__x")).as("__Q"))
+    val p = pairs.agg(count(lit(1)).as("__W"),
+      coalesce(sum(col("__xi").cast(d38) * col("__xj")), lit(0).cast(d38))
+        .as("__P"),
+      coalesce(sum((col("__xi") + col("__xj")).cast(d38)),
+        lit(0).cast(d38)).as("__T"))
+    g.crossJoin(p)
+      .withColumn("__num", col("__N").cast(d38) * col("__N") * col("__P")
+        - col("__N").cast(d38) * col("__S") * col("__T")
+        + col("__S").cast(d38) * col("__S") * col("__W"))
+      .withColumn("__den", col("__N").cast(d38) * col("__Q")
+        - col("__S").cast(d38) * col("__S"))
+      .select(col("__N").as("n_cells"), col("__W").as("w_pairs"),
+        col("__S").as("sum_x"),
+        when(col("__W") > 0 && col("__den") =!= 0, round(
+          col("__num").cast("double") /
+            (col("__W").cast("double") * col("__den").cast("double")), 6))
+          .as("morans_i"),
+        when(col("__N") > 1, round(lit(-1d) /
+          (col("__N").cast("double") - 1), 6)).as("e_i"))
+  }
+
+  /** Getis–Ord Gi* hotspot statistic (Getis & Ord 1992) per grid cell
+    * with binary queen weights INCLUDING self (the star form): which
+    * cells' neighborhoods run hot/cold vs the global mean, as a
+    * z-score. From exact integers — neighborhood sum `G = xᵢ + Σ_j xⱼ`,
+    * weight count `Wᵢ = 1 + #neighbors`, and globals `N, S, Q` — the
+    * z collapses to `(N·G − S·Wᵢ) / √((NQ − S²)(N·Wᵢ − Wᵢ²)/(N−1))`:
+    * integer numerator, one sqrt of an exact rational, 6 dp. Output
+    * per cell: `(gx, gy, x, w_i, g_sum, gi_z)`.
+    *
+    * Scale: one 8-bounded neighbor aggregate + a broadcast 1-row
+    * global — single exchange over the cell frame.
+    */
+  def getisOrdGi(cells: DataFrame, pairs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = cells.agg(count(lit(1)).as("__N"), sum(col("__x")).as("__S"),
+      sum(col("__x").cast(d38) * col("__x")).as("__Q"))
+    val nbr = pairs.groupBy(col("__gx"), col("__gy"))
+      .agg(count(lit(1)).as("__nn"), sum(col("__xj")).as("__sn"))
+    cells.join(nbr, Seq("__gx", "__gy"), "left")
+      .withColumn("w_i", coalesce(col("__nn"), lit(0L)) + 1)
+      .withColumn("g_sum", col("__x") + coalesce(col("__sn"), lit(0L)))
+      .crossJoin(broadcast(g))
+      .withColumn("__den", (col("__N").cast(d38) * col("__Q")
+          - col("__S").cast(d38) * col("__S")).cast("double")
+        * (col("__N").cast(d38) * col("w_i")
+          - col("w_i").cast(d38) * col("w_i")).cast("double")
+        / (col("__N").cast("double") - 1))
+      .select(col("__gx").as("gx"), col("__gy").as("gy"),
+        col("__x").as("x"), col("w_i"), col("g_sum"),
+        when(col("__den") > 0, round(
+          (col("__N").cast(d38) * col("g_sum")
+            - col("__S").cast(d38) * col("w_i")).cast("double") /
+            sqrt(col("__den")), 6)).as("gi_z"))
+  }
+
+  /** Periodogram of an integer-count series at CALLER-CHOSEN harmonics:
+    * demeaned DFT power `|Σ_t (x_t − x̄)·e^{−2πikt/n}|²` — "does the
+    * stream have a diurnal/weekly cycle" without materializing any
+    * O(n²) DFT. Exactness discipline: the demeaned factor is carried
+    * as the exact rational `(nobs·x_t − S)/nobs` and each trig term is
+    * rounded to MICRO before the sum (the Adamic–Adar per-term rule),
+    * so `a_micro, b_micro` are exact BIGINT reduces and
+    * `power = (a² + b²)/10¹²` is deterministic given them. `t` is
+    * re-based to the series start; `n = t_max − t_min + 1`. Output per
+    * harmonic k: `(k, n_obs, a_micro, b_micro, power)` at 6 dp.
+    *
+    * Scale: one grain aggregate to (t, x), a 1-row bounds reduce
+    * broadcast back, then a k-replicated map + k-grain reduce — the
+    * series frame is bounded by the time DOMAIN, not the row count.
+    */
+  def dftPower(df: DataFrame, tCol: String, xCol: String,
+      ks: Seq[Int]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__xv"))
+    val bounds = series.agg(min(col("__t")).as("__t0"),
+      max(col("__t")).as("__t1"), count(lit(1)).as("__nobs"),
+      sum(col("__xv")).as("__S"))
+    val kArr = array(ks.map(k => lit(k)): _*)
+    series.crossJoin(broadcast(bounds))
+      .withColumn("__n", col("__t1") - col("__t0") + 1)
+      .withColumn("k", explode(kArr))
+      .withColumn("__ang", lit(2d) * lit(math.Pi) * col("k") *
+        (col("__t") - col("__t0")) / col("__n"))
+      .withColumn("__dev", (col("__nobs") * col("__xv") - col("__S"))
+        .cast("double") / col("__nobs"))
+      .withColumn("__ca", expr(
+        "CAST(round(__dev * cos(__ang) * 1000000) AS BIGINT)"))
+      .withColumn("__sa", expr(
+        "CAST(round(__dev * sin(__ang) * 1000000) AS BIGINT)"))
+      .groupBy(col("k"))
+      .agg(max(col("__nobs")).as("n_obs"),
+        sum(col("__ca")).as("a_micro"), sum(col("__sa")).as("b_micro"))
+      .withColumn("power", round(
+        (col("a_micro").cast(d38) * col("a_micro")
+          + col("b_micro").cast(d38) * col("b_micro")).cast("double")
+          / 1e12, 6))
+  }
+
+  /** Rescaled-range Hurst exponent (Hurst 1951; Mandelbrot & Wallis
+    * 1969) of an integer series at dyadic block sizes: long-range
+    * dependence of a stream's hourly volume — H ≈ 0.5 is memoryless,
+    * H → 1 is trending/bursty (capacity planning reads this before
+    * trusting any Poisson assumption). Per (size, block) the
+    * cumulative deviation is carried n-SCALED and exact
+    * (`Z'_i = n·Σx_{≤i} − i·S_b`, a block-keyed BOUNDED window ≤ n
+    * rows), so `R' = max Z' − min(0, min Z')` and `n²σ² = nΣx² − S_b²`
+    * are exact integers and `R/S = R'/√(nΣx² − S²)`; `ln(R/S)` is
+    * rounded to micro per block (per-term rule), averaged exactly per
+    * size, and the Hurst estimate is the 2-dp-exact OLS slope of
+    * mean-ln(R/S) on ln(n) over the sizes. Only COMPLETE blocks enter.
+    * Output per size: `(block_len, n_blocks, mean_ln_rs_micro,
+    * hurst)` — the slope repeated on the bounded size frame.
+    *
+    * Scale: grain aggregate → block-keyed bounded windows → size-grain
+    * reduce; nothing global except two 1-row broadcasts.
+    */
+  def hurstRs(df: DataFrame, tCol: String, xCol: String,
+      blockSizes: Seq[Int]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__xv"))
+    val t0f = series.agg(min(col("__t")).as("__t0"))
+    val sized = series.crossJoin(broadcast(t0f))
+      .withColumn("__bs", explode(array(blockSizes.map(lit(_)): _*)))
+      .withColumn("__blk", expr("(__t - __t0) DIV __bs"))
+    val byBlk = sized.groupBy(col("__bs"), col("__blk"))
+      .agg(count(lit(1)).as("__c"), sum(col("__xv")).as("__Sb"),
+        sum(col("__xv").cast(d38) * col("__xv")).as("__Qb"))
+      .filter(col("__c") === col("__bs"))
+    val w = Window.partitionBy(col("__bs"), col("__blk"))
+      .orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = sized.join(byBlk, Seq("__bs", "__blk"))
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__zp", sum(col("__xv")).over(w) * col("__bs")
+        - col("__i") * col("__Sb"))
+    val perBlk = z.groupBy(col("__bs"), col("__blk"))
+      .agg(max(col("__zp")).as("__zmax"), min(col("__zp")).as("__zmin"),
+        max(col("__Sb")).as("__Sb2"), max(col("__Qb")).as("__Qb2"))
+      .withColumn("__s2", col("__Qb2") * col("__bs") -
+        col("__Sb2").cast(d38) * col("__Sb2"))
+      .filter(col("__s2") > 0)
+      .withColumn("__rs", (greatest(col("__zmax"), lit(0L)) -
+        least(col("__zmin"), lit(0L))).cast("double") /
+        sqrt(col("__s2").cast("double")))
+      .filter(col("__rs") > 0)
+      .withColumn("__lrs", expr(
+        "CAST(round(ln(__rs) * 1000000) AS BIGINT)"))
+    // mean ln(R/S) per size: round-double, never DIV (ln(R/S) can be
+    // negative and Spark DIV truncates while DuckDB // floors); the
+    // OLS sums fold a SORTED bounded array (the kruskalWallis
+    // discipline) so the double-addition order is pinned on both
+    // engines.
+    val bySize = perBlk.groupBy(col("__bs").as("block_len"))
+      .agg(count(lit(1)).as("n_blocks"),
+        expr("CAST(round(CAST(sum(__lrs) AS DOUBLE) / count(1)) " +
+          "AS BIGINT)").as("mean_ln_rs_micro"))
+    val slope = bySize
+      .agg(count(lit(1)).cast("double").as("__m"),
+        sort_array(collect_list(struct(col("block_len").as("bl"),
+          col("mean_ln_rs_micro").as("mv")))).as("__pts"))
+      .withColumn("__su", expr("aggregate(__pts, CAST(0.0 AS DOUBLE), " +
+        "(a, p) -> a + ln(CAST(p.bl AS DOUBLE)))"))
+      .withColumn("__sv", expr("aggregate(__pts, CAST(0.0 AS DOUBLE), " +
+        "(a, p) -> a + CAST(p.mv AS DOUBLE) / 1000000)"))
+      .withColumn("__suu", expr("aggregate(__pts, CAST(0.0 AS DOUBLE), " +
+        "(a, p) -> a + ln(CAST(p.bl AS DOUBLE)) " +
+        "* ln(CAST(p.bl AS DOUBLE)))"))
+      .withColumn("__suv", expr("aggregate(__pts, CAST(0.0 AS DOUBLE), " +
+        "(a, p) -> a + ln(CAST(p.bl AS DOUBLE)) " +
+        "* (CAST(p.mv AS DOUBLE) / 1000000))"))
+      .select(when(col("__m") * col("__suu") - col("__su") * col("__su")
+          > 0, round((col("__m") * col("__suv") -
+            col("__su") * col("__sv")) /
+          (col("__m") * col("__suu") - col("__su") * col("__su")), 6))
+        .as("hurst"))
+    bySize.crossJoin(slope)
+  }
 }
