@@ -8067,6 +8067,129 @@ object LlmQueries {
               / (n_a_only + n_b_only), 6) END AS chi2_cc
         FROM ag"""))
 
+  /** ERR@10 with same-label binary relevance — the cascade-model
+    * companion to q262's nDCG on the identical top-k frame. */
+  private val l249 = Spec("q405_err",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.errAtK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+          label AS ql FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nid) AS rank FROM s),
+        top AS (SELECT query_id, rank,
+          CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel
+          FROM r WHERE rank <= 10),
+        rb AS (SELECT query_id, rank, rel,
+          coalesce(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS relbefore FROM top),
+        tm AS (SELECT query_id, rel,
+          CASE WHEN rel = 1 THEN CAST(round(1000000
+            * pow(0.5, relbefore + 1) / rank) AS BIGINT)
+            ELSE 0 END AS term FROM rb),
+        a AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+          CAST(sum(term) AS BIGINT) AS err_micro FROM tm GROUP BY 1)
+        SELECT q.query_id,
+          coalesce(n_rel_topk, 0) AS n_rel_topk,
+          coalesce(err_micro, 0) AS err_micro
+        FROM q LEFT JOIN a USING (query_id)"""))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * 3-round integer-ppm PageRank over the adjacent-token
+    * co-occurrence graph, top-25 terms — the unsupervised keyword
+    * readout composed from the engine's own graph machinery. */
+  private val l250 = Spec("q407_textrank",
+    (s, d) => {
+      val toks = T(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("__p", "__w")))
+      val adj = toks.select(col("doc_id"), col("__p"),
+          col("__w").as("wa"))
+        .join(toks.select(col("doc_id"), (col("__p") - 1).as("__p"),
+          col("__w").as("wb")), Seq("doc_id", "__p"))
+        .filter(col("wa") =!= col("wb"))
+      val und = adj.select(col("wa").as("src"), col("wb").as("dst"))
+        .unionByName(adj.select(col("wb").as("src"),
+          col("wa").as("dst")))
+      graft.engine.Graph.pageRankPpm(und, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("id")).limit(25)
+        .select(col("id").as("term"), col("rank"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id, unnest(words) AS w,
+          unnest(range(len(words))) AS p FROM t),
+        ad AS (SELECT a.w AS wa, b.w AS wb FROM pos a
+          JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          WHERE a.w <> b.w),
+        e AS (SELECT DISTINCT src, dst FROM (SELECT wa AS src, wb AS dst
+          FROM ad UNION ALL SELECT wb, wa FROM ad)),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        c1 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+          GROUP BY dst),
+        r1 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+          GROUP BY dst),
+        r2 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT dst AS id, CAST(sum(rank // outdeg) AS BIGINT) AS s
+          FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src
+          GROUP BY dst),
+        r3 AS (SELECT n.id, 150000 + (85 * coalesce(s, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN c3 USING (id))
+        SELECT id AS term, rank FROM r3
+        ORDER BY rank DESC, term LIMIT 25"""))
+
+  /** Entropy rate of the q156 empirical chain (6-round stationary
+    * weights) — "is the event stream predictable enough to bother
+    * with a sequence model". */
+  private val l251 = Spec("q408_markov_entropy", {
+    val steps = 6
+    (s, d) => graft.engine.Windows.markovEntropyRate(
+      T(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("event_id"), steps = steps)
+  }, Some {
+    val steps = 6
+    val rounds = (1 to steps).map { k =>
+      s"""f$k AS (SELECT pt.to_state AS state,
+          CAST(sum(pt.p_ppm * p${k - 1}.pi) AS BIGINT) AS s
+          FROM pt JOIN p${k - 1} ON p${k - 1}.state = pt.from_state
+          GROUP BY 1),
+        p$k AS (SELECT st.state, coalesce(f$k.s, 0) // 1000000 AS pi
+          FROM states st LEFT JOIN f$k USING (state))"""
+    }.mkString(",\n        ")
+    s"""WITH $chainOracleBase,
+        nn AS (SELECT count(*) AS n FROM states),
+        p0 AS (SELECT state, 1000000 // nn.n AS pi
+          FROM states CROSS JOIN nn),
+        $rounds,
+        h AS (SELECT from_state AS state,
+          CAST(sum(CAST(round(CAST(p_ppm AS DOUBLE)
+            * ln(1000000.0 / p_ppm)) AS BIGINT)) AS BIGINT)
+            AS h_state_micro
+          FROM pt WHERE p_ppm > 0 GROUP BY 1),
+        ps AS (SELECT p$steps.state, CAST(p$steps.pi AS BIGINT)
+            AS pi_ppm,
+          coalesce(h.h_state_micro, 0) AS h_state_micro
+          FROM p$steps LEFT JOIN h USING (state)),
+        tot AS (SELECT CAST(coalesce(sum(CAST(round(
+            CAST(pi_ppm AS DOUBLE) * h_state_micro / 1000000)
+            AS BIGINT)), 0) AS BIGINT) AS entropy_rate_micro FROM ps)
+        SELECT state, pi_ppm, h_state_micro, entropy_rate_micro
+        FROM ps CROSS JOIN tot"""
+  })
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8088,5 +8211,6 @@ object LlmQueries {
     l206, l207, l208, l209, l210, l211, l212, l213, l214, l215, l216,
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
-    l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248)
+    l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
+    l249, l250, l251)
 }

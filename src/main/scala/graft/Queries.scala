@@ -3675,6 +3675,57 @@ object Queries {
           END AS hurst
         FROM bysz CROSS JOIN sl"""))
 
+  /** OP-AGG-42 — Jonckheere–Terpstra ordered trend across event types
+    * in lexicographic dose order (exact value-grain doubled U-sum). */
+  private val agg42 = Spec("q406_jonckheere", {
+    val groups = Seq("click", "error", "purchase", "signup", "view")
+    (s, d) => Relational.jonckheereTerpstra(
+      T(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value")).cast("long").as("v")),
+      "event_type", groups, "v")
+  }, Some {
+    val groups = Seq("click", "error", "purchase", "signup", "view")
+    val k = groups.length
+    val cs = groups.zipWithIndex.map { case (g, i) =>
+      s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n          ")
+    val ms = (0 until k).map(i =>
+      s"sum(c$i) OVER (ORDER BY v) AS m$i").mkString(",\n          ")
+    val terms = (for { j <- 0 until k; i <- 0 until j } yield
+      s"CAST(c$j AS HUGEINT) * ((m$i - c$i) * 2 + c$i)").mkString(" + ")
+    val ns = (0 until k).map(i =>
+      s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+    val nSum = (0 until k).map(i => s"n$i").mkString(" + ")
+    val sn2 = (0 until k).map(i =>
+      s"CAST(n$i AS HUGEINT) * n$i").mkString(" + ")
+    val sv = (0 until k).map(i =>
+      s"CAST(n$i AS HUGEINT) * n$i * (n$i * 2 + 3)").mkString(" + ")
+    s"""WITH r AS (SELECT event_type AS g,
+          CAST(floor(value) AS BIGINT) AS v FROM events
+          WHERE value IS NOT NULL AND event_type IN
+            (${groups.map(g => s"'$g'").mkString(", ")})),
+        vg AS (SELECT v, $cs FROM r GROUP BY 1),
+        cm AS (SELECT v,
+          ${(0 until k).map(i => s"c$i").mkString(", ")},
+          $ms FROM vg),
+        pv AS (SELECT CAST(coalesce(sum($terms), 0) AS HUGEINT) AS jt2
+          FROM cm),
+        gn AS (SELECT $ns FROM vg),
+        ag AS (SELECT $nSum AS n, jt2, $sn2 AS sn2, $sv AS sv
+          FROM pv CROSS JOIN gn)
+        SELECT CAST($k AS INT) AS k, CAST(n AS BIGINT) AS n,
+          CAST(jt2 AS BIGINT) AS jt2,
+          CASE WHEN CAST(CAST(n AS HUGEINT) * n * (n * 2 + 3) - sv
+              AS DOUBLE) / 72 > 0 THEN
+            round((CAST(jt2 AS DOUBLE) / 2
+              - CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 4)
+              / sqrt(CAST(CAST(n AS HUGEINT) * n * (n * 2 + 3) - sv
+                AS DOUBLE) / 72), 6)
+          END AS z
+        FROM ag"""
+  })
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3801,7 +3852,7 @@ object Queries {
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
-    agg40, agg41) ++ LlmQueries.specs
+    agg40, agg41, agg42) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -4058,6 +4058,92 @@ object Relational {
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
+    * Terpstra 1952) across CALLER-ORDERED groups: where
+    * [[kruskalWallis]] asks "do the k samples differ at all", JT asks
+    * "do they shift UP in the given dose order" — `JT = Σ_{i<j} U_ij`
+    * over ordered group pairs, the k-sample ordered companion to
+    * Mann–Whitney. Never materializes pairs: the value-grain frame
+    * carries one count column PER GROUP (k is the bounded dose axis),
+    * one multi-column distributed cumsum (the [[globalCumSum]]
+    * partition-offset construction generalized to k weights in a
+    * single pass) yields every group's `less_i(v)`, and
+    * `JT2 = Σ_v Σ_{i<j} c_j,v·(2·less_i(v) + c_i,v)` is an exact
+    * BIGINT (doubled so ties stay integral). The normal approximation
+    * `z = (JT2/2 − μ)/σ` with `μ = (n² − Σn_i²)/4` and
+    * `σ² = (n²(2n+3) − Σn_i²(2n_i+3))/72` (tie-free form — the
+    * standard large-lattice approximation, documented) is the one
+    * final double at 6 dp. Output: ONE row `(k, n, jt2, z)`.
+    *
+    * Scale: one value-grain aggregate, one distributed cumsum over the
+    * value DOMAIN, one 1-row reduce — row-count-independent after the
+    * first aggregate; k bounds the column fan, not a join.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      orderedGroups: Seq[String], valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val k = orderedGroups.length
+    require(k >= 2, "need at least two ordered groups")
+    val rows = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(orderedGroups.map(x => x: Any): _*))
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+    val cAggs = orderedGroups.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val vGrain = rows.groupBy(col("__v")).agg(cAggs.head, cAggs.tail: _*)
+    // multi-column global cumsum: ONE range exchange serves all k
+    // groups (the globalCumSum construction; __gc_pid keeps the offset
+    // frame inside the PlanSweep boundedness proof)
+    val nPart = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val part = vGrain.repartitionByRange(nPart, col("__v"))
+      .withColumn("__gc_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__gc_pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = (0 until k).foldLeft(part) { (f, i) =>
+      f.withColumn(s"__l$i", sum(col(s"__c$i")).over(w))
+    }
+    val nAggs = (0 until k).map(i => sum(col(s"__c$i")).as(s"__n$i"))
+    val offBase = part.groupBy(col("__gc_pid"))
+      .agg(nAggs.head, nAggs.tail: _*)
+    val wOff = Window.orderBy(col("__gc_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = (0 until k).foldLeft(offBase) { (f, i) =>
+      f.withColumn(s"__o$i",
+        coalesce(sum(col(s"__n$i")).over(wOff), lit(0L)))
+    }.select(col("__gc_pid") +: (0 until k).map(i => col(s"__o$i")): _*)
+    val cum = local.join(broadcast(off), Seq("__gc_pid"))
+    // per-value JT contribution: Σ_{i<j} c_j·(2·less_i + c_i) with
+    // less_i = inclusive-cum_i − c_i
+    val termExprs = for {
+      j <- 0 until k; i <- 0 until j
+    } yield col(s"__c$j").cast(d38) *
+      ((col(s"__o$i") + col(s"__l$i") - col(s"__c$i")) * 2 +
+        col(s"__c$i"))
+    val perV = cum.withColumn("__jt",
+      termExprs.reduce(_ + _))
+    perV.agg(
+        coalesce(sum(col("__jt")), lit(0).cast(d38)).as("__jt2"),
+        (0 until k).map(i => sum(col(s"__c$i")).as(s"__N$i")): _*)
+      .withColumn("n", (0 until k).map(i => col(s"__N$i"))
+        .reduce(_ + _))
+      .withColumn("__sn2", (0 until k).map(i =>
+        col(s"__N$i").cast(d38) * col(s"__N$i")).reduce(_ + _))
+      .withColumn("__sv", (0 until k).map(i =>
+        col(s"__N$i").cast(d38) * col(s"__N$i") *
+          (col(s"__N$i") * 2 + 3)).reduce(_ + _))
+      .withColumn("__var", (col("n").cast(d38) * col("n") *
+        (col("n") * 2 + 3) - col("__sv")).cast("double") / 72d)
+      .select(lit(k).as("k"), col("n"),
+        col("__jt2").cast("long").as("jt2"),
+        when(col("__var") > 0, round(
+          (col("__jt2").cast("double") / 2 -
+            (col("n").cast(d38) * col("n") - col("__sn2"))
+              .cast("double") / 4) / sqrt(col("__var")), 6)).as("z"))
+  }
+
   /** Moran's I spatial autocorrelation (Moran 1950) over an integer
     * grid-cell frame with binary 8-neighbor (queen) weights, given the
     * DIRECTED neighbor-pair frame `(xi, xj)` from [[gridNeighborPairs]]

@@ -330,6 +330,49 @@ object Windows {
     pi.select(col("state"), col("pi").as("pi_ppm"))
   }
 
+  /** Entropy rate of the empirical first-order chain (Shannon 1948,
+    * `H = −Σ_i π_i Σ_j p_ij ln p_ij` nats/step): how predictable the
+    * NEXT event is given the current one — the single number that says
+    * whether a session stream is worth a sequence model at all
+    * (H → 0: deterministic funnels; H → ln k: the chain adds nothing
+    * over the marginal). Composes the [[transitionCounts]] ppm matrix
+    * with the [[stationaryPpm]] power-iterate (same `steps`
+    * convention); per-cell conditional-entropy terms are rounded to
+    * micro-nats BEFORE summing (`round(p_ppm·ln(10⁶/p_ppm))` — the
+    * per-term rule), the per-state sums are exact BIGINTs, and the
+    * rate contribution weights each state's entropy by its stationary
+    * micro (`round(π_ppm·h_i/10⁶)`). Output per state:
+    * `(state, pi_ppm, h_state_micro, entropy_rate_micro)` — the total
+    * repeated on the bounded state frame.
+    *
+    * Scale: everything after [[transitionCounts]] is state²-grain —
+    * a dimension axis, independent of the event volume.
+    */
+  def markovEntropyRate(df: DataFrame, keyCol: String, timeCol: String,
+      stateCol: String, tiebreakCols: Seq[String],
+      steps: Int): DataFrame = {
+    val tr = transitionCounts(df, keyCol, timeCol, stateCol,
+        tiebreakCols)
+      .select(col("from_state"), col("to_state"), col("p_ppm"))
+    val pi = stationaryPpm(df, keyCol, timeCol, stateCol, tiebreakCols,
+      steps)
+    val hState = tr.filter(col("p_ppm") > 0)
+      .withColumn("__t", expr(
+        "CAST(round(CAST(p_ppm AS DOUBLE) " +
+          "* ln(1000000.0 / p_ppm)) AS BIGINT)"))
+      .groupBy(col("from_state").as("state"))
+      .agg(sum(col("__t")).as("h_state_micro"))
+    val perState = pi.join(hState, Seq("state"), "left")
+      .withColumn("h_state_micro",
+        coalesce(col("h_state_micro"), lit(0L)))
+    val total = perState.agg(coalesce(sum(expr(
+        "CAST(round(CAST(pi_ppm AS DOUBLE) * h_state_micro / 1000000) " +
+          "AS BIGINT)")), lit(0L)).as("entropy_rate_micro"))
+    perState.crossJoin(broadcast(total))
+      .select(col("state"), col("pi_ppm"), col("h_state_micro"),
+        col("entropy_rate_micro"))
+  }
+
   /** Exact running total per key (ledger/balance semantics): cumulative
     * sum in scaled integer units so the partial order of additions can
     * never change the result — a float cumsum re-run after a partition

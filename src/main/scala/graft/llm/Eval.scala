@@ -409,6 +409,54 @@ object Eval {
         coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_micro"))
   }
 
+  /** Expected reciprocal rank ERR@k (Chapelle et al., CIKM 2009) of
+    * the exact cosine scan with same-label BINARY relevance: the
+    * cascade-model metric — a relevant hit at rank r only pays off if
+    * the user got past the earlier relevant hits, `ERR = Σ_r (1/r)·
+    * R_r·Π_{i<r}(1−R_i)` — so redundant tail hits are discounted
+    * harder than in nDCG/MRR. With binary grades `R ∈ {0, ½}`
+    * ((2^g−1)/2^gmax at gmax = 1) the survival product collapses to
+    * the exact dyadic `2^{−(relBefore+1)}`, and each relevant rank
+    * contributes `round(10⁶·2^{−(relBefore+1)}/r)` — per-term-rounded
+    * micro (the Adamic–Adar rule), summed exactly. Output per query:
+    * `(query_id, n_rel_topk, err_micro)` — zero-hit queries report 0.
+    *
+    * Scale: the [[ndcgAtK]] plan verbatim — queries broadcast, corpus
+    * never shuffled, WindowGroupLimit prunes to k per query before the
+    * k-bounded rank window.
+    */
+  def errAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val top = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .join(q)
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("ql"), col("nid"), col("nl"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .withColumn("__rel", (col("nl") === col("ql")).cast("long"))
+      .withColumn("__relBefore", coalesce(sum(col("__rel")).over(Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__term", when(col("__rel") === 1, expr(
+        "CAST(round(1000000 * pow(0.5, __relBefore + 1) / rank) " +
+          "AS BIGINT)")).otherwise(lit(0L)))
+    val agg = top.groupBy(col("query_id"))
+      .agg(sum(col("__rel")).as("n_rel_topk"),
+        sum(col("__term")).as("err_micro"))
+    q.select(col("query_id"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        coalesce(col("err_micro"), lit(0L)).as("err_micro"))
+  }
+
   /** Pairwise BLEU-2 (Papineni et al., ACL 2002) over candidate /
     * reference text pairs: modified (clipped) unigram and bigram
     * precisions with the brevity penalty — the n-gram PRECISION eval
