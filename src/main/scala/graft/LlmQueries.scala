@@ -8190,6 +8190,113 @@ object LlmQueries {
         FROM ps CROSS JOIN tot"""
   })
 
+  /** Dunning G² keyness per language over the q158 doc-frequency
+    * table — the calibrated-at-small-counts companion to the χ²
+    * ranking on the identical plan. */
+  private val l252 = Spec("q409_dunning_g2",
+    (s, d) => graft.llm.Lexical.dunningG2Terms(T(s, d, "documents"),
+      "doc_id", "text", "lang", minDf = 5L, k = 10),
+    Some(s"""WITH t AS (SELECT doc_id, lang AS label, $wordsSql AS words
+          FROM documents),
+        dt AS (SELECT doc_id, label, unnest(list_distinct(words)) AS term
+          FROM t),
+        tl AS (SELECT term, label, count(*) AS a FROM dt GROUP BY 1, 2),
+        tdf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df FROM tl
+          GROUP BY 1 HAVING sum(a) >= 5),
+        lnn AS (SELECT lang AS label, count(*) AS nl FROM documents
+          GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM documents),
+        cts AS (SELECT tl.label, tl.term, a, df, df - a AS b,
+          nl - a AS c, n - df - (nl - a) AS d, nl, n
+          FROM tl JOIN tdf USING (term) JOIN lnn ON lnn.label = tl.label
+          CROSS JOIN tot),
+        g AS (SELECT label, term, a, df,
+          (CASE WHEN a > 0 THEN CAST(round(2000000 * a
+            * ln(CAST(a AS DOUBLE) * n / (CAST(df AS DOUBLE) * nl)))
+            AS BIGINT) ELSE 0 END
+          + CASE WHEN b > 0 THEN CAST(round(2000000 * b
+            * ln(CAST(b AS DOUBLE) * n / (CAST(df AS DOUBLE)
+              * (n - nl)))) AS BIGINT) ELSE 0 END
+          + CASE WHEN c > 0 THEN CAST(round(2000000 * c
+            * ln(CAST(c AS DOUBLE) * n / (CAST(n - df AS DOUBLE)
+              * nl))) AS BIGINT) ELSE 0 END
+          + CASE WHEN d > 0 THEN CAST(round(2000000 * d
+            * ln(CAST(d AS DOUBLE) * n / (CAST(n - df AS DOUBLE)
+              * (n - nl)))) AS BIGINT) ELSE 0 END) AS g2_micro
+          FROM cts),
+        r AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY g2_micro DESC, term) AS rank FROM g)
+        SELECT label, term, CAST(a AS BIGINT) AS n_label_docs, df,
+          g2_micro, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10"""))
+
+  /** Four-fifths-rule disparate-impact audit of the length filter
+    * (n_chars >= 200) across languages — does the cheap curation
+    * filter drop one language's documents disproportionately. */
+  private val l253 = Spec("q410_disparate_impact",
+    (s, d) => graft.engine.Relational.disparateImpact(
+      T(s, d, "documents").filter(col("n_chars").isNotNull)
+        .select(col("lang"), (col("n_chars") >= 200).as("passed")),
+      "lang", "passed"),
+    Some("""WITH r AS (SELECT lang AS grp,
+          CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS p
+          FROM documents WHERE lang IS NOT NULL
+            AND n_chars IS NOT NULL),
+        bg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(p) AS BIGINT) AS n_pass FROM r GROUP BY 1),
+        rf AS (SELECT grp AS ref_group, n AS ref_n, n_pass AS ref_np
+          FROM bg a WHERE NOT EXISTS (SELECT 1 FROM bg b
+            WHERE CAST(b.n_pass AS HUGEINT) * a.n
+              > CAST(a.n_pass AS HUGEINT) * b.n)
+          ORDER BY grp LIMIT 1)
+        SELECT grp AS "group", n, n_pass,
+          CAST(n_pass * 1000000 // n AS BIGINT) AS rate_ppm,
+          ref_group,
+          CASE WHEN ref_np > 0 THEN
+            CAST(CAST(n_pass AS HUGEINT) * ref_n * 1000000
+              // (CAST(n AS HUGEINT) * ref_np) AS BIGINT) END AS di_ppm,
+          CASE WHEN ref_np > 0 THEN
+            CAST(CAST(n_pass AS HUGEINT) * ref_n * 1000000
+              // (CAST(n AS HUGEINT) * ref_np) AS BIGINT) < 800000
+          END AS below_80pct
+        FROM bg CROSS JOIN rf"""))
+
+  /** Characteristic-function drift of the n_chars distribution,
+    * English vs the rest, at four probe frequencies — the
+    * Epps–Singleton evidence for discrete-lattice drift. */
+  private val l254 = Spec("q411_cf_drift",
+    (s, d) => graft.engine.Relational.cfDrift(
+      T(s, d, "documents").select(col("lang"), col("n_chars")),
+      "lang", "en", "n_chars", ks = Seq(1, 2, 5, 10)),
+    Some("""WITH r AS (SELECT lang = 'en' AS a,
+          CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        e AS (SELECT a, x, k FROM r
+          CROSS JOIN (SELECT unnest([1, 2, 5, 10]) AS k)),
+        m AS (SELECT k AS k_centi, a,
+          CAST(round(cos(x * k / 100) * 1000000) AS BIGINT) AS c,
+          CAST(round(sin(x * k / 100) * 1000000) AS BIGINT) AS s
+          FROM e),
+        g AS (SELECT k_centi,
+          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN a THEN 0 ELSE c END) AS BIGINT) AS cb,
+          CAST(sum(CASE WHEN a THEN s ELSE 0 END) AS BIGINT) AS sa,
+          CAST(sum(CASE WHEN a THEN 0 ELSE s END) AS BIGINT) AS sb
+          FROM m GROUP BY 1),
+        dd AS (SELECT k_centi, n_a, n_b,
+          CAST(round(CAST(ca AS DOUBLE) / n_a
+            - CAST(cb AS DOUBLE) / n_b) AS BIGINT) AS dcos_micro,
+          CAST(round(CAST(sa AS DOUBLE) / n_a
+            - CAST(sb AS DOUBLE) / n_b) AS BIGINT) AS dsin_micro
+          FROM g WHERE n_a > 0 AND n_b > 0)
+        SELECT k_centi, n_a, n_b, dcos_micro, dsin_micro,
+          CAST(CAST(dcos_micro AS HUGEINT) * dcos_micro
+            + CAST(dsin_micro AS HUGEINT) * dsin_micro AS BIGINT)
+            AS cf_dist2
+        FROM dd"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8212,5 +8319,5 @@ object LlmQueries {
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
     l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
-    l249, l250, l251)
+    l249, l250, l251, l252, l253, l254)
 }

@@ -3726,6 +3726,38 @@ object Queries {
         FROM ag"""
   })
 
+  /** OP-MISC-30 — Katz centrality (4 attenuated-walk rounds, β = 1/8
+    * exact DIV) on the undirected co-purchase graph: the
+    * degree-unnormalized companion to q162's PageRank. */
+  private val misc26 = Spec("q412_katz", {
+    val iters = 4
+    (s, d) => {
+      val e = coPurchaseEdges(s, d, modFilter = true)
+      val und = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      Graph.katzCentralityPpm(und, "src", "dst", iters = iters,
+        attenDiv = 8)
+    }
+  }, Some {
+    val iters = 4
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst AS id, CAST(sum(katz // 8) AS BIGINT) AS s
+          FROM e JOIN x${k - 1} ON x${k - 1}.id = e.src GROUP BY dst),
+        x$k AS (SELECT n.id, 1000000 + coalesce(s, 0) AS katz
+          FROM nodes n LEFT JOIN c$k USING (id))"""
+    }.mkString(",\n        ")
+    s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        e AS (SELECT u AS src, v AS dst FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        nodes AS (SELECT DISTINCT src AS id FROM e),
+        x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS katz FROM nodes),
+        $rounds
+        SELECT id, katz FROM x$iters"""
+  })
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3852,7 +3884,7 @@ object Queries {
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
-    agg40, agg41, agg42) ++ LlmQueries.specs
+    agg40, agg41, agg42, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

@@ -79,6 +79,47 @@ object Graph {
     out
   }
 
+  /** Katz centrality in exact integer ppm (Katz 1953): attenuated walk
+    * count `x = Σ_k β^k·A^k·1` — unlike PageRank it does NOT normalize
+    * by out-degree, so a node is central for having many long-reach
+    * in-paths, not for being linked by thrifty linkers (the citation /
+    * influence readout). Integer convention: every node starts at 10⁶
+    * micro; per round `x = 10⁶ + Σ_in (x DIV attenDiv)` — β = 1/attenDiv
+    * as one exact floor division per in-edge contribution, truncated
+    * like the pageRankPpm damping. attenDiv must exceed the max
+    * in-degree for the series to converge; the fixed `iters` keeps the
+    * readout exact either way. Output: `(id, katz)` for every node.
+    *
+    * Scale: the [[pageRankPpm]] loop shape minus the degree join —
+    * loop-invariant edge frame persisted pre-partitioned on src, one
+    * inflow aggregate per round.
+    */
+  def katzCentralityPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, attenDiv: Int = 8): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    require(attenDiv >= 2, "attenuation divisor must be >= 2")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).persist()
+    var x = nodes.withColumn("katz", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val in = e
+        .join(x.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"katz DIV $attenDiv").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__s"))
+      x = nodes.join(in, Seq("id"), "left")
+        .select(col("id"), (lit(1000000L) +
+          coalesce(col("__s"), lit(0L))).as("katz"))
+    }
+    val out = x.localCheckpoint(true)
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
   /** Personalized PageRank in exact integer ppm — [[pageRankPpm]] with
     * the teleport vector CONCENTRATED on a seed set instead of uniform:
     * random walks restart only at seeds, so rank measures proximity to

@@ -4058,6 +4058,98 @@ object Relational {
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
 
+  /** Disparate-impact audit of a boolean pipeline decision across
+    * groups (the EEOC four-fifths rule): per group the pass rate, the
+    * ratio to the MOST-FAVORED group, and the 80% flag — the fairness
+    * readout every curation filter (length, quality, lang-ID) owes its
+    * corpus before shipping. Exact: the reference group is picked by
+    * exact-rational rate comparison (`n_pass·n_ref vs n_pass_ref·n`
+    * cross-products over the SORTED bounded group array — never a
+    * ppm-rounded tie), and `di_ppm = 10⁶·n_pass_g·n_ref DIV
+    * (n_g·n_pass_ref)` is one exact floor division. Output per group:
+    * `(group, n, n_pass, rate_ppm, ref_group, di_ppm, below_80pct)`.
+    *
+    * Scale: one group-grain aggregate + the corpus-total broadcast
+    * pattern over the bounded group frame.
+    */
+  def disparateImpact(df: DataFrame, groupCol: String,
+      passCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byG = df.filter(col(groupCol).isNotNull && col(passCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(passCol).cast("boolean").cast("long")).as("n_pass"))
+      .withColumn("rate_ppm", expr("n_pass * 1000000L DIV n"))
+    val ref = byG
+      .agg(sort_array(collect_list(struct(col("group").as("g"),
+        col("n").as("nn"), col("n_pass").as("np")))).as("__gs"))
+      .select(expr(
+        // exact-rational argmax fold: keep the group whose rate beats
+        // the incumbent by cross-product; ties keep the FIRST (lowest
+        // group name — the sorted array pins the scan order)
+        "aggregate(__gs, __gs[0], (best, p) -> " +
+          "CASE WHEN CAST(p.np AS DECIMAL(38,0)) * best.nn " +
+          "> CAST(best.np AS DECIMAL(38,0)) * p.nn THEN p " +
+          "ELSE best END)").as("__ref"))
+    byG.crossJoin(broadcast(ref))
+      .withColumn("ref_group", col("__ref.g"))
+      .withColumn("di_ppm", when(col("__ref.np") > 0, expr(
+        "(CAST(n_pass AS DECIMAL(38,0)) * __ref.nn * 1000000) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * __ref.np)")))
+      .withColumn("below_80pct", col("di_ppm") < 800000L)
+      .select(col("group"), col("n"), col("n_pass"), col("rate_ppm"),
+        col("ref_group"), col("di_ppm"), col("below_80pct"))
+  }
+
+  /** Characteristic-function drift between a split and the rest
+    * (the Epps–Singleton test's evidence, reported as exact distances
+    * instead of its 4×4-covariance p-value): at caller-chosen
+    * frequencies `t = k/100`, compare `E[cos(tX)], E[sin(tX)]`
+    * between the two samples — a TWO-SAMPLE drift readout that works
+    * on DISCRETE data where the KS/AD statistics lose power. Each
+    * row's trig term is rounded to micro (per-term rule), the mean
+    * difference is one round-double of exact integer sums (signed, so
+    * never DIV — the hurstRs rule), and
+    * `cf_dist2 = (Δcos)² + (Δsin)²` in micro² is exact BIGINT.
+    * Output per frequency: `(k_centi, n_a, n_b, dcos_micro,
+    * dsin_micro, cf_dist2)`.
+    *
+    * Scale: one k-replicated map + k-grain reduce — single exchange.
+    */
+  def cfDrift(df: DataFrame, splitCol: String, refValue: String,
+      valueCol: String, ks: Seq[Int]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(valueCol).isNotNull && col(splitCol).isNotNull)
+      .select((col(splitCol) === refValue).as("__a"),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("k_centi", explode(array(ks.map(lit(_)): _*)))
+      .withColumn("__c", expr(
+        "CAST(round(cos(__x * k_centi / 100) * 1000000) AS BIGINT)"))
+      .withColumn("__s", expr(
+        "CAST(round(sin(__x * k_centi / 100) * 1000000) AS BIGINT)"))
+    rows.groupBy(col("k_centi"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("__c")).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), col("__c")).otherwise(0L)).as("__cb"),
+        sum(when(col("__a"), col("__s")).otherwise(0L)).as("__sa"),
+        sum(when(!col("__a"), col("__s")).otherwise(0L)).as("__sb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      // round-double means, never DIV: the trig sums are signed and
+      // Spark DIV truncates while DuckDB // floors (the hurstRs rule)
+      .withColumn("dcos_micro", expr(
+        "CAST(round(CAST(__ca AS DOUBLE) / n_a " +
+          "- CAST(__cb AS DOUBLE) / n_b) AS BIGINT)"))
+      .withColumn("dsin_micro", expr(
+        "CAST(round(CAST(__sa AS DOUBLE) / n_a " +
+          "- CAST(__sb AS DOUBLE) / n_b) AS BIGINT)"))
+      .select(col("k_centi"), col("n_a"), col("n_b"), col("dcos_micro"),
+        col("dsin_micro"),
+        (col("dcos_micro").cast(d38) * col("dcos_micro") +
+          col("dsin_micro").cast(d38) * col("dsin_micro"))
+          .cast("long").as("cf_dist2"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
     * Terpstra 1952) across CALLER-ORDERED groups: where
     * [[kruskalWallis]] asks "do the k samples differ at all", JT asks

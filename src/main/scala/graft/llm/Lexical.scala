@@ -334,6 +334,59 @@ object Lexical {
         col("__df").as("df"), col("chi2"), col("rank"))
   }
 
+  /** Dunning log-likelihood keyness G² (Dunning, CL 1993) per (label,
+    * term) over the [[chiSquareTerms]] doc-frequency 2×2 table: the
+    * corpus-linguistics standard for "which terms are OVER-represented
+    * in this label" — unlike the χ² it stays calibrated at the small
+    * expected counts a long-tail vocabulary is made of. Per cell
+    * `O ∈ {a, b, c, d}` with margins `(df, n−df) × (nl, n−nl)`, the
+    * contribution is `round(2·10⁶·O·ln(O·n/(row·col)))` — per-cell
+    * micro rounding (the Adamic–Adar rule; empty cells contribute the
+    * standard exact 0), summed to an exact BIGINT `g2_micro`. Top-k
+    * per label by keyness (label-keyed bounded rank window over the
+    * minDf survivors). Output: `(label, term, n_label_docs, df,
+    * g2_micro, rank)`.
+    *
+    * Scale: identical plan to [[chiSquareTerms]] — one corpus explode,
+    * vocab×label-grain everything after.
+    */
+  def dunningG2Terms(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long, k: Int): DataFrame = {
+    val docTerm = docs.select(col(idCol).as("__id"),
+      col(labelCol).as("label"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("term"))
+    val tl = docTerm.groupBy(col("term"), col("label"))
+      .agg(count(lit(1)).as("a"))
+    val labelN = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nl"))
+    val total = docs.select(count(lit(1)).as("__n"))
+    val counts = tl
+      .withColumn("__df",
+        sum(col("a")).over(Window.partitionBy(col("term"))))
+      .filter(col("__df") >= minDf)
+      .join(broadcast(labelN), Seq("label"))
+      .crossJoin(broadcast(total))
+      .withColumn("b", col("__df") - col("a"))
+      .withColumn("c", col("__nl") - col("a"))
+      .withColumn("d", col("__n") - col("__df") - col("c"))
+    def cell(o: String, rowM: String, colM: String) =
+      s"CASE WHEN $o > 0 THEN CAST(round(2000000 * $o * " +
+        s"ln(CAST($o AS DOUBLE) * __n / (CAST($rowM AS DOUBLE) " +
+        s"* $colM))) AS BIGINT) ELSE 0 END"
+    counts
+      .withColumn("g2_micro", expr(
+        cell("a", "__df", "__nl") + " + " +
+        cell("b", "__df", "(__n - __nl)") + " + " +
+        cell("c", "(__n - __df)", "__nl") + " + " +
+        cell("d", "(__n - __df)", "(__n - __nl)")))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("label"))
+        .orderBy(col("g2_micro").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("term"), col("a").as("n_label_docs"),
+        col("__df").as("df"), col("g2_micro"), col("rank"))
+  }
+
   /** BPE merge-step statistic: the top-`topK` adjacent CHARACTER pairs by
     * corpus weight — each occurrence of a word contributes every adjacent
     * pair inside it (`"aaa"` contributes `aa` twice), which is exactly the
