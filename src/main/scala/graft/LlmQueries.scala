@@ -8297,6 +8297,30 @@ object LlmQueries {
             AS cf_dist2
         FROM dd"""))
 
+  /** Benjamini–Yekutieli step-up on the q286 pseudo-p column — the
+    * arbitrary-dependence FDR gate, row-diffable against BH/Holm. */
+  private val l255 = Spec("q416_by_fdr",
+    (s, d) => graft.engine.Relational.byFdr(
+      T(s, d, "events").filter(col("event_type") === "error")
+        .withColumn("p", col("value") - floor(col("value"))),
+      "event_id", "p", alphaPct = 20),
+    Some("""WITH t AS (SELECT event_id AS id,
+          CAST(value AS DOUBLE) - floor(CAST(value AS DOUBLE)) AS p
+          FROM events WHERE event_type = 'error' AND value IS NOT NULL),
+        m AS (SELECT count(*) AS m FROM t),
+        h AS (SELECT m, CAST(sum(1000000 // i.i) AS BIGINT) AS hm
+          FROM m CROSS JOIN (SELECT unnest(range(1,
+            (SELECT m FROM m) + 1)) AS i) i GROUP BY m),
+        r AS (SELECT id, p, CAST(row_number() OVER (ORDER BY p, id)
+          AS INT) AS rank FROM t),
+        c AS (SELECT r.*, CAST(rank AS DOUBLE) * CAST(20 AS DOUBLE)
+          * 10000 / (CAST(h.m AS DOUBLE) * CAST(h.hm AS DOUBLE))
+          AS crit FROM r CROSS JOIN h),
+        k AS (SELECT *, max(CASE WHEN p <= crit THEN rank ELSE 0 END)
+          OVER () AS kstar FROM c)
+        SELECT id, p, rank, round(crit, 6) AS crit,
+          rank <= kstar AS discovery FROM k"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8319,5 +8343,5 @@ object LlmQueries {
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
     l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
-    l249, l250, l251, l252, l253, l254)
+    l249, l250, l251, l252, l253, l254, l255)
 }

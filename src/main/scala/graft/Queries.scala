@@ -3758,6 +3758,155 @@ object Queries {
         SELECT id, katz FROM x$iters"""
   })
 
+  /** OP-AGG-43 — stratified ATE of the even-user "treatment" on cents
+    * outcome across user-id strata (blocked causal estimator). */
+  private val agg43 = Spec("q413_stratified_ate",
+    (s, d) => Relational.stratifiedAte(
+      T(s, d, "events").filter(col("value").isNotNull &&
+        col("user_id").isNotNull)
+        .select(((col("user_id") / 10).cast("long") % 10).as("stratum"),
+          (col("user_id") % 2 === 0).as("treated"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "stratum", "treated", "cents"),
+    Some("""WITH r AS (SELECT (user_id // 10) % 10 AS stratum,
+          user_id % 2 = 0 AS tr,
+          CAST(round(value * 100) AS BIGINT) AS y FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        bs AS (SELECT stratum,
+          CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+          CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS st,
+          CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sc
+          FROM r GROUP BY 1),
+        dm AS (SELECT stratum, n_t, n_c,
+          CASE WHEN n_t > 0 AND n_c > 0 THEN
+            CAST(round((CAST(st AS DOUBLE) / n_t
+              - CAST(sc AS DOUBLE) / n_c) * 1000000) AS BIGINT)
+          END AS diff_micro FROM bs),
+        vv AS (SELECT stratum AS s2, n_t + n_c AS ns, diff_micro AS dm2
+          FROM dm WHERE diff_micro IS NOT NULL),
+        nn AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS n
+          FROM vv),
+        at AS (SELECT CASE WHEN nn.n > 0 THEN
+            CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list(CAST(round(CAST(ns AS DOUBLE) * dm2 / nn.n)
+                AS BIGINT) ORDER BY s2)), (a, b) -> a + b), 0)
+              AS BIGINT)
+          ELSE 0 END AS ate_micro FROM vv CROSS JOIN nn GROUP BY nn.n)
+        SELECT stratum, n_t, n_c, diff_micro, ate_micro
+        FROM dm CROSS JOIN at"""))
+
+  /** OP-WIN-31 — Goh–Barabási burstiness of per-user inter-arrival
+    * gaps, read per event type. */
+  private val win31 = Spec("q414_burstiness",
+    (s, d) => Windows.interarrivalBurstiness(
+      T(s, d, "events").filter(col("ts").isNotNull &&
+        col("user_id").isNotNull),
+      "event_type", "user_id", "ts", Seq("event_id")),
+    Some("""WITH g AS (SELECT event_type AS grp,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY
+            event_type, user_id ORDER BY ts, event_id) AS gap
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(gap) AS BIGINT) AS s,
+          CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+          FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT grp AS "group", n_gaps, CAST(s // n_gaps AS BIGINT)
+            AS mean_gap_us,
+          CASE WHEN n_gaps * q - CAST(s AS HUGEINT) * s >= 0 AND s > 0
+            THEN round((sqrt(CAST(n_gaps * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) - CAST(s AS DOUBLE))
+              / (sqrt(CAST(n_gaps * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+          END AS b_index
+        FROM a"""))
+
+  /** OP-WIN-32 — PACF lags 1–3 of the hourly volume series per event
+    * type (Durbin–Levinson on exact-stat ACFs). */
+  private val win32 = Spec("q415_pacf",
+    (s, d) => Windows.pacf3(
+      T(s, d, "events").filter(col("ts").isNotNull &&
+        col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      Seq("event_type"), Seq("t"), "x"),
+    Some("""WITH s AS (SELECT event_type,
+          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+          CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        l AS (SELECT event_type, x,
+          lag(x, 1) OVER (PARTITION BY event_type ORDER BY t) AS y1,
+          lag(x, 2) OVER (PARTITION BY event_type ORDER BY t) AS y2,
+          lag(x, 3) OVER (PARTITION BY event_type ORDER BY t) AS y3
+          FROM s),
+        a AS (SELECT event_type,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN x ELSE 0 END)
+            AS HUGEINT) AS sx1,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN y1 ELSE 0 END)
+            AS HUGEINT) AS sy1,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) * y1
+            ELSE 0 END) AS HUGEINT) AS sxy1,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) * x
+            ELSE 0 END) AS HUGEINT) AS sxx1,
+          CAST(sum(CASE WHEN y1 IS NOT NULL THEN CAST(y1 AS HUGEINT) * y1
+            ELSE 0 END) AS HUGEINT) AS syy1,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN x ELSE 0 END)
+            AS HUGEINT) AS sx2,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN y2 ELSE 0 END)
+            AS HUGEINT) AS sy2,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) * y2
+            ELSE 0 END) AS HUGEINT) AS sxy2,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) * x
+            ELSE 0 END) AS HUGEINT) AS sxx2,
+          CAST(sum(CASE WHEN y2 IS NOT NULL THEN CAST(y2 AS HUGEINT) * y2
+            ELSE 0 END) AS HUGEINT) AS syy2,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n3,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN x ELSE 0 END)
+            AS HUGEINT) AS sx3,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN y3 ELSE 0 END)
+            AS HUGEINT) AS sy3,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) * y3
+            ELSE 0 END) AS HUGEINT) AS sxy3,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) * x
+            ELSE 0 END) AS HUGEINT) AS sxx3,
+          CAST(sum(CASE WHEN y3 IS NOT NULL THEN CAST(y3 AS HUGEINT) * y3
+            ELSE 0 END) AS HUGEINT) AS syy3
+          FROM l GROUP BY 1),
+        rr AS (SELECT event_type, n1 AS n_pairs1,
+          CASE WHEN n1 * sxx1 - sx1 * sx1 > 0
+              AND n1 * syy1 - sy1 * sy1 > 0 THEN
+            round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+              / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)), 6) END AS r1,
+          CASE WHEN n2 * sxx2 - sx2 * sx2 > 0
+              AND n2 * syy2 - sy2 * sy2 > 0 THEN
+            round(CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+              / sqrt(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                * CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)), 6) END AS r2,
+          CASE WHEN n3 * sxx3 - sx3 * sx3 > 0
+              AND n3 * syy3 - sy3 * sy3 > 0 THEN
+            round(CAST(n3 * sxy3 - sx3 * sy3 AS DOUBLE)
+              / sqrt(CAST(n3 * sxx3 - sx3 * sx3 AS DOUBLE)
+                * CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE)), 6) END AS r3
+          FROM a),
+        p2 AS (SELECT *, CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+            AND r1 * r1 <> 1 THEN
+          round((r2 - r1 * r1) / (1 - r1 * r1), 6) END AS pacf2
+          FROM rr),
+        p3 AS (SELECT *, r1 * (1 - pacf2) AS p21 FROM p2)
+        SELECT event_type, n_pairs1, r1, r2, r3, pacf2,
+          CASE WHEN pacf2 IS NOT NULL AND r3 IS NOT NULL
+              AND 1 - p21 * r1 - pacf2 * r2 <> 0 THEN
+            round((r3 - p21 * r2 - pacf2 * r1)
+              / (1 - p21 * r1 - pacf2 * r2), 6) END AS pacf3
+        FROM p3"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -3884,7 +4033,7 @@ object Queries {
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
-    agg40, agg41, agg42, misc26) ++ LlmQueries.specs
+    agg40, agg41, agg42, agg43, win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

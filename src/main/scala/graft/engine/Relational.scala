@@ -4058,6 +4058,92 @@ object Relational {
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
 
+  /** Stratified average treatment effect: the blocked estimator
+    * `ATE = Σ_s (n_s/N)·(ȳ_{t,s} − ȳ_{c,s})` over caller-provided
+    * strata (propensity bins, cohorts) — the workhorse causal readout
+    * when treatment assignment is only ignorable WITHIN a stratum
+    * (the q326 CUPED/q325 Mantel–Haenszel sibling for a continuous
+    * outcome). Exactness: integer outcome lattice; per stratum the
+    * mean difference is ONE round-double of exact integer sums
+    * (`round(10⁶·(S_t/n_t − S_c/n_c))`, signed so never DIV), and the
+    * ATE weights each stratum term with one more round-double
+    * (`round(n_s·diff_s/N)`) — per-term rounding end to end. Strata
+    * missing either arm are excluded from the weighted sum (and
+    * flagged in their row). Output per stratum: `(stratum, n_t, n_c,
+    * diff_micro, ate_micro)` — the corpus scalar repeated on the
+    * bounded stratum frame.
+    *
+    * Scale: one stratum-grain aggregate + a 1-row reduce broadcast
+    * back — single exchange.
+    */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val byS = df.filter(col(stratumCol).isNotNull &&
+        col(treatCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(when(col(treatCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_t"),
+        sum(when(!col(treatCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col(treatCol).cast("boolean"),
+          col(outcomeCol).cast("long")).otherwise(0L)).as("__st"),
+        sum(when(!col(treatCol).cast("boolean"),
+          col(outcomeCol).cast("long")).otherwise(0L)).as("__sc"))
+      .withColumn("diff_micro", when(col("n_t") > 0 && col("n_c") > 0,
+        expr("CAST(round((CAST(__st AS DOUBLE) / n_t " +
+          "- CAST(__sc AS DOUBLE) / n_c) * 1000000) AS BIGINT)")))
+    val tot = byS.filter(col("diff_micro").isNotNull)
+      .agg(coalesce(sum(col("n_t") + col("n_c")), lit(0L)).as("__N"),
+        sort_array(collect_list(struct(col("stratum").as("s"),
+          (col("n_t") + col("n_c")).as("ns"),
+          col("diff_micro").as("dm")))).as("__terms"))
+      .select(when(col("__N") > 0, expr(
+        "aggregate(__terms, CAST(0 AS BIGINT), (a, p) -> " +
+          "a + CAST(round(CAST(p.ns AS DOUBLE) * p.dm / __N) " +
+          "AS BIGINT))")).otherwise(lit(0L)).as("ate_micro"))
+    byS.select(col("stratum"), col("n_t"), col("n_c"), col("diff_micro"))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Benjamini–Yekutieli step-up correction (Benjamini & Yekutieli
+    * 2001): [[bhFdr]] under ARBITRARY dependence — the same step-up
+    * walk with every critical value shrunk by the harmonic number
+    * `H_m = Σ 1/i` (the price of not assuming independence; the right
+    * gate when the m tests share data, as corpus-slice tests always
+    * do). `H` is accumulated as the exact integer
+    * `h_micro = Σ_{i≤m} 10⁶ DIV i` (per-term floor — deterministic,
+    * no float-sum order), so `crit = rank·α·10⁴/(m·h_micro)` is one
+    * double expression. Output: bhFdr's `(id, p, rank, crit,
+    * discovery)` shape, row-diffable against both siblings.
+    *
+    * Scale: the bhFdr plan plus one m-row sequence explode for the
+    * harmonic sum — all on the tests frame, not the corpus.
+    */
+  def byFdr(df: DataFrame, idCol: String, pCol: String,
+      alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 100, "need 1 <= alphaPct < 100")
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol).as("id"), col(pCol).cast("double").as("p"))
+    val mRow = base.agg(count(lit(1)).as("__m"))
+    val hRow = mRow.select(col("__m"),
+        explode(sequence(lit(1L), col("__m"))).as("__i"))
+      .groupBy(col("__m"))
+      .agg(sum(expr("1000000L DIV __i")).as("__h"))
+    val ranked = globalRank(base, Seq(col("p"), col("id")), "__gr")
+      .withColumn("rank", col("__gr").cast("int")).drop("__gr")
+      .crossJoin(broadcast(hRow))
+      .withColumn("crit", expr(s"CAST(rank AS DOUBLE) " +
+        s"* CAST($alphaPct AS DOUBLE) * 10000 " +
+        s"/ (CAST(__m AS DOUBLE) * CAST(__h AS DOUBLE))"))
+    val kstar = ranked.agg(coalesce(max(when(col("p") <= col("crit"),
+      col("rank"))), lit(0)).as("__kstar"))
+    ranked
+      .crossJoin(broadcast(kstar))
+      .withColumn("discovery", col("rank") <= col("__kstar"))
+      .select(col("id"), col("p"), col("rank"), round(col("crit"), 6)
+        .as("crit"), col("discovery"))
+  }
+
   /** Disparate-impact audit of a boolean pipeline decision across
     * groups (the EEOC four-fifths rule): per group the pass rate, the
     * ratio to the MOST-FAVORED group, and the 80% flag — the fairness

@@ -840,6 +840,121 @@ object Windows {
       .select((keyCols.map(col) :+ col("n_pairs") :+ col("acf")): _*)
   }
 
+  /** Goh–Barabási burstiness index (Goh & Barabási 2008) of
+    * inter-arrival times per group: `B = (σ − μ)/(σ + μ)` of the gap
+    * distribution — −1 is a metronome, 0 is Poisson, → 1 is bursty;
+    * the one number that says whether event volume can be capacity-
+    * planned with Poisson math (the [[graft.engine.Relational.hurstRs]]
+    * sibling at the inter-arrival grain). Gaps are exact integer µs
+    * from one key-ordered lag window; with exact `S = Σg, Q = Σg²`,
+    * `B = (√D − S)/(√D + S)` where `D = nQ − S²` (both n-scaled, the
+    * scale cancels) — one sqrt, one ratio, 6 dp. Output per group:
+    * `(group, n_gaps, mean_gap_us, b_index)`.
+    *
+    * Scale: one (key)-windowed lag + one group-grain aggregate.
+    */
+  def interarrivalBurstiness(df: DataFrame, groupCol: String,
+      keyCol: String, timeCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol), col(keyCol))
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
+    val gaps = df.filter(col(timeCol).isNotNull)
+      .withColumn("__prev", lag(uMicros(col(timeCol)), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(groupCol).as("group"),
+        (uMicros(col(timeCol)) - col("__prev")).as("__g"))
+    gaps.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__S"),
+        sum(col("__g").cast(d38) * col("__g")).as("__Q"))
+      .withColumn("__D", col("n_gaps").cast(d38) * col("__Q")
+        - col("__S").cast(d38) * col("__S"))
+      .withColumn("mean_gap_us", expr("__S DIV n_gaps"))
+      .withColumn("b_index", when(col("__D") >= 0 && col("__S") > 0,
+        round((sqrt(col("__D").cast("double")) -
+            col("__S").cast("double")) /
+          (sqrt(col("__D").cast("double")) +
+            col("__S").cast("double")), 6)))
+      .select(col("group"), col("n_gaps"), col("mean_gap_us"),
+        col("b_index"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 per key via the
+    * Durbin–Levinson recursion on the lag-1..3 ACFs: the AR-order
+    * diagnostic — `pacf_k` is the lag-k correlation AFTER the shorter
+    * lags explain their share, so an AR(p) series cuts off sharply
+    * after lag p where the raw ACF ([[autocorr]]) just decays. All
+    * three lag pairings ride ONE key-ordered window pass (three lag
+    * columns, per-lag null masks), every sufficient statistic is
+    * exact DECIMAL(38,0), the per-lag `r_k` are the [[autocorr]]
+    * formula at 6 dp, and the recursion
+    * `φ22 = (r2 − r1²)/(1 − r1²)`,
+    * `φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)` (with
+    * `φ21 = r1·(1 − φ22)`) is a fixed scalar expression tree over the
+    * rounded ACFs — no float-sum ordering anywhere. Output per key:
+    * `(keys…, n_pairs1, r1, r2, r3, pacf2, pacf3)` (pacf1 = r1).
+    *
+    * Scale: one window pass + one group aggregate over the (bounded)
+    * per-key series.
+    */
+  def pacf3(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val lagged = df.filter(col(valCol).isNotNull)
+      .select(keyCols.map(col) ++ orderCols.map(col) :+
+        col(valCol).cast(d38).as("__x"): _*)
+      .withColumn("__y1", lag(col("__x"), 1).over(w))
+      .withColumn("__y2", lag(col("__x"), 2).over(w))
+      .withColumn("__y3", lag(col("__x"), 3).over(w))
+    def statsFor(k: Int): Seq[Column] = {
+      val y = col(s"__y$k")
+      val m = y.isNotNull
+      Seq(
+        sum(when(m, 1L).otherwise(0L)).as(s"__n$k"),
+        sum(when(m, col("__x")).otherwise(lit(0).cast(d38)))
+          .as(s"__sx$k"),
+        sum(when(m, y).otherwise(lit(0).cast(d38))).as(s"__sy$k"),
+        sum(when(m, col("__x") * y).otherwise(lit(0).cast(d38)))
+          .as(s"__sxy$k"),
+        sum(when(m, col("__x") * col("__x"))
+          .otherwise(lit(0).cast(d38))).as(s"__sxx$k"),
+        sum(when(m, y * y).otherwise(lit(0).cast(d38))).as(s"__syy$k"))
+    }
+    val allStats = (1 to 3).flatMap(statsFor)
+    val agg = lagged.groupBy(keyCols.map(col): _*)
+      .agg(allStats.head, allStats.tail: _*)
+    def rFor(k: Int): Column = {
+      val n = col(s"__n$k").cast(d38)
+      val dx = n * col(s"__sxx$k") - col(s"__sx$k") * col(s"__sx$k")
+      val dy = n * col(s"__syy$k") - col(s"__sy$k") * col(s"__sy$k")
+      when(dx > 0 && dy > 0, round(
+        (n * col(s"__sxy$k") - col(s"__sx$k") * col(s"__sy$k"))
+          .cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6))
+    }
+    agg
+      .withColumn("r1", rFor(1)).withColumn("r2", rFor(2))
+      .withColumn("r3", rFor(3))
+      .withColumn("pacf2", when(col("r1").isNotNull &&
+          col("r2").isNotNull && col("r1") * col("r1") =!= 1d, round(
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1d) - col("r1") * col("r1")), 6)))
+      .withColumn("__p21", col("r1") * (lit(1d) - col("pacf2")))
+      .withColumn("pacf3", when(col("pacf2").isNotNull &&
+          col("r3").isNotNull &&
+          lit(1d) - col("__p21") * col("r1") -
+            col("pacf2") * col("r2") =!= 0d, round(
+        (col("r3") - col("__p21") * col("r2") -
+          col("pacf2") * col("r1")) /
+          (lit(1d) - col("__p21") * col("r1") -
+            col("pacf2") * col("r2")), 6)))
+      .select(keyCols.map(col) :+ col("__n1").as("n_pairs1") :+
+        col("r1") :+ col("r2") :+ col("r3") :+ col("pacf2") :+
+        col("pacf3"): _*)
+  }
+
   /** Interval coverage (gaps-and-islands): merge each key's overlapping /
     * touching `[start, end]` intervals into islands and report
     * `(keys…, n_intervals, n_islands, covered_us)` — the union length in
