@@ -3907,6 +3907,127 @@ object Queries {
               / (1 - p21 * r1 - pacf2 * r2), 6) END AS pacf3
         FROM p3"""))
 
+  /** OP-AGG-44 — Chatterjee's ξ of cents value against arrival time:
+    * is value a FUNCTION of time at all (non-monotone included). */
+  private val agg44 = Spec("q417_xi_correlation",
+    (s, d) => Relational.xiCorrelation(
+      T(s, d, "events").filter(col("ts").isNotNull &&
+        col("value").isNotNull)
+        .select(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "ts", "cents", Seq("event_id")),
+    Some("""WITH r AS (SELECT ts, event_id,
+          CAST(round(value * 100) AS BIGINT) AS y FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL),
+        yg AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM r
+          GROUP BY 1),
+        cm AS (SELECT y, c, CAST(sum(c) OVER (ORDER BY y) AS BIGINT)
+          AS le FROM yg),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM yg),
+        tt AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (n - le + c)
+            * (n - (n - le + c))) AS HUGEINT) AS t
+          FROM cm CROSS JOIN nn),
+        o AS (SELECT le, lag(le) OVER (ORDER BY ts, event_id) AS prev
+          FROM r JOIN cm USING (y)),
+        sa AS (SELECT CAST(coalesce(sum(abs(le - prev)), 0) AS BIGINT)
+          AS s_abs FROM o WHERE prev IS NOT NULL)
+        SELECT n, s_abs,
+          CASE WHEN t > 0 THEN round(1 - CAST(CAST(n AS HUGEINT)
+            * s_abs AS DOUBLE) / CAST(t * 2 AS DOUBLE), 6) END AS xi
+        FROM sa CROSS JOIN nn CROSS JOIN tt"""))
+
+  /** OP-AGG-45 — Mann–Kendall trend of hourly event volume
+    * (calendar²-bounded pair sum, tie-corrected z). */
+  private val agg45 = Spec("q418_mann_kendall",
+    (s, d) => Relational.mannKendall(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      "t", "x"),
+    Some("""WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+          AS t, CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1),
+        p AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+            WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+          FROM s a JOIN s b ON a.t < b.t),
+        vg AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM s
+          GROUP BY 1),
+        tv AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1)
+            * (c * 2 + 5)), 0) AS HUGEINT) AS tc FROM vg)
+        SELECT n, s_stat,
+          CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5)
+              - tc AS DOUBLE) / 18 > 0 AND s_stat <> 0 THEN
+            round((CAST(s_stat AS DOUBLE) - CASE WHEN s_stat > 0
+                THEN 1 ELSE -1 END)
+              / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5)
+                - tc AS DOUBLE) / 18), 6)
+          WHEN CAST(CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5)
+              - tc AS DOUBLE) / 18 > 0 THEN 0.0
+          END AS z
+        FROM p CROSS JOIN tv"""))
+
+  /** OP-AGG-46 — decile lift/gains of per-user spend against the
+    * "ever purchased" response (distributed-rank deciles). */
+  private val agg46 = Spec("q419_lift_table",
+    (s, d) => Relational.liftTable(
+      T(s, d, "events").filter(col("value").isNotNull &&
+        col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("spend"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("resp")),
+      "spend", "resp", Seq("user_id")),
+    Some("""WITH u AS (SELECT user_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS spend,
+          CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS r
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1),
+        rk AS (SELECT r, CAST(row_number() OVER (ORDER BY spend DESC,
+          user_id) AS BIGINT) AS rank, count(*) OVER () AS n,
+          sum(r) OVER () AS rr FROM u),
+        bd AS (SELECT CAST((10 * (rank - 1)) // n + 1 AS INT)
+            AS decile,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(r) AS BIGINT) AS n_resp,
+          CAST(max(rk.n) AS BIGINT) AS nn,
+          CAST(max(rr) AS BIGINT) AS rtot
+          FROM rk GROUP BY 1),
+        lf AS (SELECT decile, n, n_resp,
+          CAST(n_resp * 1000000 // n AS BIGINT) AS rate_ppm,
+          CASE WHEN rtot > 0 THEN
+            CAST(CAST(n_resp AS HUGEINT) * nn * 1000000
+              // (CAST(n AS HUGEINT) * rtot) AS BIGINT) END AS lift_ppm,
+          rtot FROM bd),
+        cg AS (SELECT a.decile, CAST(sum(b.n_resp) AS BIGINT) AS cum
+          FROM lf a JOIN lf b ON b.decile <= a.decile GROUP BY 1)
+        SELECT lf.decile, lf.n, lf.n_resp, lf.rate_ppm, lf.lift_ppm,
+          CASE WHEN rtot > 0 THEN CAST(cum * 1000000 // rtot AS BIGINT)
+          END AS cum_gain_ppm
+        FROM lf JOIN cg ON cg.decile = lf.decile"""))
+
+  /** OP-AGG-47 — one-sample KS uniformity of the q286 pseudo-p
+    * column: the calibration check under the FDR gates. */
+  private val agg47 = Spec("q420_ks_uniform",
+    (s, d) => Relational.ksUniform(
+      T(s, d, "events").filter(col("event_type") === "error" &&
+        col("value").isNotNull)
+        .withColumn("p", col("value") - floor(col("value"))),
+      "p"),
+    Some("""WITH t AS (SELECT CAST(value AS DOUBLE)
+          - floor(CAST(value AS DOUBLE)) AS p FROM events
+          WHERE event_type = 'error' AND value IS NOT NULL),
+        r AS (SELECT p, CAST(row_number() OVER (ORDER BY p) AS BIGINT)
+          AS rk, count(*) OVER () AS n FROM t),
+        g AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          max(greatest(CAST(rk AS DOUBLE) / n - p,
+            p - CAST(rk - 1 AS DOUBLE) / n)) AS d FROM r)
+        SELECT n, round(d, 6) AS d_stat,
+          round(sqrt(CAST(n AS DOUBLE)) * d, 6) AS sqrt_n_d
+        FROM g"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4033,7 +4154,8 @@ object Queries {
     misc22, misc23, misc24, misc25,
     win27, win28, win29, win30, join10, agg30,
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
-    agg40, agg41, agg42, agg43, win31, win32, misc26) ++ LlmQueries.specs
+    agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
+    win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =
     ListMap(specs.map(sp => sp.name -> sp.fn): _*)

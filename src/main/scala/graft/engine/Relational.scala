@@ -4058,6 +4058,209 @@ object Relational {
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
 
+  /** Chatterjee's ξ rank correlation (Chatterjee, JASA 2020): a
+    * DEPENDENCE coefficient — 0 iff independent, 1 iff y is a
+    * measurable function of x, and unlike Pearson/Spearman it sees
+    * non-monotone relationships (a parabola scores high, not 0). The
+    * ties-robust form: with rows ordered by `(x, tiebreak)`,
+    * `ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i·(n − l_i))` where
+    * `r_i = #{j : y_j ≤ y_i}` and `l_i = #{j : y_j ≥ y_i}` — every
+    * quantity an exact integer.
+    *
+    * Distributed shape: `r`/`l` come from ONE [[globalCumSum]] over
+    * the y value grain joined back at value grain (never a rank per
+    * row); the x-order ADJACENCY sum needs consecutive rows, which no
+    * shuffle-safe window gives corpus-wide — so rows are range-
+    * partitioned on the x-order once, the within-partition lag runs
+    * partition-locally, and the numShufflePartitions cross-boundary
+    * pairs are closed with a broadcast of each partition's FIRST row
+    * (the globalRank offset-frame construction applied to adjacency).
+    * Output: ONE row `(n, s_abs, xi)` — ξ at 6 dp; the ties
+    * denominator `T = Σ l_i(n−l_i)` stays DECIMAL(38,0) internal
+    * (n³-scale, past BIGINT at n ≳ 2·10⁶).
+    *
+    * Scale: one value-grain aggregate + cumsum, one range exchange of
+    * the row frame, one bounded boundary broadcast.
+    */
+  def xiCorrelation(df: DataFrame, xCol: String, yCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol).as("__xo") +: tiebreakCols.map(col)) :+
+        col(yCol).cast("long").as("__yv"): _*)
+    val yGrain = rows.groupBy(col("__yv")).agg(count(lit(1)).as("__c"))
+    val cum = globalCumSum(yGrain, Seq(col("__yv")), col("__c"), "__le")
+    val n = cum.agg(sum(col("__c")).as("__n"))
+    // T = Σ_i l_i(n − l_i) at value grain: l = n − le + c per value
+    val tRow = cum.crossJoin(broadcast(n))
+      .withColumn("__l", col("__n") - col("__le") + col("__c"))
+      .agg(sum(col("__c").cast(d38) * col("__l") *
+        (col("__n") - col("__l"))).as("__T"),
+        max(col("__n")).as("__n"))
+    val withR = rows
+      .join(cum.select(col("__yv"), col("__le")), Seq("__yv"))
+    val nPart = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val order = col("__xo") +: tiebreakCols.map(col)
+    val part = withR.repartitionByRange(nPart, order: _*)
+      .withColumn("__gc_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__gc_pid")).orderBy(order: _*)
+    val localAbs = part
+      .withColumn("__prev", lag(col("__le"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .agg(coalesce(sum(abs(col("__le") - col("__prev"))), lit(0L))
+        .as("__sLocal"))
+    // cross-boundary pairs: |first(le) of partition p+1 − last(le) of
+    // partition p| — both ends are 1-row-per-partition frames
+    val wAsc = Window.partitionBy(col("__gc_pid")).orderBy(order: _*)
+    val firstLast = part
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy(col("__gc_pid"))))
+      .filter(col("__rn") === 1 || col("__rn") === col("__cnt"))
+      .select(col("__gc_pid"), col("__rn"), col("__cnt"), col("__le"))
+    val firsts = firstLast.filter(col("__rn") === 1)
+      .select(col("__gc_pid").as("__p2"), col("__le").as("__leF"))
+    val lasts = firstLast.filter(col("__rn") === col("__cnt"))
+      .select(col("__gc_pid").as("__p1"), col("__le").as("__leL"))
+    // adjacency by NEXT NON-EMPTY partition (range partitioning may
+    // leave empty pids, so __p1 + 1 equi-join would drop pairs): the
+    // two frames are ≤ numShufflePartitions rows, so the non-equi
+    // min-pick is a bounded broadcast join
+    val boundary = lasts
+      .join(broadcast(firsts), col("__p2") > col("__p1"))
+      .groupBy(col("__p1"), col("__leL"))
+      .agg(min_by(col("__leF"), col("__p2")).as("__leFn"))
+      .agg(coalesce(sum(abs(col("__leFn") - col("__leL"))), lit(0L))
+        .as("__sBound"))
+    localAbs.crossJoin(boundary).crossJoin(tRow)
+      .withColumn("s_abs", col("__sLocal") + col("__sBound"))
+      .select(col("__n").as("n"), col("s_abs"),
+        when(col("__T") > 0, round(lit(1d) -
+          (col("__n").cast(d38) * col("s_abs")).cast("double") /
+            (col("__T") * 2).cast("double"), 6)).as("xi"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) over a
+    * GRAIN-BOUNDED series: `S = Σ_{i<j} sgn(x_j − x_i)` in time order
+    * with the tie-corrected variance
+    * `Var = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18` and the
+    * continuity-corrected z — the distribution-free "is volume
+    * trending" companion to the Theil–Sen slope (q207): same
+    * hypothesis, this gives the test, that gives the magnitude.
+    * The pair sum is a self-join on `t_i < t_j` — quadratic in the
+    * SERIES length, which the caller contract bounds to a calendar
+    * grain (hour/day buckets: calendar²-sized at any corpus volume,
+    * the q134 argument squared); everything is exact integers until
+    * the final z. Output: ONE row `(n, s_stat, z)`.
+    */
+  def mannKendall(df: DataFrame, tCol: String,
+      xCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__xv"))
+    val pairs = series.select(col("__t").as("__t1"),
+        col("__xv").as("__x1"))
+      .join(series.select(col("__t").as("__t2"), col("__xv").as("__x2")),
+        col("__t1") < col("__t2"))
+      .agg(coalesce(sum(signum(col("__x2") - col("__x1")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val ties = series.groupBy(col("__xv")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__nv"), sum(col("__c")).as("n"),
+        coalesce(sum(col("__c").cast(d38) * (col("__c") - 1) *
+          (col("__c") * 2 + 5)), lit(0).cast(d38)).as("__tc"))
+    pairs.crossJoin(ties)
+      .withColumn("__var", (col("n").cast(d38) * (col("n") - 1) *
+        (col("n") * 2 + 5) - col("__tc")).cast("double") / 18d)
+      .select(col("n"), col("s_stat"),
+        when(col("__var") > 0 && col("s_stat") =!= 0, round(
+          (col("s_stat").cast("double") -
+            signum(col("s_stat")).cast("double")) /
+            sqrt(col("__var")), 6))
+          .when(col("__var") > 0, lit(0d)).as("z"))
+  }
+
+  /** Decile lift/gains table of a binary response against a score:
+    * the campaign-targeting readout — "if we act on the top k/10 by
+    * score, what share of responders do we capture and at what lift
+    * over random". Deciles come from the distributed [[globalRank]]
+    * (`decile = (10·(rank−1)) DIV n + 1` — never an ntile window);
+    * per decile `rate_ppm`, `lift_ppm = 10⁶·resp_d·N/(n_d·R)` (exact
+    * DECIMAL DIV), and the cumulative gain closes over the ≤10-row
+    * decile frame with a broadcast self-join (the hopHistogram cum
+    * idiom — no unpartitioned window). Output per decile:
+    * `(decile, n, n_resp, rate_ppm, lift_ppm, cum_gain_ppm)`.
+    *
+    * Scale: one globalRank exchange + decile-grain everything after.
+    */
+  def liftTable(df: DataFrame, scoreCol: String, respCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull && col(respCol).isNotNull)
+      .select(col(scoreCol).as("__sc") +:
+        col(respCol).cast("boolean").cast("long").as("__r") +:
+        tiebreakCols.map(col): _*)
+    // deterministic total order: ties across a decile boundary with
+    // mixed responses would otherwise make n_resp partition-dependent
+    val ranked = globalRank(base,
+      col("__sc").desc +: tiebreakCols.map(col), "__gr")
+    // names stay case-distinct from __r: Spark's default resolver is
+    // case-insensitive, so a `__R` total alongside `__r` is AMBIGUOUS
+    val tot = ranked.agg(count(lit(1)).as("__nt"), sum(col("__r"))
+      .as("__rt"))
+    val byD = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr("(10 * (__gr - 1)) DIV __nt + 1").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("n_resp"),
+        max(col("__nt")).as("__nt2"), max(col("__rt")).as("__rt2"))
+      .withColumn("rate_ppm", expr("n_resp * 1000000L DIV n"))
+      .withColumn("lift_ppm", when(col("__rt2") > 0, expr(
+        "(CAST(n_resp AS DECIMAL(38,0)) * __nt2 * 1000000) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * __rt2)")))
+    val cum = byD.select(col("decile").as("__d1"), col("n_resp")
+        .as("__nr"))
+      .join(broadcast(byD.select(col("decile").as("__d2"),
+        col("n_resp").as("__nr2"))), col("__d2") <= col("__d1"))
+      .groupBy(col("__d1")).agg(sum(col("__nr2")).as("__cumR"))
+    byD.join(broadcast(cum), col("decile") === col("__d1"))
+      .withColumn("cum_gain_ppm", when(col("__rt2") > 0,
+        expr("__cumR * 1000000L DIV __rt2")))
+      .select(col("decile"), col("n"), col("n_resp"), col("rate_ppm"),
+        col("lift_ppm"), col("cum_gain_ppm"))
+  }
+
+  /** One-sample Kolmogorov–Smirnov uniformity test on a [0,1) column:
+    * `D = max_i max(i/n − p_(i), p_(i) − (i−1)/n)` — "are these
+    * pseudo-p-values actually uniform", the calibration check that
+    * should PASS before anyone trusts the q286/q356/q416 multiple-
+    * testing gates built on them. Ranks come from the distributed
+    * [[globalRank]]; each row's two gaps are exact-integer-derived
+    * doubles and the statistic is a MAX (order-free, no float-sum
+    * hazard). Output: ONE row `(n, d_stat, sqrt_n_d)` at 6 dp.
+    *
+    * Scale: one globalRank exchange + a 1-row max reduce.
+    */
+  def ksUniform(df: DataFrame, pCol: String): DataFrame = {
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(pCol).cast("double").as("__p"),
+        monotonically_increasing_id().as("__mid"))
+    val ranked = globalRank(base, Seq(col("__p"), col("__mid")), "__gr")
+    val nRow = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(nRow))
+      .select(col("__n"),
+        greatest(
+          col("__gr").cast("double") / col("__n") - col("__p"),
+          col("__p") - (col("__gr") - 1).cast("double") / col("__n"))
+          .as("__gap"))
+      .groupBy(col("__n"))
+      .agg(max(col("__gap")).as("__d"))
+      .select(col("__n").as("n"), round(col("__d"), 6).as("d_stat"),
+        round(sqrt(col("__n").cast("double")) * col("__d"), 6)
+          .as("sqrt_n_d"))
+  }
+
   /** Stratified average treatment effect: the blocked estimator
     * `ATE = Σ_s (n_s/N)·(ȳ_{t,s} − ȳ_{c,s})` over caller-provided
     * strata (propensity bins, cohorts) — the workhorse causal readout
