@@ -39,10 +39,21 @@ def main(sf_dir, out_dir):
     results = {}
     dumped = {n for n in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, n))}
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    skip = (sys.argv[4].split(",") if len(sys.argv) > 4 and sys.argv[4]
+            else [])
     # a query that crashed in Verify has an oracle but no dump — surface it
     for name in sorted(set(oracles) - dumped):
+        if only is not None and not any(name.startswith(o) for o in only):
+            continue
         results[name] = "MISSING_DUMP (query failed in Verify?)"
     for name in sorted(dumped):
+        if only is not None and not any(name.startswith(o) for o in only):
+            continue
+        if any(name.startswith(o) for o in skip):
+            print(f"SKIP {name}  (excluded by arg)", flush=True)
+            continue
+        t0 = __import__("time").time()
         qdir = os.path.join(out_dir, name)
         try:
             got = canon(pd.read_parquet(qdir))
@@ -86,6 +97,9 @@ def main(sf_dir, out_dir):
                 bad = f"VAL col={c} row={i} got={a.iloc[i]!r} want={b.iloc[i]!r}"
                 break
         results[name] = bad or f"OK rows={len(got)}"
+        print(("PASS " if results[name].startswith("OK") else "FAIL ")
+              + name + "  " + results[name]
+              + f"  [{__import__('time').time() - t0:.1f}s]", flush=True)
     npass = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
         print(("PASS " if v.startswith("OK") else "FAIL ") + k + "  " + v)
