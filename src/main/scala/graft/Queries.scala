@@ -4028,6 +4028,131 @@ object Queries {
           round(sqrt(CAST(n AS DOUBLE)) * d, 6) AS sqrt_n_d
         FROM g"""))
 
+  /** OP-AGG-48 — Gumbel fit on daily maxima of hourly volume, with
+    * the 30-day return level (peak-provisioning readout). */
+  private val agg48 = Spec("q421_extreme_value",
+    (s, d) => Relational.gumbelBlockMaxima(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"),
+          floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+        .agg(count(lit(1)).as("x")),
+      "day", "x", returnT = 30),
+    Some {
+    val rlc = math.log(-math.log(1 - 1d / 30)) // shared literal
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+          CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT day, CAST(max(x) AS BIGINT) AS mx FROM h
+          GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(max(mx) AS BIGINT) AS max_of_max,
+          CAST(sum(mx) AS BIGINT) AS s,
+          CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS q FROM m)
+        SELECT n_blocks, max_of_max,
+          CASE WHEN n_blocks * q - CAST(s AS HUGEINT) * s > 0 THEN
+            round(sqrt(CAST(n_blocks * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) / n_blocks
+              * 2.449489742783178 / 3.141592653589793, 6) END AS beta,
+          CASE WHEN n_blocks * q - CAST(s AS HUGEINT) * s > 0 THEN
+            round(CAST(s AS DOUBLE) / n_blocks - 0.5772156649015329
+              * round(sqrt(CAST(n_blocks * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) / n_blocks
+                * 2.449489742783178 / 3.141592653589793, 6), 6)
+          END AS mu,
+          CASE WHEN n_blocks * q - CAST(s AS HUGEINT) * s > 0 THEN
+            round(round(CAST(s AS DOUBLE) / n_blocks - 0.5772156649015329
+              * round(sqrt(CAST(n_blocks * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) / n_blocks
+                * 2.449489742783178 / 3.141592653589793, 6), 6)
+              - round(sqrt(CAST(n_blocks * q - CAST(s AS HUGEINT) * s
+                AS DOUBLE)) / n_blocks
+                * 2.449489742783178 / 3.141592653589793, 6)
+              * ($rlc), 6)
+          END AS rl
+        FROM a"""
+    })
+
+  /** OP-AGG-49 — SAX motif table of hourly volume (6-hour segments,
+    * 4-segment words, 4-letter Gaussian alphabet). */
+  private val agg49 = Spec("q422_sax_motifs",
+    (s, d) => Relational.saxMotifs(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      "t", "x", segLen = 6, wordLen = 4),
+    Some("""WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+          AS t, CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1),
+        g AS (SELECT min(t) AS t0, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sm,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q FROM s),
+        sg AS (SELECT (t - t0) // 6 AS seg,
+          CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(x) AS BIGINT) AS ss,
+          max(n) AS n2, max(sm) AS s2, max(q) AS q2
+          FROM s CROSS JOIN g GROUP BY 1 HAVING count(*) = 6),
+        z AS (SELECT seg,
+          (CAST(ss AS DOUBLE) / 6 - CAST(s2 AS DOUBLE) / n2)
+            / sqrt(CAST(n2 * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE))
+            * CAST(n2 AS DOUBLE) AS zv FROM sg),
+        sy AS (SELECT seg, CASE WHEN zv < -0.6745 THEN 'a'
+          WHEN zv < 0 THEN 'b' WHEN zv < 0.6745 THEN 'c'
+          ELSE 'd' END AS sym FROM z),
+        w AS (SELECT a.seg, a.sym || b.sym || c.sym || d.sym AS word
+          FROM sy a JOIN sy b ON b.seg = a.seg + 1
+          JOIN sy c ON c.seg = a.seg + 2
+          JOIN sy d ON d.seg = a.seg + 3)
+        SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM w GROUP BY 1"""))
+
+  /** OP-AGG-50 — self-join matrix profile of hourly volume (window 4,
+    * exclusion zone 2): motifs read low, discords read high. */
+  private val agg50 = Spec("q423_matrix_profile",
+    (s, d) => Relational.matrixProfile(
+      T(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("t"))
+        .agg(count(lit(1)).as("x")),
+      "t", "x", m = 4, exclusion = 2),
+    Some("""WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+          AS t, CAST(count(*) AS BIGINT) AS x FROM events
+          WHERE ts IS NOT NULL GROUP BY 1),
+        w AS (SELECT a.t, [a.x, b.x, c.x, d.x] AS v
+          FROM s a JOIN s b ON b.t = a.t + 1
+          JOIN s c ON c.t = a.t + 2 JOIN s d ON d.t = a.t + 3),
+        p AS (SELECT a.t AS ta, b.t AS tb,
+          CAST(list_reduce([CAST(a.v[i+1] - b.v[i+1] AS HUGEINT)
+              * (a.v[i+1] - b.v[i+1]) for i in range(4)],
+            (x, y) -> x + y) AS HUGEINT) AS d2
+          FROM w a JOIN w b ON abs(a.t - b.t) > 2),
+        r AS (SELECT ta, tb, d2, row_number() OVER (PARTITION BY ta
+          ORDER BY d2, tb) AS rk FROM p)
+        SELECT ta AS t, tb AS nn_t, CAST(d2 AS BIGINT) AS dist2
+        FROM r WHERE rk = 1"""))
+
+  /** OP-AGG-51 — Gaussian KDE of document length at a literal probe
+    * grid (bandwidth 25 chars): the shape readout between histogram
+    * bins. */
+  private val agg51 = Spec("q424_kde_grid", {
+    val grid = (1 to 11).map(i => i * 50L)
+    (s, d) => Relational.kdeGrid(
+      T(s, d, "documents").select(col("n_chars")),
+      "n_chars", grid, bandwidth = 25.0)
+  }, Some("""WITH r AS (SELECT CAST(n_chars AS BIGINT) AS x,
+          CAST(g AS BIGINT) AS grid_x FROM documents
+          CROSS JOIN (SELECT unnest([50, 100, 150, 200, 250, 300, 350,
+            400, 450, 500, 550]) AS g)
+          WHERE n_chars IS NOT NULL),
+        m AS (SELECT grid_x,
+          CAST(round(exp(-((grid_x - x) / 25.0) * ((grid_x - x) / 25.0)
+            / 2) * 1000000) AS BIGINT) AS term FROM r)
+        SELECT grid_x, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(term) AS BIGINT) AS kernel_sum_micro,
+          round(CAST(sum(term) AS DOUBLE) / 1000000.0
+            / (CAST(count(*) AS DOUBLE) * 25.0
+              * 2.5066282746310002), 9) AS density
+        FROM m GROUP BY 1"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4155,6 +4280,7 @@ object Queries {
     win27, win28, win29, win30, join10, agg30,
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
     agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
+    agg48, agg49, agg50, agg51,
     win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =

@@ -4058,6 +4058,172 @@ object Relational {
       .select(col("k"), col("b"), col("l2_stat"), col("z"))
   }
 
+  /** Gumbel extreme-value fit by the method of moments over
+    * caller-grained block maxima (daily/hourly max volume): the
+    * capacity question a mean-based forecast can't answer — "what
+    * peak should we provision for once in T blocks". With exact block
+    * maxima and exact `S, Q` over them, `σ = √((nQ − S²)/n²)`,
+    * `β = σ·√6/π`, `μ = x̄ − γ·β` (Euler–Mascheroni γ as a shared
+    * literal) and the return level
+    * `x_T = μ − β·ln(−ln(1 − 1/T))` are one fixed double expression
+    * tree — no float-sum ordering anywhere. Output: ONE row
+    * `(n_blocks, max_of_max, beta, mu, rl)` at 6 dp.
+    *
+    * Scale: one block-grain max aggregate + a 1-row reduce.
+    */
+  def gumbelBlockMaxima(df: DataFrame, blockCol: String, xCol: String,
+      returnT: Int): DataFrame = {
+    require(returnT >= 2, "return period must be >= 2 blocks")
+    val d38 = "decimal(38,0)"
+    val maxima = df.filter(col(blockCol).isNotNull && col(xCol).isNotNull)
+      .groupBy(col(blockCol)).agg(max(col(xCol).cast("long")).as("__m"))
+    maxima.agg(count(lit(1)).as("n_blocks"), max(col("__m"))
+        .as("max_of_max"),
+        sum(col("__m")).as("__S"),
+        sum(col("__m").cast(d38) * col("__m")).as("__Q"))
+      .withColumn("__D", col("n_blocks").cast(d38) * col("__Q")
+        - col("__S").cast(d38) * col("__S"))
+      .withColumn("beta", when(col("__D") > 0, round(
+        sqrt(col("__D").cast("double")) / col("n_blocks") *
+          math.sqrt(6d) / math.Pi, 6)))
+      .withColumn("mu", when(col("beta").isNotNull, round(
+        col("__S").cast("double") / col("n_blocks") -
+          lit(0.5772156649015329) * col("beta"), 6)))
+      .withColumn("rl", when(col("beta").isNotNull, round(
+        col("mu") - col("beta") *
+          math.log(-math.log(1d - 1d / returnT)), 6)))
+      .select(col("n_blocks"), col("max_of_max"), col("beta"),
+        col("mu"), col("rl"))
+  }
+
+  /** SAX symbolization motifs (Lin et al., DMKD 2007) of an integer
+    * series: z-normalize, piecewise-aggregate into `segLen`-point
+    * segments, map each segment mean to a 4-letter alphabet at the
+    * standard Gaussian breakpoints (±0.6745, 0 — shared literals),
+    * and count the `wordLen`-segment words — the "what shapes does
+    * this stream repeat" motif table that numeric aggregates can't
+    * see. Segment sums are exact; the z-scored PAA mean is one double
+    * expression over exact integers (global μ, σ² from a broadcast
+    * 1-row reduce); the word is assembled by `wordLen` KEY-equi
+    * self-joins on segment index (the mannKendall calendar-bound
+    * argument — segments are time-DOMAIN-sized). Only COMPLETE
+    * segments and words enter. Output per word:
+    * `(word, n_occurrences)`.
+    */
+  def saxMotifs(df: DataFrame, tCol: String, xCol: String,
+      segLen: Int, wordLen: Int): DataFrame = {
+    require(segLen >= 1 && wordLen >= 1, "positive segment/word sizes")
+    val d38 = "decimal(38,0)"
+    val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__xv"))
+    val t0g = series.agg(min(col("__t")).as("__t0"),
+      count(lit(1)).as("__n"), sum(col("__xv")).as("__S"),
+      sum(col("__xv").cast(d38) * col("__xv")).as("__Q"))
+    val segs = series.crossJoin(broadcast(t0g))
+      .withColumn("__seg", expr("(__t - __t0) DIV " + segLen))
+      .groupBy(col("__seg"))
+      .agg(count(lit(1)).as("__c"), sum(col("__xv")).as("__ss"),
+        max(col("__n")).as("__n2"), max(col("__S")).as("__S2"),
+        max(col("__Q")).as("__Q2"))
+      .filter(col("__c") === segLen)
+      // z-scored PAA mean: (ss/segLen − S/n) / sqrt((nQ − S²)/n²)
+      .withColumn("__z", (col("__ss").cast("double") / segLen -
+          col("__S2").cast("double") / col("__n2")) /
+        sqrt((col("__n2").cast(d38) * col("__Q2") -
+          col("__S2").cast(d38) * col("__S2")).cast("double")) *
+        col("__n2").cast("double"))
+      .withColumn("__sym", when(col("__z") < -0.6745, lit("a"))
+        .when(col("__z") < 0d, lit("b"))
+        .when(col("__z") < 0.6745, lit("c")).otherwise(lit("d")))
+      .select(col("__seg"), col("__sym"))
+    val word = (1 until wordLen).foldLeft(
+      segs.select(col("__seg"), col("__sym").as("__w"))) { (acc, i) =>
+      acc.join(segs.select((col("__seg") - i).as("__seg"),
+          col("__sym").as(s"__s$i")), Seq("__seg"))
+        .withColumn("__w", concat(col("__w"), col(s"__s$i")))
+        .drop(s"__s$i")
+    }
+    word.groupBy(col("__w").as("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Self-join matrix profile (Yeh et al., ICDM 2016) of an integer
+    * series at window length `m`: for every window, the squared
+    * Euclidean distance to its NEAREST non-trivial neighbor — low
+    * profile = motif, high profile = discord (anomaly), the readout
+    * that finds both without choosing a model. Window vectors are
+    * assembled by m KEY-equi self-joins on the time index; the
+    * all-pairs scan is a time-DOMAIN-bounded join (the mannKendall
+    * calendar² argument) with a ±`exclusion` trivial-match zone; the
+    * distance is an exact integer sum of squares, and the per-window
+    * argmin ties break on the smaller neighbor index (min_by over the
+    * exact (dist, index) pair). Output per window:
+    * `(t, nn_t, dist2)`.
+    */
+  def matrixProfile(df: DataFrame, tCol: String, xCol: String,
+      m: Int, exclusion: Int): DataFrame = {
+    require(m >= 2, "window length must be >= 2")
+    val d38 = "decimal(38,0)"
+    val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__xv"))
+    val win = (1 until m).foldLeft(
+      series.select(col("__t"), array(col("__xv")).as("__v"))) {
+      (acc, i) =>
+        acc.join(series.select((col("__t") - i).as("__t"),
+            col("__xv").as("__xi")), Seq("__t"))
+          .withColumn("__v", concat(col("__v"), array(col("__xi"))))
+          .drop("__xi")
+    }
+    val a = win.select(col("__t").as("__ta"), col("__v").as("__va"))
+    val b = win.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    // the window frame is time-DOMAIN-bounded (op contract) — broadcast
+    // the probe side so the non-equi pair scan is a BNLJ, never a
+    // CartesianProduct (post-aggregate stats won't prove it small)
+    a.join(broadcast(b), abs(col("__ta") - col("__tb")) > exclusion)
+      .withColumn("__d2", expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> " +
+          "CAST(x - y AS DECIMAL(38,0)) * (x - y)), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"))
+      .groupBy(col("__ta").as("t"))
+      .agg(min(struct(col("__d2"), col("__tb"))).as("__best"))
+      .select(col("t"), col("__best.__tb").as("nn_t"),
+        col("__best.__d2").cast("long").as("dist2"))
+  }
+
+  /** Gaussian kernel density estimate at a fixed literal probe grid:
+    * the distribution SHAPE readout (modes, gaps, tails) that
+    * histograms quantize away. Per (row, probe) the kernel term
+    * `exp(−((g − x)/h)²/2)` is rounded to micro BEFORE summing (the
+    * Adamic–Adar rule — exp is the only 1-ulp surface and it is
+    * per-term-bounded), the per-probe sums are exact BIGINTs, and the
+    * density `Σterm/(n·h·√2π)` is one final double at 9 dp (micro
+    * terms over n·h leave ~3 significant digits at corpus n; callers
+    * read SHAPE, not mass). Output per probe:
+    * `(grid_x, n, kernel_sum_micro, density)`.
+    *
+    * Scale: one grid-replicated map + grid-grain reduce — single
+    * exchange; the grid is a literal array.
+    */
+  def kdeGrid(df: DataFrame, xCol: String, grid: Seq[Long],
+      bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be positive")
+    val rows = df.filter(col(xCol).isNotNull)
+      .select(col(xCol).cast("long").as("__xv"))
+      .withColumn("grid_x", explode(array(grid.map(lit(_)): _*)))
+      .withColumn("__term", expr(
+        s"CAST(round(exp(-((grid_x - __xv) / $bandwidth) * " +
+          s"((grid_x - __xv) / $bandwidth) / 2) * 1000000) AS BIGINT)"))
+    rows.groupBy(col("grid_x"))
+      .agg(count(lit(1)).as("n"), sum(col("__term"))
+        .as("kernel_sum_micro"))
+      .withColumn("density", round(
+        col("kernel_sum_micro").cast("double") / 1e6 /
+          (col("n").cast("double") * bandwidth *
+            math.sqrt(2 * math.Pi)), 9))
+  }
+
   /** Chatterjee's ξ rank correlation (Chatterjee, JASA 2020): a
     * DEPENDENCE coefficient — 0 iff independent, 1 iff y is a
     * measurable function of x, and unlike Pearson/Spearman it sees
@@ -4163,8 +4329,8 @@ object Relational {
         col(xCol).cast("long").as("__xv"))
     val pairs = series.select(col("__t").as("__t1"),
         col("__xv").as("__x1"))
-      .join(series.select(col("__t").as("__t2"), col("__xv").as("__x2")),
-        col("__t1") < col("__t2"))
+      .join(broadcast(series.select(col("__t").as("__t2"),
+        col("__xv").as("__x2"))), col("__t1") < col("__t2"))
       .agg(coalesce(sum(signum(col("__x2") - col("__x1")).cast("long")),
         lit(0L)).as("s_stat"))
     val ties = series.groupBy(col("__xv")).agg(count(lit(1)).as("__c"))
