@@ -4271,25 +4271,27 @@ object Relational {
     val part = withR.repartitionByRange(nPart, order: _*)
       .withColumn("__gc_pid", spark_partition_id())
       .localCheckpoint(true)
+    // ONE window pass yields the within-partition adjacency sum AND
+    // both boundary endpoints (min_by/max_by on the order key) — the
+    // ≤ numShufflePartitions result is pinned so its three readers
+    // don't re-run the sort
     val w = Window.partitionBy(col("__gc_pid")).orderBy(order: _*)
-    val localAbs = part
+    val perPart = part
       .withColumn("__prev", lag(col("__le"), 1).over(w))
-      .filter(col("__prev").isNotNull)
-      .agg(coalesce(sum(abs(col("__le") - col("__prev"))), lit(0L))
-        .as("__sLocal"))
-    // cross-boundary pairs: |first(le) of partition p+1 − last(le) of
-    // partition p| — both ends are 1-row-per-partition frames
-    val wAsc = Window.partitionBy(col("__gc_pid")).orderBy(order: _*)
-    val firstLast = part
-      .withColumn("__rn", row_number().over(wAsc))
-      .withColumn("__cnt", count(lit(1)).over(
-        Window.partitionBy(col("__gc_pid"))))
-      .filter(col("__rn") === 1 || col("__rn") === col("__cnt"))
-      .select(col("__gc_pid"), col("__rn"), col("__cnt"), col("__le"))
-    val firsts = firstLast.filter(col("__rn") === 1)
-      .select(col("__gc_pid").as("__p2"), col("__le").as("__leF"))
-    val lasts = firstLast.filter(col("__rn") === col("__cnt"))
-      .select(col("__gc_pid").as("__p1"), col("__le").as("__leL"))
+      .groupBy(col("__gc_pid"))
+      .agg(coalesce(sum(when(col("__prev").isNotNull,
+          abs(col("__le") - col("__prev")))), lit(0L)).as("__sl"),
+        min_by(col("__le"), struct(order: _*)).as("__leF"),
+        max_by(col("__le"), struct(order: _*)).as("__leL"))
+      .localCheckpoint(true)
+    val localAbs = perPart
+      .agg(coalesce(sum(col("__sl")), lit(0L)).as("__sLocal"))
+    // cross-boundary pairs: |first(le) of the next non-empty partition
+    // − last(le) of this one|
+    val firsts = perPart
+      .select(col("__gc_pid").as("__p2"), col("__leF"))
+    val lasts = perPart
+      .select(col("__gc_pid").as("__p1"), col("__leL"))
     // adjacency by NEXT NON-EMPTY partition (range partitioning may
     // leave empty pids, so __p1 + 1 equi-join would drop pairs): the
     // two frames are ≤ numShufflePartitions rows, so the non-equi
