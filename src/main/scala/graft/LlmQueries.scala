@@ -8321,6 +8321,76 @@ object LlmQueries {
         SELECT id, p, rank, round(crit, 6) AS crit,
           rank <= kstar AS discovery FROM k"""))
 
+  /** Cochran's Q of the 3-view "is English" binary panel — do the
+    * full/head/tail lang-ID views differ in pass rate on the same
+    * documents (the k-treatment McNemar over the q377 rater frame). */
+  private val l256 = Spec("q429_cochran_q",
+    (s, d) => graft.engine.Relational.cochranQ(
+      raterFrame(s, d, 2, 2, 2)
+        .withColumn("succ", col("cat") === "en"),
+      "doc_id", "rater", "succ"),
+    Some(s"""WITH $ttCteSql,
+        ${raterCteSql("f", "w0")},
+        ${raterCteSql("h", "w0[1:h]")},
+        ${raterCteSql("l", "w0[h+1:n]")},
+        r AS (SELECT doc_id, 'full' AS tr,
+            CASE WHEN cat = 'en' THEN 1 ELSE 0 END AS s FROM af
+          UNION ALL SELECT doc_id, 'head',
+            CASE WHEN cat = 'en' THEN 1 ELSE 0 END FROM ah
+          UNION ALL SELECT doc_id, 'tail',
+            CASE WHEN cat = 'en' THEN 1 ELSE 0 END FROM al),
+        cell AS (SELECT doc_id, tr, CAST(max(s) AS BIGINT) AS s
+          FROM r GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k
+          FROM cell),
+        pi AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(s) AS BIGINT) AS rr FROM cell GROUP BY 1),
+        kept AS (SELECT doc_id, rr FROM pi CROSS JOIN kk WHERE m = k),
+        rows_ AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(rr), 0) AS BIGINT) AS n_success,
+          coalesce(sum(CAST(rr AS HUGEINT) * rr), 0) AS sr2 FROM kept),
+        cols_ AS (SELECT coalesce(sum(CAST(cj AS HUGEINT) * cj), 0)
+            AS sc2
+          FROM (SELECT tr, CAST(sum(s) AS BIGINT) AS cj FROM cell
+            JOIN kept USING (doc_id) GROUP BY 1)),
+        dn AS (SELECT *, CAST(k AS HUGEINT) * n_success - sr2 AS den
+          FROM rows_ CROSS JOIN cols_ CROSS JOIN kk)
+        SELECT n_items, k, n_success,
+          CASE WHEN den > 0 THEN round(CAST(CAST(k - 1 AS HUGEINT)
+            * (CAST(k AS HUGEINT) * sc2
+              - CAST(n_success AS HUGEINT) * n_success) AS DOUBLE)
+            / CAST(den AS DOUBLE), 6) END AS q_stat
+        FROM dn"""))
+
+  /** RBP@10 (persistence 4/5) with same-label binary relevance on the
+    * q405 top-k frame — the position-weighted companion to ERR whose
+    * exact rational weights never touch a float. */
+  private val l257 = Spec("q434_rbp",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.llm.Eval.rbpAtK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+          label AS ql FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+          ${cosSql("q.qv", "c.embedding")} AS cos
+          FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nid) AS rank FROM s),
+        top AS (SELECT query_id, rank,
+          CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel
+          FROM r WHERE rank <= 10),
+        tm AS (SELECT query_id, rel,
+          CAST(round(1000000 * pow(4, rank - 1)) AS BIGINT)
+            // CAST(round(pow(5, rank)) AS BIGINT) AS w FROM top),
+        a AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+          CAST(sum(rel * w) AS BIGINT) AS rbp_micro FROM tm GROUP BY 1)
+        SELECT q.query_id,
+          coalesce(n_rel_topk, 0) AS n_rel_topk,
+          coalesce(rbp_micro, 0) AS rbp_micro
+        FROM q LEFT JOIN a USING (query_id)"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8343,5 +8413,5 @@ object LlmQueries {
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
     l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
-    l249, l250, l251, l252, l253, l254, l255)
+    l249, l250, l251, l252, l253, l254, l255, l256, l257)
 }

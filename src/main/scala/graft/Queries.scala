@@ -3787,12 +3787,12 @@ object Queries {
           FROM dm WHERE diff_micro IS NOT NULL),
         nn AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS n
           FROM vv),
-        at AS (SELECT CASE WHEN nn.n > 0 THEN
-            CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list(CAST(round(CAST(ns AS DOUBLE) * dm2 / nn.n)
-                AS BIGINT) ORDER BY s2)), (a, b) -> a + b), 0)
-              AS BIGINT)
-          ELSE 0 END AS ate_micro FROM vv CROSS JOIN nn GROUP BY nn.n)
+        -- plain (GROUP-BY-free) aggregate so the all-single-arm
+        -- degenerate case (vv empty) still yields ONE ate_micro = 0 row,
+        -- matching Relational.stratifiedAte's grand-aggregate tot frame
+        at AS (SELECT CAST(coalesce(sum(
+            CAST(round(CAST(ns AS DOUBLE) * dm2 / (SELECT n FROM nn))
+              AS BIGINT)), 0) AS BIGINT) AS ate_micro FROM vv)
         SELECT stratum, n_t, n_c, diff_micro, ate_micro
         FROM dm CROSS JOIN at"""))
 
@@ -4153,6 +4153,312 @@ object Queries {
               * 2.5066282746310002), 9) AS density
         FROM m GROUP BY 1"""))
 
+  /** OP-AGG-52 — mutual information / NMI between document language
+    * and length bucket (the label×slice dependence audit). */
+  private val agg52 = Spec("q425_mutual_information",
+    (s, d) => Relational.mutualInformation(
+      T(s, d, "documents").filter(col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+        .select(col("lang"), expr("n_chars DIV 100").as("len_bucket")),
+      "lang", "len_bucket"),
+    Some("""WITH r AS (SELECT lang AS x, n_chars // 100 AS y
+          FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM c GROUP BY 1),
+        my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM c GROUP BY 1),
+        hx AS (SELECT coalesce(sum(CAST(cx AS HUGEINT)
+            * CAST(round((ln(n) - ln(cx)) * 1000000) AS BIGINT)), 0)
+            AS hsx FROM mx CROSS JOIN nn),
+        hy AS (SELECT coalesce(sum(CAST(cy AS HUGEINT)
+            * CAST(round((ln(n) - ln(cy)) * 1000000) AS BIGINT)), 0)
+            AS hsy FROM my CROSS JOIN nn),
+        mi AS (SELECT coalesce(sum(CAST(c.c AS HUGEINT)
+            * CAST(round((ln(n) + ln(c.c) - ln(cx) - ln(cy)) * 1000000)
+              AS BIGINT)), 0) AS ms
+          FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn),
+        o AS (SELECT n,
+          CAST(CASE WHEN n > 0 THEN hsx // n ELSE 0 END AS BIGINT)
+            AS h_x_micro,
+          CAST(CASE WHEN n > 0 THEN hsy // n ELSE 0 END AS BIGINT)
+            AS h_y_micro,
+          CAST(CASE WHEN n > 0 THEN (CASE WHEN ms >= 0 THEN ms // n
+            ELSE -((-ms) // n) END) ELSE 0 END AS BIGINT) AS mi_micro
+          FROM nn CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi)
+        SELECT n, h_x_micro, h_y_micro, mi_micro,
+          CASE WHEN h_x_micro > 0 AND h_y_micro > 0 THEN
+            round(CAST(mi_micro AS DOUBLE)
+              / sqrt(CAST(h_x_micro AS DOUBLE)
+                * CAST(h_y_micro AS DOUBLE)), 6) END AS nmi
+        FROM o"""))
+
+  /** OP-AGG-53 — Cohen's d / Hedges' g of the even-user "treatment" on
+    * cents outcome (the magnitude companion to the q413 ATE). */
+  private val agg53 = Spec("q426_cohens_d",
+    (s, d) => Relational.cohensD(
+      T(s, d, "events").filter(col("user_id").isNotNull &&
+        col("value").isNotNull)
+        .select(when(col("user_id") % 2 === 0, lit("even"))
+          .otherwise(lit("odd")).as("grp"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "grp", "cents", "even", "odd"),
+    Some("""WITH r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+            ELSE 'odd' END AS g,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        a AS (SELECT
+          CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(sum(CASE WHEN g = 'even' THEN v ELSE 0 END) AS BIGINT)
+            AS sa,
+          CAST(sum(CASE WHEN g = 'odd' THEN v ELSE 0 END) AS BIGINT)
+            AS sb,
+          coalesce(sum(CASE WHEN g = 'even'
+            THEN CAST(v AS HUGEINT) * v END), 0) AS qa,
+          coalesce(sum(CASE WHEN g = 'odd'
+            THEN CAST(v AS HUGEINT) * v END), 0) AS qb
+          FROM r),
+        b AS (SELECT *,
+          CAST(n_a AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa AS vna,
+          CAST(n_b AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb AS vnb
+          FROM a),
+        p AS (SELECT *, CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+            (CAST(vna AS DOUBLE) / n_a + CAST(vnb AS DOUBLE) / n_b)
+              / CAST(n_a + n_b - 2 AS DOUBLE) END AS pool FROM b)
+        SELECT n_a, n_b,
+          CASE WHEN n_a > 0 THEN round(CAST(sa AS DOUBLE) / n_a, 6) END
+            AS mean_a,
+          CASE WHEN n_b > 0 THEN round(CAST(sb AS DOUBLE) / n_b, 6) END
+            AS mean_b,
+          CASE WHEN pool > 0 THEN round((CAST(sa AS DOUBLE) / n_a
+            - CAST(sb AS DOUBLE) / n_b) / sqrt(pool), 6) END AS d,
+          CASE WHEN pool > 0 THEN round((CAST(sa AS DOUBLE) / n_a
+            - CAST(sb AS DOUBLE) / n_b) / sqrt(pool)
+            * (1.0 - 3.0 / CAST((n_a + n_b) * 4 - 9 AS DOUBLE)), 6) END
+            AS g
+        FROM p"""))
+
+  /** OP-AGG-54 — exact per-flag order-statistic quantiles of lineitem
+    * quantity (p50/p90/p99 on the value grain, never a corpus sort). */
+  private val agg54 = Spec("q427_quantile_report",
+    (s, d) => Relational.quantileReport(
+      T(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity",
+      Seq(50, 90, 99)),
+    Some("""WITH v AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        cum AS (SELECT l_returnflag, x, c,
+          sum(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum,
+          sum(c) OVER (PARTITION BY l_returnflag) AS n FROM v),
+        e AS (SELECT l_returnflag, x, cum, n, q
+          FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)
+          WHERE cum * 100 >= n * q)
+        SELECT l_returnflag, q AS q_pct, CAST(max(n) AS BIGINT) AS n,
+          CAST(min(x) AS BIGINT) AS x_q
+        FROM e GROUP BY 1, 2"""))
+
+  /** OP-AGG-55 — supplier revenue concentration: HHI + CR-10 in exact
+    * ppm (the source-diversity audit). */
+  private val agg55 = Spec("q428_concentration",
+    (s, d) => Relational.concentrationReport(
+      T(s, d, "lineitem").filter(col("l_suppkey").isNotNull &&
+        col("l_extendedprice").isNotNull)
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "l_suppkey", "cents", topK = 10),
+    Some("""WITH bk AS (SELECT l_suppkey AS k,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS w
+          FROM lineitem WHERE l_suppkey IS NOT NULL
+            AND l_extendedprice IS NOT NULL GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(coalesce(sum(w), 0) AS BIGINT) AS w_total,
+          coalesce(sum(CAST(w AS HUGEINT) * w), 0) AS sq FROM bk),
+        tp AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS topw
+          FROM (SELECT w FROM bk ORDER BY w DESC, k LIMIT 10))
+        SELECT n_keys, w_total,
+          CASE WHEN w_total > 0 THEN CAST((sq * 1000000)
+            // (CAST(w_total AS HUGEINT) * w_total) AS BIGINT) END
+            AS hhi_ppm,
+          CASE WHEN w_total > 0 THEN CAST((CAST(topw AS HUGEINT)
+            * 1000000) // w_total AS BIGINT) END AS cr_ppm
+        FROM tot CROSS JOIN tp"""))
+
+  /** OP-AGG-56 — Goodman–Kruskal gamma + Somers' D of lineitem
+    * quantity against line number (cell-grain ordinal association). */
+  private val agg56 = Spec("q430_somers_gamma",
+    (s, d) => Relational.somersGamma(
+      T(s, d, "lineitem").filter(col("l_quantity").isNotNull &&
+        col("l_linenumber").isNotNull),
+      "l_quantity", "l_linenumber"),
+    Some("""WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+          CAST(l_linenumber AS BIGINT) AS y,
+          CAST(count(*) AS BIGINT) AS c FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+          GROUP BY 1, 2),
+        p AS (SELECT
+          coalesce(sum(CASE WHEN a.y < b.y
+            THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS cp,
+          coalesce(sum(CASE WHEN a.y > b.y
+            THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS dp,
+          coalesce(sum(CASE WHEN a.y = b.y
+            THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS ty
+          FROM c a JOIN c b ON a.x < b.x),
+        nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c)
+        SELECT n, CAST(cp AS BIGINT) AS c_pairs,
+          CAST(dp AS BIGINT) AS d_pairs, CAST(ty AS BIGINT) AS ty_pairs,
+          CASE WHEN cp + dp > 0 THEN round(CAST(cp - dp AS DOUBLE)
+            / CAST(cp + dp AS DOUBLE), 6) END AS gamma,
+          CASE WHEN cp + dp + ty > 0 THEN round(CAST(cp - dp AS DOUBLE)
+            / CAST(cp + dp + ty AS DOUBLE), 6) END AS somers_d
+        FROM nn CROSS JOIN p"""))
+
+  /** OP-AGG-57 — Cronbach's alpha of per-user activity scores across
+    * event types (the panel-consistency readout; complete cases). */
+  private val agg57 = Spec("q431_cronbach_alpha",
+    (s, d) => Relational.cronbachAlpha(
+      T(s, d, "events").filter(col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("score")),
+      "user_id", "event_type", "score"),
+    Some("""WITH cell AS (SELECT user_id AS id, event_type AS itm,
+          CAST(count(*) AS BIGINT) AS v FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(DISTINCT itm) AS BIGINT) AS k
+          FROM cell),
+        ps AS (SELECT id, CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(v) AS BIGINT) AS t FROM cell GROUP BY 1),
+        kept AS (SELECT id, t FROM ps CROSS JOIN kk WHERE m = k),
+        nr AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+          CAST(coalesce(sum(t), 0) AS BIGINT) AS st,
+          coalesce(sum(CAST(t AS HUGEINT) * t), 0) AS qt FROM kept),
+        iv AS (SELECT coalesce(sum(CAST(n_subjects AS HUGEINT)
+            * (SELECT sum(CAST(v AS HUGEINT) * v) FROM cell c2
+               WHERE c2.itm = i.itm AND c2.id IN (SELECT id FROM kept))
+            - CAST(si AS HUGEINT) * si), 0) AS vi
+          FROM (SELECT itm, CAST(sum(v) AS BIGINT) AS si FROM cell
+            JOIN kept USING (id) GROUP BY 1) i CROSS JOIN nr)
+        SELECT n_subjects, k,
+          CASE WHEN CAST(n_subjects AS HUGEINT) * qt
+              - CAST(st AS HUGEINT) * st > 0 AND k >= 2 THEN
+            round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+              * (1.0 - CAST(vi AS DOUBLE)
+                / CAST(CAST(n_subjects AS HUGEINT) * qt
+                  - CAST(st AS HUGEINT) * st AS DOUBLE)), 6) END
+            AS alpha
+        FROM nr CROSS JOIN iv CROSS JOIN kk"""))
+
+  /** OP-AGG-58 — one-way ICC(1,1) of cents ratings over users with
+    * exactly 3 rated events (between- vs within-subject variance). */
+  private val agg58 = Spec("q432_icc",
+    (s, d) => Relational.iccOneWay(
+      T(s, d, "events").filter(col("user_id").isNotNull &&
+        col("value").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "user_id", "cents", k = 3),
+    Some("""WITH r AS (SELECT user_id AS g,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        per AS (SELECT g, CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(v) AS BIGINT) AS s,
+          coalesce(sum(CAST(v AS HUGEINT) * v), 0) AS q
+          FROM r GROUP BY 1),
+        kept AS (SELECT * FROM per WHERE m = 3),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(coalesce(sum(s), 0) AS BIGINT) AS t,
+          coalesce(sum(CAST(s AS HUGEINT) * s), 0) AS aa,
+          coalesce(sum(q), 0) AS qq FROM kept),
+        b AS (SELECT *, n_groups * 3 AS nn,
+          CAST(n_groups * 3 AS HUGEINT) * aa
+            - 3 * CAST(t AS HUGEINT) * t AS ssbkn,
+          3 * qq - aa AS sswk FROM a),
+        msf AS (SELECT *,
+          CASE WHEN n_groups >= 2 THEN round(CAST(ssbkn AS DOUBLE)
+            / CAST(nn * 3 AS DOUBLE) / CAST(n_groups - 1 AS DOUBLE), 6)
+            END AS msb,
+          CASE WHEN nn > n_groups THEN round(CAST(sswk AS DOUBLE) / 3
+            / CAST(nn - n_groups AS DOUBLE), 6) END AS msw FROM b)
+        SELECT n_groups, 3 AS k, msb, msw,
+          CASE WHEN msb IS NOT NULL AND msw IS NOT NULL
+              AND msb + msw * 2 > 0 THEN
+            round((msb - msw) / (msb + msw * 2), 6) END AS icc
+        FROM msf"""))
+
+  /** OP-AGG-59 — two-sample Cramér–von Mises of cents value between
+    * even- and odd-user populations (whole-distribution gap). */
+  private val agg59 = Spec("q433_cramer_von_mises",
+    (s, d) => Relational.cramerVonMises(
+      T(s, d, "events").filter(col("user_id").isNotNull &&
+        col("value").isNotNull)
+        .select(when(col("user_id") % 2 === 0, lit("even"))
+          .otherwise(lit("odd")).as("grp"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "grp", "cents", "even", "odd"),
+    Some("""WITH r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+            ELSE 'odd' END AS g,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        vals AS (SELECT v,
+          CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+            AS ca,
+          CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+            AS cb
+          FROM r GROUP BY 1),
+        tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+          CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM vals),
+        cums AS (SELECT v, ca, cb,
+          sum(ca) OVER (ORDER BY v) AS cuma,
+          sum(cb) OVER (ORDER BY v) AS cumb FROM vals),
+        num AS (SELECT coalesce(sum(CAST(ca + cb AS HUGEINT)
+            * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT)
+              * n_a)
+            * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT)
+              * n_a)), 0) AS tnum
+          FROM cums CROSS JOIN tot)
+        SELECT n_a, n_b,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            round(CAST(tnum AS DOUBLE)
+              / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END
+            AS t_stat
+        FROM tot CROSS JOIN num"""))
+
+  /** OP-WIN-33 — offline CUSUM mean-shift change point of the cents
+    * stream in (ts, event_id) order (corpus-grain, via the
+    * globalCumSum construction + a TakeOrdered argmax). */
+  private val win33 = Spec("q435_cusum_changepoint",
+    (s, d) => Relational.cusumMeanShift(
+      T(s, d, "events").filter(col("ts").isNotNull &&
+        col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "ts", "cents", Seq("event_id")),
+    Some("""WITH r AS (SELECT ts, event_id,
+          CAST(round(value * 100) AS BIGINT) AS v FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL
+            AND event_id IS NOT NULL),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(v), 0) AS BIGINT) AS s FROM r),
+        c AS (SELECT ts, event_id,
+          CAST(sum(v) OVER (ORDER BY ts, event_id) AS BIGINT) AS cum,
+          CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+            AS i FROM r),
+        dd AS (SELECT ts, i, cum, n, s,
+          abs(CAST(n AS HUGEINT) * cum - CAST(s AS HUGEINT) * i)
+            AS dabs FROM c CROSS JOIN tt)
+        SELECT n, s AS s_total, ts AS t_star, i AS i_star,
+          cum AS cum_star,
+          round(CAST(dabs AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS d_stat
+        FROM dd ORDER BY dabs DESC, i LIMIT 1"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4281,6 +4587,7 @@ object Queries {
     agg31, agg32, agg33, agg34, agg35, agg36, agg37, agg38, agg39,
     agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
     agg48, agg49, agg50, agg51,
+    agg52, agg53, agg54, agg55, agg56, agg57, agg58, agg59, win33,
     win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =

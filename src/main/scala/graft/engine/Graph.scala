@@ -86,13 +86,22 @@ object Graph {
     * influence readout). Integer convention: every node starts at 10⁶
     * micro; per round `x = 10⁶ + Σ_in (x DIV attenDiv)` — β = 1/attenDiv
     * as one exact floor division per in-edge contribution, truncated
-    * like the pageRankPpm damping. attenDiv must exceed the max
-    * in-degree for the series to converge; the fixed `iters` keeps the
-    * readout exact either way. Output: `(id, katz)` for every node.
+    * like the pageRankPpm damping.
+    *
+    * OUTPUT CONTRACT: the value is the `iters`-truncated partial sum of
+    * the attenuated-walk series — engine-exact at every `iters`, but a
+    * CONVERGED centrality only when `attenDiv` exceeds the maximum
+    * in-degree (β < 1/ρ(A) in the spectral statement; max in-degree is
+    * the cheap upper-bound proxy). A high-in-degree hub makes the series
+    * monotonically diverge, which a caller could silently misread as
+    * converged — so the loop runs ONE degree aggregate up front and
+    * logs a warning naming the offending max in-degree when it ties or
+    * beats `attenDiv`. Output: `(id, katz)` for every node.
     *
     * Scale: the [[pageRankPpm]] loop shape minus the degree join —
     * loop-invariant edge frame persisted pre-partitioned on src, one
-    * inflow aggregate per round.
+    * inflow aggregate per round; the convergence check is one 1-row
+    * driver read of the persisted edge frame (the timeBounds class).
     */
   def katzCentralityPpm(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, attenDiv: Int = 8): DataFrame = {
@@ -100,6 +109,15 @@ object Graph {
     require(attenDiv >= 2, "attenuation divisor must be >= 2")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().repartition(col("src")).persist()
+    val maxInDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    if (maxInDeg >= attenDiv)
+      System.err.println(s"[graft] katzCentralityPpm: max in-degree " +
+        s"$maxInDeg >= attenDiv $attenDiv - the attenuated-walk series " +
+        s"DIVERGES; the output is the iters=$iters truncated partial " +
+        "sum (exact), not a converged centrality")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
@@ -314,7 +332,19 @@ object Graph {
     * Deterministic: peeling deletes ALL below-threshold edges per
     * round (no tie-ordering).
     *
-    * Scale: the loop state is one edge-grain frame, eagerly
+    * INCREMENTAL SUPPORT MAINTENANCE (the standard truss-decomposition
+    * refinement): the full O(m^1.5) [[edgeTriangleSupport]] enumeration
+    * runs ONCE, on the starting graph. Each peel round then only
+    * enumerates the triangles DESTROYED by that round's deletions —
+    * for each deleted edge, expand the adjacency of its LOWER-degree
+    * endpoint (the Σ min(deg) bound, the same degree-orientation idea
+    * as the full enumeration) and keep wedges the opposite edge closes;
+    * canonicalize + distinct so a triangle losing 2–3 edges in the same
+    * round decrements its survivors exactly once. Round cost is
+    * frontier-proportional (deleted-edge wedge work), not graph-
+    * proportional — the refinement that makes deep peels affordable.
+    *
+    * Scale: the loop state is one edge-grain support frame, eagerly
     * checkpointed per round (flat lineage, the pointer-jump loop
     * discipline); the per-round early-exit count is a 1-row driver
     * read (the timeBounds class). Rounds are bounded by `maxRounds` —
@@ -324,23 +354,67 @@ object Graph {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "need k >= 3, maxRounds >= 1")
-    var cur = undirected(edges, srcCol, dstCol).localCheckpoint(true)
-    var nEdges = cur.count()
-    var last: DataFrame = null
+    val thresh = (k - 2).toLong
+    val start = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    if (start.isEmpty)
+      return start.withColumn("support", lit(0L)).filter(lit(false))
+    // support measured on the CURRENT graph; loop invariant
+    var sup = edgeTriangleSupport(start, "u", "v") // already checkpointed
+    var last: DataFrame = sup
     var round = 0
-    var converged = false
-    while (round < maxRounds && !converged && nEdges > 0) {
-      val sup = edgeTriangleSupport(cur, "u", "v")
-      last = sup.filter(col("support") >= (k - 2).toLong)
-        .localCheckpoint(true)
-      val kept = last.count()
-      converged = kept == nEdges
-      nEdges = kept
-      cur = last.select(col("u"), col("v"))
+    var done = false
+    while (round < maxRounds && !done) {
+      last = sup.filter(col("support") >= thresh).localCheckpoint(true)
+      val del = sup.filter(col("support") < thresh)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val nDel = del.count()
       round += 1
+      if (nDel == 0 || round >= maxRounds) done = true
+      else {
+        val g = sup.select(col("u"), col("v"))
+        val adj = g.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(g.select(col("v").as("x"), col("u").as("y")))
+        val deg = adj.groupBy(col("x").as("n"))
+          .agg(count(lit(1)).as("d"))
+        // destroyed triangles: expand each deleted edge from its
+        // lower-degree endpoint, close with the opposite edge
+        val expand = del
+          .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+          .select(col("u"), col("v"),
+            when(col("du") <= col("dv"), col("u")).otherwise(col("v"))
+              .as("__e"),
+            when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
+              .as("__o"))
+          .join(adj.select(col("x").as("__e"), col("y").as("w")),
+            Seq("__e"))
+          .filter(col("w") =!= col("__o"))
+        val tris = expand.join(
+            g.select(col("u").as("__ga"), col("v").as("__gb")),
+            least(col("__o"), col("w")) === col("__ga") &&
+              greatest(col("__o"), col("w")) === col("__gb"),
+            "left_semi")
+          .select(sort_array(array(col("u"), col("v"), col("w")))
+            .as("__t"))
+          .distinct()
+          .select(col("__t").getItem(0).as("a"),
+            col("__t").getItem(1).as("b"), col("__t").getItem(2).as("c"))
+        // each destroyed triangle decrements its SURVIVING edges once
+        val dec = tris.select(explode(array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("a").as("u"), col("c").as("v")),
+            struct(col("b").as("u"), col("c").as("v")))).as("__e3"))
+          .select(col("__e3.u").as("u"), col("__e3.v").as("v"))
+          .join(del, Seq("u", "v"), "left_anti")
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__dec"))
+        sup = last.join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("support") - coalesce(col("__dec"), lit(0L)))
+              .as("support"))
+          .localCheckpoint(true)
+      }
     }
-    if (last == null) cur.withColumn("support", lit(0L)).filter(lit(false))
-    else last
+    last
   }
 
   /** Undirected degree histogram — `(degree, n_nodes)`: how many nodes

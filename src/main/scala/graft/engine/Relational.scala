@@ -4111,12 +4111,22 @@ object Relational {
     * `(word, n_occurrences)`.
     */
   def saxMotifs(df: DataFrame, tCol: String, xCol: String,
-      segLen: Int, wordLen: Int): DataFrame = {
+      segLen: Int, wordLen: Int, maxSeries: Int = 100000): DataFrame = {
     require(segLen >= 1 && wordLen >= 1, "positive segment/word sizes")
+    require(maxSeries >= 1, "maxSeries must be positive")
     val d38 = "decimal(38,0)"
+    // structural series bound (the mannKendall maxSeries discipline):
+    // wordLen chained equi-self-joins on a corpus-grain frame are not
+    // quadratic, but they ARE wordLen shuffles of the whole input — a
+    // misfed corpus-grain frame should fail loudly, not grind
     val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
       .select(col(tCol).cast("long").as("__t"),
         col(xCol).cast("long").as("__xv"))
+      .localCheckpoint(true)
+    val nSeries = series.count()
+    require(nSeries <= maxSeries,
+      s"saxMotifs: series has $nSeries rows > maxSeries=$maxSeries - " +
+        "feed a calendar-grain series or raise maxSeries deliberately")
     val t0g = series.agg(min(col("__t")).as("__t0"),
       count(lit(1)).as("__n"), sum(col("__xv")).as("__S"),
       sum(col("__xv").cast(d38) * col("__xv")).as("__Q"))
@@ -4162,12 +4172,23 @@ object Relational {
     * `(t, nn_t, dist2)`.
     */
   def matrixProfile(df: DataFrame, tCol: String, xCol: String,
-      m: Int, exclusion: Int): DataFrame = {
+      m: Int, exclusion: Int, maxSeries: Int = 20000): DataFrame = {
     require(m >= 2, "window length must be >= 2")
+    require(maxSeries >= m, "maxSeries must be >= window length")
     val d38 = "decimal(38,0)"
+    // structural series bound (the mannKendall maxSeries discipline):
+    // the all-pairs window scan is quadratic with an n-row broadcast —
+    // a corpus-grain input must fail loudly before the BNLJ builds
     val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
       .select(col(tCol).cast("long").as("__t"),
         col(xCol).cast("long").as("__xv"))
+      .localCheckpoint(true)
+    val nSeries = series.count()
+    require(nSeries <= maxSeries,
+      s"matrixProfile: series has $nSeries rows > maxSeries=" +
+        s"$maxSeries - the nearest-neighbor scan is quadratic in the " +
+        "series length; feed a calendar-grain series or raise " +
+        "maxSeries deliberately")
     val win = (1 until m).foldLeft(
       series.select(col("__t"), array(col("__xv")).as("__v"))) {
       (acc, i) =>
@@ -4322,13 +4343,30 @@ object Relational {
     * grain (hour/day buckets: calendar²-sized at any corpus volume,
     * the q134 argument squared); everything is exact integers until
     * the final z. Output: ONE row `(n, s_stat, z)`.
+    *
+    * `maxSeries` is the STRUCTURAL form of that contract (the
+    * [[graft.llm.Density.epsNeighborPairs]] `maxCell` discipline): the
+    * series is counted once (one 1-row driver read of the eagerly
+    * checkpointed frame — the timeBounds class) and a longer input
+    * FAILS LOUDLY instead of broadcasting a corpus-grain frame into an
+    * n²-pair BNLJ that no plan sweep can flag (the broadcast hint
+    * legitimizes it). The checkpoint also means the input dataflow runs
+    * once, not once per self-join side.
     */
-  def mannKendall(df: DataFrame, tCol: String,
-      xCol: String): DataFrame = {
+  def mannKendall(df: DataFrame, tCol: String, xCol: String,
+      maxSeries: Int = 50000): DataFrame = {
+    require(maxSeries >= 2, "maxSeries must be >= 2")
     val d38 = "decimal(38,0)"
     val series = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
       .select(col(tCol).cast("long").as("__t"),
         col(xCol).cast("long").as("__xv"))
+      .localCheckpoint(true)
+    val nSeries = series.count()
+    require(nSeries <= maxSeries,
+      s"mannKendall: series has $nSeries rows > maxSeries=$maxSeries - " +
+        "the S pair sum is quadratic in the series length; feed a " +
+        "calendar-grain series (hour/day buckets) or raise maxSeries " +
+        "deliberately")
     val pairs = series.select(col("__t").as("__t1"),
         col("__xv").as("__x1"))
       .join(broadcast(series.select(col("__t").as("__t2"),
@@ -4894,5 +4932,520 @@ object Relational {
           (col("__m") * col("__suu") - col("__su") * col("__su")), 6))
         .as("hurst"))
     bySize.crossJoin(slope)
+  }
+
+  // -------------------------------- association / consistency family
+
+  /** Mutual information + normalized MI between two CATEGORICAL
+    * columns — "how much does knowing the language tell you about the
+    * length bucket": the dependence readout for label/slice audits
+    * that χ² significance can't size (MI is an effect measure in
+    * nats). Per-value and per-cell log terms are integer-arg ln
+    * differences rounded to micro BEFORE the weighted sum (the
+    * Adamic–Adar per-term-bounded rule; four separate lns so no
+    * product ever leaves exact-double integer range), weights are the
+    * exact counts, and the 1/n normalization is one BIGINT floor:
+    * `H(X) = Σ_x c_x·round(10⁶·(ln n − ln c_x)) DIV n`, `MI = Σ_xy
+    * c_xy·round(10⁶·(ln n + ln c_xy − ln c_x − ln c_y)) DIV n`. NMI is
+    * the final double `MI/√(H_x·H_y)` at 6 dp. Output: ONE row
+    * `(n, h_x_micro, h_y_micro, mi_micro, nmi)`.
+    *
+    * Scale: one (x,y) cell aggregate (map-side combined), two marginal
+    * re-aggregations of the CELL frame, 1-row broadcast total — the
+    * contingency grain, never the corpus.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = cells.agg(coalesce(sum(col("__c")), lit(0L)).as("n"))
+    val margX = cells.groupBy(col("__x"))
+      .agg(sum(col("__c")).as("__cx"))
+    val margY = cells.groupBy(col("__y"))
+      .agg(sum(col("__c")).as("__cy"))
+    def entropyMicro(marg: DataFrame, cCol: String,
+        outCol: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .withColumn("__t", expr(
+          s"CAST(round((ln(n) - ln($cCol)) * 1000000) AS BIGINT)"))
+        .agg(coalesce(sum(col(cCol).cast(d38) * col("__t")),
+          lit(0).cast(d38)).as(outCol))
+    val hx = entropyMicro(margX, "__cx", "__hsx")
+    val hy = entropyMicro(margY, "__cy", "__hsy")
+    val mi = cells
+      .join(margX, Seq("__x")).join(margY, Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", expr(
+        "CAST(round((ln(n) + ln(__c) - ln(__cx) - ln(__cy)) * 1000000) " +
+          "AS BIGINT)"))
+      .agg(coalesce(sum(col("__c").cast(d38) * col("__t")),
+        lit(0).cast(d38)).as("__ms"))
+    tot.crossJoin(hx).crossJoin(hy).crossJoin(mi)
+      .select(col("n"),
+        when(col("n") > 0, expr("CAST(__hsx DIV n AS BIGINT)"))
+          .otherwise(lit(0L)).as("h_x_micro"),
+        when(col("n") > 0, expr("CAST(__hsy DIV n AS BIGINT)"))
+          .otherwise(lit(0L)).as("h_y_micro"),
+        // per-term rounding can push an exactly-zero MI a few micro
+        // NEGATIVE: divide sign-aware (|ms| DIV n) because Spark DIV
+        // truncates while DuckDB // floors — they only agree on
+        // non-negatives (the hurstRs discipline)
+        when(col("n") > 0, expr("CAST(CASE WHEN __ms >= 0 " +
+          "THEN __ms DIV n ELSE -((-__ms) DIV n) END AS BIGINT)"))
+          .otherwise(lit(0L)).as("mi_micro"))
+      .withColumn("nmi", when(col("h_x_micro") > 0 &&
+          col("h_y_micro") > 0, round(
+        col("mi_micro").cast("double") /
+          sqrt(col("h_x_micro").cast("double") *
+            col("h_y_micro").cast("double")), 6)))
+  }
+
+  /** Cohen's d and Hedges' g effect sizes between two groups of an
+    * integer-lattice outcome — the MAGNITUDE companion to the Welch/
+    * Mann–Whitney significance family ("is the difference big", not
+    * "is it real"): pooled-SD standardized mean difference, with
+    * Hedges' small-sample bias correction `g = d·(1 − 3/(4N − 9))`.
+    * All sufficient statistics are exact (counts, sums, DECIMAL sums
+    * of squares in ONE map-side-combined aggregate); the composition
+    * is the final double at 6 dp. Output: ONE row
+    * `(n_a, n_b, mean_a, mean_b, d, g)`.
+    */
+  def cohensD(df: DataFrame, groupCol: String, xCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull)
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+    val isA = col("__g") === groupA
+    base.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(!isA, col("__v")).otherwise(0L)).as("__sb"),
+        sum(when(isA, col("__v").cast(d38) * col("__v"))
+          .otherwise(lit(0).cast(d38))).as("__qa"),
+        sum(when(!isA, col("__v").cast(d38) * col("__v"))
+          .otherwise(lit(0).cast(d38))).as("__qb"))
+      .withColumn("__vna",
+        col("n_a").cast(d38) * col("__qa") -
+          col("__sa").cast(d38) * col("__sa"))
+      .withColumn("__vnb",
+        col("n_b").cast(d38) * col("__qb") -
+          col("__sb").cast(d38) * col("__sb"))
+      // pooled variance = (vna/na + vnb/nb) / (na + nb - 2); each term
+      // vn/n is n·var·(n−1)/n = (n−1)·var — the pooled-SD numerator
+      .withColumn("__pool", when(col("n_a") >= 2 && col("n_b") >= 2,
+        (col("__vna").cast("double") / col("n_a") +
+          col("__vnb").cast("double") / col("n_b")) /
+          (col("n_a") + col("n_b") - 2).cast("double")))
+      .withColumn("mean_a", when(col("n_a") > 0,
+        round(col("__sa").cast("double") / col("n_a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0,
+        round(col("__sb").cast("double") / col("n_b"), 6)))
+      .withColumn("d", when(col("__pool") > 0, round(
+        (col("__sa").cast("double") / col("n_a") -
+          col("__sb").cast("double") / col("n_b")) /
+          sqrt(col("__pool")), 6)))
+      .withColumn("g", when(col("__pool") > 0, round(
+        (col("__sa").cast("double") / col("n_a") -
+          col("__sb").cast("double") / col("n_b")) /
+          sqrt(col("__pool")) *
+          (lit(1d) - lit(3d) /
+            ((col("n_a") + col("n_b")) * 4 - 9).cast("double")), 6)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("d"), col("g"))
+  }
+
+  /** Exact per-group discrete quantiles at literal percentages — the
+    * p50/p90/p99 latency-style readout, computed as ORDER STATISTICS
+    * on the value grain (the smallest value whose cumulative count
+    * reaches `ceil(n·q/100)`), never an approximate sketch and never a
+    * corpus sort: value-grain counts, a PARTITIONED cumulative window
+    * (per group — shuffle-safe), and a min-pick per (group, q).
+    * Output per (group, q): `(group..., q_pct, n, x_q)`.
+    *
+    * Scale: one (group, value) aggregate + one group-partitioned
+    * window over the VALUE grain + a (group, q)-grain reduce. The
+    * value grain is the operator contract (lattice-valued outcomes —
+    * cents, counts, sizes); a truly continuous column routes through
+    * the sketch family instead.
+    */
+  def quantileReport(df: DataFrame, groupCols: Seq[String], xCol: String,
+      qsPct: Seq[Int]): DataFrame = {
+    require(qsPct.nonEmpty && qsPct.forall(q => q >= 1 && q <= 100),
+      "percentages must be in 1..100")
+    val g = groupCols.map(col)
+    val vals = df.filter(col(xCol).isNotNull &&
+        groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(g :+ col(xCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = vals.withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(g: _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(g: _*)))
+    cum.withColumn("q_pct",
+        explode(array(qsPct.map(q => lit(q)): _*)))
+      .filter(col("__cum") * 100 >= col("__n") * col("q_pct"))
+      .groupBy(g :+ col("q_pct"): _*)
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("x_q"))
+      .select(g ++ Seq(col("q_pct"), col("n"), col("x_q")): _*)
+  }
+
+  /** Concentration audit of a weight over a key: Herfindahl–Hirschman
+    * index and the top-k concentration ratio in exact ppm — "is this
+    * corpus/revenue dominated by a few sources", the supplier-risk /
+    * source-diversity readout. `HHI_ppm = 10⁶·Σ w_k² DIV W²` (exact
+    * DECIMAL), `CR_k = 10⁶·(Σ of the k largest w) DIV W` with the
+    * deterministic (weight desc, key asc) tie order and a
+    * TakeOrdered-bounded top-k (never a global sort). Output: ONE row
+    * `(n_keys, w_total, hhi_ppm, cr_ppm)`.
+    */
+  def concentrationReport(df: DataFrame, keyCol: String, wCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val d38 = "decimal(38,0)"
+    val byKey = df.filter(col(keyCol).isNotNull && col(wCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(wCol).cast("long")).as("__w"))
+      .localCheckpoint(true)
+    val tot = byKey.agg(count(lit(1)).as("n_keys"),
+      coalesce(sum(col("__w")), lit(0L)).as("w_total"),
+      coalesce(sum(col("__w").cast(d38) * col("__w")),
+        lit(0).cast(d38)).as("__sq"))
+    val top = byKey.orderBy(col("__w").desc, col("__k").asc)
+      .limit(topK)
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__topw"))
+    tot.crossJoin(top)
+      .select(col("n_keys"), col("w_total"),
+        when(col("w_total") > 0, expr(
+          "CAST((__sq * 1000000) DIV (CAST(w_total AS DECIMAL(38,0)) " +
+            "* w_total) AS BIGINT)")).as("hhi_ppm"),
+        // topw·10⁶ can pass int64 at corpus weight totals — DECIMAL
+        when(col("w_total") > 0, expr(
+          "CAST((CAST(__topw AS DECIMAL(38,0)) * 1000000) " +
+            "DIV w_total AS BIGINT)")).as("cr_ppm"))
+  }
+
+  /** Cochran's Q test (Cochran 1950) over a long-format binary panel
+    * `(item, treatment, success)` — "do my k binary labelers/filters
+    * differ in pass rate on the same items": the k-treatment
+    * generalization of McNemar (q399) and the binary sibling of
+    * Friedman (q394). Only COMPLETE blocks enter (items rated under
+    * every treatment — the fleissKappa discipline, k read from the
+    * data as a 1-row frame). With row totals R_i, column totals C_j,
+    * N = ΣR_i: `Q = (k−1)·(k·ΣC_j² − N²)/(k·N − ΣR_i²)` — every term
+    * an exact integer, one final double at 6 dp (NULL when the
+    * denominator is 0: all-constant rows). Output: ONE row
+    * `(n_items, k, n_success, q_stat)`.
+    *
+    * Scale: (item, treatment) max-aggregate, item-grain and
+    * treatment-grain reductions, 1-row cross joins — contingency
+    * grain throughout.
+    */
+  def cochranQ(df: DataFrame, itemCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cell = df.filter(col(itemCol).isNotNull &&
+        col(treatCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(itemCol).as("__it"), col(treatCol).as("__tr"))
+      .agg(max(col(valCol).cast("boolean").cast("long")).as("__s"))
+      .localCheckpoint(true)
+    val kf = cell.select(col("__tr")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val perItem = cell.groupBy(col("__it"))
+      .agg(count(lit(1)).as("__m"), sum(col("__s")).as("__r"))
+    val kept = perItem.crossJoin(broadcast(kf))
+      .filter(col("__m") === col("k"))
+      .select(col("__it"), col("__r"))
+      .localCheckpoint(true)
+    val rows = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__r")), lit(0L)).as("n_success"),
+      coalesce(sum(col("__r").cast(d38) * col("__r")),
+        lit(0).cast(d38)).as("__sr2"))
+    val cols = cell.join(kept.select(col("__it")), Seq("__it"))
+      .groupBy(col("__tr")).agg(sum(col("__s")).as("__cj"))
+      .agg(coalesce(sum(col("__cj").cast(d38) * col("__cj")),
+        lit(0).cast(d38)).as("__sc2"))
+    rows.crossJoin(cols).crossJoin(kf)
+      .withColumn("__den",
+        col("k").cast(d38) * col("n_success") - col("__sr2"))
+      .select(col("n_items"), col("k"), col("n_success"),
+        when(col("__den") > 0, round(
+          ((col("k") - 1).cast(d38) *
+            (col("k").cast(d38) * col("__sc2") -
+              col("n_success").cast(d38) * col("n_success")))
+            .cast("double") / col("__den").cast("double"), 6))
+          .as("q_stat"))
+  }
+
+  /** Goodman–Kruskal gamma and Somers' D_yx ordinal association
+    * between two LATTICE-valued columns — "does a bigger x go with a
+    * bigger y" for ordered categories, where Pearson assumes interval
+    * scale and Kendall needs a per-pair scan: concordant/discordant/
+    * tied-in-y pair counts computed at the CELL grain (`C = Σ
+    * n_c·n_c'` over cell pairs, never row pairs), so the quadratic is
+    * in distinct-value-pair count, not corpus size. `gamma =
+    * (C−D)/(C+D)`, `D_yx = (C−D)/(C+D+T_y)` — exact DECIMAL counts,
+    * two final doubles at 6 dp. Output: ONE row
+    * `(n, c_pairs, d_pairs, ty_pairs, gamma, somers_d)`.
+    *
+    * `maxCells` is the structural lattice-contract guard (the
+    * mannKendall maxSeries discipline): the cell frame is counted once
+    * (1-row driver read of the checkpointed frame) and a wider input
+    * fails loudly before the cell-pair broadcast join builds.
+    */
+  def somersGamma(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Int = 2000): DataFrame = {
+    require(maxCells >= 2, "maxCells must be >= 2")
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"somersGamma: $nCells distinct (x, y) cells > maxCells=" +
+        s"$maxCells - the pair scan is quadratic in the cell count; " +
+        "feed lattice-valued columns or raise maxCells deliberately")
+    val a = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__c").as("__c1"))
+    val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = a.join(broadcast(b), col("__x1") < col("__x2"))
+      .withColumn("__w", col("__c1").cast(d38) * col("__c2"))
+    val sums = pairs.agg(
+      coalesce(sum(when(col("__y1") < col("__y2"), col("__w"))),
+        lit(0).cast(d38)).as("__cp"),
+      coalesce(sum(when(col("__y1") > col("__y2"), col("__w"))),
+        lit(0).cast(d38)).as("__dp"),
+      coalesce(sum(when(col("__y1") === col("__y2"), col("__w"))),
+        lit(0).cast(d38)).as("__ty"))
+    val tot = cells.agg(coalesce(sum(col("__c")), lit(0L)).as("n"))
+    tot.crossJoin(sums)
+      .select(col("n"),
+        col("__cp").cast("long").as("c_pairs"),
+        col("__dp").cast("long").as("d_pairs"),
+        col("__ty").cast("long").as("ty_pairs"),
+        when(col("__cp") + col("__dp") > 0, round(
+          (col("__cp") - col("__dp")).cast("double") /
+            (col("__cp") + col("__dp")).cast("double"), 6)).as("gamma"),
+        when(col("__cp") + col("__dp") + col("__ty") > 0, round(
+          (col("__cp") - col("__dp")).cast("double") /
+            (col("__cp") + col("__dp") + col("__ty")).cast("double"), 6))
+          .as("somers_d"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over a
+    * long-format `(subject, item, score)` frame — "do my k quality
+    * items measure one underlying thing": the reliability readout for
+    * weak-labeler and rubric panels. Only COMPLETE cases enter
+    * (subjects with every item exactly once — k read from the data);
+    * with per-item variance numerators `v_i = n·Q_i − S_i²` and the
+    * per-subject-total numerator `v_t = n·Q_t − S_t²` (the shared
+    * (n−1) denominators cancel), `α = k/(k−1)·(1 − Σv_i/v_t)` — exact
+    * DECIMAL integers into one final double at 6 dp (NULL when v_t =
+    * 0). Output: ONE row `(n_subjects, k, alpha)`.
+    *
+    * Scale: (subject, item) aggregate, subject- and item-grain
+    * reductions, 1-row cross joins — panel grain throughout.
+    */
+  def cronbachAlpha(df: DataFrame, idCol: String, itemCol: String,
+      scoreCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cell = df.filter(col(idCol).isNotNull &&
+        col(itemCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(idCol).as("__id"), col(itemCol).as("__itm"))
+      .agg(count(lit(1)).as("__dup"),
+        sum(col(scoreCol).cast("long")).as("__v"))
+      .localCheckpoint(true)
+    val kf = cell.select(col("__itm")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val perSubj = cell.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__m"), max(col("__dup")).as("__dmax"),
+        sum(col("__v")).as("__t"))
+    val kept = perSubj.crossJoin(broadcast(kf))
+      .filter(col("__m") === col("k") && col("__dmax") === 1)
+      .select(col("__id"), col("__t"))
+      .localCheckpoint(true)
+    val nRow = kept.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__t")), lit(0L)).as("__st"),
+      coalesce(sum(col("__t").cast(d38) * col("__t")),
+        lit(0).cast(d38)).as("__qt"))
+    val items = cell.join(kept.select(col("__id")), Seq("__id"))
+      .groupBy(col("__itm"))
+      .agg(sum(col("__v")).as("__si"),
+        sum(col("__v").cast(d38) * col("__v")).as("__qi"))
+    val itemVar = items.crossJoin(broadcast(
+        nRow.select(col("n_subjects").as("__n2"))))
+      .agg(coalesce(sum(col("__n2").cast(d38) * col("__qi") -
+        col("__si").cast(d38) * col("__si")), lit(0).cast(d38))
+        .as("__vi"))
+    nRow.crossJoin(itemVar).crossJoin(kf)
+      .withColumn("__vt",
+        col("n_subjects").cast(d38) * col("__qt") -
+          col("__st").cast(d38) * col("__st"))
+      .select(col("n_subjects"), col("k"),
+        when(col("__vt") > 0 && col("k") >= 2, round(
+          col("k").cast("double") / (col("k") - 1).cast("double") *
+            (lit(1d) - col("__vi").cast("double") /
+              col("__vt").cast("double")), 6)).as("alpha"))
+  }
+
+  /** One-way intraclass correlation ICC(1,1) (Shrout & Fleiss 1979)
+    * over groups of EXACTLY `k` ratings — "how much of the score
+    * variance is between subjects rather than within": the
+    * reliability companion to [[cronbachAlpha]] when raters are
+    * interchangeable. Groups with any other size are dropped (the
+    * fleissKappa constant-n discipline). Exact scaled sums of squares
+    * (`SSB·kN = N·ΣS_i² − k·T²`, `SSW·k = k·ΣQ_i − ΣS_i²`, all
+    * DECIMAL) feed the final doubles `MSB = SSB/(n−1)`,
+    * `MSW = SSW/(N−n)`, `ICC = (MSB−MSW)/(MSB+(k−1)·MSW)` at 6 dp.
+    * Output: ONE row `(n_groups, k, msb, msw, icc)`.
+    */
+  def iccOneWay(df: DataFrame, groupCol: String, xCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 ratings per group")
+    val d38 = "decimal(38,0)"
+    val per = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col(xCol).cast("long")).as("__s"),
+        sum(col(xCol).cast(d38) * col(xCol).cast("long")).as("__q"))
+      .filter(col("__m") === k.toLong)
+    per.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__s")), lit(0L)).as("__t"),
+        coalesce(sum(col("__s").cast(d38) * col("__s")),
+          lit(0).cast(d38)).as("__a"),
+        coalesce(sum(col("__q")), lit(0).cast(d38)).as("__qq"))
+      .withColumn("__nn", col("n_groups") * k.toLong)
+      .withColumn("__ssbkn",
+        col("__nn").cast(d38) * col("__a") -
+          lit(k).cast(d38) * col("__t") * col("__t"))
+      .withColumn("__sswk",
+        lit(k).cast(d38) * col("__qq") - col("__a"))
+      .withColumn("msb", when(col("n_groups") >= 2, round(
+        col("__ssbkn").cast("double") /
+          (col("__nn") * k).cast("double") /
+          (col("n_groups") - 1).cast("double"), 6)))
+      .withColumn("msw", when(col("__nn") > col("n_groups"), round(
+        col("__sswk").cast("double") / k /
+          (col("__nn") - col("n_groups")).cast("double"), 6)))
+      .select(col("n_groups"), lit(k).as("k"), col("msb"), col("msw"),
+        when(col("msb").isNotNull && col("msw").isNotNull &&
+            col("msb") + col("msw") * (k - 1) > 0, round(
+          (col("msb") - col("msw")) /
+            (col("msb") + col("msw") * (k - 1)), 6)).as("icc"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic from value-grain paired
+    * ECDFs — the WHOLE-distribution two-sample test that weights every
+    * quantile (KS reads only the max gap; CvM integrates the squared
+    * gap, catching spread/tail differences KS misses). At value grain
+    * with per-value counts `(c_A, c_B)` and inclusive cums from TWO
+    * [[globalCumSum]] passes: `T = Σ_v (c_A+c_B)·(cumA_v·n_B −
+    * cumB_v·n_A)² / (N²·n_A·n_B)` — the integrand exact DECIMAL, one
+    * final double at 6 dp. Output: ONE row `(n_a, n_b, t_stat)`.
+    *
+    * Scale: one value-grain conditional aggregate + two range
+    * exchanges of the VALUE frame (the globalCumSum discipline — no
+    * single-partition window) + a 1-row reduce.
+    */
+  def cramerVonMises(df: DataFrame, groupCol: String, xCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val isA = col(groupCol) === groupA
+    val vals = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull)
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(xCol).cast("long").as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__cb"))
+    val cum = globalCumSum(
+      globalCumSum(vals, Seq(col("__v")), col("__ca"), "__cumA"),
+      Seq(col("__v")), col("__cb"), "__cumB")
+    val tot = vals.agg(coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+    val num = cum.crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        col("__cumA").cast(d38) * col("n_b") -
+          col("__cumB").cast(d38) * col("n_a"))
+      .agg(coalesce(sum((col("__ca") + col("__cb")).cast(d38) *
+        col("__gap") * col("__gap")), lit(0).cast(d38)).as("__tnum"))
+    tot.crossJoin(num)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(
+          col("__tnum").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              col("n_a").cast("double") * col("n_b").cast("double")),
+          6)).as("t_stat"))
+  }
+
+  /** Offline CUSUM mean-shift change point over a totally ordered
+    * corpus-grain stream: with inclusive prefix sums `C_i` and counts
+    * `i` (BOTH from one range-partitioned pass — the globalCumSum
+    * construction computing the value cum and the row count cum in the
+    * same window, since two separate passes could not be joined
+    * row-wise), the drift-free CUSUM is `D_i = n·C_i − S·i` (exact
+    * DECIMAL — no float mean subtraction), and the change point is
+    * `argmax |D_i|` with the deterministic (|D| desc, i asc) tie rule
+    * picked by a TakeOrdered limit — never a global sort. The scan
+    * statistic `|D|/n²` normalizes to the classic
+    * `max_t |mean_{≤t} − mean|·(t/n)` scale. Output: ONE row
+    * `(n, s_total, t_star, i_star, cum_star, d_stat)`.
+    *
+    * Scale: one range exchange of the row frame + bounded offset
+    * broadcast (the globalRank posture) + a 1-row TakeOrdered pick.
+    */
+  def cusumMeanShift(df: DataFrame, tCol: String, xCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val nPart = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val base = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(col(tCol).as("__t") +: col(xCol).cast("long").as("__xv")
+        +: tiebreakCols.map(col): _*)
+    val ord = col("__t") +: tiebreakCols.map(col)
+    // __gc_pid: the exact globalCumSum offset-frame construction (and
+    // the name PlanSweep's bounded-window walk recognizes as the
+    // ≤ numShufflePartitions-row offset aggregate)
+    val part = base.repartitionByRange(nPart, ord: _*)
+      .withColumn("__gc_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__gc_pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = part
+      .withColumn("__cl", sum(col("__xv")).over(w))
+      .withColumn("__il", count(lit(1)).over(w))
+    val off = part.groupBy(col("__gc_pid"))
+      .agg(sum(col("__xv")).as("__ps"), count(lit(1)).as("__pc"))
+      .withColumn("__so", coalesce(sum(col("__ps")).over(
+        Window.orderBy(col("__gc_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__co", coalesce(sum(col("__pc")).over(
+        Window.orderBy(col("__gc_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gc_pid"), col("__so"), col("__co"))
+    val tot = part.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__xv")), lit(0L)).as("s_total"))
+    local.join(broadcast(off), Seq("__gc_pid"))
+      .withColumn("__cum", col("__so") + col("__cl"))
+      .withColumn("__i", col("__co") + col("__il"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        col("n").cast(d38) * col("__cum") -
+          col("s_total").cast(d38) * col("__i"))
+      .withColumn("__dabs", abs(col("__d")))
+      .orderBy(col("__dabs").desc, col("__i").asc)
+      .limit(1)
+      .select(col("n"), col("s_total"), col("__t").as("t_star"),
+        col("__i").as("i_star"), col("__cum").as("cum_star"),
+        round(col("__dabs").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("d_stat"))
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -622,4 +622,77 @@ object TokenNgrams {
 
   def tokenNgrams(text: Column, n: Int): Column =
     Bridge.column(TokenNgrams(Bridge.expression(text), n))
+}
+
+/** `char_gram_counts(text, n)` — the character n-gram COUNT MAP of the
+  * (caller-normalized) text, folded row-local in one scan: gram → count
+  * for every length-`n` substring, `{}` when the text is shorter than
+  * `n`. The chrF hot path ([[graft.llm.Eval.chrFCorpus]]): the composed
+  * form explodes one row PER CHARACTER POSITION (a ~1000-row fan-out per
+  * kB of text, twice — order 1 and 2) and re-aggregates it to (doc,
+  * gram) grain through a shuffle, spilling at sf10; this expression
+  * emits the (gram, count) pairs already folded, so the downstream
+  * explode is alphabet-bounded (≤ 37ⁿ distinct grams per doc under the
+  * tokenizer normalization) and the (doc, gram) aggregate exchange
+  * disappears entirely. Counts are exact; gram order in the map is
+  * first-appearance (irrelevant downstream — the map is exploded into
+  * unordered rows).
+  */
+case class CharGramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "char_gram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramCounts.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharGramCounts.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramCounts =
+    copy(child = newChild)
+}
+
+object CharGramCounts {
+
+  def compute(s: UTF8String, n: Int): MapData = {
+    val text = s.toString
+    val len = text.length
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i + n <= len) {
+      val g = text.substring(i, i + n)
+      val c = m.get(g)
+      m.put(g, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue.longValue()
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys),
+      new GenericArrayData(vals))
+  }
+
+  def charGramCounts(text: Column, n: Int): Column =
+    Bridge.column(CharGramCounts(Bridge.expression(text), n))
 }

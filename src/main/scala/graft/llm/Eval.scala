@@ -457,6 +457,58 @@ object Eval {
         coalesce(col("err_micro"), lit(0L)).as("err_micro"))
   }
 
+  /** Rank-biased precision RBP@k (Moffat & Zobel, TOIS 2008) of the
+    * exact cosine scan with same-label binary relevance: the
+    * persistence-model metric — the user inspects rank i with
+    * probability `p^{i−1}`, so `RBP = (1−p)·Σ_i rel_i·p^{i−1}` — the
+    * top-weighted companion to [[errAtK]] whose discount depends only
+    * on POSITION, not on earlier relevance (robust to unjudged tails,
+    * the shallow-pool evaluation readout). With the rational
+    * persistence `p = pNum/pDen`, the rank-i weight is the EXACT
+    * integer `w_micro(i) = (10⁶·pNum^{i−1}) DIV pDen^i` (one floor per
+    * rank — `(1−p)·p^{i−1}` multiplied through; `10⁶·pNum^{k−1}` stays
+    * inside int64 for every k ≤ 20 at the default 4/5), so
+    * `rbp_micro = Σ rel_i·w_micro(i)` is summed exactly — no float
+    * anywhere. Output per query: `(query_id, n_rel_topk, rbp_micro)` —
+    * zero-hit queries report 0.
+    *
+    * Scale: the [[errAtK]] plan verbatim — queries broadcast, corpus
+    * never shuffled, WindowGroupLimit prunes to k per query before the
+    * k-bounded rank window.
+    */
+  def rbpAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queryIdCol: String, k: Int,
+      pNum: Int = 4, pDen: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 20, "need 1 <= k <= 20 (exact int64 weights)")
+    require(pNum >= 1 && pDen > pNum, "persistence must be in (0, 1)")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val top = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("nl"))
+      .join(q)
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("ql"), col("nid"), col("nl"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .withColumn("__rel", (col("nl") === col("ql")).cast("long"))
+      // integer powers via double pow: pNum^(i-1), pDen^i <= 5^20 < 2^53,
+      // double-exact, rounded to kill fp dust before the BIGINT floor
+      .withColumn("__w", expr(
+        s"CAST(round(1000000 * power($pNum, rank - 1)) AS BIGINT) DIV " +
+          s"CAST(round(power($pDen, rank)) AS BIGINT)"))
+    val agg = top.groupBy(col("query_id"))
+      .agg(sum(col("__rel")).as("n_rel_topk"),
+        sum(col("__rel") * col("__w")).as("rbp_micro"))
+    q.select(col("query_id"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        coalesce(col("rbp_micro"), lit(0L)).as("rbp_micro"))
+  }
+
   /** Pairwise BLEU-2 (Papineni et al., ACL 2002) over candidate /
     * reference text pairs: modified (clipped) unigram and bigram
     * precisions with the brevity penalty — the n-gram PRECISION eval
@@ -529,11 +581,15 @@ object Eval {
     * Output: `(cand_id, ref_id, m1, h1, r1, m2, h2, r2, f1_micro,
     * f2_micro, chrf_micro)`.
     *
-    * Scale: the [[bleuCorpus]] plan shape verbatim — char-gram counts
-    * collapse to (doc, gram, cnt) map-side, pairs semi-drive the clip
-    * joins, nothing pairwise beyond the declared pair list. Char-gram
-    * cardinality per doc is alphabet-bounded (≤ 37² bigram types under
-    * this normalization), so the model frames are tiny.
+    * Scale: char-gram counts FOLD ROW-LOCAL in the native
+    * [[graft.functions.CharGramCounts]] codegen expression (gram → count
+    * map per doc in one scan), so the exploded model frame is
+    * alphabet-bounded from birth (≤ 37ⁿ gram types per doc under this
+    * normalization, vs one row per character position in the composed
+    * form) and the (doc, gram) aggregate exchange disappears — the sf10
+    * spill fix. Per-doc totals are arithmetic (`len − n + 1`), not an
+    * aggregate. Pairs semi-drive the clip joins; nothing pairwise
+    * beyond the declared pair list.
     */
   def chrFCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, candCol: String, refCol: String): DataFrame = {
@@ -542,15 +598,17 @@ object Eval {
     val norm = docs.select(col(idCol).as("__id"),
       array_join(graft.llm.Text.tokens(col(textCol)), " ").as("__n"))
     def gramCounts(n: Int) = norm.select(col("__id"),
-        explode(expr(s"CASE WHEN char_length(__n) >= $n THEN " +
-          s"transform(sequence(1, char_length(__n) - ${n - 1}), " +
-          s"i -> substring(__n, i, $n)) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gram"))
-      .groupBy(col("__id"), col("gram"))
-      .agg(count(lit(1)).as("__c"))
+        explode(graft.functions.CharGramCounts
+          .charGramCounts(col("__n"), n)))
+      .select(col("__id"), col("key").as("gram"), col("value").as("__c"))
     def stats(n: Int): DataFrame = {
       val g = gramCounts(n)
-      val tot = g.groupBy(col("__id")).agg(sum(col("__c")).as("__tot"))
+      // total n-grams of a length-L string is max(L − n + 1, 0) — one
+      // arithmetic column, no aggregate; empty texts report 0 (the
+      // composed form had no row there, coalesced to 0 downstream)
+      val tot = norm.select(col("__id"),
+        greatest(length(col("__n")) - (n - 1), lit(0)).cast("long")
+          .as("__tot"))
       val ov = p.join(g.select(col("__id").as("cand_id"), col("gram"),
           col("__c").as("__ca")), Seq("cand_id"))
         .join(g.select(col("__id").as("ref_id"), col("gram"),
@@ -856,16 +914,24 @@ object Eval {
     val catTot = cell.join(kept.select(col("__it")), Seq("__it"))
       .groupBy(col("__cat")).agg(sum(col("__cnt")).as("__cj"))
       .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("c_sq"))
+    // n_items = 0 (no item kept the constant-n contract) must report
+    // NULL, not 0/0 NaN — the when(n > 0) discipline of the sibling
+    // stats ops (kruskalWallis, mcc); kappa additionally guards its own
+    // denominator (0 when P_e = 1, e.g. a single-category panel).
     val out = glob.crossJoin(catTot)
-      .withColumn("p_bar", round(col("s_sum").cast("double") /
-        (col("n_items") * n * (n - 1)).cast("double"), 6))
-      .withColumn("p_e", round(col("c_sq").cast("double") /
-        (col("n_items") * col("n_items") * n * n).cast("double"), 6))
-      .withColumn("kappa", round(
-        (col("s_sum") * col("n_items") * n - col("c_sq") * (n - 1))
-          .cast("double") /
-        ((col("n_items") * col("n_items") * n * n
-          - col("c_sq")) * (n - 1)).cast("double"), 6))
+      .withColumn("p_bar", when(col("n_items") > 0,
+        round(col("s_sum").cast("double") /
+          (col("n_items") * n * (n - 1)).cast("double"), 6)))
+      .withColumn("p_e", when(col("n_items") > 0,
+        round(col("c_sq").cast("double") /
+          (col("n_items") * col("n_items") * n * n).cast("double"), 6)))
+      .withColumn("kappa", when(col("n_items") > 0 &&
+          col("n_items") * col("n_items") * n * n =!= col("c_sq"),
+        round(
+          (col("s_sum") * col("n_items") * n - col("c_sq") * (n - 1))
+            .cast("double") /
+          ((col("n_items") * col("n_items") * n * n
+            - col("c_sq")) * (n - 1)).cast("double"), 6)))
       .localCheckpoint(true)
     kept.unpersist(false)
     out
@@ -1061,14 +1127,21 @@ object Eval {
         coalesce(col("__pk"), lit(0L))).as("__w"))
       .crossJoin(tot)
       .agg(sum(col("__w") * (col("__n") * 2 - col("__w"))).as("e_sum"))
+    // empty-input guard (the fleissKappa discipline): n = 0 reports
+    // NULL ratios, never 0/0 NaN or a silent DIV-by-zero null mix; ac1
+    // also guards its own denominator (0 at the degenerate e_sum).
     val out = tot.crossJoin(corr).crossJoin(eSum)
-      .select(col("__n").as("n"), col("__a").as("n_agree"),
-        expr("__a * 1000000L DIV __n").as("p_a_ppm"),
+      .select(coalesce(col("__n"), lit(0L)).as("n"),
+        col("__a").as("n_agree"),
+        when(col("__n") > 0, expr("__a * 1000000L DIV __n"))
+          .as("p_a_ppm"),
         col("e_sum"),
-        round((col("__a") * (k - 1) * 4 * col("__n") - col("e_sum"))
-          .cast("double") /
-          (col("__n") * col("__n") * 4 * (k - 1) - col("e_sum"))
-            .cast("double"), 6).as("ac1"))
+        when(col("__n") > 0 &&
+            col("__n") * col("__n") * 4 * (k - 1) =!= col("e_sum"),
+          round((col("__a") * (k - 1) * 4 * col("__n") - col("e_sum"))
+            .cast("double") /
+            (col("__n") * col("__n") * 4 * (k - 1) - col("e_sum"))
+              .cast("double"), 6)).as("ac1"))
       .localCheckpoint(true)
     conf.unpersist(false)
     out

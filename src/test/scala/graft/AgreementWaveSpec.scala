@@ -103,4 +103,30 @@ class AgreementWaveSpec extends SparkSpec {
     val a = Eval.krippendorffAlpha(unam, "item", "cat").head()
     assert(math.abs(a.getAs[Double]("alpha") - 1.0) < 1e-6)
   }
+
+  test("empty-input guards: zero kept items report NULL ratios (the " +
+      "when(n>0) family discipline), never 0/0 NaN") {
+    val empty = Seq.empty[(Int, String)].toDF("item", "cat")
+    val k = Eval.fleissKappa(empty, "item", "cat", 3).head()
+    assert(k.getAs[Long]("n_items") == 0L)
+    assert(k.isNullAt(k.fieldIndex("p_bar")))
+    assert(k.isNullAt(k.fieldIndex("p_e")))
+    assert(k.isNullAt(k.fieldIndex("kappa")))
+    // fleiss also drops items violating constant-n: a panel of only
+    // 2-rating items is "empty" for nRaters = 3
+    val partial = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+      .toDF("item", "cat")
+    val kp = Eval.fleissKappa(partial, "item", "cat", 3).head()
+    assert(kp.getAs[Long]("n_items") == 0L &&
+      kp.isNullAt(kp.fieldIndex("kappa")))
+    val al = Eval.krippendorffAlpha(empty, "item", "cat").head()
+    assert(al.getAs[Long]("n_items") == 0L &&
+      al.isNullAt(al.fieldIndex("alpha")))
+    val g = Eval.gwetAc1(
+      Seq.empty[(String, String)].toDF("gold", "pred"), "gold", "pred",
+      nCategories = 6).head()
+    assert(g.getAs[Long]("n") == 0L)
+    assert(g.isNullAt(g.fieldIndex("p_a_ppm")))
+    assert(g.isNullAt(g.fieldIndex("ac1")))
+  }
 }

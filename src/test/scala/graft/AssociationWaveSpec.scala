@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Relational
+import graft.llm.Eval
+
+/** Hand-value pins for the q425–q435 association/consistency wave:
+  * worked examples where every intermediate (entropy micro terms, pair
+  * counts, scaled sums of squares, CUSUM drifts, rational RBP weights)
+  * is checked against arithmetic done by hand, plus the boundary
+  * behaviors (degenerate variance, incomplete cases, guard trips) the
+  * oracle hashes can't isolate.
+  */
+class AssociationWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualInformation: a deterministic 2x2 scores MI = H = ln 2 " +
+      "and NMI = 1; an independent 2x2 scores 0") {
+    val dep = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L))
+      .toDF("x", "y")
+    val r = Relational.mutualInformation(dep, "x", "y").head()
+    // round(ln 2 * 1e6) = 693147; n = 4, every weight 2 (or cell 2)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("h_x_micro") == 693147L)
+    assert(r.getAs[Long]("h_y_micro") == 693147L)
+    assert(r.getAs[Long]("mi_micro") == 693147L)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    val ind = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("x", "y")
+    val ri = Relational.mutualInformation(ind, "x", "y").head()
+    assert(ri.getAs[Long]("mi_micro") == 0L)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("cohensD: two 2-point groups with equal spread give the " +
+      "closed-form d and the 1 - 3/(4N-9) Hedges shrink") {
+    val df = Seq(("A", 0L), ("A", 2L), ("B", 4L), ("B", 6L))
+      .toDF("g", "v")
+    val r = Relational.cohensD(df, "g", "v", "A", "B").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 1.0)
+    assert(r.getAs[Double]("mean_b") == 5.0)
+    // pooled s^2 = 2 -> d = -4/sqrt(2)
+    assert(r.getAs[Double]("d") ==
+      math.round(-4.0 / math.sqrt(2.0) * 1e6) / 1e6)
+    assert(r.getAs[Double]("g") ==
+      math.round(-4.0 / math.sqrt(2.0) * (1.0 - 3.0 / 7.0) * 1e6) / 1e6)
+  }
+
+  test("quantileReport: 1..10 reads the ceil(n*q/100)-th order " +
+      "statistic at p50/p90/p99") {
+    val df = (1L to 10L).map(("g", _)).toDF("grp", "v")
+    val r = Relational.quantileReport(df, Seq("grp"), "v",
+        Seq(50, 90, 99))
+      .collect().map(x => x.getAs[Int]("q_pct") ->
+        x.getAs[Long]("x_q")).toMap
+    assert(r == Map(50 -> 5L, 90 -> 9L, 99 -> 10L))
+  }
+
+  test("concentrationReport: shares 50/30/20 give HHI 380000 ppm and " +
+      "CR-2 800000 ppm") {
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 20L)).toDF("k", "w")
+    val r = Relational.concentrationReport(df, "k", "w", topK = 2)
+      .head()
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("w_total") == 100L)
+    assert(r.getAs[Long]("hhi_ppm") == 380000L)
+    assert(r.getAs[Long]("cr_ppm") == 800000L)
+  }
+
+  test("cochranQ: the 3-item worked example reads Q = 3; an " +
+      "incomplete block is dropped") {
+    val df = Seq(
+      (1, "t1", true), (1, "t2", true), (1, "t3", false),
+      (2, "t1", true), (2, "t2", false), (2, "t3", false),
+      (3, "t1", true), (3, "t2", true), (3, "t3", true),
+      (4, "t1", true)) // incomplete: dropped
+      .toDF("item", "tr", "s")
+    val r = Relational.cochranQ(df, "item", "tr", "s").head()
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_success") == 6L)
+    // (k-1)(k*SumC2 - N^2)/(kN - SumR2) = 2*(42-36)/(18-14) = 3
+    assert(r.getAs[Double]("q_stat") == 3.0)
+  }
+
+  test("somersGamma: a monotone lattice plus one tied-y cell gives " +
+      "gamma 1 and D_yx = 5/6; the maxCells guard trips loudly") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L)).toDF("x", "y")
+    val r = Relational.somersGamma(df, "x", "y").head()
+    assert(r.getAs[Long]("c_pairs") == 5L)
+    assert(r.getAs[Long]("d_pairs") == 0L)
+    assert(r.getAs[Long]("ty_pairs") == 1L)
+    assert(r.getAs[Double]("gamma") == 1.0)
+    assert(r.getAs[Double]("somers_d") == 0.833333)
+    val e = intercept[IllegalArgumentException] {
+      Relational.somersGamma(df, "x", "y", maxCells = 3)
+    }
+    assert(e.getMessage.contains("maxCells=3"))
+  }
+
+  test("cronbachAlpha: two perfectly correlated items read alpha 1; " +
+      "a partial case is dropped from n_subjects") {
+    val df = Seq(
+      (1, "i1", 1L), (1, "i2", 1L),
+      (2, "i1", 2L), (2, "i2", 2L),
+      (3, "i1", 3L), (3, "i2", 3L),
+      (4, "i1", 9L)) // incomplete: dropped
+      .toDF("id", "itm", "v")
+    val r = Relational.cronbachAlpha(df, "id", "itm", "v").head()
+    assert(r.getAs[Long]("n_subjects") == 3L)
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+  }
+
+  test("iccOneWay: zero within-group variance reads ICC 1 with the " +
+      "closed-form MSB") {
+    val df = Seq((1, 0L), (1, 0L), (2, 10L), (2, 10L)).toDF("g", "v")
+    val r = Relational.iccOneWay(df, "g", "v", k = 2).head()
+    assert(r.getAs[Long]("n_groups") == 2L)
+    // SSB*kN = 4*400 - 2*400 = 800 -> MSB = 800/(4*2)/1 = 100
+    assert(r.getAs[Double]("msb") == 100.0)
+    assert(r.getAs[Double]("msw") == 0.0)
+    assert(r.getAs[Double]("icc") == 1.0)
+  }
+
+  test("cramerVonMises: identical samples read 0; disjoint singletons " +
+      "read the closed-form 1/4") {
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    assert(Relational.cramerVonMises(same, "g", "v", "A", "B")
+      .head().getAs[Double]("t_stat") == 0.0)
+    val disj = Seq(("A", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Relational.cramerVonMises(disj, "g", "v", "A", "B").head()
+    assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Double]("t_stat") == 0.25)
+  }
+
+  test("rbpAtK: exact rational 4/5 weights (200000, 160000, ...) pay " +
+      "only at relevant ranks; zero-hit queries report 0") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f), 7),   // query, label 7
+      (1L, Array(1f, 0f), 7),   // rank 1, relevant -> 200000
+      (2L, Array(0.9f, 0.1f), 5), // rank 2, not relevant
+      (3L, Array(0.8f, 0.2f), 7), // rank 3, relevant -> 128000
+      (10L, Array(0f, 1f), 9)   // query, label 9: nothing relevant
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0L || col("vec_id") === 10L)
+    val r = Eval.rbpAtK(corpus, q, "vec_id", "embedding", "label",
+        "vec_id", k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_rel_topk") == 2L)
+    assert(r(0L).getAs[Long]("rbp_micro") == 328000L)
+    assert(r(10L).getAs[Long]("rbp_micro") == 0L)
+  }
+
+  test("cusumMeanShift: a clean level shift puts the change point at " +
+      "the boundary with the exact scaled drift") {
+    val df = Seq((1L, 10L, 0L), (2L, 11L, 0L), (3L, 12L, 10L),
+      (4L, 13L, 10L)).toDF("t", "eid", "x")
+    val r = Relational.cusumMeanShift(df, "t", "x", Seq("eid")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("s_total") == 20L)
+    assert(r.getAs[Long]("t_star") == 2L)
+    assert(r.getAs[Long]("i_star") == 2L)
+    assert(r.getAs[Long]("cum_star") == 0L)
+    // |n*C - S*i| = |0 - 40| = 40 -> 40/16
+    assert(r.getAs[Double]("d_stat") == 2.5)
+  }
+}

@@ -65,4 +65,18 @@ class DependenceTrendWaveSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("sqrt_n_d") -
       math.round(math.sqrt(3.0) * (2.0 / 3 - 0.2) * 1e6) / 1e6) < 1e-6)
   }
+
+  test("mannKendall maxSeries structural guard: an over-long series " +
+      "fails loudly before the n-squared pair scan") {
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(0, 20).select(col("id").as("t"),
+      (col("id") % 5).as("x"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.mannKendall(big, "t", "x", maxSeries = 10)
+    }
+    assert(e.getMessage.contains("maxSeries=10"))
+    // exactly at the cap the op still runs
+    assert(Relational.mannKendall(big, "t", "x", maxSeries = 20)
+      .count() == 1)
+  }
 }

@@ -70,4 +70,30 @@ class LmEvalWaveSpec extends SparkSpec {
     assert(out((1L, 2L)).isNullAt(10))
     assert(out((1L, 3L)).getLong(10) == 0L)
   }
+
+  test("CharGramCounts: the native fold matches the composed " +
+      "per-position explode on varied strings (incl. empty and " +
+      "shorter-than-n)") {
+    val texts = Seq("", "a", "ab", "aaa", "abcabc abc",
+      "the quick brown fox the quick", "0 1 0 1 0")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("id"),
+          explode(graft.functions.CharGramCounts
+            .charGramCounts(col("s"), n)))
+        .select(col("id"), col("key"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val composed = df.select(col("id"),
+          explode(expr(s"CASE WHEN char_length(s) >= $n THEN " +
+            s"transform(sequence(1, char_length(s) - ${n - 1}), " +
+            s"i -> substring(s, i, $n)) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+        .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(native == composed, s"n=$n")
+    }
+  }
 }

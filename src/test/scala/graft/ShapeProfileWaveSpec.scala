@@ -68,4 +68,23 @@ class ShapeProfileWaveSpec extends SparkSpec {
     val term = math.round(math.exp(-(50.0 / 25) * (50.0 / 25) / 2) * 1e6)
     assert(out(150L).getAs[Long]("kernel_sum_micro") == 2 * term)
   }
+
+  test("maxSeries structural guard: an over-long series fails loudly " +
+      "before the quadratic scan (saxMotifs / matrixProfile)") {
+    val big = spark.range(0, 12).select(col("id").as("t"),
+      (col("id") % 3).as("x"))
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.saxMotifs(big, "t", "x", segLen = 2, wordLen = 2,
+        maxSeries = 10)
+    }
+    assert(e1.getMessage.contains("maxSeries=10"))
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.matrixProfile(big, "t", "x", m = 4, exclusion = 2,
+        maxSeries = 10)
+    }
+    assert(e2.getMessage.contains("maxSeries=10"))
+    // at the cap boundary the op still runs (guard is > , not >=)
+    assert(Relational.saxMotifs(big, "t", "x", 2, 2, maxSeries = 12)
+      .count() >= 1)
+  }
 }

@@ -9,15 +9,58 @@ a schema FAIL) and no array-to-tuple conversion (an ARRAY output column
 crashes pandas row sorting exactly like it does driver-side). Round 2 proved
 a lenient local gate reports 70/70 while the driver sees 47/70.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <outDir>
+Decade-step runs (sf1/sf10) honor ORACLE_SCALE_CEILING: a query whose
+oracle is known to exceed DuckDB's resources above a scale factor is
+SKIPPED WITH ITS RECORDED REASON instead of timing out the whole gate —
+the engine side still runs (Verify dumped it); only the DuckDB replay is
+waived. The sf is parsed from the sfDir basename (sf0.01, sf1, sf10, ...).
+Pass --no-ceiling to force the replay anyway.
+
+Usage:
+  python3 tools/compare_oracle.py <sfDir> <outDir> [--only q38,q417]
+      [--skip q349,q374] [--no-ceiling]
+
+--only/--skip match the FULL query name or its qNNN prefix exactly
+(--only q38 selects q38_* but NOT q380_*).
 """
-import json, os, sys
+import argparse, json, os, re, sys, time
 import duckdb
 import pandas as pd
 import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Declared per-query oracle scale ceilings: DuckDB can replay the oracle
+# at sf <= ceiling; above it the replay is skipped with the reason
+# recorded here (the engine runs these in seconds at every sf — the
+# bound is the ORACLE's, not the operator's). Keep each entry argued.
+ORACLE_SCALE_CEILING = {
+    "q349_dbscan_clusters": (0.1,
+        "recursive-CTE connected components: DuckDB ran 70+ min at sf1 "
+        "(round-11 decade-step record); engine CC is seconds"),
+    "q374_ktruss": (0.1,
+        "per-round triangle-support recursive CTE OOMs DuckDB's 100 GiB "
+        "limit at sf1 (round-11 record); engine peel is seconds"),
+    "q363_rouge_l": (1,
+        "recursive-CTE LCS dynamic program is pair*len^2-grain in "
+        "DuckDB at sf10; engine runs the native codegen DP"),
+}
+
+
+def sf_of(sf_dir: str):
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else None
+
+
+def name_selected(name: str, pats):
+    """True when `name` equals a pattern or has it as a qNNN prefix
+    (anchored: the pattern must be followed by '_' in the name)."""
+    for p in pats:
+        if name == p or name.startswith(p + "_"):
+            return True
+    return False
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -29,7 +72,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="DuckDB oracle compare (driver-gate mimic)")
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names or qNNN prefixes")
+    ap.add_argument("--skip", default=None,
+                    help="comma-separated query names or qNNN prefixes")
+    ap.add_argument("--no-ceiling", action="store_true",
+                    help="ignore ORACLE_SCALE_CEILING and replay anyway")
+    args = ap.parse_args()
+    sf_dir, out_dir = args.sf_dir, args.out_dir
+    only = args.only.split(",") if args.only else None
+    skip = args.skip.split(",") if args.skip else []
+    sf = sf_of(sf_dir)
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -37,23 +97,30 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    skipped = {}
     dumped = {n for n in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, n))}
-    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
-    skip = (sys.argv[4].split(",") if len(sys.argv) > 4 and sys.argv[4]
-            else [])
     # a query that crashed in Verify has an oracle but no dump — surface it
     for name in sorted(set(oracles) - dumped):
-        if only is not None and not any(name.startswith(o) for o in only):
+        if only is not None and not name_selected(name, only):
             continue
         results[name] = "MISSING_DUMP (query failed in Verify?)"
     for name in sorted(dumped):
-        if only is not None and not any(name.startswith(o) for o in only):
+        if only is not None and not name_selected(name, only):
             continue
-        if any(name.startswith(o) for o in skip):
-            print(f"SKIP {name}  (excluded by arg)", flush=True)
+        if name_selected(name, skip):
+            skipped[name] = "excluded by --skip"
+            print(f"SKIP {name}  (excluded by --skip)", flush=True)
             continue
-        t0 = __import__("time").time()
+        ceiling = ORACLE_SCALE_CEILING.get(name)
+        if (ceiling is not None and not args.no_ceiling
+                and sf is not None and sf > ceiling[0]):
+            skipped[name] = (f"oracle ceiling sf<={ceiling[0]}: "
+                             + ceiling[1])
+            print(f"SKIP {name}  (oracle ceiling sf<={ceiling[0]}; "
+                  f"{ceiling[1]})", flush=True)
+            continue
+        t0 = time.time()
         qdir = os.path.join(out_dir, name)
         try:
             got = canon(pd.read_parquet(qdir))
@@ -99,12 +166,16 @@ def main(sf_dir, out_dir):
         results[name] = bad or f"OK rows={len(got)}"
         print(("PASS " if results[name].startswith("OK") else "FAIL ")
               + name + "  " + results[name]
-              + f"  [{__import__('time').time() - t0:.1f}s]", flush=True)
+              + f"  [{time.time() - t0:.1f}s]", flush=True)
     npass = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
         print(("PASS " if v.startswith("OK") else "FAIL ") + k + "  " + v)
-    print(f"\n{npass}/{len(results)} pass")
+    for k, v in skipped.items():
+        print("SKIP " + k + "  " + v)
+    print(f"\n{npass}/{len(results)} pass"
+          + (f" ({len(skipped)} skipped with reason)" if skipped else ""))
     return 0 if npass == len(results) else 1
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main())
