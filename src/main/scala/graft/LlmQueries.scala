@@ -7575,8 +7575,7 @@ object LlmQueries {
     * the memoized co-purchase graph — degree-oriented enumeration,
     * per-EDGE explode instead of per-node. */
   private val l236 = Spec("q371_edge_support",
-    (s, d) => graft.engine.Graph.edgeTriangleSupport(
-      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb"),
+    (s, d) => Queries.coPurchaseSupport(s, d),
     Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
             AND a.l_partkey < b.l_partkey
@@ -7707,9 +7706,10 @@ object LlmQueries {
     * >= 2 triangles after iterative weak-edge deletion. */
   private val l239 = Spec("q374_ktruss", {
     val rounds = 3
-    (s, d) => graft.engine.Graph.kTruss(
-      Queries.coPurchaseEdges(s, d, modFilter = true), "pa", "pb",
-      k = 4, maxRounds = rounds)
+    // peel from the session-memoized support frame (shared with q371)
+    // - round 1's full enumeration is paid once per (session, input)
+    (s, d) => graft.engine.Graph.kTrussFromSupport(
+      Queries.coPurchaseSupport(s, d), k = 4, maxRounds = rounds)
   }, Some {
     val rounds = 3
     val blocks = (1 to rounds).map { r =>

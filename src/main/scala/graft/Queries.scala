@@ -2136,6 +2136,18 @@ object Queries {
         .distinct().localCheckpoint(true)
     })
 
+  /** Session-memoized per-edge triangle support of the (mod-filtered)
+    * co-purchase graph — the shared input of q371 (the support readout
+    * itself) and q374 (the k-truss peel, whose round-1 support this
+    * IS): the full O(m^1.5) enumeration runs once per (session,
+    * input), the landmarkBfs/edge-memo discipline.
+    */
+  private[graft] def coPurchaseSupport(s: SparkSession,
+      d: String): DataFrame =
+    graphMemo.getOrElseUpdate((s, d, "coPurchaseSupport"),
+      graft.engine.Graph.edgeTriangleSupport(
+        coPurchaseEdges(s, d, modFilter = true), "pa", "pb"))
+
   /** Session-memoized supplier→customer shipment edges (distinct): the
     * lineitem⋈orders derivation behind q162 (PageRank) and q173 (BFS).
     * PageRank distincts its input internally and BFS min-hop labels are

@@ -354,12 +354,29 @@ object Graph {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "need k >= 3, maxRounds >= 1")
-    val thresh = (k - 2).toLong
     val start = undirected(edges, srcCol, dstCol).localCheckpoint(true)
     if (start.isEmpty)
       return start.withColumn("support", lit(0L)).filter(lit(false))
+    kTrussFromSupport(edgeTriangleSupport(start, "u", "v"), k, maxRounds)
+  }
+
+  /** [[kTruss]] over a PRE-BUILT canonical support frame
+    * `(u, v, support)` (= [[edgeTriangleSupport]] of the undirected
+    * graph) — the session-memoization face: when the full-enumeration
+    * support of the same graph is already computed (the q371/q374
+    * pair), the peel starts from that checkpoint and round 1 costs
+    * only the filter. Each round picks the cheaper maintenance
+    * strategy by measured frontier size: when this round DELETED more
+    * edges than survive, a fresh enumeration on the (now much
+    * smaller) survivor graph wins; when the deletion set is small,
+    * the incremental decrement confines work to the frontier.
+    */
+  def kTrussFromSupport(support: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "need k >= 3, maxRounds >= 1")
+    val thresh = (k - 2).toLong
     // support measured on the CURRENT graph; loop invariant
-    var sup = edgeTriangleSupport(start, "u", "v") // already checkpointed
+    var sup = support
     var last: DataFrame = sup
     var round = 0
     var done = false
@@ -370,7 +387,13 @@ object Graph {
       val nDel = del.count()
       round += 1
       if (nDel == 0 || round >= maxRounds) done = true
-      else {
+      else if (nDel > last.count()) {
+        // mass extinction: the survivor graph is smaller than the
+        // frontier - a fresh O(m'^1.5) enumeration on it beats
+        // frontier-proportional decrement work
+        sup = edgeTriangleSupport(last.select(col("u"), col("v")),
+          "u", "v")
+      } else {
         val g = sup.select(col("u"), col("v"))
         val adj = g.select(col("u").as("x"), col("v").as("y"))
           .unionAll(g.select(col("v").as("x"), col("u").as("y")))
