@@ -8391,6 +8391,71 @@ object LlmQueries {
           coalesce(rbp_micro, 0) AS rbp_micro
         FROM q LEFT JOIN a USING (query_id)"""))
 
+  /** Corpus lexical-richness report (Yule's K, lexical Simpson's D,
+    * Herdan's C, TTR) from the term frequency spectrum. */
+  private val l258 = Spec("q436_lexical_richness",
+    (s, d) => graft.llm.Lexical.lexicalRichness(
+      T(s, d, "documents"), "text"),
+    Some(s"""WITH t AS (SELECT $wordsSql AS words FROM documents
+          WHERE text IS NOT NULL),
+        w AS (SELECT unnest(words) AS w FROM t),
+        tc AS (SELECT w, CAST(count(*) AS BIGINT) AS m FROM w
+          GROUP BY 1),
+        sp AS (SELECT m, CAST(count(*) AS BIGINT) AS vm FROM tc
+          GROUP BY 1),
+        a AS (SELECT
+          CAST(coalesce(sum(m * vm), 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(sum(vm), 0) AS BIGINT) AS n_types,
+          coalesce(sum(CAST(m AS HUGEINT) * m * vm), 0) AS s2 FROM sp)
+        SELECT n_tokens, n_types,
+          CASE WHEN n_tokens > 0 THEN n_types * 1000000 // n_tokens
+            END AS ttr_ppm,
+          CASE WHEN n_tokens >= 2 THEN CAST(((s2 - n_tokens) * 1000000)
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+            END AS simpson_micro,
+          CASE WHEN n_tokens > 0 THEN
+            round(CAST(s2 - n_tokens AS DOUBLE) * 10000
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+              6) END AS yules_k,
+          CASE WHEN n_tokens > 1 AND n_types > 0 THEN
+            round(ln(CAST(n_types AS DOUBLE))
+              / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c
+        FROM a"""))
+
+  /** RAKE keyword extraction: top-20 stopword-free phrases by summed
+    * deg/freq word scores (TextRank's iteration-free baseline). */
+  private val l259 = Spec("q437_rake_keywords",
+    (s, d) => graft.llm.Lexical.rakeKeywords(
+      T(s, d, "documents"), "doc_id", "text",
+      Text.stopwords("en"), topK = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $wordsSql AS words
+          FROM documents WHERE text IS NOT NULL),
+        p AS (SELECT doc_id, unnest(words) AS w,
+          unnest(range(1, len(words) + 1)) AS i FROM t),
+        m AS (SELECT doc_id, w, i, CASE WHEN w IN ('the', 'a', 'of',
+          'and', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END AS stop
+          FROM p),
+        g AS (SELECT *, sum(stop) OVER (PARTITION BY doc_id
+          ORDER BY i) AS grp FROM m),
+        ph AS (SELECT doc_id, grp,
+          string_agg(w, ' ' ORDER BY i) AS phrase,
+          CAST(count(*) AS BIGINT) AS len
+          FROM g WHERE stop = 0 GROUP BY 1, 2),
+        iw AS (SELECT len, unnest(string_split(phrase, ' ')) AS w
+          FROM ph),
+        wsc AS (SELECT w, CAST(sum(len) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS s
+          FROM iw GROUP BY 1),
+        pc AS (SELECT phrase, CAST(count(*) AS BIGINT)
+            AS n_occurrences FROM ph GROUP BY 1),
+        pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+          FROM pc),
+        sc AS (SELECT phrase, CAST(sum(s) AS BIGINT) AS score_micro
+          FROM pw JOIN wsc USING (w) GROUP BY 1)
+        SELECT pc.phrase, n_occurrences, score_micro
+        FROM pc JOIN sc USING (phrase)
+        ORDER BY score_micro DESC, pc.phrase LIMIT 20"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8413,5 +8478,5 @@ object LlmQueries {
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
     l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
-    l249, l250, l251, l252, l253, l254, l255, l256, l257)
+    l249, l250, l251, l252, l253, l254, l255, l256, l257, l258, l259)
 }

@@ -4471,6 +4471,130 @@ object Queries {
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS d_stat
         FROM dd ORDER BY dabs DESC, i LIMIT 1"""))
 
+  /** OP-AGG-60 — Qini uplift curve of the even-user "treatment" on
+    * the value>=50 response, ranked by a deterministic score. */
+  private val agg60 = Spec("q438_qini",
+    (s, d) => Relational.qiniCurve(
+      T(s, d, "events").filter(col("value").isNotNull &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+        .select((col("event_id") % 97).as("score"),
+          (col("user_id") % 2 === 0).as("treated"),
+          (col("value") >= 50.0).as("resp"), col("event_id")),
+      "score", "treated", "resp", Seq("event_id")),
+    Some("""WITH r AS (SELECT event_id % 97 AS sc,
+          user_id % 2 = 0 AS tr, value >= 50.0 AS resp,
+          event_id AS eid FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_id IS NOT NULL),
+        rk AS (SELECT *, row_number() OVER (ORDER BY sc DESC, eid)
+          AS gr, count(*) OVER () AS nt FROM r),
+        byd AS (SELECT CAST((10 * (gr - 1)) // nt + 1 AS INT)
+            AS decile,
+          CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+          CAST(sum(CASE WHEN tr AND resp THEN 1 ELSE 0 END)
+            AS BIGINT) AS resp_t,
+          CAST(sum(CASE WHEN NOT tr AND resp THEN 1 ELSE 0 END)
+            AS BIGINT) AS resp_c
+          FROM rk GROUP BY 1),
+        cum AS (SELECT a.decile, CAST(sum(b.n_t) AS BIGINT) AS cnt,
+          CAST(sum(b.n_c) AS BIGINT) AS cnc,
+          CAST(sum(b.resp_t) AS BIGINT) AS crt,
+          CAST(sum(b.resp_c) AS BIGINT) AS crc
+          FROM byd a JOIN byd b ON b.decile <= a.decile GROUP BY 1)
+        SELECT byd.decile, n_t, n_c, resp_t, resp_c,
+          CASE WHEN cnc > 0 THEN CAST(CASE WHEN
+              CAST(crt AS HUGEINT) * cnc >= CAST(crc AS HUGEINT) * cnt
+            THEN (1000000 * (CAST(crt AS HUGEINT) * cnc
+              - CAST(crc AS HUGEINT) * cnt)) // CAST(cnc AS HUGEINT)
+            ELSE -((1000000 * (CAST(crc AS HUGEINT) * cnt
+              - CAST(crt AS HUGEINT) * cnc)) // CAST(cnc AS HUGEINT))
+            END AS BIGINT) END AS qini_micro
+        FROM byd JOIN cum USING (decile)"""))
+
+  /** OP-WIN-34 — first/last/linear multi-touch attribution of
+    * pre-purchase channel touches per user journey. */
+  private val win34 = Spec("q439_attribution",
+    (s, d) => graft.engine.Windows.linearAttribution(
+      T(s, d, "events").filter(col("ts").isNotNull &&
+        col("event_id").isNotNull),
+      "user_id", "ts", "event_type", "purchase", Seq("event_id")),
+    Some("""WITH r AS (SELECT user_id AS u, event_type AS ty, ts,
+          event_id AS eid FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        cv AS (SELECT u, ts AS cts, eid AS ceid FROM (SELECT u, ts,
+          eid, row_number() OVER (PARTITION BY u ORDER BY ts, eid)
+            AS rn FROM r WHERE ty = 'purchase') WHERE rn = 1),
+        tch AS (SELECT r.u, r.ty, r.ts, r.eid FROM r JOIN cv USING (u)
+          WHERE r.ty != 'purchase' AND (r.ts < cts
+            OR (r.ts = cts AND r.eid < ceid))),
+        ft AS (SELECT u, ty AS fty FROM (SELECT u, ty, row_number()
+          OVER (PARTITION BY u ORDER BY ts, eid) AS rn FROM tch)
+          WHERE rn = 1),
+        lt AS (SELECT u, ty AS lty FROM (SELECT u, ty, row_number()
+          OVER (PARTITION BY u ORDER BY ts DESC, eid DESC) AS rn
+          FROM tch) WHERE rn = 1),
+        pu AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM tch
+          GROUP BY 1),
+        uc AS (SELECT u, ty, CAST(count(*) AS BIGINT) AS c FROM tch
+          GROUP BY 1, 2),
+        cr AS (SELECT uc.u, uc.ty, uc.c,
+          uc.c * (1000000 // pu.n) + CASE WHEN uc.ty = ft.fty
+            THEN 1000000 - pu.n * (1000000 // pu.n) ELSE 0 END AS cr
+          FROM uc JOIN pu USING (u) JOIN ft USING (u)),
+        rolled AS (SELECT ty AS channel,
+          CAST(sum(c) AS BIGINT) AS n_touches,
+          CAST(sum(cr) AS BIGINT) AS credit_micro FROM cr GROUP BY 1),
+        fc AS (SELECT fty AS channel, CAST(count(*) AS BIGINT)
+          AS n_first FROM ft GROUP BY 1),
+        lc AS (SELECT lty AS channel, CAST(count(*) AS BIGINT)
+          AS n_last FROM lt GROUP BY 1)
+        SELECT rolled.channel, n_touches,
+          coalesce(n_first, 0) AS n_first,
+          coalesce(n_last, 0) AS n_last, credit_micro
+        FROM rolled LEFT JOIN fc USING (channel)
+        LEFT JOIN lc USING (channel)"""))
+
+  /** OP-AGG-61 — Murphy decomposition of the q398 length-predictor
+    * Brier score (reliability / resolution / uncertainty). */
+  private val agg61 = Spec("q440_brier_decomposition",
+    (s, d) => Relational.brierDecomposition(
+      T(s, d, "documents").filter(col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+        .select(least(col("n_chars"), lit(2000L)).cast("long")
+          .multiply(500L).as("p_ppm"),
+          (col("lang") === "en").as("y")),
+      "p_ppm", "y", bins = 10),
+    Some("""WITH r AS (SELECT least(n_chars, 2000) * 500 AS p,
+          lang = 'en' AS y FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy
+          FROM r GROUP BY 1),
+        bb AS (SELECT *, sy * 1000000 // n AS acc,
+          (CAST(sp - 1000000 * sy AS HUGEINT)
+            * (sp - 1000000 * sy)) // n AS rel FROM b),
+        g AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(sy) AS BIGINT) AS n_pos,
+          coalesce(sum(rel), 0) AS rels FROM bb),
+        ob AS (SELECT n_pos * 1000000 // n AS obar FROM g),
+        res AS (SELECT coalesce(sum(CAST(bb.n AS HUGEINT)
+            * (acc - obar) * (acc - obar)), 0) AS ress
+          FROM bb CROSS JOIN ob)
+        SELECT n, n_pos,
+          CASE WHEN n > 0 THEN CAST(rels
+            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) END
+            AS rel_micro,
+          CASE WHEN n > 0 THEN CAST(ress
+            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) END
+            AS res_micro,
+          CASE WHEN n > 0 THEN CAST((1000000
+            * CAST(n_pos AS HUGEINT) * (n - n_pos))
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) END AS unc_micro
+        FROM g CROSS JOIN res"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4600,6 +4724,7 @@ object Queries {
     agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
     agg48, agg49, agg50, agg51,
     agg52, agg53, agg54, agg55, agg56, agg57, agg58, agg59, win33,
+    agg60, win34, agg61,
     win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =

@@ -5448,4 +5448,123 @@ object Relational {
           (col("n").cast("double") * col("n").cast("double")), 6)
           .as("d_stat"))
   }
+
+  /** Qini uplift curve by score decile — the treatment-effect-model
+    * evaluation that [[liftTable]] cannot do: lift ranks ONE response
+    * column; Qini asks "did targeting by this score find the people
+    * the TREATMENT actually moved", reading cumulative
+    * `g(k) = R_T(k) − R_C(k)·N_T(k)/N_C(k)` (incremental responses
+    * net of the control baseline, scaled to the treated volume) down
+    * the score ranking. Deciles come from the distributed
+    * [[globalRank]] (never an ntile window); the cumulative closes
+    * over the ≤10-row decile frame with a broadcast self-join (the
+    * liftTable idiom); the Qini value is the exact DECIMAL
+    * `10⁶·(R_T·N_C − R_C·N_T) DIV N_C` micro floor. Output per
+    * decile: `(decile, n_t, n_c, resp_t, resp_c, qini_micro)` —
+    * qini_micro NULL while the cumulative control arm is empty.
+    *
+    * Scale: one globalRank exchange + decile-grain everything after.
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatCol: String,
+      respCol: String, tiebreakCols: Seq[String]): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(scoreCol).isNotNull &&
+        col(treatCol).isNotNull && col(respCol).isNotNull)
+      .select(col(scoreCol).as("__sc") +:
+        col(treatCol).cast("boolean").as("__tr") +:
+        col(respCol).cast("boolean").cast("long").as("__r") +:
+        tiebreakCols.map(col): _*)
+    val ranked = globalRank(base,
+      col("__sc").desc +: tiebreakCols.map(col), "__gr")
+    val tot = ranked.agg(count(lit(1)).as("__nt"))
+    val byD = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr("(10 * (__gr - 1)) DIV __nt + 1").cast("int"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("__tr"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__tr"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__tr"), col("__r")).otherwise(0L)).as("resp_t"),
+        sum(when(!col("__tr"), col("__r")).otherwise(0L)).as("resp_c"))
+    val cum = byD.select(col("decile").as("__d1"))
+      .join(broadcast(byD.select(col("decile").as("__d2"), col("n_t")
+          .as("__n2t"), col("n_c").as("__n2c"), col("resp_t")
+          .as("__r2t"), col("resp_c").as("__r2c"))),
+        col("__d2") <= col("__d1"))
+      .groupBy(col("__d1"))
+      .agg(sum(col("__n2t")).as("__cnt"), sum(col("__n2c")).as("__cnc"),
+        sum(col("__r2t")).as("__crt"), sum(col("__r2c")).as("__crc"))
+    byD.join(broadcast(cum), col("decile") === col("__d1"))
+      .select(col("decile"), col("n_t"), col("n_c"), col("resp_t"),
+        col("resp_c"),
+        // negative uplift is real - divide sign-aware (Spark DIV
+        // truncates, DuckDB // floors; they agree on non-negatives)
+        when(col("__cnc") > 0, expr(
+          "CAST(CASE WHEN __crt * CAST(__cnc AS DECIMAL(38,0)) >= " +
+            "__crc * CAST(__cnt AS DECIMAL(38,0)) THEN " +
+            "(1000000 * (CAST(__crt AS DECIMAL(38,0)) * __cnc " +
+            "- CAST(__crc AS DECIMAL(38,0)) * __cnt)) DIV " +
+            "CAST(__cnc AS DECIMAL(38,0)) ELSE " +
+            "-((1000000 * (CAST(__crc AS DECIMAL(38,0)) * __cnt " +
+            "- CAST(__crt AS DECIMAL(38,0)) * __cnc)) DIV " +
+            "CAST(__cnc AS DECIMAL(38,0))) END AS BIGINT)"))
+          .as("qini_micro"))
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973) at the
+    * [[calibrationReport]] bin grain — the WHY behind a bad Brier:
+    * `Brier ≈ REL − RES + UNC` with reliability (bins where the
+    * forecast misstates the observed rate — lower is better),
+    * resolution (how far bin outcomes spread from the base rate —
+    * HIGHER is better), and uncertainty (the irreducible `ō(1−ō)`).
+    * Exact-integer contract (explicit floors, mirrored by the
+    * oracle): per bin `rel_b = (Σp − 10⁶·Σy)² DIV n_b`,
+    * `res_b = n_b·(acc_ppm_b − ō_ppm)²` with both rates as DIV-floored
+    * ppm, `rel/res_micro = Σ DIV (N·10⁶)`, `unc_micro =
+    * (10⁶·K·(N−K)) DIV N²` (K = positives). Output: ONE row
+    * `(n, n_pos, rel_micro, res_micro, unc_micro)`.
+    *
+    * Scale: the calibrationReport plan — one bin-grain aggregate +
+    * 1-row reduce.
+    */
+  def brierDecomposition(df: DataFrame, probPpmCol: String,
+      outcomeCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d38 = "decimal(38,0)"
+    val rows = df.filter(col(probPpmCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(probPpmCol).cast("long").as("__p"),
+        col(outcomeCol).cast("boolean").cast("long").as("__yy"))
+    val byBin = rows
+      .withColumn("__bin", least(floor(col("__p") * bins / 1000000L),
+        lit(bins - 1L)).cast("long"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__sp"),
+        sum(col("__yy")).as("__sy"))
+      .withColumn("__acc", expr("__sy * 1000000L DIV __n"))
+      .withColumn("__rel", expr(
+        "(CAST(__sp - 1000000 * __sy AS DECIMAL(38,0)) * " +
+          "(__sp - 1000000 * __sy)) DIV __n"))
+    val glob = byBin.agg(sum(col("__n")).as("n"),
+      sum(col("__sy")).as("n_pos"),
+      coalesce(sum(col("__rel")), lit(0).cast(d38)).as("__relS"))
+    val withBar = byBin.crossJoin(broadcast(
+        glob.select(col("n").as("__N2"), col("n_pos").as("__K2"))))
+      .withColumn("__obar", expr("__K2 * 1000000L DIV __N2"))
+      .agg(coalesce(sum(col("__n").cast(d38) *
+          (col("__acc") - col("__obar")) *
+          (col("__acc") - col("__obar"))), lit(0).cast(d38))
+        .as("__resS"))
+    glob.crossJoin(withBar)
+      .select(col("n"), col("n_pos"),
+        when(col("n") > 0, expr(
+          "CAST(__relS DIV (CAST(n AS DECIMAL(38,0)) * 1000000) " +
+            "AS BIGINT)")).as("rel_micro"),
+        when(col("n") > 0, expr(
+          "CAST(__resS DIV (CAST(n AS DECIMAL(38,0)) * 1000000) " +
+            "AS BIGINT)")).as("res_micro"),
+        when(col("n") > 0, expr(
+          "CAST((1000000 * CAST(n_pos AS DECIMAL(38,0)) * " +
+            "(n - n_pos)) DIV (CAST(n AS DECIMAL(38,0)) * n) " +
+            "AS BIGINT)")).as("unc_micro"))
+  }
 }

@@ -1749,4 +1749,61 @@ object Windows {
           (col("__v1") * col("__nq") * col("__nq")).cast("double") /
           q.toDouble, 6)).as("vr"): _*)
   }
+
+  /** Multi-touch conversion attribution over per-user event journeys:
+    * first-touch, last-touch, and LINEAR credit per channel, read from
+    * the touches strictly BEFORE each user's first conversion event —
+    * the "which channels actually feed conversions" readout that
+    * last-touch-only reporting distorts. Exact-integer credit: each
+    * converting user distributes 10⁶ micro over their n touches as
+    * `10⁶ DIV n` each, with the floor remainder assigned to the FIRST
+    * touch (credit sums to exactly 10⁶ per user, deterministic under
+    * the (time, tiebreak) total order). Output per channel:
+    * `(channel, n_touches, n_first, n_last, credit_micro)`.
+    *
+    * Scale: one user-grain reduction for the first-conversion key, a
+    * key-bounded join back, user- and (user, channel)-grain
+    * aggregates, then a channel-grain rollup — nothing wider than the
+    * events frame shuffles, and only on user/channel keys.
+    */
+  def linearAttribution(df: DataFrame, userCol: String, tCol: String,
+      typeCol: String, convType: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val base = df.filter(col(userCol).isNotNull && col(tCol).isNotNull
+        && col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        struct(col(tCol) +: tiebreakCols.map(col): _*).as("__k"))
+    val conv = base.filter(col("__ty") === convType)
+      .groupBy(col("__u")).agg(min(col("__k")).as("__ck"))
+    val touches = base.filter(col("__ty") =!= convType)
+      .join(conv, Seq("__u"))
+      .filter(col("__k") < col("__ck"))
+    val perUser = touches.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__k"), col("__ty"))).as("__ft"),
+        max(struct(col("__k"), col("__ty"))).as("__lt"))
+      .select(col("__u"), col("__n"),
+        col("__ft").getField("__ty").as("__fty"),
+        col("__lt").getField("__ty").as("__lty"))
+    val credits = touches.groupBy(col("__u"), col("__ty"))
+      .agg(count(lit(1)).as("__c"))
+      .join(perUser, Seq("__u"))
+      .withColumn("__cr", col("__c") * expr("1000000L DIV __n") +
+        when(col("__ty") === col("__fty"),
+          lit(1000000L) - col("__n") * expr("1000000L DIV __n"))
+          .otherwise(lit(0L)))
+    val rolled = credits.groupBy(col("__ty").as("channel"))
+      .agg(sum(col("__c")).as("n_touches"),
+        sum(col("__cr")).as("credit_micro"))
+    val firsts = perUser.groupBy(col("__fty").as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val lasts = perUser.groupBy(col("__lty").as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    rolled.join(firsts, Seq("channel"), "left")
+      .join(lasts, Seq("channel"), "left")
+      .select(col("channel"), col("n_touches"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        col("credit_micro"))
+  }
 }

@@ -951,4 +951,118 @@ object Lexical {
     uni.unpersist(false)
     out
   }
+
+  /** Corpus lexical-richness report from the term FREQUENCY SPECTRUM —
+    * the vocabulary-health readout ("is this corpus template spam or
+    * real language") that raw type/token counts can't see: Yule's K
+    * (Yule 1944, repeat-rate concentration — high K = few types
+    * dominate), lexical Simpson's D (the probability two random tokens
+    * are the same type — K's exact-rational sibling), Herdan's C
+    * (log-log type/token slope, the size-robust TTR), and plain TTR.
+    *
+    * Exact cores: with spectrum `V(m)` = number of types occurring m
+    * times, `N = Σ m·V(m)`, `V = Σ V(m)`, `S2 = Σ m²·V(m)` (DECIMAL):
+    * `K = 10⁴·(S2 − N)/N²` (one double, 6 dp),
+    * `D_micro = 10⁶·(S2 − N) DIV (N·(N−1))` (exact floor),
+    * `C = ln V / ln N` (6 dp), `ttr_ppm = 10⁶·V DIV N`.
+    * Output: ONE row `(n_tokens, n_types, ttr_ppm, simpson_micro,
+    * yules_k, herdan_c)`.
+    *
+    * Scale: corpus scan → term-grain count aggregate (Heaps-sublinear)
+    * → spectrum-grain re-aggregation (≤ max-frequency rows) → 1-row
+    * reduce. Nothing wider than the vocabulary ever shuffles.
+    */
+  def lexicalRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val terms = docs.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__m"))
+    val spectrum = terms.groupBy(col("__m"))
+      .agg(count(lit(1)).as("__vm"))
+    spectrum.agg(
+        coalesce(sum(col("__m") * col("__vm")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("__vm")), lit(0L)).as("n_types"),
+        coalesce(sum(col("__m").cast(d38) * col("__m") * col("__vm")),
+          lit(0).cast(d38)).as("__s2"))
+      .select(col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          expr("n_types * 1000000L DIV n_tokens")).as("ttr_ppm"),
+        when(col("n_tokens") >= 2, expr(
+          "CAST(((__s2 - n_tokens) * 1000000) DIV " +
+            "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) " +
+            "AS BIGINT)")).as("simpson_micro"),
+        when(col("n_tokens") > 0, round(
+          (col("__s2") - col("n_tokens")).cast("double") * 10000d /
+            (col("n_tokens").cast("double") *
+              col("n_tokens").cast("double")), 6)).as("yules_k"),
+        when(col("n_tokens") > 1 && col("n_types") > 0, round(
+          log(col("n_types").cast("double")) /
+            log(col("n_tokens").cast("double")), 6)).as("herdan_c"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; a word scores `deg/freq` where
+    * `deg = Σ_{phrases ∋ w} |phrase|` (co-occurrence degree, self
+    * included) and `freq` is its phrase-occurrence count; a phrase
+    * scores the sum of its word scores. The document-local, corpus-
+    * statistics-free keyword baseline (TextRank's cheaper cousin — no
+    * graph iteration).
+    *
+    * Integer contract: word score = `(deg·10⁶) DIV freq` (exact
+    * floor), phrase score = exact sum of member-word micro scores
+    * (duplicate words in a phrase count each occurrence). Output:
+    * top-`k` distinct phrases `(phrase, n_occurrences, score_micro)`
+    * by (score desc, phrase asc) — a TakeOrdered cut, never a global
+    * sort.
+    *
+    * Scale: one corpus scan → phrase explode (corpus-linear) → word-
+    * grain aggregate (vocab-sized, broadcast back) → phrase-grain
+    * reduce → TakeOrdered k.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val stopArr = array(stopwords.map(lit(_)): _*)
+    // phrase segmentation: group id = count of stopwords at-or-before
+    // each position; non-stopword tokens with the same group id form
+    // one maximal run (keyed by the CALLER's doc id — a synthesized
+    // monotonically_increasing_id lands in the post-Generate
+    // projection and mints one "document" per exploded token)
+    val toks = docs.filter(col(textCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .withColumn("__stop", array_contains(stopArr, col("__w")))
+      .withColumn("__grp", sum(col("__stop").cast("int")).over(
+        Window.partitionBy(col("__doc")).orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!col("__stop"))
+    val phrases = toks.groupBy(col("__doc"), col("__grp"))
+      .agg(array_join(sort_array(collect_list(
+          struct(col("__p"), col("__w")))).getField("__w"), " ")
+        .as("phrase"),
+        count(lit(1)).as("__len"))
+    // corpus-global word stats over phrase INSTANCES: freq = instance
+    // occurrences, deg = sum of hosting-phrase lengths (self included)
+    val instWords = phrases
+      .select(col("__len"), explode(split(col("phrase"), " ")).as("__w"))
+    val wordStats = instWords.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__ws", expr("__deg * 1000000L DIV __freq"))
+      .select(col("__w"), col("__ws"))
+    // a phrase TEXT scores the same wherever it occurs: score the
+    // distinct texts once, count instances separately
+    val phraseCounts = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val scored = phraseCounts
+      .select(col("phrase"), explode(split(col("phrase"), " "))
+        .as("__w"))
+      .join(broadcast(wordStats), Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(sum(col("__ws")).as("score_micro"))
+    phraseCounts.join(scored, Seq("phrase"))
+      .select(col("phrase"), col("n_occurrences"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

@@ -167,4 +167,83 @@ class AssociationWaveSpec extends SparkSpec {
     // |n*C - S*i| = |0 - 40| = 40 -> 40/16
     assert(r.getAs[Double]("d_stat") == 2.5)
   }
+
+  test("lexicalRichness: the aaabbc spectrum reads the closed-form " +
+      "TTR/Simpson/Yule/Herdan") {
+    val df = Seq("a a a b b c").toDF("text")
+    val r = graft.llm.Lexical.lexicalRichness(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("ttr_ppm") == 500000L)
+    // S2 = 9+4+1 = 14 -> D = (14-6)/30
+    assert(r.getAs[Long]("simpson_micro") == 266666L)
+    assert(r.getAs[Double]("yules_k") ==
+      math.round(8.0 * 1e4 / 36 * 1e6) / 1e6)
+    assert(r.getAs[Double]("herdan_c") ==
+      math.round(math.log(3.0) / math.log(6.0) * 1e6) / 1e6)
+  }
+
+  test("rakeKeywords: stopword runs segment phrases; deg/freq word " +
+      "scores sum per phrase") {
+    val df = Seq((1L, "the quick fox and quick dog")).toDF("id", "text")
+    val r = graft.llm.Lexical.rakeKeywords(df, "id", "text",
+        Seq("the", "and"), topK = 5)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // quick: freq 2, deg 4 -> 2e6; fox/dog: freq 1, deg 2 -> 2e6
+    assert(r.keySet == Set("quick fox", "quick dog"))
+    assert(r("quick fox").getAs[Long]("score_micro") == 4000000L)
+    assert(r("quick dog").getAs[Long]("n_occurrences") == 1L)
+  }
+
+  test("qiniCurve: empty cumulative control arm reads NULL; a " +
+      "control-ahead prefix reads the exact negative uplift") {
+    val df = Seq((4L, true, true, 1L), (3L, false, true, 2L),
+      (2L, true, false, 3L), (1L, false, false, 4L))
+      .toDF("sc", "tr", "resp", "eid")
+    val r = Relational.qiniCurve(df, "sc", "tr", "resp", Seq("eid"))
+      .collect().map(x => x.getAs[Int]("decile") -> x).toMap
+    assert(r.keySet == Set(1, 3, 6, 8))
+    assert(r(1).isNullAt(r(1).fieldIndex("qini_micro")))
+    // at decile 6: cumT=2/respT=1, cumC=1/respC=1 -> 1e6*(1*1-1*2)/1
+    assert(r(6).getAs[Long]("qini_micro") == -1000000L)
+    assert(r(8).getAs[Long]("qini_micro") == 0L)
+  }
+
+  test("linearAttribution: credit splits 1e6 per converting user with " +
+      "the floor remainder on the first touch; first/last counts") {
+    val df = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (1L, 4L, "click"), // post-conversion: ignored
+      (2L, 1L, "click"), (2L, 2L, "buy"),
+      (3L, 1L, "buy"), // no touches
+      (4L, 1L, "a"), (4L, 2L, "b"), (4L, 3L, "c"), (4L, 4L, "buy"))
+      .toDF("u", "t", "ty")
+    val r = graft.engine.Windows.linearAttribution(df, "u", "t", "ty",
+        "buy", Seq("t"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("view").getAs[Long]("credit_micro") == 500000L)
+    assert(r("view").getAs[Long]("n_first") == 1L)
+    assert(r("click").getAs[Long]("n_touches") == 2L)
+    assert(r("click").getAs[Long]("n_last") == 2L)
+    assert(r("click").getAs[Long]("credit_micro") == 1500000L)
+    // user 4: 1e6 DIV 3 = 333333; remainder +1 to first touch 'a'
+    assert(r("a").getAs[Long]("credit_micro") == 333334L)
+    assert(r("b").getAs[Long]("credit_micro") == 333333L)
+    assert(Seq("view", "click", "a", "b", "c")
+      .map(k => r(k).getAs[Long]("credit_micro")).sum == 3000000L)
+  }
+
+  test("brierDecomposition: two-bin worked example reads the " +
+      "explicit-floor REL/RES/UNC") {
+    val df = Seq((100000L, true), (100000L, false),
+      (900000L, true), (900000L, true)).toDF("p", "y")
+    val r = Relational.brierDecomposition(df, "p", "y", bins = 10)
+      .head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 3L)
+    // rel = (2e5-1e6)^2/2 + (18e5-2e6)^2/2 = 3.2e11 + 2e10
+    assert(r.getAs[Long]("rel_micro") == 340000000000L / 4000000L)
+    // obar = 750000; res = 2*(5e5-75e4)^2 + 2*(1e6-75e4)^2 = 2.5e11
+    assert(r.getAs[Long]("res_micro") == 62500L)
+    assert(r.getAs[Long]("unc_micro") == 187500L)
+  }
 }
