@@ -7828,8 +7828,20 @@ object LlmQueries {
     * three lang-IDs stacked; raters gated by minimum token counts
     * (gate 2/2/2 = always-present → the Fleiss constant-3 shape;
     * 2/4/8 = conditional raters → the Krippendorff missing-data
-    * shape). */
+    * shape). Session-memoized per (input, gates) — the q377 kappa and
+    * q429 Cochran's Q share the 2/2/2 panel, so the triple corpus
+    * tokenize+lang-ID is paid once (the edge-memo discipline).
+    */
+  private val raterMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Int), DataFrame]
+
   private def raterFrame(s: SparkSession, d: String, minFull: Int,
+      minHead: Int, minTail: Int): DataFrame =
+    raterMemo.getOrElseUpdate((s, d, minFull, minHead, minTail),
+      raterFrameBuild(s, d, minFull, minHead, minTail)
+        .localCheckpoint(true))
+
+  private def raterFrameBuild(s: SparkSession, d: String, minFull: Int,
       minHead: Int, minTail: Int): DataFrame = {
     T(s, d, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"), Text.tokens(col("text")).as("__w"))
