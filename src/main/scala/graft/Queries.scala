@@ -4595,6 +4595,79 @@ object Queries {
             // (CAST(n AS HUGEINT) * n) AS BIGINT) END AS unc_micro
         FROM g CROSS JOIN res"""))
 
+  /** OP-WIN-35 — temporal-precedence matrix: per ordered event-type
+    * pair, share of users seeing a strictly before b. */
+  private val win35 = Spec("q441_sequence_pairs",
+    (s, d) => graft.engine.Windows.sequencePairSupport(
+      T(s, d, "events").filter(col("event_id").isNotNull),
+      "user_id", "ts", "event_type", Seq("event_id")),
+    Some("""WITH r AS (SELECT user_id AS u, event_type AS ty, ts,
+          event_id AS eid FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        kt AS (SELECT u, ty,
+          min(ROW(ts, eid)) AS kmin, max(ROW(ts, eid)) AS kmax
+          FROM r GROUP BY 1, 2),
+        p AS (SELECT a.ty AS type_a, b.ty AS type_b,
+          CASE WHEN a.kmin < b.kmax THEN 1 ELSE 0 END AS prec
+          FROM kt a JOIN kt b ON a.u = b.u AND a.ty != b.ty)
+        SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(prec) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS support_ppm
+        FROM p GROUP BY 1, 2"""))
+
+  /** OP-WIN-36 — composed: conversion-lag quantiles by first-touch
+    * channel (linearAttribution's journey carving feeding
+    * quantileReport — operator reuse, no new dataflow). */
+  private val win36 = Spec("q442_conversion_lag",
+    (s, d) => {
+      val r = T(s, d, "events").filter(col("ts").isNotNull &&
+          col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id").as("u"), col("event_type").as("ty"),
+          col("ts"), col("event_id").as("eid"))
+      val k = struct(col("ts"), col("eid"))
+      val conv = r.filter(col("ty") === "purchase")
+        .groupBy(col("u")).agg(min(k).as("ck"))
+      val touches = r.filter(col("ty") =!= "purchase")
+        .join(conv, Seq("u")).filter(k < col("ck"))
+      val firsts = touches.groupBy(col("u"))
+        .agg(min(struct(k.as("tk"), col("ty").as("fty"))).as("f"),
+          min(col("ck")).as("ck2"))
+        .select(col("f").getField("fty").as("channel"),
+          (expr("unix_micros(CAST(ck2.ts AS TIMESTAMP))") -
+            expr("unix_micros(CAST(f.tk.ts AS TIMESTAMP))"))
+            .as("lag_us"))
+      Relational.quantileReport(firsts, Seq("channel"), "lag_us",
+        Seq(50, 90))
+    },
+    Some("""WITH r AS (SELECT user_id AS u, event_type AS ty, ts,
+          event_id AS eid FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        cv AS (SELECT u, ts AS cts, eid AS ceid FROM (SELECT u, ts,
+          eid, row_number() OVER (PARTITION BY u ORDER BY ts, eid)
+            AS rn FROM r WHERE ty = 'purchase') WHERE rn = 1),
+        tch AS (SELECT r.u, r.ty, r.ts, r.eid FROM r JOIN cv USING (u)
+          WHERE r.ty != 'purchase' AND (r.ts < cts
+            OR (r.ts = cts AND r.eid < ceid))),
+        ft AS (SELECT t.u, t.ty AS channel,
+          epoch_us(cv.cts) - epoch_us(t.ts) AS lag_us
+          FROM (SELECT u, ty, ts, row_number() OVER
+            (PARTITION BY u ORDER BY ts, eid) AS rn FROM tch) t
+          JOIN cv ON cv.u = t.u WHERE t.rn = 1),
+        v AS (SELECT channel, lag_us AS x, CAST(count(*) AS BIGINT)
+          AS c FROM ft GROUP BY 1, 2),
+        cum AS (SELECT channel, x, c,
+          sum(c) OVER (PARTITION BY channel ORDER BY x) AS cum,
+          sum(c) OVER (PARTITION BY channel) AS n FROM v),
+        e AS (SELECT channel, x, cum, n, q
+          FROM cum CROSS JOIN (SELECT unnest([50, 90]) AS q)
+          WHERE cum * 100 >= n * q)
+        SELECT channel, q AS q_pct, CAST(max(n) AS BIGINT) AS n,
+          CAST(min(x) AS BIGINT) AS x_q
+        FROM e GROUP BY 1, 2"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4724,7 +4797,7 @@ object Queries {
     agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
     agg48, agg49, agg50, agg51,
     agg52, agg53, agg54, agg55, agg56, agg57, agg58, agg59, win33,
-    agg60, win34, agg61,
+    agg60, win34, agg61, win35, win36,
     win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =

@@ -1806,4 +1806,43 @@ object Windows {
         coalesce(col("n_last"), lit(0L)).as("n_last"),
         col("credit_micro"))
   }
+
+  /** Temporal-precedence matrix over per-key event journeys: for every
+    * ORDERED type pair `(a, b)`, the number (and ppm share) of keys
+    * with some a-event strictly before some b-event — the "what
+    * usually precedes what" readout between the Markov transition
+    * table (adjacent steps only) and the funnel (one declared path):
+    * precedence sees long-range order without committing to a path.
+    * Existence is exact set algebra on per-(key, type) FIRST/LAST
+    * occurrence keys: a precedes b for a key iff
+    * `min_key(a) < max_key(b)` under the (time, tiebreak) total
+    * order. Output per pair: `(type_a, type_b, n_keys, support_ppm)`
+    * — support over the keys holding BOTH types; pairs that co-occur
+    * for no key are absent.
+    *
+    * Scale: one (key, type) min/max aggregate, then a per-key self
+    * join at TYPE grain (the type axis is a dimension — event
+    * vocabularies are O(10..100)), then a (type, type) rollup.
+    * Nothing joins at event grain.
+    */
+  def sequencePairSupport(df: DataFrame, keyCol: String, tCol: String,
+      typeCol: String, tiebreakCols: Seq[String]): DataFrame = {
+    val perKT = df.filter(col(keyCol).isNotNull && col(tCol).isNotNull
+        && col(typeCol).isNotNull)
+      .select(col(keyCol).as("__u"), col(typeCol).as("__ty"),
+        struct(col(tCol) +: tiebreakCols.map(col): _*).as("__k"))
+      .groupBy(col("__u"), col("__ty"))
+      .agg(min(col("__k")).as("__kmin"), max(col("__k")).as("__kmax"))
+    val pairs = perKT.select(col("__u"), col("__ty").as("type_a"),
+        col("__kmin").as("__amin"))
+      .join(perKT.select(col("__u"), col("__ty").as("type_b"),
+        col("__kmax").as("__bmax")), Seq("__u"))
+      .filter(col("type_a") =!= col("type_b"))
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__amin") < col("__bmax"), 1L).otherwise(0L))
+          .as("__np"))
+      .select(col("type_a"), col("type_b"), col("n_keys"),
+        expr("__np * 1000000L DIV n_keys").as("support_ppm"))
+  }
 }

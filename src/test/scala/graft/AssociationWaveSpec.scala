@@ -233,6 +233,21 @@ class AssociationWaveSpec extends SparkSpec {
       .map(k => r(k).getAs[Long]("credit_micro")).sum == 3000000L)
   }
 
+  test("sequencePairSupport: precedence reads first-vs-last " +
+      "occurrence order per key, both directions independently") {
+    val df = Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 2L),
+      (1L, 3L, "a", 3L), (2L, 1L, "b", 4L), (2L, 2L, "a", 5L))
+      .toDF("u", "t", "ty", "eid")
+    val r = graft.engine.Windows.sequencePairSupport(df, "u", "t",
+        "ty", Seq("eid"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // user 1 has a<b and b<a (a recurs); user 2 only b<a
+    assert(r(("a", "b")).getAs[Long]("n_keys") == 2L)
+    assert(r(("a", "b")).getAs[Long]("support_ppm") == 500000L)
+    assert(r(("b", "a")).getAs[Long]("support_ppm") == 1000000L)
+  }
+
   test("brierDecomposition: two-bin worked example reads the " +
       "explicit-floor REL/RES/UNC") {
     val df = Seq((100000L, true), (100000L, false),
