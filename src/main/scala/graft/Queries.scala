@@ -4177,7 +4177,7 @@ object Queries {
           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
         c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
           FROM r GROUP BY 1, 2),
-        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c),
         mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM c GROUP BY 1),
         my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM c GROUP BY 1),
         hx AS (SELECT coalesce(sum(CAST(cx AS HUGEINT)

@@ -5075,6 +5075,9 @@ object Relational {
     */
   def quantileReport(df: DataFrame, groupCols: Seq[String], xCol: String,
       qsPct: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column " +
+      "(a global quantile routes through the sketch family or a " +
+      "constant group)")
     require(qsPct.nonEmpty && qsPct.forall(q => q >= 1 && q <= 100),
       "percentages must be in 1..100")
     val g = groupCols.map(col)
@@ -5103,6 +5106,11 @@ object Relational {
     * deterministic (weight desc, key asc) tie order and a
     * TakeOrdered-bounded top-k (never a global sort). Output: ONE row
     * `(n_keys, w_total, hhi_ppm, cr_ppm)`.
+    *
+    * CONTRACT: weights are non-negative (revenue, counts, bytes) —
+    * shares of a signed measure are not concentration; with negative
+    * weights the ppm floors keep both engines hash-equal but the
+    * statistic itself is meaningless.
     */
   def concentrationReport(df: DataFrame, keyCol: String, wCol: String,
       topK: Int): DataFrame = {
