@@ -233,6 +233,37 @@ class AssociationWaveSpec extends SparkSpec {
       .map(k => r(k).getAs[Long]("credit_micro")).sum == 3000000L)
   }
 
+  test("invariances: CUSUM is level-shift invariant, MI is symmetric " +
+      "in its arguments, gamma flips sign under y-negation") {
+    // cusum: D_i = n*C_i - S*i is unchanged by x -> x + c
+    val ts = Seq((1L, 1L, 3L), (2L, 2L, 9L), (3L, 3L, 1L),
+      (4L, 4L, 7L), (5L, 5L, 2L)).toDF("t", "eid", "x")
+    val shifted = ts.withColumn("x", col("x") + 1000L)
+    val a = Relational.cusumMeanShift(ts, "t", "x", Seq("eid")).head()
+    val b = Relational.cusumMeanShift(shifted, "t", "x", Seq("eid"))
+      .head()
+    assert(a.getAs[Long]("t_star") == b.getAs[Long]("t_star"))
+    assert(a.getAs[Double]("d_stat") == b.getAs[Double]("d_stat"))
+    // MI symmetry: swapping x and y swaps the marginal entropies and
+    // keeps mi/nmi
+    val df = Seq(("a", 0L), ("a", 1L), ("b", 1L), ("b", 1L), ("c", 0L))
+      .toDF("x", "y")
+    val m1 = Relational.mutualInformation(df, "x", "y").head()
+    val m2 = Relational.mutualInformation(
+      df.select(col("y").as("x2"), col("x").as("y2")), "x2", "y2")
+      .head()
+    assert(m1.getAs[Long]("mi_micro") == m2.getAs[Long]("mi_micro"))
+    assert(m1.getAs[Long]("h_x_micro") == m2.getAs[Long]("h_y_micro"))
+    assert(m1.getAs[Double]("nmi") == m2.getAs[Double]("nmi"))
+    // gamma antisymmetry under y -> -y (concordant <-> discordant)
+    val g = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("x", "y")
+    val g1 = Relational.somersGamma(g, "x", "y").head()
+    val g2 = Relational.somersGamma(
+      g.select(col("x"), (-col("y")).as("y")), "x", "y").head()
+    assert(g1.getAs[Double]("gamma") == -g2.getAs[Double]("gamma"))
+    assert(g1.getAs[Long]("c_pairs") == g2.getAs[Long]("d_pairs"))
+  }
+
   test("sequencePairSupport: precedence reads first-vs-last " +
       "occurrence order per key, both directions independently") {
     val df = Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 2L),
