@@ -4668,6 +4668,39 @@ object Queries {
           CAST(min(x) AS BIGINT) AS x_q
         FROM e GROUP BY 1, 2"""))
 
+  /** OP-AGG-62 — hash-deterministic paired sign-flip permutation test
+    * of the per-user even-vs-odd-event cents difference. */
+  private val agg62 = Spec("q443_sign_flip_test",
+    (s, d) => Relational.signFlipTest(
+      T(s, d, "events").filter(col("value").isNotNull &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_id") % 2 === 0,
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")))
+          .as("d")),
+      "user_id", "d", b = 200),
+    Some("""WITH r AS (SELECT user_id AS id,
+          CAST(sum(CASE WHEN event_id % 2 = 0
+            THEN CAST(round(value * 100) AS BIGINT)
+            ELSE -CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+            AS d
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND event_id IS NOT NULL GROUP BY 1),
+        obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(d), 0) AS BIGINT) AS d_sum FROM r),
+        reps AS (SELECT b, CAST(sum(CASE WHEN (((id % 1000000007)
+            * 1103515245 + b * 12345) % 1000000007) % 2 = 0
+            THEN d ELSE -d END) AS BIGINT) AS t
+          FROM r CROSS JOIN (SELECT unnest(range(1, 201)) AS b)
+          GROUP BY 1),
+        ex AS (SELECT CAST(coalesce(sum(CASE WHEN abs(t) >= abs(d_sum)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extreme
+          FROM reps CROSS JOIN obs)
+        SELECT n, d_sum, n_extreme,
+          (1 + n_extreme) * 1000000 // 201 AS p_ppm
+        FROM obs CROSS JOIN ex"""))
+
   /** Session-memoized sampled-landmark BFS distance frame over the
     * co-purchase graph (seeds = nodes ≡ 0 mod 300, horizon 4): the
     * shared input of the whole sampled-centrality family — closeness
@@ -4797,7 +4830,7 @@ object Queries {
     agg40, agg41, agg42, agg43, agg44, agg45, agg46, agg47,
     agg48, agg49, agg50, agg51,
     agg52, agg53, agg54, agg55, agg56, agg57, agg58, agg59, win33,
-    agg60, win34, agg61, win35, win36,
+    agg60, win34, agg61, win35, win36, agg62,
     win31, win32, misc26) ++ LlmQueries.specs
 
   def queries: ListMap[String, QFn] =

@@ -5457,6 +5457,53 @@ object Relational {
           .as("d_stat"))
   }
 
+  /** Hash-deterministic paired sign-flip permutation test (Fisher
+    * 1935's randomization test in its paired form): under H₀ the
+    * paired differences are sign-symmetric, so each replicate `b`
+    * flips every `d_i` by a DETERMINISTIC pseudo-random sign
+    * `s_ib = ±1` derived from `(id, b)` integer hashing (the
+    * bootstrapMeanCI discipline — no RNG state, engine-reproducible),
+    * and the add-one Monte-Carlo p-value is
+    * `p = (1 + #{b : |Σ s_ib·d_i| ≥ |Σ d_i|}) / (B + 1)` — the
+    * distribution-free significance companion to the Wilcoxon
+    * signed-rank (which tests ranks; this tests the MEAN difference
+    * itself, no normality anywhere). All statistics exact BIGINTs;
+    * the p is an exact ppm floor. Output: ONE row
+    * `(n, d_sum, n_extreme, p_ppm)`.
+    *
+    * Sign hash: `(((id % p)·1103515245 + b·12345) % p) % 2` with
+    * `p = 1000000007` — the id is reduced mod p BEFORE the multiply so
+    * every product stays int64-safe at ANY id magnitude; mirrored
+    * verbatim by the oracle.
+    *
+    * Scale: one corpus×B replicate map (B a bounded literal, default
+    * 200) collapsing map-side to the B-grain replicate sums, then a
+    * 1-row reduce — the amplification is a constant factor, never a
+    * shuffle of pairs.
+    */
+  def signFlipTest(df: DataFrame, idCol: String, dCol: String,
+      b: Int = 200): DataFrame = {
+    require(b >= 1 && b <= 100000, "need 1 <= B <= 100000 replicates")
+    val base = df.filter(col(idCol).isNotNull && col(dCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(dCol).cast("long").as("__d"))
+    val obs = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__d")), lit(0L)).as("d_sum"))
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(1), lit(b))))
+      .withColumn("__s", when(
+        expr("(((__id % 1000000007L) * 1103515245L + __b * 12345L) " +
+          "% 1000000007L) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("__b"))
+      .agg(sum(col("__s") * col("__d")).as("__t"))
+    obs.crossJoin(
+        reps.crossJoin(broadcast(obs.select(col("d_sum").as("__o"))))
+          .agg(coalesce(sum(when(abs(col("__t")) >= abs(col("__o")),
+            1L).otherwise(0L)), lit(0L)).as("n_extreme")))
+      .select(col("n"), col("d_sum"), col("n_extreme"),
+        expr(s"(1 + n_extreme) * 1000000L DIV ${b + 1}").as("p_ppm"))
+  }
+
   /** Qini uplift curve by score decile — the treatment-effect-model
     * evaluation that [[liftTable]] cannot do: lift ranks ONE response
     * column; Qini asks "did targeting by this score find the people

@@ -233,6 +233,30 @@ class AssociationWaveSpec extends SparkSpec {
       .map(k => r(k).getAs[Long]("credit_micro")).sum == 3000000L)
   }
 
+  test("signFlipTest: all-zero differences are never beaten (p = 1); " +
+      "the replicate census matches a driver-side hash reference") {
+    val zeros = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "d")
+    val z = Relational.signFlipTest(zeros, "id", "d", b = 50).head()
+    assert(z.getAs[Long]("n_extreme") == 50L)
+    assert(z.getAs[Long]("p_ppm") == 1000000L)
+    // reference replay of the exact hash/sign arithmetic
+    val data = Seq((1L, 100L), (2L, 1L), (7L, -40L))
+    val bN = 50
+    val obs = math.abs(data.map(_._2).sum)
+    val ref = (1 to bN).count { b =>
+      math.abs(data.map { case (id, d) =>
+        val h = ((id % 1000000007L) * 1103515245L + b * 12345L) %
+          1000000007L % 2
+        if (h == 0) d else -d
+      }.sum) >= obs
+    }
+    val r = Relational.signFlipTest(data.toDF("id", "d"), "id", "d",
+      b = bN).head()
+    assert(r.getAs[Long]("n_extreme") == ref.toLong)
+    assert(r.getAs[Long]("p_ppm") ==
+      (1L + ref) * 1000000L / (bN + 1))
+  }
+
   test("invariances: CUSUM is level-shift invariant, MI is symmetric " +
       "in its arguments, gamma flips sign under y-negation") {
     // cusum: D_i = n*C_i - S*i is unchanged by x -> x + c
