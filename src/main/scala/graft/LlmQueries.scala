@@ -8468,6 +8468,39 @@ object LlmQueries {
         FROM pc JOIN sc USING (phrase)
         ORDER BY score_micro DESC, pc.phrase LIMIT 20"""))
 
+  /** Quadratic-weighted Cohen's kappa of each vector's label against
+    * its id-successor's label — the ordinal-agreement member of the
+    * q377–q380 family (off-by-two is worse than off-by-one). */
+  private val l260 = Spec("q444_weighted_kappa",
+    (s, d) => {
+      val e = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val pred = e.select((col("vec_id") - 1).as("vec_id"),
+        col("label").as("pred"))
+      graft.llm.Eval.weightedKappa(e.join(pred, Seq("vec_id")),
+        "label", "pred")
+    },
+    Some("""WITH r AS (SELECT a.label AS g, b.label AS p
+          FROM embeddings a JOIN embeddings b
+            ON b.vec_id = a.vec_id + 1),
+        c AS (SELECT CAST(g AS BIGINT) AS g, CAST(p AS BIGINT) AS p,
+          CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c),
+        wo AS (SELECT coalesce(sum(CAST(g - p AS HUGEINT) * (g - p)
+          * c), 0) AS wo FROM c),
+        mg AS (SELECT g, CAST(sum(c) AS BIGINT) AS r FROM c
+          GROUP BY 1),
+        mp AS (SELECT p, CAST(sum(c) AS BIGINT) AS q FROM c
+          GROUP BY 1),
+        we AS (SELECT coalesce(sum(CAST(mg.g - mp.p AS HUGEINT)
+          * (mg.g - mp.p) * mg.r * mp.q), 0) AS we
+          FROM mg CROSS JOIN mp)
+        SELECT n, CAST(wo AS BIGINT) AS wo_sum,
+          CAST(we AS BIGINT) AS we_sum,
+          CASE WHEN we > 0 THEN round(1.0 - CAST(n AS DOUBLE)
+            * CAST(wo AS DOUBLE) / CAST(we AS DOUBLE), 6) END
+            AS kappa_w
+        FROM nn CROSS JOIN wo CROSS JOIN we"""))
+
   val specs: Vector[Spec] = Vector(l1, l2, l3, l4, l5, l6, l7, l8, l9, l9b,
     l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23,
     l24, l25, l26, l27, l28, l29, l30, l31, l32, l33, l34, l35, l36, l37,
@@ -8490,5 +8523,5 @@ object LlmQueries {
     l217, l218, l219, l220, l221, l222, l223, l224, l225, l226, l227,
     l228, l229, l230, l231, l232, l233, l234, l235, l236, l237,
     l238, l239, l240, l241, l242, l243, l244, l245, l246, l247, l248,
-    l249, l250, l251, l252, l253, l254, l255, l256, l257, l258, l259)
+    l249, l250, l251, l252, l253, l254, l255, l256, l257, l258, l259, l260)
 }

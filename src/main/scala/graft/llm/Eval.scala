@@ -990,6 +990,52 @@ object Eval {
     out
   }
 
+  /** Quadratic-weighted Cohen's kappa (Cohen 1968) over an ORDINAL
+    * gold/predicted integer-label pair — the agreement coefficient
+    * where being off by two is worse than off by one (the ordinal gap
+    * [[mccMulticlass]] and plain kappa ignore; the standard metric for
+    * graded-quality rater audits). With confusion cells `O_ij`,
+    * marginals `r_i`/`c_j`, `n` rows and weights `w_ij = (i−j)²`:
+    * `κ_w = 1 − n·Σ w_ij·O_ij / Σ w_ij·r_i·c_j` — every sum an exact
+    * DECIMAL integer, one final double at 6 dp (NULL when the expected
+    * disagreement is 0: a single-label frame). Output: ONE row
+    * `(n, wo_sum, we_sum, kappa_w)` — `we_sum` pre-divided by nothing
+    * (the raw Σ w·r·c; the n-scaling lives in the formula so both
+    * engines share the same integers).
+    *
+    * Scale: one (gold, pred) cell aggregate, marginal re-aggregations
+    * of the CELL frame, and a label²-grain weighted cross of the two
+    * marginal vectors (the label axis is a small ordinal scale by
+    * contract) — contingency grain throughout.
+    */
+  def weightedKappa(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(goldCol).isNotNull &&
+        col(predCol).isNotNull)
+      .groupBy(col(goldCol).cast("long").as("__g"),
+        col(predCol).cast("long").as("__p"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = cells.agg(coalesce(sum(col("__c")), lit(0L)).as("n"))
+    val wo = cells.agg(coalesce(sum(
+        (col("__g") - col("__p")).cast(d38) * (col("__g") - col("__p"))
+          * col("__c")), lit(0).cast(d38)).as("__wo"))
+    val margG = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__r"))
+    val margP = cells.groupBy(col("__p")).agg(sum(col("__c")).as("__q"))
+    val we = margG.crossJoin(broadcast(margP))
+      .agg(coalesce(sum((col("__g") - col("__p")).cast(d38) *
+        (col("__g") - col("__p")) * col("__r") * col("__q")),
+        lit(0).cast(d38)).as("__we"))
+    tot.crossJoin(wo).crossJoin(we)
+      .select(col("n"),
+        col("__wo").cast("long").as("wo_sum"),
+        col("__we").cast("long").as("we_sum"),
+        when(col("__we") > 0, round(lit(1d) -
+          col("n").cast("double") * col("__wo").cast("double") /
+            col("__we").cast("double"), 6)).as("kappa_w"))
+  }
+
   /** Multiclass Matthews correlation coefficient (the R_K statistic,
     * Gorodkin 2004) from a gold/predicted label frame — the single
     * chance-robust scalar for imbalanced classifier audits (accuracy

@@ -104,6 +104,23 @@ class AgreementWaveSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("alpha") - 1.0) < 1e-6)
   }
 
+  test("weightedKappa: perfect ordinal agreement reads 1; the " +
+      "balanced worked example reads exactly 0; empty input NULL") {
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("g", "p")
+    assert(Eval.weightedKappa(perfect, "g", "p").head()
+      .getAs[Double]("kappa_w") == 1.0)
+    // wo = 8, we = 32, n = 4 -> 1 - 4*8/32 = 0
+    val mixed = Seq((0, 0), (0, 2), (2, 2), (2, 0)).toDF("g", "p")
+    val m = Eval.weightedKappa(mixed, "g", "p").head()
+    assert(m.getAs[Long]("wo_sum") == 8L)
+    assert(m.getAs[Long]("we_sum") == 32L)
+    assert(m.getAs[Double]("kappa_w") == 0.0)
+    val e = Eval.weightedKappa(
+      Seq.empty[(Int, Int)].toDF("g", "p"), "g", "p").head()
+    assert(e.getAs[Long]("n") == 0L &&
+      e.isNullAt(e.fieldIndex("kappa_w")))
+  }
+
   test("empty-input guards: zero kept items report NULL ratios (the " +
       "when(n>0) family discipline), never 0/0 NaN") {
     val empty = Seq.empty[(Int, String)].toDF("item", "cat")
