@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Scale-adaptive fan-out for compute-heavy row-local stages over
+    * under-partitioned inputs (guide §2.5 "one huge unsplittable file →
+    * repartition immediately after the read"): when `df` plans to fewer
+    * partitions than the session's parallelism — the single-row-group
+    * parquet file case, where the whole scan stage is ONE task and every
+    * expensive generator/expression above it runs single-threaded — insert
+    * one round-robin exchange up to `defaultParallelism` so the heavy
+    * stage uses the machine. A no-op whenever the input already has
+    * enough partitions (any real multi-file/multi-row-group table at
+    * scale), so the exchange exists ONLY in the degenerate layout it
+    * fixes; at 100 TB this never fires. Apply it BELOW the heavy compute
+    * and ABOVE the operator's own scan filters, so predicate pushdown and
+    * column pruning still reach the parquet scan.
+    *
+    * Only for ROW-LOCAL work: the round-robin exchange destroys any
+    * keyed partitioning, so never place it between a repartition/join and
+    * the operator that needs that key.
+    */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Distributed global rank: adds `rankCol` = 1-based position of each
     * row under `order`, with NO single-partition window. Two-level range
     * trick generalized to arbitrary sortable keys: range-repartition on

@@ -138,9 +138,14 @@ object Similarity {
     // and a nested transform-×-transform flatten (24 s — higher-order
     // function lambdas run interpreted, not codegen'd). Chained
     // posexplode: 3.2 s and shuffle-free on the corpus axis.
-    val gram = df.filter(col(vecCol).isNotNull)
-      .select(expr("transform(" + vecCol + ", x -> " +
-        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("__q"))
+    // fanOut BEFORE the d²-term generator: a single-row-group input
+    // plans to one task, serializing the whole Gram aggregate (the only
+    // corpus scan) on one core; the exchange moves n rows (tiny next to
+    // the n·d² generated terms) and no-ops on any well-partitioned input
+    val gram = graft.engine.Relational.fanOut(
+        df.filter(col(vecCol).isNotNull)
+          .select(expr("transform(" + vecCol + ", x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("__q")))
       .select(col("__q"), posexplode(col("__q")).as(Seq("__i", "__xi")))
       .select(col("__i"), col("__xi"),
         posexplode(col("__q")).as(Seq("__j", "__xj")))
@@ -205,10 +210,13 @@ object Similarity {
     val d38 = "decimal(38,0)"
     def milli(c: String) = expr(
       s"transform($c, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
-    val staged = pairs
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
-        size(col(xCol)) === size(col(yCol)))
-      .select(milli(xCol).as("__x"), milli(yCol).as("__y"))
+    // fanOut for the same reason as [[powerIteration]]'s Gram: three d²
+    // chained-posexplode aggregates read this frame, and a single-task
+    // input would run them all on one core
+    val staged = graft.engine.Relational.fanOut(pairs
+        .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+          size(col(xCol)) === size(col(yCol)))
+        .select(milli(xCol).as("__x"), milli(yCol).as("__y")))
       .persist()
     // d×d raw cross/self-products, each via one chained posexplode
     def gram(a: String, b: String) = staged
