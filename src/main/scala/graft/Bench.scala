@@ -45,6 +45,37 @@ object Bench {
           .mode("overwrite").save()
         catch { case _: Throwable => () }
     }
+    // Calibration probes (r13, VERDICT #7): three fixed micro-workloads
+    // — pure CPU (synthetic range + hash arithmetic), pure shuffle
+    // (synthetic keyed aggregate), pure scan (the largest input table)
+    // — timed median-of-3 each run, so cross-round per-query deltas can
+    // be read against the box's speed THAT run instead of assuming a
+    // constant machine (measured same-day drift on this box: ±15-20%,
+    // r12 verdict). Synthetic inputs: nothing cached, nothing keyed on
+    // the test data; reported in a separate `calibration` field — NOT
+    // added to `queries`/`value`, so totals stay comparable.
+    import org.apache.spark.sql.functions.{col, lit, xxhash64, pmod,
+      count => fcount, sum => fsum}
+    def cal(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      median(ts)
+    }
+    // shiftright keeps each term within 2³², so the 48M-row ANSI sum
+    // cannot overflow int64
+    import org.apache.spark.sql.functions.shiftright
+    val calCpu = cal(spark.range(0, 192L * 1000 * 1000, 1, cpus.toInt)
+      .select(fsum(shiftright(xxhash64(col("id")), 32) +
+        shiftright(xxhash64(col("id"), lit(1)), 32)))
+      .write.format("noop").mode("overwrite").save())
+    val calShuffle = cal(spark.range(0, 4L * 1000 * 1000, 1, cpus.toInt)
+      .groupBy(pmod(xxhash64(col("id")), lit(100000)).as("k"))
+      .agg(fcount(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save())
+    val calScan = cal(
+      try Queries.T(spark, sfDir, "lineitem").write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () })
     // Optional subset filter for scale spot-checks (comma-separated
     // name prefixes); the driver sets nothing, so its runs stay full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
@@ -103,14 +134,16 @@ object Bench {
     val memoNote = "pass 1 builds the session memos (LSH pair frames, " +
       "graph edge frames, DBSCAN neighbor frame); passes 2+ are " +
       "memo-warm for those families"
+    val calibration = s"""{"cpu":${jnum(calCpu)},"shuffle":${jnum(
+        calShuffle)},"scan":${jnum(calScan)}}"""
     val full =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"spread":$spread,"cold":$coldQs,"cold_total":${jnum(coldTotal)},"memo_note":"$memoNote","pass_totals":[${passTotals.map(jnum).mkString(",")}],"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"spread":$spread,"cold":$coldQs,"cold_total":${jnum(coldTotal)},"memo_note":"$memoNote","pass_totals":[${passTotals.map(jnum).mkString(",")}],"calibration":$calibration,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // Compact final line: top-12 slowest medians stand in for the full map
     // so the line survives the driver's 2000-char tail capture.
     val top = names.sortBy(-med(_)).take(12)
       .map(n => "\"" + n + "\":" + jnum(med(n))).mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$runs,"nq":${names.length},"failed":${failed.length},"cold_total":${jnum(coldTotal)},"queries":$top,"detail":"bench_result.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","runs":$runs,"nq":${names.length},"failed":${failed.length},"cold_total":${jnum(coldTotal)},"calibration":$calibration,"queries":$top,"detail":"bench_result.json","sf":"$sfDir"}"""
     // Stop Spark FIRST so no shutdown logging can land after (or interleave
     // with) the JSON; persist the full map to a file as the
     // log-truncation-proof channel.

@@ -6721,8 +6721,9 @@ object LlmQueries {
     * core-core eps-graph (min-id labels), borders attach to the
     * smallest adjacent core, noise reports null. */
   private val l214 = Spec("q349_dbscan_clusters",
-    (s, d) => graft.llm.Density.dbscanClustersFromPairs(embedLattice2d(s, d),
-      "vec_id", dbscanNbrs(s, d), minPts = 4)
+    (s, d) => graft.llm.Density.dbscanClustersFromPairsGeo(
+      embedLattice2d(s, d), "vec_id", "x", "y", 25000L,
+      dbscanNbrs(s, d), minPts = 4)
       .withColumnRenamed("id", "vec_id"),
     Some(s"""$dbscanOracleBase,
         ce AS (SELECT nb.a AS u, nb.b AS v FROM nb

@@ -51,15 +51,20 @@ object Graph {
     // build, released with the rest
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
-    // both loop-invariant frames are persisted ALREADY PARTITIONED on
-    // their join keys, so each round's src-join and id-join read the
-    // cache without a fresh exchange on the big side
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
+    // both loop-invariant frames are persisted ALREADY PARTITIONED AND
+    // SORTED on their join keys (r13: cached plans preserve output
+    // ordering, so every round's sort-merge join skips re-sorting the
+    // big side — previously each round re-sorted the edge frame; guide
+    // §2.4 "establish the partitioning once"). nodes comes out of
+    // distinct already hash-partitioned on id — the former explicit
+    // repartition(id) was a second exchange of the same key (r13: plan
+    // showed back-to-back exchanges; dropped).
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .sortWithinPartitions("id").persist()
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src")).persist()
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     val base = (100L - dampPct) * 10000L
     var rank = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -108,7 +113,8 @@ object Graph {
     require(iters >= 1, "need at least one round")
     require(attenDiv >= 2, "attenuation divisor must be >= 2")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .persist()
     val maxInDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("__d"))
       .agg(max(col("__d"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -118,9 +124,9 @@ object Graph {
         s"$maxInDeg >= attenDiv $attenDiv - the attenuated-walk series " +
         s"DIVERGES; the output is the iters=$iters truncated partial " +
         "sum (exact), not a converged centrality")
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .sortWithinPartitions("id").persist()
     var x = nodes.withColumn("katz", lit(1000000L))
     for (_ <- 1 to iters) {
       val in = e
@@ -167,14 +173,14 @@ object Graph {
       .distinct().persist()
     val sd = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("__seed", lit(1L))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .join(sd, Seq("id"), "left")
       .withColumn("__seed", coalesce(col("__seed"), lit(0L)))
-      .repartition(col("id")).persist()
+      .repartition(col("id")).sortWithinPartitions("id").persist()
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src")).persist()
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     val base = (100L - dampPct) * 10000L
     var rank = nodes.select(col("id"),
       (col("__seed") * 1000000L).as("rank"))
@@ -227,8 +233,7 @@ object Graph {
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e0 = undirected(edges, srcCol, dstCol).persist()
-    val deg = e0.select(col("u").as("n"))
-      .unionAll(e0.select(col("v").as("n")))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val ou = struct(col("du").as("d"), col("u").as("n"))
     val ov = struct(col("dv").as("d"), col("v").as("n"))
@@ -278,8 +283,7 @@ object Graph {
   def edgeTriangleSupport(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e0 = undirected(edges, srcCol, dstCol).persist()
-    val deg = e0.select(col("u").as("n"))
-      .unionAll(e0.select(col("v").as("n")))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val ou = struct(col("du").as("d"), col("u").as("n"))
     val ov = struct(col("dv").as("d"), col("v").as("n"))
@@ -522,8 +526,10 @@ object Graph {
       minCommon: Int): DataFrame = {
     require(minCommon >= 1, "minCommon must be positive")
     val e = undirected(edges, srcCol, dstCol)
-    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val nbrs = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__nm"))
+      .select(col("__nm.n").as("n"), col("__nm.m").as("m"))
       .persist()
     // node-grain, read by BOTH endpoint joins — checkpointed (audit rule)
     val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -573,8 +579,10 @@ object Graph {
       dstCol: String, minCommon: Int): DataFrame = {
     require(minCommon >= 1, "minCommon must be positive")
     val e = undirected(edges, srcCol, dstCol).persist()
-    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val nbrs = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__nm"))
+      .select(col("__nm.n").as("n"), col("__nm.m").as("m"))
       .persist()
     val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val pairs = nbrs.select(col("n").as("a"), col("m"))
@@ -655,9 +663,14 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
     val e = undirected(edges, srcCol, dstCol)
-    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
-      .persist()
+    // per-round joins key on m — persist the neighbor list partitioned
+    // and sorted on it (r13), or every round re-exchanges the edge-grain
+    // frame
+    val nbrs = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__nm"))
+      .select(col("__nm.n").as("n"), col("__nm.m").as("m"))
+      .repartition(col("m")).sortWithinPartitions("m").persist()
     val seed = seeds.select(col(nodeCol).as("n"), col(labelCol).as("label"))
       .localCheckpoint(true)
     var labels = seed
@@ -690,16 +703,13 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    // the CC engine reads its pair frame twice (both edge directions) —
-    // persist the caller's (possibly expensive) edge derivation through
-    // the call; safe to release on return because the engine's per-round
-    // convergence actions leave the result eagerly checkpointed
+    // the CC engine now reads its pair frame exactly ONCE (r13: the
+    // both-directions union became a single-pass explode), so the former
+    // protective persist here would only spend cache on a single-reader
+    // frame
     val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .persist()
-    val out = graft.llm.Dedup.duplicateClusters(e, srcCol, dstCol, maxIter)
+    graft.llm.Dedup.duplicateClusters(e, srcCol, dstCol, maxIter)
       .select(col("doc").as("node"), col("cluster").as("component"))
-    e.unpersist(false)
-    out
   }
 
   /** Breadth-first min-hop labels from a seed set over the DIRECTED edge
@@ -717,7 +727,8 @@ object Graph {
     require(maxHops >= 1, "need at least one hop")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .persist()
     // Each round reads the previous reached set TWICE (frontier filter +
     // union), so the per-round frame must be persisted: left as lineage,
     // the double reference re-executes every earlier round's join per
@@ -768,8 +779,7 @@ object Graph {
     val m = e.agg(count(lit(1)).as("__m"))
     val asg = assign.select(col(nodeCol).as("__node"),
       col(communityCol).as("community"))
-    val deg = e.select(col("u").as("__node"))
-      .unionByName(e.select(col("v").as("__node")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("__node"))
       .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
     val byComm = deg.join(asg, Seq("__node"))
       .groupBy(col("community"))
@@ -813,8 +823,7 @@ object Graph {
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e = undirected(edges, srcCol, dstCol).persist()
-    val deg = e.select(col("u").as("__node"))
-      .unionByName(e.select(col("v").as("__node")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("__node"))
       .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
     val pairs = e
       .join(deg.select(col("__node").as("u"), col("__deg").as("__du")),
@@ -866,8 +875,7 @@ object Graph {
       dstCol: String, k: Int, oversample: Int): DataFrame = {
     require(oversample >= k && k >= 1, "need oversample >= k >= 1")
     val e = undirected(edges, srcCol, dstCol).persist()
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     // id-ordered node index via the distributed two-level rank — the
     // former corpus-grain Window.orderBy(id) was the one
     // single-partition sort in the graph family (round 10).
@@ -886,8 +894,10 @@ object Graph {
         lit(1000000007L)) % col("__n"))
       .join(indexed.select(col("__idx"), col("id").as("neg_id")),
         Seq("__idx"))
-    val undirectedKeys = e.select(col("u"), col("v"))
-      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val undirectedKeys = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("__uv"))
+      .select(col("__uv.u").as("u"), col("__uv.v").as("v"))
     val out = draws
       .filter(col("neg_id") =!= col("u"))
       .join(undirectedKeys.withColumnRenamed("v", "neg_id"),
@@ -947,7 +957,8 @@ object Graph {
     require(maxHops >= 1, "need at least one hop")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .persist()
     def sweep(seed: DataFrame): DataFrame = {
       var dist = seed.withColumn("hop", lit(0)).persist()
       val rounds = scala.collection.mutable.Buffer(dist)
@@ -972,8 +983,7 @@ object Graph {
       dist.crossJoin(broadcast(mx)).filter(col("hop") === col("__mx"))
         .agg(min(col("id")).as("id"), max(col("hop")).as("ecc"))
     }
-    val a0 = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+    val a0 = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .agg(min(col("id")).as("id"))
     val d1 = sweep(a0.select("id"))
     val f1 = far(d1).localCheckpoint(true)
@@ -999,11 +1009,26 @@ object Graph {
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
+    // TWO pre-partitioned cached copies of the edge list, one per join
+    // key (r13, guide §2.4 "remove shuffles outright"): each round joins
+    // on src (hub propagation) AND on dst (auth propagation), and a
+    // single (src,dst)-hash-partitioned cache satisfied neither, so
+    // every round re-exchanged the EDGE-grain frame twice on top of the
+    // two unavoidable aggregate exchanges (4 edge-grain exchanges/round
+    // → 2). eDst also makes round-1's indegree aggregate exchange-free.
+    // The rank frames come back from normRaw's localCheckpoint still
+    // hash-partitioned on id (checkpoint preserves partitioning), so
+    // the per-round joins are fully co-partitioned. Cost: 2× edge cache
+    // (the persist-once loop-frame discipline, spent twice).
+    val eSrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .persist()
+    val eDst = eSrc.repartition(col("dst")).sortWithinPartitions("dst")
+      .persist()
+    val e = eSrc
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .sortWithinPartitions("id").persist()
     // each round's raw frame has TWO readers (the max scalar and the
     // next-round join) and sits on an iters-deep lineage — materialize
     // it eagerly or every normalization recomputes the whole history
@@ -1032,11 +1057,11 @@ object Graph {
       // max-ratio ((k·x·10⁶) DIV (k·max) = (x·10⁶) DIV max) — the
       // normalized round-1 auth IS the normalized indegree, no join
       val rawAuth = if (i == 1)
-        e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("auth"))
-      else e.join(hub.withColumnRenamed("id", "src"), "src")
+        eDst.groupBy(col("dst").as("id")).agg(count(lit(1)).as("auth"))
+      else eSrc.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
       auth = normRaw(rawAuth, "auth")
-      hub = normRaw(e
+      hub = normRaw(eDst
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
         "hub")
@@ -1045,7 +1070,8 @@ object Graph {
       .select(col("id"), col("hub"), col("auth"))
       .localCheckpoint(true)
     nodes.unpersist(false)
-    e.unpersist(false)
+    eDst.unpersist(false)
+    eSrc.unpersist(false)
     out
   }
 
@@ -1069,9 +1095,11 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val und = undirected(edges, srcCol, dstCol)
-    val e = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src")).persist()
+    val e = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("__sd"))
+      .select(col("__sd.src").as("src"), col("__sd.dst").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     var dist = seeds.select(col(seedCol).as("seed"))
       .filter(col("seed").isNotNull).distinct()
       .withColumn("id", col("seed")).withColumn("hop", lit(0)).persist()
@@ -1158,8 +1186,10 @@ object Graph {
       minCommon: Int): DataFrame = {
     require(minCommon >= 1, "minCommon must be positive")
     val e = undirected(edges, srcCol, dstCol).persist()
-    val nbrs = e.select(col("u").as("n"), col("v").as("m"))
-      .union(e.select(col("v").as("n"), col("u").as("m")))
+    val nbrs = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__nm"))
+      .select(col("__nm.n").as("n"), col("__nm.m").as("m"))
       .persist()
     val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val pairs = nbrs.select(col("n").as("a"), col("m"))

@@ -508,9 +508,21 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+    // partitioned AND sorted on the per-round join key (r13): every
+    // round joins edges on dst — a (src,dst)-hash cache re-exchanged
+    // and re-sorted the edge-grain frame once per round; cached plans
+    // preserve partitioning+ordering, so the per-round SMJ now only
+    // sorts the node-grain label side
+    // both directions in ONE pass over `pairs` (r13, the q333 explode
+    // idiom): a two-branch union reads the caller's pair derivation
+    // twice — and when that derivation is an unmaterialized cache, the
+    // first job computes it twice (the branches race the cache build)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__p"))
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .distinct().repartition(col("dst")).sortWithinPartitions("dst")
+      .persist()
     // seed each label with min(self, neighbors) — round 1's propagation
     // folded into the init aggregate, so the dominant pair-sized clusters
     // reach their fixpoint one full round (two Spark jobs) earlier
@@ -541,12 +553,16 @@ object Dedup {
         col("cluster").as("rep_cluster"))
       // localCheckpoint truncates the plan each round — the pointer-jump
       // self-join would otherwise DOUBLE the logical plan per iteration
-      // (exponential analysis/optimization cost, OOMs around round 10)
+      // (exponential analysis/optimization cost, OOMs around round 10).
+      // LAZY checkpoint (r13): the convergence count right below is the
+      // materializing action, so checkpoint + count run as ONE Spark job
+      // per round instead of two — same blocks, same rows, half the
+      // per-round job/scheduling overhead.
       val next = hop.join(reps, Seq("cluster"), "left")
         .select(col("doc"), col("old"),
           least(col("cluster"), coalesce(col("rep_cluster"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.filter(col("cluster") =!= col("old")).count()
       labels.unpersist() // release the previous round's checkpoint blocks
       labels = next.drop("old")

@@ -144,7 +144,8 @@ object Density {
       yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
     val nbrs = epsNeighborPairs(points, idCol, xCol, yCol, epsMicro)
       .persist()
-    val out = dbscanClustersFromPairs(points, idCol, nbrs, minPts)
+    val out = dbscanClustersFromPairsGeo(points, idCol, xCol, yCol,
+      epsMicro, nbrs, minPts)
     nbrs.unpersist(false)
     out
   }
@@ -153,7 +154,42 @@ object Density {
     * [[dbscanCoreFromPairs]] for the memoization contract.
     */
   def dbscanClustersFromPairs(points: DataFrame, idCol: String,
-      nbrs: DataFrame, minPts: Int): DataFrame = {
+      nbrs: DataFrame, minPts: Int): DataFrame =
+    dbscanClustersImpl(points, idCol, nbrs, minPts, None)
+
+  /** [[dbscanClustersFromPairs]] WITH the point geometry — the
+    * boundary-pair reduction face (guide §2.3 "shuffle fewer bytes" /
+    * §2.4 at the algorithm level): instead of feeding EVERY core-core
+    * ε-pair to the pointer-jumping CC (whose every round shuffles the
+    * whole pair frame), reduce the pair frame to a connectivity-
+    * equivalent sparse skeleton first.
+    *
+    * The reduction (standard MR-DBSCAN merge refinement): bucket core
+    * points into SUB-cells of side `s` = the largest integer with
+    * `2s² ≤ eps²`, so any two points in one sub-cell are within `eps`
+    * of each other (max in-cell distance `√2·(s−1) < √2·s ≤ eps`) —
+    * i.e. each sub-cell's core set is a CLIQUE of the ε-graph. A
+    * clique's connectivity is preserved by a star to its min id
+    * (`|cell|−1` edges instead of `|cell|²/2`), and between two
+    * sub-cells ONE representative ε-pair carries all the connectivity
+    * the full bundle did (every other cross pair is reachable through
+    * the two stars). Components — vertex sets AND their min-id labels —
+    * are therefore IDENTICAL to the full-pair CC; only the edge
+    * multiplicity feeding the iterative CC drops, from Σ|cell-pair
+    * products| to O(#cores + #occupied-sub-cell-pairs). The reduction
+    * itself is two node-grain aggregates plus one map-side-combinable
+    * pair-grain aggregate — one pass over the pair frame instead of
+    * O(log d) passes.
+    */
+  def dbscanClustersFromPairsGeo(points: DataFrame, idCol: String,
+      xCol: String, yCol: String, epsMicro: Long,
+      nbrs: DataFrame, minPts: Int): DataFrame =
+    dbscanClustersImpl(points, idCol, nbrs, minPts,
+      Some((xCol, yCol, epsMicro)))
+
+  private def dbscanClustersImpl(points: DataFrame, idCol: String,
+      nbrs: DataFrame, minPts: Int,
+      geom: Option[(String, String, Long)]): DataFrame = {
     require(minPts >= 1, "minPts must be positive")
     val counts = points.select(col(idCol).as("id"))
       .join(nbrs.groupBy(col("a").as("id"))
@@ -162,12 +198,52 @@ object Density {
       .persist()
     val core = counts.filter(col("n_eps") >= minPts).select(col("id"))
       .persist()
-    val coreEdges = nbrs
-      .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
-      .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
-      .filter(col("a") < col("b"))
+    var subCached: Option[DataFrame] = None
+    val ccInput = geom match {
+      case None =>
+        nbrs
+          .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+      case Some((xCol, yCol, epsMicro)) =>
+        // largest sub-cell side with 2s² ≤ eps² (float guess, exact fix)
+        var s = (epsMicro / math.sqrt(2.0)).toLong
+        while (s > 1 && 2 * s * s > epsMicro * epsMicro) s -= 1
+        if (s < 1) s = 1
+        // core points with their sub-cell — node-grain, read three times
+        val sub = points.select(col(idCol).as("id"),
+            expr(s"(CAST($xCol AS BIGINT) + ${Shift}L) DIV ${s}L")
+              .as("__sx"),
+            expr(s"(CAST($yCol AS BIGINT) + ${Shift}L) DIV ${s}L")
+              .as("__sy"))
+          .join(core, Seq("id"), "left_semi")
+          .persist()
+        subCached = Some(sub)
+        // in-cell star: every core links to its sub-cell's min core id
+        // (a genuine ε-pair by the 2s² ≤ eps² bound)
+        val rep = sub.groupBy(col("__sx"), col("__sy"))
+          .agg(min(col("id")).as("__rep"))
+        val star = sub.join(rep, Seq("__sx", "__sy"))
+          .filter(col("id") =!= col("__rep"))
+          .select(col("__rep").as("a"), col("id").as("b"))
+        // cross-cell: ONE deterministic representative ε-pair per
+        // ordered sub-cell pair (the inner node-grain joins double as
+        // the core/core semi-filters)
+        val boundary = nbrs.filter(col("a") < col("b"))
+          .join(sub.select(col("id").as("a"), col("__sx").as("__ax"),
+            col("__sy").as("__ay")), Seq("a"))
+          .join(sub.select(col("id").as("b"), col("__sx").as("__bx"),
+            col("__sy").as("__by")), Seq("b"))
+          .filter(col("__ax") =!= col("__bx") ||
+            col("__ay") =!= col("__by"))
+          .groupBy(col("__ax"), col("__ay"), col("__bx"), col("__by"))
+          .agg(min(struct(col("a"), col("b"))).as("__e"))
+          .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        star.unionByName(boundary)
+    }
     val comps = graft.engine.Graph.connectedComponents(
-      coreEdges, "a", "b")
+      ccInput, "a", "b")
+    subCached.foreach(_.unpersist(false))
     val coreClusters = core
       .join(comps.select(col("node").as("id"), col("component")),
         Seq("id"), "left")
