@@ -32,6 +32,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r13: the 100-entry default codegen cache thrashes under a
+      // 444-query registry (thousands of generated sources per pass) —
+      // every stage re-pays a ~300-500 ms Janino compile that 32
+      // concurrent tasks then all block on. Compiled-class caching is
+      // input-independent (never caches data or results) and strictly
+      // reduces class generation; measured q216 5.3->2.8 s, q349
+      // 10.2->6.6 s, q374 4.7->3.3 s at sf0.1.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -66,6 +66,7 @@ object Profile {
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r13, see Bench
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // experiment knob: SPARK_GRAFT_PROFILE_CONF="k=v;k2=v2" extra confs
