@@ -385,13 +385,26 @@ object Graph {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
+      // ONE aggregate job yields both branch counters (r13 — was: eager
+      // del checkpoint + del.count + last.count, three jobs of which
+      // two scan the same frame); `last`'s checkpoint is still eager
+      // (two readers: the output and the next round)
+      val cnts = sup.agg(
+        sum(when(col("support") >= thresh, 1L).otherwise(0L)).as("k"),
+        sum(when(col("support") < thresh, 1L).otherwise(0L)).as("d"))
+        .collect().head
+      val nKeep = Option(cnts.get(0)).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+      val nDel = Option(cnts.get(1)).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
       last = sup.filter(col("support") >= thresh).localCheckpoint(true)
+      // lazy: only the incremental branch reads it (twice — expand +
+      // anti-join), and its first action materializes the cache
       val del = sup.filter(col("support") < thresh)
-        .select(col("u"), col("v")).localCheckpoint(true)
-      val nDel = del.count()
+        .select(col("u"), col("v")).localCheckpoint(false)
       round += 1
       if (nDel == 0 || round >= maxRounds) done = true
-      else if (nDel > last.count()) {
+      else if (nDel > nKeep) {
         // mass extinction: the survivor graph is smaller than the
         // frontier - a fresh O(m'^1.5) enumeration on it beats
         // frontier-proportional decrement work

@@ -33,6 +33,34 @@ object Relational {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** [[fanOut]] for KEYED compute (windows, keyed aggregations whose
+    * per-row work dwarfs their bytes): hash-repartition on `keys` up to
+    * `defaultParallelism` when the input plans to fewer partitions.
+    * The explicit user partition count also stops AQE's byte-targeted
+    * coalescing from collapsing a compute-heavy small-bytes window to
+    * ONE task (observed: q210's 7-row sliding-median window over a 2 MB
+    * shuffle ran single-threaded for 4 s — minPartitionSize=1m sees
+    * bytes, not CPU). Same no-op-at-scale contract as [[fanOut]]: any
+    * realistically sized input already exceeds the session parallelism.
+    */
+  private[graft] def fanOutBy(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    fanOutBy(df, keys, df)
+
+  /** [[fanOutBy]] with a separate `gauge` frame for the partition-count
+    * probe: when the frame to spread sits ABOVE exchanges (a join/agg
+    * output), probing ITS partitioning would force the AQE sub-plan to
+    * execute at plan time — gauge on the raw scan below it instead
+    * (same scale signal: a big input never trips the fan-out).
+    */
+  private[graft] def fanOutBy(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      gauge: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (gauge.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
+
   /** Distributed global rank: adds `rankCol` = 1-based position of each
     * row under `order`, with NO single-partition window. Two-level range
     * trick generalized to arbitrary sortable keys: range-repartition on

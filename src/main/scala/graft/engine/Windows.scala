@@ -1016,8 +1016,11 @@ object Windows {
     val s1 = sum(x).over(w)
     val s2 = sum(x * x).over(w)
     val disc = n * s2 - s1 * s1
-    df.withColumn(outCol, when(col(valCol).isNotNull && disc > 0,
-      round((n * x - s1).cast("double") / sqrt(disc.cast("double")), 6)))
+    // DECIMAL(38) window sums are CPU-bound at tiny bytes (r13, the
+    // q210 single-task-window class) — fan out before the window
+    Relational.fanOutBy(df, keyCols.map(col))
+      .withColumn(outCol, when(col(valCol).isNotNull && disc > 0,
+        round((n * x - s1).cast("double") / sqrt(disc.cast("double")), 6)))
   }
 
   /** RFM (recency / frequency / monetary) customer scoring, quintiles
@@ -1163,7 +1166,10 @@ object Windows {
     val med = element_at(arr, mid)
     val mad = element_at(array_sort(transform(arr,
       x => abs(x - med))), mid)
-    df.withColumn("med", med).withColumn("mad", mad)
+    // per-row double sort + transform makes this window CPU-bound at
+    // tiny bytes — fan it out before the window (r13, see fanOutBy)
+    Relational.fanOutBy(df, keyCols.map(col))
+      .withColumn("med", med).withColumn("mad", mad)
       .withColumn("outlier", abs(col(valCol) - med) > lit(k) * mad)
   }
 
